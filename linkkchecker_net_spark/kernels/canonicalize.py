@@ -1,0 +1,126 @@
+"""P1 — URL canonicalization kernel (the most correctness-critical kernel).
+
+Semantics mirror the reference's ``UriExtensions.GetDerivedUri``
+(/root/reference/SpiderEngine/UriExtensions.cs:12-24):
+
+  1. if ``href.lower().startswith("http")`` treat as absolute, else resolve
+     against the base URL (note: the prefix test is on the raw string, so
+     ``https`` matches and — faithfully to the reference — so would a
+     relative path beginning with "http");
+  2. HTML-entity decode the resulting URL string (``WebUtility.HtmlDecode``);
+  3. strip everything from the LAST ``#`` (internal-anchor removal);
+  4. re-parse, applying .NET ``Uri``-style normalization: lowercase
+     scheme+host, strip default ports (80/443), empty path → "/",
+     dot-segment resolution.
+
+Implemented once in pure Python (shared verbatim by the pytest BFS oracle)
+and exposed as an Arrow-vectorized pandas UDF for the Spark plan — no
+per-row Python crosses the JVM boundary row-at-a-time (north rule,
+BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import html
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 — what .NET Uri does to absolute-URL paths."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+        elif seg != ".":
+            out.append(seg)
+    if path.endswith(("/.", "/..")):
+        out.append("")
+    return "/".join(out)
+
+
+def _normalize(url: str) -> str | None:
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if not scheme:
+        return None
+    if scheme in ("http", "https"):
+        host = (parts.hostname or "").lower()
+        if not host:
+            return None
+        port = parts.port
+        netloc = host
+        if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+            netloc = f"{host}:{port}"
+        path = _remove_dot_segments(parts.path) or "/"
+        # NOTE: only the LAST '#' was stripped upstream (UriExtensions.cs:18)
+        # so a residual fragment from a multi-'#' href survives, exactly as
+        # .NET's final `new Uri(decodedUri)` keeps it
+        return urlunsplit((scheme, netloc, path, parts.query, parts.fragment))
+    # non-http(s) schemes (mailto:, ftp:, ...) are kept verbatim so the
+    # unsupported-scheme branch can record them (Engine.cs:263-273)
+    return url
+
+
+def canonicalize(base_url: str | None, href: str | None) -> str | None:
+    """Canonical absolute URL, or None when the href cannot form a URL
+    (the reference drops such links on the floor via an unobserved task
+    exception — Engine.cs:322-349)."""
+    if href is None:
+        return None
+    href = href.strip()
+    if not href:
+        return None
+    try:
+        if href.lower().startswith("http"):
+            url = href
+        elif base_url:
+            url = urljoin(base_url, href)
+        else:
+            return None
+    except ValueError:
+        return None
+    url = html.unescape(url)  # UriExtensions.cs:16
+    idx = url.rfind("#")  # UriExtensions.cs:18-22 (LAST '#')
+    if idx != -1:
+        url = url[:idx]
+    if not url:
+        return None
+    return _normalize(url)
+
+
+def host_of(url: str | None) -> str | None:
+    """P2 — authority host (Engine.cs:76 GetLeftPart(Authority) host part)."""
+    if not url:
+        return None
+    try:
+        return (urlsplit(url).hostname or "").lower() or None
+    except ValueError:
+        return None
+
+
+def split_host(url: str | None) -> str:
+    h = host_of(url)
+    return h if h is not None else ""
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) canonicalization: Series in, Series out."""
+    return pd.Series(
+        [canonicalize(b, h) for b, h in zip(base, href)], dtype="object"
+    )
+
+
+@F.pandas_udf(T.StringType())
+def host_udf(url: pd.Series) -> pd.Series:
+    return pd.Series([split_host(u) for u in url], dtype="object")

@@ -1,0 +1,195 @@
+"""Kernel unit tests (SURVEY.md §5.1) — golden cases derived from the
+reference's semantics, cited per case."""
+
+from __future__ import annotations
+
+import pytest
+
+from linkkchecker_net_spark.kernels.canonicalize import canonicalize, host_of
+from linkkchecker_net_spark.kernels.cssparse import extract_css_urls
+from linkkchecker_net_spark.kernels.htmlparse import parse_page
+from linkkchecker_net_spark.oracle.bfs import canonical_segments_match, classify
+
+BASE = "http://site-a.test/dir/page.html"
+
+
+# P1 — UriExtensions.GetDerivedUri (/root/reference/SpiderEngine/UriExtensions.cs:12-24)
+@pytest.mark.parametrize(
+    "base,href,expected",
+    [
+        # relative resolution (new Uri(baseUrl, relativeUrl))
+        (BASE, "other.html", "http://site-a.test/dir/other.html"),
+        (BASE, "/abs/path", "http://site-a.test/abs/path"),
+        (BASE, "../up.html", "http://site-a.test/up.html"),
+        (BASE, "./same.html", "http://site-a.test/dir/same.html"),
+        # absolute when (lowercased) string starts with "http"
+        (BASE, "http://other.test/x", "http://other.test/x"),
+        (BASE, "HTTPS://Other.TEST/Path", "https://other.test/Path"),
+        # fragment stripped from the LAST '#' (UriExtensions.cs:18-22)
+        (BASE, "page.html#frag", "http://site-a.test/dir/page.html"),
+        (BASE, "page.html#a#b", "http://site-a.test/dir/page.html#a"),
+        (BASE, "#top", "http://site-a.test/dir/page.html"),
+        # HTML entity decode happens BEFORE fragment strip (UriExtensions.cs:16)
+        (BASE, "page&#47;x.html", "http://site-a.test/dir/page/x.html"),
+        (BASE, "q?a=1&amp;b=2", "http://site-a.test/dir/q?a=1&b=2"),
+        # .NET Uri normalization: scheme/host lowercase, default port strip,
+        # empty path → "/", dot-segment resolution
+        ("http://site-a.test/", "HTTP://SITE-A.TEST:80", "http://site-a.test/"),
+        ("http://site-a.test/", "http://site-a.test:8080/x", "http://site-a.test:8080/x"),
+        ("http://site-a.test/", "http://h.test/a/../b", "http://h.test/b"),
+        # non-http schemes preserved verbatim for the unsupported branch
+        (BASE, "mailto:x@y.test", "mailto:x@y.test"),
+        (BASE, "ftp://files.test/pub", "ftp://files.test/pub"),
+        # garbage → dropped (unobserved-task-exception analog)
+        (BASE, "", None),
+        (BASE, None, None),
+        (None, "relative/only", None),
+        # query preserved, fragment-after-query stripped
+        (BASE, "p?x=1#y", "http://site-a.test/dir/p?x=1"),
+    ],
+)
+def test_canonicalize(base, href, expected):
+    assert canonicalize(base, href) == expected
+
+
+def test_canonicalize_http_prefix_quirk():
+    # faithful reference quirk: the absolute test is a raw "http" string
+    # prefix (UriExtensions.cs:14), so a relative path starting with
+    # "http" is treated as absolute and fails to parse → dropped
+    assert canonicalize(BASE, "httpdocs/readme.html") is None
+
+
+def test_host_of():
+    assert host_of("http://Site-A.test:8080/x") == "site-a.test"
+    assert host_of("mailto:x@y.test") is None
+    assert host_of(None) is None
+
+
+# P8/P9 — Engine.cs:42-49 tag map, 324-326 GET/HEAD split; CanonicalChecker.cs:38-42;
+# DescriptionLengthChecker.cs:41-44; Engine.cs:280-289 embedded css
+HTML = b"""
+<html><head>
+<link rel="canonical" href="http://site-a.test/canon"/>
+<meta name="description" content="hello world description"/>
+<link rel="stylesheet" href="/css/main.css"/>
+<link rel="icon" href="/favicon.ico"/>
+<style>.a { background-image: url('/img/a.png'); }</style>
+</head><body>
+<a href="/p1">one</a>
+<a href="/p2#frag">two</a>
+<script src="/js/app.js"></script>
+<img src="/img/b.png" alt="b"/>
+<a href="mailto:x@y.test">mail</a>
+</body></html>
+"""
+
+
+def test_parse_page_links():
+    parsed = parse_page(HTML)
+    links = parsed["links"]
+    by_tag = {}
+    for ln in links:
+        by_tag.setdefault(ln["tag"], []).append(ln)
+    assert [ln["href"] for ln in by_tag["a"]] == ["/p1", "/p2#frag", "mailto:x@y.test"]
+    assert [ln["href"] for ln in by_tag["script"]] == ["/js/app.js"]
+    # ALL <link> tags are candidates (canonical, stylesheet, icon)
+    assert [ln["href"] for ln in by_tag["link"]] == [
+        "http://site-a.test/canon",
+        "/css/main.css",
+        "/favicon.ico",
+    ]
+    assert [ln["href"] for ln in by_tag["img"]] == ["/img/b.png"]
+    # GET/HEAD split: <a> and <link rel=stylesheet> may contain links
+    assert all(ln["may_contain_links"] for ln in by_tag["a"])
+    may_by_href = {ln["href"]: ln["may_contain_links"] for ln in by_tag["link"]}
+    assert may_by_href == {
+        "http://site-a.test/canon": False,
+        "/css/main.css": True,
+        "/favicon.ico": False,
+    }
+    assert not by_tag["script"][0]["may_contain_links"]
+    assert not by_tag["img"][0]["may_contain_links"]
+    # tag iteration order a<script<link<img (Engine.cs:42-49)
+    assert [ln["tag_rank"] for ln in by_tag["a"]] == [0, 0, 0]
+    assert by_tag["script"][0]["tag_rank"] == 1
+    assert by_tag["link"][0]["tag_rank"] == 2
+    assert by_tag["img"][0]["tag_rank"] == 3
+    # per-tag document position
+    assert [ln["doc_pos"] for ln in by_tag["a"]] == [0, 1, 2]
+
+
+def test_parse_page_meta():
+    parsed = parse_page(HTML)
+    assert parsed["canonical_href"] == "http://site-a.test/canon"
+    assert parsed["meta_description"] == "hello world description"
+    assert parsed["embedded_css"] == [".a { background-image: url('/img/a.png'); }"]
+
+
+def test_parse_page_garbage():
+    assert parse_page(None)["links"] == []
+    assert parse_page(b"\x00\xff not html <a href=")["canonical_href"] is None
+
+
+# P10 — CssChecker.cs:17 regex; 38-87
+def test_extract_css_urls():
+    css = """
+    .x { background-image: url('/img/a.png'); }
+    .y { background-image: url(/img/b.png); }
+    .z { background: url("/img/c.png") no-repeat; }
+    @font-face { font-family: F; src: url('/fonts/r.ttf') format('truetype'),
+                 url('/fonts/r.woff') format('woff'); }
+    """
+    assert extract_css_urls(css) == [
+        "/img/a.png",
+        "/img/b.png",
+        "/img/c.png",
+        "/fonts/r.ttf",
+        "/fonts/r.woff",
+    ]
+    # intended semantics: single-url @font-face IS extracted (the reference
+    # skips it — the >1 quirk at CssChecker.cs:49 — documented divergence)
+    assert extract_css_urls("@font-face { src: url('/fonts/solo.ttf'); }") == [
+        "/fonts/solo.ttf"
+    ]
+    assert extract_css_urls(None) == []
+
+
+# P11 — StatusCodeExtension.cs:7-11, Engine.cs:168-201,263-273
+@pytest.mark.parametrize(
+    "status,error,unsupported,expected",
+    [
+        (200, None, False, "ok"),
+        (299, None, False, "ok"),
+        (199, None, False, "broken"),
+        (300, None, False, "broken"),
+        (301, None, False, "redirect"),
+        (302, None, False, "redirect"),
+        (303, None, False, "redirect"),
+        (307, None, False, "redirect"),
+        (308, None, False, "broken"),
+        (404, None, False, "broken"),
+        (500, None, False, "broken"),
+        (None, "boom", False, "error"),
+        (None, None, True, "unsupported"),
+        (None, None, False, "broken"),
+    ],
+)
+def test_classify(status, error, unsupported, expected):
+    assert classify(status, error, unsupported) == expected
+
+
+# P7 — CanonicalChecker.cs:46-62 segment compare
+@pytest.mark.parametrize(
+    "url,href,expected",
+    [
+        ("http://a.test/p/q", "http://a.test/p/q", True),
+        ("http://a.test/p/q", "http://a.test/P/Q", True),  # case-insensitive
+        ("http://a.test/p%20x", "http://a.test/p x", True),  # unescaped compare
+        ("http://a.test/p/q", "http://OTHER.test/p/q", True),  # authority ignored!
+        ("http://a.test/p/q", "http://a.test/p/q/", False),  # "q" vs "q/"
+        ("http://a.test/p/q", "http://a.test/p/r", False),
+        ("http://a.test/p/", "http://a.test/p", False),  # trailing slash differs
+    ],
+)
+def test_canonical_segments_match(url, href, expected):
+    assert canonical_segments_match(url, href) == expected
