@@ -1,0 +1,268 @@
+"""URL-seen membership filters: broadcast bloom + partitioned cuckoo.
+
+North-rule components (BASELINE.json north_star): the seen set at 10^10
+URLs is too large to broadcast exactly, so the anti-join is layered:
+
+  1. a compact **bloom filter** over all seen url_hash values is broadcast
+     to every executor; candidates that are bloom-NEGATIVE are *definitely
+     new* and skip the anti-join shuffle entirely (the common case — most
+     discovered URLs on a growing crawl are new);
+  2. bloom-POSITIVE candidates (true dupes + ~1% false positives) go
+     through the exact parquet anti-join;
+  3. **cuckoo filters**, partitioned by pmod(url_hash, P), hold the same
+     membership per partition with deletion support and ~2 bytes/key —
+     snapshotted to the checkpoint per epoch as the seen-filter lineage
+     artifact (BASELINE.json: "frontier offset, seen-filter snapshot,
+     fetch metrics").
+
+The reference's analog is the lock-guarded Dictionary claim
+(/root/reference/SpiderInterface/ScanResults.cs:12-45) — exact, in-memory,
+single-node; these filters are its distributed, probabilistic+exact
+layering.  All operations are vectorized numpy over int64 key arrays.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_U64 = np.uint64
+
+
+def _as_u64(keys) -> np.ndarray:
+    return np.asarray(keys, dtype=np.int64).view(np.uint64)
+
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    # splitmix64 finalizer — decorrelates the two double-hashing streams
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return h ^ (h >> _U64(31))
+
+
+class BloomFilter:
+    """Bit-array bloom filter over int64 keys (double hashing, k probes)."""
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        capacity = max(capacity, 64)
+        m = int(-capacity * np.log(fp_rate) / (np.log(2) ** 2))
+        self.m = max(256, 1 << int(np.ceil(np.log2(m))))  # power of 2
+        self.k = max(1, int(round((self.m / capacity) * np.log(2))))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _idx(self, keys: np.ndarray, i: int) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = keys + _U64(i) * _mix(keys + _U64(1))
+        return (h & _U64(self.m - 1)).astype(np.int64)
+
+    def add(self, keys) -> None:
+        k64 = _as_u64(keys)
+        for i in range(self.k):
+            idx = self._idx(k64, i)
+            np.bitwise_or.at(self.bits, idx >> 6, _U64(1) << (idx & 63).view(np.uint64))
+
+    def contains(self, keys) -> np.ndarray:
+        k64 = _as_u64(keys)
+        out = np.ones(len(k64), dtype=bool)
+        for i in range(self.k):
+            idx = self._idx(k64, i)
+            word = self.bits[idx >> 6]
+            out &= (word >> (idx & 63).view(np.uint64)) & _U64(1) != 0
+        return out
+
+    # ---- serialization (broadcast / snapshot) ----
+    def to_bytes(self) -> bytes:
+        header = np.array([self.m, self.k], dtype=np.int64).tobytes()
+        return header + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomFilter":
+        m, k = np.frombuffer(data[:16], dtype=np.int64)
+        obj = cls.__new__(cls)
+        obj.m, obj.k = int(m), int(k)
+        obj.bits = np.frombuffer(data[16:], dtype=np.uint64).copy()
+        return obj
+
+
+class CuckooFilter:
+    """4-way bucketed cuckoo filter, 16-bit fingerprints, int64 keys.
+
+    ~2.2 bytes/key at 95% load; supports delete (bloom does not), which a
+    long-lived crawl needs for recrawl/expiry policies.
+    """
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int):
+        n_buckets = max(8, 1 << int(np.ceil(np.log2(max(capacity, 8) / 4 / 0.95))))
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
+        self.count = 0
+
+    def _fp(self, k64: np.ndarray) -> np.ndarray:
+        fp = (_mix(k64) & _U64(0xFFFF)).astype(np.uint16)
+        return np.where(fp == 0, np.uint16(1), fp)  # 0 = empty slot
+
+    def _i1(self, k64: np.ndarray) -> np.ndarray:
+        return (k64 & _U64(self.n_buckets - 1)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = _mix(fp.astype(np.uint64))
+        return (i1 ^ (h & _U64(self.n_buckets - 1)).astype(np.int64)).astype(np.int64)
+
+    def add(self, keys) -> int:
+        """Insert keys; returns number successfully inserted (a full filter
+        rejects — callers size capacity with headroom)."""
+        k64 = _as_u64(keys)
+        fps = self._fp(k64)
+        i1s = self._i1(k64)
+        rng = np.random.default_rng(42)  # deterministic eviction choices
+        inserted = 0
+        for fp, i1 in zip(fps, i1s):
+            if self._insert_one(int(fp), int(i1), rng):
+                inserted += 1
+        return inserted
+
+    def _insert_one(self, fp: int, i1: int, rng) -> bool:
+        i2 = int(self._i2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+        for idx in (i1, i2):
+            row = self.table[idx]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        idx = i1 if rng.integers(2) else i2
+        cur = fp
+        for _ in range(self.MAX_KICKS):
+            slot = int(rng.integers(4))
+            cur, self.table[idx, slot] = int(self.table[idx, slot]), cur
+            idx = int(
+                self._i2(np.array([idx]), np.array([cur], dtype=np.uint16))[0]
+            )
+            row = self.table[idx]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                self.count += 1
+                return True
+        return False
+
+    def contains(self, keys) -> np.ndarray:
+        k64 = _as_u64(keys)
+        fps = self._fp(k64)
+        i1s = self._i1(k64)
+        i2s = self._i2(i1s, fps)
+        in1 = (self.table[i1s] == fps[:, None]).any(axis=1)
+        in2 = (self.table[i2s] == fps[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete(self, keys) -> int:
+        k64 = _as_u64(keys)
+        fps = self._fp(k64)
+        i1s = self._i1(k64)
+        i2s = self._i2(i1s, fps)
+        removed = 0
+        for fp, i1, i2 in zip(fps, i1s, i2s):
+            for idx in (int(i1), int(i2)):
+                slots = np.where(self.table[idx] == fp)[0]
+                if len(slots):
+                    self.table[idx, slots[0]] = 0
+                    self.count -= 1
+                    removed += 1
+                    break
+        return removed
+
+    def to_bytes(self) -> bytes:
+        header = np.array([self.n_buckets, self.count], dtype=np.int64).tobytes()
+        return header + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CuckooFilter":
+        n_buckets, count = np.frombuffer(data[:16], dtype=np.int64)
+        obj = cls.__new__(cls)
+        obj.n_buckets = int(n_buckets)
+        obj.count = int(count)
+        obj.table = (
+            np.frombuffer(data[16:], dtype=np.uint16).reshape(obj.n_buckets, 4).copy()
+        )
+        return obj
+
+
+# --------------------------------------------------------------------------
+# Spark-side builders
+# --------------------------------------------------------------------------
+
+
+def build_bloom(seen_df, capacity_hint: int | None = None, fp_rate: float = 0.01) -> bytes:
+    """Build a broadcastable bloom over seen url_hash values.
+
+    Per-partition numpy aggregation via mapInPandas (each task returns its
+    partial bit array), OR-reduced on the driver — one narrow pass, no
+    shuffle, ~m/8 bytes per task of driver traffic.
+    """
+    import pandas as pd
+
+    n = capacity_hint or seen_df.count()
+    proto = BloomFilter(n, fp_rate)
+    m, k = proto.m, proto.k
+
+    def partial(batches):
+        bf = BloomFilter.__new__(BloomFilter)
+        bf.m, bf.k = m, k
+        bf.bits = np.zeros(m // 64, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf):
+                bf.add(pdf["url_hash"].to_numpy(dtype=np.int64))
+        yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    parts = seen_df.select("url_hash").mapInPandas(partial, "bits binary").collect()
+    acc = np.zeros(m // 64, dtype=np.uint64)
+    for row in parts:
+        acc |= np.frombuffer(row["bits"], dtype=np.uint64)
+    out = BloomFilter.__new__(BloomFilter)
+    out.m, out.k, out.bits = m, k, acc
+    return out.to_bytes()
+
+
+def build_partitioned_filters(seen_df, out_dir: str, partitions: int = 8) -> dict:
+    """Cuckoo filter per pmod(url_hash, P) partition, snapshotted to disk —
+    the per-partition seen-filter lineage artifact of the north rule."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def build(key, pdf: pd.DataFrame):
+        cf = CuckooFilter(max(len(pdf) * 2, 64))
+        cf.add(pdf["url_hash"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"p": [int(key[0])], "blob": [cf.to_bytes()], "n": [len(pdf)]})
+
+    rows = (
+        seen_df.select("url_hash")
+        .withColumn("p", F.pmod(F.col("url_hash"), F.lit(partitions)))
+        .groupBy("p")
+        .applyInPandas(build, "p int, blob binary, n long")
+        .collect()
+    )
+    meta = {}
+    for r in rows:
+        path = os.path.join(out_dir, f"cuckoo_p{r['p']:04d}.bin")
+        with open(path, "wb") as f:
+            f.write(bytes(r["blob"]))
+        meta[int(r["p"])] = {"path": path, "n": int(r["n"])}
+    return meta
+
+
+def load_partitioned_filters(out_dir: str) -> dict[int, CuckooFilter]:
+    out = {}
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("cuckoo_p") and name.endswith(".bin"):
+            p = int(name[len("cuckoo_p") : -4])
+            with open(os.path.join(out_dir, name), "rb") as f:
+                out[p] = CuckooFilter.from_bytes(f.read())
+    return out

@@ -1,0 +1,150 @@
+"""End-to-end golden crawl: Spark engine ≡ pure-Python oracle (SURVEY.md §5.2).
+
+Asserts the north-rule correctness gate: same seed list + politeness budget
+⇒ identical final URL-seen set, identical crawl ordering
+(url, crawl_depth, discovery_rank), identical classified results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from linkkchecker_net_spark.engine import tables
+from linkkchecker_net_spark.engine.driver import CrawlConfig, CrawlDriver
+from linkkchecker_net_spark.oracle import bfs
+
+RESULT_COLS = [
+    "url",
+    "host",
+    "status",
+    "error",
+    "unsupported_scheme",
+    "content_type",
+    "classification",
+    "parent_url",
+    "seed_url",
+    "crawl_depth",
+    "discovery_rank",
+    "epoch",
+    "image_id",
+]
+
+
+def run_spark_crawl(spark, fx, tmp, budget=10**9, max_epochs=1000):
+    web = tables.web_df(spark, fx["web"])
+    robots = tables.robots_df(spark, fx["robots"])
+    driver = CrawlDriver(
+        spark,
+        web,
+        robots,
+        CrawlConfig(ckpt_dir=str(tmp), default_budget=budget, max_epochs=max_epochs),
+    )
+    driver.run(fx["seeds"])
+    return driver
+
+
+def spark_results_rows(driver):
+    rows = [r.asDict() for r in driver.results().select(*RESULT_COLS).collect()]
+    rows.sort(key=lambda r: r["discovery_rank"])
+    return rows
+
+
+def oracle_results_rows(crawl):
+    rows = [{k: r[k] for k in RESULT_COLS} for r in crawl.results]
+    rows.sort(key=lambda r: r["discovery_rank"])
+    return rows
+
+
+@pytest.fixture(scope="module")
+def spark_crawl(spark, golden_fixtures, tmp_path_factory):
+    return run_spark_crawl(spark, golden_fixtures, tmp_path_factory.mktemp("ckpt"))
+
+
+@pytest.fixture(scope="module")
+def oracle_crawl(golden_fixtures):
+    fx = golden_fixtures
+    return bfs.crawl_oracle(fx["web"], fx["seeds"], fx["robots"])
+
+
+def test_results_equal_oracle(spark_crawl, oracle_crawl):
+    got = spark_results_rows(spark_crawl)
+    want = oracle_results_rows(oracle_crawl)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w, f"mismatch at rank {w['discovery_rank']}:\n spark={g}\n oracle={w}"
+
+
+def test_seen_set_equal_oracle(spark_crawl, oracle_crawl):
+    got = {
+        (r["url"], r["first_depth"])
+        for r in spark_crawl.seen().select("url", "first_depth").collect()
+    }
+    want = set(oracle_crawl.seen.items())
+    assert got == want
+
+
+def test_crawl_ordering_contract(spark_crawl, oracle_crawl):
+    got = [
+        (r["url"], r["crawl_depth"], r["discovery_rank"])
+        for r in spark_crawl.results()
+        .select("url", "crawl_depth", "discovery_rank")
+        .orderBy("discovery_rank")
+        .collect()
+    ]
+    want = sorted(
+        ((r["url"], r["crawl_depth"], r["discovery_rank"]) for r in oracle_crawl.results),
+        key=lambda t: t[2],
+    )
+    assert got == want
+
+
+def test_page_meta_equal_oracle(spark_crawl, oracle_crawl):
+    got = {
+        r["url"]: (r["canonical_href"], r["meta_description"])
+        for r in spark_crawl.page_meta().collect()
+    }
+    want = {
+        pm["url"]: (pm["canonical_href"], pm["meta_description"])
+        for pm in oracle_crawl.page_meta
+    }
+    assert got == want
+
+
+def test_politeness_budget_equivalence(spark, golden_fixtures, tmp_path, oracle_crawl):
+    """Budgeted crawl: per-epoch host counts capped; same final seen set;
+    matches a budgeted oracle exactly."""
+    fx = golden_fixtures
+    budget = 7
+    robots = [dict(r, budget=budget) for r in fx["robots"]]
+    fx_b = dict(fx, robots=robots)
+    driver = run_spark_crawl(spark, fx_b, tmp_path / "b")
+    oracle_b = bfs.crawl_oracle(fx["web"], fx["seeds"], robots)
+
+    got = spark_results_rows(driver)
+    want = oracle_results_rows(oracle_b)
+    assert got == want
+
+    # budget respected per (epoch, host) over fetched rows
+    from collections import Counter
+
+    fetched = Counter(
+        (r["epoch"], r["host"])
+        for r in got
+        if r["classification"] not in ("unsupported", "robots_blocked")
+    )
+    assert max(fetched.values()) <= budget
+    # same reachability as the unbudgeted crawl, more epochs
+    assert {r["url"] for r in got} == {r["url"] for r in oracle_crawl.results}
+
+
+def test_metrics_written(spark_crawl, oracle_crawl):
+    m = {r["epoch"]: r.asDict() for r in spark_crawl.metrics().collect()}
+    assert len(m) == oracle_crawl.epoch
+    total_fetched = sum(row["fetched"] for row in m.values())
+    oracle_fetched = sum(
+        1
+        for r in oracle_crawl.results
+        if r["classification"] not in ("unsupported", "robots_blocked")
+    )
+    assert total_fetched == oracle_fetched
+    assert all(row["elapsed_sec"] > 0 for row in m.values())
