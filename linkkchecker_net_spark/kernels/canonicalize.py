@@ -124,3 +124,39 @@ def canonicalize_udf(base: pd.Series, href: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def host_udf(url: pd.Series) -> pd.Series:
     return pd.Series([split_host(u) for u in url], dtype="object")
+
+
+def canonical_segments_match(url: str, canonical_href: str) -> bool:
+    """P7 — the reference's segment-wise canonical compare
+    (/root/reference/SpiderEngine/CanonicalChecker.cs:46-62): compare path
+    segment counts, then each unescaped+lowercased segment from index 1.
+    Authority is NOT compared (.NET Uri.Segments is path-only), and .NET
+    segment semantics keep the trailing '/' on intermediate segments."""
+    from urllib.parse import unquote
+
+    def segs(u: str) -> list[str]:
+        path = urlsplit(u).path or "/"
+        out, cur = [], ""
+        for ch in path:
+            cur += ch
+            if ch == "/":
+                out.append(cur)
+                cur = ""
+        if cur:
+            out.append(cur)
+        return out or ["/"]
+
+    a, b = segs(url), segs(canonical_href)
+    if len(a) != len(b):
+        return False
+    return all(unquote(x).lower() == unquote(y).lower() for x, y in zip(a[1:], b[1:]))
+
+
+@F.pandas_udf(T.BooleanType())
+def canonical_match_udf(url: pd.Series, href: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            canonical_segments_match(u, h) if h is not None else False
+            for u, h in zip(url, href)
+        ]
+    )

@@ -54,9 +54,13 @@ Epoch contract (both implementations follow this to the letter):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from urllib.parse import unquote, urlsplit
+from urllib.parse import urlsplit
 
-from linkkchecker_net_spark.kernels.canonicalize import canonicalize, host_of
+from linkkchecker_net_spark.kernels.canonicalize import (
+    canonical_segments_match,
+    canonicalize,
+    host_of,
+)
 from linkkchecker_net_spark.kernels.classify import REDIRECT_CODES
 from linkkchecker_net_spark.kernels.cssparse import extract_css_urls
 from linkkchecker_net_spark.kernels.htmlparse import parse_page
@@ -345,35 +349,6 @@ def crawl_oracle(
 # ---------------------------------------------------------------------------
 # report oracles (SURVEY.md §3.3)
 # ---------------------------------------------------------------------------
-
-
-def canonical_segments_match(url: str, canonical_href: str) -> bool:
-    """P7 — the reference's segment-wise compare
-    (/root/reference/SpiderEngine/CanonicalChecker.cs:46-62): compare path
-    segment counts, then each unescaped+lowercased segment from index 1
-    (authority is NOT compared — Segments is path-only in .NET)."""
-
-    def segs(u: str) -> list[str]:
-        # exact .NET Uri.Segments: split AFTER each '/', so "/a/b" →
-        # ["/", "a/", "b"] and "/a/b/" → ["/", "a/", "b/"] — trailing
-        # slashes are part of the segment and thus of the comparison
-        path = urlsplit(u).path or "/"
-        out, cur = [], ""
-        for ch in path:
-            cur += ch
-            if ch == "/":
-                out.append(cur)
-                cur = ""
-        if cur:
-            out.append(cur)
-        return out or ["/"]
-
-    a, b = segs(url), segs(canonical_href)
-    if len(a) != len(b):
-        return False
-    return all(
-        unquote(x).lower() == unquote(y).lower() for x, y in zip(a[1:], b[1:])
-    )
 
 
 def canonical_report(page_meta: list[dict]) -> list[dict]:

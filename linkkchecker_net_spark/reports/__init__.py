@@ -1,0 +1,8 @@
+from linkkchecker_net_spark.reports.reports import (  # noqa: F401
+    canonical_report,
+    description_report,
+    failure_count,
+    sitemap_report,
+    used_images_report,
+)
+from linkkchecker_net_spark.reports.image_validation import validate_images  # noqa: F401

@@ -56,14 +56,13 @@ def oracle_results_rows(crawl):
 
 
 @pytest.fixture(scope="module")
-def spark_crawl(spark, golden_fixtures, tmp_path_factory):
-    return run_spark_crawl(spark, golden_fixtures, tmp_path_factory.mktemp("ckpt"))
+def spark_crawl(golden_spark_crawl):
+    return golden_spark_crawl
 
 
 @pytest.fixture(scope="module")
-def oracle_crawl(golden_fixtures):
-    fx = golden_fixtures
-    return bfs.crawl_oracle(fx["web"], fx["seeds"], fx["robots"])
+def oracle_crawl(golden_oracle_crawl):
+    return golden_oracle_crawl
 
 
 def test_results_equal_oracle(spark_crawl, oracle_crawl):

@@ -1,0 +1,101 @@
+"""Report queries vs oracle reports + image-validation gate (SURVEY.md M4)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from linkkchecker_net_spark import reports
+from linkkchecker_net_spark.engine import tables
+from linkkchecker_net_spark.oracle import bfs
+
+
+@pytest.fixture(scope="module")
+def dfs(spark, golden_fixtures):
+    fx = golden_fixtures
+    return {
+        "web": tables.web_df(spark, fx["web"]),
+        "corpus": tables.corpus_df(spark, fx["corpus"]),
+        "sitemaps": tables.sitemaps_df(spark, fx["sitemaps"]),
+    }
+
+
+def test_canonical_report(golden_spark_crawl, golden_oracle_crawl):
+    got = {
+        (r["url"], r["verdict"])
+        for r in reports.canonical_report(golden_spark_crawl.page_meta()).collect()
+    }
+    want = {(r["url"], r["verdict"]) for r in bfs.canonical_report(golden_oracle_crawl.page_meta)}
+    assert got == want
+
+
+def test_description_report(golden_spark_crawl, golden_oracle_crawl):
+    got = [
+        (r["url"], r["length"], r["verdict"])
+        for r in reports.description_report(golden_spark_crawl.page_meta()).collect()
+    ]
+    want = [
+        (r["url"], r["length"], r["verdict"])
+        for r in bfs.description_report(golden_oracle_crawl.page_meta)
+    ]
+    assert got == want  # including the O1 sort order
+
+
+def test_sitemap_report(spark, golden_spark_crawl, golden_oracle_crawl, golden_fixtures, dfs):
+    fx = golden_fixtures
+    seed_hosts = sorted({s["seed_url"].split("/")[2] for s in fx["seeds"]})
+    got = [
+        (r["loc"], r["verdict"])
+        for r in reports.sitemap_report(
+            dfs["sitemaps"], golden_spark_crawl.results(), dfs["web"], seed_hosts
+        ).collect()
+    ]
+    want = [
+        (r["loc"], r["verdict"])
+        for r in bfs.sitemap_report(
+            fx["sitemaps"],
+            golden_oracle_crawl.results,
+            {r["url"]: r for r in fx["web"]},
+            set(seed_hosts),
+        )
+    ]
+    assert got == want
+
+
+def test_used_images_report(golden_spark_crawl, golden_oracle_crawl, golden_fixtures, dfs):
+    got = {
+        (r["image_id"], r["verdict"])
+        for r in reports.used_images_report(
+            dfs["corpus"], golden_spark_crawl.results()
+        ).collect()
+    }
+    want = {
+        (r["image_id"], r["verdict"])
+        for r in bfs.used_images_report(golden_fixtures["corpus"], golden_oracle_crawl.results)
+    }
+    assert got == want
+
+
+def test_image_validation_gate(golden_spark_crawl, dfs):
+    """North-rule per-row invariant: every fetched corpus image passes
+    PSNR>=40dB + caption equality; lossy rows have finite PSNR (real
+    reconstruction error), lossless rows are exact."""
+    rows = reports.validate_images(
+        golden_spark_crawl.results(), dfs["web"], dfs["corpus"]
+    ).collect()
+    assert rows, "some corpus images must be fetched by the golden crawl"
+    assert all(r["valid"] for r in rows), [r for r in rows if not r["valid"]][:3]
+    assert all(r["caption_ok"] for r in rows)
+    assert all(r["phash_dist"] <= 4 for r in rows)
+    lossy = [r for r in rows if r["fmt"] == "jpeg"]
+    lossless = [r for r in rows if r["fmt"] != "jpeg"]
+    assert lossy and lossless
+    assert all(40.0 <= r["psnr"] and math.isfinite(r["psnr"]) for r in lossy)
+    assert all(math.isinf(r["psnr"]) for r in lossless)
+
+
+def test_failure_count(golden_spark_crawl, golden_oracle_crawl):
+    got = reports.failure_count(golden_spark_crawl.results())
+    want = sum(1 for r in golden_oracle_crawl.results if r["classification"] != "ok")
+    assert got == want
