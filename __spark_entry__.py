@@ -1,38 +1,775 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: full BFS crawl over the docweb graph derived from
+               sf0.001/documents, returning the broken-link report.
+queries()    — one entry per implemented operator from SURVEY.md §2 plus
+               the training-data pipeline ops (dedup, similarity, text,
+               multimodal).
+oracle_sql() — DuckDB twins.  The crawl queries are oracled by a recursive
+               CTE over the SAME arithmetic web graph (fixtures/docweb.py);
+               non-SQL-expressible ops (simhash/xxhash-dependent, LSH-ANN
+               recall<1, binary decode) are rows-only checked.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_CRAWLS: dict[str, object] = {}
+
+
+def _prep(spark: SparkSession) -> None:
+    from linkkchecker_net_spark.session import _ship_package
+
+    _ship_package(spark)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _crawl(spark: SparkSession, sf_dir: str):
+    """Run (once per sf_dir) the real engine over the docweb graph."""
+    from linkkchecker_net_spark.engine.driver import CrawlConfig, CrawlDriver
+    from linkkchecker_net_spark.fixtures import docweb
+
+    key = sf_dir
+    if key not in _CRAWLS:
+        _prep(spark)
+        web = docweb.build_web(spark, sf_dir)
+        robots = docweb.empty_robots(spark)
+        driver = CrawlDriver(
+            spark,
+            web,
+            robots,
+            CrawlConfig(ckpt_dir=tempfile.mkdtemp(prefix="docweb_ckpt_")),
+        )
+        driver.run(docweb.seeds())
+        _CRAWLS[key] = driver
+    return _CRAWLS[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 'from these seeds, which links are broken?' — the
+    reference's raison d'être (readme.md:1-8), end-to-end on sf0.001."""
+    driver = _crawl(spark, "/root/testdata/sf0.001")
+    return (
+        driver.results()
+        .filter(F.col("classification") == "broken")
+        .select("url", "status", "classification")
+        .orderBy("url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine queries (SURVEY.md §2 operators, oracled via docweb)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_results(spark, sf_dir):
+    d = _crawl(spark, sf_dir)
+    return d.results().select("url", "status", "classification")
+
+
+def q_crawl_broken(spark, sf_dir):
+    d = _crawl(spark, sf_dir)
+    return d.results().filter(F.col("classification") == "broken").select("url")
+
+
+def q_classify(spark, sf_dir):
+    """P11 as a standalone CASE over docweb statuses."""
+    from linkkchecker_net_spark.fixtures import docweb
+    from linkkchecker_net_spark.kernels.classify import classification_expr
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    status_raw = docweb.status_expr(i)
+    status = F.when(status_raw == 0, F.lit(None).cast("int")).otherwise(status_raw)
+    error = F.when(status_raw == 0, F.lit("connection error"))
+    return _docs(spark, sf_dir).select(
+        docweb.url_expr(i).alias("url"),
+        classification_expr(status, error, F.lit(False)).alias("classification"),
+    )
+
+
+def q_canonicalize(spark, sf_dir):
+    """P1 kernel against an independent SQL derivation of expected URLs."""
+    from linkkchecker_net_spark.fixtures import docweb
+    from linkkchecker_net_spark.kernels.canonicalize import canonicalize_udf
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    base = docweb.url_expr(i)
+    s = i.cast("string")
+    href = (
+        F.when(i % 6 == 0, F.concat(F.lit("http://site-"), ((i + 1) % 3).cast("string"), F.lit(".test/x/"), s))
+        .when(i % 6 == 1, F.concat(F.lit("/abs/"), s))
+        .when(i % 6 == 2, F.concat(F.lit("../up/"), s))
+        .when(i % 6 == 3, F.concat(base, F.lit("#frag")))
+        .when(i % 6 == 4, F.concat(F.lit("q?a=1&amp;b="), s))
+        .otherwise(F.concat(F.lit("HTTP://SITE-"), (i % 3).cast("string"), F.lit(".TEST:80/Case/"), s))
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id"), canonicalize_udf(base, href).alias("canonical")
+    )
+
+
+def q_extract_links(spark, sf_dir):
+    """P8 — real HTML parse of docweb bodies vs arithmetic edge oracle."""
+    from linkkchecker_net_spark.fixtures import docweb
+    from linkkchecker_net_spark.kernels.htmlparse import parse_page_udf
+
+    _prep(spark)
+    web = docweb.build_web(spark, sf_dir).filter(F.col("status") == 200)
+    parsed = web.select("url", F.explode(parse_page_udf("body").links).alias("ln"))
+    return parsed.select(
+        "url",
+        F.col("ln.tag").alias("tag"),
+        F.col("ln.href").alias("href"),
+        F.col("ln.doc_pos").alias("doc_pos"),
+    )
+
+
+def q_extract_css(spark, sf_dir):
+    """P10 — css url() extraction vs constructed oracle."""
+    from linkkchecker_net_spark.kernels.cssparse import extract_css_urls_udf
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    css = F.concat(
+        F.lit(".a{background-image:url('/img/a"), s, F.lit(".png');}"),
+        F.lit('@font-face{src:url("/f/b'), s, F.lit('.ttf") format("t"),url(/f/c'), s, F.lit(".woff);}"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(extract_css_urls_udf(css)).alias("pos", "href"))
+        .select("doc_id", "pos", "href")
+    )
+
+
+def q_politeness_topk(spark, sf_dir):
+    """W1/A4/O3 — per-host budget-3 batch selection."""
+    from linkkchecker_net_spark import schemas
+    from linkkchecker_net_spark.engine.epoch import split_politeness
+    from linkkchecker_net_spark.fixtures import docweb
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    frontier = _docs(spark, sf_dir).select(
+        docweb.url_expr(i).alias("url"),
+        F.xxhash64(docweb.url_expr(i)).alias("url_hash"),
+        docweb.host_expr(i).alias("host"),
+        F.xxhash64(docweb.host_expr(i)).alias("host_hash"),
+        (i % 5).cast("int").alias("priority"),
+        (i % 4).cast("int").alias("crawl_depth"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(None).cast("string").alias("seed_url"),
+        F.lit(True).alias("may_contain_links"),
+        F.lit(True).alias("expand_links"),
+        i.alias("discovery_rank"),
+    )
+    robots = spark.createDataFrame(
+        [(f"site-{h}.test", None, None, 3) for h in range(3)], schema=schemas.ROBOTS
+    )
+    batch, _carry = split_politeness(frontier, robots, default_budget=10**9)
+    return batch.select("url")
+
+
+def q_seen_dedup(spark, sf_dir):
+    """W3/A3 — keep-first dedup: min order key per URL."""
+    from linkkchecker_net_spark.fixtures import docweb
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    k = F.col("k").cast("long")
+    cand = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    )
+    t = (i * 3 + k) % 97
+    return (
+        cand.select(docweb.url_expr(t).alias("url"), (i * 3 + k).alias("order_key"))
+        .groupBy("url")
+        .agg(F.min("order_key").alias("first_key"))
+    )
+
+
+def q_host_stats(spark, sf_dir):
+    """A2/A5/P2 — per-host classification counts over the crawl."""
+    d = _crawl(spark, sf_dir)
+    return (
+        d.results()
+        .groupBy("host", "classification")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_description_report(spark, sf_dir):
+    """P6/O1 — meta-description report over crawled page_meta."""
+    from linkkchecker_net_spark.reports import description_report
+
+    d = _crawl(spark, sf_dir)
+    return description_report(d.page_meta())
+
+
+def q_canonical_report(spark, sf_dir):
+    """P7 — canonical-link verdict per crawled page."""
+    from linkkchecker_net_spark.reports import canonical_report
+
+    d = _crawl(spark, sf_dir)
+    return canonical_report(d.page_meta())
+
+
+def q_sitemap_report(spark, sf_dir):
+    """J5 — sitemap loc verdicts (crawled ∪ probed)."""
+    from linkkchecker_net_spark.fixtures import docweb
+    from linkkchecker_net_spark.reports import sitemap_report
+
+    d = _crawl(spark, sf_dir)
+    i = F.col("doc_id").cast("long")
+    loc = (
+        F.when(i % 10 == 0, docweb.url_expr(i))
+        .when(i % 50 == 7, F.concat(docweb.url_expr(i), F.lit("-nope")))
+    )
+    sitemaps = (
+        _docs(spark, sf_dir)
+        .select(docweb.host_expr(i).alias("host"), loc.alias("loc"))
+        .filter(F.col("loc").isNotNull())
+        .groupBy("host")
+        .agg(F.collect_list("loc").alias("loc"))
+    )
+    web = docweb.build_web(spark, sf_dir)
+    hosts = [f"site-{h}.test" for h in range(3)]
+    return sitemap_report(sitemaps, d.results(), web, hosts)
+
+
+def q_used_images(spark, sf_dir):
+    """J3/J4 — corpus↔site image set differences (anti-joins both ways)."""
+    d = _crawl(spark, sf_dir)
+    spark_docs = _docs(spark, sf_dir)
+    site = (
+        d.results()
+        .filter(F.col("url").startswith("http://cdn.test/img/"))
+        .select(
+            F.concat(
+                F.lit("img_"),
+                F.regexp_extract("url", r"img/(\d+)\.bin$", 1),
+            ).alias("image_id")
+        )
+        .dropDuplicates()
+    )
+    corpus = (
+        spark_docs.filter(F.col("doc_id") < 50)
+        .select(F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias("image_id"))
+    )
+    not_used = corpus.join(site, "image_id", "left_anti").select(
+        "image_id", F.lit("not_used_in_site").alias("verdict")
+    )
+    not_in_project = site.join(corpus, "image_id", "left_anti").select(
+        "image_id", F.lit("not_in_project").alias("verdict")
+    )
+    return not_used.unionByName(not_in_project)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.dedup import exact_dedup
+
+    _prep(spark)
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.dedup import fingerprint_dedup
+
+    _prep(spark)
+    return fingerprint_dedup(_docs(spark, sf_dir), prefix_tokens=5)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.dedup import jaccard_pairs
+
+    _prep(spark)
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, k=3)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.dedup import minhash_lsh_pairs
+
+    _prep(spark)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_simhash(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.dedup import simhash
+
+    _prep(spark)
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.dedup import simhash_pairs
+
+    _prep(spark)
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_embed_neardup(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.dedup import embedding_neardup_pairs
+
+    _prep(spark)
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def q_ann_topk(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.similarity import cosine_topk_bruteforce
+
+    _prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return cosine_topk_bruteforce(emb, queries, k=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.similarity import lsh_bucket_ann
+
+    _prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return lsh_bucket_ann(emb, queries, k=10)
+
+
+def q_lang_id(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.text import lang_id
+
+    _prep(spark)
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.text import token_count
+
+    _prep(spark)
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.text import quality_score
+
+    _prep(spark)
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.text import fingerprint
+
+    _prep(spark)
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_image_meta(spark, sf_dir):
+    """Multimodal plumbing: synth binary corpus → decode/feature pass."""
+    from linkkchecker_net_spark.pipeline.multimodal import image_metadata, synth_corpus
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("id")
+    )
+    return image_metadata(synth_corpus(spark, ids))
+
+
+def q_event_stats(spark, sf_dir):
+    """A2-style aggregation over the events table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "crawl_results": q_crawl_results,
+        "crawl_broken": q_crawl_broken,
+        "classify": q_classify,
+        "canonicalize": q_canonicalize,
+        "extract_links": q_extract_links,
+        "extract_css": q_extract_css,
+        "politeness_topk": q_politeness_topk,
+        "seen_dedup": q_seen_dedup,
+        "host_stats": q_host_stats,
+        "description_report": q_description_report,
+        "canonical_report": q_canonical_report,
+        "sitemap_report": q_sitemap_report,
+        "used_images": q_used_images,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "embed_neardup": q_embed_neardup,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "image_meta": q_image_meta,
+        "event_stats": q_event_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from linkkchecker_net_spark.fixtures.docweb import (
+        CRAWL_BROKEN_SQL,
+        CRAWL_RESULTS_SQL,
+        EDGES_CTE,
+        PAGE_CTE,
+        REACH_CTE,
+    )
+
+    with_graph = "WITH RECURSIVE " + PAGE_CTE.strip() + ", " + EDGES_CTE.strip() + ", " + REACH_CTE.strip()
+
+    return {
+        "crawl_results": CRAWL_RESULTS_SQL,
+        "crawl_broken": CRAWL_BROKEN_SQL,
+        "classify": """
+            SELECT 'http://site-' || (doc_id % 3) || '.test/page/' || doc_id AS url,
+                   CASE WHEN doc_id < 3 THEN 'ok'
+                        WHEN doc_id % 17 = 3 THEN 'broken'
+                        WHEN doc_id % 17 = 5 THEN 'redirect'
+                        WHEN doc_id % 17 = 7 THEN 'broken'
+                        WHEN doc_id % 17 = 11 THEN 'error'
+                        WHEN doc_id % 17 = 13 THEN 'redirect'
+                        ELSE 'ok' END AS classification
+            FROM documents
+        """,
+        "canonicalize": """
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'http://site-' || ((doc_id+1) % 3) || '.test/x/' || doc_id
+                     WHEN 1 THEN 'http://site-' || (doc_id % 3) || '.test/abs/' || doc_id
+                     WHEN 2 THEN 'http://site-' || (doc_id % 3) || '.test/up/' || doc_id
+                     WHEN 3 THEN 'http://site-' || (doc_id % 3) || '.test/page/' || doc_id
+                     WHEN 4 THEN 'http://site-' || (doc_id % 3) || '.test/page/q?a=1&b=' || doc_id
+                     ELSE 'http://site-' || (doc_id % 3) || '.test/Case/' || doc_id
+                   END AS canonical
+            FROM documents
+        """,
+        "extract_links": """
+            WITH page AS (
+              SELECT doc_id::BIGINT AS i,
+                     'http://site-' || (doc_id % 3) || '.test/page/' || doc_id AS url,
+                     CASE WHEN doc_id < 3 THEN 200
+                          WHEN doc_id % 17 = 3 THEN 404 WHEN doc_id % 17 = 5 THEN 301
+                          WHEN doc_id % 17 = 7 THEN 500 WHEN doc_id % 17 = 11 THEN 0
+                          WHEN doc_id % 17 = 13 THEN 302 ELSE 200 END AS status
+              FROM documents
+            ), nn AS (SELECT COUNT(*)::BIGINT AS c FROM documents),
+            ok AS (SELECT i, url FROM page WHERE status = 200)
+            SELECT url, 'a' AS tag,
+                   'http://site-' || (((i+1) % c) % 3) || '.test/page/' || ((i+1) % c) AS href,
+                   0 AS doc_pos FROM ok, nn
+            UNION ALL
+            SELECT url, 'a',
+                   'http://site-' || (((i*31+7) % c) % 3) || '.test/page/' || ((i*31+7) % c),
+                   1 FROM ok, nn
+            UNION ALL
+            SELECT url, 'a', '/page/' || ((i*13+1) % c), 2 FROM ok, nn
+            UNION ALL
+            SELECT url, 'a', 'http://site-' || (i % 3) || '.test/missing/' || i, 3
+              FROM ok WHERE i % 7 = 2
+            UNION ALL
+            SELECT url, 'a', 'mailto:user' || i || '@example.test',
+                   3 + (CASE WHEN i % 7 = 2 THEN 1 ELSE 0 END)
+              FROM ok WHERE i % 11 = 4
+            UNION ALL
+            SELECT url, 'script', '/js/app-' || (i % 7) || '.js', 0 FROM ok WHERE i % 5 = 3
+            UNION ALL
+            SELECT url, 'link', url, 0 FROM ok WHERE i % 4 = 0
+            UNION ALL
+            SELECT url, 'link', 'http://site-' || (i % 3) || '.test/canon/' || i, 0
+              FROM ok WHERE i % 4 = 1
+            UNION ALL
+            SELECT url, 'img', 'http://cdn.test/img/' || ((i*3) % 60) || '.bin', 0
+              FROM ok WHERE i % 4 = 1
+        """,
+        "extract_css": """
+            SELECT doc_id, 0 AS pos, '/img/a' || doc_id || '.png' AS href FROM documents
+            UNION ALL
+            SELECT doc_id, 1, '/f/b' || doc_id || '.ttf' FROM documents
+            UNION ALL
+            SELECT doc_id, 2, '/f/c' || doc_id || '.woff' FROM documents
+        """,
+        "politeness_topk": """
+            SELECT url FROM (
+              SELECT 'http://site-' || (doc_id % 3) || '.test/page/' || doc_id AS url,
+                     row_number() OVER (
+                       PARTITION BY doc_id % 3
+                       ORDER BY doc_id % 5, doc_id % 4, doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 3
+        """,
+        "seen_dedup": """
+            SELECT 'http://site-' || (((doc_id*3+k) % 97) % 3) || '.test/page/' || ((doc_id*3+k) % 97) AS url,
+                   MIN(doc_id*3+k) AS first_key
+            FROM documents, unnest([0,1,2]) AS t(k)
+            GROUP BY 1
+        """,
+        "host_stats": with_graph
+        + """
+            , res AS (
+              SELECT r.url,
+                     CASE WHEN r.url LIKE 'mailto:%' THEN NULL
+                          ELSE split_part(r.url, '/', 3) END AS host,
+                     CASE WHEN r.url LIKE 'mailto:%' THEN 'unsupported'
+                          WHEN p.i IS NULL THEN 'broken'
+                          WHEN p.status BETWEEN 200 AND 299 THEN 'ok'
+                          WHEN p.status IN (301,302,303,307) THEN 'redirect'
+                          WHEN p.status = 0 THEN 'error'
+                          ELSE 'broken' END AS classification
+              FROM reach r LEFT JOIN page p ON p.url = r.url
+            )
+            SELECT host, classification, COUNT(*) AS n FROM res GROUP BY 1, 2
+        """,
+        "description_report": with_graph
+        + """
+            SELECT p.url,
+                   CASE WHEN p.i % 5 IN (2,3) THEN (p.i*7) % 250 ELSE 0 END AS length,
+                   CASE WHEN (CASE WHEN p.i % 5 IN (2,3) THEN (p.i*7) % 250 ELSE 0 END) >= 160 THEN 'ok'
+                        WHEN (CASE WHEN p.i % 5 IN (2,3) THEN (p.i*7) % 250 ELSE 0 END) = 0 THEN 'missing'
+                        ELSE 'too_short' END AS verdict
+            FROM reach r JOIN page p ON p.url = r.url AND p.status = 200
+        """,
+        "canonical_report": with_graph
+        + """
+            SELECT p.url,
+                   CASE WHEN p.i % 4 = 0 THEN 'ok'
+                        WHEN p.i % 4 = 1 THEN 'mismatch'
+                        ELSE 'missing' END AS verdict
+            FROM reach r JOIN page p ON p.url = r.url AND p.status = 200
+        """,
+        "sitemap_report": """
+            WITH page AS (
+              SELECT doc_id::BIGINT AS i,
+                     'http://site-' || (doc_id % 3) || '.test/page/' || doc_id AS url,
+                     CASE WHEN doc_id < 3 THEN 200
+                          WHEN doc_id % 17 = 3 THEN 404 WHEN doc_id % 17 = 5 THEN 301
+                          WHEN doc_id % 17 = 7 THEN 500 WHEN doc_id % 17 = 11 THEN 0
+                          WHEN doc_id % 17 = 13 THEN 302 ELSE 200 END AS status
+              FROM documents
+            )
+            SELECT url AS loc,
+                   CASE WHEN status BETWEEN 200 AND 299 THEN 'ok' ELSE 'not_ok' END AS verdict
+            FROM page WHERE i % 10 = 0
+            UNION ALL
+            SELECT url || '-nope', 'not_ok' FROM page WHERE i % 50 = 7
+        """,
+        "used_images": with_graph
+        + """
+            , site AS (
+              SELECT DISTINCT 'img_' || regexp_extract(r.url, 'img/(\\d+)\\.bin$', 1) AS image_id
+              FROM reach r WHERE r.url LIKE 'http://cdn.test/img/%'
+            ), corpus AS (
+              SELECT 'img_' || doc_id AS image_id FROM documents WHERE doc_id < 50
+            )
+            SELECT image_id, 'not_used_in_site' AS verdict
+              FROM corpus WHERE image_id NOT IN (SELECT image_id FROM site)
+            UNION ALL
+            SELECT image_id, 'not_in_project'
+              FROM site WHERE image_id NOT IN (SELECT image_id FROM corpus)
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS n_dupes
+            FROM documents GROUP BY 1
+        """,
+        "dedup_fingerprint": """
+            SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')) AS fingerprint,
+                   MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "jaccard_pairs": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            sh AS (
+              SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+              FROM toks, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS g(i)
+            ),
+            s AS (SELECT DISTINCT doc_id, shingle FROM sh),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(inter::DOUBLE / (ca.n + cb.n - inter), 6) AS jaccard
+            FROM pairs
+            JOIN cnt ca ON ca.doc_id = doc_a
+            JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8
+        """,
+        # minhash_lsh verified-pairs should equal the exact jaccard pairs
+        # when LSH recall is 1 at this threshold/SF (16 bands × 4 rows)
+        "minhash_lsh_pairs": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            sh AS (
+              SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+              FROM toks, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS g(i)
+            ),
+            s AS (SELECT DISTINCT doc_id, shingle FROM sh),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(inter::DOUBLE / (ca.n + cb.n - inter), 6) AS jaccard
+            FROM pairs
+            JOIN cnt ca ON ca.doc_id = doc_a
+            JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8
+        """,
+        # NOTE: duckdb's list_cosine_similarity computes in float32 (≈1e-7
+        # error — observed breaking 6-dp rounding), so both embedding
+        # oracles compute explicitly in DOUBLE via unnest
+        "embed_neardup": _FLAT_EMB_CTES
+        + """
+            , dots AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+              FROM flat a JOIN flat b ON a.ord = b.ord AND a.vec_id < b.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots
+            JOIN norms na ON na.vec_id = vec_a
+            JOIN norms nb ON nb.vec_id = vec_b
+            WHERE dot / (na.nrm * nb.nrm) >= 0.4
+        """,
+        "ann_topk": _FLAT_EMB_CTES
+        + """
+            , dots AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+              FROM flat q JOIN flat e ON q.ord = e.ord AND e.vec_id <> q.vec_id
+              WHERE q.vec_id < 5
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT dots.query_id, dots.vec_id, dot / (na.nrm * nb.nrm) AS c,
+                     row_number() OVER (PARTITION BY dots.query_id
+                                        ORDER BY round(dot / (na.nrm * nb.nrm), 9) DESC, dots.vec_id) AS rank
+              FROM dots
+              JOIN norms na ON na.vec_id = dots.query_id
+              JOIN norms nb ON nb.vec_id = dots.vec_id
+            )
+            SELECT query_id, vec_id, round(c, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "lang_id": _LANG_ID_SQL,
+        "token_count": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT) AS n_bpe_est,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "quality_score": _QUALITY_SQL,
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS text_md5,
+                   md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS prefix_md5
+            FROM documents
+        """,
+        "event_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   round(avg(value), 6) AS avg_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        # rows-only (non-SQL-expressible): simhash / simhash_pairs
+        # (xxhash64-dependent), ann_lsh (recall<1 by design), image_meta
+        # (binary decode), crawl ordering (tested in pytest vs the oracle)
+    }
+
+
+_FLAT_EMB_CTES = """
+    WITH flat AS (
+      SELECT vec_id, CAST(embedding[g.i] AS DOUBLE) AS v, g.i AS ord
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1)
+"""
+
+
+def _count_sql(token: str) -> str:
+    needle = f" {token} "
+    return (
+        f"CAST((length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', '{needle}', ''))) / {len(needle)} AS INT)"
+    )
+
+
+_LANG_SCORES = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "de", "es", "los"],
+}
+
+_score_exprs = {
+    lang: " + ".join(_count_sql(t) for t in toks) for lang, toks in _LANG_SCORES.items()
+}
+_best = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANG_SCORES) + ")"
+_LANG_ID_SQL = (
+    "WITH s AS (SELECT doc_id, "
+    + ", ".join(f"({expr}) AS s_{lang}" for lang, expr in _score_exprs.items())
+    + " FROM documents) SELECT doc_id, CASE "
+    + " ".join(
+        f"WHEN s_{lang} = {_best} AND {_best} > 0 THEN '{lang}'" for lang in _LANG_SCORES
+    )
+    + " ELSE 'und' END AS pred_lang FROM s"
+)
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ts,
+         ({_score_exprs['en']}) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(ts) AS n_tokens,
+       stop_hits AS stopword_hits,
+       round(len(list_distinct(ts))::DOUBLE / len(ts), 6) AS distinct_ratio,
+       round((length(text) - (len(ts) - 1))::DOUBLE / len(ts), 6) AS mean_word_len,
+       (len(ts) >= 20 AND stop_hits > 0
+        AND len(list_distinct(ts))::DOUBLE / len(ts) > 0.2) AS quality_pass
+FROM t
+"""

@@ -1,0 +1,287 @@
+"""docweb — deterministic synthetic web derived from the `documents` table.
+
+Purpose: the driver's correctness gate runs each Spark query against an
+ANSI-SQL DuckDB oracle over the same parquet tables.  A live crawl is not
+SQL-expressible — unless the web graph itself is an arithmetic function of
+a table both engines read.  docweb IS that function: page URLs, statuses,
+and every link in every HTML body are pure formulas of `doc_id` (mod-N
+arithmetic), so
+
+  * the Spark side builds real HTML bodies (JVM-side concat — no UDF) and
+    runs the REAL engine end-to-end: politeness window, fetch join, Arrow
+    HTML parse, canonicalization, anti-join dedup, rank;
+  * the DuckDB side derives the same edge set arithmetically and computes
+    the reachable set with a recursive CTE.
+
+If the two agree at sf=0.01, every stage of the real pipeline agreed with
+an independent implementation.
+
+Page template (i = doc_id, N = row count, B = http://site-{i%3}.test):
+
+  head: [i%4==0] <link rel=canonical href=B/page/i>         (self — match)
+        [i%4==1] <link rel=canonical href=B/canon/i>        (mismatch)
+        [i%5∈{2,3}] <meta name=description content='d'*((i*7)%250)>
+        [i%9==6] <style>… url('http://cdn.test/bg/{i%20}.png') …</style>
+  body: <a B/page/{(i+1)%N}>  <a url((i*31+7)%N)>  <a "/page/{(i*13+1)%N}">
+        [i%7==2]  <a B/missing/i>          (dead link)
+        [i%11==4] <a mailto:user{i}@example.test>
+        [i%5==3]  <script src="/js/app-{i%7}.js">
+        [i%4==1]  <img src="http://cdn.test/img/{(i*3)%60}.bin">
+
+  status(i): i<3→200 (seeds); i%17==3→404; ==5→301; ==7→500; ==11→0(err);
+             ==13→302; else 200.  Only status-200 pages have bodies.
+
+Seeds: pages 0,1,2 (one per host) → every host is in-site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkkchecker_net_spark import schemas
+
+N_HOSTS = 3
+
+
+def _i():
+    return F.col("doc_id").cast("long")
+
+
+def host_expr(i):
+    return F.concat(F.lit("site-"), (i % N_HOSTS).cast("string"), F.lit(".test"))
+
+
+def url_expr(i):
+    return F.concat(F.lit("http://"), host_expr(i), F.lit("/page/"), i.cast("string"))
+
+
+def status_expr(i):
+    m = i % 17
+    return (
+        F.when(i < 3, F.lit(200))
+        .when(m == 3, F.lit(404))
+        .when(m == 5, F.lit(301))
+        .when(m == 7, F.lit(500))
+        .when(m == 11, F.lit(0))
+        .when(m == 13, F.lit(302))
+        .otherwise(F.lit(200))
+    )
+
+
+def _opt(cond, col):
+    return F.when(cond, col).otherwise(F.lit(""))
+
+
+def body_expr(i, n: int):
+    base = F.concat(F.lit("http://"), host_expr(i))
+    j1 = (i + 1) % n
+    j2 = (i * 31 + 7) % n
+    j3 = (i * 13 + 1) % n
+    s = F.concat(
+        F.lit("<html><head>"),
+        _opt(
+            i % 4 == 0,
+            F.concat(F.lit('<link rel="canonical" href="'), url_expr(i), F.lit('"/>')),
+        ),
+        _opt(
+            i % 4 == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="'),
+                base,
+                F.lit("/canon/"),
+                i.cast("string"),
+                F.lit('"/>'),
+            ),
+        ),
+        _opt(
+            (i % 5 == 2) | (i % 5 == 3),
+            F.concat(
+                F.lit('<meta name="description" content="'),
+                F.repeat(F.lit("d"), ((i * 7) % 250).cast("int")),
+                F.lit('"/>'),
+            ),
+        ),
+        _opt(
+            i % 9 == 6,
+            F.concat(
+                F.lit("<style>.h{background-image:url('http://cdn.test/bg/"),
+                (i % 20).cast("string"),
+                F.lit(".png');}</style>"),
+            ),
+        ),
+        F.lit("</head><body>"),
+        F.concat(F.lit('<a href="'), url_expr(j1), F.lit('">n</a>')),
+        F.concat(F.lit('<a href="'), url_expr(j2), F.lit('">x</a>')),
+        F.concat(F.lit('<a href="/page/'), j3.cast("string"), F.lit('">y</a>')),
+        _opt(
+            i % 7 == 2,
+            F.concat(F.lit('<a href="'), base, F.lit("/missing/"), i.cast("string"), F.lit('">d</a>')),
+        ),
+        _opt(
+            i % 11 == 4,
+            F.concat(F.lit('<a href="mailto:user'), i.cast("string"), F.lit('@example.test">m</a>')),
+        ),
+        _opt(
+            i % 5 == 3,
+            F.concat(F.lit('<script src="/js/app-'), (i % 7).cast("string"), F.lit('.js"></script>')),
+        ),
+        _opt(
+            i % 4 == 1,
+            F.concat(F.lit('<img src="http://cdn.test/img/'), ((i * 3) % 60).cast("string"), F.lit('.bin"/>')),
+        ),
+        F.lit("</body></html>"),
+    )
+    return s
+
+
+def doc_count(spark: SparkSession, sf_dir: str) -> int:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def build_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The docweb `web` table: one row per document-page, HTML bodies built
+    entirely JVM-side (status-200 pages only)."""
+    n = doc_count(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = _i()
+    status = status_expr(i)
+    return docs.select(
+        url_expr(i).alias("url"),
+        F.xxhash64(url_expr(i)).alias("url_hash"),
+        host_expr(i).alias("host"),
+        status.alias("status"),
+        F.lit(None).cast("string").alias("redirect_to"),
+        F.when(status == 200, F.lit("text/html")).alias("content_type"),
+        F.when(status == 200, F.encode(body_expr(i, n), "UTF-8")).alias("body"),
+        F.lit(None).cast("string").alias("image_id"),
+        F.lit(None).cast("string").alias("caption"),
+    )
+
+
+def seeds() -> list[dict]:
+    return [
+        {"seed_url": f"http://site-{h}.test/page/{h}", "priority": 0}
+        for h in range(N_HOSTS)
+    ]
+
+
+def empty_robots(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], schema=schemas.ROBOTS)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL fragments (shared by several oracle queries)
+# ---------------------------------------------------------------------------
+
+# page table: index, url, status — mirrors url_expr/status_expr exactly
+PAGE_CTE = """
+page AS (
+  SELECT doc_id::BIGINT AS i,
+         'http://site-' || (doc_id % 3) || '.test/page/' || doc_id AS url,
+         CASE WHEN doc_id < 3 THEN 200
+              WHEN doc_id % 17 = 3 THEN 404
+              WHEN doc_id % 17 = 5 THEN 301
+              WHEN doc_id % 17 = 7 THEN 500
+              WHEN doc_id % 17 = 11 THEN 0
+              WHEN doc_id % 17 = 13 THEN 302
+              ELSE 200 END AS status
+  FROM documents
+),
+nn AS (SELECT COUNT(*)::BIGINT AS c FROM documents)
+"""
+
+# every link target of a status-200 page, mirroring body_expr exactly
+EDGES_CTE = """
+edges AS (
+  -- a #0: chain
+  SELECT p.i, 'http://site-' || (((p.i+1) % c) % 3) || '.test/page/' || ((p.i+1) % c) AS dst
+    FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  -- a #1: multiplicative hop
+  SELECT p.i, 'http://site-' || (((p.i*31+7) % c) % 3) || '.test/page/' || ((p.i*31+7) % c)
+    FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  -- a #2: host-relative '/page/j' resolves on the PARENT's host
+  SELECT p.i, 'http://site-' || (p.i % 3) || '.test/page/' || ((p.i*13+1) % c)
+    FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  -- a #3: dead link
+  SELECT p.i, 'http://site-' || (p.i % 3) || '.test/missing/' || p.i
+    FROM page p WHERE p.status = 200 AND p.i % 7 = 2
+  UNION ALL
+  -- a #4: mailto (unsupported scheme)
+  SELECT p.i, 'mailto:user' || p.i || '@example.test'
+    FROM page p WHERE p.status = 200 AND p.i % 11 = 4
+  UNION ALL
+  -- script src (host-relative)
+  SELECT p.i, 'http://site-' || (p.i % 3) || '.test/js/app-' || (p.i % 7) || '.js'
+    FROM page p WHERE p.status = 200 AND p.i % 5 = 3
+  UNION ALL
+  -- link rel=canonical (a <link> tag IS a crawl candidate)
+  SELECT p.i, p.url FROM page p WHERE p.status = 200 AND p.i % 4 = 0
+  UNION ALL
+  SELECT p.i, 'http://site-' || (p.i % 3) || '.test/canon/' || p.i
+    FROM page p WHERE p.status = 200 AND p.i % 4 = 1
+  UNION ALL
+  -- img src
+  SELECT p.i, 'http://cdn.test/img/' || ((p.i*3) % 60) || '.bin'
+    FROM page p WHERE p.status = 200 AND p.i % 4 = 1
+  UNION ALL
+  -- embedded <style> background-image url
+  SELECT p.i, 'http://cdn.test/bg/' || (p.i % 20) || '.png'
+    FROM page p WHERE p.status = 200 AND p.i % 9 = 6
+)
+"""
+
+# reachable URL set from seeds {0,1,2}; only status-200 pages expand
+REACH_CTE = """
+reach(url) AS (
+  SELECT url FROM page WHERE i < 3
+  UNION
+  SELECT e.dst
+    FROM reach r JOIN page p ON p.url = r.url AND p.status = 200
+    JOIN edges e ON e.i = p.i
+)
+"""
+
+CRAWL_RESULTS_SQL = (
+    "WITH RECURSIVE "
+    + PAGE_CTE.strip().rstrip()
+    + ", "
+    + EDGES_CTE.strip()
+    + ", "
+    + REACH_CTE.strip()
+    + """
+SELECT r.url AS url,
+       CASE WHEN p.i IS NOT NULL THEN (CASE WHEN p.status = 0 THEN NULL ELSE p.status END)
+            WHEN r.url LIKE 'mailto:%' THEN NULL
+            ELSE 404 END AS status,
+       CASE WHEN r.url LIKE 'mailto:%' THEN 'unsupported'
+            WHEN p.i IS NULL THEN 'broken'
+            WHEN p.status BETWEEN 200 AND 299 THEN 'ok'
+            WHEN p.status IN (301,302,303,307) THEN 'redirect'
+            WHEN p.status = 0 THEN 'error'
+            ELSE 'broken' END AS classification
+FROM reach r LEFT JOIN page p ON p.url = r.url
+"""
+)
+
+CRAWL_BROKEN_SQL = (
+    "WITH RECURSIVE "
+    + PAGE_CTE.strip()
+    + ", "
+    + EDGES_CTE.strip()
+    + ", "
+    + REACH_CTE.strip()
+    + """
+SELECT r.url AS url
+FROM reach r LEFT JOIN page p ON p.url = r.url
+WHERE CASE WHEN r.url LIKE 'mailto:%' THEN 'unsupported'
+           WHEN p.i IS NULL THEN 'broken'
+           WHEN p.status BETWEEN 200 AND 299 THEN 'ok'
+           WHEN p.status IN (301,302,303,307) THEN 'redirect'
+           WHEN p.status = 0 THEN 'error'
+           ELSE 'broken' END = 'broken'
+"""
+)

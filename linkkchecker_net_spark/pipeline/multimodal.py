@@ -1,0 +1,161 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as `binary` columns with typed metadata beside
+them; every transform is a `mapInPandas` Arrow pass so pixels never cross
+the JVM↔Python boundary row-at-a-time.  The sandbox has no image/audio
+libs, so:
+
+  * images use the repo's own pure-numpy codecs (real decode);
+  * audio decode / video frame-sampling are STUBBED behind
+    `NotImplementedError` with deterministic-fake fallbacks — the Spark
+    plumbing (schema, batch shape, partitioning) is real and tested,
+    the codec call is the only swap point for production.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkkchecker_net_spark import imaging
+
+IMAGE_META_SCHEMA = (
+    "image_id string, fmt string, n_bytes long, w int, h int, "
+    "decode_ok boolean, phash long, mean_luma double"
+)
+
+
+def synth_corpus(spark, ids_df: DataFrame, fmt_cycle=("png", "jpeg", "gif")) -> DataFrame:
+    """Deterministic corpus synthesis from an id column (sandbox stand-in
+    for reading a real image corpus): seeded numpy per id → encoded bytes.
+    mapInPandas so generation is distributed and Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
+                   "caption": [], "phash": []}
+            for i in pdf["id"].astype(int):
+                rng = np.random.default_rng(42 * 1_000_003 + int(i))
+                w = int(rng.integers(16, 40))
+                h = int(rng.integers(16, 40))
+                arr = imaging.make_image(rng, w, h)
+                fmt = fmt_cycle[int(i) % len(fmt_cycle)]
+                data = imaging.encode_image(arr, fmt)
+                out["image_id"].append(f"img_{int(i):06d}")
+                out["bytes"].append(data)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append(fmt)
+                out["caption"].append(f"caption of img_{int(i):06d}")
+                out["phash"].append(
+                    imaging.phash64(imaging.decode_image(data, fmt))
+                )
+            yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+
+
+def image_metadata(corpus: DataFrame) -> DataFrame:
+    """Decode + feature-extract pass: (id, fmt, size, dims, decode_ok,
+    phash, mean luma) — bytes are dropped at the stage boundary so the
+    downstream shuffle carries only scalars."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "image_id", "fmt", "n_bytes", "w", "h", "decode_ok", "phash",
+                "mean_luma")}
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.bytes)
+                ok, w, h, ph, luma = False, -1, -1, 0, float("nan")
+                try:
+                    arr = imaging.decode_image(data, r.fmt)
+                    ok, (h, w) = True, arr.shape[:2]
+                    ph = imaging.phash64(arr)
+                    luma = float(arr.astype(np.float64).mean())
+                except Exception:
+                    pass
+                rows["image_id"].append(r.image_id)
+                rows["fmt"].append(r.fmt)
+                rows["n_bytes"].append(len(data))
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["decode_ok"].append(ok)
+                rows["phash"].append(ph)
+                rows["mean_luma"].append(luma)
+            yield pd.DataFrame(rows)
+
+    return corpus.select("image_id", "fmt", "bytes").mapInPandas(
+        extract, IMAGE_META_SCHEMA
+    )
+
+
+def resize_images(corpus: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Nearest-neighbor resize (pure numpy — the 'real' branch of the
+    multimodal transform pattern); emits re-encoded lossless bytes."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for r in pdf.itertuples(index=False):
+                arr = imaging.decode_image(bytes(r.bytes), r.fmt)
+                ys = (np.arange(out_h) * arr.shape[0] // out_h).clip(0, arr.shape[0] - 1)
+                xs = (np.arange(out_w) * arr.shape[1] // out_w).clip(0, arr.shape[1] - 1)
+                small = arr[ys][:, xs]
+                ids.append(r.image_id)
+                blobs.append(imaging.encode_lossless(small))
+            yield pd.DataFrame({"image_id": ids, "thumb": blobs})
+
+    return corpus.select("image_id", "fmt", "bytes").mapInPandas(
+        rz, "image_id string, thumb binary"
+    )
+
+
+def decode_audio_stub(payload: bytes) -> np.ndarray:
+    """STUB — no audio codec in this container.  Production swaps in
+    soundfile/ffmpeg here; the mapInPandas harness around it is real."""
+    raise NotImplementedError("audio decode requires an audio codec library")
+
+
+def sample_video_frames_stub(payload: bytes, every_n: int = 30) -> list[bytes]:
+    """STUB — no video codec in this container (production: PyAV/ffmpeg)."""
+    raise NotImplementedError("video frame sampling requires a video codec library")
+
+
+def audio_metadata(audio: DataFrame, allow_fake: bool = True) -> DataFrame:
+    """Audio feature plumbing: schema + batching are real; decode is the
+    stub (deterministic fake when allow_fake, so the pipeline is testable)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, secs, rates, ok = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.payload)
+                try:
+                    wave = decode_audio_stub(data)
+                    dur, sr, good = len(wave) / 16000.0, 16000, True
+                except NotImplementedError:
+                    if not allow_fake:
+                        raise
+                    # deterministic fake: derive from payload bytes
+                    dur, sr, good = len(data) / 32000.0, 16000, False
+                ids.append(r.audio_id)
+                secs.append(dur)
+                rates.append(sr)
+                ok.append(good)
+            yield pd.DataFrame(
+                {"audio_id": ids, "duration_sec": secs, "sample_rate": rates,
+                 "real_decode": ok}
+            )
+
+    return audio.select("audio_id", "payload").mapInPandas(
+        extract, "audio_id string, duration_sec double, sample_rate int, real_decode boolean"
+    )

@@ -1,0 +1,104 @@
+"""Replicates the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() twin on DuckDB over the same parquet tables,
+compare row multisets (column-name-aligned, order-insensitive)."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda j: cols[j])
+    out = [tuple(_norm_cell(r[j]) for j in order) for r in rows]
+    return sorted(cols), sorted(out, key=repr)
+
+
+def compare_query(spark, duck, name):
+    qfn = entrymod.queries()[name]
+    sdf = qfn(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    sql = entrymod.oracle_sql()[name]
+    res = duck.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    sc, sr = _norm_rows(s_cols, s_rows)
+    dc, dr = _norm_rows(d_cols, d_rows)
+    assert sc == dc, f"{name}: column mismatch {sc} vs {dc}"
+    assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs {len(dr)}"
+    mismatches = [(a, b) for a, b in zip(sr, dr) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+NON_CRAWL = [
+    "classify", "canonicalize", "extract_links", "extract_css",
+    "politeness_topk", "seen_dedup", "sitemap_report",
+    "dedup_exact", "dedup_fingerprint", "jaccard_pairs", "minhash_lsh_pairs",
+    "embed_neardup", "ann_topk", "lang_id", "token_count", "quality_score",
+    "fingerprint", "event_stats",
+]
+CRAWL_DEPENDENT = [
+    "crawl_results", "crawl_broken", "host_stats", "description_report",
+    "canonical_report", "used_images",
+]
+ROWS_ONLY = ["simhash", "simhash_pairs", "ann_lsh", "image_meta"]
+
+
+@pytest.mark.parametrize("name", NON_CRAWL)
+def test_non_crawl_query(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+@pytest.mark.parametrize("name", CRAWL_DEPENDENT)
+def test_crawl_query(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() > 0
+    assert name not in entrymod.oracle_sql()
+
+
+def test_every_query_has_oracle_or_is_listed():
+    qs = set(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    assert oracled <= qs
+    assert qs - oracled == set(ROWS_ONLY)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["url", "status", "classification"]
