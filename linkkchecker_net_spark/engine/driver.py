@@ -16,7 +16,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from linkkchecker_net_spark import schemas
@@ -32,6 +32,15 @@ class CrawlConfig:
     max_epochs: int = 1000
     snapshot_filters: bool = False  # cuckoo seen-filter snapshots per epoch
     filter_partitions: int = 8
+    # broadcast the politeness-bounded batch into the fetch join (web never
+    # shuffles); disable only if per-epoch batches exceed executor memory
+    broadcast_batch_threshold: int = 4_000_000
+    # broadcast the seen key set into the anti-join while it fits executor
+    # memory; beyond this the exchange anti-join (+ bloom layering) kicks in
+    broadcast_seen_threshold: int = 4_000_000
+    # compact seen deltas into one snapshot when this many accumulate —
+    # keeps the anti-join read fan-in bounded across long crawls
+    seen_compact_every: int = 8
 
 
 class CrawlDriver:
@@ -46,6 +55,15 @@ class CrawlDriver:
         self.web = web
         self.robots = robots
         self.cfg = config
+        self._robots_empty: bool | None = None
+
+    def _politeness_flags(self) -> tuple[bool, bool]:
+        """(skip_politeness, skip_robots): with an empty robots table and an
+        unbounded budget, W1 and F10 are identities — skip their exchanges."""
+        if self._robots_empty is None:
+            self._robots_empty = self.robots.limit(1).count() == 0
+        unbounded = self.cfg.default_budget >= 10**8
+        return (self._robots_empty and unbounded, self._robots_empty)
 
     # ------------------------------------------------------------------ init
     def init_seeds(self, seeds: list[dict]) -> dict:
@@ -94,6 +112,23 @@ class CrawlDriver:
         return manifest
 
     # ------------------------------------------------------------- one epoch
+    def _seen_paths(self, state: dict, upto_epoch: int) -> list[str]:
+        """Seen-set read set: compacted base snapshot (if any) + the delta
+        dirs after it.  Deltas are never deleted — compaction only bounds
+        the per-epoch read fan-in."""
+        base = state.get("seen_base")
+        if base:
+            paths = [base]
+            start = state["seen_base_epoch"] + 1
+        else:
+            paths = [os.path.join(catalog.init_dir(self.cfg.ckpt_dir), "seen_delta")]
+            start = 0
+        for e in range(start, upto_epoch + 1):
+            p = os.path.join(catalog.epoch_dir(self.cfg.ckpt_dir, e), "seen_delta")
+            if os.path.isdir(p):
+                paths.append(p)
+        return [p for p in paths if os.path.isdir(p)]
+
     def _read_state(self) -> dict:
         """Locate the last complete epoch (or init) and rebuild loop state."""
         ck = self.cfg.ckpt_dir
@@ -115,15 +150,31 @@ class CrawlDriver:
             "seed_hosts": man["seed_hosts"],
             "last_epoch": last,
             "frontier_path": frontier_path,
+            "seen_base": man.get("seen_base"),
+            "seen_base_epoch": man.get("seen_base_epoch", -2),
+            "seen_total": man.get("seen_total", man["frontier_count"]),
         }
+
+    def _work_partitions(self, frontier_count: int) -> int | None:
+        """Partitions for this epoch's working set: ~500 pages per task so
+        small epochs run 1-2 tasks instead of shuffle_partitions-many.
+        Returns None (no repartition — avoid exchanging fetched bodies)
+        once the batch is wide enough to fill the session parallelism."""
+        cores = self.spark.sparkContext.defaultParallelism
+        want = frontier_count // 500 + 1
+        if want >= 2 * cores:
+            return None
+        return max(1, want)
 
     def run_one_epoch(self, state: dict) -> dict:
         ck, cfg, spark = self.cfg.ckpt_dir, self.cfg, self.spark
         e = state["next_epoch"]
         t0 = time.monotonic()
         frontier = catalog.read_table(spark, state["frontier_path"])
-        seen = spark.read.parquet(*catalog.seen_delta_paths(ck, e - 1))
+        seen_paths = self._seen_paths(state, e - 1)
+        seen = spark.read.parquet(*seen_paths)
 
+        skip_pol, skip_rob = self._politeness_flags()
         res = epoch_mod.run_epoch(
             spark,
             frontier=frontier,
@@ -134,34 +185,52 @@ class CrawlDriver:
             epoch=e,
             next_rank=state["next_rank"],
             default_budget=cfg.default_budget,
+            broadcast_batch=state["frontier_count"] <= cfg.broadcast_batch_threshold,
+            work_partitions=self._work_partitions(state["frontier_count"]),
+            skip_politeness=skip_pol,
+            skip_robots=skip_rob,
+            broadcast_seen=state.get("seen_total", 0) + state["frontier_count"]
+            <= cfg.broadcast_seen_threshold,
         )
 
         ed = catalog.epoch_dir(ck, e)
         os.makedirs(ed, exist_ok=True)
-        # materialize the expensive shared stages once
-        res.batch.persist()
-        catalog.write_table(res.seen_delta, os.path.join(ed, "seen_delta"))
-        catalog.write_table(res.results, os.path.join(ed, "results"))
-        catalog.write_table(res.page_meta, os.path.join(ed, "page_meta"))
-        new_frontier = res.carry.unionByName(res.new_frontier_entries)
-        catalog.write_table(new_frontier, os.path.join(ed, "frontier"))
-        res.batch.unpersist()
-
-        # counts from the materialized parquet (no recompute of the DAG);
-        # one aggregation job per table
-        results_w = catalog.read_table(spark, os.path.join(ed, "results"))
-        frontier_w = catalog.read_table(spark, os.path.join(ed, "frontier"))
-        cls_rows = (
-            results_w.groupBy("classification")
-            .agg(F.count("*").alias("n"), F.max("discovery_rank").alias("mx"))
-            .collect()
+        # the expensive shared stages (fetch join, candidate pipeline) are
+        # persisted inside run_epoch — each executes exactly once.  Output
+        # partition count tracks the epoch size so small epochs write a few
+        # files, not shuffle_partitions-many tiny ones.
+        nparts = max(1, min(64, state["frontier_count"] // 20_000 + 1))
+        # results first and UNcoalesced: it materializes the persisted
+        # intermediates at full parallelism (a trailing coalesce(1) would
+        # serialize the whole cache build into one task); the small state
+        # tables then write from cache with few output files.  Epoch stats
+        # ride the writes via observe() — zero extra aggregation jobs.
+        classes = ["ok", "redirect", "broken", "error", "unsupported", "robots_blocked"]
+        obs_r = Observation(f"results_e{e}")
+        results_obs = res.results.observe(
+            obs_r,
+            *[
+                F.sum(F.when(F.col("classification") == c, 1).otherwise(0)).alias(c)
+                for c in classes
+            ],
+            F.max("discovery_rank").alias("mx"),
         )
-        by_class = {r["classification"]: r["n"] for r in cls_rows}
-        max_rank_res = max((r["mx"] for r in cls_rows), default=None)
-        fro = frontier_w.agg(
-            F.count("*").alias("n"), F.max("discovery_rank").alias("mx")
-        ).collect()[0]
-        frontier_count, max_rank_fro = fro["n"], fro["mx"]
+        catalog.write_table(results_obs, os.path.join(ed, "results"))
+        catalog.write_table(res.seen_delta.coalesce(nparts), os.path.join(ed, "seen_delta"))
+        catalog.write_table(res.page_meta.coalesce(nparts), os.path.join(ed, "page_meta"))
+        new_frontier = res.carry.unionByName(res.new_frontier_entries)
+        obs_f = Observation(f"frontier_e{e}")
+        frontier_obs = new_frontier.observe(
+            obs_f, F.count(F.lit(1)).alias("n"), F.max("discovery_rank").alias("mx")
+        )
+        catalog.write_table(frontier_obs.coalesce(nparts), os.path.join(ed, "frontier"))
+        for df in res.persisted:
+            df.unpersist()
+
+        rstats, fstats = obs_r.get, obs_f.get
+        by_class = {c: int(rstats[c] or 0) for c in classes if rstats[c]}
+        max_rank_res = rstats["mx"]
+        frontier_count, max_rank_fro = int(fstats["n"]), fstats["mx"]
         # ranks are consumed by BOTH terminal result rows and new frontier
         # entries — advance past the max of either
         next_rank = max(
@@ -174,25 +243,6 @@ class CrawlDriver:
         )
         elapsed = time.monotonic() - t0
 
-        metrics = self.spark.createDataFrame(
-            [
-                (
-                    e,
-                    fetched_n,
-                    by_class.get("ok", 0),
-                    by_class.get("redirect", 0),
-                    by_class.get("broken", 0),
-                    by_class.get("error", 0),
-                    by_class.get("unsupported", 0),
-                    sum(by_class.values()),
-                    frontier_count,
-                    elapsed,
-                )
-            ],
-            schema=schemas.METRICS,
-        )
-        catalog.write_table(metrics, os.path.join(ed, "metrics"))
-
         if cfg.snapshot_filters:
             build_partitioned_filters(
                 spark.read.parquet(*catalog.seen_delta_paths(ck, e)),
@@ -200,13 +250,27 @@ class CrawlDriver:
                 partitions=cfg.filter_partitions,
             )
 
+        # compact the seen set when the delta fan-in gets wide
+        seen_base = state.get("seen_base")
+        seen_base_epoch = state.get("seen_base_epoch", -2)
+        cur_paths = self._seen_paths({**state}, e)
+        if len(cur_paths) > cfg.seen_compact_every:
+            full = os.path.join(ed, "seen_full")
+            catalog.write_table(spark.read.parquet(*cur_paths), full)
+            seen_base, seen_base_epoch = full, e
+
         manifest = {
             "next_rank": next_rank,
             "frontier_count": frontier_count,
             "seed_hosts": state["seed_hosts"],
             "next_epoch": e + 1,
             "by_class": by_class,
+            "fetched": fetched_n,
             "elapsed_sec": elapsed,
+            "seen_base": seen_base,
+            "seen_base_epoch": seen_base_epoch,
+            # every results row was claimed exactly once → exact seen size
+            "seen_total": state.get("seen_total", 0) + sum(by_class.values()),
         }
         catalog.write_manifest(ed, manifest)
         return {
@@ -216,6 +280,9 @@ class CrawlDriver:
             "frontier_count": frontier_count,
             "last_epoch": e,
             "frontier_path": os.path.join(ed, "frontier"),
+            "seen_base": seen_base,
+            "seen_base_epoch": seen_base_epoch,
+            "seen_total": manifest["seen_total"],
         }
 
     # ------------------------------------------------------------------ loop
@@ -250,9 +317,25 @@ class CrawlDriver:
         return self.spark.read.parquet(*catalog.seen_delta_paths(ck, last))
 
     def metrics(self) -> DataFrame:
+        """Per-epoch metrics table, materialized from the epoch manifests
+        (the per-partition lineage records) — no extra write per epoch."""
         ck = self.cfg.ckpt_dir
-        paths = [
-            os.path.join(catalog.epoch_dir(ck, e), "metrics")
-            for e in catalog.list_complete_epochs(ck)
-        ]
-        return self.spark.read.parquet(*paths)
+        rows = []
+        for e in catalog.list_complete_epochs(ck):
+            man = catalog.read_manifest(catalog.epoch_dir(ck, e)) or {}
+            bc = man.get("by_class", {})
+            rows.append(
+                (
+                    e,
+                    man.get("fetched", 0),
+                    bc.get("ok", 0),
+                    bc.get("redirect", 0),
+                    bc.get("broken", 0),
+                    bc.get("error", 0),
+                    bc.get("unsupported", 0),
+                    sum(bc.values()),
+                    man.get("frontier_count", 0),
+                    float(man.get("elapsed_sec", 0.0)),
+                )
+            )
+        return self.spark.createDataFrame(rows, schema=schemas.METRICS)

@@ -13,21 +13,29 @@ per-BFS-level dataflow:
   frontier' = carry ∪ new
 
 Shuffle census per epoch (scale notes, SURVEY.md §4):
-  1. politeness window   — exchange on host   (hot-host skew: budget bounds
-                           the damage; salted two-phase top-K is the M5 path)
-  2. fetch join          — exchange on (url_hash, url) both sides (Iceberg
-                           bucketing on url_hash removes this on a cluster)
-  3. W3 dedup window     — exchange on url
-  4. anti-join seen      — exchange on (url_hash, url); a broadcast bloom
-                           pre-filter short-circuits the never-seen majority
-                           (engine/filters.py) when the seen set is large
-  5. W2 global rank      — single-partition window over this epoch's NEW
-                           candidates only; bounded by Σ politeness budgets,
-                           NOT by frontier size, so it stays small even at
-                           10^10-URL frontiers
+  1. politeness window   — exchange on host (skipped entirely when robots is
+                           empty + budget unbounded; hot-host skew: budget
+                           bounds the damage; salted two-phase top-K is the
+                           M5 path)
+  2. fetch join          — NO web exchange: the budget-bounded batch is the
+                           broadcast build side of an inner join, missing
+                           (dead-link) rows recovered by a tiny anti-join
+                           (Iceberg url_hash bucketing is the alternative on
+                           a real cluster)
+  3. W3 dedup            — groupBy(url) + min_by combiner: duplicates
+                           collapse map-side BEFORE the exchange
+  4. anti-join seen      — broadcast while the seen key-set fits executor
+                           memory; exchange + bloom pre-filter layering
+                           (engine/filters.py) past the threshold
+  5. W2 rank             — parallel range-partition sort + per-partition
+                           offset ranks (kernels never funnel through one
+                           task); input bounded by Σ politeness budgets,
+                           NOT by frontier size
 
-Everything else is narrow or JVM-side (classification, routing, filters are
-whole-stage-codegen'd CASE/contains expressions).
+Per-page work (P8 parse + P9 meta + P10 css + P1 canonicalize + F1/P2) is
+ONE fused Arrow pass (kernels/fused.py); everything else is JVM-side
+whole-stage-codegen'd CASE/contains expressions.  The fetched and extracted
+intermediates are persisted so each executes exactly once per epoch.
 """
 
 from __future__ import annotations
@@ -39,10 +47,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from linkkchecker_net_spark import schemas
-from linkkchecker_net_spark.kernels.canonicalize import canonicalize_udf
+from linkkchecker_net_spark.kernels import fused
 from linkkchecker_net_spark.kernels.classify import classification_expr
-from linkkchecker_net_spark.kernels.cssparse import extract_css_urls_udf
-from linkkchecker_net_spark.kernels.htmlparse import parse_page_udf
 
 CSS_TAG_RANK = 4
 
@@ -57,6 +63,7 @@ class EpochResult:
     page_meta: DataFrame
     seen_delta: DataFrame
     new_frontier_entries: DataFrame
+    persisted: list = field(default_factory=list)  # unpersist after writes
     counts: dict = field(default_factory=dict)
 
 
@@ -90,7 +97,9 @@ def split_politeness(
     return batch, carry
 
 
-def fetch_and_classify(batch: DataFrame, web: DataFrame, epoch: int) -> DataFrame:
+def fetch_and_classify(
+    batch: DataFrame, web: DataFrame, epoch: int, broadcast_batch: bool = True
+) -> DataFrame:
     """S2/S3 + J6 + P11 — fetch join against the synthetic web + classify.
 
     In production the join body is replaced by an async HTTP batch inside
@@ -98,6 +107,14 @@ def fetch_and_classify(batch: DataFrame, web: DataFrame, epoch: int) -> DataFram
     from `web` is a dead link → 404 (Engine.cs:168-201 semantics); web
     status 0 encodes a network error (exception branch, Engine.cs:204-208).
     content_type/image_id are recorded only for 2xx (Engine.cs:172-174).
+
+    JOIN STRATEGY (the big-web scale path): a left-outer join can only
+    broadcast its non-preserved side, so `batch LEFT JOIN web` would
+    shuffle the ENTIRE web every epoch.  Instead: INNER join with the
+    (politeness-budget-bounded, hence broadcastable) batch as the build
+    side — web streams through with NO shuffle — then recover the missing
+    (dead-link) rows with a tiny anti-join against the matched key set.
+    web is never exchanged; per-epoch cost is one scan.
     """
     w = web.select(
         F.col("url").alias("w_url"),
@@ -107,11 +124,28 @@ def fetch_and_classify(batch: DataFrame, web: DataFrame, epoch: int) -> DataFram
         F.col("body").alias("w_body"),
         F.col("image_id").alias("w_image_id"),
     )
-    joined = batch.join(
-        w,
-        (batch.url_hash == w.w_url_hash) & (batch.url == w.w_url),
-        "left",
-    )
+    cond = (batch.url_hash == w.w_url_hash) & (batch.url == w.w_url)
+    if broadcast_batch:
+        matched = F.broadcast(batch).join(w, cond, "inner")
+        missing = batch.join(
+            F.broadcast(matched.select(F.col("w_url").alias("m_url"))),
+            batch.url == F.col("m_url"),
+            "left_anti",
+        )
+        nulls = [
+            F.lit(None).cast(t).alias(c)
+            for c, t in [
+                ("w_url", "string"),
+                ("w_url_hash", "long"),
+                ("w_status", "int"),
+                ("w_ct", "string"),
+                ("w_body", "binary"),
+                ("w_image_id", "string"),
+            ]
+        ]
+        joined = matched.unionByName(missing.select("*", *nulls))
+    else:
+        joined = batch.join(w, cond, "left")
     is_err = F.col("w_status") == 0
     status = (
         F.when(F.col("w_url").isNull(), F.lit(404))
@@ -125,7 +159,20 @@ def fetch_and_classify(batch: DataFrame, web: DataFrame, epoch: int) -> DataFram
         .withColumn("error", error)
         .withColumn("content_type", F.when(ok, F.col("w_ct")))
         .withColumn("image_id", F.when(ok, F.col("w_image_id")))
-        .withColumn("body", F.when(ok, F.col("w_body")))
+        # the HEAD optimization (Engine.cs:242-252): bodies are materialized
+        # ONLY for rows the parse stage will read (GET-class html + css) —
+        # image/font/other payloads never enter the persist/Arrow path
+        .withColumn(
+            "body",
+            F.when(
+                ok
+                & (
+                    ((F.col("w_ct") == "text/html") & F.col("may_contain_links"))
+                    | (F.col("w_ct") == "text/css")
+                ),
+                F.col("w_body"),
+            ),
+        )
         .withColumn(
             "classification",
             classification_expr(F.col("status"), F.col("error"), F.lit(False)),
@@ -137,104 +184,55 @@ def fetch_and_classify(batch: DataFrame, web: DataFrame, epoch: int) -> DataFram
 
 def generate_candidates(
     fetched: DataFrame, seed_hosts: list[str], epoch: int
-) -> tuple[DataFrame, DataFrame]:
-    """P8/P9/P10 + explode → (candidates, page_meta).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """P8/P9/P10 + P1 in ONE fused Arrow pass (kernels/fused.py) →
+    (candidates, page_meta, persisted handle).
 
-    Column pruning before the Arrow UDFs: only ok-html-GET rows carry body
-    into the parse (the HEAD optimization = never materializing body for
-    HEAD-class rows, Engine.cs:242-252).
+    Column pruning before the kernel: only ok rows that are parseable
+    (html∧GET-class, or css) carry body in (the HEAD optimization —
+    never materializing body for HEAD-class rows, Engine.cs:242-252).
     """
-    in_site = F.col("host").isin(seed_hosts)
-    parent_cols = [
-        F.col("url").alias("parent_url"),
-        F.col("discovery_rank").alias("parent_rank"),
-        F.col("crawl_depth").alias("parent_depth"),
-        F.col("priority"),
-        F.col("seed_url"),
-    ]
-
-    html = (
-        fetched.filter(
-            (F.col("classification") == "ok")
-            & (F.col("content_type") == "text/html")
-            & F.col("may_contain_links")
+    parseable = fetched.filter(
+        (F.col("classification") == "ok")
+        & (
+            (
+                (F.col("content_type") == "text/html")
+                & F.col("may_contain_links")
+            )
+            | (F.col("content_type") == "text/css")
         )
-        .withColumn("in_site", in_site)
-        .withColumn("parsed", parse_page_udf("body"))
+    ).select(
+        "url",
+        "host",
+        "discovery_rank",
+        "crawl_depth",
+        "priority",
+        "seed_url",
+        "may_contain_links",
+        "expand_links",
+        "content_type",
+        "body",
     )
+    extracted = parseable.mapInPandas(
+        fused.extract_batches(set(seed_hosts)), fused.FUSED_SCHEMA
+    ).persist()
+
     # page-level extractions for in-site pages (CanonicalChecker /
     # DescriptionLengthChecker are F2-gated: CanonicalChecker.cs:34-36)
-    page_meta = html.filter("in_site").select(
+    page_meta = extracted.filter(F.col("kind") == "meta").select(
         "url",
-        "url_hash",
-        F.col("parsed.canonical_href").alias("canonical_href"),
-        F.col("parsed.meta_description").alias("meta_description"),
-        F.col("parsed.embedded_css").alias("embedded_css"),
-        "crawl_depth",
+        F.xxhash64("url").alias("url_hash"),
+        "canonical_href",
+        "meta_description",
+        "embedded_css",
+        F.col("parent_depth").alias("crawl_depth"),
         F.lit(epoch).alias("epoch"),
     )
 
-    link_cands = (
-        html.filter(F.col("in_site") & F.col("expand_links"))
-        .select(*parent_cols, F.explode("parsed.links").alias("ln"))
-        .select(
-            "parent_url",
-            "parent_rank",
-            "parent_depth",
-            "priority",
-            "seed_url",
-            F.col("ln.href").alias("href"),
-            F.col("ln.may_contain_links").alias("may_contain_links"),
-            F.lit(True).alias("expand_links"),
-            F.col("ln.tag_rank").alias("tag_rank"),
-            F.col("ln.doc_pos").alias("doc_pos"),
-        )
+    candidates = extracted.filter(F.col("kind") == "cand").drop(
+        "kind", "canonical_href", "meta_description", "embedded_css"
     )
-
-    # embedded <style> css — scanned even off-site (Engine.cs:176-183)
-    embedded = (
-        html.filter(F.size("parsed.embedded_css") > 0)
-        .select(
-            *parent_cols,
-            F.posexplode(
-                extract_css_urls_udf(F.concat_ws("\n", "parsed.embedded_css"))
-            ).alias("doc_pos", "href"),
-        )
-        .select(
-            "parent_url",
-            "parent_rank",
-            "parent_depth",
-            "priority",
-            "seed_url",
-            "href",
-            F.lit(False).alias("may_contain_links"),
-            F.lit(False).alias("expand_links"),
-            F.lit(CSS_TAG_RANK).alias("tag_rank"),
-            "doc_pos",
-        )
-    )
-
-    # external stylesheets (content_type text/css, CssChecker.cs:17-87)
-    css = (
-        fetched.filter(
-            (F.col("classification") == "ok") & (F.col("content_type") == "text/css")
-        )
-        .select(*parent_cols, F.posexplode(extract_css_urls_udf("body")).alias("doc_pos", "href"))
-        .select(
-            "parent_url",
-            "parent_rank",
-            "parent_depth",
-            "priority",
-            "seed_url",
-            "href",
-            F.lit(False).alias("may_contain_links"),
-            F.lit(False).alias("expand_links"),
-            F.lit(CSS_TAG_RANK).alias("tag_rank"),
-            "doc_pos",
-        )
-    )
-
-    return link_cands.unionByName(embedded).unionByName(css), page_meta
+    return candidates, page_meta, extracted
 
 
 def dedup_gate_rank(
@@ -244,57 +242,80 @@ def dedup_gate_rank(
     robots: DataFrame,
     next_rank: int,
     epoch: int,
+    skip_robots: bool = False,
+    broadcast_seen: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """P1 canonicalize → F1/F10 gates → W3 dedup → J1 anti-join → W2 rank.
+    """F10 gate → W3 dedup → J1 anti-join → W2 rank over candidates that
+    arrive already canonicalized (kernels/fused.py did P1/F1/P2).
 
-    Returns (new_results_rows, new_frontier_entries): unsupported-scheme and
-    robots-blocked candidates become terminal result rows (they consume a
-    discovery_rank and enter the seen set exactly like the oracle's
-    sequential walk); the rest become frontier entries at depth+1.
+    Returns (new_results_rows, new_frontier_entries, persisted handles):
+    unsupported-scheme and robots-blocked candidates become terminal result
+    rows (they consume a discovery_rank and enter the seen set exactly like
+    the oracle's sequential walk); the rest become frontier entries at
+    depth+1.
     """
-    cand = (
-        candidates.withColumn("url", canonicalize_udf("parent_url", "href"))
-        .filter(F.col("url").isNotNull())
-        .withColumn("url_hash", F.xxhash64("url"))
-        .withColumn("scheme", F.lower(F.substring_index("url", ":", 1)))
-        .withColumn("supported", F.col("scheme").isin("http", "https"))
-        .withColumn(
-            "host",
-            F.when(F.col("supported"), F.coalesce(_host_expr(F.col("url")), F.lit(""))),
-        )
-    )
+    cand = candidates.withColumn("url_hash", F.xxhash64("url"))
 
-    # W3 — keep-first per URL in deterministic candidate order
-    w_url = Window.partitionBy("url").orderBy(*_ORDER_COLS)
-    cand = cand.withColumn("_rn", F.row_number().over(w_url)).filter("_rn = 1").drop("_rn")
+    # W3 — keep-first per URL in deterministic candidate order.  Expressed
+    # as groupBy + min_by(struct, order-key) instead of a window so Spark
+    # partial-aggregates map-side (a combiner): duplicate URLs collapse
+    # BEFORE the exchange, shrinking the shuffle — the window form ships
+    # every candidate row.
+    order_key = F.struct(*[F.col(c) for c in _ORDER_COLS])
+    payload = F.struct(*[F.col(c) for c in cand.columns])
+    cand = (
+        cand.groupBy("url_hash", "url")
+        .agg(F.min_by(payload, order_key).alias("_w"))
+        .select("_w.*")
+    )
 
     # J1 — anti-join the seen set (claimed through THIS epoch's batch) and
-    # the politeness carry (discovered-but-unfetched URLs)
-    cand = cand.join(
-        seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
-    ).join(carry.select("url"), on="url", how="left_anti")
-
-    # F10 — robots gate (broadcast dim join, path-prefix containment)
-    rob = robots.select("host", "disallow")
-    cand = cand.join(F.broadcast(rob), on="host", how="left").withColumn(
-        "robots_blocked",
-        F.col("supported")
-        & F.when(
-            F.col("disallow").isNotNull(),
-            F.exists(
-                F.col("disallow"),
-                lambda p: F.startswith(_path_expr(F.col("url")), p),
-            ),
-        ).otherwise(F.lit(False)),
+    # the politeness carry (discovered-but-unfetched URLs).  While the seen
+    # set fits executor memory it is broadcast (left_anti builds right), so
+    # the million-row candidate side never shuffles; past the threshold the
+    # plan falls back to the exchange anti-join (+ bloom pre-filter at
+    # 10^10 scale — engine/filters.py layering).
+    seen_keys = seen.select("url_hash", "url")
+    if broadcast_seen:
+        seen_keys = F.broadcast(seen_keys)
+    cand = cand.join(seen_keys, on=["url_hash", "url"], how="left_anti").join(
+        F.broadcast(carry.select("url")) if broadcast_seen else carry.select("url"),
+        on="url",
+        how="left_anti",
     )
 
-    # W2 — deterministic discovery rank over this epoch's survivors only.
-    # Single-partition window, but its input is bounded by the politeness
-    # budget (links per fetched page), not the frontier size.
-    w_rank = Window.orderBy(*_ORDER_COLS)
-    cand = cand.withColumn(
-        "discovery_rank", F.row_number().over(w_rank) + F.lit(next_rank - 1).cast("long")
-    ).withColumn("crawl_depth", F.col("parent_depth") + 1)
+    # F10 — robots gate (broadcast dim join, path-prefix containment)
+    if skip_robots:
+        cand = cand.withColumn("robots_blocked", F.lit(False))
+    else:
+        rob = robots.select("host", "disallow")
+        cand = cand.join(F.broadcast(rob), on="host", how="left").withColumn(
+            "robots_blocked",
+            F.col("supported")
+            & F.when(
+                F.col("disallow").isNotNull(),
+                F.exists(
+                    F.col("disallow"),
+                    lambda p: F.startswith(_path_expr(F.col("url")), p),
+                ),
+            ).otherwise(F.lit(False)),
+        )
+
+    # W2 — deterministic discovery rank over this epoch's survivors.
+    # NOT a global single-partition window (that serializes millions of
+    # candidate rows through one task — the Amdahl bottleneck at scale):
+    # range-repartition + sortWithinPartitions gives a parallel global
+    # sort, then ranks = per-partition offsets + local row index.  Ranks
+    # are independent of the sampled range boundaries because the order
+    # key (parent_rank, tag_rank, doc_pos) is a total order.
+    cand = cand.drop("disallow")
+    cand, rank_source = _global_rank(cand, next_rank)
+    cand = cand.withColumn("crawl_depth", F.col("parent_depth") + 1)
+
+    # the candidate pipeline (parse → canonicalize → windows → anti-join)
+    # feeds three consumers (gated results, seen delta, new frontier) —
+    # persist so it executes once per epoch
+    cand = cand.persist()
 
     new_results = cand.filter(~F.col("supported") | F.col("robots_blocked")).select(
         "url",
@@ -328,7 +349,55 @@ def dedup_gate_rank(
         "expand_links",
         "discovery_rank",
     )
-    return new_results, new_frontier
+    return new_results, new_frontier, [cand, rank_source]
+
+
+def _global_rank(df: DataFrame, start: int) -> DataFrame:
+    """Dense global rank in candidate order, computed in parallel:
+    range-partition sort → per-partition counts (one tiny job) → rank =
+    partition offset + local index (TaskContext-aware Arrow pass)."""
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import types as T2
+
+    sorted_df = (
+        df.repartitionByRange(*_ORDER_COLS)
+        .sortWithinPartitions(*_ORDER_COLS)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T2.StructType(
+        [f for f in sorted_df.schema.fields if f.name != "_pid"]
+        + [T2.StructField("discovery_rank", T2.LongType(), False)]
+    )
+
+    def add_rank(batches):
+        _ = TaskContext.get()  # batches of one task share one _pid
+        base = None
+        seen_rows = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["discovery_rank"] = pd.RangeIndex(
+                base + seen_rows, base + seen_rows + len(pdf)
+            ).astype("int64")
+            seen_rows += len(pdf)
+            yield pdf
+
+    ranked = sorted_df.mapInPandas(add_rank, out_schema)
+    return ranked, sorted_df
 
 
 def results_projection(fetched: DataFrame) -> DataFrame:
@@ -360,11 +429,29 @@ def run_epoch(
     epoch: int,
     next_rank: int,
     default_budget: int,
+    broadcast_batch: bool = True,
+    work_partitions: int | None = None,
+    skip_politeness: bool = False,
+    skip_robots: bool = False,
+    broadcast_seen: bool = False,
 ) -> EpochResult:
     """Wire the full epoch DAG; nothing is materialized here — the driver
     decides what to write/count (writes ARE the checkpoint)."""
-    batch, carry = split_politeness(frontier, robots, default_budget)
-    fetched = fetch_and_classify(batch, web, epoch)
+    if skip_politeness:
+        # no robots rows and an unbounded default budget ⇒ W1 is the
+        # identity: batch = frontier, no window exchange, no robots join
+        batch, carry = frontier, frontier.limit(0)
+    else:
+        batch, carry = split_politeness(frontier, robots, default_budget)
+    # fetched feeds results, page_meta, seen_delta, AND the candidate
+    # pipeline — persist so the fetch join + HTML bodies materialize once.
+    # work_partitions sizes every downstream task count to THIS batch
+    # (task-scheduling + Arrow-roundtrip overhead is per partition, so a
+    # 100-row epoch must not run 64-task stages).
+    fetched = fetch_and_classify(batch, web, epoch, broadcast_batch=broadcast_batch)
+    if work_partitions:
+        fetched = fetched.repartition(work_partitions)
+    fetched = fetched.persist()
 
     seen_delta = batch.select(
         "url_hash",
@@ -376,9 +463,16 @@ def run_epoch(
         seen_delta.select("url_hash", "url")
     )
 
-    candidates, page_meta = generate_candidates(fetched, seed_hosts, epoch)
-    gated_results, new_frontier = dedup_gate_rank(
-        candidates, seen_through_now, carry, robots, next_rank, epoch
+    candidates, page_meta, html_persisted = generate_candidates(fetched, seed_hosts, epoch)
+    gated_results, new_frontier, cand_persists = dedup_gate_rank(
+        candidates,
+        seen_through_now,
+        carry,
+        robots,
+        next_rank,
+        epoch,
+        skip_robots=skip_robots,
+        broadcast_seen=broadcast_seen,
     )
     results = results_projection(fetched).unionByName(gated_results)
     # terminal gated rows (unsupported / robots_blocked) are claimed too —
@@ -399,4 +493,5 @@ def run_epoch(
         page_meta=page_meta,
         seen_delta=seen_delta,
         new_frontier_entries=new_frontier,
+        persisted=[fetched, html_persisted, *cand_persists],
     )

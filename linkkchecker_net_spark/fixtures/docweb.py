@@ -73,11 +73,22 @@ def _opt(cond, col):
     return F.when(cond, col).otherwise(F.lit(""))
 
 
-def body_expr(i, n: int):
+def body_expr(i, n: int, extra_links: int = 0, filler: int = 0):
+    """Page HTML.  extra_links/filler are BENCH-ONLY knobs (realistic page
+    weight: tens of links, multi-KB text) — the sf-dir oracle contract uses
+    the default light body."""
     base = F.concat(F.lit("http://"), host_expr(i))
     j1 = (i + 1) % n
     j2 = (i * 31 + 7) % n
     j3 = (i * 13 + 1) % n
+    extras = []
+    for k in range(extra_links):
+        jk = (i * (53 + 2 * k) + 11 * k + 3) % n
+        extras.append(
+            F.concat(F.lit(f'<p>filler {k} lorem ipsum</p><a href="'), url_expr(jk), F.lit(f'">e{k}</a>'))
+        )
+    if filler:
+        extras.append(F.repeat(F.lit("lorem ipsum dolor sit amet, consectetur "), filler // 40))
     s = F.concat(
         F.lit("<html><head>"),
         _opt(
@@ -130,6 +141,7 @@ def body_expr(i, n: int):
             i % 4 == 1,
             F.concat(F.lit('<img src="http://cdn.test/img/'), ((i * 3) % 60).cast("string"), F.lit('.bin"/>')),
         ),
+        *extras,
         F.lit("</body></html>"),
     )
     return s
@@ -144,8 +156,28 @@ def build_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely JVM-side (status-200 pages only)."""
     n = doc_count(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return build_web_from_ids(docs, n)
+
+
+def build_web_for_bench(
+    spark: SparkSession,
+    n_pages: int,
+    partitions: int = 64,
+    extra_links: int = 40,
+    filler: int = 4000,
+) -> DataFrame:
+    """Bench-scale docweb from spark.range — same formulas, realistic page
+    weight (≈45 links + ~4 KB text/page; real pages are heavier still)."""
+    ids = spark.range(0, n_pages, 1, partitions).select(F.col("id").alias("doc_id"))
+    return build_web_from_ids(ids, n_pages, extra_links=extra_links, filler=filler)
+
+
+def build_web_from_ids(
+    docs: DataFrame, n: int, extra_links: int = 0, filler: int = 0
+) -> DataFrame:
     i = _i()
     status = status_expr(i)
+    body = body_expr(i, n, extra_links=extra_links, filler=filler)
     return docs.select(
         url_expr(i).alias("url"),
         F.xxhash64(url_expr(i)).alias("url_hash"),
@@ -153,16 +185,18 @@ def build_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         status.alias("status"),
         F.lit(None).cast("string").alias("redirect_to"),
         F.when(status == 200, F.lit("text/html")).alias("content_type"),
-        F.when(status == 200, F.encode(body_expr(i, n), "UTF-8")).alias("body"),
+        F.when(status == 200, F.encode(body, "UTF-8")).alias("body"),
         F.lit(None).cast("string").alias("image_id"),
         F.lit(None).cast("string").alias("caption"),
     )
 
 
-def seeds() -> list[dict]:
+def seeds(n: int = N_HOSTS) -> list[dict]:
+    """Seed list: pages 0..n-1 (n=3 → one per host, the oracle contract;
+    bench uses a wider seed set to shorten BFS warm-up)."""
     return [
-        {"seed_url": f"http://site-{h}.test/page/{h}", "priority": 0}
-        for h in range(N_HOSTS)
+        {"seed_url": f"http://site-{h % N_HOSTS}.test/page/{h}", "priority": 0}
+        for h in range(n)
     ]
 
 

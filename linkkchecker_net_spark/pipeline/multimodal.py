@@ -25,8 +25,36 @@ from linkkchecker_net_spark import imaging
 
 IMAGE_META_SCHEMA = (
     "image_id string, fmt string, n_bytes long, w int, h int, "
-    "decode_ok boolean, phash long, mean_luma double"
+    "decode_ok boolean, phash long, thumb_phash long, mean_luma double, "
+    "luma_var double, edge_density double, hist_entropy double"
 )
+
+
+def _image_features(arr: np.ndarray) -> dict:
+    """Feature battery over decoded pixels — the quality/dedup signals a
+    training-data pipeline extracts per image (luma stats, gradient edge
+    density, histogram entropy, thumbnail phash for near-dup blocking)."""
+    gray = arr.astype(np.float32).mean(axis=2)
+    mean_luma = float(gray.mean())
+    luma_var = float(gray.var())
+    gx = np.abs(np.diff(gray, axis=1)).mean()
+    gy = np.abs(np.diff(gray, axis=0)).mean()
+    edge_density = float(gx + gy)
+    hist = np.bincount((gray.ravel() / 16).astype(np.int32).clip(0, 15), minlength=16)
+    p = hist / max(hist.sum(), 1)
+    p = p[p > 0]
+    hist_entropy = float(-(p * np.log2(p)).sum())
+    h, w = gray.shape
+    ys = (np.arange(32) * h // 32).clip(0, h - 1)
+    xs = (np.arange(32) * w // 32).clip(0, w - 1)
+    thumb = arr[ys][:, xs]
+    return dict(
+        mean_luma=mean_luma,
+        luma_var=luma_var,
+        edge_density=edge_density,
+        hist_entropy=hist_entropy,
+        thumb_phash=imaging.phash64(thumb),
+    )
 
 
 def synth_corpus(spark, ids_df: DataFrame, fmt_cycle=("png", "jpeg", "gif")) -> DataFrame:
@@ -68,19 +96,24 @@ def image_metadata(corpus: DataFrame) -> DataFrame:
     phash, mean luma) — bytes are dropped at the stage boundary so the
     downstream shuffle carries only scalars."""
 
+    nan = float("nan")
+    feat_names = ("mean_luma", "luma_var", "edge_density", "hist_entropy", "thumb_phash")
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
                 "image_id", "fmt", "n_bytes", "w", "h", "decode_ok", "phash",
-                "mean_luma")}
+                *feat_names)}
             for r in pdf.itertuples(index=False):
                 data = bytes(r.bytes)
-                ok, w, h, ph, luma = False, -1, -1, 0, float("nan")
+                ok, w, h, ph = False, -1, -1, 0
+                feats = dict.fromkeys(feat_names, nan)
+                feats["thumb_phash"] = 0
                 try:
                     arr = imaging.decode_image(data, r.fmt)
                     ok, (h, w) = True, arr.shape[:2]
                     ph = imaging.phash64(arr)
-                    luma = float(arr.astype(np.float64).mean())
+                    feats = _image_features(arr)
                 except Exception:
                     pass
                 rows["image_id"].append(r.image_id)
@@ -90,7 +123,8 @@ def image_metadata(corpus: DataFrame) -> DataFrame:
                 rows["h"].append(h)
                 rows["decode_ok"].append(ok)
                 rows["phash"].append(ph)
-                rows["mean_luma"].append(luma)
+                for k in feat_names:
+                    rows[k].append(feats[k])
             yield pd.DataFrame(rows)
 
     return corpus.select("image_id", "fmt", "bytes").mapInPandas(
