@@ -331,10 +331,12 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    from linkkchecker_net_spark.pipeline.dedup import embedding_neardup_pairs
+    # blocked BLAS matmul — exact, same result as the brute-force fold but
+    # O(N·√P) shuffle instead of an N² row cross-join
+    from linkkchecker_net_spark.pipeline.similarity import blocked_cosine_pairs
 
     _prep(spark)
-    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return blocked_cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
 def q_ann_topk(spark, sf_dir):

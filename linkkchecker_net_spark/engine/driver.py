@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 from linkkchecker_net_spark import schemas
 from linkkchecker_net_spark.engine import catalog, epoch as epoch_mod
-from linkkchecker_net_spark.engine.filters import build_partitioned_filters
+from linkkchecker_net_spark.engine.filters import (
+    build_bloom,
+    build_partitioned_filters,
+)
 from linkkchecker_net_spark.kernels.canonicalize import canonicalize, host_of
 
 
@@ -38,6 +41,14 @@ class CrawlConfig:
     # broadcast the seen key set into the anti-join while it fits executor
     # memory; beyond this the exchange anti-join (+ bloom layering) kicks in
     broadcast_seen_threshold: int = 4_000_000
+    # J7: two-phase salted politeness top-K (0 = off); set to ~#cores when a
+    # single host can dominate the frontier
+    politeness_salt: int = 0
+    # bloom pre-filter for the exchange anti-join path (built per epoch from
+    # the seen set; only used once the seen set exceeds the broadcast
+    # threshold)
+    use_bloom: bool = False
+    bloom_fp_rate: float = 0.01
     # compact seen deltas into one snapshot when this many accumulate —
     # keeps the anti-join read fan-in bounded across long crawls
     seen_compact_every: int = 8
@@ -175,6 +186,17 @@ class CrawlDriver:
         seen = spark.read.parquet(*seen_paths)
 
         skip_pol, skip_rob = self._politeness_flags()
+        broadcast_seen = (
+            state.get("seen_total", 0) + state["frontier_count"]
+            <= cfg.broadcast_seen_threshold
+        )
+        bloom_blob = None
+        if cfg.use_bloom and not broadcast_seen:
+            bloom_blob = build_bloom(
+                seen.select("url_hash"),
+                capacity_hint=max(state.get("seen_total", 0), 1024),
+                fp_rate=cfg.bloom_fp_rate,
+            )
         res = epoch_mod.run_epoch(
             spark,
             frontier=frontier,
@@ -189,8 +211,9 @@ class CrawlDriver:
             work_partitions=self._work_partitions(state["frontier_count"]),
             skip_politeness=skip_pol,
             skip_robots=skip_rob,
-            broadcast_seen=state.get("seen_total", 0) + state["frontier_count"]
-            <= cfg.broadcast_seen_threshold,
+            broadcast_seen=broadcast_seen,
+            politeness_salt=cfg.politeness_salt,
+            bloom_blob=bloom_blob,
         )
 
         ed = catalog.epoch_dir(ck, e)

@@ -77,23 +77,53 @@ def _path_expr(url_col):
 
 
 def split_politeness(
-    frontier: DataFrame, robots: DataFrame, default_budget: int
+    frontier: DataFrame,
+    robots: DataFrame,
+    default_budget: int,
+    salt_partitions: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """W1/A4/O3 — per-host priority rank, top-`budget` rows form the batch.
 
     robots is a small dimension table → broadcast join (no shuffle for it);
     the window exchange on host is shuffle #1.
+
+    J7 hot-host skew defusal (north rule): with `salt_partitions` > 0 the
+    top-K runs in two phases — phase 1 ranks within (host, salt) where
+    salt = pmod(xxhash64(url), S), keeping at most `budget` rows per salted
+    group (a superset of the true top-K, ≤ S·budget rows per host survive);
+    phase 2 ranks the pruned set per host exactly.  A host holding 50% of a
+    10^10-row frontier thus never lands in one window partition.
     """
-    w = Window.partitionBy("host").orderBy("priority", "crawl_depth", "discovery_rank")
-    ranked = (
+    order = [F.col("priority"), F.col("crawl_depth"), F.col("discovery_rank")]
+    with_budget = (
         frontier.join(
             F.broadcast(robots.select("host", "budget")), on="host", how="left"
-        )
-        .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
-        .withColumn("_pr", F.row_number().over(w))
+        ).withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
     )
+    if salt_partitions > 0:
+        w1 = Window.partitionBy(
+            "host", F.pmod(F.xxhash64("url"), F.lit(salt_partitions))
+        ).orderBy(*order)
+        pruned = (
+            with_budget.withColumn("_sr", F.row_number().over(w1))
+            .filter(F.col("_sr") <= F.col("budget"))
+            .drop("_sr")
+        )
+        # rows pruned in phase 1 can never be in the per-host top-budget —
+        # they go straight to the carry
+        early_carry = with_budget.join(
+            pruned.select("url"), on="url", how="left_anti"
+        ).drop("budget")
+    else:
+        pruned = with_budget
+        early_carry = None
+
+    w = Window.partitionBy("host").orderBy(*order)
+    ranked = pruned.withColumn("_pr", F.row_number().over(w))
     batch = ranked.filter(F.col("_pr") <= F.col("budget")).drop("_pr", "budget")
     carry = ranked.filter(F.col("_pr") > F.col("budget")).drop("_pr", "budget")
+    if early_carry is not None:
+        carry = carry.unionByName(early_carry)
     return batch, carry
 
 
@@ -244,6 +274,8 @@ def dedup_gate_rank(
     epoch: int,
     skip_robots: bool = False,
     broadcast_seen: bool = False,
+    bloom_blob: bytes | None = None,
+    bloom_gap: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """F10 gate → W3 dedup → J1 anti-join → W2 rank over candidates that
     arrive already canonicalized (kernels/fused.py did P1/F1/P2).
@@ -278,7 +310,31 @@ def dedup_gate_rank(
     seen_keys = seen.select("url_hash", "url")
     if broadcast_seen:
         seen_keys = F.broadcast(seen_keys)
-    cand = cand.join(seen_keys, on=["url_hash", "url"], how="left_anti").join(
+        cand = cand.join(seen_keys, on=["url_hash", "url"], how="left_anti")
+    elif bloom_blob is not None:
+        # bloom pre-filter layering (BASELINE.json:6): candidates that are
+        # bloom-NEGATIVE are definitely new vs the HISTORICAL seen set and
+        # bypass the anti-join exchange; positives (true dupes + ~1% fp)
+        # take the exact path.  The bloom was built before this epoch's
+        # claims, so the fresh branch still anti-joins the (politeness-
+        # bounded, broadcastable) current-epoch claim delta.
+        from linkkchecker_net_spark.engine.filters import bloom_maybe_udf
+
+        cand = cand.withColumn("_maybe", bloom_maybe_udf(bloom_blob)("url_hash"))
+        fresh = cand.filter(~F.col("_maybe")).drop("_maybe")
+        if bloom_gap is not None:
+            fresh = fresh.join(
+                F.broadcast(bloom_gap.select("url_hash", "url")),
+                on=["url_hash", "url"],
+                how="left_anti",
+            )
+        suspect = cand.filter(F.col("_maybe")).drop("_maybe")
+        cand = fresh.unionByName(
+            suspect.join(seen_keys, on=["url_hash", "url"], how="left_anti")
+        )
+    else:
+        cand = cand.join(seen_keys, on=["url_hash", "url"], how="left_anti")
+    cand = cand.join(
         F.broadcast(carry.select("url")) if broadcast_seen else carry.select("url"),
         on="url",
         how="left_anti",
@@ -434,6 +490,8 @@ def run_epoch(
     skip_politeness: bool = False,
     skip_robots: bool = False,
     broadcast_seen: bool = False,
+    politeness_salt: int = 0,
+    bloom_blob: bytes | None = None,
 ) -> EpochResult:
     """Wire the full epoch DAG; nothing is materialized here — the driver
     decides what to write/count (writes ARE the checkpoint)."""
@@ -442,7 +500,9 @@ def run_epoch(
         # identity: batch = frontier, no window exchange, no robots join
         batch, carry = frontier, frontier.limit(0)
     else:
-        batch, carry = split_politeness(frontier, robots, default_budget)
+        batch, carry = split_politeness(
+            frontier, robots, default_budget, salt_partitions=politeness_salt
+        )
     # fetched feeds results, page_meta, seen_delta, AND the candidate
     # pipeline — persist so the fetch join + HTML bodies materialize once.
     # work_partitions sizes every downstream task count to THIS batch
@@ -473,6 +533,8 @@ def run_epoch(
         epoch,
         skip_robots=skip_robots,
         broadcast_seen=broadcast_seen,
+        bloom_blob=bloom_blob,
+        bloom_gap=seen_delta if bloom_blob is not None else None,
     )
     results = results_projection(fetched).unionByName(gated_results)
     # terminal gated rows (unsupported / robots_blocked) are claimed too —

@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 _U64 = np.uint64
@@ -191,6 +192,19 @@ class CuckooFilter:
             np.frombuffer(data[16:], dtype=np.uint16).reshape(obj.n_buckets, 4).copy()
         )
         return obj
+
+
+def bloom_maybe_udf(blob: bytes):
+    """Column function: url_hash → bloom membership (True = maybe seen).
+    One filter deserialization per Arrow batch, vectorized contains."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("boolean")
+    def maybe(h: pd.Series) -> pd.Series:
+        bf = BloomFilter.from_bytes(blob)
+        return pd.Series(bf.contains(h.to_numpy("int64")))
+
+    return maybe
 
 
 # --------------------------------------------------------------------------

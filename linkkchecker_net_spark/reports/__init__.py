@@ -1,5 +1,6 @@
 from linkkchecker_net_spark.reports.reports import (  # noqa: F401
     canonical_report,
+    crawl_log,
     description_report,
     failure_count,
     sitemap_report,

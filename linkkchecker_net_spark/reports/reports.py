@@ -98,6 +98,40 @@ def used_images_report(corpus: DataFrame, results: DataFrame) -> DataFrame:
     return not_used.unionByName(not_in_project).orderBy("verdict", "image_id")
 
 
+def crawl_log(results: DataFrame) -> DataFrame:
+    """S7 — the severity-colored console log sink
+    (/root/reference/LinkChecker/BasicLogger.cs:19-51, message format at
+    Engine.cs:253-262 LogResult) as an append-only table: one line per
+    fetched URL, Info for 2xx, Warn for unsupported schemes
+    (Engine.cs:263-273), Error otherwise."""
+    severity = (
+        F.when(F.col("classification") == "ok", F.lit("Info"))
+        .when(F.col("classification") == "unsupported", F.lit("Warn"))
+        .otherwise(F.lit("Error"))
+    )
+    message = F.when(
+        F.col("unsupported_scheme"),
+        F.concat(F.lit("Unsupported scheme for "), F.col("url")),
+    ).otherwise(
+        F.concat(
+            F.coalesce(F.col("status").cast("string"), F.col("error"), F.lit("-")),
+            F.lit(" for "),
+            F.col("url"),
+            F.when(
+                F.col("parent_url").isNotNull(),
+                F.concat(F.lit(" in "), F.col("parent_url")),
+            ).otherwise(F.lit("")),
+        )
+    )
+    return results.select(
+        "epoch",
+        "url",
+        severity.alias("severity"),
+        message.alias("message"),
+        "discovery_rank",
+    )
+
+
 def failure_count(results: DataFrame) -> int:
     """S8/A1 — the exit-code aggregate.  The reference's predicate is
     inverted (counts successes+exceptions, ScanResults.cs:15); we implement

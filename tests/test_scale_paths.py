@@ -1,0 +1,106 @@
+"""Equivalence tests for the at-scale code paths (SURVEY.md §7 M5):
+salted politeness, bloom-layered anti-join, cuckoo snapshots, blocked
+cosine — every scale path must produce byte-identical results to the
+simple path."""
+
+from __future__ import annotations
+
+import os
+
+from linkkchecker_net_spark.engine import catalog, tables
+from linkkchecker_net_spark.engine.driver import CrawlConfig, CrawlDriver
+from linkkchecker_net_spark.engine.filters import load_partitioned_filters
+
+
+def _run(spark, fx, ckpt, **cfg):
+    web = tables.web_df(spark, fx["web"])
+    robots = tables.robots_df(spark, fx["robots"])
+    d = CrawlDriver(spark, web, robots, CrawlConfig(ckpt_dir=str(ckpt), **cfg))
+    d.run(fx["seeds"])
+    return d
+
+
+def _rows(d):
+    return sorted(tuple(r) for r in d.results().collect())
+
+
+def test_salted_politeness_equivalence(spark, golden_fixtures, tmp_path):
+    """J7: two-phase salted top-K must equal the plain per-host window."""
+    fx = dict(golden_fixtures)
+    fx["robots"] = [dict(r, budget=5) for r in golden_fixtures["robots"]]
+    plain = _run(spark, fx, tmp_path / "plain")
+    salted = _run(spark, fx, tmp_path / "salted", politeness_salt=7)
+    assert _rows(plain) == _rows(salted)
+
+
+def test_bloom_layered_antijoin_equivalence(spark, golden_fixtures, tmp_path):
+    """J1 layering: bloom pre-filter + exact anti-join ≡ plain anti-join
+    (force the exchange path by setting the broadcast threshold to 0)."""
+    fx = golden_fixtures
+    plain = _run(spark, fx, tmp_path / "nb", broadcast_seen_threshold=0)
+    bloomed = _run(
+        spark, fx, tmp_path / "wb", broadcast_seen_threshold=0, use_bloom=True
+    )
+    assert _rows(plain) == _rows(bloomed)
+
+
+def test_cuckoo_snapshots_written_and_complete(spark, golden_fixtures, tmp_path):
+    """North-rule lineage artifact: per-partition cuckoo snapshots at every
+    epoch contain exactly the seen set so far."""
+    fx = golden_fixtures
+    d = _run(
+        spark, fx, tmp_path / "cf", snapshot_filters=True, filter_partitions=4
+    )
+    ck = str(tmp_path / "cf")
+    last = catalog.list_complete_epochs(ck)[-1]
+    filters = load_partitioned_filters(
+        os.path.join(catalog.epoch_dir(ck, last), "filters")
+    )
+    assert filters
+    import numpy as np
+
+    seen = [
+        (r["url_hash"]) for r in d.seen().select("url_hash").collect()
+    ]
+    keys = np.array(seen, dtype=np.int64)
+    parts = np.mod(keys, 4)
+    parts = np.where(parts < 0, parts + 4, parts)
+    for p, cf in filters.items():
+        sub = keys[parts == p]
+        assert cf.contains(sub).all(), f"partition {p} missing seen keys"
+
+
+def test_blocked_cosine_equals_bruteforce(spark):
+    from linkkchecker_net_spark.pipeline.dedup import embedding_neardup_pairs
+    from linkkchecker_net_spark.pipeline.similarity import blocked_cosine_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in blocked_cosine_pairs(emb, threshold=0.35, block_size=128).collect()
+    }
+    assert brute == blocked
+    assert len(brute) > 0
+
+
+def test_crawl_log(spark, golden_spark_crawl, golden_oracle_crawl):
+    from linkkchecker_net_spark.reports import crawl_log
+
+    log = crawl_log(golden_spark_crawl.results())
+    rows = {r["url"]: r for r in log.collect()}
+    assert len(rows) == len(golden_oracle_crawl.results)
+    ok = [r for r in golden_oracle_crawl.results if r["classification"] == "ok"]
+    bad = [r for r in golden_oracle_crawl.results if r["classification"] == "broken"]
+    uns = [r for r in golden_oracle_crawl.results if r["classification"] == "unsupported"]
+    assert rows[ok[0]["url"]]["severity"] == "Info"
+    assert rows[bad[0]["url"]]["severity"] == "Error"
+    assert rows[uns[0]["url"]]["severity"] == "Warn"
+    assert "Unsupported scheme" in rows[uns[0]["url"]]["message"]
+    # LogResult format: "<status> for <url> in <parent>" (Engine.cs:253-262)
+    some = ok[0]
+    msg = rows[some["url"]]["message"]
+    assert f"for {some['url']}" in msg
