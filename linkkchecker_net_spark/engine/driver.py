@@ -36,11 +36,21 @@ class CrawlConfig:
     snapshot_filters: bool = False  # cuckoo seen-filter snapshots per epoch
     filter_partitions: int = 8
     # broadcast the politeness-bounded batch into the fetch join (web never
-    # shuffles); disable only if per-epoch batches exceed executor memory
-    broadcast_batch_threshold: int = 4_000_000
-    # broadcast the seen key set into the anti-join while it fits executor
-    # memory; beyond this the exchange anti-join (+ bloom layering) kicks in
-    broadcast_seen_threshold: int = 4_000_000
+    # shuffles).  Above the threshold the fetch join becomes a plain
+    # left-outer shuffle join — with the body column split out of the fetch
+    # join (epoch.py), the web's meta side is ~90 B/row, so shuffling it
+    # beats funneling a multi-100k-row batch through driver-side broadcast
+    # collects.  Measured breakeven on the bench box is ~100-200k rows.
+    broadcast_batch_threshold: int = 150_000
+    # the parse stage's body join broadcasts the (ok ∧ parseable) key set so
+    # page payloads never shuffle; above this the bodies exchange instead
+    broadcast_parseable_threshold: int = 2_000_000
+    # broadcast the seen key set into the anti-join while it is genuinely
+    # small; beyond this the exchange anti-join (+ bloom layering) kicks in.
+    # Driver-side collect+build of the broadcast hash relation costs more
+    # than a parallel exchange of the (skinny) candidate keys well before
+    # executor memory becomes the binding constraint.
+    broadcast_seen_threshold: int = 200_000
     # J7: two-phase salted politeness top-K (0 = off); set to ~#cores when a
     # single host can dominate the frontier
     politeness_salt: int = 0
@@ -52,6 +62,10 @@ class CrawlConfig:
     # compact seen deltas into one snapshot when this many accumulate —
     # keeps the anti-join read fan-in bounded across long crawls
     seen_compact_every: int = 8
+    # W2 rank strategy: batches below this use one row_number window (zero
+    # extra jobs); above it the parallel range-sort + offsets path.  Set
+    # lower if individual pages can carry ~millions of links each.
+    parallel_rank_threshold: int = 200_000
 
 
 class CrawlDriver:
@@ -98,8 +112,15 @@ class CrawlDriver:
             )
             rank += 1
 
+        # Arrow-path createDataFrame: a list-of-Rows createDataFrame pickles
+        # every row through the JVM row decoder (~8 task-seconds for 20k
+        # seeds); one pandas block converts in ~0.1s
+        import pandas as pd
+
+        names = [f.name for f in schemas.FRONTIER.fields]
+        pdf = pd.DataFrame(dict(zip(names, zip(*rows))) if rows else {n: [] for n in names})
         frontier = (
-            self.spark.createDataFrame(rows, schema=schemas.FRONTIER)
+            self.spark.createDataFrame(pdf, schema=schemas.FRONTIER)
             .withColumn("url_hash", F.xxhash64("url"))
             .withColumn("host_hash", F.xxhash64("host"))
         )
@@ -116,6 +137,86 @@ class CrawlDriver:
         manifest = {
             "next_rank": rank,
             "frontier_count": len(rows),
+            "seed_hosts": seed_hosts,
+            "next_epoch": 0,
+        }
+        catalog.write_manifest(d, manifest)
+        return manifest
+
+    def init_seeds_df(self, seeds_df: DataFrame) -> dict:
+        """Distributed epoch-0 init — the 10^10-seed path.
+
+        `seeds_df` columns: idx (long, defines first-occurrence order),
+        seed_url (string), priority (int).  Same semantics as
+        :meth:`init_seeds` (scheme defaulting, canonicalization,
+        keep-first dedup, dense ranks in input order) but every step is a
+        DataFrame op, so a seed list far beyond driver memory still
+        initializes; the driver-side list path above is kept for
+        interactive/small runs.
+
+        The rank window is a single-partition sort of the deduped seed
+        set; swap in epoch._global_rank for seed lists beyond ~10^7.
+        """
+        from pyspark.sql import Window
+
+        from linkkchecker_net_spark.kernels.canonicalize import (
+            canonicalize_udf,
+            host_udf,
+        )
+
+        raw = F.trim(F.col("seed_url"))
+        fixed = F.when(
+            F.lower(raw).startswith("http") | (raw == ""), raw
+        ).otherwise(F.concat(F.lit("http://"), raw))
+        canon = (
+            seeds_df.select("idx", F.col("priority").cast("int").alias("priority"), fixed.alias("raw"))
+            .filter(F.col("raw") != "")
+            .withColumn("url", canonicalize_udf(F.lit(None), F.col("raw")))
+            .filter(F.col("url").isNotNull())
+        )
+        first = canon.groupBy("url").agg(
+            F.min("idx").alias("idx"),
+            F.min_by("priority", "idx").alias("priority"),
+        )
+        w = Window.orderBy("idx")
+        frontier = (
+            first.withColumn("discovery_rank", F.row_number().over(w).cast("long") - 1)
+            .withColumn("host", F.coalesce(host_udf(F.col("url")), F.lit("")))
+            .select(
+                "url",
+                F.xxhash64("url").alias("url_hash"),
+                "host",
+                F.xxhash64(F.col("host")).alias("host_hash"),
+                "priority",
+                F.lit(0).alias("crawl_depth"),
+                F.lit(None).cast("string").alias("parent_url"),
+                F.col("url").alias("seed_url"),
+                F.lit(True).alias("may_contain_links"),
+                F.lit(True).alias("expand_links"),
+                "discovery_rank",
+            )
+            .repartition(8)
+        )
+        d = catalog.init_dir(self.cfg.ckpt_dir)
+        os.makedirs(d, exist_ok=True)
+        obs = Observation("init_seeds")
+        catalog.write_table(
+            frontier.observe(obs, F.count(F.lit(1)).alias("n")),
+            os.path.join(d, "frontier"),
+        )
+        written = self.spark.read.parquet(os.path.join(d, "frontier"))
+        catalog.write_table(
+            written.select(
+                "url_hash", "url", F.col("crawl_depth").alias("first_depth"),
+                F.lit(-1).alias("epoch"),
+            ),
+            os.path.join(d, "seen_delta"),
+        )
+        n = int(obs.get["n"])
+        seed_hosts = [r[0] for r in written.select("host").distinct().collect()]
+        manifest = {
+            "next_rank": n,
+            "frontier_count": n,
             "seed_hosts": seed_hosts,
             "next_epoch": 0,
         }
@@ -166,21 +267,24 @@ class CrawlDriver:
             "seen_total": man.get("seen_total", man["frontier_count"]),
         }
 
-    def _work_partitions(self, frontier_count: int) -> int | None:
-        """Partitions for this epoch's working set: ~500 pages per task so
-        small epochs run 1-2 tasks instead of shuffle_partitions-many.
-        Returns None (no repartition — avoid exchanging fetched bodies)
-        once the batch is wide enough to fill the session parallelism."""
-        cores = self.spark.sparkContext.defaultParallelism
-        want = frontier_count // 500 + 1
-        if want >= 2 * cores:
-            return None
-        return max(1, want)
-
     def run_one_epoch(self, state: dict) -> dict:
         ck, cfg, spark = self.cfg.ckpt_dir, self.cfg, self.spark
         e = state["next_epoch"]
         t0 = time.monotonic()
+        prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+
+        def _mark(label, _t=[time.monotonic()]):
+            now = time.monotonic()
+            if prof:
+                print(f"    [epoch {e}] {label}: {now - _t[0]:.2f}", flush=True)
+            _t[0] = now
+
+        # NOTE: re-reading the (small, coalesced) frontier parquet each epoch
+        # is deliberate — it truncates the logical plan at every epoch
+        # boundary.  Chaining the live DataFrame across epochs grows the
+        # plan tree exponentially with depth (Catalyst re-optimizes, and
+        # even explainString OOMs, by ~epoch 10); the read itself is lazy
+        # and folds into the next epoch's first job.
         frontier = catalog.read_table(spark, state["frontier_path"])
         seen_paths = self._seen_paths(state, e - 1)
         seen = spark.read.parquet(*seen_paths)
@@ -190,13 +294,16 @@ class CrawlDriver:
             state.get("seen_total", 0) + state["frontier_count"]
             <= cfg.broadcast_seen_threshold
         )
-        bloom_blob = None
+        bloom_bcast = None
         if cfg.use_bloom and not broadcast_seen:
-            bloom_blob = build_bloom(
+            blob = build_bloom(
                 seen.select("url_hash"),
                 capacity_hint=max(state.get("seen_total", 0), 1024),
                 fp_rate=cfg.bloom_fp_rate,
             )
+            # ship via TorrentBroadcast (one copy per executor), never as a
+            # closure capture re-pickled into every task
+            bloom_bcast = spark.sparkContext.broadcast(blob)
         res = epoch_mod.run_epoch(
             spark,
             frontier=frontier,
@@ -208,14 +315,17 @@ class CrawlDriver:
             next_rank=state["next_rank"],
             default_budget=cfg.default_budget,
             broadcast_batch=state["frontier_count"] <= cfg.broadcast_batch_threshold,
-            work_partitions=self._work_partitions(state["frontier_count"]),
             skip_politeness=skip_pol,
             skip_robots=skip_rob,
             broadcast_seen=broadcast_seen,
             politeness_salt=cfg.politeness_salt,
-            bloom_blob=bloom_blob,
+            bloom_bcast=bloom_bcast,
+            small_rank=state["frontier_count"] < cfg.parallel_rank_threshold,
+            broadcast_parseable=state["frontier_count"]
+            <= cfg.broadcast_parseable_threshold,
         )
 
+        _mark("plan_epoch_dag")
         ed = catalog.epoch_dir(ck, e)
         os.makedirs(ed, exist_ok=True)
         # the expensive shared stages (fetch join, candidate pipeline) are
@@ -239,14 +349,39 @@ class CrawlDriver:
             F.max("discovery_rank").alias("mx"),
         )
         catalog.write_table(results_obs, os.path.join(ed, "results"))
-        catalog.write_table(res.seen_delta.coalesce(nparts), os.path.join(ed, "seen_delta"))
-        catalog.write_table(res.page_meta.coalesce(nparts), os.path.join(ed, "page_meta"))
+        _mark("write_results")
+        # the three state tables are small projections of the (now hot)
+        # epoch caches: `repartition`, NOT `coalesce`, bounds the output
+        # file count — a trailing coalesce(n) would collapse the upstream
+        # cache scan itself to n tasks, serializing a 100s-of-MB read to
+        # write a 1 MB table.  They are also independent of each other, so
+        # they run as concurrent Spark jobs from a small thread pool.
         new_frontier = res.carry.unionByName(res.new_frontier_entries)
         obs_f = Observation(f"frontier_e{e}")
         frontier_obs = new_frontier.observe(
             obs_f, F.count(F.lit(1)).alias("n"), F.max("discovery_rank").alias("mx")
-        )
-        catalog.write_table(frontier_obs.coalesce(nparts), os.path.join(ed, "frontier"))
+        ).repartition(nparts)
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(3) as pool:
+            futs = [
+                pool.submit(
+                    catalog.write_table,
+                    res.seen_delta.repartition(nparts),
+                    os.path.join(ed, "seen_delta"),
+                ),
+                pool.submit(
+                    catalog.write_table,
+                    res.page_meta.repartition(nparts),
+                    os.path.join(ed, "page_meta"),
+                ),
+                pool.submit(
+                    catalog.write_table, frontier_obs, os.path.join(ed, "frontier")
+                ),
+            ]
+            for f in futs:
+                f.result()
+        _mark("write_state_tables")
         for df in res.persisted:
             df.unpersist()
 
@@ -309,11 +444,16 @@ class CrawlDriver:
         }
 
     # ------------------------------------------------------------------ loop
-    def run(self, seeds: list[dict] | None = None) -> dict:
+    def run(
+        self, seeds: list[dict] | None = None, seeds_df: DataFrame | None = None
+    ) -> dict:
         """Run to frontier exhaustion.  With seeds=None, resume from the
-        last complete checkpoint (wiping partially-written epochs)."""
+        last complete checkpoint (wiping partially-written epochs).
+        seeds_df takes the distributed init path (init_seeds_df)."""
         if seeds is not None:
             self.init_seeds(seeds)
+        elif seeds_df is not None:
+            self.init_seeds_df(seeds_df)
         catalog.wipe_incomplete(self.cfg.ckpt_dir)
         state = self._read_state()
         while state["frontier_count"] > 0 and state["next_epoch"] < self.cfg.max_epochs:

@@ -145,13 +145,19 @@ def fetch_and_classify(
     side — web streams through with NO shuffle — then recover the missing
     (dead-link) rows with a tiny anti-join against the matched key set.
     web is never exchanged; per-epoch cost is one scan.
+
+    BODY COLUMN (the HEAD optimization, Engine.cs:242-252): this join is
+    status/header-only — it never touches `web.body`, so the parquet
+    reader column-prunes the payload bytes out of the scan entirely.  The
+    parse stage attaches bodies to its (ok ∧ parseable) subset with its own
+    join (`attach_bodies`); a dead-link-heavy epoch therefore never
+    decompresses a single page body.
     """
     w = web.select(
         F.col("url").alias("w_url"),
         F.col("url_hash").alias("w_url_hash"),
         F.col("status").alias("w_status"),
         F.col("content_type").alias("w_ct"),
-        F.col("body").alias("w_body"),
         F.col("image_id").alias("w_image_id"),
     )
     cond = (batch.url_hash == w.w_url_hash) & (batch.url == w.w_url)
@@ -169,7 +175,6 @@ def fetch_and_classify(
                 ("w_url_hash", "long"),
                 ("w_status", "int"),
                 ("w_ct", "string"),
-                ("w_body", "binary"),
                 ("w_image_id", "string"),
             ]
         ]
@@ -189,38 +194,34 @@ def fetch_and_classify(
         .withColumn("error", error)
         .withColumn("content_type", F.when(ok, F.col("w_ct")))
         .withColumn("image_id", F.when(ok, F.col("w_image_id")))
-        # the HEAD optimization (Engine.cs:242-252): bodies are materialized
-        # ONLY for rows the parse stage will read (GET-class html + css) —
-        # image/font/other payloads never enter the persist/Arrow path
-        .withColumn(
-            "body",
-            F.when(
-                ok
-                & (
-                    ((F.col("w_ct") == "text/html") & F.col("may_contain_links"))
-                    | (F.col("w_ct") == "text/css")
-                ),
-                F.col("w_body"),
-            ),
-        )
         .withColumn(
             "classification",
             classification_expr(F.col("status"), F.col("error"), F.lit(False)),
         )
         .withColumn("epoch", F.lit(epoch))
-        .drop("w_url", "w_url_hash", "w_status", "w_ct", "w_body", "w_image_id")
+        .drop("w_url", "w_url_hash", "w_status", "w_ct", "w_image_id")
     )
 
 
 def generate_candidates(
-    fetched: DataFrame, seed_hosts: list[str], epoch: int
+    fetched: DataFrame,
+    web: DataFrame,
+    seed_hosts: list[str],
+    epoch: int,
+    broadcast_parseable: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """P8/P9/P10 + P1 in ONE fused Arrow pass (kernels/fused.py) →
     (candidates, page_meta, persisted handle).
 
-    Column pruning before the kernel: only ok rows that are parseable
-    (html∧GET-class, or css) carry body in (the HEAD optimization —
-    never materializing body for HEAD-class rows, Engine.cs:242-252).
+    Bodies enter here and ONLY here: the (ok ∧ parseable) subset of the
+    fetch output — already politeness-bounded and usually a fraction of
+    the batch — is broadcast into an inner join against the web's
+    (url, body) projection, so page payloads flow parquet-scan → Arrow
+    parse in one streaming pass: never cached, never exchanged, and never
+    read at all for rows the parser won't see.  When an epoch has no
+    parseable rows (a dead-link flush), AQE sees the empty broadcast side
+    and collapses the join to an empty relation — the body scan is skipped
+    entirely.  (The HEAD optimization, Engine.cs:242-252.)
     """
     parseable = fetched.filter(
         (F.col("classification") == "ok")
@@ -233,6 +234,7 @@ def generate_candidates(
         )
     ).select(
         "url",
+        "url_hash",
         "host",
         "discovery_rank",
         "crawl_depth",
@@ -241,9 +243,25 @@ def generate_candidates(
         "may_contain_links",
         "expand_links",
         "content_type",
+    )
+    bodies = web.select(
+        F.col("url_hash").alias("b_url_hash"),
+        F.col("url").alias("b_url"),
         "body",
     )
-    extracted = parseable.mapInPandas(
+    if broadcast_parseable:
+        parseable = F.broadcast(parseable)
+    with_body = (
+        bodies.join(
+            parseable,
+            (F.col("b_url_hash") == F.col("url_hash"))
+            & (F.col("b_url") == F.col("url")),
+            "inner",
+        )
+        .filter(F.col("body").isNotNull())
+        .drop("b_url_hash", "b_url", "url_hash")
+    )
+    extracted = with_body.mapInPandas(
         fused.extract_batches(set(seed_hosts)), fused.FUSED_SCHEMA
     ).persist()
 
@@ -259,8 +277,11 @@ def generate_candidates(
         F.lit(epoch).alias("epoch"),
     )
 
-    candidates = extracted.filter(F.col("kind") == "cand").drop(
-        "kind", "canonical_href", "meta_description", "embedded_css"
+    # skinny candidate rows: url + order key + per-link flags (parent
+    # strings are recovered post-dedup from the batch — see fused.py)
+    candidates = extracted.filter(F.col("kind") == "cand").select(
+        "url", "supported", "may_contain_links", "expand_links",
+        "parent_rank", "parent_depth", "tag_rank", "doc_pos",
     )
     return candidates, page_meta, extracted
 
@@ -270,12 +291,15 @@ def dedup_gate_rank(
     seen: DataFrame,
     carry: DataFrame,
     robots: DataFrame,
+    batch: DataFrame,
     next_rank: int,
     epoch: int,
     skip_robots: bool = False,
     broadcast_seen: bool = False,
-    bloom_blob: bytes | None = None,
+    bloom_bcast=None,
     bloom_gap: DataFrame | None = None,
+    small_rank: bool = False,
+    broadcast_batch: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """F10 gate → W3 dedup → J1 anti-join → W2 rank over candidates that
     arrive already canonicalized (kernels/fused.py did P1/F1/P2).
@@ -294,11 +318,15 @@ def dedup_gate_rank(
     # BEFORE the exchange, shrinking the shuffle — the window form ships
     # every candidate row.
     order_key = F.struct(*[F.col(c) for c in _ORDER_COLS])
-    payload = F.struct(*[F.col(c) for c in cand.columns])
+    # payload excludes the grouping key (url_hash, url) — repeating the ~70
+    # url bytes inside the min_by struct would double every shuffle row
+    payload = F.struct(
+        *[F.col(c) for c in cand.columns if c not in ("url_hash", "url")]
+    )
     cand = (
         cand.groupBy("url_hash", "url")
         .agg(F.min_by(payload, order_key).alias("_w"))
-        .select("_w.*")
+        .select("url_hash", "url", "_w.*")
     )
 
     # J1 — anti-join the seen set (claimed through THIS epoch's batch) and
@@ -311,7 +339,7 @@ def dedup_gate_rank(
     if broadcast_seen:
         seen_keys = F.broadcast(seen_keys)
         cand = cand.join(seen_keys, on=["url_hash", "url"], how="left_anti")
-    elif bloom_blob is not None:
+    elif bloom_bcast is not None:
         # bloom pre-filter layering (BASELINE.json:6): candidates that are
         # bloom-NEGATIVE are definitely new vs the HISTORICAL seen set and
         # bypass the anti-join exchange; positives (true dupes + ~1% fp)
@@ -320,7 +348,7 @@ def dedup_gate_rank(
         # bounded, broadcastable) current-epoch claim delta.
         from linkkchecker_net_spark.engine.filters import bloom_maybe_udf
 
-        cand = cand.withColumn("_maybe", bloom_maybe_udf(bloom_blob)("url_hash"))
+        cand = cand.withColumn("_maybe", bloom_maybe_udf(bloom_bcast)("url_hash"))
         fresh = cand.filter(~F.col("_maybe")).drop("_maybe")
         if bloom_gap is not None:
             fresh = fresh.join(
@@ -338,6 +366,25 @@ def dedup_gate_rank(
         F.broadcast(carry.select("url")) if broadcast_seen else carry.select("url"),
         on="url",
         how="left_anti",
+    )
+
+    # parent enrichment — candidates are skinny (fused.py): recover the
+    # parent-inherited columns (parent_url, seed_url, priority) from the
+    # politeness-bounded batch via a broadcast join on parent_rank (1:1 —
+    # discovery_rank is unique), and re-derive host JVM-side.  This runs on
+    # the post-dedup post-anti-join survivor set, typically ~100x smaller
+    # than the raw candidate stream.
+    parent = batch.select(
+        F.col("discovery_rank").alias("parent_rank"),
+        F.col("url").alias("parent_url"),
+        F.col("seed_url"),
+        F.col("priority"),
+    )
+    if broadcast_batch:
+        parent = F.broadcast(parent)
+    cand = cand.join(parent, on="parent_rank", how="left")
+    cand = cand.withColumn(
+        "host", F.when(F.col("supported"), _host_expr(F.col("url")))
     )
 
     # F10 — robots gate (broadcast dim join, path-prefix containment)
@@ -358,14 +405,34 @@ def dedup_gate_rank(
         )
 
     # W2 — deterministic discovery rank over this epoch's survivors.
-    # NOT a global single-partition window (that serializes millions of
-    # candidate rows through one task — the Amdahl bottleneck at scale):
-    # range-repartition + sortWithinPartitions gives a parallel global
-    # sort, then ranks = per-partition offsets + local row index.  Ranks
-    # are independent of the sampled range boundaries because the order
-    # key (parent_rank, tag_rank, doc_pos) is a total order.
+    # Two physical strategies for the same logical rank (equal outputs,
+    # tested by test_rank_paths_equivalence):
+    #   small epochs  — one row_number window (a single-partition sort of a
+    #                   politeness-bounded survivor set is microseconds and
+    #                   adds ZERO extra jobs — the sampling pass + counts
+    #                   collect of the parallel path are 2 jobs/epoch of
+    #                   pure flat time);
+    #   large epochs  — parallel range-partition sort + per-partition
+    #                   offset ranks (kernels never funnel through one
+    #                   task); input bounded by Σ politeness budgets, NOT
+    #                   by frontier size.  Ranks are independent of the
+    #                   sampled range boundaries because the order key
+    #                   (parent_rank, tag_rank, doc_pos) is a total order.
     cand = cand.drop("disallow")
-    cand, rank_source = _global_rank(cand, next_rank)
+    if small_rank:
+        w2 = Window.orderBy(*_ORDER_COLS)
+        cand = cand.withColumn(
+            "discovery_rank",
+            (F.row_number().over(w2).cast("long") + F.lit(next_rank - 1)),
+        )
+        # the rank window ran in ONE partition (that is what makes it
+        # cheap for small batches) — fan the survivors back out so the
+        # three downstream consumers (results/frontier/seen writes) do not
+        # all serialize through a single task
+        cand = cand.repartition(F.col("url_hash"))
+        rank_source = None
+    else:
+        cand, rank_source = _global_rank(cand, next_rank)
     cand = cand.withColumn("crawl_depth", F.col("parent_depth") + 1)
 
     # the candidate pipeline (parse → canonicalize → windows → anti-join)
@@ -405,7 +472,8 @@ def dedup_gate_rank(
         "expand_links",
         "discovery_rank",
     )
-    return new_results, new_frontier, [cand, rank_source]
+    handles = [cand] if rank_source is None else [cand, rank_source]
+    return new_results, new_frontier, handles
 
 
 def _global_rank(df: DataFrame, start: int) -> DataFrame:
@@ -486,12 +554,13 @@ def run_epoch(
     next_rank: int,
     default_budget: int,
     broadcast_batch: bool = True,
-    work_partitions: int | None = None,
     skip_politeness: bool = False,
     skip_robots: bool = False,
     broadcast_seen: bool = False,
     politeness_salt: int = 0,
-    bloom_blob: bytes | None = None,
+    bloom_bcast=None,
+    small_rank: bool = False,
+    broadcast_parseable: bool = True,
 ) -> EpochResult:
     """Wire the full epoch DAG; nothing is materialized here — the driver
     decides what to write/count (writes ARE the checkpoint)."""
@@ -503,15 +572,16 @@ def run_epoch(
         batch, carry = split_politeness(
             frontier, robots, default_budget, salt_partitions=politeness_salt
         )
-    # fetched feeds results, page_meta, seen_delta, AND the candidate
-    # pipeline — persist so the fetch join + HTML bodies materialize once.
-    # work_partitions sizes every downstream task count to THIS batch
-    # (task-scheduling + Arrow-roundtrip overhead is per partition, so a
-    # 100-row epoch must not run 64-task stages).
-    fetched = fetch_and_classify(batch, web, epoch, broadcast_batch=broadcast_batch)
-    if work_partitions:
-        fetched = fetched.repartition(work_partitions)
-    fetched = fetched.persist()
+    # The batch (politeness-bounded, body-free) feeds the fetch join, the
+    # seen delta, and the dead-link anti-join — persist the SMALL side.
+    batch = batch.persist()
+    # fetched is BODY-FREE (status/header columns only — bodies are joined
+    # in by the parse stage, see generate_candidates), so persisting it is
+    # a batch-sized cache write, not a page-payload copy.  It feeds the
+    # results projection, the parseable filter, and the dead-link recovery.
+    fetched = fetch_and_classify(
+        batch, web, epoch, broadcast_batch=broadcast_batch
+    ).persist()
 
     seen_delta = batch.select(
         "url_hash",
@@ -523,18 +593,23 @@ def run_epoch(
         seen_delta.select("url_hash", "url")
     )
 
-    candidates, page_meta, html_persisted = generate_candidates(fetched, seed_hosts, epoch)
+    candidates, page_meta, html_persisted = generate_candidates(
+        fetched, web, seed_hosts, epoch, broadcast_parseable=broadcast_parseable
+    )
     gated_results, new_frontier, cand_persists = dedup_gate_rank(
         candidates,
         seen_through_now,
         carry,
         robots,
+        batch,
         next_rank,
         epoch,
         skip_robots=skip_robots,
         broadcast_seen=broadcast_seen,
-        bloom_blob=bloom_blob,
-        bloom_gap=seen_delta if bloom_blob is not None else None,
+        bloom_bcast=bloom_bcast,
+        bloom_gap=seen_delta if bloom_bcast is not None else None,
+        small_rank=small_rank,
+        broadcast_batch=broadcast_batch,
     )
     results = results_projection(fetched).unionByName(gated_results)
     # terminal gated rows (unsupported / robots_blocked) are claimed too —
@@ -555,5 +630,5 @@ def run_epoch(
         page_meta=page_meta,
         seen_delta=seen_delta,
         new_frontier_entries=new_frontier,
-        persisted=[fetched, html_persisted, *cand_persists],
+        persisted=[batch, fetched, html_persisted, *cand_persists],
     )

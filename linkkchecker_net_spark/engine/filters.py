@@ -55,8 +55,11 @@ class BloomFilter:
         self.bits = np.zeros(self.m // 64, dtype=np.uint64)
 
     def _idx(self, keys: np.ndarray, i: int) -> np.ndarray:
+        # the base stream must be MIXED: raw url_hash low bits are exactly
+        # what ShardedBloom partitions on, so un-mixed probe 0 would visit
+        # only m/shards distinct positions inside a shard
         with np.errstate(over="ignore"):
-            h = keys + _U64(i) * _mix(keys + _U64(1))
+            h = _mix(keys) + _U64(i) * _mix(keys + _U64(1))
         return (h & _U64(self.m - 1)).astype(np.int64)
 
     def add(self, keys) -> None:
@@ -194,14 +197,87 @@ class CuckooFilter:
         return obj
 
 
-def bloom_maybe_udf(blob: bytes):
+class ShardedBloom:
+    """P independent blooms, shard = pmod(url_hash, P).
+
+    The point of sharding is the BUILD at 10^10 keys: one monolithic
+    m-bit bloom (m ≈ 12 GB at 1e10 keys / 1% fp) forces every build task
+    to ship a full-m partial to the driver (tasks × m bytes — driver OOM
+    exactly in the regime the bloom exists for).  With shards aligned to a
+    pmod repartition, each task ships only the m/P-bit shards it actually
+    holds keys for — total driver traffic ≈ m once, regardless of task
+    count.  Lookup cost is identical (same k probes, same fp rate)."""
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01, shards: int = 32):
+        self.shards = [
+            BloomFilter(max(capacity // shards, 64), fp_rate) for _ in range(shards)
+        ]
+
+    @staticmethod
+    def shard_of(keys: np.ndarray, n_shards: int) -> np.ndarray:
+        # Spark's pmod semantics over int64 url_hash
+        return ((keys.astype(np.int64) % n_shards) + n_shards) % n_shards
+
+    def add(self, keys) -> None:
+        keys = np.asarray(keys, dtype=np.int64)
+        s = self.shard_of(keys, len(self.shards))
+        for p in np.unique(s):
+            self.shards[int(p)].add(keys[s == p])
+
+    def contains(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.int64)
+        s = self.shard_of(keys, len(self.shards))
+        out = np.zeros(len(keys), dtype=bool)
+        for p in np.unique(s):
+            mask = s == p
+            out[mask] = self.shards[int(p)].contains(keys[mask])
+        return out
+
+    def to_bytes(self) -> bytes:
+        parts = [np.array([len(self.shards)], dtype=np.int64).tobytes()]
+        for bf in self.shards:
+            blob = bf.to_bytes()
+            parts.append(np.array([len(blob)], dtype=np.int64).tobytes())
+            parts.append(blob)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ShardedBloom":
+        (n,) = np.frombuffer(data[:8], dtype=np.int64)
+        obj = cls.__new__(cls)
+        obj.shards = []
+        pos = 8
+        for _ in range(int(n)):
+            (ln,) = np.frombuffer(data[pos : pos + 8], dtype=np.int64)
+            pos += 8
+            obj.shards.append(BloomFilter.from_bytes(data[pos : pos + int(ln)]))
+            pos += int(ln)
+        return obj
+
+
+# worker-side cache: the broadcast blob is deserialized into numpy arrays
+# once per (python worker, broadcast) instead of once per Arrow batch
+_BLOOM_CACHE: dict = {}
+
+
+def bloom_maybe_udf(bloom_bcast):
     """Column function: url_hash → bloom membership (True = maybe seen).
-    One filter deserialization per Arrow batch, vectorized contains."""
+
+    `bloom_bcast` is a ``sc.broadcast`` of the serialized filter — only the
+    broadcast HANDLE is pickled into the UDF (closure-capturing the blob
+    itself would re-ship the whole filter with every task).  Deserialized
+    once per worker via the module-level cache, vectorized contains."""
     from pyspark.sql import functions as F
 
     @F.pandas_udf("boolean")
     def maybe(h: pd.Series) -> pd.Series:
-        bf = BloomFilter.from_bytes(blob)
+        # worker-side Broadcast objects carry the spill path of the value —
+        # stable across tasks, so it keys the per-worker deserialize cache
+        key = getattr(bloom_bcast, "_path", None) or id(bloom_bcast)
+        bf = _BLOOM_CACHE.get(key)
+        if bf is None:
+            bf = ShardedBloom.from_bytes(bloom_bcast.value)
+            _BLOOM_CACHE[key] = bf
         return pd.Series(bf.contains(h.to_numpy("int64")))
 
     return maybe
@@ -212,34 +288,70 @@ def bloom_maybe_udf(blob: bytes):
 # --------------------------------------------------------------------------
 
 
-def build_bloom(seen_df, capacity_hint: int | None = None, fp_rate: float = 0.01) -> bytes:
-    """Build a broadcastable bloom over seen url_hash values.
+def build_bloom(
+    seen_df,
+    capacity_hint: int | None = None,
+    fp_rate: float = 0.01,
+    shards: int = 32,
+) -> bytes:
+    """Build a broadcastable sharded bloom over seen url_hash values.
 
-    Per-partition numpy aggregation via mapInPandas (each task returns its
-    partial bit array), OR-reduced on the driver — one narrow pass, no
-    shuffle, ~m/8 bytes per task of driver traffic.
+    Keys are range-repartitioned on pmod(url_hash, shards) so each task
+    holds (approximately) one shard's keys and yields ONLY the m/shards-bit
+    arrays it touched: total driver traffic ≈ m bytes once, independent of
+    task count — the 10^10-key build path.  (The previous design had every
+    task yield a full-m partial: tasks × m driver bytes, ~12 GB/task at
+    1e10 keys.)  Tasks that do end up holding several shards (range
+    boundaries are sampled) yield one row per shard; the driver ORs
+    per-shard partials.
     """
     import pandas as pd
+    from pyspark.sql import functions as F
 
     n = capacity_hint or seen_df.count()
-    proto = BloomFilter(n, fp_rate)
+    n_shards = shards
+    proto = BloomFilter(max(n // n_shards, 64), fp_rate)
     m, k = proto.m, proto.k
 
     def partial(batches):
+        local: dict[int, BloomFilter] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf["url_hash"].to_numpy(dtype=np.int64)
+            sh = ShardedBloom.shard_of(keys, n_shards)
+            for p in np.unique(sh):
+                bf = local.get(int(p))
+                if bf is None:
+                    bf = BloomFilter.__new__(BloomFilter)
+                    bf.m, bf.k = m, k
+                    bf.bits = np.zeros(m // 64, dtype=np.uint64)
+                    local[int(p)] = bf
+                bf.add(keys[sh == p])
+        yield pd.DataFrame(
+            {
+                "p": list(local.keys()),
+                "bits": [bf.bits.tobytes() for bf in local.values()],
+            }
+        )
+
+    rows = (
+        seen_df.select("url_hash")
+        .withColumn("p", F.pmod(F.col("url_hash"), F.lit(n_shards)))
+        .repartitionByRange(n_shards, "p")
+        .drop("p")
+        .mapInPandas(partial, "p int, bits binary")
+        .collect()
+    )
+    out = ShardedBloom.__new__(ShardedBloom)
+    out.shards = []
+    for _ in range(n_shards):
         bf = BloomFilter.__new__(BloomFilter)
         bf.m, bf.k = m, k
         bf.bits = np.zeros(m // 64, dtype=np.uint64)
-        for pdf in batches:
-            if len(pdf):
-                bf.add(pdf["url_hash"].to_numpy(dtype=np.int64))
-        yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
-
-    parts = seen_df.select("url_hash").mapInPandas(partial, "bits binary").collect()
-    acc = np.zeros(m // 64, dtype=np.uint64)
-    for row in parts:
-        acc |= np.frombuffer(row["bits"], dtype=np.uint64)
-    out = BloomFilter.__new__(BloomFilter)
-    out.m, out.k, out.bits = m, k, acc
+        out.shards.append(bf)
+    for r in rows:
+        out.shards[int(r["p"])].bits |= np.frombuffer(r["bits"], dtype=np.uint64)
     return out.to_bytes()
 
 

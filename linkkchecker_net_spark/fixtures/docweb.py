@@ -200,8 +200,56 @@ def seeds(n: int = N_HOSTS) -> list[dict]:
     ]
 
 
+def saturated_seed_df(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Every URL the n-page docweb can ever reach, as a seed DataFrame for
+    `CrawlDriver.init_seeds_df` — pages plus every formulaic link-target
+    family except unsupported schemes (those stay parse-discovered).
+
+    Purpose: the steady-state throughput/scaling benchmark.  With the full
+    reachable set seeded, the whole crawl is ONE saturated epoch — the
+    10^10-frontier steady state — instead of a BFS ramp whose trailing
+    dead-link epoch is mostly fixed cost.  Columns: idx, seed_url, priority.
+    """
+    ids = spark.range(0, n, 1, partitions).select(F.col("id").alias("doc_id"))
+    i = _i()
+    base = F.concat(F.lit("http://"), host_expr(i))
+    fams = [
+        (0, None, url_expr(i)),
+        (1, i % 7 == 2, F.concat(base, F.lit("/missing/"), i.cast("string"))),
+        (2, i % 4 == 1, F.concat(base, F.lit("/canon/"), i.cast("string"))),
+        (3, i % 5 == 3, F.concat(base, F.lit("/js/app-"), (i % 7).cast("string"), F.lit(".js"))),
+        (4, i % 4 == 1, F.concat(F.lit("http://cdn.test/img/"), ((i * 3) % 60).cast("string"), F.lit(".bin"))),
+        (5, i % 9 == 6, F.concat(F.lit("http://cdn.test/bg/"), (i % 20).cast("string"), F.lit(".png"))),
+        # link #2 is host-RELATIVE ('/page/j'), so it resolves on the
+        # parent's host — 2/3 of these land on the wrong site and are dead
+        (6, None, F.concat(base, F.lit("/page/"), ((i * 13 + 1) % n).cast("string"))),
+    ]
+    parts = []
+    for k, cond, url in fams:
+        d = ids if cond is None else ids.filter(cond)
+        parts.append(
+            d.select(
+                (i + F.lit(k * n)).alias("idx"),
+                url.alias("seed_url"),
+                F.lit(0).alias("priority"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def empty_robots(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([], schema=schemas.ROBOTS)
+    # spark.range(0), not createDataFrame([], schema): an empty
+    # createDataFrame still parallelizes defaultParallelism python
+    # partitions, so the driver's robots-emptiness probe pays a python
+    # worker round trip per core (~1.4s at 4 cores); range(0) is a pure
+    # JVM empty relation
+    df = spark.range(0)
+    return df.select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schemas.ROBOTS.fields]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -27,41 +27,24 @@ from typing import Iterator
 
 import pandas as pd
 
-from linkkchecker_net_spark.kernels.canonicalize import canonicalize, host_of
+from linkkchecker_net_spark.kernels.canonicalize import canonicalize
 from linkkchecker_net_spark.kernels.cssparse import extract_css_urls
 from linkkchecker_net_spark.kernels.htmlparse import parse_page
 
 CSS_TAG_RANK = 4
 
 FUSED_SCHEMA = (
-    "kind string, parent_url string, parent_rank long, parent_depth int, "
-    "priority int, seed_url string, url string, host string, supported boolean, "
+    "kind string, parent_rank long, parent_depth int, "
+    "url string, supported boolean, "
     "may_contain_links boolean, expand_links boolean, tag_rank int, doc_pos int, "
     "canonical_href string, meta_description string, embedded_css array<string>"
 )
 
-_CAND_NULLS = dict(canonical_href=None, meta_description=None, embedded_css=None)
-
-
-def _cand_row(row, url: str, may: bool, expand: bool, tag_rank: int, doc_pos: int):
-    scheme = url.split(":", 1)[0].lower()
-    supported = scheme in ("http", "https")
-    return dict(
-        kind="cand",
-        parent_url=row.url,
-        parent_rank=row.discovery_rank,
-        parent_depth=row.crawl_depth,
-        priority=row.priority,
-        seed_url=row.seed_url,
-        url=url,
-        host=(host_of(url) or "") if supported else None,
-        supported=supported,
-        may_contain_links=may,
-        expand_links=expand,
-        tag_rank=tag_rank,
-        doc_pos=doc_pos,
-        **_CAND_NULLS,
-    )
+_COLS = [
+    "kind", "parent_rank", "parent_depth", "url", "supported",
+    "may_contain_links", "expand_links", "tag_rank", "doc_pos",
+    "canonical_href", "meta_description", "embedded_css",
+]
 
 
 def extract_batches(seed_hosts: set[str]):
@@ -69,52 +52,78 @@ def extract_batches(seed_hosts: set[str]):
 
     Input rows: url, discovery_rank, crawl_depth, priority, seed_url, host,
     may_contain_links, expand_links, content_type, body.
+
+    Candidate rows are SKINNY on purpose: a candidate carries only its url,
+    its order key (parent_rank, tag_rank, doc_pos) and its per-link flags.
+    Everything inherited from the parent (parent_url, seed_url, priority,
+    crawl depth) is recovered AFTER the W3 dedup + J1 anti-join by a
+    broadcast join against the (politeness-bounded) batch on parent_rank —
+    candidates outnumber pages ~100:1, so repeating the parent strings on
+    every candidate row would multiply the Arrow return path, the extracted
+    cache, and the dedup shuffle by ~3x.  Emission is columnar
+    (dict-of-lists), not row dicts — pd.DataFrame(list_of_dicts) re-walks
+    every dict per column.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[dict] = []
+            out: dict[str, list] = {c: [] for c in _COLS}
+            o_kind = out["kind"]
+            o_prank = out["parent_rank"]
+            o_pdepth = out["parent_depth"]
+            o_url = out["url"]
+            o_sup = out["supported"]
+            o_may = out["may_contain_links"]
+            o_exp = out["expand_links"]
+            o_tag = out["tag_rank"]
+            o_pos = out["doc_pos"]
+            o_canon = out["canonical_href"]
+            o_desc = out["meta_description"]
+            o_css = out["embedded_css"]
+
+            def cand(prank, pdepth, url, may, expand, tag_rank, doc_pos):
+                supported = url.split(":", 1)[0].lower() in ("http", "https")
+                o_kind.append("cand")
+                o_prank.append(prank)
+                o_pdepth.append(pdepth)
+                o_url.append(url)
+                o_sup.append(supported)
+                o_may.append(may)
+                o_exp.append(expand)
+                o_tag.append(tag_rank)
+                o_pos.append(doc_pos)
+                o_canon.append(None)
+                o_desc.append(None)
+                o_css.append(None)
+
             for row in pdf.itertuples(index=False):
                 ct = row.content_type
                 if ct == "text/html" and row.may_contain_links:
                     parsed = parse_page(row.body)
                     in_site = row.host in seed_hosts
                     if in_site:
-                        out.append(
-                            dict(
-                                kind="meta",
-                                parent_url=row.url,
-                                parent_rank=row.discovery_rank,
-                                parent_depth=row.crawl_depth,
-                                priority=row.priority,
-                                seed_url=row.seed_url,
-                                url=row.url,
-                                host=row.host,
-                                supported=True,
-                                may_contain_links=True,
-                                expand_links=bool(row.expand_links),
-                                tag_rank=-1,
-                                doc_pos=-1,
-                                canonical_href=parsed["canonical_href"],
-                                meta_description=parsed["meta_description"],
-                                embedded_css=parsed["embedded_css"],
-                            )
-                        )
+                        o_kind.append("meta")
+                        o_prank.append(row.discovery_rank)
+                        o_pdepth.append(row.crawl_depth)
+                        o_url.append(row.url)
+                        o_sup.append(True)
+                        o_may.append(True)
+                        o_exp.append(bool(row.expand_links))
+                        o_tag.append(-1)
+                        o_pos.append(-1)
+                        o_canon.append(parsed["canonical_href"])
+                        o_desc.append(parsed["meta_description"])
+                        o_css.append(parsed["embedded_css"])
                     if in_site and row.expand_links:
+                        prank, pdepth = row.discovery_rank, row.crawl_depth
                         for ln in parsed["links"]:
                             url = canonicalize(row.url, ln["href"])
-                            if url is None:
-                                continue
-                            out.append(
-                                _cand_row(
-                                    row,
-                                    url,
-                                    ln["may_contain_links"],
-                                    True,
-                                    ln["tag_rank"],
-                                    ln["doc_pos"],
+                            if url is not None:
+                                cand(
+                                    prank, pdepth, url,
+                                    ln["may_contain_links"], True,
+                                    ln["tag_rank"], ln["doc_pos"],
                                 )
-                            )
                     # embedded css scanned regardless of in-site
                     # (Engine.cs:176-183)
                     pos = 0
@@ -122,25 +131,19 @@ def extract_batches(seed_hosts: set[str]):
                         for href in extract_css_urls(block):
                             url = canonicalize(row.url, href)
                             if url is not None:
-                                out.append(
-                                    _cand_row(row, url, False, False, CSS_TAG_RANK, pos)
+                                cand(
+                                    row.discovery_rank, row.crawl_depth, url,
+                                    False, False, CSS_TAG_RANK, pos,
                                 )
                             pos += 1
                 elif ct == "text/css":
                     for pos, href in enumerate(extract_css_urls(row.body)):
                         url = canonicalize(row.url, href)
                         if url is not None:
-                            out.append(
-                                _cand_row(row, url, False, False, CSS_TAG_RANK, pos)
+                            cand(
+                                row.discovery_rank, row.crawl_depth, url,
+                                False, False, CSS_TAG_RANK, pos,
                             )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "kind", "parent_url", "parent_rank", "parent_depth",
-                    "priority", "seed_url", "url", "host", "supported",
-                    "may_contain_links", "expand_links", "tag_rank", "doc_pos",
-                    "canonical_href", "meta_description", "embedded_css",
-                ],
-            )
+            yield pd.DataFrame(out, columns=_COLS)
 
     return fn

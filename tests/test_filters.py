@@ -8,6 +8,7 @@ import pytest
 from linkkchecker_net_spark.engine.filters import (
     BloomFilter,
     CuckooFilter,
+    ShardedBloom,
     build_bloom,
     build_partitioned_filters,
     load_partitioned_filters,
@@ -68,6 +69,17 @@ def test_cuckoo_roundtrip():
     assert cf2.count == cf.count
 
 
+def test_sharded_bloom_semantics():
+    keys = _keys(20_000)
+    sb = ShardedBloom(len(keys), fp_rate=0.01, shards=16)
+    sb.add(keys)
+    assert sb.contains(keys).all(), "sharded bloom must never false-negative"
+    other = _keys(100_000, seed=3)
+    assert sb.contains(other).mean() < 0.03
+    sb2 = ShardedBloom.from_bytes(sb.to_bytes())
+    assert sb2.contains(keys).all()
+
+
 @pytest.mark.usefixtures("spark")
 def test_spark_builders(spark, tmp_path):
     import pandas as pd
@@ -76,10 +88,74 @@ def test_spark_builders(spark, tmp_path):
     df = spark.createDataFrame(pdf)
 
     blob = build_bloom(df, capacity_hint=20_000)
-    bf = BloomFilter.from_bytes(blob)
+    bf = ShardedBloom.from_bytes(blob)
     assert bf.contains(pdf["url_hash"].to_numpy()).all()
 
     meta = build_partitioned_filters(df, str(tmp_path / "filters"), partitions=4)
+    _check_partitioned(meta, tmp_path, pdf)
+
+
+def test_bloom_build_driver_traffic_is_O_m(spark):
+    """The sharded build must ship ~m bits total to the driver, NOT a
+    full-m partial per task (the 10^10-scale OOM the sharding exists to
+    prevent): with range-partitioned shards, total collected bytes stays
+    within a small multiple of one filter's serialized size."""
+    import pandas as pd
+
+    import linkkchecker_net_spark.engine.filters as filt
+
+    pdf = pd.DataFrame({"url_hash": _keys(50_000)})
+    df = spark.createDataFrame(pdf).repartition(16)  # many build tasks
+
+    shards = 8
+    blob = filt.build_bloom(df, capacity_hint=50_000, shards=shards)
+    sb = filt.ShardedBloom.from_bytes(blob)
+    m_total_bytes = sum(bf.bits.nbytes for bf in sb.shards)
+
+    # re-run the builder's distributed stage and measure what reaches the
+    # driver: one row per (task, shard-present), each m/shards bits
+    from pyspark.sql import functions as F
+
+    m, k = sb.shards[0].m, sb.shards[0].k
+
+    def partials(batches):
+        from linkkchecker_net_spark.engine.filters import BloomFilter, ShardedBloom
+
+        local = {}
+        for b in batches:
+            if not len(b):
+                continue
+            ks = b["url_hash"].to_numpy(dtype="int64")
+            sh = ShardedBloom.shard_of(ks, shards)
+            for p in np.unique(sh):
+                bf = local.get(int(p))
+                if bf is None:
+                    bf = BloomFilter.__new__(BloomFilter)
+                    bf.m, bf.k = m, k
+                    bf.bits = np.zeros(m // 64, dtype="uint64")
+                    local[int(p)] = bf
+                bf.add(ks[sh == p])
+        yield pd.DataFrame(
+            {"p": list(local.keys()), "bits": [bf.bits.tobytes() for bf in local.values()]}
+        )
+
+    rows = (
+        df.select("url_hash")
+        .withColumn("p", F.pmod(F.col("url_hash"), F.lit(shards)))
+        .repartitionByRange(shards, "p")
+        .drop("p")
+        .mapInPandas(partials, "p int, bits binary")
+        .collect()
+    )
+    collected = sum(len(bytes(r["bits"])) for r in rows)
+    assert collected <= 3 * m_total_bytes, (
+        f"driver traffic {collected} vs filter size {m_total_bytes}: "
+        "build is shipping per-task full partials again"
+    )
+    assert sb.contains(pdf["url_hash"].to_numpy()).all()
+
+
+def _check_partitioned(meta, tmp_path, pdf):
     assert set(meta) == {0, 1, 2, 3}
     filters = load_partitioned_filters(str(tmp_path / "filters"))
     keys = pdf["url_hash"].to_numpy()
@@ -88,3 +164,20 @@ def test_spark_builders(spark, tmp_path):
     for p in range(4):
         sub = keys[parts == p]
         assert filters[p].contains(sub).all()
+
+
+def test_bloom_udf_uses_broadcast(spark):
+    """bloom_maybe_udf takes a Broadcast handle (not a closure-captured
+    blob) and returns exact membership signals for present keys."""
+    import pandas as pd
+
+    from linkkchecker_net_spark.engine.filters import bloom_maybe_udf
+
+    keys = _keys(5_000)
+    sb = ShardedBloom(len(keys), shards=8)
+    sb.add(keys)
+    bcast = spark.sparkContext.broadcast(sb.to_bytes())
+    df = spark.createDataFrame(pd.DataFrame({"url_hash": keys}))
+    out = df.withColumn("maybe", bloom_maybe_udf(bcast)("url_hash"))
+    assert out.filter("NOT maybe").count() == 0  # no false negatives
+    bcast.destroy()
