@@ -232,24 +232,68 @@ def q_canonical_report(spark, sf_dir):
     return canonical_report(d.page_meta())
 
 
-def q_sitemap_report(spark, sf_dir):
-    """J5 — sitemap loc verdicts (crawled ∪ probed)."""
+def _sitemap_xml_bodies(spark, sf_dir):
+    """Per-host ``sitemap.xml`` DOCUMENTS (binary bodies), built JVM-side:
+    the namespaced <loc> entries are the docweb formula locs (with
+    whitespace padding the parser must Trim), plus one un-namespaced
+    ``<loc xmlns="">`` decoy per host that a namespace-correct parser
+    (SiteMapChecker.cs:28) must ignore."""
     from linkkchecker_net_spark.fixtures import docweb
-    from linkkchecker_net_spark.reports import sitemap_report
+    from linkkchecker_net_spark.kernels.sitemapparse import SITEMAP_NS
 
-    d = _crawl(spark, sf_dir)
     i = F.col("doc_id").cast("long")
     loc = (
         F.when(i % 10 == 0, docweb.url_expr(i))
         .when(i % 50 == 7, F.concat(docweb.url_expr(i), F.lit("-nope")))
     )
-    sitemaps = (
+    entries = (
         _docs(spark, sf_dir)
         .select(docweb.host_expr(i).alias("host"), loc.alias("loc"))
         .filter(F.col("loc").isNotNull())
         .groupBy("host")
-        .agg(F.collect_list("loc").alias("loc"))
+        .agg(
+            F.concat_ws(
+                "",
+                F.collect_list(
+                    F.concat(F.lit("<url><loc>\n  "), F.col("loc"), F.lit("  \n</loc></url>"))
+                ),
+            ).alias("inner")
+        )
     )
+    return entries.select(
+        "host",
+        F.encode(
+            F.concat(
+                F.lit(
+                    f'<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="{SITEMAP_NS}">'
+                    '<url><loc xmlns="">http://bogus.test/wrong-namespace</loc></url>'
+                ),
+                F.col("inner"),
+                F.lit("</urlset>"),
+            ),
+            "UTF-8",
+        ).alias("body"),
+    )
+
+
+def q_sitemap_locs(spark, sf_dir):
+    """S5 — the sitemap.xml XML-parse kernel itself: real XML documents in,
+    (host, loc) rows out (namespace-filtered, Descendants, trimmed)."""
+    from linkkchecker_net_spark.reports import sitemap_xml_locs
+
+    _prep(spark)
+    return sitemap_xml_locs(_sitemap_xml_bodies(spark, sf_dir))
+
+
+def q_sitemap_report(spark, sf_dir):
+    """J5 — sitemap loc verdicts (crawled ∪ probed), fed by the REAL
+    sitemap.xml parse (S5) rather than a pre-parsed loc table."""
+    from linkkchecker_net_spark.fixtures import docweb
+    from linkkchecker_net_spark.reports import sitemap_report, sitemap_xml_locs
+
+    d = _crawl(spark, sf_dir)
+    parsed = sitemap_xml_locs(_sitemap_xml_bodies(spark, sf_dir))
+    sitemaps = parsed.groupBy("host").agg(F.collect_list("loc").alias("loc"))
     web = docweb.build_web(spark, sf_dir)
     hosts = [f"site-{h}.test" for h in range(3)]
     return sitemap_report(sitemaps, d.results(), web, hosts)
@@ -281,6 +325,105 @@ def q_used_images(spark, sf_dir):
         "image_id", F.lit("not_in_project").alias("verdict")
     )
     return not_used.unionByName(not_in_project)
+
+
+def q_crawl_log(spark, sf_dir):
+    """S7 — the severity-colored log sink over the crawl (oracle-checkable
+    projection: url → severity; full message formatting is pytest-golden)."""
+    from linkkchecker_net_spark.reports import crawl_log
+
+    d = _crawl(spark, sf_dir)
+    return crawl_log(d.results()).select("url", "severity")
+
+
+def q_failure_count(spark, sf_dir):
+    """S8/A1 — the exit-code aggregate as a one-row table."""
+    d = _crawl(spark, sf_dir)
+    return (
+        d.results()
+        .filter(F.col("classification") != "ok")
+        .agg(F.count(F.lit(1)).alias("n_failures"))
+    )
+
+
+def q_validate_images(spark, sf_dir):
+    """P14 — decoded-pixel PSNR≥40 + caption-equality gate (north-rule
+    per-row invariant).  Deterministic fixture: doc_id%7==3 pages serve the
+    WRONG image (same gradient, different seeded noise → PSNR ≈ 28 dB,
+    reliably under the 40 dB gate), doc_id%11==5 serve a wrong caption —
+    so the verdict booleans are arithmetic and DuckDB-oracle-checkable
+    while the decode/PSNR/phash computation is fully real."""
+    import numpy as np
+    import pandas as pd
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.reports import validate_images
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            corpus = {"image_id": [], "bytes": [], "fmt": [], "caption": [], "phash": []}
+            web = {"url": [], "body": [], "caption": [], "image_id": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                arr = imaging.make_image(np.random.default_rng(i), 48, 48)
+                corpus["image_id"].append(f"img_{i}")
+                corpus["bytes"].append(imaging.encode_lossy(arr))
+                corpus["fmt"].append("jpeg")
+                corpus["caption"].append(f"caption {i}")
+                corpus["phash"].append(imaging.phash64(arr))
+                served = (
+                    imaging.make_image(np.random.default_rng(i + 1), 48, 48)
+                    if i % 7 == 3
+                    else arr
+                )
+                web["url"].append(f"http://cdn.test/img/{i}.bin")
+                web["body"].append(imaging.encode_lossy(served))
+                web["caption"].append(f"caption {i}" if i % 11 != 5 else "wrong")
+                web["image_id"].append(f"img_{i}")
+            yield pd.DataFrame(
+                {
+                    "c_image_id": corpus["image_id"],
+                    "c_bytes": corpus["bytes"],
+                    "c_fmt": corpus["fmt"],
+                    "c_caption": corpus["caption"],
+                    "c_phash": corpus["phash"],
+                    "w_url": web["url"],
+                    "w_body": web["body"],
+                    "w_caption": web["caption"],
+                }
+            )
+
+    both = ids.mapInPandas(
+        gen,
+        "c_image_id string, c_bytes binary, c_fmt string, c_caption string, "
+        "c_phash long, w_url string, w_body binary, w_caption string",
+    ).persist()
+    corpus = both.select(
+        F.col("c_image_id").alias("image_id"),
+        F.col("c_bytes").alias("bytes"),
+        F.col("c_fmt").alias("fmt"),
+        F.col("c_caption").alias("caption"),
+        F.col("c_phash").alias("phash"),
+    )
+    web = both.select(
+        F.col("w_url").alias("url"),
+        F.col("w_body").alias("body"),
+        F.col("w_caption").alias("caption"),
+    )
+    results = both.select(
+        F.col("w_url").alias("url"),
+        F.col("c_image_id").alias("image_id"),
+        F.lit("ok").alias("classification"),
+        F.lit("image/jpeg").alias("content_type"),
+    )
+    return validate_images(results, web, corpus).select(
+        "image_id", "psnr_ok", "caption_ok", "valid"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -331,8 +474,9 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    # blocked BLAS matmul — exact, same result as the brute-force fold but
-    # O(N·√P) shuffle instead of an N² row cross-join
+    # blocked BLAS matmul — exact, same result as the brute-force fold;
+    # still O((N/B)^2) block pairs (quadratic, ~40x better constants), the
+    # mid-scale exact path — lsh_bucket_ann is the beyond-N^2 route
     from linkkchecker_net_spark.pipeline.similarity import blocked_cosine_pairs
 
     _prep(spark)
@@ -390,14 +534,32 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_image_meta(spark, sf_dir):
-    """Multimodal plumbing: synth binary corpus → decode/feature pass."""
+    """Multimodal decode/feature pass, made hash-oracle-checkable: the
+    decoded dimensions and phash are joined back against what the corpus
+    declared at encode time — a real round-trip check of the decode path
+    (decode_ok / dims_match / phash_match are all arithmetic for DuckDB,
+    but Spark can only produce them by actually decoding the bytes)."""
     from linkkchecker_net_spark.pipeline.multimodal import image_metadata, synth_corpus
 
     _prep(spark)
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
         F.col("doc_id").alias("id")
     )
-    return image_metadata(synth_corpus(spark, ids))
+    corpus = synth_corpus(spark, ids).persist()
+    meta = image_metadata(corpus)
+    declared = corpus.select(
+        "image_id",
+        F.col("w").alias("dw"),
+        F.col("h").alias("dh"),
+        F.col("phash").alias("dphash"),
+    )
+    return meta.join(declared, "image_id").select(
+        "image_id",
+        "fmt",
+        "decode_ok",
+        ((F.col("w") == F.col("dw")) & (F.col("h") == F.col("dh"))).alias("dims_match"),
+        (F.col("phash") == F.col("dphash")).alias("phash_match"),
+    )
 
 
 def q_event_stats(spark, sf_dir):
@@ -423,8 +585,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "description_report": q_description_report,
         "canonical_report": q_canonical_report,
+        "sitemap_locs": q_sitemap_locs,
         "sitemap_report": q_sitemap_report,
         "used_images": q_used_images,
+        "crawl_log": q_crawl_log,
+        "failure_count": q_failure_count,
+        "validate_images": q_validate_images,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "jaccard_pairs": q_jaccard_pairs,
@@ -579,6 +745,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'missing' END AS verdict
             FROM reach r JOIN page p ON p.url = r.url AND p.status = 200
         """,
+        # the Spark side builds REAL sitemap.xml documents and parses them
+        # (kernels/sitemapparse.py); the oracle derives the same loc set
+        # arithmetically — the un-namespaced decoy loc must NOT appear
+        "sitemap_locs": """
+            SELECT 'site-' || (doc_id % 3) || '.test' AS host,
+                   'http://site-' || (doc_id % 3) || '.test/page/' || doc_id AS loc
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT 'site-' || (doc_id % 3) || '.test',
+                   'http://site-' || (doc_id % 3) || '.test/page/' || doc_id || '-nope'
+            FROM documents WHERE doc_id % 50 = 7
+        """,
         "sitemap_report": """
             WITH page AS (
               SELECT doc_id::BIGINT AS i,
@@ -608,6 +786,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT image_id, 'not_in_project'
               FROM site WHERE image_id NOT IN (SELECT image_id FROM corpus)
+        """,
+        "crawl_log": with_graph
+        + """
+            SELECT r.url,
+                   CASE WHEN r.url LIKE 'mailto:%' THEN 'Warn'
+                        WHEN p.i IS NOT NULL AND p.status BETWEEN 200 AND 299 THEN 'Info'
+                        ELSE 'Error' END AS severity
+            FROM reach r LEFT JOIN page p ON p.url = r.url
+        """,
+        "failure_count": with_graph
+        + """
+            SELECT COUNT(*) AS n_failures
+            FROM reach r LEFT JOIN page p ON p.url = r.url
+            WHERE NOT (p.i IS NOT NULL AND p.status BETWEEN 200 AND 299
+                       AND NOT r.url LIKE 'mailto:%')
+        """,
+        "validate_images": """
+            SELECT 'img_' || doc_id AS image_id,
+                   (doc_id % 7 <> 3) AS psnr_ok,
+                   (doc_id % 11 <> 5) AS caption_ok,
+                   (doc_id % 7 <> 3 AND doc_id % 11 <> 5) AS valid
+            FROM documents WHERE doc_id < 200
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
@@ -715,10 +915,46 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
         """,
-        # rows-only (non-SQL-expressible): simhash / simhash_pairs
-        # (xxhash64-dependent), ann_lsh (recall<1 by design), image_meta
-        # (binary decode), crawl ordering (tested in pytest vs the oracle)
+        # simhash token hash = first-15-hex-of-md5 (pipeline/dedup.py
+        # _token_hash_expr) precisely so both engines can compute it
+        "simhash": _SIMHASH_CTES + "SELECT doc_id, simhash FROM sh",
+        "simhash_pairs": _SIMHASH_CTES
+        + """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "image_meta": """
+            SELECT 'img_' || lpad(doc_id::VARCHAR, 6, '0') AS image_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'png'
+                                   WHEN 1 THEN 'jpeg'
+                                   ELSE 'gif' END AS fmt,
+                   TRUE AS decode_ok, TRUE AS dims_match, TRUE AS phash_match
+            FROM documents WHERE doc_id < 100
+        """,
+        # rows-only (non-SQL-expressible): ann_lsh (recall<1 by design —
+        # pytest asserts a recall floor vs the exact top-k instead);
+        # crawl ordering (tested in pytest vs the sequential oracle)
     }
+
+
+_SIMHASH_CTES = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, b.b AS b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(generate_series(0, 59)) AS b) b
+      GROUP BY 1, 2
+    ), sh AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
 
 
 _FLAT_EMB_CTES = """

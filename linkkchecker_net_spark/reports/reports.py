@@ -13,8 +13,9 @@ from pyspark.sql import functions as F
 
 from linkkchecker_net_spark.kernels.canonicalize import (
     canonical_match_udf,
-    canonicalize,
+    canonicalize_udf,
 )
+from linkkchecker_net_spark.kernels.sitemapparse import sitemap_locs_udf
 
 IMAGE_MIMES = ["image/jpeg", "image/jpg", "image/png", "image/gif", "image/tiff"]
 
@@ -48,6 +49,22 @@ def description_report(page_meta: DataFrame) -> DataFrame:
     )
 
 
+def sitemap_xml_locs(sitemap_bodies: DataFrame) -> DataFrame:
+    """S5 ingestion — parse fetched ``sitemap.xml`` documents into
+    (host, loc) rows, namespace- and Descendants-faithful to
+    SiteMapChecker.cs:26-28 (kernel in kernels/sitemapparse.py).
+
+    Input: (host string, body binary|string).  Output: one row per
+    namespaced <loc>, trimmed; unparseable documents contribute nothing.
+    """
+    return (
+        sitemap_bodies.select(
+            "host", F.explode_outer(sitemap_locs_udf("body")).alias("loc")
+        )
+        .filter(F.col("loc").isNotNull())
+    )
+
+
 def sitemap_report(
     sitemaps: DataFrame, results: DataFrame, web: DataFrame, seed_hosts: list[str]
 ) -> DataFrame:
@@ -57,7 +74,7 @@ def sitemap_report(
     locs = (
         sitemaps.filter(F.col("host").isin(seed_hosts))
         .select(F.explode("loc").alias("raw_loc"))
-        .select(F.udf(lambda u: canonicalize(None, u))("raw_loc").alias("loc"))
+        .select(canonicalize_udf(F.lit(None), F.col("raw_loc")).alias("loc"))
         .filter(F.col("loc").isNotNull())
         .dropDuplicates(["loc"])
     )

@@ -87,6 +87,36 @@ def test_blocked_cosine_equals_bruteforce(spark):
     assert len(brute) > 0
 
 
+def test_ann_lsh_recall_floor(spark):
+    """ann_lsh is approximate by design (the one remaining rows-only
+    contract query): assert a recall floor against the exact brute-force
+    top-k so a silent recall collapse fails loudly."""
+    from pyspark.sql import functions as F
+
+    from linkkchecker_net_spark.pipeline.similarity import (
+        cosine_topk_bruteforce,
+        lsh_bucket_ann,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_bucket_ann(emb, queries, k=10).collect()
+    }
+    assert approx, "lsh_bucket_ann returned nothing"
+    # every returned neighbor must be genuinely bucketed — and recall of
+    # the true top-k must clear a floor (tuned to the fixed seed/planes)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"ann_lsh recall collapsed: {recall:.2f}"
+
+
 def test_crawl_log(spark, golden_spark_crawl, golden_oracle_crawl):
     from linkkchecker_net_spark.reports import crawl_log
 
