@@ -327,6 +327,49 @@ def q_used_images(spark, sf_dir):
     return not_used.unionByName(not_in_project)
 
 
+def q_used_images_paths(spark, sf_dir):
+    """UsedImagesChecker with full config fidelity (SitesToScan host
+    filter, SitePrefixToRemove, case-insensitive second pass) over a
+    deterministic mixed-case / cross-host / out-of-prefix fixture."""
+    from linkkchecker_net_spark.reports import used_images_path_report
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    name = F.when(i % 4 == 0, F.concat(F.lit("Img-"), s, F.lit(".PNG"))).otherwise(
+        F.concat(F.lit("img-"), s, F.lit(".png"))
+    )
+    host = F.when(i % 5 == 0, F.lit("other.test")).otherwise(F.lit("cdn.test"))
+    prefix_dir = F.when(i % 9 == 0, F.lit("/Other/")).otherwise(F.lit("/Assets/"))
+    results = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://"), host, prefix_dir, name).alias("url"),
+        host.alias("host"),
+        F.when(i % 7 == 0, F.lit("text/html")).otherwise(F.lit("IMAGE/PNG")).alias(
+            "content_type"
+        ),
+    )
+    docs = _docs(spark, sf_dir)
+    disk = (
+        docs.filter(i % 2 == 0).select(F.concat(F.lit("/"), name).alias("path"))
+        .unionByName(
+            docs.filter((i % 2 == 1) & (i % 3 == 0)).select(
+                F.concat(F.lit("/IMG-"), s, F.lit(".png")).alias("path")
+            )
+        )
+        .unionByName(
+            docs.filter(i % 10 == 0).select(
+                F.concat(F.lit("/extra-"), s, F.lit(".gif")).alias("path")
+            )
+        )
+        .unionByName(
+            docs.filter(i % 11 == 0).select(
+                F.concat(F.lit("/notes-"), s, F.lit(".txt")).alias("path")
+            )
+        )
+    )
+    return used_images_path_report(disk, results, ["cdn.test"], "Assets")
+
+
 def q_crawl_log(spark, sf_dir):
     """S7 — the severity-colored log sink over the crawl (oracle-checkable
     projection: url → severity; full message formatting is pytest-golden)."""
@@ -588,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_locs": q_sitemap_locs,
         "sitemap_report": q_sitemap_report,
         "used_images": q_used_images,
+        "used_images_paths": q_used_images_paths,
         "crawl_log": q_crawl_log,
         "failure_count": q_failure_count,
         "validate_images": q_validate_images,
@@ -786,6 +830,34 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT image_id, 'not_in_project'
               FROM site WHERE image_id NOT IN (SELECT image_id FROM corpus)
+        """,
+        "used_images_paths": """
+            WITH site AS (
+              SELECT DISTINCT '/' || CASE WHEN doc_id % 4 = 0
+                       THEN 'Img-' || doc_id || '.PNG'
+                       ELSE 'img-' || doc_id || '.png' END AS path
+              FROM documents
+              WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0 AND doc_id % 9 <> 0
+            ), disk AS (
+              SELECT DISTINCT path FROM (
+                SELECT '/' || CASE WHEN doc_id % 4 = 0
+                         THEN 'Img-' || doc_id || '.PNG'
+                         ELSE 'img-' || doc_id || '.png' END AS path
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT '/IMG-' || doc_id || '.png'
+                FROM documents WHERE doc_id % 2 = 1 AND doc_id % 3 = 0
+                UNION ALL
+                SELECT '/extra-' || doc_id || '.gif'
+                FROM documents WHERE doc_id % 10 = 0
+              )
+            ), site_l AS (SELECT DISTINCT lower(path) AS path FROM site),
+               disk_l AS (SELECT DISTINCT lower(path) AS path FROM disk)
+            SELECT path, 'not_in_project' AS verdict FROM site_l
+             WHERE path NOT IN (SELECT path FROM disk_l)
+            UNION ALL
+            SELECT path, 'not_used_in_site' FROM disk_l
+             WHERE path NOT IN (SELECT path FROM site_l)
         """,
         "crawl_log": with_graph
         + """

@@ -25,7 +25,11 @@ from linkkchecker_net_spark.engine.filters import (
     build_bloom,
     build_partitioned_filters,
 )
-from linkkchecker_net_spark.kernels.canonicalize import canonicalize, host_of
+from linkkchecker_net_spark.kernels.canonicalize import (
+    authority_of,
+    canonicalize,
+    host_of,
+)
 
 
 @dataclass
@@ -94,7 +98,7 @@ class CrawlDriver:
     def init_seeds(self, seeds: list[dict]) -> dict:
         """Epoch-0 frontier from the seed list — driver-side Python (tiny),
         mirroring EngineConfig.cs:58-70 scheme defaulting + claim-at-init."""
-        rows, seen_urls, seed_hosts = [], set(), []
+        rows, seen_urls, seed_auths = [], set(), []
         rank = 0
         for s in seeds:
             raw = (s.get("seed_url") or "").strip()
@@ -105,8 +109,9 @@ class CrawlDriver:
                 continue
             seen_urls.add(url)
             host = host_of(url) or ""
-            if host not in seed_hosts:
-                seed_hosts.append(host)
+            auth = authority_of(url)
+            if auth is not None and auth not in seed_auths:
+                seed_auths.append(auth)
             rows.append(
                 (url, 0, host, 0, int(s.get("priority", 0)), 0, None, url, True, True, rank)
             )
@@ -137,7 +142,7 @@ class CrawlDriver:
         manifest = {
             "next_rank": rank,
             "frontier_count": len(rows),
-            "seed_hosts": seed_hosts,
+            "seed_authorities": seed_auths,
             "next_epoch": 0,
         }
         catalog.write_manifest(d, manifest)
@@ -213,11 +218,17 @@ class CrawlDriver:
             os.path.join(d, "seen_delta"),
         )
         n = int(obs.get["n"])
-        seed_hosts = [r[0] for r in written.select("host").distinct().collect()]
+        from linkkchecker_net_spark.kernels.canonicalize import authority_udf
+
+        seed_auths = [
+            r[0]
+            for r in written.select(authority_udf("url")).distinct().collect()
+            if r[0] is not None
+        ]
         manifest = {
             "next_rank": n,
             "frontier_count": n,
-            "seed_hosts": seed_hosts,
+            "seed_authorities": seed_auths,
             "next_epoch": 0,
         }
         catalog.write_manifest(d, manifest)
@@ -259,7 +270,7 @@ class CrawlDriver:
             "next_epoch": man["next_epoch"],
             "next_rank": man["next_rank"],
             "frontier_count": man["frontier_count"],
-            "seed_hosts": man["seed_hosts"],
+            "seed_authorities": man["seed_authorities"],
             "last_epoch": last,
             "frontier_path": frontier_path,
             "seen_base": man.get("seen_base"),
@@ -310,7 +321,7 @@ class CrawlDriver:
             seen=seen,
             web=self.web,
             robots=self.robots,
-            seed_hosts=state["seed_hosts"],
+            seed_authorities=state["seed_authorities"],
             epoch=e,
             next_rank=state["next_rank"],
             default_budget=cfg.default_budget,
@@ -420,7 +431,7 @@ class CrawlDriver:
         manifest = {
             "next_rank": next_rank,
             "frontier_count": frontier_count,
-            "seed_hosts": state["seed_hosts"],
+            "seed_authorities": state["seed_authorities"],
             "next_epoch": e + 1,
             "by_class": by_class,
             "fetched": fetched_n,

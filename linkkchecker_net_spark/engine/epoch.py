@@ -206,7 +206,7 @@ def fetch_and_classify(
 def generate_candidates(
     fetched: DataFrame,
     web: DataFrame,
-    seed_hosts: list[str],
+    seed_authorities: list[str],
     epoch: int,
     broadcast_parseable: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -262,7 +262,7 @@ def generate_candidates(
         .drop("b_url_hash", "b_url", "url_hash")
     )
     extracted = with_body.mapInPandas(
-        fused.extract_batches(set(seed_hosts)), fused.FUSED_SCHEMA
+        fused.extract_batches(set(seed_authorities)), fused.FUSED_SCHEMA
     ).persist()
 
     # page-level extractions for in-site pages (CanonicalChecker /
@@ -549,7 +549,7 @@ def run_epoch(
     seen: DataFrame,
     web: DataFrame,
     robots: DataFrame,
-    seed_hosts: list[str],
+    seed_authorities: list[str],
     epoch: int,
     next_rank: int,
     default_budget: int,
@@ -594,7 +594,7 @@ def run_epoch(
     )
 
     candidates, page_meta, html_persisted = generate_candidates(
-        fetched, web, seed_hosts, epoch, broadcast_parseable=broadcast_parseable
+        fetched, web, seed_authorities, epoch, broadcast_parseable=broadcast_parseable
     )
     gated_results, new_frontier, cand_persists = dedup_gate_rank(
         candidates,

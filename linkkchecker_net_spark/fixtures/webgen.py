@@ -186,6 +186,23 @@ def make_fixtures(profile: str = "golden", seed: int = 42) -> dict:
                 )
             )
 
+    # scheme-divergent authority (Engine.cs:76): an HTTPS page on an
+    # in-site host, linked from page 0 — fetched (supported scheme, 2xx)
+    # but NOT expanded, because https://host is a different authority than
+    # the http://host seed; its link target must never be crawled, and it
+    # gets no page_meta row (IsBaseOf fails on scheme too)
+    web.append(
+        dict(
+            url=f"https://{hosts[0]}/secure/index.html",
+            host=hosts[0],
+            status=200,
+            redirect_to=None,
+            content_type="text/html",
+            body=b'<html><body><a href="/secure/never-crawled">n</a></body></html>',
+            image_id=None,
+        )
+    )
+
     corpus_by_id = {c["image_id"]: c for c in corpus}
     orig_by_id = {c["image_id"]: a for c, a in zip(corpus, corpus_origs)}
     for image_id in image_ids:
@@ -292,6 +309,9 @@ def _make_html(i, url, host, n_pages, page_urls, css_urls, image_ids, rnd) -> st
 
     # chain link guarantees broad reachability of the synthetic web
     parts.append(f'<a href="{page_urls[(i + 1) % n_pages]}">next</a>')
+    # cross-scheme same-host link (expansion-gate coverage, Engine.cs:76)
+    if i == 0:
+        parts.append(f'<a href="https://{host}/secure/index.html">secure</a>')
     # anchor links: deterministic pseudo-random DAG, mixed href forms
     n_links = 2 + (i * 7) % 4
     for k in range(n_links):

@@ -113,6 +113,44 @@ def split_host(url: str | None) -> str:
     return h if h is not None else ""
 
 
+def authority_of(url: str | None) -> str | None:
+    """``scheme://host[:port]`` — the reference's expansion base
+    (Engine.cs:76: ``BaseUri = new Uri(StartUri.GetLeftPart(Authority))``):
+    lowercased scheme+host, explicit non-default port kept (canonicalize
+    already strips default ports upstream)."""
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+        port = parts.port
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    if not scheme or not host:
+        return None
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        return f"{scheme}://{host}:{port}"
+    return f"{scheme}://{host}"
+
+
+def is_base_of(base: str | None, url: str | None) -> bool:
+    """.NET ``Uri.IsBaseOf`` (CanonicalChecker.cs:34,
+    DescriptionLengthChecker.cs:36 — ``steps[0].Uri.IsBaseOf(uri)``):
+    scheme+authority must match, then the base's path truncated through
+    its LAST '/' (dropping any trailing segment, per .NET segment
+    semantics) must prefix the target's path."""
+    if base is None or url is None:
+        return False
+    auth = authority_of(base)
+    if auth is None or auth != authority_of(url):
+        return False
+    bp = urlsplit(base).path or "/"
+    bp = bp[: bp.rfind("/") + 1] or "/"
+    tp = urlsplit(url).path or "/"
+    return tp.startswith(bp)
+
+
 @F.pandas_udf(T.StringType())
 def canonicalize_udf(base: pd.Series, href: pd.Series) -> pd.Series:
     """Vectorized (Arrow-batched) canonicalization: Series in, Series out."""
@@ -124,6 +162,11 @@ def canonicalize_udf(base: pd.Series, href: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def host_udf(url: pd.Series) -> pd.Series:
     return pd.Series([split_host(u) for u in url], dtype="object")
+
+
+@F.pandas_udf(T.StringType())
+def authority_udf(url: pd.Series) -> pd.Series:
+    return pd.Series([authority_of(u) for u in url], dtype="object")
 
 
 def canonical_segments_match(url: str, canonical_href: str) -> bool:

@@ -27,7 +27,11 @@ from typing import Iterator
 
 import pandas as pd
 
-from linkkchecker_net_spark.kernels.canonicalize import canonicalize
+from linkkchecker_net_spark.kernels.canonicalize import (
+    authority_of,
+    canonicalize,
+    is_base_of,
+)
 from linkkchecker_net_spark.kernels.cssparse import extract_css_urls
 from linkkchecker_net_spark.kernels.htmlparse import parse_page
 
@@ -47,11 +51,21 @@ _COLS = [
 ]
 
 
-def extract_batches(seed_hosts: set[str]):
-    """Returns the mapInPandas function closed over the in-site host set.
+def extract_batches(seed_authorities: set[str]):
+    """Returns the mapInPandas function closed over the seed AUTHORITY set.
 
     Input rows: url, discovery_rank, crawl_depth, priority, seed_url, host,
     may_contain_links, expand_links, content_type, body.
+
+    Two distinct in-site gates, faithful to the reference:
+      * EXPANSION (follow the page's links) — the page's scheme+authority
+        must match a seed's: Engine.cs:76 trims BaseUri to
+        GetLeftPart(Authority), so Engine.cs:171's IsBaseOf is an
+        authority-equality test (multi-seed generalized to a set);
+      * META emission (canonical/description checkers) — the FULL seed
+        URL's IsBaseOf (CanonicalChecker.cs:34 uses steps[0].Uri, the
+        un-trimmed seed): path-prefix after segment truncation, so a
+        sub-path seed reports only on pages under its directory.
 
     Candidate rows are SKINNY on purpose: a candidate carries only its url,
     its order key (parent_rank, tag_rank, doc_pos) and its per-link flags.
@@ -100,8 +114,8 @@ def extract_batches(seed_hosts: set[str]):
                 ct = row.content_type
                 if ct == "text/html" and row.may_contain_links:
                     parsed = parse_page(row.body)
-                    in_site = row.host in seed_hosts
-                    if in_site:
+                    in_site = authority_of(row.url) in seed_authorities
+                    if is_base_of(row.seed_url, row.url):
                         o_kind.append("meta")
                         o_prank.append(row.discovery_rank)
                         o_pdepth.append(row.crawl_depth)

@@ -57,9 +57,11 @@ from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
 from linkkchecker_net_spark.kernels.canonicalize import (
+    authority_of,
     canonical_segments_match,
     canonicalize,
     host_of,
+    is_base_of,
 )
 from linkkchecker_net_spark.kernels.classify import REDIRECT_CODES
 from linkkchecker_net_spark.kernels.cssparse import extract_css_urls
@@ -103,7 +105,7 @@ class OracleCrawl:
     page_meta: list = field(default_factory=list)
     seen: dict = field(default_factory=dict)  # url -> first_depth
     frontier: list = field(default_factory=list)
-    seed_hosts: set = field(default_factory=set)
+    seed_authorities: set = field(default_factory=set)
     next_rank: int = 0
     epoch: int = 0
 
@@ -131,7 +133,9 @@ class OracleCrawl:
             if url is None or url in self.seen:
                 continue
             host = host_of(url) or ""
-            self.seed_hosts.add(host)
+            auth = authority_of(url)
+            if auth is not None:
+                self.seed_authorities.add(auth)
             self.seen[url] = 0
             self.frontier.append(
                 FrontierEntry(
@@ -207,10 +211,14 @@ class OracleCrawl:
             )
             if cls != "ok":
                 continue
-            in_site = e.host in self.seed_hosts
+            # EXPANSION gate: scheme+authority equality with a seed
+            # (Engine.cs:76 BaseUri = GetLeftPart(Authority) + :171);
+            # META gate: the full seed URL's IsBaseOf
+            # (CanonicalChecker.cs:34 steps[0].Uri — path-prefix)
+            in_site = authority_of(e.url) in self.seed_authorities
             if ct == "text/html" and e.may_contain_links:
                 parsed = parse_page(row["body"])
-                if in_site:
+                if is_base_of(e.seed_url, e.url):
                     self.page_meta.append(
                         dict(
                             url=e.url,

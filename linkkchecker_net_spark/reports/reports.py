@@ -94,10 +94,14 @@ def sitemap_report(
     )
 
 
+IMAGE_EXTENSIONS = ["jpeg", "jpg", "png", "gif", "tiff"]
+
+
 def used_images_report(corpus: DataFrame, results: DataFrame) -> DataFrame:
     """UsedImagesChecker (UsedImagesChecker.cs:70-125): J3/J4 set
     differences between project images (corpus) and images actually fetched
-    from the site — both directions, as anti-joins."""
+    from the site — both directions, as anti-joins (image-id keyed
+    simplification; `used_images_path_report` is the path-faithful form)."""
     site_ids = (
         results.filter(
             F.col("content_type").isin(IMAGE_MIMES) & F.col("image_id").isNotNull()
@@ -113,6 +117,105 @@ def used_images_report(corpus: DataFrame, results: DataFrame) -> DataFrame:
         "image_id", F.lit("not_in_project").alias("verdict")
     )
     return not_used.unionByName(not_in_project).orderBy("verdict", "image_id")
+
+
+def used_images_path_report(
+    disk_files: DataFrame,
+    results: DataFrame,
+    sites_to_scan: list[str],
+    site_prefix_to_remove: str = "",
+) -> DataFrame:
+    """UsedImagesChecker.Done() with full config fidelity
+    (UsedImagesChecker.cs:70-135):
+
+      * SITE side: scan results whose lower(content_type) ∈ imageTypes AND
+        host ∈ SitesToScan (IsImageInteresting, :126-131), taken as URL
+        LocalPath, kept only when it starts with "/"+SitePrefixToRemove,
+        with that prefix stripped (:81-83 — the leading separator stays);
+      * DISK side: `disk_files.path` — '/'-separated paths with a leading
+        '/', relative to ImagesBaseDirectory, extension-filtered like
+        FindImageFiles (:143-150).  The reference then swaps '/'→'\\\\' on
+        the site side to match Windows disk paths — a separator
+        normalization applied before every comparison, which we realize by
+        keeping BOTH sides '/'-separated;
+      * COMPARE (:85-121): case-sensitive "not used in site" first — if
+        empty, the report ends ("All files in project are in site" and the
+        not-in-project direction is never computed, a reference behavior we
+        keep).  Otherwise each direction reports its CASE-INSENSITIVE
+        difference, falling back to a case_only_* verdict when the
+        difference exists only under case-sensitive comparison (:97-121).
+        (At :117 the reference prints filesNotInProject under the
+        "not used in site, case sensitive" heading — an evident copy/paste
+        slip; we implement the intended list.)
+
+    Output: (path, verdict) with verdict ∈ {not_used_in_site,
+    not_in_project, case_only_not_used_in_site, case_only_not_in_project};
+    case-insensitive verdicts carry lowercased paths (the reference prints
+    the lowered names, :98-99).
+    """
+    ext_ok = F.lower(F.col("path")).rlike(
+        r"\.(" + "|".join(IMAGE_EXTENSIONS) + r")$"
+    )
+    disk = disk_files.filter(ext_ok).select("path").dropDuplicates()
+
+    prefix = "/" + site_prefix_to_remove
+    local = F.parse_url(F.col("url"), F.lit("PATH"))
+    site = (
+        results.filter(
+            F.lower(F.col("content_type")).isin(IMAGE_MIMES)
+            & F.col("host").isin(list(sites_to_scan))
+        )
+        .select(local.alias("local"))
+        .filter(F.col("local").startswith(prefix))
+        .select(
+            F.col("local").substr(F.lit(len(site_prefix_to_remove) + 2), F.lit(2**30)).alias("path")
+        )
+        .dropDuplicates()
+    )
+
+    disk_l = disk.select(F.lower("path").alias("path")).dropDuplicates()
+    site_l = site.select(F.lower("path").alias("path")).dropDuplicates()
+
+    nu_cs = disk.join(site, "path", "left_anti")           # not used, case-sensitive
+    nu_ci = disk_l.join(site_l, "path", "left_anti")       # not used, case-insensitive
+    nip_cs = site.join(disk, "path", "left_anti")          # not in project, cs
+    nip_ci = site_l.join(disk_l, "path", "left_anti")      # not in project, ci
+
+    # branch gating flags (reference control flow) as a 1-row dimension
+    flags = (
+        nu_cs.agg(F.count("*").alias("n_nu_cs"))
+        .crossJoin(nu_ci.agg(F.count("*").alias("n_nu_ci")))
+        .crossJoin(nip_cs.agg(F.count("*").alias("n_nip_cs")))
+        .crossJoin(nip_ci.agg(F.count("*").alias("n_nip_ci")))
+    )
+
+    def branch(df, verdict, cond):
+        return (
+            df.crossJoin(F.broadcast(flags))
+            .filter(cond)
+            .select("path", F.lit(verdict).alias("verdict"))
+        )
+
+    active = F.col("n_nu_cs") > 0  # :91 — empty ⇒ report ends
+    out = branch(nip_ci, "not_in_project", active & (F.col("n_nip_ci") > 0))
+    out = out.unionByName(
+        branch(
+            nip_cs,
+            "case_only_not_in_project",
+            active & (F.col("n_nip_ci") == 0) & (F.col("n_nip_cs") > 0),
+        )
+    )
+    out = out.unionByName(
+        branch(nu_ci, "not_used_in_site", active & (F.col("n_nu_ci") > 0))
+    )
+    out = out.unionByName(
+        branch(
+            nu_cs,
+            "case_only_not_used_in_site",
+            active & (F.col("n_nu_ci") == 0) & (F.col("n_nu_cs") > 0),
+        )
+    )
+    return out.orderBy("verdict", "path")
 
 
 def crawl_log(results: DataFrame) -> DataFrame:

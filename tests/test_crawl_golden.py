@@ -147,3 +147,20 @@ def test_metrics_written(spark_crawl, oracle_crawl):
     )
     assert total_fetched == oracle_fetched
     assert all(row["elapsed_sec"] > 0 for row in m.values())
+
+
+def test_is_base_of_gates(spark, golden_spark_crawl, golden_oracle_crawl):
+    """Engine.cs:76/:171 two-gate semantics: the https same-host page is
+    FETCHED ok (supported scheme) but never EXPANDED (authority differs
+    from the http seed) and gets no meta row (IsBaseOf fails on scheme)."""
+    res = {r["url"]: r for r in golden_spark_crawl.results().collect()}
+    https_url = next(u for u in res if u.startswith("https://"))
+    assert res[https_url]["classification"] == "ok"
+    assert not any("never-crawled" in u for u in res), "https page was expanded"
+    metas = {r["url"] for r in golden_spark_crawl.page_meta().collect()}
+    assert https_url not in metas
+    # sub-directory pages are crawled (authority gate) but outside the
+    # /page/ seed's IsBaseOf prefix -> no canonical/description meta rows
+    subdir = [u for u in res if "/dir/sub/" in u and res[u]["classification"] == "ok"]
+    assert subdir, "fixture lost its /dir/sub pages"
+    assert not any(u in metas for u in subdir)

@@ -99,3 +99,54 @@ def test_failure_count(golden_spark_crawl, golden_oracle_crawl):
     got = reports.failure_count(golden_spark_crawl.results())
     want = sum(1 for r in golden_oracle_crawl.results if r["classification"] != "ok")
     assert got == want
+
+
+def test_used_images_path_report_branches(spark):
+    """UsedImagesChecker branch fidelity (UsedImagesChecker.cs:91-121):
+    early exit when every project file is used; case_only_* verdicts when
+    the case-insensitive difference is empty but the case-sensitive one
+    is not; SitesToScan / prefix / extension filters."""
+    from linkkchecker_net_spark.reports import used_images_path_report
+
+    def df_paths(paths):
+        return spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def df_results(rows):
+        return spark.createDataFrame(
+            rows, "url string, host string, content_type string"
+        )
+
+    site = df_results(
+        [
+            ("http://cdn.test/Assets/a.png", "cdn.test", "image/png"),
+            ("http://cdn.test/Assets/B.PNG", "cdn.test", "IMAGE/PNG"),  # ct case
+            ("http://cdn.test/Other/c.png", "cdn.test", "image/png"),  # prefix
+            ("http://evil.test/Assets/d.png", "evil.test", "image/png"),  # host
+            ("http://cdn.test/Assets/page.html", "cdn.test", "text/html"),  # mime
+        ]
+    )
+
+    # 1. every disk file used (case-sensitively) -> report is EMPTY even
+    #    though the site has files the project lacks (:91 early exit)
+    out = used_images_path_report(
+        df_paths(["/a.png"]), site, ["cdn.test"], "Assets"
+    )
+    assert out.count() == 0
+
+    # 2. case-only mismatch: disk has /b.png, site serves /B.PNG -> the ci
+    #    difference is empty on the not-in-project side, cs is not
+    out = used_images_path_report(
+        df_paths(["/a.png", "/b.png", "/unused.gif", "/readme.txt"]),
+        site,
+        ["cdn.test"],
+        "Assets",
+    )
+    rows = {(r["verdict"], r["path"]) for r in out.collect()}
+    assert ("case_only_not_in_project", "/B.PNG") in rows
+    assert ("not_used_in_site", "/unused.gif") in rows
+    # ci not-used list is lowercased and excludes the case-matched b
+    assert not any(p == "/b.png" for v, p in rows if v == "not_used_in_site")
+    # extension filter: .txt never appears
+    assert not any("readme" in p for _v, p in rows)
+    # host/prefix/mime-filtered site rows never appear
+    assert not any("c.png" in p or "d.png" in p or "page" in p for _v, p in rows)
