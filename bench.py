@@ -257,6 +257,13 @@ def main() -> None:
     spark = build(CPUS)
     ensure_web(spark, PAGES, web_path)
     ensure_corpus(spark, IMAGES, corpus_path)
+    if DO_SCALING:
+        scale_images = max(IMAGES // 2, 20_000)
+        ensure_corpus(
+            spark,
+            scale_images,
+            os.path.join(tempfile.gettempdir(), f"bench_corpus_{scale_images}"),
+        )
     crawl = run_crawl(spark, web_path, seeds_n=512)
     val = run_validation(spark, corpus_path)
     queries = run_queries(spark)
@@ -268,8 +275,13 @@ def main() -> None:
         high = min(CPUS, (os.cpu_count() or CPUS) // 4)
         low = max(high // 4, 1)
         levels = {}
+        # the scaling corpus is half the headline corpus — efficiency is a
+        # ratio of the SAME job at two levels, so absolute size only needs
+        # to dominate fixed overheads (it does; validate runs ~100 s at the
+        # low level)
+        scale_images = max(IMAGES // 2, 20_000)
         for cores in (high, low):
-            levels[cores] = spawn_leg(cores, PAGES, IMAGES)
+            levels[cores] = spawn_leg(cores, PAGES, scale_images)
         ch, cl = levels[high], levels[low]
         fetch_val_high = (ch["crawl"]["fetched"] + ch["validate"]["validated"]) / (
             ch["crawl"]["elapsed_sec"] + ch["validate"]["elapsed_sec"]

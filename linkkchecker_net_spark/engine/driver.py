@@ -27,6 +27,7 @@ from linkkchecker_net_spark.engine.filters import (
 )
 from linkkchecker_net_spark.kernels.canonicalize import (
     authority_of,
+    base_prefix_of,
     canonicalize,
     host_of,
 )
@@ -66,6 +67,17 @@ class CrawlConfig:
     # compact seen deltas into one snapshot when this many accumulate —
     # keeps the anti-join read fan-in bounded across long crawls
     seen_compact_every: int = 8
+    # SURVEY §4 storage-partitioned anti-join: ALSO maintain the seen set
+    # as a parquet table bucketed by url_hash, so the >threshold exchange
+    # anti-join reads the seen side pre-partitioned — zero exchange on the
+    # (10^10-row) seen side, only the politeness-bounded candidate side
+    # shuffles into the bucketing.  (The Iceberg analog is
+    # bucket(url_hash) storage partitioning; plain-parquet bucketed tables
+    # are the sandbox's equivalent.)  The per-epoch delta dirs remain the
+    # resume checkpoint; the table carries the epoch column so resume
+    # reads filter to epochs <= current.
+    bucketed_seen: bool = False
+    seen_buckets: int = 32
     # W2 rank strategy: batches below this use one row_number window (zero
     # extra jobs); above it the parallel range-sort + offsets path.  Set
     # lower if individual pages can carry ~millions of links each.
@@ -85,6 +97,38 @@ class CrawlDriver:
         self.robots = robots
         self.cfg = config
         self._robots_empty: bool | None = None
+        if config.bucketed_seen:
+            # a HashPartitioning on a SUBSET of the join keys (url_hash of
+            # [url_hash, url]) must be allowed to satisfy the join's
+            # clustering for the bucketed scan to skip its exchange
+            spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+
+    # ------------------------------------------------- bucketed seen table
+    def _seen_table(self) -> str:
+        import hashlib
+
+        h = hashlib.md5(self.cfg.ckpt_dir.encode()).hexdigest()[:10]
+        return f"seen_bucketed_{h}"
+
+    def _ensure_seen_table(self, reset: bool = False) -> None:
+        tbl = self._seen_table()
+        path = os.path.join(self.cfg.ckpt_dir, "seen_bucketed")
+        if reset:
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} "
+            "(url_hash BIGINT, url STRING, first_depth INT, epoch INT) "
+            f"USING PARQUET CLUSTERED BY (url_hash) SORTED BY (url_hash) "
+            f"INTO {self.cfg.seen_buckets} BUCKETS LOCATION '{path}'"
+        )
+
+    def _append_seen_bucketed(self, delta: DataFrame) -> None:
+        delta.select("url_hash", "url", "first_depth", "epoch").write.mode(
+            "append"
+        ).insertInto(self._seen_table())
 
     def _politeness_flags(self) -> tuple[bool, bool]:
         """(skip_politeness, skip_robots): with an empty robots table and an
@@ -98,7 +142,7 @@ class CrawlDriver:
     def init_seeds(self, seeds: list[dict]) -> dict:
         """Epoch-0 frontier from the seed list — driver-side Python (tiny),
         mirroring EngineConfig.cs:58-70 scheme defaulting + claim-at-init."""
-        rows, seen_urls, seed_auths = [], set(), []
+        rows, seen_urls, seed_auths, seed_prefixes = [], set(), [], []
         rank = 0
         for s in seeds:
             raw = (s.get("seed_url") or "").strip()
@@ -112,6 +156,9 @@ class CrawlDriver:
             auth = authority_of(url)
             if auth is not None and auth not in seed_auths:
                 seed_auths.append(auth)
+            pref = base_prefix_of(url)
+            if pref is not None and pref not in seed_prefixes:
+                seed_prefixes.append(pref)
             rows.append(
                 (url, 0, host, 0, int(s.get("priority", 0)), 0, None, url, True, True, rank)
             )
@@ -132,17 +179,19 @@ class CrawlDriver:
         d = catalog.init_dir(self.cfg.ckpt_dir)
         os.makedirs(d, exist_ok=True)
         catalog.write_table(frontier, os.path.join(d, "frontier"))
-        catalog.write_table(
-            frontier.select(
-                "url_hash", "url", F.col("crawl_depth").alias("first_depth"),
-                F.lit(-1).alias("epoch"),
-            ),
-            os.path.join(d, "seen_delta"),
+        init_delta = frontier.select(
+            "url_hash", "url", F.col("crawl_depth").alias("first_depth"),
+            F.lit(-1).alias("epoch"),
         )
+        catalog.write_table(init_delta, os.path.join(d, "seen_delta"))
+        if self.cfg.bucketed_seen:
+            self._ensure_seen_table(reset=True)
+            self._append_seen_bucketed(init_delta)
         manifest = {
             "next_rank": rank,
             "frontier_count": len(rows),
             "seed_authorities": seed_auths,
+            "seed_prefixes": seed_prefixes,
             "next_epoch": 0,
         }
         catalog.write_manifest(d, manifest)
@@ -210,25 +259,35 @@ class CrawlDriver:
             os.path.join(d, "frontier"),
         )
         written = self.spark.read.parquet(os.path.join(d, "frontier"))
-        catalog.write_table(
-            written.select(
-                "url_hash", "url", F.col("crawl_depth").alias("first_depth"),
-                F.lit(-1).alias("epoch"),
-            ),
-            os.path.join(d, "seen_delta"),
+        init_delta = written.select(
+            "url_hash", "url", F.col("crawl_depth").alias("first_depth"),
+            F.lit(-1).alias("epoch"),
         )
+        catalog.write_table(init_delta, os.path.join(d, "seen_delta"))
+        if self.cfg.bucketed_seen:
+            self._ensure_seen_table(reset=True)
+            self._append_seen_bucketed(init_delta)
         n = int(obs.get["n"])
-        from linkkchecker_net_spark.kernels.canonicalize import authority_udf
+        from linkkchecker_net_spark.kernels.canonicalize import (
+            authority_udf,
+            base_prefix_udf,
+        )
 
         seed_auths = [
             r[0]
             for r in written.select(authority_udf("url")).distinct().collect()
             if r[0] is not None
         ]
+        seed_prefixes = [
+            r[0]
+            for r in written.select(base_prefix_udf("url")).distinct().collect()
+            if r[0] is not None
+        ]
         manifest = {
             "next_rank": n,
             "frontier_count": n,
             "seed_authorities": seed_auths,
+            "seed_prefixes": seed_prefixes,
             "next_epoch": 0,
         }
         catalog.write_manifest(d, manifest)
@@ -271,6 +330,7 @@ class CrawlDriver:
             "next_rank": man["next_rank"],
             "frontier_count": man["frontier_count"],
             "seed_authorities": man["seed_authorities"],
+            "seed_prefixes": man.get("seed_prefixes", []),
             "last_epoch": last,
             "frontier_path": frontier_path,
             "seen_base": man.get("seen_base"),
@@ -297,14 +357,19 @@ class CrawlDriver:
         # even explainString OOMs, by ~epoch 10); the read itself is lazy
         # and folds into the next epoch's first job.
         frontier = catalog.read_table(spark, state["frontier_path"])
-        seen_paths = self._seen_paths(state, e - 1)
-        seen = spark.read.parquet(*seen_paths)
-
         skip_pol, skip_rob = self._politeness_flags()
         broadcast_seen = (
             state.get("seen_total", 0) + state["frontier_count"]
             <= cfg.broadcast_seen_threshold
         )
+        if cfg.bucketed_seen and not broadcast_seen:
+            # storage-partitioned anti-join: the bucketed scan arrives
+            # hash-partitioned on url_hash — no exchange on the seen side
+            self._ensure_seen_table()
+            seen = self.spark.table(self._seen_table()).filter(F.col("epoch") <= e - 1)
+        else:
+            seen_paths = self._seen_paths(state, e - 1)
+            seen = spark.read.parquet(*seen_paths)
         bloom_bcast = None
         if cfg.use_bloom and not broadcast_seen:
             blob = build_bloom(
@@ -322,6 +387,7 @@ class CrawlDriver:
             web=self.web,
             robots=self.robots,
             seed_authorities=state["seed_authorities"],
+            seed_prefixes=state["seed_prefixes"],
             epoch=e,
             next_rank=state["next_rank"],
             default_budget=cfg.default_budget,
@@ -393,6 +459,11 @@ class CrawlDriver:
             for f in futs:
                 f.result()
         _mark("write_state_tables")
+        if cfg.bucketed_seen:
+            self._append_seen_bucketed(
+                spark.read.parquet(os.path.join(ed, "seen_delta"))
+            )
+            _mark("append_seen_bucketed")
         for df in res.persisted:
             df.unpersist()
 
@@ -432,6 +503,7 @@ class CrawlDriver:
             "next_rank": next_rank,
             "frontier_count": frontier_count,
             "seed_authorities": state["seed_authorities"],
+            "seed_prefixes": state["seed_prefixes"],
             "next_epoch": e + 1,
             "by_class": by_class,
             "fetched": fetched_n,

@@ -207,6 +207,7 @@ def generate_candidates(
     fetched: DataFrame,
     web: DataFrame,
     seed_authorities: list[str],
+    seed_prefixes: list[str],
     epoch: int,
     broadcast_parseable: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -262,7 +263,8 @@ def generate_candidates(
         .drop("b_url_hash", "b_url", "url_hash")
     )
     extracted = with_body.mapInPandas(
-        fused.extract_batches(set(seed_authorities)), fused.FUSED_SCHEMA
+        fused.extract_batches(set(seed_authorities), tuple(sorted(set(seed_prefixes)))),
+        fused.FUSED_SCHEMA,
     ).persist()
 
     # page-level extractions for in-site pages (CanonicalChecker /
@@ -550,6 +552,7 @@ def run_epoch(
     web: DataFrame,
     robots: DataFrame,
     seed_authorities: list[str],
+    seed_prefixes: list[str],
     epoch: int,
     next_rank: int,
     default_budget: int,
@@ -594,7 +597,8 @@ def run_epoch(
     )
 
     candidates, page_meta, html_persisted = generate_candidates(
-        fetched, web, seed_authorities, epoch, broadcast_parseable=broadcast_parseable
+        fetched, web, seed_authorities, seed_prefixes, epoch,
+        broadcast_parseable=broadcast_parseable,
     )
     gated_results, new_frontier, cand_persists = dedup_gate_rank(
         candidates,

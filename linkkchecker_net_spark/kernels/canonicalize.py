@@ -134,6 +134,22 @@ def authority_of(url: str | None) -> str | None:
     return f"{scheme}://{host}"
 
 
+def base_prefix_of(url: str | None) -> str | None:
+    """The string prefix a URL must carry for ``seed.IsBaseOf(url)`` to
+    hold: ``scheme://authority`` + the seed's path truncated through its
+    last '/' (the .NET segment truncation).  For canonicalized URLs,
+    ``url.startswith(base_prefix_of(seed))`` ⟺ ``is_base_of(seed, url)``.
+
+    The multi-seed checker gate collects the DISTINCT base prefixes of all
+    seeds — formulaic seed lists share a handful of directories, so the
+    set stays tiny even at 10^10 seeds."""
+    auth = authority_of(url)
+    if auth is None:
+        return None
+    p = urlsplit(url).path or "/"
+    return auth + (p[: p.rfind("/") + 1] or "/")
+
+
 def is_base_of(base: str | None, url: str | None) -> bool:
     """.NET ``Uri.IsBaseOf`` (CanonicalChecker.cs:34,
     DescriptionLengthChecker.cs:36 — ``steps[0].Uri.IsBaseOf(uri)``):
@@ -167,6 +183,11 @@ def host_udf(url: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def authority_udf(url: pd.Series) -> pd.Series:
     return pd.Series([authority_of(u) for u in url], dtype="object")
+
+
+@F.pandas_udf(T.StringType())
+def base_prefix_udf(url: pd.Series) -> pd.Series:
+    return pd.Series([base_prefix_of(u) for u in url], dtype="object")
 
 
 def canonical_segments_match(url: str, canonical_href: str) -> bool:

@@ -30,7 +30,6 @@ import pandas as pd
 from linkkchecker_net_spark.kernels.canonicalize import (
     authority_of,
     canonicalize,
-    is_base_of,
 )
 from linkkchecker_net_spark.kernels.cssparse import extract_css_urls
 from linkkchecker_net_spark.kernels.htmlparse import parse_page
@@ -51,8 +50,8 @@ _COLS = [
 ]
 
 
-def extract_batches(seed_authorities: set[str]):
-    """Returns the mapInPandas function closed over the seed AUTHORITY set.
+def extract_batches(seed_authorities: set[str], seed_prefixes: tuple[str, ...]):
+    """Returns the mapInPandas function closed over the seed gates.
 
     Input rows: url, discovery_rank, crawl_depth, priority, seed_url, host,
     may_contain_links, expand_links, content_type, body.
@@ -62,10 +61,14 @@ def extract_batches(seed_authorities: set[str]):
         must match a seed's: Engine.cs:76 trims BaseUri to
         GetLeftPart(Authority), so Engine.cs:171's IsBaseOf is an
         authority-equality test (multi-seed generalized to a set);
-      * META emission (canonical/description checkers) — the FULL seed
-        URL's IsBaseOf (CanonicalChecker.cs:34 uses steps[0].Uri, the
-        un-trimmed seed): path-prefix after segment truncation, so a
-        sub-path seed reports only on pages under its directory.
+      * META emission (canonical/description checkers) — the seed URL's
+        IsBaseOf (CanonicalChecker.cs:34 uses steps[0].Uri, the un-trimmed
+        seed): path-prefix after segment truncation.  Multi-seed
+        generalization = ANY seed (the union of per-seed reference runs —
+        and independent of which seed's BFS happens to reach a page
+        first), realized as the DISTINCT seed base prefixes (a tiny set
+        even for huge formulaic seed lists) so the gate is one
+        str.startswith(tuple).
 
     Candidate rows are SKINNY on purpose: a candidate carries only its url,
     its order key (parent_rank, tag_rank, doc_pos) and its per-link flags.
@@ -115,7 +118,7 @@ def extract_batches(seed_authorities: set[str]):
                 if ct == "text/html" and row.may_contain_links:
                     parsed = parse_page(row.body)
                     in_site = authority_of(row.url) in seed_authorities
-                    if is_base_of(row.seed_url, row.url):
+                    if seed_prefixes and row.url.startswith(seed_prefixes):
                         o_kind.append("meta")
                         o_prank.append(row.discovery_rank)
                         o_pdepth.append(row.crawl_depth)

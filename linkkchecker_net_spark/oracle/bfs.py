@@ -58,10 +58,10 @@ from urllib.parse import urlsplit
 
 from linkkchecker_net_spark.kernels.canonicalize import (
     authority_of,
+    base_prefix_of,
     canonical_segments_match,
     canonicalize,
     host_of,
-    is_base_of,
 )
 from linkkchecker_net_spark.kernels.classify import REDIRECT_CODES
 from linkkchecker_net_spark.kernels.cssparse import extract_css_urls
@@ -106,6 +106,7 @@ class OracleCrawl:
     seen: dict = field(default_factory=dict)  # url -> first_depth
     frontier: list = field(default_factory=list)
     seed_authorities: set = field(default_factory=set)
+    seed_prefixes: set = field(default_factory=set)
     next_rank: int = 0
     epoch: int = 0
 
@@ -136,6 +137,9 @@ class OracleCrawl:
             auth = authority_of(url)
             if auth is not None:
                 self.seed_authorities.add(auth)
+            pref = base_prefix_of(url)
+            if pref is not None:
+                self.seed_prefixes.add(pref)
             self.seen[url] = 0
             self.frontier.append(
                 FrontierEntry(
@@ -218,7 +222,7 @@ class OracleCrawl:
             in_site = authority_of(e.url) in self.seed_authorities
             if ct == "text/html" and e.may_contain_links:
                 parsed = parse_page(row["body"])
-                if is_base_of(e.seed_url, e.url):
+                if e.url.startswith(tuple(sorted(self.seed_prefixes))):
                     self.page_meta.append(
                         dict(
                             url=e.url,

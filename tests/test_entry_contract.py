@@ -61,16 +61,18 @@ def compare_query(spark, duck, name):
 
 NON_CRAWL = [
     "classify", "canonicalize", "extract_links", "extract_css",
-    "politeness_topk", "seen_dedup", "sitemap_report",
+    "politeness_topk", "seen_dedup", "sitemap_locs", "sitemap_report",
+    "used_images_paths", "validate_images",
     "dedup_exact", "dedup_fingerprint", "jaccard_pairs", "minhash_lsh_pairs",
+    "simhash", "simhash_pairs", "image_meta",
     "embed_neardup", "ann_topk", "lang_id", "token_count", "quality_score",
     "fingerprint", "event_stats",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
-    "canonical_report", "used_images",
+    "canonical_report", "used_images", "crawl_log", "failure_count",
 ]
-ROWS_ONLY = ["simhash", "simhash_pairs", "ann_lsh", "image_meta"]
+ROWS_ONLY = ["ann_lsh"]
 
 
 @pytest.mark.parametrize("name", NON_CRAWL)

@@ -134,3 +134,39 @@ def test_crawl_log(spark, golden_spark_crawl, golden_oracle_crawl):
     some = ok[0]
     msg = rows[some["url"]]["message"]
     assert f"for {some['url']}" in msg
+
+
+def test_bucketed_seen_equivalence_and_plan(spark, golden_fixtures, tmp_path):
+    """SURVEY §4 storage-partitioned anti-join: the bucketed-seen crawl is
+    byte-identical to the plain path, and the >threshold anti-join plan has
+    NO exchange on the seen side (the bucketed scan arrives partitioned)."""
+    fx = golden_fixtures
+    plain = _run(spark, fx, tmp_path / "pl", broadcast_seen_threshold=0)
+    bucketed = _run(
+        spark,
+        fx,
+        tmp_path / "bk",
+        broadcast_seen_threshold=0,
+        bucketed_seen=True,
+        seen_buckets=8,
+    )
+    assert _rows(plain) == _rows(bucketed)
+
+    # plan shape: candidates anti-join bucketed seen — only ONE exchange
+    # (the candidate side), and the seen side is a bucketed scan
+    from pyspark.sql import functions as F
+
+    tbl = bucketed._seen_table()
+    seen = spark.table(tbl).select("url_hash", "url")
+    cand = spark.range(0, 1000).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        anti = cand.join(seen, on=["url_hash", "url"], how="left_anti")
+        plan = anti._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert plan.count("Exchange") == 1, plan
+    assert "Bucketed: true" in plan, plan
