@@ -226,22 +226,61 @@ def run_leg(cores: int, pages: int, images: int) -> None:
     # best-of-2: the sandbox VM shows ±10-20% run-to-run noise (shared
     # host); the faster run is the less-perturbed measurement of the
     # same deterministic job
-    c = min(
-        (run_crawl(spark, web_path, seeds_n=pages, saturated=True) for _ in range(2)),
-        key=lambda r: r["elapsed_sec"],
-    )
+    trials = [run_crawl(spark, web_path, seeds_n=pages, saturated=True) for _ in range(2)]
+    print("LEG_TRIALS " + json.dumps(trials), flush=True)
+    c = min(trials, key=lambda r: r["elapsed_sec"])
     v = run_validation(spark, os.path.join(tempfile.gettempdir(), f"bench_corpus_{images}"))
     spark.stop()
     print("LEG_RESULT " + json.dumps({"crawl": c, "validate": v}), flush=True)
 
 
+def _quiesce(max_wait: float = 90.0, target: float = 2.0) -> None:
+    """Wait for the box to settle between bench phases: the previous
+    phase's JVM teardown, python-worker reaping, and page-cache churn
+    otherwise bleed into the first minute of the next pinned leg (measured
+    ~60% slowdown on the leg launched immediately after the main phase)."""
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait:
+        try:
+            with open("/proc/loadavg") as f:
+                load1 = float(f.read().split()[0])
+        except OSError:
+            return
+        if load1 < target:
+            return
+        time.sleep(5)
+
+
+def _stop_hard(spark) -> None:
+    """stop() the session AND terminate the py4j gateway JVM — a stopped
+    SparkSession leaves an 8 GB idle JVM (plus reaped-late python workers)
+    alive until the python process exits."""
+    try:
+        gateway = spark.sparkContext._gateway
+    except Exception:
+        gateway = None
+    spark.stop()
+    if gateway is not None:
+        try:
+            gateway.shutdown()
+        except Exception:
+            pass
+
+
 def spawn_leg(cores: int, pages: int, images: int) -> dict:
+    _quiesce()
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--leg", str(cores), str(pages), str(images)],
         capture_output=True,
         text=True,
         timeout=3600,
     )
+    log = os.path.join(tempfile.gettempdir(), f"bench_leg_{cores}.log")
+    try:
+        with open(log, "w") as f:
+            f.write(proc.stdout[-20000:] + "\n--stderr--\n" + proc.stderr[-8000:])
+    except OSError:
+        pass
     for line in proc.stdout.splitlines():
         if line.startswith("LEG_RESULT "):
             return json.loads(line[len("LEG_RESULT "):])
@@ -267,7 +306,7 @@ def main() -> None:
     crawl = run_crawl(spark, web_path, seeds_n=512)
     val = run_validation(spark, corpus_path)
     queries = run_queries(spark)
-    spark.stop()
+    _stop_hard(spark)
 
     scaling = None
     if DO_SCALING:
