@@ -44,9 +44,12 @@ class CrawlConfig:
     # shuffles).  Above the threshold the fetch join becomes a plain
     # left-outer shuffle join — with the body column split out of the fetch
     # join (epoch.py), the web's meta side is ~90 B/row, so shuffling it
-    # beats funneling a multi-100k-row batch through driver-side broadcast
-    # collects.  Measured breakeven on the bench box is ~100-200k rows.
-    broadcast_batch_threshold: int = 150_000
+    # beats funneling the batch through a driver-side broadcast collect
+    # (which is serial driver time: collect + hash-relation build, repeated
+    # for the parent-enrichment join — pure flat cost that caps scaling
+    # efficiency).  Measured on the bench box: the parallel exchange wins
+    # from ~20k rows up at 8 cores, and the gap widens with cores.
+    broadcast_batch_threshold: int = 20_000
     # the parse stage's body join broadcasts the (ok ∧ parseable) key set so
     # page payloads never shuffle; above this the bodies exchange instead
     broadcast_parseable_threshold: int = 2_000_000
@@ -273,16 +276,17 @@ class CrawlDriver:
             base_prefix_udf,
         )
 
-        seed_auths = [
-            r[0]
-            for r in written.select(authority_udf("url")).distinct().collect()
-            if r[0] is not None
-        ]
-        seed_prefixes = [
-            r[0]
-            for r in written.select(base_prefix_udf("url")).distinct().collect()
-            if r[0] is not None
-        ]
+        # one job for both seed-config dimensions (authority set + base
+        # prefixes), partial-aggregated map-side — not two full re-scans
+        pairs = (
+            written.select(
+                authority_udf("url").alias("a"), base_prefix_udf("url").alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        seed_auths = sorted({r["a"] for r in pairs if r["a"] is not None})
+        seed_prefixes = sorted({r["p"] for r in pairs if r["p"] is not None})
         manifest = {
             "next_rank": n,
             "frontier_count": n,

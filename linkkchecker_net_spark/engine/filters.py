@@ -120,16 +120,56 @@ class CuckooFilter:
 
     def add(self, keys) -> int:
         """Insert keys; returns number successfully inserted (a full filter
-        rejects — callers size capacity with headroom)."""
+        rejects — callers size capacity with headroom).
+
+        The common no-eviction path is fully vectorized: one greedy bulk
+        claim into each key's primary bucket, a second into the alternate
+        bucket for the spillover, and only the (rare, near-full-filter)
+        remainder walks the per-key eviction loop.  At snapshot-partition
+        sizes (10^8-10^9 keys/partition at the 10^10 design point) the
+        per-key Python loop was the builder's bottleneck."""
         k64 = _as_u64(keys)
         fps = self._fp(k64)
         i1s = self._i1(k64)
-        rng = np.random.default_rng(42)  # deterministic eviction choices
-        inserted = 0
-        for fp, i1 in zip(fps, i1s):
-            if self._insert_one(int(fp), int(i1), rng):
-                inserted += 1
+        ins1 = self._bulk_claim(i1s, fps)
+        inserted = int(ins1.sum())
+        rem = np.flatnonzero(~ins1)
+        if len(rem):
+            i2s = self._i2(i1s[rem], fps[rem])
+            ins2 = self._bulk_claim(i2s, fps[rem])
+            inserted += int(ins2.sum())
+            rng = np.random.default_rng(42)  # deterministic eviction choices
+            for j in rem[~ins2]:
+                if self._insert_one(int(fps[j]), int(i1s[j]), rng):
+                    inserted += 1
         return inserted
+
+    def _bulk_claim(self, idxs: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Vectorized greedy slot claim: for each (bucket, fp) pair, take
+        the next empty slot of the bucket if one remains after earlier
+        claimants of the same bucket.  Returns inserted mask (input order)."""
+        if not len(idxs):
+            return np.zeros(0, dtype=bool)
+        order = np.argsort(idxs, kind="stable")
+        sidx = idxs[order]
+        sfps = fps[order]
+        first = np.empty(len(sidx), dtype=bool)
+        first[0] = True
+        np.not_equal(sidx[1:], sidx[:-1], out=first[1:])
+        grp_id = np.cumsum(first) - 1
+        counts = np.bincount(grp_id)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ranks = np.arange(len(sidx)) - starts[grp_id]
+        emp = self.table[sidx] == 0
+        cs = np.cumsum(emp, axis=1)
+        slotmask = emp & (cs == (ranks + 1)[:, None])
+        has = slotmask.any(axis=1)
+        slot = slotmask.argmax(axis=1)
+        self.table[sidx[has], slot[has]] = sfps[has]
+        self.count += int(has.sum())
+        ok = np.zeros(len(idxs), dtype=bool)
+        ok[order] = has
+        return ok
 
     def _insert_one(self, fp: int, i1: int, rng) -> bool:
         i2 = int(self._i2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])

@@ -170,3 +170,22 @@ def test_bucketed_seen_equivalence_and_plan(spark, golden_fixtures, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert plan.count("Exchange") == 1, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_shuffle_join_paths_equivalence(spark, golden_fixtures, tmp_path):
+    """The >threshold physical strategies — shuffle fetch join (plain left
+    join instead of broadcast-inner + anti recovery), shuffle body join,
+    shuffle parent join, parallel W2 rank — must be row-identical to the
+    all-broadcast small-crawl plan.  This is the plan the saturated
+    steady-state bench (and a 10^10-frontier epoch) actually runs."""
+    fx = golden_fixtures
+    plain = _run(spark, fx, tmp_path / "bc")
+    shuffled = _run(
+        spark,
+        fx,
+        tmp_path / "sh",
+        broadcast_batch_threshold=0,
+        broadcast_parseable_threshold=0,
+        parallel_rank_threshold=0,
+    )
+    assert _rows(plain) == _rows(shuffled)
