@@ -27,9 +27,14 @@ a fixed size" on one box as honestly as a single box allows:
     and Python workers, inflating the small level and corrupting the ratio;
   * each level is prewarmed (JIT — including the Catalyst optimizer —
     codegen, parquet committer, Python worker fork+imports) before the
-    clock starts, and the crawl runs best-of-2 (the sandbox VM shows
-    ±15% one-sided noise; the faster run of a deterministic job is the
-    less-perturbed one);
+    clock starts, and the crawl runs best-of-3 STEAL-GATED trials: the
+    sandbox VM is time-shared (~3.5% CPU steal at idle, multi-minute
+    bursts of much more), so each trial samples /proc/stat steal on its
+    pinned cores and a trial that lost >5% of its cores to a neighbor VM
+    is discarded and re-run (it measured the neighbor, not this engine;
+    a real cluster's executors are not time-shared with other tenants);
+  * seed-list ingestion (one-time setup at any scale) is reported as
+    init_sec, separate from the steady-state epoch-loop fetch rate;
   * spark.local.dir is tmpfs — the sandbox has ONE shared NVMe, a cluster
     has N disks; tmpfs gives shuffle the per-node-scaling bandwidth a real
     cluster's local disks would.
@@ -177,8 +182,9 @@ def run_crawl(
     init_sec = time.monotonic() - t_init
 
     best = None
+    accepted = 0
     try:
-        for _ in range(max(trials, 1)):
+        for attempt in range(max(trials, 1) * 2):
             ck = tempfile.mkdtemp(prefix="bench_ckpt_")
             try:
                 shutil.copytree(
@@ -187,9 +193,13 @@ def run_crawl(
                 driver = CrawlDriver(
                     spark, web, docweb.empty_robots(spark), CrawlConfig(ckpt_dir=ck)
                 )
-                t0 = time.monotonic()
-                driver.resume()
-                elapsed = time.monotonic() - t0
+
+                def timed():
+                    t0 = time.monotonic()
+                    driver.resume()
+                    return time.monotonic() - t0
+
+                elapsed, steal = _measure_with_steal(timed)
                 # fetched count comes from the epoch manifests (every epoch
                 # already observe()s its classification counts on the results
                 # write — a post-hoc recount would be one more full-scan job)
@@ -206,9 +216,17 @@ def run_crawl(
                     "fetched": fetched,
                     "urls_per_sec": round(fetched / elapsed, 2),
                     "epochs": len(epochs),
+                    "steal": round(steal, 4),
                 }
                 if best is None or r["elapsed_sec"] < best["elapsed_sec"]:
                     best = r
+                # steal-gated trial count: a trial whose window lost >5% of
+                # our pinned cores to a neighbor VM measured the neighbor,
+                # not this engine — it doesn't consume the trial budget
+                if steal < STEAL_GATE:
+                    accepted += 1
+                    if accepted >= max(trials, 1):
+                        break
             finally:
                 shutil.rmtree(ck, ignore_errors=True)
         return best
@@ -261,17 +279,56 @@ def run_leg(cores: int, pages: int, images: int) -> None:
     spark = build(cores)
     web_path = os.path.join(tempfile.gettempdir(), f"bench_web_{pages}")
     c = run_crawl(spark, web_path, seeds_n=pages, saturated=True, trials=3)
-    v = min(
-        (
-            run_validation(
-                spark, os.path.join(tempfile.gettempdir(), f"bench_corpus_{images}")
-            )
-            for _ in range(2)
-        ),
-        key=lambda r: r["elapsed_sec"],
-    )
+    corpus = os.path.join(tempfile.gettempdir(), f"bench_corpus_{images}")
+    v, accepted = None, 0
+    for _ in range(4):
+        r, steal = _measure_with_steal(lambda: run_validation(spark, corpus))
+        r["steal"] = round(steal, 4)
+        if v is None or r["elapsed_sec"] < v["elapsed_sec"]:
+            v = r
+        if steal < STEAL_GATE:
+            accepted += 1
+            if accepted >= 2:
+                break
     spark.stop()
     print("LEG_RESULT " + json.dumps({"crawl": c, "validate": v}), flush=True)
+
+
+def _steal_snapshot() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) summed over THIS process's allowed
+    CPUs — the signal for 'a neighbor VM burst stole our cores'."""
+    try:
+        allowed = os.sched_getaffinity(0)
+    except (AttributeError, OSError):
+        allowed = None
+    steal = total = 0
+    try:
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and len(line) > 3 and line[3].isdigit():
+                    parts = line.split()
+                    if allowed is not None and int(parts[0][3:]) not in allowed:
+                        continue
+                    vals = list(map(int, parts[1:]))
+                    steal += vals[7] if len(vals) > 7 else 0
+                    total += sum(vals)
+    except OSError:
+        return (0, 1)
+    return (steal, max(total, 1))
+
+
+def _measure_with_steal(fn):
+    """Run fn(); return (result, steal_fraction during the run)."""
+    s0, t0 = _steal_snapshot()
+    out = fn()
+    s1, t1 = _steal_snapshot()
+    dt = max(t1 - t0, 1)
+    return out, (s1 - s0) / dt
+
+
+# a trial measured while a neighbor VM stole >5% of our pinned cores is a
+# measurement of the neighbor, not of this engine — it doesn't count
+STEAL_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_GATE", 0.05))
 
 
 def _quiesce(max_wait: float = 90.0, target: float = 2.0) -> None:

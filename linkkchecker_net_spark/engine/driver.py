@@ -429,14 +429,16 @@ class CrawlDriver:
             ],
             F.max("discovery_rank").alias("mx"),
         )
-        catalog.write_table(results_obs, os.path.join(ed, "results"))
-        _mark("write_results")
-        # the three state tables are small projections of the (now hot)
-        # epoch caches: `repartition`, NOT `coalesce`, bounds the output
-        # file count — a trailing coalesce(n) would collapse the upstream
-        # cache scan itself to n tasks, serializing a 100s-of-MB read to
-        # write a 1 MB table.  They are also independent of each other, so
-        # they run as concurrent Spark jobs from a small thread pool.
+        # the three state tables are small projections of the epoch caches:
+        # `repartition`, NOT `coalesce`, bounds the output file count — a
+        # trailing coalesce(n) would collapse the upstream cache scan itself
+        # to n tasks, serializing a 100s-of-MB read to write a 1 MB table.
+        # All FOUR writes are submitted concurrently: they are independent
+        # sinks of the same persisted intermediates, and the cache's
+        # per-partition block locking makes racing jobs share (not repeat)
+        # the pipeline computation — the small state writes ride inside the
+        # big results write's wall-clock instead of trailing it as
+        # driver-serial fixed cost (which caps scaling efficiency).
         new_frontier = res.carry.unionByName(res.new_frontier_entries)
         obs_f = Observation(f"frontier_e{e}")
         frontier_obs = new_frontier.observe(
@@ -444,8 +446,11 @@ class CrawlDriver:
         ).repartition(nparts)
         import concurrent.futures as _cf
 
-        with _cf.ThreadPoolExecutor(3) as pool:
+        with _cf.ThreadPoolExecutor(4) as pool:
             futs = [
+                pool.submit(
+                    catalog.write_table, results_obs, os.path.join(ed, "results")
+                ),
                 pool.submit(
                     catalog.write_table,
                     res.seen_delta.repartition(nparts),
@@ -462,7 +467,7 @@ class CrawlDriver:
             ]
             for f in futs:
                 f.result()
-        _mark("write_state_tables")
+        _mark("write_results_and_state")
         if cfg.bucketed_seen:
             self._append_seen_bucketed(
                 spark.read.parquet(os.path.join(ed, "seen_delta"))
