@@ -81,6 +81,17 @@ class CrawlConfig:
     # reads filter to epochs <= current.
     bucketed_seen: bool = False
     seen_buckets: int = 32
+    # SURVEY §4 / north-star "frontier tables keyed by (host_hash,
+    # priority, crawl_depth)": ALSO maintain each epoch's frontier as a
+    # parquet table bucketed by host, so the politeness window (W1) reads
+    # the frontier pre-partitioned — NO exchange of the (10^10-row)
+    # frontier into the per-host rank; only the small robots dim
+    # broadcast-joins in.  The plain per-epoch frontier dir remains the
+    # resume artifact; the bucketed table is a derived copy, rebuilt on
+    # demand.  (Iceberg analog: bucket(host) partitioning on the frontier
+    # table.)
+    bucketed_frontier: bool = False
+    frontier_buckets: int = 32
     # W2 rank strategy: batches below this use one row_number window (zero
     # extra jobs); above it the parallel range-sort + offsets path.  Set
     # lower if individual pages can carry ~millions of links each.
@@ -100,7 +111,7 @@ class CrawlDriver:
         self.robots = robots
         self.cfg = config
         self._robots_empty: bool | None = None
-        if config.bucketed_seen:
+        if config.bucketed_seen or config.bucketed_frontier:
             # a HashPartitioning on a SUBSET of the join keys (url_hash of
             # [url_hash, url]) must be allowed to satisfy the join's
             # clustering for the bucketed scan to skip its exchange
@@ -132,6 +143,66 @@ class CrawlDriver:
         delta.select("url_hash", "url", "first_depth", "epoch").write.mode(
             "append"
         ).insertInto(self._seen_table())
+
+    # -------------------------------------------- bucketed frontier table
+    def _frontier_table(self, epoch: int) -> str:
+        import hashlib
+
+        h = hashlib.md5(self.cfg.ckpt_dir.encode()).hexdigest()[:10]
+        return f"frontier_bk_{h}_e{epoch + 1}"  # table holds epoch+1's input
+
+    def _write_frontier_bucketed(self, frontier_path: str, epoch: int) -> None:
+        """Derive the next epoch's W1 input: one file per host-bucket,
+        sorted by the politeness order key.  repartition on the SAME hash
+        Spark buckets with (Murmur3 via F.hash) → each task holds exactly
+        one bucket → one file per bucket, so the scan reports both the
+        hash partitioning AND the sort order."""
+        from pyspark.sql import functions as F2
+
+        tbl = self._frontier_table(epoch)
+        nb = self.cfg.frontier_buckets
+        path = os.path.join(self.cfg.ckpt_dir, f"frontier_bucketed_e{epoch + 1}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        df = self.spark.read.parquet(frontier_path)
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        self.spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (host) "
+            f"SORTED BY (host, priority, crawl_depth, discovery_rank) "
+            f"INTO {nb} BUCKETS LOCATION '{path}'"
+        )
+        (
+            df.repartition(nb, F2.pmod(F2.hash("host"), F2.lit(nb)))
+            .sortWithinPartitions("host", "priority", "crawl_depth", "discovery_rank")
+            .write.mode("append")
+            .insertInto(tbl)
+        )
+        # the previous epoch's derived table is dead state — drop it
+        if epoch >= 0:
+            old = self._frontier_table(epoch - 1)
+            self.spark.sql(f"DROP TABLE IF EXISTS {old}")
+            shutil.rmtree(
+                os.path.join(self.cfg.ckpt_dir, f"frontier_bucketed_e{epoch}"),
+                ignore_errors=True,
+            )
+
+    def _read_frontier(self, state: dict) -> DataFrame:
+        """Frontier input for this epoch: the bucketed table when enabled
+        and present (W1 reads it pre-partitioned by host — no exchange),
+        else the plain checkpoint parquet."""
+        if self.cfg.bucketed_frontier:
+            tbl = self._frontier_table(state["next_epoch"] - 1)
+            try:
+                if self.spark.catalog.tableExists(tbl):
+                    return self.spark.table(tbl)
+            except Exception:
+                pass
+        return catalog.read_table(self.spark, state["frontier_path"])
 
     def _politeness_flags(self) -> tuple[bool, bool]:
         """(skip_politeness, skip_robots): with an empty robots table and an
@@ -190,6 +261,8 @@ class CrawlDriver:
         if self.cfg.bucketed_seen:
             self._ensure_seen_table(reset=True)
             self._append_seen_bucketed(init_delta)
+        if self.cfg.bucketed_frontier:
+            self._write_frontier_bucketed(os.path.join(d, "frontier"), -1)
         manifest = {
             "next_rank": rank,
             "frontier_count": len(rows),
@@ -270,6 +343,8 @@ class CrawlDriver:
         if self.cfg.bucketed_seen:
             self._ensure_seen_table(reset=True)
             self._append_seen_bucketed(init_delta)
+        if self.cfg.bucketed_frontier:
+            self._write_frontier_bucketed(os.path.join(d, "frontier"), -1)
         n = int(obs.get["n"])
         from linkkchecker_net_spark.kernels.canonicalize import (
             authority_udf,
@@ -360,7 +435,7 @@ class CrawlDriver:
         # plan tree exponentially with depth (Catalyst re-optimizes, and
         # even explainString OOMs, by ~epoch 10); the read itself is lazy
         # and folds into the next epoch's first job.
-        frontier = catalog.read_table(spark, state["frontier_path"])
+        frontier = self._read_frontier(state)
         skip_pol, skip_rob = self._politeness_flags()
         broadcast_seen = (
             state.get("seen_total", 0) + state["frontier_count"]
@@ -473,6 +548,9 @@ class CrawlDriver:
                 spark.read.parquet(os.path.join(ed, "seen_delta"))
             )
             _mark("append_seen_bucketed")
+        if cfg.bucketed_frontier:
+            self._write_frontier_bucketed(os.path.join(ed, "frontier"), e)
+            _mark("write_frontier_bucketed")
         for df in res.persisted:
             df.unpersist()
 

@@ -189,3 +189,38 @@ def test_shuffle_join_paths_equivalence(spark, golden_fixtures, tmp_path):
         parallel_rank_threshold=0,
     )
     assert _rows(plain) == _rows(shuffled)
+
+
+def test_bucketed_frontier_equivalence_and_plan(spark, golden_fixtures, tmp_path):
+    """North-star frontier-table fidelity: with bucketed_frontier the
+    politeness window (W1) reads the frontier pre-partitioned by host —
+    crawl results byte-identical to the plain path, and the window plan has
+    NO shuffle exchange on the frontier side (only the robots broadcast)."""
+    fx = dict(golden_fixtures)
+    fx["robots"] = [dict(r, budget=4) for r in golden_fixtures["robots"]]
+    plain = _run(spark, fx, tmp_path / "pf", default_budget=5)
+    bucketed = _run(
+        spark,
+        fx,
+        tmp_path / "bf",
+        default_budget=5,
+        bucketed_frontier=True,
+        frontier_buckets=8,
+    )
+    assert _rows(plain) == _rows(bucketed)
+
+    # plan shape: W1 over the (still-present) last bucketed frontier table
+    from linkkchecker_net_spark.engine.epoch import split_politeness
+
+    last = max(
+        int(t.name.rsplit("_e", 1)[1])
+        for t in spark.catalog.listTables()
+        if t.name.startswith("frontier_bk_")
+    )
+    frontier = spark.table(bucketed._frontier_table(last - 1))
+    robots = tables.robots_df(spark, fx["robots"])
+    batch, carry = split_politeness(frontier, robots, default_budget=5)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan, plan
