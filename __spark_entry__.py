@@ -428,6 +428,8 @@ def q_validate_images(spark, sf_dir):
                 web["body"].append(imaging.encode_lossy(served))
                 web["caption"].append(f"caption {i}" if i % 11 != 5 else "wrong")
                 web["image_id"].append(f"img_{i}")
+            if not corpus["image_id"]:
+                continue
             yield pd.DataFrame(
                 {
                     "c_image_id": corpus["image_id"],

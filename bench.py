@@ -142,7 +142,8 @@ def ensure_corpus(spark, n_images: int, path: str) -> None:
                 out["image_id"].append(f"img_{int(i)}")
                 out["bytes"].append(imaging.encode_lossy(arr))
                 out["fmt"].append("jpeg")
-            yield pd.DataFrame(out)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
 
     spark.range(0, n_images, 1, 256).select(F.col("id")).mapInPandas(
         gen, "image_id string, bytes binary, fmt string"

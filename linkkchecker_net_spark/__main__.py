@@ -45,6 +45,11 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--max-epochs", type=int, default=1000)
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--reports", action="store_true", help="print report summaries when done")
+    p.add_argument(
+        "--extensions-dir",
+        default=None,
+        help="dir holding extensions.txt + per-extension JSON (S4 config source)",
+    )
     p.add_argument("--no-log", action="store_true", help="suppress the per-URL crawl log")
     p.add_argument("--resume", action="store_true", help="resume from --ckpt instead of seeding")
     return p.parse_args(argv)
@@ -115,6 +120,22 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{c}{r['severity']}: {r['message']}{reset}")
 
         failures = reports.failure_count(results)
+        if args.extensions_dir:
+            from linkkchecker_net_spark.config import load_extensions
+
+            excfg = load_extensions(args.extensions_dir)
+            for err in excfg.errors:
+                print(err)
+            for ext in excfg.extensions:
+                try:
+                    df = ext.done(driver)
+                    counts = {
+                        row["verdict"]: row["count"]
+                        for row in df.groupBy("verdict").count().collect()
+                    } if "verdict" in df.columns else {"rows": df.count()}
+                    print(f"extension[{ext.name}]: {counts}")
+                except Exception as ex:
+                    print(f"Error running extension {ext.name} : {ex}")
         if args.reports:
             meta = driver.page_meta()
             for name, df in (

@@ -244,7 +244,13 @@ class CrawlDriver:
         import pandas as pd
 
         names = [f.name for f in schemas.FRONTIER.fields]
-        pdf = pd.DataFrame(dict(zip(names, zip(*rows))) if rows else {n: [] for n in names})
+        pdf = pd.DataFrame(
+            dict(zip(names, zip(*rows)))
+            if rows
+            # dtype=object: pandas 2.x types empty columns float64,
+            # which Arrow cannot cast to the string/bool schema
+            else {n: pd.Series([], dtype=object) for n in names}
+        )
         frontier = (
             self.spark.createDataFrame(pdf, schema=schemas.FRONTIER)
             .withColumn("url_hash", F.xxhash64("url"))

@@ -368,12 +368,15 @@ def build_bloom(
                     bf.bits = np.zeros(m // 64, dtype=np.uint64)
                     local[int(p)] = bf
                 bf.add(keys[sh == p])
-        yield pd.DataFrame(
-            {
-                "p": list(local.keys()),
-                "bits": [bf.bits.tobytes() for bf in local.values()],
-            }
-        )
+        if local:  # empty partition -> yield nothing (pandas 2.x types
+            # empty list-built columns float64, which Arrow can't cast
+            # to binary)
+            yield pd.DataFrame(
+                {
+                    "p": list(local.keys()),
+                    "bits": [bf.bits.tobytes() for bf in local.values()],
+                }
+            )
 
     rows = (
         seen_df.select("url_hash")

@@ -161,6 +161,11 @@ def extract_batches(seed_authorities: set[str], seed_prefixes: tuple[str, ...]):
                                 row.discovery_rank, row.crawl_depth, url,
                                 False, False, CSS_TAG_RANK, pos,
                             )
-            yield pd.DataFrame(out, columns=_COLS)
+            # pandas 2.x infers float64 for empty list-built columns, which
+            # Arrow cannot convert to list<string>/bool — an empty input
+            # batch (partitioning-dependent, hence intermittent) must yield
+            # nothing instead of an empty mistyped frame
+            if o_kind:
+                yield pd.DataFrame(out, columns=_COLS)
 
     return fn

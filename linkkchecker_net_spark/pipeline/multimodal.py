@@ -82,7 +82,8 @@ def synth_corpus(spark, ids_df: DataFrame, fmt_cycle=("png", "jpeg", "gif")) -> 
                 out["phash"].append(
                     imaging.phash64(imaging.decode_image(data, fmt))
                 )
-            yield pd.DataFrame(out)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
 
     return ids_df.mapInPandas(
         gen,
@@ -125,7 +126,8 @@ def image_metadata(corpus: DataFrame) -> DataFrame:
                 rows["phash"].append(ph)
                 for k in feat_names:
                     rows[k].append(feats[k])
-            yield pd.DataFrame(rows)
+            if rows["image_id"]:
+                yield pd.DataFrame(rows)
 
     return corpus.select("image_id", "fmt", "bytes").mapInPandas(
         extract, IMAGE_META_SCHEMA
@@ -146,7 +148,8 @@ def resize_images(corpus: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
                 small = arr[ys][:, xs]
                 ids.append(r.image_id)
                 blobs.append(imaging.encode_lossless(small))
-            yield pd.DataFrame({"image_id": ids, "thumb": blobs})
+            if ids:
+                yield pd.DataFrame({"image_id": ids, "thumb": blobs})
 
     return corpus.select("image_id", "fmt", "bytes").mapInPandas(
         rz, "image_id string, thumb binary"
@@ -185,10 +188,11 @@ def audio_metadata(audio: DataFrame, allow_fake: bool = True) -> DataFrame:
                 secs.append(dur)
                 rates.append(sr)
                 ok.append(good)
-            yield pd.DataFrame(
-                {"audio_id": ids, "duration_sec": secs, "sample_rate": rates,
-                 "real_decode": ok}
-            )
+            if ids:
+                yield pd.DataFrame(
+                    {"audio_id": ids, "duration_sec": secs,
+                     "sample_rate": rates, "real_decode": ok}
+                )
 
     return audio.select("audio_id", "payload").mapInPandas(
         extract, "audio_id string, duration_sec double, sample_rate int, real_decode boolean"

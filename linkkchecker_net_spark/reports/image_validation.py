@@ -75,7 +75,8 @@ def _validate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             out["caption_ok"].append(bool(caption_ok))
             out["phash_dist"].append(phash_dist)
             out["valid"].append(psnr_ok and bool(caption_ok))
-        yield pd.DataFrame(out)
+        if out["image_id"]:
+            yield pd.DataFrame(out)
 
 
 def validate_images(
