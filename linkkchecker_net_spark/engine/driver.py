@@ -36,7 +36,11 @@ from linkkchecker_net_spark.kernels.canonicalize import (
 @dataclass
 class CrawlConfig:
     ckpt_dir: str
-    default_budget: int = 10**9
+    # per-host politeness budget per epoch.  None is the EXPLICIT unbounded
+    # sentinel (W1 skipped when robots is also empty); any integer — however
+    # large — is always enforced.  Never inferred from magnitude: a genuine
+    # 10^8 budget on a 10^10-URL host must bound that host.
+    default_budget: int | None = None
     max_epochs: int = 1000
     snapshot_filters: bool = False  # cuckoo seen-filter snapshots per epoch
     filter_partitions: int = 8
@@ -96,6 +100,12 @@ class CrawlConfig:
     # extra jobs); above it the parallel range-sort + offsets path.  Set
     # lower if individual pages can carry ~millions of links each.
     parallel_rank_threshold: int = 200_000
+    # interval half of politeness: route the post-join fetch batch through
+    # the per-host applyInPandas pacer honoring robots crawl_delay
+    # (engine/paced_fetch.py).  Off by default: the synthetic-web fetch is
+    # a join, so pacing only adds wall-clock; in a live-HTTP deployment
+    # this switch belongs ON.
+    pace_fetch: bool = False
 
 
 class CrawlDriver:
@@ -111,6 +121,7 @@ class CrawlDriver:
         self.robots = robots
         self.cfg = config
         self._robots_empty: bool | None = None
+        self._crawl_delays: dict[str, float] | None = None
         if config.bucketed_seen or config.bucketed_frontier:
             # a HashPartitioning on a SUBSET of the join keys (url_hash of
             # [url_hash, url]) must be allowed to satisfy the join's
@@ -144,6 +155,22 @@ class CrawlDriver:
             "append"
         ).insertInto(self._seen_table())
 
+    def _rebuild_seen_bucketed(self, snapshot: DataFrame) -> None:
+        """Compaction for the bucketed seen table: rewrite it from the
+        compacted snapshot so file fan-in stays O(buckets) instead of
+        growing as buckets x epochs across a long crawl.  repartition on
+        the bucket hash first -> each task holds exactly one bucket ->
+        one file per bucket after the rewrite."""
+        self._ensure_seen_table(reset=True)
+        nb = self.cfg.seen_buckets
+        (
+            snapshot.select("url_hash", "url", "first_depth", "epoch")
+            .repartition(nb, F.pmod(F.hash("url_hash"), F.lit(nb)))
+            .sortWithinPartitions("url_hash")
+            .write.mode("append")
+            .insertInto(self._seen_table())
+        )
+
     # -------------------------------------------- bucketed frontier table
     def _frontier_table(self, epoch: int) -> str:
         import hashlib
@@ -151,12 +178,17 @@ class CrawlDriver:
         h = hashlib.md5(self.cfg.ckpt_dir.encode()).hexdigest()[:10]
         return f"frontier_bk_{h}_e{epoch + 1}"  # table holds epoch+1's input
 
-    def _write_frontier_bucketed(self, frontier_path: str, epoch: int) -> None:
+    def _write_frontier_bucketed(self, frontier, epoch: int) -> None:
         """Derive the next epoch's W1 input: one file per host-bucket,
         sorted by the politeness order key.  repartition on the SAME hash
         Spark buckets with (Murmur3 via F.hash) → each task holds exactly
         one bucket → one file per bucket, so the scan reports both the
-        hash partitioning AND the sort order."""
+        hash partitioning AND the sort order.
+
+        `frontier` is a DataFrame (the epoch's cached intermediates — lets
+        this write run INSIDE the concurrent epoch-write pool, not as a
+        trailing serial job re-reading the just-written parquet) or a
+        checkpoint path (init-time)."""
         from pyspark.sql import functions as F2
 
         tbl = self._frontier_table(epoch)
@@ -166,7 +198,11 @@ class CrawlDriver:
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-        df = self.spark.read.parquet(frontier_path)
+        df = (
+            self.spark.read.parquet(frontier)
+            if isinstance(frontier, str)
+            else frontier
+        )
         cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
@@ -205,12 +241,28 @@ class CrawlDriver:
         return catalog.read_table(self.spark, state["frontier_path"])
 
     def _politeness_flags(self) -> tuple[bool, bool]:
-        """(skip_politeness, skip_robots): with an empty robots table and an
-        unbounded budget, W1 and F10 are identities — skip their exchanges."""
+        """(skip_politeness, skip_robots): with an empty robots table and the
+        EXPLICIT unbounded sentinel (default_budget=None), W1 and F10 are
+        identities — skip their exchanges.  An integer budget is always
+        enforced, regardless of magnitude."""
         if self._robots_empty is None:
             self._robots_empty = self.robots.limit(1).count() == 0
-        unbounded = self.cfg.default_budget >= 10**8
+        unbounded = self.cfg.default_budget is None
         return (self._robots_empty and unbounded, self._robots_empty)
+
+    def _delays(self) -> dict[str, float]:
+        """robots crawl_delay dimension, collected once (small dim table)."""
+        if self._crawl_delays is None:
+            if self._robots_empty:
+                self._crawl_delays = {}
+            else:
+                self._crawl_delays = {
+                    r["host"]: float(r["crawl_delay"])
+                    for r in self.robots.select("host", "crawl_delay")
+                    .filter(F.col("crawl_delay") > 0)
+                    .collect()
+                }
+        return self._crawl_delays
 
     # ------------------------------------------------------------------ init
     def init_seeds(self, seeds: list[dict]) -> dict:
@@ -290,11 +342,10 @@ class CrawlDriver:
         initializes; the driver-side list path above is kept for
         interactive/small runs.
 
-        The rank window is a single-partition sort of the deduped seed
-        set; swap in epoch._global_rank for seed lists beyond ~10^7.
+        Ranks come from epoch._global_rank (parallel range-partition sort +
+        per-partition offsets) — a 10^10-seed list never funnels through a
+        single-partition window.
         """
-        from pyspark.sql import Window
-
         from linkkchecker_net_spark.kernels.canonicalize import (
             canonicalize_udf,
             host_udf,
@@ -314,10 +365,9 @@ class CrawlDriver:
             F.min("idx").alias("idx"),
             F.min_by("priority", "idx").alias("priority"),
         )
-        w = Window.orderBy("idx")
+        ranked, rank_src = epoch_mod._global_rank(first, 0, order_cols=["idx"])
         frontier = (
-            first.withColumn("discovery_rank", F.row_number().over(w).cast("long") - 1)
-            .withColumn("host", F.coalesce(host_udf(F.col("url")), F.lit("")))
+            ranked.withColumn("host", F.coalesce(host_udf(F.col("url")), F.lit("")))
             .select(
                 "url",
                 F.xxhash64("url").alias("url_hash"),
@@ -331,7 +381,7 @@ class CrawlDriver:
                 F.lit(True).alias("expand_links"),
                 "discovery_rank",
             )
-            .repartition(8)
+            # already range-partitioned by the rank sort — no extra exchange
         )
         d = catalog.init_dir(self.cfg.ckpt_dir)
         os.makedirs(d, exist_ok=True)
@@ -340,6 +390,7 @@ class CrawlDriver:
             frontier.observe(obs, F.count(F.lit(1)).alias("n")),
             os.path.join(d, "frontier"),
         )
+        rank_src.unpersist()
         written = self.spark.read.parquet(os.path.join(d, "frontier"))
         init_delta = written.select(
             "url_hash", "url", F.col("crawl_depth").alias("first_depth"),
@@ -485,6 +536,8 @@ class CrawlDriver:
             small_rank=state["frontier_count"] < cfg.parallel_rank_threshold,
             broadcast_parseable=state["frontier_count"]
             <= cfg.broadcast_parseable_threshold,
+            pace_fetch=cfg.pace_fetch,
+            crawl_delays=self._delays() if cfg.pace_fetch else None,
         )
 
         _mark("plan_epoch_dag")
@@ -527,36 +580,50 @@ class CrawlDriver:
         ).repartition(nparts)
         import concurrent.futures as _cf
 
-        with _cf.ThreadPoolExecutor(4) as pool:
+        def _timed_write(label, df, path):
+            ts = time.monotonic()
+            catalog.write_table(df, path)
+            if prof:
+                print(
+                    f"    [epoch {e}] write {label}: start+{ts - t0:.2f}"
+                    f" dur {time.monotonic() - ts:.2f}",
+                    flush=True,
+                )
+
+        # the bucketed seen/frontier derivations consume the SAME persisted
+        # intermediates as the checkpoint writes — they join the concurrent
+        # pool (r2 ran them serially after it: two extra Spark jobs of pure
+        # per-epoch wall time, a flat cost that caps scaling efficiency)
+        with _cf.ThreadPoolExecutor(6) as pool:
             futs = [
                 pool.submit(
-                    catalog.write_table, results_obs, os.path.join(ed, "results")
+                    _timed_write, "results", results_obs, os.path.join(ed, "results")
                 ),
                 pool.submit(
-                    catalog.write_table,
+                    _timed_write,
+                    "seen_delta",
                     res.seen_delta.repartition(nparts),
                     os.path.join(ed, "seen_delta"),
                 ),
                 pool.submit(
-                    catalog.write_table,
+                    _timed_write,
+                    "page_meta",
                     res.page_meta.repartition(nparts),
                     os.path.join(ed, "page_meta"),
                 ),
                 pool.submit(
-                    catalog.write_table, frontier_obs, os.path.join(ed, "frontier")
+                    _timed_write, "frontier", frontier_obs, os.path.join(ed, "frontier")
                 ),
             ]
+            if cfg.bucketed_seen:
+                futs.append(pool.submit(self._append_seen_bucketed, res.seen_delta))
+            if cfg.bucketed_frontier:
+                futs.append(
+                    pool.submit(self._write_frontier_bucketed, new_frontier, e)
+                )
             for f in futs:
                 f.result()
         _mark("write_results_and_state")
-        if cfg.bucketed_seen:
-            self._append_seen_bucketed(
-                spark.read.parquet(os.path.join(ed, "seen_delta"))
-            )
-            _mark("append_seen_bucketed")
-        if cfg.bucketed_frontier:
-            self._write_frontier_bucketed(os.path.join(ed, "frontier"), e)
-            _mark("write_frontier_bucketed")
         for df in res.persisted:
             df.unpersist()
 
@@ -591,6 +658,10 @@ class CrawlDriver:
             full = os.path.join(ed, "seen_full")
             catalog.write_table(spark.read.parquet(*cur_paths), full)
             seen_base, seen_base_epoch = full, e
+            if cfg.bucketed_seen:
+                # keep the bucketed table's file fan-in O(buckets): rewrite
+                # it from the snapshot on the same compaction cadence
+                self._rebuild_seen_bucketed(spark.read.parquet(full))
 
         manifest = {
             "next_rank": next_rank,

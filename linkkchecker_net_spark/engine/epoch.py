@@ -65,6 +65,8 @@ class EpochResult:
     new_frontier_entries: DataFrame
     persisted: list = field(default_factory=list)  # unpersist after writes
     counts: dict = field(default_factory=dict)
+    # the post-fetch intermediate (carries fetch_ts when pace_fetch is on)
+    fetched: DataFrame | None = None
 
 
 def _host_expr(url_col):
@@ -79,7 +81,7 @@ def _path_expr(url_col):
 def split_politeness(
     frontier: DataFrame,
     robots: DataFrame,
-    default_budget: int,
+    default_budget: int | None,
     salt_partitions: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """W1/A4/O3 — per-host priority rank, top-`budget` rows form the batch.
@@ -95,10 +97,13 @@ def split_politeness(
     10^10-row frontier thus never lands in one window partition.
     """
     order = [F.col("priority"), F.col("crawl_depth"), F.col("discovery_rank")]
+    # default_budget=None is the explicit unbounded sentinel (rank never
+    # exceeds the row count, so Long.MaxValue-1 is "no bound")
+    fallback = F.lit(2**62 if default_budget is None else default_budget)
     with_budget = (
         frontier.join(
             F.broadcast(robots.select("host", "budget")), on="host", how="left"
-        ).withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
+        ).withColumn("budget", F.coalesce("budget", fallback))
     )
     if salt_partitions > 0:
         w1 = Window.partitionBy(
@@ -478,17 +483,24 @@ def dedup_gate_rank(
     return new_results, new_frontier, handles
 
 
-def _global_rank(df: DataFrame, start: int) -> DataFrame:
-    """Dense global rank in candidate order, computed in parallel:
+def _global_rank(
+    df: DataFrame, start: int, order_cols: list[str] | None = None
+) -> DataFrame:
+    """Dense global rank in `order_cols` order, computed in parallel:
     range-partition sort → per-partition counts (one tiny job) → rank =
-    partition offset + local index (TaskContext-aware Arrow pass)."""
+    partition offset + local index (TaskContext-aware Arrow pass).
+
+    The counts collect is metadata-sized (one row per partition — the same
+    shape Spark's own zipWithIndex uses); its job doubles as the cache
+    build for `sorted_df`, which the rank pass then reads back."""
     import pandas as pd
     from pyspark import TaskContext
     from pyspark.sql import types as T2
 
+    order_cols = order_cols or _ORDER_COLS
     sorted_df = (
-        df.repartitionByRange(*_ORDER_COLS)
-        .sortWithinPartitions(*_ORDER_COLS)
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
@@ -555,7 +567,7 @@ def run_epoch(
     seed_prefixes: list[str],
     epoch: int,
     next_rank: int,
-    default_budget: int,
+    default_budget: int | None,
     broadcast_batch: bool = True,
     skip_politeness: bool = False,
     skip_robots: bool = False,
@@ -564,6 +576,8 @@ def run_epoch(
     bloom_bcast=None,
     small_rank: bool = False,
     broadcast_parseable: bool = True,
+    pace_fetch: bool = False,
+    crawl_delays: dict[str, float] | None = None,
 ) -> EpochResult:
     """Wire the full epoch DAG; nothing is materialized here — the driver
     decides what to write/count (writes ARE the checkpoint)."""
@@ -582,9 +596,18 @@ def run_epoch(
     # in by the parse stage, see generate_candidates), so persisting it is
     # a batch-sized cache write, not a page-payload copy.  It feeds the
     # results projection, the parseable filter, and the dead-link recovery.
-    fetched = fetch_and_classify(
-        batch, web, epoch, broadcast_batch=broadcast_batch
-    ).persist()
+    fetched = fetch_and_classify(batch, web, epoch, broadcast_batch=broadcast_batch)
+    if pace_fetch:
+        # the interval half of politeness (robots crawl_delay): route the
+        # post-join batch through the per-host applyInPandas pacer — one
+        # exchange on host, each host's rows fetched serially ≥ delay
+        # apart while distinct hosts proceed in parallel.  fetch_ts rides
+        # along in `fetched` (results_projection drops it — outputs are
+        # row-identical to the unpaced plan).
+        from linkkchecker_net_spark.engine.paced_fetch import paced_fetch
+
+        fetched = paced_fetch(fetched, crawl_delays or {}, default_delay=0.0)
+    fetched = fetched.persist()
 
     seen_delta = batch.select(
         "url_hash",
@@ -635,4 +658,5 @@ def run_epoch(
         seen_delta=seen_delta,
         new_frontier_entries=new_frontier,
         persisted=[batch, fetched, html_persisted, *cand_persists],
+        fetched=fetched,
     )

@@ -23,12 +23,16 @@ Epoch contract (both implementations follow this to the letter):
      (Engine.cs:194-200).
   5. EXPAND (candidate generation), for 2xx rows only:
        * text/html ∧ may_contain_links: parse page once (P8/P9).
-         - anchor/script/link/img candidates only when the page is in-site
-           ∧ expand_links.  In-site = host ∈ {hosts of all seeds} — the
-           multi-seed generalization of the reference's single
-           BaseUri.IsBaseOf check (Engine.cs:171; scheme ignored) in the
-           spirit of its SitesToScan host-list config
-           (/root/reference/LinkChecker/SpiderEngine.UsedImagesChecker.json:4-8);
+         - anchor/script/link/img candidates only when the page passes the
+           EXPANSION gate ∧ expand_links.  EXPANSION gate = the page's
+           scheme+authority equals a seed's: Engine.cs:76 trims BaseUri to
+           GetLeftPart(Authority), so Engine.cs:171's IsBaseOf is an
+           authority-equality test, generalized here to the SET of seed
+           authorities (multi-seed = union of per-seed reference runs);
+         - the distinct META gate (canonical/description emission, step 5b
+           below and CanonicalChecker.cs:34-36) uses the UN-trimmed seed
+           URL's IsBaseOf: segment-truncated path-prefix match
+           (base_prefix_of) against ANY seed's base prefix;
          - embedded <style> css url() targets are extracted regardless of
            in-site (Engine.cs:176-183: ProcessEmbededCss is outside the
            isStillInSite gate), tag='css', HEAD-class, never expanded.
@@ -100,7 +104,7 @@ class FrontierEntry:
 class OracleCrawl:
     web: dict  # url -> web row dict
     robots: dict  # host -> robots row dict
-    default_budget: int = 10**9
+    default_budget: int | None = None  # None = unbounded (engine sentinel parity)
     results: list = field(default_factory=list)
     page_meta: list = field(default_factory=list)
     seen: dict = field(default_factory=dict)  # url -> first_depth
@@ -121,7 +125,7 @@ class OracleCrawl:
         rob = self.robots.get(host)
         if rob and rob.get("budget") is not None:
             return rob["budget"]
-        return self.default_budget
+        return 2**62 if self.default_budget is None else self.default_budget
 
     def init_seeds(self, seeds: list[dict]) -> None:
         for s in seeds:
@@ -348,7 +352,7 @@ def crawl_oracle(
     web_rows: list[dict],
     seeds: list[dict],
     robots_rows: list[dict] | None = None,
-    default_budget: int = 10**9,
+    default_budget: int | None = None,
     max_epochs: int = 1000,
 ) -> OracleCrawl:
     web = {r["url"]: r for r in web_rows}

@@ -204,3 +204,34 @@ def lsh_bucket_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def lsh_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    floor: float = 0.2,
+    **lsh_kw,
+) -> DataFrame:
+    """Deterministic, hash-checkable recall metric for lsh_bucket_ann.
+
+    ANN recall is < 1 by construction, so the raw neighbor list has no SQL
+    oracle — but the RECALL of the (seed-fixed, hence deterministic) LSH
+    vs the exact top-k is itself a deterministic arithmetic fact.  Emit it
+    per query as `recall_floor_met` = (|exact ∩ approx| / |exact| ≥ floor):
+    the DuckDB oracle derives n_exact from its own exact top-k and asserts
+    the floor column TRUE, so a silent recall collapse breaks the value
+    hash (VERDICT r2 item 7; floor matches test_ann_lsh_recall_floor).
+    """
+    exact = cosine_topk_bruteforce(emb, queries, k=k).select("query_id", "vec_id")
+    approx = lsh_bucket_ann(emb, queries, k=k, **lsh_kw).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return n_exact.join(n_hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact") >= F.lit(floor)
+        ).alias("recall_floor_met"),
+    )

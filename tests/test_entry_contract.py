@@ -65,16 +65,13 @@ NON_CRAWL = [
     "used_images_paths", "validate_images",
     "dedup_exact", "dedup_fingerprint", "jaccard_pairs", "minhash_lsh_pairs",
     "simhash", "simhash_pairs", "image_meta",
-    "embed_neardup", "ann_topk", "lang_id", "token_count", "quality_score",
-    "fingerprint", "event_stats",
+    "embed_neardup", "ann_topk", "ann_lsh_recall", "lang_id", "token_count",
+    "quality_score", "fingerprint", "event_stats",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
     "canonical_report", "used_images", "crawl_log", "failure_count",
 ]
-ROWS_ONLY = ["ann_lsh"]
-
-
 @pytest.mark.parametrize("name", NON_CRAWL)
 def test_non_crawl_query(spark, duck, name):
     compare_query(spark, duck, name)
@@ -85,18 +82,9 @@ def test_crawl_query(spark, duck, name):
     compare_query(spark, duck, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
-    assert df.count() > 0
-    assert name not in entrymod.oracle_sql()
-
-
-def test_every_query_has_oracle_or_is_listed():
-    qs = set(entrymod.queries())
-    oracled = set(entrymod.oracle_sql())
-    assert oracled <= qs
-    assert qs - oracled == set(ROWS_ONLY)
+def test_zero_rows_only_queries():
+    """Every queries() entry has a DuckDB oracle (VERDICT r2 item 7)."""
+    assert set(entrymod.queries()) == set(entrymod.oracle_sql())
 
 
 def test_entry_smoke(spark):

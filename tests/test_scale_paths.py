@@ -224,3 +224,102 @@ def test_bucketed_frontier_equivalence_and_plan(spark, golden_fixtures, tmp_path
     assert "Window" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_budget_sentinel_always_enforced(spark, golden_fixtures, tmp_path):
+    """VERDICT r2 item 3: unbounded politeness is the EXPLICIT
+    default_budget=None sentinel — an integer budget is always enforced,
+    never inferred unbounded from magnitude (a genuine 10^8 budget on a
+    10^10-URL host must bound that host)."""
+    fx = dict(golden_fixtures)
+    fx["robots"] = []
+    bounded = _run(spark, fx, tmp_path / "b8", default_budget=10**8)
+    unbounded = _run(spark, fx, tmp_path / "ub")  # default: None
+    # same final crawl (the fixture never reaches 10^8 rows per host)...
+    assert _rows(bounded) == _rows(unbounded)
+    # ...but W1 RAN for the integer budget and was skipped for the sentinel
+    assert bounded._politeness_flags() == (False, True)
+    assert unbounded._politeness_flags() == (True, True)
+    # a binding integer budget defers work across more epochs without
+    # changing the reachable set
+    small = _run(spark, fx, tmp_path / "sm", default_budget=3)
+    assert {(r[0], r[7]) for r in _rows(small)} == {
+        (r[0], r[7]) for r in _rows(unbounded)
+    }  # same (url, classification) set
+    assert len(catalog.list_complete_epochs(str(tmp_path / "sm"))) > len(
+        catalog.list_complete_epochs(str(tmp_path / "ub"))
+    )
+
+
+def test_pace_fetch_epoch(spark, golden_fixtures, tmp_path):
+    """VERDICT r2 item 4: CrawlConfig.pace_fetch routes the post-join batch
+    through the per-host applyInPandas pacer honoring robots crawl_delay —
+    crawl outputs row-identical to the unpaced plan, and within an epoch
+    each host's fetch_ts gaps are >= crawl_delay."""
+    from linkkchecker_net_spark.engine import epoch as epoch_mod, tables
+
+    delay = 0.02
+    fx = dict(golden_fixtures)
+    fx["robots"] = [dict(r, crawl_delay=delay) for r in golden_fixtures["robots"]]
+    plain = _run(spark, fx, tmp_path / "np")
+    paced = _run(spark, fx, tmp_path / "pp", pace_fetch=True)
+    assert _rows(plain) == _rows(paced)
+
+    # in-epoch timestamp contract: drive epoch 1 by hand (epoch 0 is the
+    # per-host-unique seed batch) and read the pacer's fetch_ts
+    web = tables.web_df(spark, fx["web"])
+    robots = tables.robots_df(spark, fx["robots"])
+    d = CrawlDriver(
+        spark, web, robots,
+        CrawlConfig(ckpt_dir=str(tmp_path / "ts"), pace_fetch=True),
+    )
+    d.init_seeds(fx["seeds"])
+    state = d.run_one_epoch(d._read_state())
+    res = epoch_mod.run_epoch(
+        spark,
+        frontier=d._read_frontier(state),
+        seen=spark.read.parquet(*d._seen_paths(state, 0)),
+        web=web,
+        robots=robots,
+        seed_authorities=state["seed_authorities"],
+        seed_prefixes=state["seed_prefixes"],
+        epoch=1,
+        next_rank=state["next_rank"],
+        default_budget=None,
+        pace_fetch=True,
+        crawl_delays=d._delays(),
+    )
+    by_host: dict[str, list[float]] = {}
+    for r in res.fetched.select("host", "fetch_ts").collect():
+        by_host.setdefault(r["host"], []).append(r["fetch_ts"])
+    multi = {h: sorted(v) for h, v in by_host.items() if len(v) > 1}
+    assert multi, "epoch 1 should batch multiple URLs per host"
+    for h, ts in multi.items():
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        assert min(gaps) >= delay * 0.9, (h, min(gaps))
+    for df in res.persisted:
+        df.unpersist()
+
+
+def test_bucketed_seen_compaction(spark, golden_fixtures, tmp_path):
+    """VERDICT r2 item 6: the bucketed seen table is rewritten from the
+    compacted snapshot on the seen_compact_every cadence, so its file
+    fan-in stays O(buckets) instead of growing as buckets x epochs."""
+    import glob
+
+    fx = dict(golden_fixtures)
+    fx["robots"] = []
+    kw = dict(default_budget=6, max_epochs=7, broadcast_seen_threshold=0)
+    plain = _run(spark, fx, tmp_path / "pc", **kw)
+    buck = _run(
+        spark, fx, tmp_path / "bc",
+        bucketed_seen=True, seen_buckets=4, seen_compact_every=2, **kw,
+    )
+    assert _rows(plain) == _rows(buck)
+    epochs = catalog.list_complete_epochs(str(tmp_path / "bc"))
+    assert len(epochs) > 2 * 2, "crawl too short to exercise compaction"
+    files = glob.glob(str(tmp_path / "bc" / "seen_bucketed" / "*"))
+    files = [f for f in files if not f.endswith("_SUCCESS")]
+    # bound: one rewrite (<= buckets files) + at most seen_compact_every
+    # uncompacted epoch appends on top
+    assert len(files) <= 4 * (2 + 2), (len(files), sorted(files))
