@@ -506,6 +506,19 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # connected components over the MinHash-LSH near-dup pair graph:
+    # every doc -> min reachable doc_id (the cluster representative)
+    from linkkchecker_net_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    _prep(spark)
+    docs = _docs(spark, sf_dir)
+    return dedup_clusters(docs, minhash_lsh_pairs(docs, threshold=0.8))
+
+
 def q_simhash(spark, sf_dir):
     from linkkchecker_net_spark.pipeline.dedup import simhash
 
@@ -658,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
@@ -951,6 +965,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_a
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8
+        """,
+        # connected components: recursive transitive closure over the SAME
+        # >=0.8 exact-jaccard edge set (LSH recall is 1 at this threshold/SF,
+        # see minhash_lsh_pairs above); cluster_id = min reachable doc_id
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+              FROM toks, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS g(i)
+            ),
+            s AS (SELECT DISTINCT doc_id, shingle FROM sh),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pf AS (
+              SELECT doc_a, doc_b FROM p
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8
+            ),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pf
+              UNION SELECT doc_b, doc_a FROM pf
+            ),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
         """,
         # NOTE: duckdb's list_cosine_similarity computes in float32 (≈1e-7
         # error — observed breaking 6-dp rounding), so both embedding

@@ -336,3 +336,70 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup cluster assignment (connected components over the pair graph)
+# --------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Cluster assignment over a near-dup pair graph: every document gets
+    `cluster_id` = the minimum doc_id reachable through the pairs —
+    i.e. connected components, the step a training-data dedup pipeline
+    runs AFTER pair generation to keep exactly one representative per
+    duplicate cluster (singletons cluster to themselves).
+
+    Spark-first union-find: iterative min-label propagation.  Each round
+    is one shuffle join (labels into the symmetrized edge list) + one
+    map-side-combined min aggregate; labels flow along edges, so rounds =
+    graph diameter — near-dup clusters are near-cliques (diameter 2-3 in
+    practice), and the loop stops at the measured fixpoint, not a guessed
+    round count.  Lineage is truncated with localCheckpoint each round so
+    plan depth stays O(1) per round at any scale.  (The O(log n)
+    worst-case upgrade for adversarial chain graphs is the
+    large-star/small-star alternation [Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14] — same join/agg
+    primitives, swap-in compatible.)
+
+    pairs: (doc_a, doc_b [, ...]) with doc_a < doc_b; docs: (doc_id, ...).
+    Returns (doc_id, cluster_id).
+    """
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "_chg"
+                ),
+            )
+        )
+        # one action per round: materialize the new labels AND count the
+        # changes (rows are doc-count-sized; localCheckpoint bounds lineage)
+        updated = updated.localCheckpoint()
+        changed = updated.filter("_chg").limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -323,3 +323,27 @@ def test_bucketed_seen_compaction(spark, golden_fixtures, tmp_path):
     # bound: one rewrite (<= buckets files) + at most seen_compact_every
     # uncompacted epoch appends on top
     assert len(files) <= 4 * (2 + 2), (len(files), sorted(files))
+
+
+def test_dedup_clusters_components(spark):
+    """Connected-components cluster assignment: chains (worst-case
+    diameter) and multi-component graphs resolve to the min-id label."""
+    from linkkchecker_net_spark.pipeline.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, chain).collect()
+    }
+    assert out == {i: 0 for i in range(8)}
+
+    two = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    out2 = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, two).collect()
+    }
+    assert out2 == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6, 7: 7}
