@@ -203,7 +203,8 @@ def run_crawl(
     else:
         os.makedirs(tmpl, exist_ok=True)
         driver0 = CrawlDriver(
-            spark, web, docweb.empty_robots(spark), CrawlConfig(ckpt_dir=tmpl)
+            spark, web, docweb.empty_robots(spark),
+            CrawlConfig(ckpt_dir=tmpl, truncate_plans=True),
         )
         t_init = time.monotonic()
         if saturated:
@@ -225,7 +226,10 @@ def run_crawl(
                     catalog.init_dir(tmpl), catalog.init_dir(ck), dirs_exist_ok=True
                 )
                 driver = CrawlDriver(
-                    spark, web, docweb.empty_robots(spark), CrawlConfig(ckpt_dir=ck)
+                    spark, web, docweb.empty_robots(spark),
+                    # bench is single-box: plan truncation is safe and keeps
+                    # driver-serial Catalyst time off the epoch clock
+                    CrawlConfig(ckpt_dir=ck, truncate_plans=True),
                 )
 
                 def timed():

@@ -100,6 +100,12 @@ class CrawlConfig:
     # extra jobs); above it the parallel range-sort + offsets path.  Set
     # lower if individual pages can carry ~millions of links each.
     parallel_rank_threshold: int = 200_000
+    # materialize epoch intermediates via eager localCheckpoint so every
+    # epoch write analyzes a shallow plan (kills ~8s/epoch of driver-serial
+    # Catalyst re-analysis).  Off by default: checkpoint blocks are not
+    # recomputable under executor loss — safe in local/bench runs, opt-in
+    # on a real cluster.
+    truncate_plans: bool = False
     # interval half of politeness: route the post-join fetch batch through
     # the per-host applyInPandas pacer honoring robots crawl_delay
     # (engine/paced_fetch.py).  Off by default: the synthetic-web fetch is
@@ -538,6 +544,7 @@ class CrawlDriver:
             <= cfg.broadcast_parseable_threshold,
             pace_fetch=cfg.pace_fetch,
             crawl_delays=self._delays() if cfg.pace_fetch else None,
+            truncate_plans=cfg.truncate_plans,
         )
 
         _mark("plan_epoch_dag")

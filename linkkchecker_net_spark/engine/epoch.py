@@ -215,6 +215,7 @@ def generate_candidates(
     seed_prefixes: list[str],
     epoch: int,
     broadcast_parseable: bool = True,
+    pin=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """P8/P9/P10 + P1 in ONE fused Arrow pass (kernels/fused.py) →
     (candidates, page_meta, persisted handle).
@@ -270,7 +271,8 @@ def generate_candidates(
     extracted = with_body.mapInPandas(
         fused.extract_batches(set(seed_authorities), tuple(sorted(set(seed_prefixes)))),
         fused.FUSED_SCHEMA,
-    ).persist()
+    )
+    extracted = pin(extracted) if pin is not None else extracted.persist()
 
     # page-level extractions for in-site pages (CanonicalChecker /
     # DescriptionLengthChecker are F2-gated: CanonicalChecker.cs:34-36)
@@ -307,6 +309,7 @@ def dedup_gate_rank(
     bloom_gap: DataFrame | None = None,
     small_rank: bool = False,
     broadcast_batch: bool = True,
+    pin=None,
 ) -> tuple[DataFrame, DataFrame]:
     """F10 gate → W3 dedup → J1 anti-join → W2 rank over candidates that
     arrive already canonicalized (kernels/fused.py did P1/F1/P2).
@@ -445,7 +448,7 @@ def dedup_gate_rank(
     # the candidate pipeline (parse → canonicalize → windows → anti-join)
     # feeds three consumers (gated results, seen delta, new frontier) —
     # persist so it executes once per epoch
-    cand = cand.persist()
+    cand = pin(cand) if pin is not None else cand.persist()
 
     new_results = cand.filter(~F.col("supported") | F.col("robots_blocked")).select(
         "url",
@@ -578,9 +581,20 @@ def run_epoch(
     broadcast_parseable: bool = True,
     pace_fetch: bool = False,
     crawl_delays: dict[str, float] | None = None,
+    truncate_plans: bool = False,
 ) -> EpochResult:
     """Wire the full epoch DAG; nothing is materialized here — the driver
-    decides what to write/count (writes ARE the checkpoint)."""
+    decides what to write/count (writes ARE the checkpoint).
+
+    truncate_plans: materialize each shared intermediate with an eager
+    localCheckpoint instead of persist().  Same execution work (the
+    intermediates were cached anyway), but every downstream job's logical
+    plan becomes a shallow checkpoint scan — without it, each of the 4-6
+    concurrent epoch writes re-analyzes the FULL epoch DAG, ~8s of
+    driver-serial Catalyst time per epoch at bench scale (a flat cost that
+    caps scaling efficiency).  Trade-off: localCheckpoint blocks are not
+    recomputable under executor loss — on a multi-executor cluster keep it
+    off (the default) or point it at reliable checkpoint storage."""
     if skip_politeness:
         # no robots rows and an unbounded default budget ⇒ W1 is the
         # identity: batch = frontier, no window exchange, no robots join
@@ -589,9 +603,10 @@ def run_epoch(
         batch, carry = split_politeness(
             frontier, robots, default_budget, salt_partitions=politeness_salt
         )
+    pin = (lambda df: df.localCheckpoint(eager=True)) if truncate_plans else None
     # The batch (politeness-bounded, body-free) feeds the fetch join, the
     # seen delta, and the dead-link anti-join — persist the SMALL side.
-    batch = batch.persist()
+    batch = pin(batch) if pin is not None else batch.persist()
     # fetched is BODY-FREE (status/header columns only — bodies are joined
     # in by the parse stage, see generate_candidates), so persisting it is
     # a batch-sized cache write, not a page-payload copy.  It feeds the
@@ -607,7 +622,7 @@ def run_epoch(
         from linkkchecker_net_spark.engine.paced_fetch import paced_fetch
 
         fetched = paced_fetch(fetched, crawl_delays or {}, default_delay=0.0)
-    fetched = fetched.persist()
+    fetched = pin(fetched) if pin is not None else fetched.persist()
 
     seen_delta = batch.select(
         "url_hash",
@@ -622,6 +637,7 @@ def run_epoch(
     candidates, page_meta, html_persisted = generate_candidates(
         fetched, web, seed_authorities, seed_prefixes, epoch,
         broadcast_parseable=broadcast_parseable,
+        pin=pin,
     )
     gated_results, new_frontier, cand_persists = dedup_gate_rank(
         candidates,
@@ -637,6 +653,7 @@ def run_epoch(
         bloom_gap=seen_delta if bloom_bcast is not None else None,
         small_rank=small_rank,
         broadcast_batch=broadcast_batch,
+        pin=pin,
     )
     results = results_projection(fetched).unionByName(gated_results)
     # terminal gated rows (unsupported / robots_blocked) are claimed too —

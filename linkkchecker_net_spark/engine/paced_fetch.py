@@ -39,7 +39,9 @@ def paced_fetch(
         + [T.StructField("fetch_ts", T.DoubleType())]
     )
 
-    def pace(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # no annotations on purpose: applyInPandas infers the eval type from
+    # hints and warns on the (key, pdf) two-arg form
+    def pace(key, pdf):
         host = key[0]
         delay = crawl_delay_by_host.get(host, default_delay) or 0.0
         stamps = []

@@ -17,12 +17,16 @@ def build_session(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build a local SparkSession.
 
     cores=None → local[*].  shuffle_partitions defaults to 2× cores so the
     fetch/anti-join exchanges keep every slot busy without tiny-task
     overhead (at cluster scale this would be ~2-3× total executor cores).
+    master overrides the local[N] default — e.g. ``local-cluster[N,2,3072]``
+    runs N separate fixed-size executor JVMs on this box (the multi-executor
+    shape the north rule's scaling criterion names).
     """
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -31,7 +35,7 @@ def build_session(
         shuffle_partitions = max(8, 2 * cores)
 
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

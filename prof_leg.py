@@ -27,7 +27,7 @@ def _build(cores):
     extra = {
         "spark.sql.files.maxPartitionBytes": "16m",
         "spark.sql.files.openCostInBytes": "512k",
-        "spark.sql.files.minPartitionNum": str(4 * cores),
+        "spark.sql.files.minPartitionNum": "32",
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": "/tmp/spark-events",
         "spark.eventLog.compress": "false",
@@ -38,7 +38,7 @@ def _build(cores):
         d = os.path.join(shm, "spark-local")
         os.makedirs(d, exist_ok=True)
         extra["spark.local.dir"] = d
-    spark = build_session(app_name=f"prof[{cores}]", cores=cores, extra_conf=extra)
+    spark = build_session(app_name=f"prof[{cores}]", cores=cores, shuffle_partitions=32, extra_conf=extra)
     bench.prewarm(spark, cores)
     return spark
 
@@ -47,6 +47,6 @@ spark = _build(cores)
 web_path = os.path.join("/tmp", f"bench_web_{pages}")
 bench.ensure_web(spark, pages, web_path)
 t0 = time.monotonic()
-c = bench.run_crawl(spark, web_path, seeds_n=pages, saturated=True, trials=1)
+c = bench.run_crawl(spark, web_path, seeds_n=pages, saturated=True, trials=1, tmpl_cache="/tmp/bench_ckpt_tmpl_%d_v3" % pages)
 print("LEG", json.dumps(c), "total", round(time.monotonic() - t0, 2), flush=True)
 spark.stop()

@@ -193,3 +193,108 @@ def test_classify(status, error, unsupported, expected):
 )
 def test_canonical_segments_match(url, href, expected):
     assert canonical_segments_match(url, href) == expected
+
+
+def test_fast_parser_equivalence():
+    """The compiled-regex scanner is byte-equivalent to the stdlib
+    html.parser reference implementation over every fixture body plus an
+    adversarial battery (comments, CDATA, self-closing, entities,
+    unquoted/duplicate/valueless attributes)."""
+    from linkkchecker_net_spark.fixtures import webgen
+    from linkkchecker_net_spark.kernels.htmlparse import (
+        parse_page,
+        parse_page_htmlparser,
+    )
+
+    fx = webgen.make_fixtures("golden", seed=42)
+    for row in fx["web"]:
+        body = row.get("body")
+        assert parse_page(body) == parse_page_htmlparser(body), row.get("url")
+    cases = [
+        None, b"", "<html>",
+        '<a href="x&amp;y">t</a>', '<a href="q" />', '<a id="z" href="h">',
+        "<A HREF='u1'><SCRIPT SRC=\"s1\"></script><img src=i><link rel=\"stylesheet\" href=\"c\">",
+        '<script>var a = "<a href=\'fake\'>";</script><a href=real>',
+        '<!-- <a href="commented"> --><a href="after">',
+        '<style>.x{background:url("b.png")}</style><style>second</style>',
+        '<link rel="canonical" href="c1"/><link rel="canonical" href="c2">',
+        '<meta name="description" content="d1"><meta name="description" content="d2">',
+        '<a href=unquoted/end>', '<script defer/><a href="visible">',
+        '<script src=http://x/><a href="hidden"></script><a href="shown">',
+        '<a href>', '<a href="">', '<style>unterminated',
+        '<a href="A&#65;">', '<img src="i" src="j">', '<a\nhref="nl">',
+        '<a href="has space" >', "<a href='mix\"q'>",
+    ]
+    for c in cases:
+        assert parse_page(c) == parse_page_htmlparser(c), repr(c)
+
+
+def test_canonicalize_fast_path_equivalence():
+    """The canonical-form fast paths in canonicalize() are byte-equivalent
+    to the full urllib pipeline across an adversarial (base, href) grid
+    plus every href the golden fixture web produces."""
+    import html as _html
+    from urllib.parse import urljoin
+
+    import importlib
+
+    from linkkchecker_net_spark.fixtures import webgen
+    from linkkchecker_net_spark.kernels.canonicalize import canonicalize
+    from linkkchecker_net_spark.kernels.htmlparse import parse_page
+
+    # the kernels package re-exports the canonicalize FUNCTION, which
+    # shadows the submodule as a package attribute — resolve the module
+    _czmod = importlib.import_module(
+        "linkkchecker_net_spark.kernels.canonicalize"
+    )
+
+    def slow(base_url, href):  # the pre-fast-path implementation, verbatim
+        if href is None:
+            return None
+        href = href.strip()
+        if not href:
+            return None
+        try:
+            if href.lower().startswith("http"):
+                url = href
+            elif base_url:
+                url = urljoin(base_url, href)
+            else:
+                return None
+        except ValueError:
+            return None
+        url = _html.unescape(url)
+        idx = url.rfind("#")
+        if idx != -1:
+            url = url[:idx]
+        if not url:
+            return None
+        return _czmod._normalize(url)
+
+    bases = [
+        "http://site-0.test/page/5", "http://site-0.test/",
+        "https://h.x:8080/a/b", "http://UPPER.test/p", None,
+        "http://site.test/a/b/c?q=1",
+    ]
+    hrefs = [
+        "http://site-1.test/page/7", "HTTP://SITE-1.TEST/Page", "/page/9",
+        "/js/app-1.js", "mailto:u@x.test", "page/3", "./x", "../y",
+        "/a/./b", "/a/../b", "http://h.test/p#frag", "http://h.test/p#a#b",
+        "http://h.test:80/p", "http://h.test:8080/p", "https://h.test/p",
+        "http://h.test/p?q=2", "http://h.test/p&amp;x", "//other.test/z",
+        "http://h.test", "http://h.test/", "", "   ", None,
+        "http://h.test/Upper/Case", "httpfoo", "ftp://f.test/x", "/",
+        "/page with space", "http://h.test/a//b", "http://h.test/a/b/",
+        "/trailing/", "http://h-1.test/x", "http://h.test/%7Euser",
+        "/p%20q", "#frag", "?q=1", "javascript:void(0)",
+        "http://h.test/.hidden", "/.well-known/x", "http://h_0.test/x",
+        "/a;b", "http://h.test/a\\b",
+    ]
+    for b in bases:
+        for h in hrefs:
+            assert canonicalize(b, h) == slow(b, h), (b, h)
+    fx = webgen.make_fixtures("golden", seed=42)
+    for row in fx["web"]:
+        base = row["url"]
+        for ln in parse_page(row.get("body"))["links"]:
+            assert canonicalize(base, ln["href"]) == slow(base, ln["href"])

@@ -347,3 +347,13 @@ def test_dedup_clusters_components(spark):
         r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, two).collect()
     }
     assert out2 == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_truncate_plans_equivalence(spark, golden_fixtures, tmp_path):
+    """truncate_plans (eager localCheckpoint in place of persist) must be
+    a pure plan-depth optimization: crawl results byte-identical to the
+    default persist path."""
+    fx = golden_fixtures
+    plain = _run(spark, fx, tmp_path / "tp0")
+    truncated = _run(spark, fx, tmp_path / "tp1", truncate_plans=True)
+    assert _rows(plain) == _rows(truncated)
