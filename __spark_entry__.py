@@ -637,6 +637,61 @@ def q_image_meta(spark, sf_dir):
     )
 
 
+def q_image_neardup(spark, sf_dir):
+    """Image near-dup pairs by perceptual hash, made hash-oracle-checkable
+    by fixture construction: every doc_id % 10 == 7 image is a ±1-noise
+    perturbation of image doc_id-1 (phash hamming ≤ 1 after the lossy
+    round-trip), all other images carry a distinctive coarse 8×8 pattern
+    (pairwise hamming ≥ 5, verified deterministic — seeded content).  So
+    the true pair set at radius 3 is exactly {(i-1, i) : i % 10 == 7} —
+    arithmetic for DuckDB, but Spark can only produce it by actually
+    decoding the images and computing the hashes."""
+    import numpy as np
+    import pandas as pd
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.multimodal import phash_neardup_pairs
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 240).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+
+    def base_image(i: int) -> np.ndarray:
+        rng = np.random.default_rng(9_000_017 + i)
+        w = int(rng.integers(24, 48))
+        h = int(rng.integers(24, 48))
+        arr = imaging.make_image(rng, w, h).astype(np.int16)
+        coarse = rng.integers(-100, 101, size=(8, 8))
+        ys = (np.arange(h) * 8 // h).clip(0, 7)
+        xs = (np.arange(w) * 8 // w).clip(0, 7)
+        arr += coarse[np.ix_(ys, xs)][:, :, None]
+        return np.clip(arr, 0, 255).astype(np.uint8)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                if i % 10 == 7:
+                    arr = base_image(i - 1)
+                    nrng = np.random.default_rng(77_000_003 + i)
+                    noise = nrng.integers(-1, 2, size=arr.shape)
+                    arr = np.clip(arr.astype(np.int16) + noise, 0, 255).astype(
+                        np.uint8
+                    )
+                else:
+                    arr = base_image(i)
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(imaging.encode_lossy(arr))
+                out["fmt"].append("jpeg")
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    corpus = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string")
+    return phash_neardup_pairs(corpus, max_hamming=3).select("img_a", "img_b")
+
+
 def q_event_stats(spark, sf_dir):
     """A2-style aggregation over the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -682,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "image_meta": q_image_meta,
+        "image_neardup": q_image_neardup,
         "event_stats": q_event_stats,
     }
 
@@ -1093,6 +1149,16 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE 'gif' END AS fmt,
                    TRUE AS decode_ok, TRUE AS dims_match, TRUE AS phash_match
             FROM documents WHERE doc_id < 100
+        """,
+        # fixture construction makes the phash near-dup pair set structural
+        # (see q_image_neardup): perturbed copies land at hamming <= 1,
+        # distinct images at >= 5, so radius 3 selects exactly the
+        # (i-1, i % 10 == 7) pairs
+        "image_neardup": """
+            SELECT 'img_' || lpad((doc_id - 1)::VARCHAR, 6, '0') AS img_a,
+                   'img_' || lpad(doc_id::VARCHAR, 6, '0') AS img_b
+            FROM documents
+            WHERE doc_id % 10 = 7 AND doc_id < 240
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

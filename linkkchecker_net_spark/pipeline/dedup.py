@@ -244,22 +244,30 @@ def simhash(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance.
+def hamming_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+) -> DataFrame:
+    """Pairs of rows whose 64-bit `hash_col` values differ in at most
+    `max_hamming` bits — the shared scale path under simhash_pairs (text)
+    and phash_neardup_pairs (images).
 
-    Scale path: block on 4 × 16-bit chunks, joining on (chunk_idx,
-    chunk_value) — never an O(N²) cross join.  By pigeonhole, recall is
-    EXACT for max_hamming ≤ 3 (3 differing bits can corrupt at most 3 of
-    the 4 chunks); for larger radii it is a high-recall heuristic (the
-    standard Manku/Jain/Sarma multi-block trade-off).
+    Block on 4 × 16-bit chunks, joining on (chunk_idx, chunk_value) —
+    never an O(N²) cross join.  By pigeonhole, recall is EXACT for
+    max_hamming ≤ 3 (3 differing bits can corrupt at most 3 of the 4
+    chunks); for larger radii it is a high-recall heuristic (the standard
+    Manku/Jain/Sarma multi-block trade-off).
     """
-    sh = simhash(docs)
     chunks = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(c).alias("chunk_idx"),
-                    F.shiftrightunsigned(F.col("simhash"), c * 16)
+                    F.shiftrightunsigned(F.col(hash_col), c * 16)
                     .bitwiseAND(F.lit(0xFFFF))
                     .alias("chunk_val"),
                 )
@@ -267,28 +275,36 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             ]
         )
     ).alias("chunk")
-    blocked = sh.select("doc_id", "simhash", chunks).select(
-        "doc_id", "simhash", "chunk.chunk_idx", "chunk.chunk_val"
+    blocked = df.select(id_col, hash_col, chunks).select(
+        id_col, hash_col, "chunk.chunk_idx", "chunk.chunk_val"
     )
     left = blocked.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sim_a"),
+        F.col(id_col).alias(out_a),
+        F.col(hash_col).alias("_h_a"),
         "chunk_idx",
         "chunk_val",
     )
     right = blocked.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sim_b"),
+        F.col(id_col).alias(out_b),
+        F.col(hash_col).alias("_h_b"),
         "chunk_idx",
         "chunk_val",
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    ham = F.bit_count(F.col("_h_a").bitwiseXOR(F.col("_h_b"))).cast("int")
     return (
         left.join(right, ["chunk_idx", "chunk_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b, ham.alias("hamming"))
+        .dropDuplicates([out_a, out_b])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (see
+    hamming_blocked_pairs for the blocking scheme and its recall bound)."""
+    return hamming_blocked_pairs(
+        simhash(docs), "doc_id", "simhash", max_hamming, "doc_a", "doc_b"
     )
 
 

@@ -134,6 +134,30 @@ def image_metadata(corpus: DataFrame) -> DataFrame:
     )
 
 
+def phash_neardup_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the image-payload counterpart of text simhash_pairs, and the dedup
+    pass a 100 TB image+caption corpus runs before training.
+
+    The heavy work (decode + 8×8 block-mean phash) happens in
+    image_metadata's mapInPandas Arrow pass; pairing then reuses the
+    shared 4×16-bit chunk blocking (pipeline/dedup.hamming_blocked_pairs),
+    so only images agreeing on at least one 16-bit phash chunk ever meet
+    in the join — never O(N²), and by pigeonhole recall is EXACT for
+    max_hamming ≤ 3.
+
+    Returns (img_a, img_b, hamming); undecodable images are excluded.
+    """
+    from linkkchecker_net_spark.pipeline.dedup import hamming_blocked_pairs
+
+    meta = image_metadata(corpus).filter(F.col("decode_ok")).select(
+        "image_id", "phash"
+    )
+    return hamming_blocked_pairs(
+        meta, "image_id", "phash", max_hamming, "img_a", "img_b"
+    )
+
+
 def resize_images(corpus: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """Nearest-neighbor resize (pure numpy — the 'real' branch of the
     multimodal transform pattern); emits re-encoded lossless bytes."""

@@ -357,3 +357,53 @@ def test_truncate_plans_equivalence(spark, golden_fixtures, tmp_path):
     plain = _run(spark, fx, tmp_path / "tp0")
     truncated = _run(spark, fx, tmp_path / "tp1", truncate_plans=True)
     assert _rows(plain) == _rows(truncated)
+
+
+def test_phash_neardup_pairs_vs_bruteforce(spark):
+    """Image near-dup: the 4×16-bit chunk-blocked join must find exactly
+    the pairs a brute-force hamming scan over the decoded phashes finds
+    (pigeonhole recall is exact at radius ≤ 3), on a corpus with genuine
+    near-dups (noise-perturbed copies) and undecodable rows (excluded)."""
+    import numpy as np
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        image_metadata,
+        phash_neardup_pairs,
+    )
+
+    rows = []
+    for i in range(40):
+        rng = np.random.default_rng(31_000 + i)
+        arr = imaging.make_image(rng, 32, 32).astype(np.int16)
+        coarse = rng.integers(-100, 101, size=(8, 8))
+        ys = (np.arange(32) * 8 // 32).clip(0, 7)
+        arr += coarse[np.ix_(ys, ys)][:, :, None]
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+        rows.append((f"img_{i:03d}", imaging.encode_lossy(arr), "jpeg"))
+        if i % 8 == 0:  # near-dup twin
+            noise = np.random.default_rng(63_000 + i).integers(-1, 2, size=arr.shape)
+            twin = np.clip(arr.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+            rows.append((f"img_{i:03d}_twin", imaging.encode_lossy(twin), "jpeg"))
+    rows.append(("img_bad", b"\x00\x01notanimage", "jpeg"))
+    corpus = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+    got = {
+        (r["img_a"], r["img_b"], r["hamming"])
+        for r in phash_neardup_pairs(corpus, max_hamming=3).collect()
+    }
+
+    meta = {
+        r["image_id"]: r["phash"]
+        for r in image_metadata(corpus).filter("decode_ok").collect()
+    }
+    assert "img_bad" not in meta
+    ids = sorted(meta)
+    want = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            hm = imaging.hamming64(meta[ids[x]], meta[ids[y]])
+            if hm <= 3:
+                want.add((ids[x], ids[y], hm))
+    assert got == want
+    assert len(want) >= 5  # the twins are actually found
