@@ -637,22 +637,25 @@ def q_image_meta(spark, sf_dir):
     )
 
 
-def q_image_neardup(spark, sf_dir):
-    """Image near-dup pairs by perceptual hash, made hash-oracle-checkable
-    by fixture construction: every doc_id % 10 == 7 image is a ±1-noise
-    perturbation of image doc_id-1 (phash hamming ≤ 1 after the lossy
-    round-trip), all other images carry a distinctive coarse 8×8 pattern
-    (pairwise hamming ≥ 5, verified deterministic — seeded content).  So
-    the true pair set at radius 3 is exactly {(i-1, i) : i % 10 == 7} —
-    arithmetic for DuckDB, but Spark can only produce it by actually
-    decoding the images and computing the hashes."""
+def _neardup_fixture_corpus(spark, sf_dir, with_captions: bool = False):
+    """Deterministic image corpus whose TRUE near-dup pair sets are
+    arithmetic (so DuckDB can oracle them) while Spark must earn them by
+    decoding pixels:
+
+      * every doc_id % 10 == 7 image is a ±1-noise perturbation of image
+        doc_id-1 (phash hamming ≤ 1 after the lossy round-trip); all other
+        images carry a distinctive coarse 8×8 pattern (pairwise hamming
+        ≥ 5, deterministic — seeded content) → phash pair set at radius 3
+        is exactly {(i-1, i) : i % 10 == 7};
+      * with_captions: every doc_id % 10 == 3 image REUSES image
+        doc_id-1's caption (pixels distinct) → exact-caption pair set is
+        exactly {(i-1, i) : i % 10 == 3}; all other captions are unique.
+    """
     import numpy as np
     import pandas as pd
 
     from linkkchecker_net_spark import imaging
-    from linkkchecker_net_spark.pipeline.multimodal import phash_neardup_pairs
 
-    _prep(spark)
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 240).select(
         F.col("doc_id").cast("long").alias("id")
     )
@@ -671,6 +674,8 @@ def q_image_neardup(spark, sf_dir):
     def gen(batches):
         for pdf in batches:
             out = {"image_id": [], "bytes": [], "fmt": []}
+            if with_captions:
+                out["caption"] = []
             for i in pdf["id"].astype(int):
                 i = int(i)
                 if i % 10 == 7:
@@ -685,11 +690,74 @@ def q_image_neardup(spark, sf_dir):
                 out["image_id"].append(f"img_{i:06d}")
                 out["bytes"].append(imaging.encode_lossy(arr))
                 out["fmt"].append("jpeg")
+                if with_captions:
+                    cap_of = i - 1 if i % 10 == 3 else i
+                    out["caption"].append(f"a photo of subject {cap_of}")
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
-    corpus = ids.mapInPandas(gen, "image_id string, bytes binary, fmt string")
+    schema = "image_id string, bytes binary, fmt string"
+    if with_captions:
+        schema += ", caption string"
+    return ids.mapInPandas(gen, schema)
+
+
+def q_image_neardup(spark, sf_dir):
+    """Image near-dup pairs by perceptual hash over the structural fixture
+    (see _neardup_fixture_corpus): the true radius-3 pair set is
+    arithmetic for DuckDB, but Spark can only produce it by actually
+    decoding the images and computing the hashes."""
+    from linkkchecker_net_spark.pipeline.multimodal import phash_neardup_pairs
+
+    _prep(spark)
+    corpus = _neardup_fixture_corpus(spark, sf_dir)
     return phash_neardup_pairs(corpus, max_hamming=3).select("img_a", "img_b")
+
+
+def q_multimodal_neardup(spark, sf_dir):
+    """Cross-modal image+caption joint near-dup (pixel twins at
+    doc_id % 10 == 7, caption twins at doc_id % 10 == 3 — disjoint sets,
+    so each pair's (phash_match, caption_match) flags are arithmetic)."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        caption_phash_neardup_pairs,
+    )
+
+    _prep(spark)
+    corpus = _neardup_fixture_corpus(spark, sf_dir, with_captions=True)
+    return caption_phash_neardup_pairs(corpus, max_hamming=3)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: train docs (doc_id % 20 != 0) sharing any
+    3-gram shingle with the eval slice (doc_id % 20 == 0)."""
+    from linkkchecker_net_spark.pipeline.curation import decontaminate
+
+    _prep(spark)
+    docs = _docs(spark, sf_dir)
+    evalset = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(train, evalset, k=3)
+
+
+def q_stratified_sample(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.curation import stratified_sample
+
+    _prep(spark)
+    return stratified_sample(_docs(spark, sf_dir), per_group=25, group_col="lang")
+
+
+def q_shard_assign(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.curation import shard_assign
+
+    _prep(spark)
+    return shard_assign(_docs(spark, sf_dir), n_shards=16)
+
+
+def q_vocab_topk(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.curation import vocab_topk
+
+    _prep(spark)
+    return vocab_topk(_docs(spark, sf_dir), k=100)
 
 
 def q_event_stats(spark, sf_dir):
@@ -738,6 +806,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "image_meta": q_image_meta,
         "image_neardup": q_image_neardup,
+        "multimodal_neardup": q_multimodal_neardup,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "shard_assign": q_shard_assign,
+        "vocab_topk": q_vocab_topk,
         "event_stats": q_event_stats,
     }
 
@@ -1159,6 +1232,69 @@ def oracle_sql() -> dict[str, str]:
                    'img_' || lpad(doc_id::VARCHAR, 6, '0') AS img_b
             FROM documents
             WHERE doc_id % 10 = 7 AND doc_id < 240
+        """,
+        # fixture construction makes BOTH cross-modal pair sets structural
+        # (see _neardup_fixture_corpus): pixel twins at doc_id % 10 == 7,
+        # caption twins at doc_id % 10 == 3 — disjoint, so the flags are
+        # exactly the residue class
+        "multimodal_neardup": """
+            SELECT 'img_' || lpad((doc_id - 1)::VARCHAR, 6, '0') AS img_a,
+                   'img_' || lpad(doc_id::VARCHAR, 6, '0') AS img_b,
+                   doc_id % 10 = 7 AS phash_match,
+                   doc_id % 10 = 3 AS caption_match
+            FROM documents
+            WHERE doc_id % 10 IN (3, 7) AND doc_id < 240
+        """,
+        "decontaminate": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            sh AS (
+              SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+              FROM toks, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS g(i)
+            ),
+            s AS (SELECT DISTINCT doc_id, shingle FROM sh),
+            dirty AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 20 = 0),
+            tr AS (SELECT * FROM s WHERE doc_id % 20 <> 0)
+            SELECT tr.doc_id AS doc_id, COUNT(*) AS n_hits
+            FROM tr JOIN dirty USING (shingle)
+            GROUP BY 1
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR), doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 25
+        """,
+        "shard_assign": """
+            SELECT shard_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                   MIN(doc_id) AS min_doc_id,
+                   MAX(doc_id) AS max_doc_id
+            FROM (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
+                       AS shard_id
+              FROM documents
+            )
+            GROUP BY 1
+        """,
+        "vocab_topk": """
+            WITH tok AS (
+              SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ),
+            c AS (
+              SELECT token, COUNT(*) AS cnt FROM tok
+              WHERE token <> '' GROUP BY 1
+            )
+            SELECT token, cnt FROM (
+              SELECT token, cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn
+              FROM c
+            ) WHERE rn <= 100
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

@@ -296,7 +296,8 @@ def run_queries(spark) -> dict:
         "jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs", "embed_neardup",
         "ann_topk", "ann_lsh_recall", "lang_id", "token_count", "quality_score",
         "fingerprint", "dedup_exact", "dedup_clusters", "event_stats", "image_meta",
-        "image_neardup",
+        "image_neardup", "multimodal_neardup", "decontaminate",
+        "stratified_sample", "shard_assign", "vocab_topk",
     ]
     out = {}
     qs = entrymod.queries()

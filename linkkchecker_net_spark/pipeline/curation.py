@@ -1,0 +1,154 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+test-set decontamination, stratified quota sampling, deterministic shard
+assignment, vocabulary top-k.
+
+These are the steps between "deduped crawl" and "training shards" that the
+dedup/similarity modules don't cover.  Reference analog: none — the C#
+engine (/root/reference/SpiderEngine/Engine.cs) stops at link checking;
+these are the from-scratch additions the 100 TB-pipeline brief demands.
+
+Every operator is pure JVM-side DataFrame ops (split/explode/md5/conv
+built-ins, whole-stage codegen) with an exact ANSI-SQL twin for the DuckDB
+oracle — no Python in any hot path.
+
+Scale notes per operator live on the function docstrings; the common
+theme: shuffle keys are always content-derived (shingle, lang, token,
+hash-bucket), never a driver-side collect, and skew has a named mitigation
+(broadcast for small dims, two-phase windows for hot groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkkchecker_net_spark.pipeline.dedup import shingles
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    k: int = 3,
+    broadcast_eval_threshold: int = 10_000_000,
+    eval_shingle_count: int | None = None,
+) -> DataFrame:
+    """Test-set decontamination: flag training documents that share any
+    word k-gram with an evaluation/benchmark document.
+
+    The canonical pretraining hygiene step (n-gram overlap decontamination,
+    as in GPT-3/PaLM data cards): a train doc containing a verbatim
+    benchmark shingle leaks the benchmark into the training set.
+
+    Plan: eval docs -> distinct k-shingles (the "dirty" set, typically
+    tiny relative to the corpus — benchmarks are MBs, corpora are TBs) ->
+    semi-ish join against train shingles keyed on the shingle -> per-doc
+    hit count.  Returns ONLY contaminated docs (doc_id, n_hits) — at 100 TB
+    the clean >99% of the corpus never leaves its map task.
+
+    Scale: the dirty shingle set broadcasts while it fits
+    (`broadcast_eval_threshold` keys, ~1 GB at 100 B/shingle); past that
+    the join shuffles on the shingle key, where hot shingles (stop-phrase
+    k-grams) are the skew risk — mitigated by AQE skew-join plus the usual
+    stop-shingle filter upstream.  Pass `eval_shingle_count` when the
+    caller already knows the dirty-set size; otherwise the broadcast
+    decision falls to AQE's runtime stats (we mark broadcast only on the
+    explicit hint path to keep the plan deterministic for tests).
+    """
+    dirty = shingles(evalset, k).select("shingle").distinct()
+    if (
+        eval_shingle_count is not None
+        and eval_shingle_count <= broadcast_eval_threshold
+    ):
+        dirty = F.broadcast(dirty)
+    tr = shingles(train, k)  # already distinct per (doc_id, shingle)
+    return (
+        tr.join(dirty, on="shingle", how="inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, per_group: int, group_col: str = "lang"
+) -> DataFrame:
+    """Deterministic stratified quota sample: up to `per_group` docs per
+    group, chosen by md5 order of the doc id (a seedless, engine-agnostic
+    uniform order — every engine picks the same rows).
+
+    The standard corpus-balancing step (cap each language/source at a
+    quota so head languages don't drown the tail).
+
+    Scale: one window partitioned by the group key.  Group count is small
+    (languages/sources), so each group IS a hot key by construction —
+    but the window's per-partition state is O(1) (a running row_number),
+    so a 10^9-row group streams through one task's disk-backed sort.
+    When that single-task sort is the bottleneck, the two-phase trick in
+    engine/epoch.split_politeness applies verbatim: rank within
+    (group, salt) first, keep per_group per salted cell, then rank the
+    pruned (<= salt*per_group per group) set exactly.
+    """
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(group_col).orderBy(key, "doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_group)
+        .select("doc_id", group_col)
+    )
+
+
+def shard_assign(docs: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Deterministic training-shard assignment + per-shard manifest.
+
+    shard_id = (first 8 md5 hex digits of the doc id) mod n_shards — a
+    content-addressed assignment both engines compute bit-identically
+    (unsigned 32-bit value, so no sign-extension disagreement), stable
+    under corpus growth (a doc's shard never depends on other rows).
+
+    Returns the shard manifest (shard_id, n_docs, n_chars, min/max doc_id)
+    — the thing a training job actually reads to plan its input.  The
+    full assignment is the intermediate `withColumn`; writing it out
+    partitioned by shard_id is one `.write.partitionBy` away.
+
+    Scale: one map-side hash + one groupBy on a key with exactly
+    `n_shards` distinct values — partial aggregation collapses each map
+    task to n_shards rows before the exchange.
+    """
+    hex8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    shard = F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(n_shards))
+    return (
+        docs.withColumn("shard_id", shard)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k whitespace tokens by frequency
+    (count desc, token asc tie-break) — the tokenizer-training /
+    corpus-inspection primitive.
+
+    Scale: explode -> groupBy(token) partial-aggregates map-side (each
+    map task emits its local vocab, not its token stream), then the
+    top-k is a single-partition sort of the GLOBAL vocab — fine for any
+    real k; for a full vocabulary dump swap the final window for
+    repartitionByRange(count).  Hot tokens ("the") are exactly what
+    partial aggregation exists for: they collapse to one row per map
+    task before the shuffle.
+    """
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("token", "cnt")
+    )

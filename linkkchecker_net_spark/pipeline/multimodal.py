@@ -158,6 +158,43 @@ def phash_neardup_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def caption_phash_neardup_pairs(
+    corpus: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Cross-modal near-dup over an image+caption corpus (the north-rule
+    input table shape: image_id, bytes, fmt, caption, ...): pairs that
+    match by EITHER decoded perceptual hash (hamming ≤ r) OR exact caption
+    text — the joint dedup a multimodal training pipeline runs, since
+    re-captioned copies and re-encoded pixels each evade one signal alone.
+
+    Both legs are blocked joins, never O(N²): the phash leg reuses the
+    16-bit chunk blocking (exact recall ≤ radius 3 by pigeonhole), the
+    caption leg joins on md5(caption) so only identical captions meet.
+    A hot caption ("no caption") is the skew risk on the second leg —
+    production filters null/boilerplate captions first, same as
+    stop-shingles.  The two pair sets merge with a full-outer join on the
+    pair key, so each pair reports which signal(s) fired.
+
+    Returns (img_a, img_b, phash_match, caption_match).
+    """
+    ph = phash_neardup_pairs(corpus, max_hamming).select(
+        "img_a", "img_b", F.lit(True).alias("phash_match")
+    )
+    cap = corpus.select("image_id", F.md5("caption").alias("cap_md5"))
+    cpairs = (
+        cap.select(F.col("image_id").alias("img_a"), "cap_md5")
+        .join(cap.select(F.col("image_id").alias("img_b"), "cap_md5"), "cap_md5")
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b", F.lit(True).alias("caption_match"))
+    )
+    return ph.join(cpairs, ["img_a", "img_b"], "full_outer").select(
+        "img_a",
+        "img_b",
+        F.coalesce("phash_match", F.lit(False)).alias("phash_match"),
+        F.coalesce("caption_match", F.lit(False)).alias("caption_match"),
+    )
+
+
 def resize_images(corpus: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """Nearest-neighbor resize (pure numpy — the 'real' branch of the
     multimodal transform pattern); emits re-encoded lossless bytes."""

@@ -1,0 +1,85 @@
+"""Unit tests for pipeline/curation.py — properties the DuckDB oracle
+comparison (test_entry_contract) doesn't pin: path equivalence across the
+broadcast/shuffle switch, quota semantics, partition-function totality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkkchecker_net_spark.pipeline.curation import (
+    decontaminate,
+    shard_assign,
+    stratified_sample,
+    vocab_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # doc 0/1 share a verbatim 3-gram with eval doc 100
+        (0, "alpha beta gamma delta common phrase here tail zero", "en"),
+        (1, "unrelated words common phrase here and more filler text", "en"),
+        (2, "completely disjoint vocabulary nothing shared at all okay", "de"),
+        (3, "der die und ist das kurze deutsche zeile hier", "de"),
+        (100, "eval doc with common phrase here inside it", "en"),
+        (101, "another eval document nothing overlapping with training rows", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_decontaminate_flags_exact_overlaps(spark, docs):
+    evalset = docs.filter(F.col("doc_id") >= 100)
+    train = docs.filter(F.col("doc_id") < 100)
+    out = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, evalset, k=3).collect()}
+    # docs 0 and 1 contain "common phrase here" (plus flanking 3-grams of
+    # doc 0's "delta common phrase"/"phrase here tail"? — only shingles
+    # present in BOTH sides count, so exactly the eval doc's shingles)
+    assert set(out) == {0, 1}
+    # doc 1 shares "common phrase here" AND "phrase here and"? eval text is
+    # "... common phrase here inside ..." -> shingles include
+    # "common phrase here", "phrase here inside" — doc 1 has
+    # "common phrase here" only; doc 0 likewise
+    assert out[0] == 1 and out[1] == 1
+
+
+def test_decontaminate_broadcast_and_shuffle_paths_agree(spark, docs):
+    evalset = docs.filter(F.col("doc_id") >= 100)
+    train = docs.filter(F.col("doc_id") < 100)
+    bc = decontaminate(train, evalset, k=3, eval_shingle_count=10).collect()
+    sh = decontaminate(
+        train, evalset, k=3, eval_shingle_count=10**9
+    ).collect()  # over threshold -> no broadcast hint
+    assert sorted(map(tuple, bc)) == sorted(map(tuple, sh))
+
+
+def test_stratified_sample_quota_and_determinism(spark, docs):
+    out1 = stratified_sample(docs, per_group=2, group_col="lang").collect()
+    out2 = stratified_sample(docs, per_group=2, group_col="lang").collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_lang = {}
+    for r in out1:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert all(len(v) <= 2 for v in by_lang.values())
+    # groups smaller than the quota are kept whole
+    assert len(by_lang["fr"]) == 1 and len(by_lang["de"]) == 2
+
+
+def test_shard_assign_partitions_everything_exactly_once(spark, docs):
+    man = shard_assign(docs, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in man) == docs.count()
+    assert all(0 <= r["shard_id"] < 4 for r in man)
+    # deterministic: same manifest on re-run
+    again = shard_assign(docs, n_shards=4).collect()
+    assert sorted(map(tuple, man)) == sorted(map(tuple, again))
+
+
+def test_vocab_topk_order_and_bound(spark, docs):
+    out = vocab_topk(docs, k=5).collect()
+    assert len(out) == 5
+    cnts = [r["cnt"] for r in out]
+    assert cnts == sorted(cnts, reverse=True)
+    # exact counts: "common"/"phrase"/"here" appear 3x each across docs
+    top = {r["token"]: r["cnt"] for r in out}
+    assert top.get("phrase") == 3 and top.get("here") == 3

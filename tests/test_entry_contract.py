@@ -66,7 +66,8 @@ NON_CRAWL = [
     "dedup_exact", "dedup_fingerprint", "jaccard_pairs", "minhash_lsh_pairs",
     "dedup_clusters", "simhash", "simhash_pairs", "image_meta", "image_neardup",
     "embed_neardup", "ann_topk", "ann_lsh_recall", "lang_id", "token_count",
-    "quality_score", "fingerprint", "event_stats",
+    "quality_score", "fingerprint", "event_stats", "multimodal_neardup",
+    "decontaminate", "stratified_sample", "shard_assign", "vocab_topk",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -407,3 +407,45 @@ def test_phash_neardup_pairs_vs_bruteforce(spark):
                 want.add((ids[x], ids[y], hm))
     assert got == want
     assert len(want) >= 5  # the twins are actually found
+
+
+def test_caption_phash_neardup_flags(spark):
+    """Cross-modal joint near-dup: phash twins flag phash_match, caption
+    twins flag caption_match, a pair that is both flags both; unrelated
+    images pair with nothing."""
+    import numpy as np
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        caption_phash_neardup_pairs,
+    )
+
+    def img(seed):
+        rng = np.random.default_rng(seed)
+        arr = imaging.make_image(rng, 32, 32).astype(np.int16)
+        coarse = rng.integers(-100, 101, size=(8, 8))
+        ys = (np.arange(32) * 8 // 32).clip(0, 7)
+        arr += coarse[np.ix_(ys, ys)][:, :, None]
+        return np.clip(arr, 0, 255).astype(np.uint8)
+
+    a = img(1)
+    noise = np.random.default_rng(2).integers(-1, 2, size=a.shape)
+    a_twin = np.clip(a.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+    rows = [
+        ("img_a", imaging.encode_lossy(a), "jpeg", "cap one"),
+        ("img_b", imaging.encode_lossy(a_twin), "jpeg", "cap two"),   # pixel twin of a
+        ("img_c", imaging.encode_lossy(img(3)), "jpeg", "cap one"),   # caption twin of a
+        ("img_d", imaging.encode_lossy(img(4)), "jpeg", "cap four"),  # unrelated
+        ("img_e", imaging.encode_lossy(a_twin), "jpeg", "cap two"),   # both vs img_b
+    ]
+    corpus = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, caption string"
+    )
+    got = {
+        (r["img_a"], r["img_b"]): (r["phash_match"], r["caption_match"])
+        for r in caption_phash_neardup_pairs(corpus, max_hamming=3).collect()
+    }
+    assert got[("img_a", "img_c")] == (False, True)
+    assert got[("img_b", "img_e")] == (True, True)
+    assert got[("img_a", "img_b")][0] is True
+    assert ("img_a", "img_d") not in got and ("img_c", "img_d") not in got
