@@ -760,6 +760,64 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_docs(spark, sf_dir), k=100)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality rules over the documents table."""
+    from linkkchecker_net_spark.pipeline.text import repetition_stats
+
+    _prep(spark)
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _pii_augmented(docs):
+    """documents text with deterministic PII injected (doc_id % 7 → an
+    email, doc_id % 11 → a phone) so the regex counters have real targets;
+    the oracle builds the identical text and runs the identical regexes."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+
+
+def q_pii_stats(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.text import pii_stats
+
+    _prep(spark)
+    return pii_stats(_pii_augmented(_docs(spark, sf_dir)))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence-packing manifest: per-shard token streams cut into 512-token
+    training chunks."""
+    from linkkchecker_net_spark.pipeline.curation import pack_sequences
+
+    _prep(spark)
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512, n_shards=16)
+
+
+def q_kmeans(spark, sf_dir):
+    """3 Lloyd iterations, k=8, deterministic init — the iterative-algorithm
+    path, still hash-oracled (quantized centroids each round make the
+    integer assignment engine-independent; the oracle unrolls the same
+    iterations in SQL)."""
+    from linkkchecker_net_spark.pipeline.cluster import kmeans
+
+    _prep(spark)
+    return kmeans(_emb(spark, sf_dir), k=8, iters=3)
+
+
 def q_event_stats(spark, sf_dir):
     """A2-style aggregation over the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -811,6 +869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "shard_assign": q_shard_assign,
         "vocab_topk": q_vocab_topk,
+        "repetition_stats": q_repetition_stats,
+        "pii_stats": q_pii_stats,
+        "pack_sequences": q_pack_sequences,
+        "kmeans": q_kmeans,
         "event_stats": q_event_stats,
     }
 
@@ -1296,6 +1358,83 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             ) WHERE rn <= 100
         """,
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts,
+                     len(string_split(text, ' ')) AS n_tokens
+              FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id, n_tokens, ts[i] || ' ' || ts[i+1] AS gram
+              FROM toks, unnest(generate_series(1, greatest(len(ts)-1, 0))) AS g(i)
+            ),
+            top2 AS (
+              SELECT doc_id, n_tokens, MAX(cnt) AS top_2gram_cnt FROM (
+                SELECT doc_id, n_tokens, gram, COUNT(*) AS cnt
+                FROM g2 GROUP BY 1, 2, 3
+              ) GROUP BY 1, 2
+            ),
+            g5 AS (
+              SELECT doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                       || ts[i+3] || ' ' || ts[i+4] AS gram
+              FROM toks, unnest(generate_series(1, greatest(len(ts)-4, 0))) AS g(i)
+            ),
+            d5 AS (
+              SELECT doc_id, COUNT(*) AS total_5grams,
+                     COUNT(DISTINCT gram) AS distinct_5grams
+              FROM g5 GROUP BY 1
+            )
+            SELECT top2.doc_id AS doc_id, top_2gram_cnt,
+                   round(top_2gram_cnt * 2 / n_tokens, 6) AS top_2gram_frac,
+                   coalesce(round(1 - distinct_5grams / CAST(total_5grams AS DOUBLE), 6), 0.0)
+                     AS dup_5gram_frac,
+                   (round(top_2gram_cnt * 2 / n_tokens, 6) <= 0.2
+                    AND coalesce(round(1 - distinct_5grams / CAST(total_5grams AS DOUBLE), 6), 0.0) <= 0.3)
+                     AS repetition_pass
+            FROM top2 LEFT JOIN d5 ON top2.doc_id = d5.doc_id
+        """,
+        "pii_stats": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || doc_id || '@example.com'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN ' call 555-123-4567' ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT)
+                     AS n_phones,
+                   (len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) > 0
+                    OR len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) > 0)
+                     AS has_pii
+            FROM aug
+        """,
+        "pack_sequences": """
+            WITH base AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
+                       AS shard_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents
+            ),
+            cum AS (
+              SELECT doc_id, shard_id, n_tok,
+                     SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum_tok
+              FROM base
+            )
+            SELECT shard_id, CAST(floor((cum_tok - n_tok) / 512) AS BIGINT) AS chunk_id,
+                   COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+            FROM cum GROUP BY 1, 2
+        """,
+        "kmeans": _kmeans_sql(k=8, iters=3),
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl
         # ordering is additionally tested in pytest vs the sequential
@@ -1319,6 +1458,62 @@ _SIMHASH_CTES = """
       FROM votes GROUP BY doc_id
     )
 """
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dp: int = 6) -> str:
+    """Unrolled Lloyd's k-means as pure SQL — the same deterministic
+    contract as pipeline.cluster.kmeans (k-smallest-ids init, distances
+    and centroid means rounded to `dp`, ties to the lowest cluster,
+    empty clusters keep their centroid): `iters` update rounds, then a
+    final assignment against the last centroids."""
+    parts = [
+        f"""
+        WITH flat AS (
+          SELECT vec_id, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+          FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        ),
+        init_ids AS (
+          SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cluster
+          FROM embeddings ORDER BY vec_id LIMIT {k}
+        ),
+        c0 AS (
+          SELECT i.cluster, f.pos, f.v AS cv
+          FROM init_ids i JOIN flat f USING (vec_id)
+        )"""
+    ]
+    for t in range(1, iters + 2):  # iters updates + 1 final assignment
+        parts.append(
+            f""",
+        d{t} AS (
+          SELECT f.vec_id, c.cluster,
+                 round(sum((f.v - c.cv) * (f.v - c.cv)), {dp}) AS d
+          FROM flat f JOIN c{t - 1} c ON f.pos = c.pos
+          GROUP BY 1, 2
+        ),
+        a{t} AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cluster) AS rn
+            FROM d{t}
+          ) WHERE rn = 1
+        )"""
+        )
+        if t <= iters:
+            parts.append(
+                f""",
+        c{t} AS (
+          SELECT c.cluster, c.pos, coalesce(round(m.mv, {dp}), c.cv) AS cv
+          FROM c{t - 1} c LEFT JOIN (
+            SELECT a.cluster, f.pos, avg(f.v) AS mv
+            FROM a{t} a JOIN flat f USING (vec_id)
+            GROUP BY 1, 2
+          ) m ON m.cluster = c.cluster AND m.pos = c.pos
+        )"""
+            )
+    parts.append(f"\n        SELECT vec_id, cluster FROM a{iters + 1}")
+    return "".join(parts)
 
 
 _FLAT_EMB_CTES = """

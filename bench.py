@@ -59,8 +59,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", 40000))
 # the scaling legs crawl a LARGER web than the headline: efficiency is a
 # ratio, and a bigger per-epoch parallel term dilutes both the fixed
-# per-epoch cost and the shared-host noise bursts
-LEG_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_LEG_PAGES", 60000))
+# per-epoch cost and the shared-host noise bursts.  r3 sizing: profiled
+# phase timings at 60k pages gave w≈122 core-sec of parallel work vs
+# f≈4.6 s of fixed wall (eff ceiling 0.83); doubling the web pushes the
+# ceiling to ~0.90 while a 2-core trial stays ~2 min
+LEG_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_LEG_PAGES", 120000))
 IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", 120000))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 
@@ -216,7 +219,8 @@ def run_crawl(
             with open(marker, "w") as f:
                 json.dump({"init_sec": round(init_sec, 2)}, f)
 
-    best = None
+    best = None  # best among steal-ACCEPTED trials only
+    fallback = None  # best overall, reported only if nothing is accepted
     accepted = 0
     try:
         for attempt in range(max(trials, 1) * 2):
@@ -256,18 +260,22 @@ def run_crawl(
                     "epochs": len(epochs),
                     "steal": round(steal, 4),
                 }
-                if best is None or r["elapsed_sec"] < best["elapsed_sec"]:
-                    best = r
-                # steal-gated trial count: a trial whose window lost >5% of
-                # our pinned cores to a neighbor VM measured the neighbor,
-                # not this engine — it doesn't consume the trial budget
+                if fallback is None or r["elapsed_sec"] < fallback["elapsed_sec"]:
+                    fallback = r
+                # steal-gated trial: a trial whose window lost >5% of our
+                # pinned cores to a neighbor VM measured the neighbor, not
+                # this engine — it neither counts NOR may become "best"
+                # (a steal-y trial CAN be anomalously fast when the burst
+                # ends mid-run; r3 saw one crowned best at 5.75% steal)
                 if steal < STEAL_GATE:
+                    if best is None or r["elapsed_sec"] < best["elapsed_sec"]:
+                        best = r
                     accepted += 1
                     if accepted >= max(trials, 1):
                         break
             finally:
                 shutil.rmtree(ck, ignore_errors=True)
-        return best
+        return best if best is not None else fallback
     finally:
         if not tmpl_cache:  # the shared template survives for later legs
             shutil.rmtree(tmpl, ignore_errors=True)
@@ -298,6 +306,7 @@ def run_queries(spark) -> dict:
         "fingerprint", "dedup_exact", "dedup_clusters", "event_stats", "image_meta",
         "image_neardup", "multimodal_neardup", "decontaminate",
         "stratified_sample", "shard_assign", "vocab_topk",
+        "repetition_stats", "pii_stats", "pack_sequences", "kmeans",
     ]
     out = {}
     qs = entrymod.queries()
@@ -309,7 +318,7 @@ def run_queries(spark) -> dict:
 
 
 # --------------------------------------------------------------------- legs
-def run_leg(cores: int, pages: int, images: int, trials: int = 2) -> None:
+def run_leg(cores: int, pages: int, images: int, trials: int = 1) -> None:
     """One scaling level, in THIS process: pin to exactly `cores` CPUs
     (before the JVM forks, so every JVM/Python thread inherits the mask),
     build + prewarm a fresh session (fixed physical partitioning — same
@@ -326,16 +335,19 @@ def run_leg(cores: int, pages: int, images: int, trials: int = 2) -> None:
         tmpl_cache=tmpl,
     )
     corpus = os.path.join(tempfile.gettempdir(), f"bench_corpus_{images}")
-    v, accepted = None, 0
+    v, v_fb, accepted = None, None, 0
     for _ in range(2 * trials):
         r, steal = _measure_with_steal(lambda: run_validation(spark, corpus))
         r["steal"] = round(steal, 4)
-        if v is None or r["elapsed_sec"] < v["elapsed_sec"]:
-            v = r
+        if v_fb is None or r["elapsed_sec"] < v_fb["elapsed_sec"]:
+            v_fb = r
         if steal < STEAL_GATE:
+            if v is None or r["elapsed_sec"] < v["elapsed_sec"]:
+                v = r
             accepted += 1
             if accepted >= trials:
                 break
+    v = v if v is not None else v_fb
     spark.stop()
     print("LEG_RESULT " + json.dumps({"crawl": c, "validate": v}), flush=True)
 
@@ -467,10 +479,14 @@ def main() -> None:
         # to dominate fixed overheads (it does; validate runs ~100 s at the
         # low level)
         scale_images = max(IMAGES // 2, 20_000)
-        # INTERLEAVED legs (high,low,high,low): the shared host drifts over
+        # INTERLEAVED legs (high,low)x3: the shared host drifts over
         # minutes — adjacent alternating spawns decorrelate that drift from
-        # the level, and per-level best-of merges across both spawns
-        for cores in (high, low, high, low):
+        # the level, and per-level best-of merges across all spawns.  r3
+        # lesson: 2 spawns/level was not enough — one bad-window pair put
+        # the measured crawl_eff at 0.355 while back-to-back clean runs of
+        # the SAME build measured 0.83; 3 spawns/level with 1 steal-gated
+        # trial each samples 3 windows per level instead of 2
+        for cores in (high, low, high, low, high, low):
             r = spawn_leg(cores, LEG_PAGES, scale_images)
             prev = levels.get(cores)
             if prev is None:

@@ -127,6 +127,50 @@ def shard_assign(docs: DataFrame, n_shards: int = 16) -> DataFrame:
     )
 
 
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 2048, n_shards: int = 16
+) -> DataFrame:
+    """Sequence-packing manifest: concatenate each shard's token stream
+    (docs in doc_id order) and cut it into fixed-`seq_len` training
+    chunks; a doc belongs to the chunk its FIRST token lands in.  The
+    step between "curated docs" and "what the trainer mmaps" — the
+    manifest says which docs feed which chunk of which shard.
+
+    Packing is per-shard BY DESIGN (real pipelines pack within output
+    shards, never across the whole corpus): the running-token-offset
+    window partitions by the content-hash shard key, so a 10^10-doc
+    corpus is n_shards independent streaming cumsums, not one global
+    single-partition scan.  Within a shard the window is a streaming
+    frame (rows unbounded preceding) over the shard's doc_id sort —
+    disk-backed, O(1) state.
+
+    Returns (shard_id, chunk_id, n_docs, n_tokens, min_doc_id,
+    max_doc_id) ordered by the manifest key.
+    """
+    hex8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    shard = F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(n_shards))
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        docs.select("doc_id", shard.alias("shard_id"), n_tokens.alias("n_tok"))
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .withColumn(
+            "chunk_id",
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / F.lit(seq_len)),
+        )
+    )
+    return assigned.groupBy("shard_id", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     """Corpus vocabulary: top-k whitespace tokens by frequency
     (count desc, token asc tie-break) — the tokenizer-training /

@@ -63,11 +63,16 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per doc — all JVM-side: split →
     transform over an index sequence → explode → distinct."""
     toks = F.split(F.col("text"), " ")
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    sh = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
+    n = F.size(toks) - F.lit(k - 1)
+    # sequence(1, 0) DESCENDS in Spark and slice(start=0) throws — docs
+    # shorter than k tokens must gate to an empty shingle array
+    sh = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select("doc_id", F.explode(sh).alias("shingle"))
         .dropDuplicates(["doc_id", "shingle"])

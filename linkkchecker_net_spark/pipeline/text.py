@@ -82,6 +82,97 @@ def quality_score(docs: DataFrame, stop_lang: str = "en") -> DataFrame:
     )
 
 
+def repetition_stats(
+    docs: DataFrame, top_frac_max: float = 0.2, dup_frac_max: float = 0.3
+) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1):
+    fraction of tokens covered by the single most frequent 2-gram, and
+    fraction of 5-grams that are duplicates of an earlier 5-gram in the
+    same doc.  Boilerplate/spam pages (nav bars, keyword stuffing) light
+    up both signals; clean prose stays near zero.
+
+    Plan: one explode per k into a per-(doc, gram) count — the groupBy
+    keys are (doc_id, gram), so partial aggregation collapses each doc's
+    repeated grams map-side and no doc ever concentrates on one reducer
+    beyond its own (bounded) gram set.  Pure JVM (split/transform/explode/
+    count) — whole-stage codegen, exact SQL twin for the oracle.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    base = docs.select("doc_id", toks.alias("toks"), n_tokens.alias("n_tokens"))
+
+    def kgrams(k: int):
+        n = F.size(F.col("toks")) - F.lit(k - 1)
+        # sequence(1, 0) DESCENDS in Spark — gate the short-doc case to an
+        # empty gram array instead
+        g = F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select("doc_id", "n_tokens", F.explode(g).alias("gram"))
+
+    top2 = (
+        kgrams(2)
+        .groupBy("doc_id", "n_tokens", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.max("cnt").alias("top_2gram_cnt"))
+    )
+    g5 = (
+        kgrams(5)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_5grams"),
+            F.countDistinct("gram").alias("distinct_5grams"),
+        )
+    )
+    top_frac = F.round(
+        F.col("top_2gram_cnt") * 2 / F.col("n_tokens"), 6
+    )
+    dup_frac = F.round(
+        1 - F.col("distinct_5grams") / F.col("total_5grams"), 6
+    )
+    return (
+        top2.join(g5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("top_2gram_cnt"),
+            top_frac.alias("top_2gram_frac"),
+            F.coalesce(dup_frac, F.lit(0.0)).alias("dup_5gram_frac"),
+            (
+                (top_frac <= top_frac_max)
+                & (F.coalesce(dup_frac, F.lit(0.0)) <= dup_frac_max)
+            ).alias("repetition_pass"),
+        )
+    )
+
+
+# PII patterns kept to the regex subset Java (Spark) and RE2-ish (DuckDB)
+# engines evaluate identically: character classes + bounded repetition only
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """PII-signal counting (emails, phone-shaped numbers) — the redaction /
+    filtering pre-pass a training pipeline runs before packing shards.
+    Counting, not redaction: the downstream policy (drop doc vs mask span)
+    is the caller's; `regexp_replace` with the same patterns is the mask
+    variant.  Pure JVM regexp — scales as a map-only pass."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+        (
+            (F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)) > 0)
+            | (F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE)) > 0)
+        ).alias("has_pii"),
+    )
+
+
 def fingerprint(docs: DataFrame, prefix_tokens: int = 8) -> DataFrame:
     """Document fingerprints: full-text md5 + normalized-prefix md5 (the
     rolling/winnowing stand-in both engines can compute bit-identically)."""

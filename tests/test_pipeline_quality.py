@@ -1,0 +1,109 @@
+"""Unit tests for repetition_stats / pii_stats (pipeline/text.py),
+pack_sequences (pipeline/curation.py), and kmeans (pipeline/cluster.py) —
+exact-value properties the DuckDB oracle comparison doesn't pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkkchecker_net_spark.pipeline.cluster import kmeans
+from linkkchecker_net_spark.pipeline.curation import pack_sequences
+from linkkchecker_net_spark.pipeline.text import pii_stats, repetition_stats
+
+
+def test_repetition_stats_exact(spark):
+    rows = [
+        # "x y" 2-gram appears 3x in 6 tokens -> top frac 3*2/6 = 1.0;
+        # 5-grams: (x y x y x), (y x y x y) -> both distinct -> dup 0.0
+        (0, "x y x y x y"),
+        # all-distinct tokens -> top 2-gram cnt 1
+        (1, "a b c d e f g h"),
+        # 10 identical tokens: top 2-gram cnt 9, frac 1.8;
+        # 6 identical 5-grams -> dup = 1 - 1/6
+        (2, "z z z z z z z z z z"),
+        (3, "only three tokens"),  # no 5-grams -> dup 0.0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["top_2gram_cnt"] == 3 and out[0]["top_2gram_frac"] == 1.0
+    assert out[0]["dup_5gram_frac"] == 0.0
+    assert out[1]["top_2gram_cnt"] == 1
+    assert out[1]["repetition_pass"] is False  # 2/8 = 0.25 > 0.2
+    assert out[2]["top_2gram_cnt"] == 9
+    assert out[2]["dup_5gram_frac"] == round(1 - 1 / 6, 6)
+    assert out[2]["repetition_pass"] is False
+    # doc 3: no 5-grams -> dup 0.0, but top frac 2/3 > 0.2 still gates it
+    assert out[3]["dup_5gram_frac"] == 0.0 and out[3]["repetition_pass"] is False
+
+
+def test_shingles_short_docs_dont_crash(spark):
+    """Regression: docs shorter than k tokens must yield zero shingles, not
+    a slice(start=0) crash (Spark's sequence(1, 0) descends)."""
+    from linkkchecker_net_spark.pipeline.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [(0, "one"), (1, "one two"), (2, "one two three"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = shingles(docs, k=3).collect()
+    assert {r["doc_id"] for r in out} == {2}
+    assert out[0]["shingle"] == "one two three"
+
+
+def test_pii_stats_counts(spark):
+    rows = [
+        (0, "reach me at john.doe@mail.example.org or jane@x.co today"),
+        (1, "call 415-555-0142 or 646-555-0199 anytime"),
+        (2, "no sensitive content in this row"),
+        (3, "mixed bob@corp.io and 212-555-0000 here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert (out[0]["n_emails"], out[0]["n_phones"]) == (2, 0)
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (0, 2)
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    assert out[2]["has_pii"] is False
+    assert (out[3]["n_emails"], out[3]["n_phones"]) == (1, 1)
+    assert out[3]["has_pii"] is True
+
+
+def test_pack_sequences_partitions_and_boundaries(spark):
+    # single shard (n_shards=1) makes the packing arithmetic transparent:
+    # 10 docs x 100 tokens, seq_len 256 -> doc i starts at token 100*i,
+    # chunk_id = floor(100*i/256)
+    rows = [(i, " ".join(f"t{j}" for j in range(100))) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    man = pack_sequences(docs, seq_len=256, n_shards=1).collect()
+    assert all(r["shard_id"] == 0 for r in man)
+    assert sum(r["n_docs"] for r in man) == 10  # every doc exactly once
+    assert sum(r["n_tokens"] for r in man) == 1000
+    got = {r["chunk_id"]: r["n_docs"] for r in man}
+    want = {}
+    for i in range(10):
+        want[100 * i // 256] = want.get(100 * i // 256, 0) + 1
+    assert got == want
+    # multi-shard: still a partition of the docs
+    man16 = pack_sequences(docs, seq_len=256, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in man16) == 10
+    assert sum(r["n_tokens"] for r in man16) == 1000
+
+
+def test_kmeans_separates_blobs_and_is_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    blob_a = rng.normal(0.0, 0.05, size=(20, 4)) + np.array([1, 0, 0, 0])
+    blob_b = rng.normal(0.0, 0.05, size=(20, 4)) + np.array([0, 0, 0, 1])
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(list(blob_a) + list(blob_b))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out1 = {r["vec_id"]: r["cluster"] for r in kmeans(emb, k=2, iters=3).collect()}
+    out2 = {r["vec_id"]: r["cluster"] for r in kmeans(emb, k=2, iters=3).collect()}
+    assert out1 == out2  # deterministic
+    a_clusters = {out1[i] for i in range(20)}
+    b_clusters = {out1[i] for i in range(20, 40)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters  # blobs perfectly separated
