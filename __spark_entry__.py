@@ -807,6 +807,14 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), seq_len=512, n_shards=16)
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: k=3 grams, window=4 minima."""
+    from linkkchecker_net_spark.pipeline.text import winnow_fingerprints
+
+    _prep(spark)
+    return winnow_fingerprints(_docs(spark, sf_dir), k=3, window=4)
+
+
 def q_kmeans(spark, sf_dir):
     """3 Lloyd iterations, k=8, deterministic init — the iterative-algorithm
     path, still hash-oracled (quantized centroids each round make the
@@ -872,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_stats": q_pii_stats,
         "pack_sequences": q_pack_sequences,
+        "winnow": q_winnow,
         "kmeans": q_kmeans,
         "event_stats": q_event_stats,
     }
@@ -1433,6 +1442,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                    MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
             FROM cum GROUP BY 1, 2
+        """,
+        # winnowing: full windows of 4 gram-hashes (starts i <= n-3) take
+        # the running 4-wide min; docs with <4 grams fingerprint min(all)
+        "winnow": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            gh AS (
+              SELECT doc_id, i,
+                     ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8))::BIGINT AS h
+              FROM toks, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS g(i)
+            ),
+            wm AS (
+              SELECT doc_id, i,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM gh
+            )
+            SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n - 3
+            UNION
+            SELECT doc_id, min(h) AS fp FROM gh GROUP BY doc_id HAVING count(*) < 4
         """,
         "kmeans": _kmeans_sql(k=8, iters=3),
         # every queries() entry now has an oracle (ann_lsh's raw neighbor

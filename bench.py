@@ -306,7 +306,7 @@ def run_queries(spark) -> dict:
         "fingerprint", "dedup_exact", "dedup_clusters", "event_stats", "image_meta",
         "image_neardup", "multimodal_neardup", "decontaminate",
         "stratified_sample", "shard_assign", "vocab_topk",
-        "repetition_stats", "pii_stats", "pack_sequences", "kmeans",
+        "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
     ]
     out = {}
     qs = entrymod.queries()

@@ -173,6 +173,62 @@ def pii_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+    `window`-wide window over the hash sequence, keep the minimum of each
+    window, emit the distinct selected hashes per doc.  Guarantees every
+    shared substring of ≥ k+window-1 tokens shares a fingerprint, at
+    ~1/window the density of full shingling — the local-fingerprint dedup
+    primitive between md5-everything and MinHash.
+
+    Variant note: min-per-window with set-dedup (ties collapse in the
+    distinct), not the paper's rightmost-tie robust winnowing — the
+    guarantee above is unchanged.
+
+    Gram hash = first 8 hex digits of md5, so an independent SQL engine
+    computes it bit-identically (same trick as pipeline.dedup.simhash).
+    Everything is per-doc array ops (split → transform → slice minima →
+    array_distinct → explode) inside whole-stage codegen: no shuffle at
+    all until the caller aggregates, no Python, and a doc's cost is
+    O(tokens × window) regardless of corpus size.
+
+    Returns distinct (doc_id, fp) rows, fp = bigint gram hash.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_grams = F.size(toks) - F.lit(k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    base = docs.select("doc_id", grams.alias("gh"))
+    n_windows = F.size(F.col("gh")) - F.lit(window - 1)
+    # fewer grams than a full window -> a single window over what exists
+    # (the paper's boundary case: every doc with >= 1 gram fingerprints)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(F.col("gh"), i, window)),
+        ),
+    ).otherwise(
+        F.when(F.size(F.col("gh")) >= 1, F.array(F.array_min(F.col("gh"))))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return base.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
 def fingerprint(docs: DataFrame, prefix_tokens: int = 8) -> DataFrame:
     """Document fingerprints: full-text md5 + normalized-prefix md5 (the
     rolling/winnowing stand-in both engines can compute bit-identically)."""

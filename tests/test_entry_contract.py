@@ -68,7 +68,7 @@ NON_CRAWL = [
     "embed_neardup", "ann_topk", "ann_lsh_recall", "lang_id", "token_count",
     "quality_score", "fingerprint", "event_stats", "multimodal_neardup",
     "decontaminate", "stratified_sample", "shard_assign", "vocab_topk",
-    "repetition_stats", "pii_stats", "pack_sequences", "kmeans",
+    "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -89,6 +89,33 @@ def test_pack_sequences_partitions_and_boundaries(spark):
     assert sum(r["n_tokens"] for r in man16) == 1000
 
 
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """Winnowing contract: two docs sharing a run of >= k+window-1 tokens
+    share at least one fingerprint; fingerprints per doc <= gram count;
+    short docs (< window grams) still fingerprint; <k-token docs don't."""
+    from linkkchecker_net_spark.pipeline.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over"  # 6 tokens = k+window-1
+    rows = [
+        (0, f"alpha beta {shared} gamma delta"),
+        (1, f"omega {shared} psi chi phi"),
+        (2, "completely different words everywhere in this document"),
+        (3, "tiny doc here four"),  # 2 grams < window -> min(all)
+        (4, "up two"),  # < k tokens -> no grams -> no fingerprints
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(docs, k=3, window=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1]  # the shared 6-token run guarantees overlap
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    assert len(fps[3]) == 1
+    assert 4 not in fps
+    # density: doc 2 has 6 grams, 3 full windows -> at most 3 fingerprints
+    assert 1 <= len(fps[2]) <= 3
+
+
 def test_kmeans_separates_blobs_and_is_deterministic(spark):
     import numpy as np
 
