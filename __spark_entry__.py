@@ -807,6 +807,30 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), seq_len=512, n_shards=16)
 
 
+def q_redact_pii(spark, sf_dir):
+    from linkkchecker_net_spark.pipeline.text import redact_pii
+
+    _prep(spark)
+    return redact_pii(_pii_augmented(_docs(spark, sf_dir)))
+
+
+def q_weighted_sample(spark, sf_dir):
+    """A-Res weighted sampling (deterministic md5 uniforms), k=50 by
+    n_chars weight."""
+    from linkkchecker_net_spark.pipeline.curation import weighted_sample
+
+    _prep(spark)
+    return weighted_sample(_docs(spark, sf_dir), k=50)
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Per-host failure-pressure rollup for the NEXT crawl."""
+    from linkkchecker_net_spark.reports.reports import recrawl_schedule
+
+    d = _crawl(spark, sf_dir)
+    return recrawl_schedule(d.results())
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing (MOSS) fingerprints: k=3 grams, window=4 minima."""
     from linkkchecker_net_spark.pipeline.text import winnow_fingerprints
@@ -882,6 +906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "winnow": q_winnow,
         "kmeans": q_kmeans,
+        "redact_pii": q_redact_pii,
+        "weighted_sample": q_weighted_sample,
+        "recrawl_schedule": q_recrawl_schedule,
         "event_stats": q_event_stats,
     }
 
@@ -1464,6 +1491,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(h) AS fp FROM gh GROUP BY doc_id HAVING count(*) < 4
         """,
         "kmeans": _kmeans_sql(k=8, iters=3),
+        "redact_pii": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || doc_id || '@example.com'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN ' call 555-123-4567' ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+                     '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')
+                     AS text_redacted
+            FROM aug
+        """,
+        # A-Res weighted sampling with the same deterministic md5 uniform;
+        # keys rounded to 9 dp + doc_id tie-break = engine-independent cut
+        "weighted_sample": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS weight FROM (
+              SELECT doc_id, text,
+                     row_number() OVER (
+                       ORDER BY round(
+                         -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                             / 4294967297.0)
+                         / length(text), 9),
+                       doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 50
+        """,
+        "recrawl_schedule": with_graph
+        + """
+            , res AS (
+              SELECT r.url,
+                     CASE WHEN r.url LIKE 'mailto:%' THEN NULL
+                          ELSE split_part(r.url, '/', 3) END AS host,
+                     CASE WHEN r.url LIKE 'mailto:%' THEN 'unsupported'
+                          WHEN p.i IS NULL THEN 'broken'
+                          WHEN p.status BETWEEN 200 AND 299 THEN 'ok'
+                          WHEN p.status IN (301,302,303,307) THEN 'redirect'
+                          WHEN p.status = 0 THEN 'error'
+                          ELSE 'broken' END AS classification
+              FROM reach r LEFT JOIN page p ON p.url = r.url
+            )
+            SELECT host, COUNT(*) AS n_urls,
+                   CAST(SUM(CASE WHEN classification IN ('broken', 'error')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_failing,
+                   CAST(floor(100.0 * SUM(CASE WHEN classification IN ('broken', 'error')
+                                               THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
+                     AS recrawl_score
+            FROM res WHERE host IS NOT NULL
+            GROUP BY 1
+        """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl
         # ordering is additionally tested in pytest vs the sequential

@@ -307,6 +307,7 @@ def run_queries(spark) -> dict:
         "image_neardup", "multimodal_neardup", "decontaminate",
         "stratified_sample", "shard_assign", "vocab_topk",
         "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
+        "redact_pii", "weighted_sample",
     ]
     out = {}
     qs = entrymod.queries()

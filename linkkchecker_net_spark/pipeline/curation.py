@@ -127,6 +127,41 @@ def shard_assign(docs: DataFrame, n_shards: int = 16) -> DataFrame:
     )
 
 
+def weighted_sample(
+    docs: DataFrame, k: int = 100, weight_col: str | None = None
+) -> DataFrame:
+    """Weighted sampling without replacement, A-Res (Efraimidis &
+    Spirakis 2006): key_i = -ln(u_i)/w_i, keep the k smallest keys —
+    inclusion probability proportional to weight, one pass, no rejection.
+    The corpus-curation move for quality-weighted subset selection
+    ("sample 10M docs, long/high-quality docs proportionally likelier").
+
+    u_i is a DETERMINISTIC uniform (first 8 md5 hex digits of the doc id,
+    mapped into (0,1)) instead of an RNG draw — same sample on every run
+    and on every engine (the DuckDB oracle recomputes it exactly); keys
+    are rounded to 9 dp with a doc_id tie-break so libm-vs-Math.log ulp
+    differences cannot reorder the cut.
+
+    Scale: the keying is map-only; the global smallest-k is one TopK —
+    Spark plans row_number over a 0-partition window as a single-task
+    sort ONLY of the per-partition top-k survivors when k is small
+    (the same shape as vocab_topk; for huge k switch to
+    repartitionByRange(key).limit).  Default weight: n_chars.
+    """
+    w = F.col(weight_col) if weight_col else F.length("text").cast("double")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + 1) / F.lit(float(2**32 + 1))  # strictly inside (0, 1)
+    key = F.round(-F.log(u) / w, 9)
+    wnd = Window.orderBy(key, "doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(wnd))
+        .filter(F.col("_rn") <= k)
+        .select("doc_id", w.cast("long").alias("weight"))
+    )
+
+
 def pack_sequences(
     docs: DataFrame, seq_len: int = 2048, n_shards: int = 16
 ) -> DataFrame:

@@ -173,6 +173,16 @@ def pii_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """The masking counterpart of pii_stats: replace email/phone spans
+    with typed placeholder tokens (the redaction policy most training
+    pipelines apply instead of dropping the doc).  Map-only regexp —
+    scales as a pure projection."""
+    t = F.regexp_replace(F.col("text"), PII_EMAIL_RE, "[EMAIL]")
+    t = F.regexp_replace(t, PII_PHONE_RE, "[PHONE]")
+    return docs.select("doc_id", t.alias("text_redacted"))
+
+
 def winnow_fingerprints(
     docs: DataFrame, k: int = 3, window: int = 4
 ) -> DataFrame:

@@ -258,3 +258,31 @@ def failure_count(results: DataFrame) -> int:
     the intended semantics: rows that are NOT 2xx-ok (broken, redirect
     asserted, error, unsupported, robots_blocked)."""
     return results.filter(F.col("classification") != "ok").count()
+
+
+def recrawl_schedule(results: DataFrame) -> DataFrame:
+    """Recrawl scheduling rollup: per-host failure pressure from the last
+    crawl.  Hosts with high broken/error density get revisited first — the
+    repair-crawl analog of freshness scheduling (Cho & Garcia-Molina's
+    uniform-vs-proportional revisit result motivates scoring hosts, not
+    URLs: a host's failure density predicts its other URLs).  Reference
+    analog: none — the C# engine is one-shot (Engine.cs:322-349 runs a
+    single scan and exits); scheduling the NEXT crawl is part of the
+    from-scratch frontier brief.
+
+    recrawl_score = floor(100 * failing / total) per host, failing =
+    broken + error.  One groupBy on host with map-side partial agg —
+    scales like host_stats.
+    """
+    failing = F.sum(
+        F.when(F.col("classification").isin("broken", "error"), 1).otherwise(0)
+    )
+    return (
+        results.filter(F.col("host").isNotNull())
+        .groupBy("host")
+        .agg(F.count("*").alias("n_urls"), failing.alias("n_failing"))
+        .withColumn(
+            "recrawl_score",
+            F.floor(F.lit(100) * F.col("n_failing") / F.col("n_urls")),
+        )
+    )

@@ -69,10 +69,12 @@ NON_CRAWL = [
     "quality_score", "fingerprint", "event_stats", "multimodal_neardup",
     "decontaminate", "stratified_sample", "shard_assign", "vocab_topk",
     "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
+    "redact_pii", "weighted_sample",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
     "canonical_report", "used_images", "crawl_log", "failure_count",
+    "recrawl_schedule",
 ]
 @pytest.mark.parametrize("name", NON_CRAWL)
 def test_non_crawl_query(spark, duck, name):
