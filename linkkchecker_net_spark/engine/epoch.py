@@ -441,8 +441,15 @@ def dedup_gate_rank(
         # all serialize through a single task
         cand = cand.repartition(F.col("url_hash"))
         rank_source = None
+        pre_rank = None
     else:
-        cand, rank_source = _global_rank(cand, next_rank)
+        # materialize the heavy pipeline (parse → W3 dedup → anti-join)
+        # BEFORE the parallel rank: _global_rank issues TWO jobs over its
+        # input (the repartitionByRange sampling pass, then the sort+counts
+        # persist) — unpinned, each re-executed the full candidate pipeline
+        # (measured ~2× the pipeline cost per epoch at 287k-row frontiers)
+        pre_rank = pin(cand) if pin is not None else cand.persist()
+        cand, rank_source = _global_rank(pre_rank, next_rank)
     cand = cand.withColumn("crawl_depth", F.col("parent_depth") + 1)
 
     # the candidate pipeline (parse → canonicalize → windows → anti-join)
@@ -482,7 +489,11 @@ def dedup_gate_rank(
         "expand_links",
         "discovery_rank",
     )
-    handles = [cand] if rank_source is None else [cand, rank_source]
+    handles = [cand]
+    if rank_source is not None:
+        handles.append(rank_source)
+    if pre_rank is not None:
+        handles.append(pre_rank)
     return new_results, new_frontier, handles
 
 
@@ -599,10 +610,12 @@ def run_epoch(
         # no robots rows and an unbounded default budget ⇒ W1 is the
         # identity: batch = frontier, no window exchange, no robots join
         batch, carry = frontier, frontier.limit(0)
+        batch_needs_pin = False  # already a shallow, re-readable scan
     else:
         batch, carry = split_politeness(
             frontier, robots, default_budget, salt_partitions=politeness_salt
         )
+        batch_needs_pin = True
     if truncate_plans:
         import os as _os
         import time as _time
@@ -627,7 +640,11 @@ def run_epoch(
         pin = None
     # The batch (politeness-bounded, body-free) feeds the fetch join, the
     # seen delta, and the dead-link anti-join — persist the SMALL side.
-    batch = pin(batch) if pin is not None else batch.persist()
+    # Skipped when W1 was the identity: the batch is then a bare frontier
+    # scan, and re-reading a coalesced parquet is cheaper than one more
+    # eager materialization job per epoch.
+    if batch_needs_pin:
+        batch = pin(batch) if pin is not None else batch.persist()
     # fetched is BODY-FREE (status/header columns only — bodies are joined
     # in by the parse stage, see generate_candidates), so persisting it is
     # a batch-sized cache write, not a page-payload copy.  It feeds the
