@@ -268,7 +268,12 @@ def generate_candidates(
         .filter(F.col("body").isNotNull())
         .drop("b_url_hash", "b_url", "url_hash")
     )
-    extracted = with_body.mapInPandas(
+    # mapInArrow (not mapInPandas): the kernel reads page bodies as
+    # zero-copy memoryviews of the Arrow data buffer — the pandas bridge
+    # materialized every body as a Python bytes object first, one full
+    # extra pass of the epoch's dominant byte volume through the cache
+    # hierarchy (the 8-busy-core bandwidth bottleneck, BENCH/BASELINE.md)
+    extracted = with_body.mapInArrow(
         fused.extract_batches(set(seed_authorities), tuple(sorted(set(seed_prefixes)))),
         fused.FUSED_SCHEMA,
     )

@@ -24,11 +24,12 @@ from pyspark.sql import types as T
 _URL_RE = re.compile(r"""url\(\s*['"]?([^'")]+)['"]?\s*\)""")
 
 
-def extract_css_urls(css: str | bytes | None) -> list[str]:
+def extract_css_urls(css: str | bytes | memoryview | None) -> list[str]:
     if css is None:
         return []
-    if isinstance(css, (bytes, bytearray)):
-        css = css.decode("utf-8", errors="replace")
+    if isinstance(css, (bytes, bytearray, memoryview)):
+        # memoryview: zero-copy Arrow buffer slice from the fused kernel
+        css = bytes(css).decode("utf-8", errors="replace")
     return [m.strip() for m in _URL_RE.findall(css) if m.strip()]
 
 

@@ -25,14 +25,15 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
 
 from linkkchecker_net_spark.kernels.canonicalize import (
     authority_of,
     canonicalize,
 )
 from linkkchecker_net_spark.kernels.cssparse import extract_css_urls
-from linkkchecker_net_spark.kernels.htmlparse import parse_page
+from linkkchecker_net_spark.kernels.htmlparse import scan_page
 
 CSS_TAG_RANK = 4
 
@@ -43,11 +44,49 @@ FUSED_SCHEMA = (
     "canonical_href string, meta_description string, embedded_css array<string>"
 )
 
-_COLS = [
-    "kind", "parent_rank", "parent_depth", "url", "supported",
-    "may_contain_links", "expand_links", "tag_rank", "doc_pos",
-    "canonical_href", "meta_description", "embedded_css",
-]
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("parent_rank", pa.int64()),
+        ("parent_depth", pa.int32()),
+        ("url", pa.string()),
+        ("supported", pa.bool_()),
+        ("may_contain_links", pa.bool_()),
+        ("expand_links", pa.bool_()),
+        ("tag_rank", pa.int32()),
+        ("doc_pos", pa.int32()),
+        ("canonical_href", pa.string()),
+        ("meta_description", pa.string()),
+        ("embedded_css", pa.list_(pa.string())),
+    ]
+)
+
+_COLS = [f.name for f in _ARROW_SCHEMA]
+
+
+def _binary_views(arr: pa.Array) -> list:
+    """Zero-copy memoryview per row of a (Large)Binary Arrow array: slices
+    of the shared data buffer, never materialized as Python bytes.  The
+    page payloads are the epoch's dominant byte volume — the pandas path
+    copied every body into a bytes object before the scanner ever saw it,
+    a full extra pass of every page through the cache hierarchy."""
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    validity, offsets_buf, data_buf = arr.buffers()
+    n = len(arr)
+    off = np.frombuffer(offsets_buf, dtype=odt, count=n + arr.offset + 1)
+    mv = memoryview(data_buf) if data_buf is not None else memoryview(b"")
+    base = arr.offset
+    if validity is None:
+        return [mv[off[base + i] : off[base + i + 1]] for i in range(n)]
+    vb = np.frombuffer(validity, dtype=np.uint8)
+    out = []
+    for i in range(n):
+        j = base + i
+        if vb[j >> 3] & (1 << (j & 7)):
+            out.append(mv[off[j] : off[j + 1]])
+        else:
+            out.append(None)
+    return out
 
 
 def extract_batches(seed_authorities: set[str], seed_prefixes: tuple[str, ...]):
@@ -82,8 +121,19 @@ def extract_batches(seed_authorities: set[str], seed_prefixes: tuple[str, ...]):
     every dict per column.
     """
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            col = {name: rb.column(i) for i, name in enumerate(names)}
+            in_url = col["url"].to_pylist()
+            in_ct = col["content_type"].to_pylist()
+            in_may = col["may_contain_links"].to_pylist()
+            in_exp = col["expand_links"].to_pylist()
+            in_rank = col["discovery_rank"].to_pylist()
+            in_depth = col["crawl_depth"].to_pylist()
+            in_body = _binary_views(col["body"])
             out: dict[str, list] = {c: [] for c in _COLS}
             o_kind = out["kind"]
             o_prank = out["parent_rank"]
@@ -98,74 +148,100 @@ def extract_batches(seed_authorities: set[str], seed_prefixes: tuple[str, ...]):
             o_desc = out["meta_description"]
             o_css = out["embedded_css"]
 
-            def cand(prank, pdepth, url, may, expand, tag_rank, doc_pos):
-                supported = url.split(":", 1)[0].lower() in ("http", "https")
-                o_kind.append("cand")
-                o_prank.append(prank)
-                o_pdepth.append(pdepth)
-                o_url.append(url)
-                o_sup.append(supported)
-                o_may.append(may)
-                o_exp.append(expand)
-                o_tag.append(tag_rank)
-                o_pos.append(doc_pos)
-                o_canon.append(None)
-                o_desc.append(None)
-                o_css.append(None)
+            # per-candidate work is the epoch's hottest loop (~150 links ×
+            # 10^5 pages): the per-link columns (url/supported/may/tag/pos)
+            # append inline, and every column CONSTANT across a page's
+            # candidate block (kind, parent_rank, parent_depth, expand,
+            # meta nulls) extends once per page — 7 of 12 per-item appends
+            # plus a closure call per link deleted
+            def flush_cands(k, prank, pdepth):
+                o_kind.extend(["cand"] * k)
+                o_prank.extend([prank] * k)
+                o_pdepth.extend([pdepth] * k)
+                o_canon.extend([None] * k)
+                o_desc.extend([None] * k)
+                o_css.extend([None] * k)
 
-            for row in pdf.itertuples(index=False):
-                ct = row.content_type
-                if ct == "text/html" and row.may_contain_links:
-                    parsed = parse_page(row.body)
-                    in_site = authority_of(row.url) in seed_authorities
-                    if seed_prefixes and row.url.startswith(seed_prefixes):
+            for i in range(rb.num_rows):
+                ct = in_ct[i]
+                if ct == "text/html" and in_may[i]:
+                    base = in_url[i]
+                    links, canonical, desc, css_blocks = scan_page(in_body[i])
+                    in_site = authority_of(base) in seed_authorities
+                    if seed_prefixes and base.startswith(seed_prefixes):
                         o_kind.append("meta")
-                        o_prank.append(row.discovery_rank)
-                        o_pdepth.append(row.crawl_depth)
-                        o_url.append(row.url)
+                        o_prank.append(in_rank[i])
+                        o_pdepth.append(in_depth[i])
+                        o_url.append(base)
                         o_sup.append(True)
                         o_may.append(True)
-                        o_exp.append(bool(row.expand_links))
+                        o_exp.append(bool(in_exp[i]))
                         o_tag.append(-1)
                         o_pos.append(-1)
-                        o_canon.append(parsed["canonical_href"])
-                        o_desc.append(parsed["meta_description"])
-                        o_css.append(parsed["embedded_css"])
-                    if in_site and row.expand_links:
-                        prank, pdepth = row.discovery_rank, row.crawl_depth
-                        for ln in parsed["links"]:
-                            url = canonicalize(row.url, ln["href"])
+                        o_canon.append(canonical)
+                        o_desc.append(desc)
+                        o_css.append(css_blocks)
+                    n0 = len(o_url)
+                    if in_site and in_exp[i]:
+                        for (_tag, href, may, tag_rank, doc_pos) in links:
+                            url = canonicalize(base, href)
                             if url is not None:
-                                cand(
-                                    prank, pdepth, url,
-                                    ln["may_contain_links"], True,
-                                    ln["tag_rank"], ln["doc_pos"],
+                                o_url.append(url)
+                                o_sup.append(
+                                    url.split(":", 1)[0].lower()
+                                    in ("http", "https")
                                 )
+                                o_may.append(may)
+                                o_exp.append(True)
+                                o_tag.append(tag_rank)
+                                o_pos.append(doc_pos)
                     # embedded css scanned regardless of in-site
                     # (Engine.cs:176-183)
                     pos = 0
-                    for block in parsed["embedded_css"]:
+                    for block in css_blocks:
                         for href in extract_css_urls(block):
-                            url = canonicalize(row.url, href)
+                            url = canonicalize(base, href)
                             if url is not None:
-                                cand(
-                                    row.discovery_rank, row.crawl_depth, url,
-                                    False, False, CSS_TAG_RANK, pos,
+                                o_url.append(url)
+                                o_sup.append(
+                                    url.split(":", 1)[0].lower()
+                                    in ("http", "https")
                                 )
+                                o_may.append(False)
+                                o_exp.append(False)
+                                o_tag.append(CSS_TAG_RANK)
+                                o_pos.append(pos)
                             pos += 1
+                    k = len(o_url) - n0
+                    if k:
+                        flush_cands(k, in_rank[i], in_depth[i])
                 elif ct == "text/css":
-                    for pos, href in enumerate(extract_css_urls(row.body)):
-                        url = canonicalize(row.url, href)
+                    n0 = len(o_url)
+                    for pos, href in enumerate(extract_css_urls(in_body[i])):
+                        url = canonicalize(in_url[i], href)
                         if url is not None:
-                            cand(
-                                row.discovery_rank, row.crawl_depth, url,
-                                False, False, CSS_TAG_RANK, pos,
+                            o_url.append(url)
+                            o_sup.append(
+                                url.split(":", 1)[0].lower()
+                                in ("http", "https")
                             )
-            # pandas 2.x infers float64 for empty list-built columns, which
-            # Arrow cannot convert to list<string>/bool — an empty input
-            # batch (partitioning-dependent, hence intermittent) must yield
-            # nothing instead of an empty mistyped frame
+                            o_may.append(False)
+                            o_exp.append(False)
+                            o_tag.append(CSS_TAG_RANK)
+                            o_pos.append(pos)
+                    k = len(o_url) - n0
+                    if k:
+                        flush_cands(k, in_rank[i], in_depth[i])
+            # an empty input batch (partitioning-dependent, hence
+            # intermittent) yields nothing; emission is typed explicitly by
+            # _ARROW_SCHEMA — no pandas dtype inference anywhere
             if o_kind:
-                yield pd.DataFrame(out, columns=_COLS)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out[f.name], type=f.type)
+                        for f in _ARROW_SCHEMA
+                    ],
+                    schema=_ARROW_SCHEMA,
+                )
 
     return fn

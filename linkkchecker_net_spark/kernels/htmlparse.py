@@ -121,32 +121,55 @@ def parse_page_htmlparser(body: bytes | str | None) -> dict:
 
 
 # one compiled scan for the six tags the pipeline reads; quoted attribute
-# values are consumed wholesale so '>' inside quotes never ends the tag
+# values are consumed wholesale so '>' inside quotes never ends the tag.
+# BYTE patterns: the hot path scans the raw parquet binary — the ~30 KB
+# body is never decoded to a Python str (the decode alone wrote a full
+# second copy of every page through the cache hierarchy, the dominant
+# per-URL memory traffic at saturated-crawl scale); only the extracted
+# slices (hrefs, meta values, style blocks — a few hundred bytes/page)
+# are decoded.  Byte-mode re.IGNORECASE is ASCII-only, which matches
+# html.parser's own ASCII tagfind semantics.
 _TAG_RE = re.compile(
-    r"<(a|script|link|img|meta|style)(?=[\s/>])"
-    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
+    rb"<(a|script|link|img|meta|style)(?=[\s/>])"
+    rb"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
     re.IGNORECASE | re.DOTALL,
 )
 _ATTR_RE = re.compile(
-    r"([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+    rb"([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
-_STYLE_END = re.compile(r"</style", re.IGNORECASE)
-_SCRIPT_END = re.compile(r"</script", re.IGNORECASE)
+_STYLE_END = re.compile(rb"</style", re.IGNORECASE)
+_SCRIPT_END = re.compile(rb"</script", re.IGNORECASE)
+# literal finds as compiled patterns so the scanner runs on ANY bytes-like
+# buffer (memoryview slices of an Arrow data buffer have no .find)
+_COMMENT_OPEN = re.compile(rb"<!--")
+_COMMENT_END = re.compile(rb"-->")
+_GT = re.compile(rb">")
 
 
 # fast path: the overwhelmingly common single-double-quoted-attribute tag
 # body (' href="..."'), no entities — one match, no finditer loop
-_SIMPLE_ATTR_RE = re.compile(r"\s+([a-zA-Z-]+)=\"([^\"&]*)\"\s*(/?)\s*$")
+_SIMPLE_ATTR_RE = re.compile(rb"\s+([a-zA-Z-]+)=\"([^\"&]*)\"\s*(/?)\s*")
+
+# byte-keyed views of the tag maps (keys stay bytes — never decoded; the
+# emitted tag name is the interned str)
+_TAG_ATTR_B = {b"a": b"href", b"script": b"src", b"link": b"href", b"img": b"src"}
+_TAG_NAME_B = {b"a": "a", b"script": "script", b"link": "link", b"img": "img"}
+_TAG_RANK_B = {b"a": 0, b"script": 1, b"link": 2, b"img": 3}
 
 
-def _attrs_of(raw: str) -> tuple[dict, bool]:
-    """(attrs, self_closing).  self_closing iff a trailing '/' remains
-    AFTER attribute consumption — html.parser's rule: '<script defer/>' is
-    a startendtag (no CDATA), '<script src=http://x/>' is not (the '/' is
-    part of the unquoted value)."""
+def _attrs_of(raw: bytes) -> tuple[dict, bool]:
+    """(attrs, self_closing) from a raw tag body.  Keys are BYTES
+    (lowercased, never decoded); values are decoded str (or None for a
+    valueless attribute — html.parser semantics).  self_closing iff a
+    trailing '/' remains AFTER attribute consumption — html.parser's rule:
+    '<script defer/>' is a startendtag (no CDATA), '<script src=http://x/>'
+    is not (the '/' is part of the unquoted value)."""
     m = _SIMPLE_ATTR_RE.fullmatch(raw)
     if m is not None:
-        return {m.group(1).lower(): m.group(2)}, m.group(3) == "/"
+        return (
+            {m.group(1).lower(): m.group(2).decode("utf-8", "replace")},
+            m.group(3) == b"/",
+        )
     out = {}
     last_end = 0
     for m in _ATTR_RE.finditer(raw):
@@ -158,81 +181,80 @@ def _attrs_of(raw: str) -> tuple[dict, bool]:
             v = m.group(4)
         # an attribute written without '=' carries value None (html.parser
         # semantics); entity references in values are always unescaped
-        if v is not None and "&" in v:
-            v = _unescape(v)
+        if v is not None:
+            v = v.decode("utf-8", "replace")
+            if "&" in v:
+                v = _unescape(v)
         out[name] = v  # duplicate attr: last wins (dict(attrs) semantics)
         last_end = m.end()
-    return out, raw[last_end:].strip().endswith("/")
+    return out, raw[last_end:].strip().endswith(b"/")
 
 
-def parse_page(body: bytes | str | None) -> dict:
-    """Parse one HTML document → PARSED_PAGE dict (links + P9 extractions).
+def scan_page(
+    body: bytes | str | None,
+) -> tuple[list[tuple], str | None, str | None, list[str]]:
+    """One compiled-regex scan of a raw HTML byte buffer →
+    ``(links, canonical_href, meta_description, embedded_css)`` where each
+    link is a ``(tag, href, may_contain_links, tag_rank, doc_pos)`` tuple.
 
-    Fast path: a compiled-regex scanner that touches each byte once at
-    C speed instead of the stdlib char-level state machine (~40x on the
-    bench pages; parsing was 55% of all epoch CPU).  Semantics are pinned
-    to :func:`parse_page_htmlparser` — comments masked, <script>/<style>
+    This is the allocation-lean core the fused epoch kernel calls directly
+    (tuples, not per-link dicts — the dict build was measurable at ~150
+    links/page × 10^5 pages/epoch); :func:`parse_page` wraps it into the
+    PARSED_PAGE dict shape.  Semantics are pinned to
+    :func:`parse_page_htmlparser` — comments masked, <script>/<style>
     bodies are CDATA (tags inside them are never link candidates; charrefs
-    stay raw), style inner text is captured as embedded_css, attribute
-    values unescaped, first-canonical/first-description win — and the
-    equivalence is asserted over every fixture corpus by
-    test_kernels.py::test_fast_parser_equivalence."""
-    empty = {
-        "links": [],
-        "canonical_href": None,
-        "meta_description": None,
-        "embedded_css": [],
-    }
+    stay raw), style inner text captured as embedded_css, attribute values
+    unescaped, first-canonical/first-description win — asserted over every
+    fixture corpus by test_kernels.py::test_fast_parser_equivalence."""
     if body is None:
-        return empty
-    if isinstance(body, (bytes, bytearray)):
-        body = body.decode("utf-8", errors="replace")
+        return [], None, None, []
+    if isinstance(body, str):
+        # str callers (tests, oracle) funnel through the same byte scanner;
+        # the boundary bytes (quotes, '<', '>') are ASCII, so slicing can
+        # never split a multi-byte sequence differently than a full decode
+        body = body.encode("utf-8", "replace")
+    # bytes / bytearray / memoryview all scan as-is: re accepts any
+    # bytes-like buffer, so an Arrow data-buffer memoryview parses with
+    # ZERO copies of the page payload (the mapInArrow epoch path)
 
     links: list = []
-    per_tag = {t: 0 for t in TAG_ATTR}
+    per_tag = [0, 0, 0, 0]  # indexed by tag_rank
     canonical = None
     desc = None
     css: list[str] = []
     pos, n = 0, len(body)
+    search = _TAG_RE.search
     while True:
-        m = _TAG_RE.search(body, pos)
+        m = search(body, pos)
         if m is None:
             break
         # comment masking: a '<!--' opening before this match swallows
         # everything to the matching '-->'
-        c = body.find("<!--", pos, m.start())
-        if c != -1:
-            e = body.find("-->", c + 4)
-            pos = n if e == -1 else e + 3
+        c = _COMMENT_OPEN.search(body, pos, m.start())
+        if c is not None:
+            e = _COMMENT_END.search(body, c.end())
+            pos = n if e is None else e.end()
             continue
         tag = m.group(1).lower()
-        raw = m.group(2)
-        attrs, selfclose = _attrs_of(raw)
+        attrs, selfclose = _attrs_of(m.group(2))
         pos = m.end()
-        if tag in TAG_ATTR:
-            href = attrs.get(TAG_ATTR[tag])
+        akey = _TAG_ATTR_B.get(tag)
+        if akey is not None:
+            href = attrs.get(akey)
             if href is not None:
-                may = tag == "a" or (
-                    tag == "link" and attrs.get("rel", "") == "stylesheet"
+                may = tag == b"a" or (
+                    tag == b"link" and attrs.get(b"rel", "") == "stylesheet"
                 )
-                p = per_tag[tag]
-                per_tag[tag] = p + 1
-                links.append(
-                    {
-                        "tag": tag,
-                        "href": href,
-                        "may_contain_links": may,
-                        "tag_rank": TAG_RANK[tag],
-                        "doc_pos": p,
-                    }
-                )
-        if tag == "link" and attrs.get("rel") == "canonical":
-            if canonical is None and attrs.get("href") is not None:
-                canonical = attrs["href"]
-        elif tag == "meta" and attrs.get("name") == "description":
+                r = _TAG_RANK_B[tag]
+                links.append((_TAG_NAME_B[tag], href, may, r, per_tag[r]))
+                per_tag[r] += 1
+        if tag == b"link" and attrs.get(b"rel") == "canonical":
+            if canonical is None and attrs.get(b"href") is not None:
+                canonical = attrs[b"href"]
+        elif tag == b"meta" and attrs.get(b"name") == "description":
             if desc is None:
-                desc = attrs.get("content")
-        elif tag == "style":
+                desc = attrs.get(b"content")
+        elif tag == b"style":
             # CDATA: raw inner text (charrefs NOT converted inside
             # style/script — html.parser skips conversion in cdata mode);
             # an unterminated style block is never emitted (the reference
@@ -240,18 +262,38 @@ def parse_page(body: bytes | str | None) -> dict:
             e = _STYLE_END.search(body, pos)
             if e is None:
                 break
-            css.append(body[pos : e.start()])
-            gt = body.find(">", e.end())
-            pos = n if gt == -1 else gt + 1
-        elif tag == "script" and not selfclose:
+            css.append(bytes(body[pos : e.start()]).decode("utf-8", "replace"))
+            gt = _GT.search(body, e.end())
+            pos = n if gt is None else gt.end()
+        elif tag == b"script" and not selfclose:
             # CDATA: nothing inside a script body is a tag
             e = _SCRIPT_END.search(body, pos)
             if e is None:
                 break
-            gt = body.find(">", e.end())
-            pos = n if gt == -1 else gt + 1
+            gt = _GT.search(body, e.end())
+            pos = n if gt is None else gt.end()
+    return links, canonical, desc, css
+
+
+def parse_page(body: bytes | str | None) -> dict:
+    """Parse one HTML document → PARSED_PAGE dict (links + P9 extractions).
+
+    Dict-shaped wrapper over :func:`scan_page` (the byte-mode compiled
+    scanner — ~40x the stdlib char-level state machine; parsing was 55% of
+    all epoch CPU before it).  Kept for the PARSED_PAGE UDF and the pytest
+    BFS oracle; the fused epoch kernel consumes scan_page tuples directly."""
+    links, canonical, desc, css = scan_page(body)
     return {
-        "links": links,
+        "links": [
+            {
+                "tag": t,
+                "href": h,
+                "may_contain_links": m,
+                "tag_rank": r,
+                "doc_pos": p,
+            }
+            for (t, h, m, r, p) in links
+        ],
         "canonical_href": canonical,
         "meta_description": desc,
         "embedded_css": css,

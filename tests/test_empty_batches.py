@@ -17,15 +17,31 @@ def test_fused_kernel_empty_batch():
     from linkkchecker_net_spark.kernels import fused
 
     fn = fused.extract_batches({"http://a.test"}, ("http://a.test/",))
-    empty = _empty_like(
-        {
-            "url": object, "discovery_rank": "int64", "crawl_depth": "int32",
-            "priority": "int32", "seed_url": object, "host": object,
-            "may_contain_links": bool, "expand_links": bool,
-            "content_type": object, "body": object,
-        }
+    schema = pa.schema(
+        [
+            ("url", pa.string()), ("discovery_rank", pa.int64()),
+            ("crawl_depth", pa.int32()), ("priority", pa.int32()),
+            ("seed_url", pa.string()), ("host", pa.string()),
+            ("may_contain_links", pa.bool_()), ("expand_links", pa.bool_()),
+            ("content_type", pa.string()), ("body", pa.binary()),
+        ]
+    )
+    empty = pa.RecordBatch.from_arrays(
+        [pa.array([], type=f.type) for f in schema], schema=schema
     )
     assert list(fn(iter([empty]))) == []
+    # a batch whose pages yield no candidates must also yield nothing
+    quiet = pa.RecordBatch.from_arrays(
+        [
+            pa.array(["http://b.test/x"]), pa.array([0], type=pa.int64()),
+            pa.array([0], type=pa.int32()), pa.array([0], type=pa.int32()),
+            pa.array(["http://b.test/"]), pa.array(["b.test"]),
+            pa.array([True]), pa.array([True]),
+            pa.array(["application/pdf"]), pa.array([b"%PDF"], type=pa.binary()),
+        ],
+        schema=schema,
+    )
+    assert list(fn(iter([quiet]))) == []
 
 
 def test_pandas_empty_list_column_still_broken():

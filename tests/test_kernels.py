@@ -224,6 +224,16 @@ def test_fast_parser_equivalence():
         '<a href>', '<a href="">', '<style>unterminated',
         '<a href="A&#65;">', '<img src="i" src="j">', '<a\nhref="nl">',
         '<a href="has space" >', "<a href='mix\"q'>",
+        # byte-mode scanner inputs: raw bytes, invalid UTF-8 inside and
+        # around values (the scanner slices bytes and decodes per-value;
+        # the reference decodes the whole body first — must agree)
+        b'<a href="x">t</a>',
+        b'<a href="\xff\xfe">bad utf8 value</a>',
+        b'\xe2\x82<a href="u">truncated multibyte before tag</a>',
+        b'<a href="a\xe2\x82"><img src="\xc3\xa9ok">',
+        b'<style>.x{background:url("\xff.png")}</style>',
+        b'<meta name="description" content="caf\xc3\xa9">',
+        bytearray(b'<a href="from-bytearray">'),
     ]
     for c in cases:
         assert parse_page(c) == parse_page_htmlparser(c), repr(c)
