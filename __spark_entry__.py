@@ -1405,10 +1405,17 @@ def oracle_sql() -> dict[str, str]:
               FROM toks, unnest(generate_series(1, greatest(len(ts)-1, 0))) AS g(i)
             ),
             top2 AS (
-              SELECT doc_id, n_tokens, MAX(cnt) AS top_2gram_cnt FROM (
-                SELECT doc_id, n_tokens, gram, COUNT(*) AS cnt
-                FROM g2 GROUP BY 1, 2, 3
-              ) GROUP BY 1, 2
+              SELECT doc_id, MAX(cnt) AS top_2gram_cnt FROM (
+                SELECT doc_id, gram, COUNT(*) AS cnt
+                FROM g2 GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            -- anchor on ALL docs: <2-token docs have no 2-grams and score
+            -- top_2gram_cnt=0 (mirrors the Spark operator's doc anchor)
+            anchored AS (
+              SELECT t.doc_id, t.n_tokens,
+                     coalesce(top2.top_2gram_cnt, 0) AS top_2gram_cnt
+              FROM toks t LEFT JOIN top2 ON t.doc_id = top2.doc_id
             ),
             g5 AS (
               SELECT doc_id,
@@ -1421,14 +1428,14 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(DISTINCT gram) AS distinct_5grams
               FROM g5 GROUP BY 1
             )
-            SELECT top2.doc_id AS doc_id, top_2gram_cnt,
+            SELECT anchored.doc_id AS doc_id, top_2gram_cnt,
                    round(top_2gram_cnt * 2 / n_tokens, 6) AS top_2gram_frac,
                    coalesce(round(1 - distinct_5grams / CAST(total_5grams AS DOUBLE), 6), 0.0)
                      AS dup_5gram_frac,
                    (round(top_2gram_cnt * 2 / n_tokens, 6) <= 0.2
                     AND coalesce(round(1 - distinct_5grams / CAST(total_5grams AS DOUBLE), 6), 0.0) <= 0.3)
                      AS repetition_pass
-            FROM top2 LEFT JOIN d5 ON top2.doc_id = d5.doc_id
+            FROM anchored LEFT JOIN d5 ON anchored.doc_id = d5.doc_id
         """,
         "pii_stats": """
             WITH aug AS (
@@ -1522,6 +1529,10 @@ def oracle_sql() -> dict[str, str]:
                        doc_id
                      ) AS rn
               FROM documents
+              WHERE length(text) > 0  -- w=0 rows excluded (zero inclusion
+                                      -- probability; div-by-zero is
+                                      -- engine-dependent) — mirrors the
+                                      -- Spark operator's w > 0 filter
             ) WHERE rn <= 50
         """,
         "recrawl_schedule": with_graph

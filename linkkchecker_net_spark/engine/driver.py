@@ -96,10 +96,20 @@ class CrawlConfig:
     # table.)
     bucketed_frontier: bool = False
     frontier_buckets: int = 32
-    # W2 rank strategy: batches below this use one row_number window (zero
-    # extra jobs); above it the parallel range-sort + offsets path.  Set
-    # lower if individual pages can carry ~millions of links each.
+    # W2 rank strategy: epochs whose ESTIMATED rank-input (survivor) count
+    # falls below this use one row_number window (zero extra jobs); above
+    # it the parallel bucketed-sort + offsets path.  The estimate is
+    # frontier_count x the PREVIOUS epoch's observed survivors-per-fetched-
+    # page ratio (from the manifests) x a 2x safety factor — NOT raw
+    # frontier rows (r3 verdict: a 199k-page frontier at 150 links/page
+    # pushed ~10^7 survivor rows through one window task while still
+    # classifying as "small").
     parallel_rank_threshold: int = 200_000
+    # first epoch only (no observed ratio yet): assumed survivors per
+    # fetched page.  Worst-case single-window exposure is bounded by
+    # (true links-per-page / assumed) x threshold, after which the
+    # observed ratio takes over.
+    assumed_links_per_page: int = 64
     # materialize epoch intermediates via eager localCheckpoint so every
     # epoch write analyzes a shallow plan (kills ~8s/epoch of driver-serial
     # Catalyst re-analysis).  Off by default: checkpoint blocks are not
@@ -255,6 +265,19 @@ class CrawlDriver:
             self._robots_empty = self.robots.limit(1).count() == 0
         unbounded = self.cfg.default_budget is None
         return (self._robots_empty and unbounded, self._robots_empty)
+
+    def _estimated_rank_input(self, state: dict) -> int:
+        """Upper-bound estimate of this epoch's W2 rank input (candidate
+        survivors): batch size (<= frontier_count) x survivors-per-fetched-
+        page, where the ratio is the previous epoch's OBSERVED
+        ranked_rows/fetched (carried in the manifests) x 2 safety, or
+        `assumed_links_per_page` on the first epoch."""
+        ratio = state.get("rank_ratio")
+        if ratio is None:
+            ratio = float(self.cfg.assumed_links_per_page)
+        else:
+            ratio = 2.0 * float(ratio)
+        return int(state["frontier_count"] * max(ratio, 1.0))
 
     def _delays(self) -> dict[str, float]:
         """robots crawl_delay dimension, collected once (small dim table)."""
@@ -478,6 +501,8 @@ class CrawlDriver:
             "seen_base": man.get("seen_base"),
             "seen_base_epoch": man.get("seen_base_epoch", -2),
             "seen_total": man.get("seen_total", man["frontier_count"]),
+            "frontier_min_rank": man.get("min_rank_fro", 0),
+            "rank_ratio": man.get("rank_ratio"),
         }
 
     def run_one_epoch(self, state: dict) -> dict:
@@ -539,13 +564,17 @@ class CrawlDriver:
             broadcast_seen=broadcast_seen,
             politeness_salt=cfg.politeness_salt,
             bloom_bcast=bloom_bcast,
-            small_rank=state["frontier_count"] < cfg.parallel_rank_threshold,
+            small_rank=(small_rank := (
+                self._estimated_rank_input(state) < cfg.parallel_rank_threshold
+            )),
             broadcast_parseable=state["frontier_count"]
             <= cfg.broadcast_parseable_threshold,
             pace_fetch=cfg.pace_fetch,
             crawl_delays=self._delays() if cfg.pace_fetch else None,
             truncate_plans=cfg.truncate_plans,
+            rank_lo=state.get("frontier_min_rank", 0),
         )
+        self._last_small_rank = small_rank  # observability for tests
 
         _mark("plan_epoch_dag")
         ed = catalog.epoch_dir(ck, e)
@@ -583,7 +612,11 @@ class CrawlDriver:
         new_frontier = res.carry.unionByName(res.new_frontier_entries)
         obs_f = Observation(f"frontier_e{e}")
         frontier_obs = new_frontier.observe(
-            obs_f, F.count(F.lit(1)).alias("n"), F.max("discovery_rank").alias("mx")
+            obs_f,
+            F.count(F.lit(1)).alias("n"),
+            F.max("discovery_rank").alias("mx"),
+            # min rank bounds next epoch's bucketed W2 rank (rank_lo)
+            F.min("discovery_rank").alias("mn"),
         ).repartition(nparts)
         import concurrent.futures as _cf
 
@@ -638,6 +671,7 @@ class CrawlDriver:
         by_class = {c: int(rstats[c] or 0) for c in classes if rstats[c]}
         max_rank_res = rstats["mx"]
         frontier_count, max_rank_fro = int(fstats["n"]), fstats["mx"]
+        min_rank_fro = int(fstats["mn"]) if fstats["mn"] is not None else 0
         # ranks are consumed by BOTH terminal result rows and new frontier
         # entries — advance past the max of either
         next_rank = max(
@@ -670,6 +704,14 @@ class CrawlDriver:
                 # it from the snapshot on the same compaction cadence
                 self._rebuild_seen_bucketed(spark.read.parquet(full))
 
+        # observed survivors-per-fetched-page: ranks are consumed exactly by
+        # this epoch's W2 input (gated results + new frontier entries), so
+        # the next_rank delta IS the rank-input row count — the signal the
+        # next epoch's small_rank gate scales by (no extra job)
+        ranked_rows = next_rank - state["next_rank"]
+        rank_ratio = (
+            ranked_rows / fetched_n if fetched_n > 0 else state.get("rank_ratio")
+        )
         manifest = {
             "next_rank": next_rank,
             "frontier_count": frontier_count,
@@ -683,6 +725,8 @@ class CrawlDriver:
             "seen_base_epoch": seen_base_epoch,
             # every results row was claimed exactly once → exact seen size
             "seen_total": state.get("seen_total", 0) + sum(by_class.values()),
+            "min_rank_fro": min_rank_fro,
+            "rank_ratio": rank_ratio,
         }
         catalog.write_manifest(ed, manifest)
         return {
@@ -695,6 +739,8 @@ class CrawlDriver:
             "seen_base": seen_base,
             "seen_base_epoch": seen_base_epoch,
             "seen_total": manifest["seen_total"],
+            "frontier_min_rank": min_rank_fro,
+            "rank_ratio": rank_ratio,
         }
 
     # ------------------------------------------------------------------ loop

@@ -57,16 +57,25 @@ def assign_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment (map-only): cluster = index of the
-    minimal rounded distance, first (= lowest id) on ties."""
+    minimal rounded distance, first (= lowest id) on ties.  With
+    ``keep_vec`` the vector column projects THROUGH the assignment, so the
+    centroid update downstream is a pure map+groupBy — no join back to the
+    corpus (r3 verdict item 4: the emb ⋈ assignment self-join was one
+    avoidable full-corpus shuffle per Lloyd iteration, the dominant cost of
+    the operator at 10^9 rows x iters)."""
     dists = F.array(*_dist_cols(F.col(vec_col), centroids, round_dp))
-    return emb.select(
+    cols = [
         F.col(id_col),
         (F.array_position(dists, F.array_min(dists)) - 1)
         .cast("int")
         .alias("cluster"),
-    )
+    ]
+    if keep_vec:
+        cols.append(F.col(vec_col))
+    return emb.select(*cols)
 
 
 def kmeans(
@@ -78,30 +87,48 @@ def kmeans(
     round_dp: int = 6,
 ) -> DataFrame:
     """`iters` Lloyd iterations from the deterministic k-smallest-ids
-    init; returns the final (id, cluster) assignment."""
-    init_rows = (
-        emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    )
+    init; returns the final (id, cluster) assignment.
+
+    Per-iteration plan: ONE shuffle total — the (cluster, pos)-keyed
+    partial aggregation of the centroid update (k x D rows/task map-side);
+    the assignment is fused into the same scan via keep_vec.  The pruned
+    corpus is persisted across the Lloyd loop so each iteration re-reads a
+    cache, not the upstream pipeline (ADVICE r3).  k is clamped to the
+    corpus size (fewer rows than k would otherwise IndexError at init)."""
+    emb = emb.select(id_col, vec_col)  # prune once, before the pin
+    init_rows = emb.orderBy(id_col).limit(k).collect()
+    if not init_rows:
+        return emb.select(
+            F.col(id_col), F.lit(0).cast("int").alias("cluster")
+        ).limit(0)
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     dim = len(centroids[0])
 
-    for _ in range(iters):
-        asg = assign_clusters(emb, centroids, id_col, vec_col, round_dp)
-        means = (
-            emb.join(asg, id_col)
-            .select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("v"), round_dp).alias("cv"))
-            .collect()
-        )
-        new_c = [list(c) for c in centroids]  # empty clusters keep theirs
-        got: dict[int, list[float | None]] = {}
-        for r in means:
-            got.setdefault(int(r["cluster"]), [None] * dim)[int(r["pos"])] = float(
-                r["cv"]
+    pinned = emb.persist()
+    try:
+        for _ in range(iters):
+            means = (
+                assign_clusters(
+                    pinned, centroids, id_col, vec_col, round_dp, keep_vec=True
+                )
+                .select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.avg("v"), round_dp).alias("cv"))
+                .collect()
             )
-        for cid, vals in got.items():
-            new_c[cid] = [v if v is not None else centroids[cid][j] for j, v in enumerate(vals)]
-        centroids = new_c
+            new_c = [list(c) for c in centroids]  # empty clusters keep theirs
+            got: dict[int, list[float | None]] = {}
+            for r in means:
+                got.setdefault(int(r["cluster"]), [None] * dim)[int(r["pos"])] = (
+                    float(r["cv"])
+                )
+            for cid, vals in got.items():
+                new_c[cid] = [
+                    v if v is not None else centroids[cid][j]
+                    for j, v in enumerate(vals)
+                ]
+            centroids = new_c
+    finally:
+        pinned.unpersist()
 
     return assign_clusters(emb, centroids, id_col, vec_col, round_dp)

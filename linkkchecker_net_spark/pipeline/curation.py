@@ -156,7 +156,12 @@ def weighted_sample(
     key = F.round(-F.log(u) / w, 9)
     wnd = Window.orderBy(key, "doc_id")
     return (
-        docs.withColumn("_rn", F.row_number().over(wnd))
+        # w=0 rows (empty docs) have zero inclusion probability in A-Res —
+        # and -ln(u)/0 is engine-dependent (Spark Infinity vs DuckDB's
+        # settings-dependent NULL/inf): exclude them BEFORE keying, in both
+        # this plan and the oracle SQL (ADVICE r3)
+        docs.filter(w > 0)
+        .withColumn("_rn", F.row_number().over(wnd))
         .filter(F.col("_rn") <= k)
         .select("doc_id", w.cast("long").alias("weight"))
     )

@@ -116,9 +116,9 @@ def repetition_stats(
 
     top2 = (
         kgrams(2)
-        .groupBy("doc_id", "n_tokens", "gram")
+        .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id", "n_tokens")
+        .groupBy("doc_id")
         .agg(F.max("cnt").alias("top_2gram_cnt"))
     )
     g5 = (
@@ -129,6 +129,17 @@ def repetition_stats(
             F.countDistinct("gram").alias("distinct_5grams"),
         )
     )
+    # anchor on the FULL doc set: a <2-token doc has no 2-grams at all and
+    # previously vanished from the output entirely (ADVICE r3 — a
+    # downstream inner-join filter would silently drop it); it scores
+    # top_2gram_cnt=0 and passes both rules
+    anchored = (
+        base.select("doc_id", "n_tokens")
+        .join(top2, "doc_id", "left")
+        .withColumn(
+            "top_2gram_cnt", F.coalesce("top_2gram_cnt", F.lit(0).cast("long"))
+        )
+    )
     top_frac = F.round(
         F.col("top_2gram_cnt") * 2 / F.col("n_tokens"), 6
     )
@@ -136,7 +147,7 @@ def repetition_stats(
         1 - F.col("distinct_5grams") / F.col("total_5grams"), 6
     )
     return (
-        top2.join(g5, "doc_id", "left")
+        anchored.join(g5, "doc_id", "left")
         .select(
             "doc_id",
             F.col("top_2gram_cnt"),
