@@ -154,16 +154,23 @@ def weighted_sample(
     ).cast("double")
     u = (h + 1) / F.lit(float(2**32 + 1))  # strictly inside (0, 1)
     key = F.round(-F.log(u) / w, 9)
-    wnd = Window.orderBy(key, "doc_id")
     return (
         # w=0 rows (empty docs) have zero inclusion probability in A-Res —
         # and -ln(u)/0 is engine-dependent (Spark Infinity vs DuckDB's
         # settings-dependent NULL/inf): exclude them BEFORE keying, in both
-        # this plan and the oracle SQL (ADVICE r3)
+        # this plan and the oracle SQL (ADVICE r3).
+        # orderBy().limit(k), NOT a 0-partition row_number window: Spark
+        # plans this as TakeOrderedAndProject — each partition keeps only
+        # its local top-k and the driver merges k x partitions rows.  The
+        # window form relied on a WindowGroupLimit rewrite that this build
+        # does NOT infer for empty partition specs (verified by
+        # test_plan_contracts.py) — it was a full single-partition sort of
+        # the corpus.  Same rows: (key, doc_id) is a total order.
         docs.filter(w > 0)
-        .withColumn("_rn", F.row_number().over(wnd))
-        .filter(F.col("_rn") <= k)
-        .select("doc_id", w.cast("long").alias("weight"))
+        .select("doc_id", key.alias("_k"), w.cast("long").alias("weight"))
+        .orderBy("_k", "doc_id")
+        .limit(k)
+        .select("doc_id", "weight")
     )
 
 
@@ -218,10 +225,14 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
 
     Scale: explode -> groupBy(token) partial-aggregates map-side (each
     map task emits its local vocab, not its token stream), then the
-    top-k is a single-partition sort of the GLOBAL vocab — fine for any
-    real k; for a full vocabulary dump swap the final window for
-    repartitionByRange(count).  Hot tokens ("the") are exactly what
-    partial aggregation exists for: they collapse to one row per map
+    top-k is orderBy().limit(k) = TakeOrderedAndProject — every partition
+    keeps only its local top-k of the VOCAB and the driver merges
+    k x partitions rows (the 0-partition row_number window it replaces
+    was a full single-partition sort of the global vocab; this build does
+    not infer WindowGroupLimit for empty partition specs — pinned by
+    test_plan_contracts.py).  For a full vocabulary dump use
+    repartitionByRange(count) instead.  Hot tokens ("the") are exactly
+    what partial aggregation exists for: they collapse to one row per map
     task before the shuffle.
     """
     counts = (
@@ -230,9 +241,4 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    return (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("token", "cnt")
-    )
+    return counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(k)

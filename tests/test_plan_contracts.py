@@ -1,0 +1,108 @@
+"""Plan-inspection contracts: physical shapes that keep the 10^10-row paths
+scale-safe are PINNED, not assumed (r3 verdict item 5).
+
+The motivating find: the 0-partition row_number windows in
+weighted_sample/vocab_topk were believed to be rewritten by Spark's
+WindowGroupLimit rule into partial per-partition top-ks — inspection showed
+the rule does NOT fire for empty partition specs on this build, i.e. they
+were full single-partition sorts of their input.  Both operators now use
+orderBy().limit(k) = TakeOrderedAndProject (a true partial top-k), and
+these tests fail loudly if a refactor reintroduces a global window."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_weighted_sample_is_partial_topk(spark):
+    from linkkchecker_net_spark.pipeline.curation import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(weighted_sample(docs, k=50))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p  # no 0-partition window anywhere
+
+
+def test_vocab_topk_is_partial_topk(spark):
+    from linkkchecker_net_spark.pipeline.curation import vocab_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(vocab_topk(docs, k=100))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p
+    # the token aggregation still partial-aggregates map-side
+    assert "partial_count" in p or "HashAggregate" in p, p
+
+
+def test_kmeans_iteration_single_shuffle_no_join(spark):
+    """r3 verdict item 4: one Lloyd iteration = ONE shuffle (the k x D
+    centroid aggregation) and NO join back to the corpus."""
+    from linkkchecker_net_spark.pipeline.cluster import assign_clusters
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [[0.1] * 64, [0.2] * 64, [0.3] * 64]
+    means = (
+        assign_clusters(emb, cents, keep_vec=True)
+        .select("cluster", F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+    )
+    p = _plan(means)
+    assert p.count("Exchange") == 1, p
+    assert "Join" not in p, p
+
+
+def test_small_rank_gates_on_survivor_estimate(spark, tmp_path):
+    """r3 verdict item 3: the W2 strategy gate must scale by the OBSERVED
+    links-per-page ratio, not raw frontier rows — a link-dense web flips to
+    the parallel rank even when the frontier is far below the threshold,
+    and the two strategies stay row-identical."""
+    from linkkchecker_net_spark.engine.driver import CrawlConfig, CrawlDriver
+    from linkkchecker_net_spark.fixtures import docweb
+
+    web = docweb.build_web_for_bench(spark, 400, partitions=8, extra_links=150)
+    robots = docweb.empty_robots(spark)
+
+    # unit: first epoch uses assumed_links_per_page; later epochs 2x the
+    # observed ratio
+    d = CrawlDriver(
+        spark, web, robots, CrawlConfig(ckpt_dir=str(tmp_path / "u"))
+    )
+    assert d._estimated_rank_input({"frontier_count": 10, "rank_ratio": None}) == 640
+    assert (
+        d._estimated_rank_input({"frontier_count": 10, "rank_ratio": 150.0})
+        == 3000
+    )
+
+    def crawl(ck, **kw):
+        drv = CrawlDriver(
+            spark, web, robots,
+            CrawlConfig(ckpt_dir=str(ck), max_epochs=2, **kw),
+        )
+        drv.init_seeds(docweb.seeds(3))
+        state = drv._read_state()
+        flags = []
+        while state["frontier_count"] > 0 and state["next_epoch"] < 2:
+            state = drv.run_one_epoch(state)
+            flags.append(drv._last_small_rank)
+        rows = sorted(tuple(r) for r in drv.results().collect())
+        return flags, rows
+
+    # auto gate: epoch 0 small (3 seeds x assumed 64 = 192 < threshold),
+    # epoch 1 parallel (frontier x observed ~150 links/page x 2 >> threshold
+    # even though the frontier itself is far below 2000 rows)
+    flags_auto, rows_auto = crawl(tmp_path / "auto", parallel_rank_threshold=2000)
+    assert flags_auto[0] is True and flags_auto[1] is False, flags_auto
+
+    # forced single-window path must be row-identical
+    flags_small, rows_small = crawl(
+        tmp_path / "small", parallel_rank_threshold=10**9
+    )
+    assert all(flags_small), flags_small
+    assert rows_auto == rows_small
