@@ -664,6 +664,29 @@ class CrawlDriver:
             for f in futs:
                 f.result()
         _mark("write_results_and_state")
+        # politeness audit (r3 verdict item 7): when pacing is on, record
+        # the per-epoch same-host min fetch gap in the manifest, so a
+        # production politeness audit is a metrics() read, not a debug run.
+        # One batch-sized job over the already-persisted fetch cache —
+        # pace_fetch deployments are wall-clock-bound on the sleeps anyway.
+        pacing = None
+        if cfg.pace_fetch and "fetch_ts" in res.fetched.columns:
+            gap = F.expr(
+                "array_min(zip_with(slice(ts, 2, size(ts) - 1),"
+                " slice(ts, 1, size(ts) - 1), (a, b) -> a - b))"
+            )
+            prow = (
+                res.fetched.groupBy("host")
+                .agg(F.sort_array(F.collect_list("fetch_ts")).alias("ts"))
+                .filter(F.size("ts") >= 2)
+                .select(gap.alias("g"))
+                .agg(F.min("g").alias("mg"), F.count("*").alias("nh"))
+                .collect()[0]
+            )
+            pacing = {
+                "min_gap_sec": float(prow["mg"]) if prow["mg"] is not None else None,
+                "multi_fetch_hosts": int(prow["nh"] or 0),
+            }
         for df in res.persisted:
             df.unpersist()
 
@@ -727,6 +750,7 @@ class CrawlDriver:
             "seen_total": state.get("seen_total", 0) + sum(by_class.values()),
             "min_rank_fro": min_rank_fro,
             "rank_ratio": rank_ratio,
+            "pacing": pacing,
         }
         catalog.write_manifest(ed, manifest)
         return {
@@ -787,6 +811,7 @@ class CrawlDriver:
         for e in catalog.list_complete_epochs(ck):
             man = catalog.read_manifest(catalog.epoch_dir(ck, e)) or {}
             bc = man.get("by_class", {})
+            pacing = man.get("pacing") or {}
             rows.append(
                 (
                     e,
@@ -799,6 +824,8 @@ class CrawlDriver:
                     sum(bc.values()),
                     man.get("frontier_count", 0),
                     float(man.get("elapsed_sec", 0.0)),
+                    pacing.get("min_gap_sec"),
+                    pacing.get("multi_fetch_hosts"),
                 )
             )
         return self.spark.createDataFrame(rows, schema=schemas.METRICS)

@@ -364,8 +364,90 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame
 # --------------------------------------------------------------------------
 
 
+def _star_labels(
+    edges_sym: DataFrame, max_rounds: int = 50, stats: dict | None = None
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14] — O(log n) rounds on ANY graph, including adversarial chains
+    where plain label propagation needs diameter-many rounds.
+
+    Per round (same join/agg primitives as the propagation path):
+      large-star: each center u attaches its LARGER neighbors to
+        m(u) = min(Γ(u) ∪ {u});
+      small-star: each center u attaches its ≤ neighbors AND ITSELF to
+        m(u).
+    At fixpoint the graph is a union of stars centered at component
+    minima; a node's label is its star center.  Convergence is detected
+    by an (edge count, xxhash64 sum) signature — one metadata-sized
+    collect per round; localCheckpoint bounds lineage exactly like the
+    propagation loop.
+
+    edges_sym: symmetric (src, dst), no self-loops.  Returns
+    (doc_id, label) for every non-isolated node.  Raises after
+    `max_rounds` — wrong labels must never return silently.
+    """
+    sym = edges_sym
+    prev_sig = None
+    out = None
+    for rnd in range(max_rounds):
+        # large-star
+        mns = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+        ls = (
+            sym.join(mns, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(
+                F.col("dst").alias("a"),
+                F.least(F.col("_mn"), F.col("src")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        sym = (
+            ls.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(ls.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .distinct()
+        )
+        # small-star
+        mns = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+        ss = (
+            sym.join(mns, "src")
+            .withColumn("_m", F.least(F.col("_mn"), F.col("src")))
+            .filter(F.col("dst") <= F.col("src"))
+        )
+        out = (
+            ss.select(F.col("dst").alias("a"), F.col("_m").alias("b"))
+            .unionByName(ss.select(F.col("src").alias("a"), F.col("_m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig_row = out.agg(
+            F.count("*").alias("n"),
+            # pmod keeps the checksum sum far from long overflow (ANSI mode
+            # raises on it); 2^31 buckets x distinct-edge count << 2^63
+            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(2**31))).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        sym = (
+            out.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(out.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .distinct()
+        )
+        if stats is not None:
+            stats["star_rounds"] = rnd + 1
+        if sig == prev_sig:
+            return out.groupBy("a").agg(F.min("b").alias("label")).select(
+                F.col("a").alias("doc_id"), "label"
+            )
+        prev_sig = sig
+    raise RuntimeError(
+        f"star contraction did not converge in {max_rounds} rounds"
+    )
+
+
 def dedup_clusters(
-    docs: DataFrame, pairs: DataFrame, max_iter: int = 25
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 25, star_after: int = 4
 ) -> DataFrame:
     """Cluster assignment over a near-dup pair graph: every document gets
     `cluster_id` = the minimum doc_id reachable through the pairs —
@@ -379,11 +461,13 @@ def dedup_clusters(
     graph diameter — near-dup clusters are near-cliques (diameter 2-3 in
     practice), and the loop stops at the measured fixpoint, not a guessed
     round count.  Lineage is truncated with localCheckpoint each round so
-    plan depth stays O(1) per round at any scale.  (The O(log n)
-    worst-case upgrade for adversarial chain graphs is the
-    large-star/small-star alternation [Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14] — same join/agg
-    primitives, swap-in compatible.)
+    plan depth stays O(1) per round at any scale.
+
+    ESCALATION (r3 verdict item 8): if propagation has not converged after
+    `star_after` rounds, the graph is not the near-clique shape near-dup
+    pipelines produce (think adversarial chains) — switch to the
+    large-star/small-star alternation (:func:`_star_labels`), which
+    finishes any graph in O(log n) rounds with the same primitives.
 
     pairs: (doc_a, doc_b [, ...]) with doc_a < doc_b; docs: (doc_id, ...).
     Returns (doc_id, cluster_id).
@@ -397,7 +481,8 @@ def dedup_clusters(
         .persist()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(max_iter):
+    converged = False
+    for _ in range(min(star_after, max_iter)):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -421,6 +506,14 @@ def dedup_clusters(
         changed = updated.filter("_chg").limit(1).count()
         labels = updated.drop("_chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        star = _star_labels(edges, max_rounds=max(max_iter, 50))
+        labels = (
+            docs.select("doc_id")
+            .join(star, "doc_id", "left")
+            .select("doc_id", F.coalesce("label", F.col("doc_id")).alias("label"))
+        )
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -120,6 +120,11 @@ METRICS = T.StructType(
         T.StructField("new_candidates", T.LongType(), False),
         T.StructField("frontier_size", T.LongType(), False),
         T.StructField("elapsed_sec", T.DoubleType(), False),
+        # pacing audit (pace_fetch runs only): smallest observed same-host
+        # fetch gap this epoch, and how many hosts fetched >1 URL (the rows
+        # the crawl_delay contract actually binds).  NULL when unpaced.
+        T.StructField("min_gap_sec", T.DoubleType(), True),
+        T.StructField("paced_hosts", T.LongType(), True),
     ]
 )
 

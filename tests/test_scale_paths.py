@@ -265,6 +265,17 @@ def test_pace_fetch_epoch(spark, golden_fixtures, tmp_path):
     paced = _run(spark, fx, tmp_path / "pp", pace_fetch=True)
     assert _rows(plain) == _rows(paced)
 
+    # r3 verdict item 7: the politeness audit is a metrics() read — epochs
+    # where any host fetched >1 URL report a min same-host gap >= the delay
+    pm = [r.asDict() for r in paced.metrics().collect()]
+    multi = [r for r in pm if (r["paced_hosts"] or 0) > 0]
+    assert multi, "no epoch batched multiple URLs per host"
+    for r in multi:
+        assert r["min_gap_sec"] >= delay * 0.9, r
+    assert all(
+        r["min_gap_sec"] is None for r in plain.metrics().collect()
+    ), "unpaced crawl must record NULL pacing"
+
     # in-epoch timestamp contract: drive epoch 1 by hand (epoch 0 is the
     # per-host-unique seed batch) and read the pacer's fetch_ts
     web = tables.web_df(spark, fx["web"])
@@ -347,6 +358,42 @@ def test_dedup_clusters_components(spark):
         r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, two).collect()
     }
     assert out2 == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_dedup_clusters_star_escalation(spark):
+    """r3 verdict item 8: a chain graph (worst case for label propagation —
+    rounds = diameter) escalates to large-star/small-star after
+    `star_after` non-converged rounds and resolves in <= 2*log2(n)
+    contraction rounds, same labels."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from linkkchecker_net_spark.pipeline.dedup import _star_labels, dedup_clusters
+
+    n = 64
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, chain, star_after=2).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+
+    # the contraction itself: every non-isolated node stars to the
+    # component min within the O(log n) round bound
+    e = chain.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    stats: dict = {}
+    lbl = {
+        r["doc_id"]: r["label"] for r in _star_labels(sym, stats=stats).collect()
+    }
+    assert lbl == {i: 0 for i in range(1, n)}
+    assert stats["star_rounds"] <= 2 * int(math.log2(n)), stats
 
 
 def test_truncate_plans_equivalence(spark, golden_fixtures, tmp_path):
