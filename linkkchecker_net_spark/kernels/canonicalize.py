@@ -82,10 +82,17 @@ _FAST_REL = re.compile(r"/[^/?#%&\s][^?#%&\s]*\Z")
 _FAST_BASE = re.compile(r"(https?://[a-z0-9\-]+(?:\.[a-z0-9\-]+)*)/")
 
 
+# one-entry memo for the relative fast path: a page's ~150 links all share
+# one base_url, so the base prefix match + dot-segment scan run once per
+# page instead of once per link (python workers are single-threaded)
+_BASE_MEMO: tuple[str | None, str | None] = (None, None)
+
+
 def canonicalize(base_url: str | None, href: str | None) -> str | None:
     """Canonical absolute URL, or None when the href cannot form a URL
     (the reference drops such links on the floor via an unobserved task
     exception — Engine.cs:322-349)."""
+    global _BASE_MEMO
     if href is None:
         return None
     href = href.strip()
@@ -95,9 +102,18 @@ def canonicalize(base_url: str | None, href: str | None) -> str | None:
         if _FAST_ABS.match(href):
             return href
         if base_url is not None and _FAST_REL.match(href):
-            mb = _FAST_BASE.match(base_url)
-            if mb is not None and "/." not in base_url:
-                return mb.group(1) + href
+            if _BASE_MEMO[0] == base_url:
+                pref = _BASE_MEMO[1]
+            else:
+                mb = _FAST_BASE.match(base_url)
+                pref = (
+                    mb.group(1)
+                    if (mb is not None and "/." not in base_url)
+                    else None
+                )
+                _BASE_MEMO = (base_url, pref)
+            if pref is not None:
+                return pref + href
     try:
         if href.lower().startswith("http"):
             url = href

@@ -37,6 +37,13 @@ from linkkchecker_net_spark.kernels.htmlparse import scan_page
 
 CSS_TAG_RANK = 4
 
+# F1 scheme gate over CANONICALIZED urls: canonicalize() rebuilds every
+# http(s) URL with a lowercased scheme (and only http(s) URLs start with
+# these prefixes), so the per-candidate check is one tuple-startswith —
+# equivalence with the split(":")[0].lower() form is pinned by the golden
+# crawl tests (gated `unsupported` rows are part of the oracle contract)
+_HTTP_SCHEMES = ("http://", "https://")
+
 FUSED_SCHEMA = (
     "kind string, parent_rank long, parent_depth int, "
     "url string, supported boolean, "
@@ -187,10 +194,7 @@ def extract_batches(seed_authorities: set[str], seed_prefixes: tuple[str, ...]):
                             url = canonicalize(base, href)
                             if url is not None:
                                 o_url.append(url)
-                                o_sup.append(
-                                    url.split(":", 1)[0].lower()
-                                    in ("http", "https")
-                                )
+                                o_sup.append(url.startswith(_HTTP_SCHEMES))
                                 o_may.append(may)
                                 o_exp.append(True)
                                 o_tag.append(tag_rank)
@@ -203,10 +207,7 @@ def extract_batches(seed_authorities: set[str], seed_prefixes: tuple[str, ...]):
                             url = canonicalize(base, href)
                             if url is not None:
                                 o_url.append(url)
-                                o_sup.append(
-                                    url.split(":", 1)[0].lower()
-                                    in ("http", "https")
-                                )
+                                o_sup.append(url.startswith(_HTTP_SCHEMES))
                                 o_may.append(False)
                                 o_exp.append(False)
                                 o_tag.append(CSS_TAG_RANK)
@@ -221,10 +222,7 @@ def extract_batches(seed_authorities: set[str], seed_prefixes: tuple[str, ...]):
                         url = canonicalize(in_url[i], href)
                         if url is not None:
                             o_url.append(url)
-                            o_sup.append(
-                                url.split(":", 1)[0].lower()
-                                in ("http", "https")
-                            )
+                            o_sup.append(url.startswith(_HTTP_SCHEMES))
                             o_may.append(False)
                             o_exp.append(False)
                             o_tag.append(CSS_TAG_RANK)
