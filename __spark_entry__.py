@@ -850,6 +850,37 @@ def q_kmeans(spark, sf_dir):
     return kmeans(_emb(spark, sf_dir), k=8, iters=3)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: kmeans clusters then within-cluster cosine pruning
+    (keep-lowest-id); oracle unrolls the same Lloyd rounds in SQL and
+    mirrors the pair join."""
+    from linkkchecker_net_spark.pipeline.cluster import semantic_dedup
+
+    _prep(spark)
+    return semantic_dedup(_emb(spark, sf_dir), k=8, iters=3, threshold=0.4)
+
+
+# probe terms for the BM25 query — drawn from the synthetic documents
+# vocabulary (fixtures generate Spark-flavored word soup)
+BM25_TERMS = ("spark", "join", "window", "filter")
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 of every document against a fixed probe-term set."""
+    from linkkchecker_net_spark.pipeline.ranking import bm25
+
+    _prep(spark)
+    return bm25(_docs(spark, sf_dir), terms=BM25_TERMS)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 terms by TF-IDF."""
+    from linkkchecker_net_spark.pipeline.ranking import tfidf_topk
+
+    _prep(spark)
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
 def q_event_stats(spark, sf_dir):
     """A2-style aggregation over the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -909,6 +940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "weighted_sample": q_weighted_sample,
         "recrawl_schedule": q_recrawl_schedule,
+        "semantic_dedup": q_semantic_dedup,
+        "bm25": q_bm25,
+        "tfidf_topk": q_tfidf_topk,
         "event_stats": q_event_stats,
     }
 
@@ -1498,6 +1532,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(h) AS fp FROM gh GROUP BY doc_id HAVING count(*) < 4
         """,
         "kmeans": _kmeans_sql(k=8, iters=3),
+        "semantic_dedup": _semantic_dedup_sql(k=8, iters=3, threshold=0.4),
+        "bm25": _bm25_sql(BM25_TERMS),
+        "tfidf_topk": _TFIDF_TOPK_SQL,
         "redact_pii": """
             WITH aug AS (
               SELECT doc_id,
@@ -1637,6 +1674,114 @@ def _kmeans_sql(k: int = 8, iters: int = 3, dp: int = 6) -> str:
             )
     parts.append(f"\n        SELECT vec_id, cluster FROM a{iters + 1}")
     return "".join(parts)
+
+
+def _semantic_dedup_sql(
+    k: int = 8, iters: int = 3, dp: int = 6, threshold: float = 0.4
+) -> str:
+    """SemDeDup oracle: the kmeans CTE chain (same deterministic Lloyd
+    contract), then within-cluster cosine pairs on the flattened vectors;
+    a vector is dropped iff some LOWER-id cluster-mate's cosine (9-dp
+    rounded, the ann/neardup convention) meets the threshold."""
+    kmeans_ctes = _kmeans_sql(k, iters, dp)
+    final = f"\n        SELECT vec_id, cluster FROM a{iters + 1}"
+    assert kmeans_ctes.endswith(final)
+    return (
+        kmeans_ctes[: -len(final)]
+        + f""",
+        asg AS (SELECT vec_id, cluster FROM a{iters + 1}),
+        nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1),
+        pairs AS (
+          SELECT a.vec_id AS ida, b.vec_id AS idb,
+                 round(sum(fa.v * fb.v) / (any_value(na.nrm) * any_value(nb.nrm)), 9) AS cos_r
+          FROM asg a
+          JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          JOIN flat fa ON fa.vec_id = a.vec_id
+          JOIN flat fb ON fb.vec_id = b.vec_id AND fb.pos = fa.pos
+          JOIN nrm na ON na.vec_id = a.vec_id
+          JOIN nrm nb ON nb.vec_id = b.vec_id
+          GROUP BY 1, 2
+        ),
+        dropped AS (
+          SELECT DISTINCT idb AS vec_id FROM pairs WHERE cos_r >= {threshold}
+        )
+        SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS keep
+        FROM asg s LEFT JOIN dropped d USING (vec_id)"""
+    )
+
+
+def _bm25_sql(terms: tuple[str, ...], k1: float = 1.2, b: float = 0.75) -> str:
+    """Okapi BM25 oracle — same tokenization (whitespace split, empties
+    dropped), same idf form ln(1 + (N - df + .5)/(df + .5)), anchored on
+    the full doc set with 0.0 for no-match docs."""
+    term_list = ", ".join("'" + t + "'" for t in terms)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, t.tok AS token
+          FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+          WHERE t.tok <> ''
+        ),
+        dls AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS DOUBLE) AS dl
+          FROM documents
+        ),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM dls
+        ),
+        tf AS (
+          SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+          FROM toks WHERE token IN ({term_list})
+          GROUP BY 1, 2
+        ),
+        idf AS (
+          SELECT token,
+                 ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+          FROM (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM tf GROUP BY 1), stats s
+        ),
+        scores AS (
+          SELECT tf.doc_id,
+                 sum(idf.idf * (tf.tf * ({k1} + 1.0))
+                     / (tf.tf + {k1} * (1.0 - {b} + {b} * dls.dl / s.avgdl)))
+                 AS score
+          FROM tf
+          JOIN idf USING (token)
+          JOIN dls ON dls.doc_id = tf.doc_id, stats s
+          GROUP BY 1
+        )
+        SELECT d.doc_id, round(coalesce(s.score, 0.0), 6) AS bm25
+        FROM documents d LEFT JOIN scores s USING (doc_id)"""
+
+
+_TFIDF_TOPK_SQL = """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM toks GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf * ln(n.n_docs / dfreq.df) AS score
+      FROM tf JOIN dfreq USING (token), n
+    )
+    SELECT doc_id, token, round(score, 6) AS tfidf, rank FROM (
+      SELECT doc_id, token, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                              ORDER BY round(score, 9) DESC, token) AS INT)
+             AS rank
+      FROM scored
+    ) WHERE rank <= 3"""
 
 
 _FLAT_EMB_CTES = """

@@ -78,16 +78,17 @@ def assign_clusters(
     return emb.select(*cols)
 
 
-def kmeans(
+def lloyd_centroids(
     emb: DataFrame,
     k: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
-) -> DataFrame:
+) -> list[list[float]] | None:
     """`iters` Lloyd iterations from the deterministic k-smallest-ids
-    init; returns the final (id, cluster) assignment.
+    init; returns the final centroids (k x D floats — metadata-sized), or
+    None for an empty corpus.
 
     Per-iteration plan: ONE shuffle total — the (cluster, pos)-keyed
     partial aggregation of the centroid update (k x D rows/task map-side);
@@ -98,9 +99,7 @@ def kmeans(
     emb = emb.select(id_col, vec_col)  # prune once, before the pin
     init_rows = emb.orderBy(id_col).limit(k).collect()
     if not init_rows:
-        return emb.select(
-            F.col(id_col), F.lit(0).cast("int").alias("cluster")
-        ).limit(0)
+        return None
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     dim = len(centroids[0])
 
@@ -130,5 +129,115 @@ def kmeans(
             centroids = new_c
     finally:
         pinned.unpersist()
+    return centroids
 
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic distributed k-means: :func:`lloyd_centroids` then a
+    final map-only assignment.  Returns (id, cluster)."""
+    centroids = lloyd_centroids(emb, k, iters, id_col, vec_col, round_dp)
+    if centroids is None:
+        return emb.select(
+            F.col(id_col), F.lit(0).cast("int").alias("cluster")
+        ).limit(0)
     return assign_clusters(emb, centroids, id_col, vec_col, round_dp)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then mark as duplicates the vectors
+    whose WITHIN-CLUSTER cosine similarity to a lower-id vector meets
+    `threshold` — the keep-lowest-id convention every dedup operator in
+    this package uses (pipeline.dedup).  Output: (id, cluster, keep).
+
+    Why clustering first: the pair search is confined to each cluster, so
+    the quadratic term is Σ|cluster|² instead of N² — at production scale
+    k grows with N (the paper uses k ≈ √N style sizing) to hold cluster
+    sizes roughly constant, making the per-cluster pair join a bounded
+    local problem.  The cluster-keyed self-join shuffles both sides on
+    `cluster`; a pathologically hot cluster is the same skew problem as a
+    hot LSH bucket (pipeline.dedup) — cap it with a per-cluster size
+    limit + recursive re-cluster, or salt the pair enumeration.
+
+    Determinism (DuckDB-oracled like kmeans): centroids from
+    :func:`lloyd_centroids` (rounded contract), assignment map-only,
+    cosine threshold compared on the 9-dp rounding (the ann/neardup
+    convention); output carries no float columns.
+    """
+    centroids = lloyd_centroids(emb, k, iters, id_col, vec_col, round_dp)
+    if centroids is None:
+        return emb.select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("cluster"),
+            F.lit(True).alias("keep"),
+        ).limit(0)
+    # one map-only pass: cluster + vector + norm (no join back to corpus)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("ea"),
+            F.col("eb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = assign_clusters(
+        emb, centroids, id_col, vec_col, round_dp, keep_vec=True
+    ).select(
+        F.col(id_col).alias("vid"), "cluster", F.col(vec_col), nrm.alias("nrm")
+    )
+    a = v.select(
+        F.col("vid").alias("ida"),
+        "cluster",
+        F.col(vec_col).alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vid").alias("idb"),
+        "cluster",
+        F.col(vec_col).alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn(
+            "cos_r", F.round(dot / (F.col("na") * F.col("nb")), 9)
+        )
+        .filter(F.col("cos_r") >= threshold)
+        .select(F.col("idb").alias("vid"))
+        .distinct()
+    )
+    return (
+        v.select("vid", "cluster")
+        .join(dropped.withColumn("dup", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+        )
+    )

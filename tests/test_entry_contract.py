@@ -69,7 +69,7 @@ NON_CRAWL = [
     "quality_score", "fingerprint", "event_stats", "multimodal_neardup",
     "decontaminate", "stratified_sample", "shard_assign", "vocab_topk",
     "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
-    "redact_pii", "weighted_sample",
+    "redact_pii", "weighted_sample", "semantic_dedup", "bm25", "tfidf_topk",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

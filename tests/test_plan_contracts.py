@@ -106,3 +106,45 @@ def test_small_rank_gates_on_survivor_estimate(spark, tmp_path):
     )
     assert all(flags_small), flags_small
     assert rows_auto == rows_small
+
+
+def test_bm25_small_sides_broadcast(spark):
+    """The corpus scalars (1 row) and per-term idf (|terms| rows) must
+    reach the scoring scan as broadcasts — no shuffle of the token stream
+    against metadata-sized dimensions, no global window anywhere."""
+    from linkkchecker_net_spark.pipeline.ranking import bm25
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(bm25(docs, ("spark", "join")))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "Window" not in p, p
+    # doc_id-keyed joins (tf x dl, anchor x scores) may shuffle — both
+    # sides are corpus-sized; the token-keyed idf join must NOT
+    for line in p.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "token" not in line, p
+
+
+def test_tfidf_topk_window_is_per_doc(spark):
+    """The top-k window partitions by doc_id (10^10 tiny partitions, no
+    global sort): the plan's Window node must carry a partition spec."""
+    from linkkchecker_net_spark.pipeline.ranking import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(tfidf_topk(docs, k=3))
+    assert "Window" in p, p
+    import re
+
+    w = re.search(r"Window \[[^\]]*\], \[doc_id", p)
+    assert w is not None, p
+
+
+def test_semantic_dedup_pairs_join_on_cluster(spark):
+    """The pair search must be cluster-blocked (join key = cluster), never
+    an all-pairs cross join."""
+    from linkkchecker_net_spark.pipeline.cluster import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(semantic_dedup(emb, k=4, iters=1, threshold=0.4))
+    assert "CartesianProduct" not in p, p
+    assert "cluster" in p, p
