@@ -881,6 +881,16 @@ def q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
+def q_unigram_ppl(spark, sf_dir):
+    """CCNet-style unigram-LM perplexity quality gate."""
+    from linkkchecker_net_spark.pipeline.ranking import unigram_ppl
+
+    _prep(spark)
+    # 31.5 sits in the distribution's tail at every SF (~4% rejected) with
+    # ≥7.8e-3 margin to the nearest doc's ppl — far above the 9-dp compare
+    return unigram_ppl(_docs(spark, sf_dir), threshold=31.5)
+
+
 def q_event_stats(spark, sf_dir):
     """A2-style aggregation over the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -943,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "tfidf_topk": q_tfidf_topk,
+        "unigram_ppl": q_unigram_ppl,
         "event_stats": q_event_stats,
     }
 
@@ -1535,6 +1546,26 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(k=8, iters=3, threshold=0.4),
         "bm25": _bm25_sql(BM25_TERMS),
         "tfidf_topk": _TFIDF_TOPK_SQL,
+        "unigram_ppl": """
+            WITH toks AS (
+              SELECT doc_id, t.tok AS token
+              FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            lm AS (
+              SELECT token, CAST(count(*) AS DOUBLE) AS cnt
+              FROM toks GROUP BY 1
+            ),
+            tot AS (SELECT sum(cnt) AS total FROM lm),
+            logp AS (SELECT token, ln(cnt / tot.total) AS logp FROM lm, tot),
+            ppl AS (
+              SELECT toks.doc_id, exp(-avg(logp.logp)) AS p
+              FROM toks JOIN logp USING (token)
+              GROUP BY 1
+            )
+            SELECT d.doc_id, round(p.p, 6) AS ppl,
+                   coalesce(round(p.p, 9) <= 31.5, false) AS keep
+            FROM documents d LEFT JOIN ppl p USING (doc_id)""",
         "redact_pii": """
             WITH aug AS (
               SELECT doc_id,

@@ -119,6 +119,49 @@ def bm25(
     )
 
 
+def unigram_ppl(
+    docs: DataFrame, threshold: float = 31.5, round_dp: int = 6
+) -> DataFrame:
+    """CCNet-style LM-perplexity quality scoring (Wenzek et al. 2020),
+    with the LM = the corpus's own unigram distribution — the
+    deterministic, engine-independent stand-in for the 5-gram KenLM the
+    paper trains on Wikipedia (the swap point: replace the `lm` table
+    with precomputed external-LM logprobs broadcast/joined the same way).
+
+    ppl(d) = exp(-mean_t ln(cnt(t)/total)); `keep` = ppl ≤ threshold
+    (high perplexity under the in-domain LM ≈ far from the corpus
+    distribution ≈ noise/boilerplate in CCNet's tail bucket).
+
+    Output anchored on the FULL doc set: token-less docs carry ppl NULL /
+    keep false.  Scale: the LM is the partial-aggregated vocab (never the
+    token stream); per-doc scoring is one token-keyed join (hot tokens
+    already collapsed map-side) + one doc-keyed aggregation.  At 100 TB
+    the LM table joins on token exactly like tfidf's df side.
+    """
+    toks = _tokens(docs)
+    lm = toks.groupBy("token").agg(F.count("*").cast("double").alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("total"))  # 1 row — broadcast
+    logp = lm.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("cnt") / F.col("total")).alias("logp")
+    )
+    ppl = (
+        toks.join(logp, "token")
+        .groupBy("doc_id")
+        .agg(F.exp(-F.avg("logp")).alias("p"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(ppl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round("p", round_dp).alias("ppl"),
+            F.coalesce(
+                F.round(F.col("p"), 9) <= threshold, F.lit(False)
+            ).alias("keep"),
+        )
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 3, round_dp: int = 6) -> DataFrame:
     """Per-document top-k terms by TF-IDF (tf · ln(N/df), df ≥ 1 always so
     the log is finite; ties broken by token asc on the 9-dp-rounded score).

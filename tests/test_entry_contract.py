@@ -70,6 +70,7 @@ NON_CRAWL = [
     "decontaminate", "stratified_sample", "shard_assign", "vocab_topk",
     "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
     "redact_pii", "weighted_sample", "semantic_dedup", "bm25", "tfidf_topk",
+    "unigram_ppl",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

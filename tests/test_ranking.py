@@ -123,3 +123,21 @@ def test_semantic_dedup_empty_corpus(spark):
 
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert semantic_dedup(emb, k=4).count() == 0
+
+
+def test_unigram_ppl_hand_computed(spark):
+    import math
+
+    from linkkchecker_net_spark.pipeline.ranking import unigram_ppl
+
+    docs = _docs(spark, [(1, "a a b"), (2, "a b"), (3, "")])
+    # lm: a -> 3/5, b -> 2/5
+    la, lb = math.log(3 / 5), math.log(2 / 5)
+    exp1 = math.exp(-(2 * la + lb) / 3)  # ~1.908
+    exp2 = math.exp(-(la + lb) / 2)      # ~2.041
+    out = {r["doc_id"]: r for r in unigram_ppl(docs, threshold=2.0).collect()}
+    assert out[1]["ppl"] == pytest.approx(round(exp1, 6), abs=1e-6)
+    assert out[2]["ppl"] == pytest.approx(round(exp2, 6), abs=1e-6)
+    assert out[1]["keep"] and not out[2]["keep"]
+    # token-less docs are anchored, not dropped: NULL ppl, keep=false
+    assert out[3]["ppl"] is None and not out[3]["keep"]
