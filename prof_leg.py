@@ -27,7 +27,7 @@ def _build(cores):
     extra = {
         "spark.sql.files.maxPartitionBytes": "16m",
         "spark.sql.files.openCostInBytes": "512k",
-        "spark.sql.files.minPartitionNum": "32",
+        "spark.sql.files.minPartitionNum": str(bench.FIXED_PARTS),
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": "/tmp/spark-events",
         "spark.eventLog.compress": "false",
@@ -38,7 +38,7 @@ def _build(cores):
         d = os.path.join(shm, "spark-local")
         os.makedirs(d, exist_ok=True)
         extra["spark.local.dir"] = d
-    spark = build_session(app_name=f"prof[{cores}]", cores=cores, shuffle_partitions=32, extra_conf=extra)
+    spark = build_session(app_name=f"prof[{cores}]", cores=cores, shuffle_partitions=bench.FIXED_PARTS, extra_conf=extra)
     bench.prewarm(spark, cores)
     return spark
 
