@@ -891,6 +891,32 @@ def q_unigram_ppl(spark, sf_dir):
     return unigram_ppl(_docs(spark, sf_dir), threshold=31.5)
 
 
+def q_bigram_ppl(spark, sf_dir):
+    """Bigram-LM (add-1) perplexity quality gate."""
+    from linkkchecker_net_spark.pipeline.ranking import bigram_ppl
+
+    _prep(spark)
+    # 32.55 sits in a >=0.034 gap of the ppl distribution at every SF
+    # (rejects 1-1.8%) - far above the 9-dp compare precision
+    return bigram_ppl(_docs(spark, sf_dir), alpha=1.0, threshold=32.55)
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """First-iteration BPE merge-candidate pair counts (top 50)."""
+    from linkkchecker_net_spark.pipeline.curation import bpe_pairs
+
+    _prep(spark)
+    return bpe_pairs(_docs(spark, sf_dir), k=50)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-unigram importance weights (target = lang='en')."""
+    from linkkchecker_net_spark.pipeline.curation import dsir_weights
+
+    _prep(spark)
+    return dsir_weights(_docs(spark, sf_dir), n_buckets=4096, alpha=1.0)
+
+
 def q_event_stats(spark, sf_dir):
     """A2-style aggregation over the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -954,6 +980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "tfidf_topk": q_tfidf_topk,
         "unigram_ppl": q_unigram_ppl,
+        "bigram_ppl": q_bigram_ppl,
+        "bpe_pairs": q_bpe_pairs,
+        "dsir_weights": q_dsir_weights,
         "event_stats": q_event_stats,
     }
 
@@ -1566,6 +1595,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, round(p.p, 6) AS ppl,
                    coalesce(round(p.p, 9) <= 31.5, false) AS keep
             FROM documents d LEFT JOIN ppl p USING (doc_id)""",
+        "bigram_ppl": """
+            WITH arr AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS a
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+              FROM arr, unnest(range(1, len(a))) AS t(i)
+            ),
+            cnt AS (
+              SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cnt
+              FROM bg GROUP BY 1, 2
+            ),
+            ctx AS (SELECT w1, sum(cnt) AS ctx FROM cnt GROUP BY 1),
+            voc AS (
+              SELECT CAST(count(DISTINCT t.tok) AS DOUBLE) AS v
+              FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            logp AS (
+              SELECT w1, w2, ln((cnt + 1.0) / (ctx + 1.0 * v)) AS logp
+              FROM cnt JOIN ctx USING (w1), voc
+            ),
+            ppl AS (
+              SELECT bg.doc_id, exp(-avg(logp.logp)) AS p
+              FROM bg JOIN logp USING (w1, w2)
+              GROUP BY 1
+            )
+            SELECT d.doc_id, round(p.p, 6) AS ppl,
+                   coalesce(round(p.p, 9) <= 32.55, false) AS keep
+            FROM documents d LEFT JOIN ppl p USING (doc_id)""",
+        "bpe_pairs": """
+            WITH vocab AS (
+              SELECT t.tok AS w, count(*) AS freq
+              FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+              WHERE t.tok <> '' GROUP BY 1
+            ),
+            pairs AS (
+              SELECT substr(w, i, 1) AS w1,
+                     CASE WHEN i = length(w) THEN '</w>'
+                          ELSE substr(w, i + 1, 1) END AS w2,
+                     freq
+              FROM vocab, unnest(range(1, length(w) + 1)) AS t(i)
+            )
+            SELECT w1, w2, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM pairs GROUP BY 1, 2
+            ORDER BY cnt DESC, w1, w2 LIMIT 50""",
+        "dsir_weights": """
+            WITH feats AS (
+              SELECT doc_id, lang,
+                     ((('0x' || substr(md5(t.tok), 1, 8))::BIGINT) % 4096) AS b
+              FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            rawc AS (
+              SELECT b, CAST(count(*) AS DOUBLE) AS c FROM feats GROUP BY 1
+            ),
+            rawt AS (SELECT sum(c) AS t FROM rawc),
+            lpr AS (
+              SELECT b, ln((c + 1.0) / (t + 1.0 * 4096)) AS lp_raw
+              FROM rawc, rawt
+            ),
+            tgtc AS (
+              SELECT b, CAST(count(*) AS DOUBLE) AS c
+              FROM feats WHERE lang = 'en' GROUP BY 1
+            ),
+            tgtt AS (
+              SELECT CAST(count(*) AS DOUBLE) AS tt FROM feats WHERE lang = 'en'
+            ),
+            ratio AS (
+              SELECT lpr.b,
+                     coalesce(ln((tgtc.c + 1.0) / (tgtt.tt + 1.0 * 4096)),
+                              ln(1.0 / (tgtt.tt + 1.0 * 4096))) - lpr.lp_raw
+                       AS llr
+              FROM lpr LEFT JOIN tgtc USING (b), tgtt
+            ),
+            scored AS (
+              SELECT feats.doc_id, sum(ratio.llr) AS logw,
+                     count(*) AS n_tok
+              FROM feats JOIN ratio USING (b) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   round(coalesce(s.logw, 0.0), 6) AS logw,
+                   CAST(coalesce(s.n_tok, 0) AS BIGINT) AS n_tok
+            FROM documents d LEFT JOIN scored s USING (doc_id)""",
         "redact_pii": """
             WITH aug AS (
               SELECT doc_id,

@@ -342,7 +342,7 @@ def run_queries(spark) -> dict:
         "stratified_sample", "shard_assign", "vocab_topk",
         "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
         "redact_pii", "weighted_sample", "semantic_dedup", "bm25", "tfidf_topk",
-        "unigram_ppl",
+        "unigram_ppl", "bigram_ppl", "bpe_pairs", "dsir_weights",
     ]
     out = {}
     qs = entrymod.queries()

@@ -242,3 +242,140 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     return counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(k)
+
+
+def bpe_pairs(docs: DataFrame, k: int = 50) -> DataFrame:
+    """First-iteration BPE merge candidates (Sennrich et al. 2016): the
+    top-k adjacent character pairs across the corpus, each word closed
+    with an end-of-word marker '</w>' — i.e. exactly the table the first
+    BPE training step maximizes over.  Output (w1, w2, cnt), ordered
+    cnt desc / (w1, w2) asc.
+
+    Scale: the token STREAM is aggregated to the word VOCAB first
+    (groupBy(token) partial-aggregates map-side — hot words collapse
+    before any per-character work), so pair extraction runs once per
+    DISTINCT word weighted by its frequency, not once per occurrence:
+    10^13 tokens -> 10^7 vocab rows -> ~10^8 (pair, word) rows -> a
+    (w1, w2)-keyed partial aggregation whose key space is ~|alphabet|^2.
+    The final top-k is orderBy().limit(k) = TakeOrderedAndProject (the
+    vocab_topk pattern — no single-partition window).  The in-word pair
+    builder is pure codegen; sequence(1, length(w)) never descends
+    because vocab words are non-empty by construction.
+    """
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = (
+        vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> struct("
+                    "substring(w, i, 1) AS w1, "
+                    "if(i = length(w), '</w>', substring(w, i + 1, 1)) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"), "freq")
+        .groupBy("w1", "w2")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    return pairs.orderBy(F.col("cnt").desc(), F.col("w1"), F.col("w2")).limit(k)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    lang_col: str = "lang",
+    target_lang: str = "en",
+    round_dp: int = 6,
+) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023): score
+    every document by how target-like its hashed-unigram feature
+    distribution is, log w(d) = sum over d's tokens of
+    ln p_target(b(t)) - ln p_raw(b(t)), where b(t) is an
+    engine-independent hash bucket (first 8 md5 hex digits mod
+    n_buckets — the shard_assign/weighted_sample determinism trick) and
+    both bucket distributions are add-alpha smoothed:
+    p(b) = (cnt(b) + alpha) / (total + alpha * n_buckets).
+    The target here is the corpus's own `lang == target_lang` slice (the
+    in-sandbox stand-in for the paper's Wikipedia/Books target; the swap
+    point is the `tgt` DataFrame).  Output (doc_id, logw, n_tok) anchored
+    on the FULL doc set — token-less docs carry logw 0.0.
+
+    Scale: both feature distributions partial-aggregate the token stream
+    to <= n_buckets rows (a few thousand — the per-bucket log-ratio table
+    BROADCASTS back onto the stream, so scoring is map-side + one
+    doc-keyed aggregation; no shuffle carries raw tokens beyond the
+    bucket aggregations).  At 100 TB raw vs a GB-scale curated target the
+    two aggregations read different inputs but produce the same
+    n_buckets-row shape.
+    """
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.col(lang_col),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    feats = toks.select("doc_id", F.col(lang_col), bucket.alias("b"))
+
+    def _logp(side: DataFrame, name: str) -> DataFrame:
+        cnt = side.groupBy("b").agg(F.count("*").cast("double").alias("c"))
+        tot = cnt.agg(F.sum("c").alias("t"))  # 1 row — broadcast
+        return cnt.crossJoin(F.broadcast(tot)).select(
+            "b",
+            F.log(
+                (F.col("c") + F.lit(alpha))
+                / (F.col("t") + F.lit(alpha) * F.lit(float(n_buckets)))
+            ).alias(name),
+        )
+
+    raw = _logp(feats, "lp_raw")
+    tgt = _logp(feats.filter(F.col(lang_col) == target_lang), "lp_tgt")
+    # smoothing covers unseen buckets: a bucket absent from the target
+    # still needs ln(alpha / (t_tgt + alpha*B)) — join raw (the superset
+    # of observed buckets) left with tgt and fill via the broadcast total
+    tgt_tot = (
+        feats.filter(F.col(lang_col) == target_lang)
+        .agg(F.count("*").cast("double").alias("tt"))
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            (
+                F.coalesce(
+                    F.col("lp_tgt"),
+                    F.log(
+                        F.lit(alpha)
+                        / (F.col("tt") + F.lit(alpha) * F.lit(float(n_buckets)))
+                    ),
+                )
+                - F.col("lp_raw")
+            ).alias("llr"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("llr").alias("logw"), F.count("*").alias("n_tok"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce(F.col("logw"), F.lit(0.0)), round_dp).alias(
+                "logw"
+            ),
+            F.coalesce(F.col("n_tok"), F.lit(0)).cast("bigint").alias("n_tok"),
+        )
+    )

@@ -199,3 +199,86 @@ def tfidf_topk(docs: DataFrame, k: int = 3, round_dp: int = 6) -> DataFrame:
             "rank",
         )
     )
+
+
+def bigram_ppl(
+    docs: DataFrame,
+    alpha: float = 1.0,
+    threshold: float = 200.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Bigram-LM perplexity gate — the n-gram upgrade of `unigram_ppl`
+    toward CCNet's 5-gram KenLM (Wenzek et al. 2020), still trained on
+    the corpus itself so the score is deterministic and
+    engine-independent.
+
+    P(w | v) = (cnt(v,w) + alpha) / (ctx(v) + alpha * V)   (add-alpha),
+    where cnt(v,w) is the corpus bigram count, ctx(v) = sum_w cnt(v,w)
+    (v's count as a left context) and V = |unigram vocab|;
+    ppl(d) = exp(-mean over d's bigram positions of ln P(w_i | w_{i-1})).
+    Docs with < 2 tokens have no bigram — ppl NULL, keep false (output
+    anchored on the FULL doc set, the repetition_stats lesson).
+
+    Scale: the bigram stream partial-aggregates map-side to the BIGRAM
+    VOCAB (the only shuffled key set — |V|^2-bounded but Zipf-collapsed
+    in practice, same regime as tfidf's df side); the context table is a
+    second partial aggregation OF THE VOCAB, not the stream; V is a 1-row
+    aggregate broadcast in.  Per-doc scoring = one (w1,w2)-keyed join +
+    one doc-keyed aggregation.  The in-doc pair builder is pure codegen
+    (transform over an index sequence — gated on size >= 2, the
+    descending-F.sequence bug this repo was bitten by twice).
+    """
+    arr = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    bigrams = (
+        docs.select("doc_id", arr.alias("a"))
+        .select(
+            "doc_id",
+            F.when(
+                F.size("a") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(a) - 2), "
+                    "i -> struct(a[i] AS w1, a[i+1] AS w2))"
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            .alias("bg"),
+        )
+        .select("doc_id", F.explode("bg").alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cnt = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    ctx = cnt.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    vocab = (
+        _tokens(docs)
+        .agg(F.countDistinct("token").cast("double").alias("v"))
+    )  # 1 row — broadcast
+    logp = (
+        cnt.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("cnt") + F.lit(alpha))
+                / (F.col("ctx") + F.lit(alpha) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    ppl = (
+        bigrams.join(logp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.exp(-F.avg("logp")).alias("p"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(ppl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round("p", round_dp).alias("ppl"),
+            F.coalesce(
+                F.round(F.col("p"), 9) <= threshold, F.lit(False)
+            ).alias("keep"),
+        )
+    )

@@ -83,3 +83,57 @@ def test_vocab_topk_order_and_bound(spark, docs):
     # exact counts: "common"/"phrase"/"here" appear 3x each across docs
     top = {r["token"]: r["cnt"] for r in out}
     assert top.get("phrase") == 3 and top.get("here") == 3
+
+
+def test_bpe_pairs_hand_computed(spark):
+    from linkkchecker_net_spark.pipeline.curation import bpe_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab b"), (2, "ab")], "doc_id long, text string"
+    )
+    # vocab: ab freq 3, b freq 1
+    # "ab": (a,b), (b,</w>) each x3 ; "b": (b,</w>) x1
+    rows = {(r["w1"], r["w2"]): r["cnt"] for r in bpe_pairs(docs, k=10).collect()}
+    assert rows == {("a", "b"): 3, ("b", "</w>"): 4}
+
+
+def test_bpe_pairs_topk_order(spark):
+    from linkkchecker_net_spark.pipeline.curation import bpe_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "xy xz")], "doc_id long, text string"
+    )
+    out = bpe_pairs(docs, k=2).collect()
+    # counts: (x,y)=1,(y,</w>)=1,(x,z)=1,(z,</w>)=1 -> tie-break (w1,w2) asc
+    assert [(r["w1"], r["w2"]) for r in out] == [("x", "y"), ("x", "z")]
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from linkkchecker_net_spark.pipeline.curation import dsir_weights
+
+    rows = [
+        # target slice (lang=en) speaks "alpha beta"
+        (1, "alpha beta alpha beta", "en"),
+        (2, "alpha beta", "en"),
+        # raw-only slice speaks "gamma delta"
+        (3, "gamma delta gamma delta", "de"),
+        # mixed doc in the raw pool
+        (4, "alpha gamma", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in dsir_weights(docs, n_buckets=64).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # per-token log-ratio is higher for target-vocabulary docs
+    assert out[1]["logw"] / out[1]["n_tok"] > out[3]["logw"] / out[3]["n_tok"]
+    assert out[3]["logw"] < 0  # gamma/delta never appear in the target
+    assert out[4]["n_tok"] == 2
+
+
+def test_dsir_weights_anchors_tokenless_docs(spark):
+    from linkkchecker_net_spark.pipeline.curation import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "en"), (2, "", "en")], "doc_id long, text string, lang string"
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(docs, n_buckets=16).collect()}
+    assert out[2]["logw"] == 0.0 and out[2]["n_tok"] == 0

@@ -70,7 +70,7 @@ NON_CRAWL = [
     "decontaminate", "stratified_sample", "shard_assign", "vocab_topk",
     "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
     "redact_pii", "weighted_sample", "semantic_dedup", "bm25", "tfidf_topk",
-    "unigram_ppl",
+    "unigram_ppl", "bigram_ppl", "bpe_pairs", "dsir_weights",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

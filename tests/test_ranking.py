@@ -141,3 +141,30 @@ def test_unigram_ppl_hand_computed(spark):
     assert out[1]["keep"] and not out[2]["keep"]
     # token-less docs are anchored, not dropped: NULL ppl, keep=false
     assert out[3]["ppl"] is None and not out[3]["keep"]
+
+
+def test_bigram_ppl_hand_computed(spark):
+    from linkkchecker_net_spark.pipeline.ranking import bigram_ppl
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b"),   # bigrams: (a,b) x2, (b,a) x1
+            (2, "a b"),       # bigram: (a,b)
+            (3, "solo"),      # < 2 tokens -> ppl NULL, keep False
+            (4, ""),          # token-less
+        ],
+    )
+    out = {r["doc_id"]: r for r in bigram_ppl(docs, alpha=1.0, threshold=5.0).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3]["ppl"] is None and out[3]["keep"] is False
+    assert out[4]["ppl"] is None and out[4]["keep"] is False
+    # corpus: cnt(a,b)=3, cnt(b,a)=1; ctx(a)=3, ctx(b)=1; V=|{a,b,solo}|=3
+    v = 3.0
+    lab = math.log((3 + 1) / (3 + v))   # P(b|a)
+    lba = math.log((1 + 1) / (1 + v))   # P(a|b)
+    p1 = math.exp(-(2 * lab + lba) / 3)
+    p2 = math.exp(-lab)
+    assert out[1]["ppl"] == pytest.approx(round(p1, 6), abs=1e-6)
+    assert out[2]["ppl"] == pytest.approx(round(p2, 6), abs=1e-6)
+    assert out[2]["keep"] == (round(p2, 9) <= 5.0)
