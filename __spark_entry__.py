@@ -727,6 +727,140 @@ def q_multimodal_neardup(spark, sf_dir):
     return caption_phash_neardup_pairs(corpus, max_hamming=3)
 
 
+def q_image_clusters(spark, sf_dir):
+    """Image near-dup cluster assignment over the structural fixture:
+    pairs are exactly {(i-1, i) : i % 10 == 7}, disjoint (i-1 is never
+    itself a right element), so the true components are arithmetic —
+    cluster(img_i) = img_{i-1} iff i % 10 == 7, else itself."""
+    from linkkchecker_net_spark.pipeline.multimodal import image_clusters
+
+    _prep(spark)
+    corpus = _neardup_fixture_corpus(spark, sf_dir)
+    return image_clusters(corpus, max_hamming=3)
+
+
+def _quality_fixture_corpus(spark, sf_dir):
+    """Image corpus whose decoded dimensions are ARITHMETIC in doc_id
+    (w = 16 + 3i mod 33, h = 16 + 5i mod 33) so DuckDB can oracle
+    resolution/aspect gates, while Spark must earn w/h by decoding the
+    bytes; doc_id % 13 == 11 payloads are truncated to 4 bytes
+    (undecodable) to exercise the decode_ok=false branch."""
+    import numpy as np
+    import pandas as pd
+
+    from linkkchecker_net_spark import imaging
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                w = 16 + (i * 3) % 33
+                h = 16 + (i * 5) % 33
+                fmt = ("png", "jpeg", "gif")[i % 3]
+                arr = imaging.make_image(np.random.default_rng(5_000_011 + i), w, h)
+                data = imaging.encode_image(arr, fmt)
+                if i % 13 == 11:
+                    data = data[:4]
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(data)
+                out["fmt"].append(fmt)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids.mapInPandas(gen, "image_id string, bytes binary, fmt string")
+
+
+def q_image_quality_gate(spark, sf_dir):
+    """LAION-style resolution/aspect quality gate; dims arithmetic in
+    doc_id (see _quality_fixture_corpus), gates min_dim=24, aspect<=1.8."""
+    from linkkchecker_net_spark.pipeline.multimodal import image_quality_gate
+
+    _prep(spark)
+    corpus = _quality_fixture_corpus(spark, sf_dir)
+    return image_quality_gate(corpus, min_dim=24, max_aspect=1.8)
+
+
+def q_image_dedup_keep(spark, sf_dir):
+    """Cluster-representative retention: the perturbed copy at
+    i % 10 == 7 shares its base's dimensions, so the area tie breaks to
+    the smaller id — keep = (i % 10 != 7), arithmetic for the oracle."""
+    from linkkchecker_net_spark.pipeline.multimodal import image_dedup_keep
+
+    _prep(spark)
+    corpus = _neardup_fixture_corpus(spark, sf_dir)
+    return image_dedup_keep(corpus, max_hamming=3)
+
+
+def q_image_search(spark, sf_dir):
+    """Reverse image search: queries are byte-identical copies of the
+    i % 10 == 6 corpus images, so each query's true radius-3 result set
+    is arithmetic — img_i (hamming 0) plus img_{i+1} when that perturbed
+    copy exists (hamming <= 1); every other corpus image sits >= 5 bits
+    away by fixture construction."""
+    from linkkchecker_net_spark.pipeline.multimodal import image_radius_search
+
+    _prep(spark)
+    corpus = _neardup_fixture_corpus(spark, sf_dir)
+    queries = corpus.filter(
+        F.substring("image_id", 5, 6).cast("int") % 10 == 6
+    ).select(
+        F.concat(F.lit("q_"), F.substring("image_id", 5, 6)).alias("image_id"),
+        "bytes",
+        "fmt",
+    )
+    return image_radius_search(corpus, queries, max_hamming=3)
+
+
+def q_aspect_bucket(spark, sf_dir):
+    """SDXL-style aspect bucketing over the arithmetic-dims fixture
+    (see _quality_fixture_corpus): Spark earns w/h by decoding; the
+    oracle replays the same integer-product/IEEE-division argmin."""
+    from linkkchecker_net_spark.pipeline.multimodal import aspect_bucket
+
+    _prep(spark)
+    corpus = _quality_fixture_corpus(spark, sf_dir)
+    return aspect_bucket(corpus)
+
+
+def _packable_fixture_corpus(spark, sf_dir):
+    """Opaque-payload corpus whose byte length is ARITHMETIC in doc_id
+    (n_bytes = 600 + 137·i mod 2048) so DuckDB can oracle byte-budget
+    packing; shard packing never decodes, so the payload is a filler
+    blob, honestly opaque."""
+    import pandas as pd
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(b"\xa5" * (600 + (i * 137) % 2048))
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids.mapInPandas(gen, "image_id string, bytes binary")
+
+
+def q_image_shard_pack(spark, sf_dir):
+    """WebDataset-style byte-budget shard manifest over the
+    arithmetic-length payload fixture (16 KiB chunks, 8 shards)."""
+    from linkkchecker_net_spark.pipeline.multimodal import image_shard_pack
+
+    _prep(spark)
+    corpus = _packable_fixture_corpus(spark, sf_dir)
+    return image_shard_pack(corpus, shard_bytes=16384, n_shards=8)
+
+
 def q_decontaminate(spark, sf_dir):
     """Test-set decontamination: train docs (doc_id % 20 != 0) sharing any
     3-gram shingle with the eval slice (doc_id % 20 == 0)."""
@@ -964,6 +1098,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "image_neardup": q_image_neardup,
         "multimodal_neardup": q_multimodal_neardup,
+        "image_clusters": q_image_clusters,
+        "image_quality_gate": q_image_quality_gate,
+        "image_dedup_keep": q_image_dedup_keep,
+        "image_search": q_image_search,
+        "aspect_bucket": q_aspect_bucket,
+        "image_shard_pack": q_image_shard_pack,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "shard_assign": q_shard_assign,
@@ -1416,6 +1556,119 @@ def oracle_sql() -> dict[str, str]:
                    doc_id % 10 = 3 AS caption_match
             FROM documents
             WHERE doc_id % 10 IN (3, 7) AND doc_id < 240
+        """,
+        # pairs {(i-1, i) : i % 10 == 7} are vertex-disjoint (i-1 ends in
+        # 6, never in 7), so each component is either a singleton or that
+        # exact pair — cluster_id is arithmetic
+        "image_clusters": """
+            SELECT 'img_' || lpad(doc_id::VARCHAR, 6, '0') AS image_id,
+                   'img_' || lpad((CASE WHEN doc_id % 10 = 7 THEN doc_id - 1
+                                        ELSE doc_id END)::VARCHAR, 6, '0')
+                     AS cluster_id
+            FROM documents WHERE doc_id < 240
+        """,
+        # dims are arithmetic in doc_id (see _quality_fixture_corpus);
+        # doc_id % 13 == 11 payloads are truncated → decode_ok=false,
+        # w=h=-1, all gates fail
+        "image_quality_gate": """
+            WITH m AS (
+              SELECT doc_id,
+                     doc_id % 13 <> 11 AS ok,
+                     CAST(CASE WHEN doc_id % 13 = 11 THEN -1
+                               ELSE 16 + (doc_id * 3) % 33 END AS INT) AS w,
+                     CAST(CASE WHEN doc_id % 13 = 11 THEN -1
+                               ELSE 16 + (doc_id * 5) % 33 END AS INT) AS h
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT 'img_' || lpad(doc_id::VARCHAR, 6, '0') AS image_id,
+                   w, h, ok AS decode_ok,
+                   ok AND least(w, h) >= 24 AS dims_ok,
+                   ok AND greatest(w, h)::DOUBLE / least(w, h)::DOUBLE <= 1.8
+                     AS aspect_ok,
+                   (ok AND least(w, h) >= 24)
+                     AND (ok AND greatest(w, h)::DOUBLE / least(w, h)::DOUBLE <= 1.8)
+                     AS keep
+            FROM m
+        """,
+        # the perturbed copy (i % 10 == 7) has its base's dims → area tie
+        # → smaller id kept; everything else is its own cluster rep
+        "image_dedup_keep": """
+            SELECT 'img_' || lpad(doc_id::VARCHAR, 6, '0') AS image_id,
+                   'img_' || lpad((CASE WHEN doc_id % 10 = 7 THEN doc_id - 1
+                                        ELSE doc_id END)::VARCHAR, 6, '0')
+                     AS cluster_id,
+                   doc_id % 10 <> 7 AS keep
+            FROM documents WHERE doc_id < 240
+        """,
+        # each query (a byte-identical copy of image i, i % 10 == 6) hits
+        # itself at hamming 0 plus the perturbed copy i+1 when it exists;
+        # all other images sit >= 5 bits away by fixture construction
+        "image_search": """
+            SELECT 'q_' || lpad(doc_id::VARCHAR, 6, '0') AS query_id,
+                   'img_' || lpad(doc_id::VARCHAR, 6, '0') AS image_id
+            FROM documents WHERE doc_id % 10 = 6 AND doc_id < 240
+            UNION ALL
+            SELECT 'q_' || lpad(doc_id::VARCHAR, 6, '0') AS query_id,
+                   'img_' || lpad((doc_id + 1)::VARCHAR, 6, '0') AS image_id
+            FROM documents d
+            WHERE doc_id % 10 = 6 AND doc_id + 1 < 240
+              AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)
+        """,
+        # nearest aspect bucket by max(r, 1/r) with r one exactly-rounded
+        # IEEE division of small integer products — Spark computes the
+        # identical formula, so doubles are bit-equal and the (dist, idx)
+        # argmin resolves identically
+        "aspect_bucket": """
+            WITH m AS (
+              SELECT doc_id,
+                     doc_id % 13 <> 11 AS ok,
+                     CAST(CASE WHEN doc_id % 13 = 11 THEN -1
+                               ELSE 16 + (doc_id * 3) % 33 END AS INT) AS w,
+                     CAST(CASE WHEN doc_id % 13 = 11 THEN -1
+                               ELSE 16 + (doc_id * 5) % 33 END AS INT) AS h
+              FROM documents WHERE doc_id < 300
+            ),
+            d AS (
+              SELECT m.doc_id, m.ok, m.w, m.h, b.label,
+                     row_number() OVER (
+                       PARTITION BY m.doc_id
+                       ORDER BY greatest(
+                         CAST(m.w * b.bh AS DOUBLE) / CAST(m.h * b.bw AS DOUBLE),
+                         CAST(1 AS DOUBLE) /
+                           (CAST(m.w * b.bh AS DOUBLE) / CAST(m.h * b.bw AS DOUBLE))
+                       ), b.idx
+                     ) AS rn
+              FROM m, (VALUES (0, 1, 1, '1:1'), (1, 4, 3, '4:3'),
+                              (2, 3, 4, '3:4'), (3, 16, 9, '16:9'),
+                              (4, 9, 16, '9:16')) AS b(idx, bw, bh, label)
+            )
+            SELECT 'img_' || lpad(doc_id::VARCHAR, 6, '0') AS image_id,
+                   w, h, ok AS decode_ok,
+                   CASE WHEN ok THEN label END AS bucket
+            FROM d WHERE rn = 1
+        """,
+        # byte-budget packing over arithmetic payload lengths
+        # (n_bytes = 600 + 137*i mod 2048); same md5-hex shard recipe the
+        # pack_sequences oracle already pins
+        "image_shard_pack": """
+            WITH base AS (
+              SELECT 'img_' || lpad(doc_id::VARCHAR, 6, '0') AS image_id,
+                     ('0x' || substr(md5('img_' || lpad(doc_id::VARCHAR, 6, '0')),
+                                     1, 8))::BIGINT % 8 AS shard_id,
+                     CAST(600 + (doc_id * 137) % 2048 AS BIGINT) AS n_b
+              FROM documents WHERE doc_id < 400
+            ),
+            cum AS (
+              SELECT image_id, shard_id, n_b,
+                     SUM(n_b) OVER (PARTITION BY shard_id ORDER BY image_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_b
+              FROM base
+            )
+            SELECT shard_id,
+                   CAST(floor((cum_b - n_b) / 16384) AS BIGINT) AS chunk_id,
+                   COUNT(*) AS n_images, CAST(SUM(n_b) AS BIGINT) AS n_bytes,
+                   MIN(image_id) AS min_image_id, MAX(image_id) AS max_image_id
+            FROM cum GROUP BY 1, 2
         """,
         "decontaminate": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

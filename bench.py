@@ -343,6 +343,8 @@ def run_queries(spark) -> dict:
         "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
         "redact_pii", "weighted_sample", "semantic_dedup", "bm25", "tfidf_topk",
         "unigram_ppl", "bigram_ppl", "bpe_pairs", "dsir_weights",
+        "image_clusters", "image_quality_gate", "image_dedup_keep",
+        "image_search", "aspect_bucket", "image_shard_pack",
     ]
     out = {}
     qs = entrymod.queries()

@@ -305,6 +305,56 @@ def hamming_blocked_pairs(
     )
 
 
+def hamming_blocked_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    query_hash: str = "q_hash",
+    corpus_hash: str = "c_hash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Asymmetric radius search: for every query row, the corpus rows whose
+    64-bit hash lies within `max_hamming` bits — the two-table counterpart
+    of :func:`hamming_blocked_pairs` (same 4 × 16-bit chunk blocking, same
+    pigeonhole-exact recall for radius ≤ 3).
+
+    Scale shape: both sides explode ×4 on (chunk_idx, chunk_val) and meet
+    in an equi-join — never queries × corpus.  A small query set broadcasts
+    (AQE picks this up from the post-explode size); a huge one shuffles on
+    the chunk key like any equi-join.  Returns (query_id, corpus_id,
+    hamming), deduplicated across chunks.
+    """
+
+    def blocked(df, id_col, hash_col, out_id, out_hash):
+        chunks = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col(hash_col), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk")
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(hash_col).alias(out_hash), chunks
+        ).select(out_id, out_hash, "chunk.chunk_idx", "chunk.chunk_val")
+
+    left = blocked(queries, query_id, query_hash, query_id, "_h_q")
+    right = blocked(corpus, corpus_id, corpus_hash, corpus_id, "_h_c")
+    ham = F.bit_count(F.col("_h_q").bitwiseXOR(F.col("_h_c"))).cast("int")
+    return (
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .select(query_id, corpus_id, ham.alias("hamming"))
+        .dropDuplicates([query_id, corpus_id])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance (see
     hamming_blocked_pairs for the blocking scheme and its recall bound)."""

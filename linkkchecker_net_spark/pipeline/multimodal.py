@@ -19,6 +19,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as PWindow
 from pyspark.sql import functions as F
 
 from linkkchecker_net_spark import imaging
@@ -192,6 +193,225 @@ def caption_phash_neardup_pairs(
         "img_b",
         F.coalesce("phash_match", F.lit(False)).alias("phash_match"),
         F.coalesce("caption_match", F.lit(False)).alias("caption_match"),
+    )
+
+
+def image_clusters(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate IMAGE cluster assignment: connected components over
+    the phash pair graph — the image counterpart of text `dedup_clusters`
+    (pipeline/dedup.py), and the step that turns pairwise near-dup hits
+    into one-representative-per-cluster retention decisions.
+
+    cluster_id = the minimum image_id reachable through radius-`max_hamming`
+    phash pairs (zero-padded ids make lexicographic min == numeric min);
+    undecodable images cluster to themselves.  Scale shape: pair generation
+    is the blocked join (never O(N²)); label propagation is
+    diameter-many shuffle rounds with large-star/small-star escalation —
+    both inherited, not re-implemented.
+
+    Returns (image_id, cluster_id).
+    """
+    from linkkchecker_net_spark.pipeline.dedup import dedup_clusters
+
+    ids = corpus.select(F.col("image_id").alias("doc_id"))
+    pairs = phash_neardup_pairs(corpus, max_hamming).select(
+        F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b")
+    )
+    return dedup_clusters(ids, pairs).select(
+        F.col("doc_id").alias("image_id"), "cluster_id"
+    )
+
+
+def image_quality_gate(
+    corpus: DataFrame, min_dim: int = 24, max_aspect: float = 1.8
+) -> DataFrame:
+    """Resolution / aspect-ratio quality gate — the image analog of the
+    text `quality_score` pass a multimodal training pipeline runs before
+    dedup (LAION-style: drop tiny images and extreme aspect ratios, and
+    anything that fails to decode).
+
+    All gate arithmetic is JVM-side codegen over the scalars the
+    mapInPandas decode pass (image_metadata) already produced; bytes never
+    reach this stage.  Returns (image_id, w, h, decode_ok, dims_ok,
+    aspect_ok, keep); undecoded images carry w = h = -1 and fail every
+    gate.
+    """
+    meta = image_metadata(corpus).select("image_id", "w", "h", "decode_ok")
+    dims_ok = F.col("decode_ok") & (F.least("w", "h") >= F.lit(min_dim))
+    aspect_ok = F.col("decode_ok") & (
+        F.greatest("w", "h").cast("double") / F.least("w", "h").cast("double")
+        <= F.lit(float(max_aspect))
+    )
+    return meta.select(
+        "image_id",
+        "w",
+        "h",
+        "decode_ok",
+        dims_ok.alias("dims_ok"),
+        aspect_ok.alias("aspect_ok"),
+        (dims_ok & aspect_ok).alias("keep"),
+    )
+
+
+def image_dedup_keep(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Representative selection over phash near-dup clusters: keep exactly
+    one image per cluster — the highest-resolution member, ties broken by
+    smallest image_id (deterministic).  This is the retention decision a
+    LAION-scale image dedup actually emits (pairs → clusters → keep set).
+
+    One decode pass (image_metadata) feeds BOTH the pair graph and the
+    area ranking; the keep window partitions by cluster_id, and near-dup
+    clusters are near-cliques (a handful of rows each), so the window
+    carries no skew risk.  Returns (image_id, cluster_id, keep).
+    """
+    from pyspark.sql import Window
+
+    from linkkchecker_net_spark.pipeline.dedup import (
+        dedup_clusters,
+        hamming_blocked_pairs,
+    )
+
+    # ONE eager decode pass; the checkpointed 4-scalar-column table feeds
+    # the pair graph, the cluster rounds (eager inside dedup_clusters) AND
+    # the final area-ranking join — persist+unpersist here would drop the
+    # cache before the returned plan runs and silently decode twice
+    meta = image_metadata(corpus).select(
+        "image_id", "phash", "decode_ok", (F.col("w") * F.col("h")).alias("area")
+    ).localCheckpoint()
+    pairs = hamming_blocked_pairs(
+        meta.filter(F.col("decode_ok")), "image_id", "phash",
+        max_hamming, "doc_a", "doc_b",
+    )
+    clusters = dedup_clusters(
+        meta.select(F.col("image_id").alias("doc_id")), pairs
+    ).select(F.col("doc_id").alias("image_id"), "cluster_id")
+    ranked = clusters.join(meta.select("image_id", "area"), "image_id").withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("area").desc(), F.col("image_id")
+            )
+        ),
+    )
+    return ranked.select(
+        "image_id", "cluster_id", (F.col("_rk") == 1).alias("keep")
+    )
+
+
+def image_radius_search(
+    corpus: DataFrame, queries: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Reverse image search by perceptual hash: for each query image, the
+    corpus images within `max_hamming` phash bits — the image counterpart
+    of embedding ANN (pipeline/similarity.py), used for targeted dedup
+    ("is this eval image in the training corpus?") and decontamination.
+
+    Both sides pay one mapInPandas decode; the match is the asymmetric
+    chunk-blocked join (pigeonhole-exact recall ≤ radius 3), never
+    queries × corpus.  queries: (image_id, bytes, fmt) like the corpus.
+    Returns (query_id, image_id).
+    """
+    from linkkchecker_net_spark.pipeline.dedup import hamming_blocked_join
+
+    q = image_metadata(queries).filter(F.col("decode_ok")).select(
+        F.col("image_id").alias("query_id"), F.col("phash").alias("q_hash")
+    )
+    c = image_metadata(corpus).filter(F.col("decode_ok")).select(
+        F.col("image_id").alias("corpus_id"), F.col("phash").alias("c_hash")
+    )
+    return hamming_blocked_join(
+        q, c, "query_id", "corpus_id", "q_hash", "c_hash", max_hamming
+    ).select("query_id", F.col("corpus_id").alias("image_id"))
+
+
+DEFAULT_ASPECT_BUCKETS = ((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+
+
+def aspect_bucket(
+    corpus: DataFrame, buckets=DEFAULT_ASPECT_BUCKETS
+) -> DataFrame:
+    """SDXL-style aspect-ratio bucketing: assign every image to the bucket
+    whose aspect ratio is multiplicatively closest to its own, so a
+    training loader can batch same-bucket images without destructive
+    cropping.  Nearest = argmin over max(r, 1/r) where
+    r = (w·bh)/(h·bw); ties keep the EARLIEST bucket in `buckets`
+    (strict-< fold → deterministic).  Distances use only integer products
+    and one exactly-rounded IEEE division, so any engine computing the
+    same formula (the DuckDB oracle does) lands on bit-identical doubles.
+
+    One mapInPandas decode pass (image_metadata) produces w/h; every gate
+    and the argmin fold are JVM codegen over scalars — bytes never reach
+    this stage.  Undecodable images get bucket = NULL.  Returns
+    (image_id, w, h, decode_ok, bucket).
+    """
+    meta = image_metadata(corpus).select("image_id", "w", "h", "decode_ok")
+    best_d = None
+    best_i = None
+    for i, (bw, bh) in enumerate(buckets):
+        r = (F.col("w") * F.lit(bh)).cast("double") / (
+            F.col("h") * F.lit(bw)
+        ).cast("double")
+        d = F.greatest(r, F.lit(1.0) / r)
+        if best_d is None:
+            best_d, best_i = d, F.lit(i)
+        else:
+            closer = d < best_d
+            best_i = F.when(closer, F.lit(i)).otherwise(best_i)
+            best_d = F.when(closer, d).otherwise(best_d)
+    label = F.lit(None).cast("string")
+    for i, (bw, bh) in reversed(list(enumerate(buckets))):
+        label = F.when(best_i == i, F.lit(f"{bw}:{bh}")).otherwise(label)
+    return meta.select(
+        "image_id",
+        "w",
+        "h",
+        "decode_ok",
+        F.when(F.col("decode_ok"), label).alias("bucket"),
+    )
+
+
+def image_shard_pack(
+    corpus: DataFrame, shard_bytes: int = 65536, n_shards: int = 8
+) -> DataFrame:
+    """WebDataset-style shard manifest for an image corpus: hash-assign
+    images to `n_shards` output streams, order each stream by image_id,
+    and cut it into ~`shard_bytes` tar members by cumulative payload size
+    — the image twin of pack_sequences (curation.py), bytes instead of
+    tokens.  An image belongs to the chunk its FIRST byte lands in.
+
+    Packing never decodes: it reads only octet_length(bytes), so the
+    payload column stays opaque and is pruned before the shuffle.  The
+    running-byte-offset window partitions by the content-hash shard key —
+    a 10^10-image corpus is n_shards independent streaming cumsums
+    (rows-unbounded-preceding frame, O(1) state), never one global scan.
+
+    Returns (shard_id, chunk_id, n_images, n_bytes, min_image_id,
+    max_image_id).
+    """
+    hex8 = F.substring(F.md5(F.col("image_id")), 1, 8)
+    shard = F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(n_shards))
+    w = (
+        PWindow.partitionBy("shard_id")
+        .orderBy("image_id")
+        .rowsBetween(PWindow.unboundedPreceding, PWindow.currentRow)
+    )
+    assigned = (
+        corpus.select(
+            "image_id",
+            shard.alias("shard_id"),
+            F.length("bytes").cast("long").alias("n_b"),
+        )
+        .withColumn("cum_b", F.sum("n_b").over(w))
+        .withColumn(
+            "chunk_id",
+            F.floor((F.col("cum_b") - F.col("n_b")) / F.lit(shard_bytes)),
+        )
+    )
+    return assigned.groupBy("shard_id", "chunk_id").agg(
+        F.count("*").alias("n_images"),
+        F.sum("n_b").alias("n_bytes"),
+        F.min("image_id").alias("min_image_id"),
+        F.max("image_id").alias("max_image_id"),
     )
 
 

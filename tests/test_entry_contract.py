@@ -71,6 +71,8 @@ NON_CRAWL = [
     "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
     "redact_pii", "weighted_sample", "semantic_dedup", "bm25", "tfidf_topk",
     "unigram_ppl", "bigram_ppl", "bpe_pairs", "dsir_weights",
+    "image_clusters", "image_quality_gate", "image_dedup_keep", "image_search",
+    "aspect_bucket", "image_shard_pack",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

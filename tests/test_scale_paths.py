@@ -496,3 +496,137 @@ def test_caption_phash_neardup_flags(spark):
     assert got[("img_b", "img_e")] == (True, True)
     assert got[("img_a", "img_b")][0] is True
     assert ("img_a", "img_d") not in got and ("img_c", "img_d") not in got
+
+
+def test_hamming_blocked_join_vs_bruteforce(spark):
+    """Asymmetric radius search: the chunk-blocked two-table join must
+    return exactly the (query, corpus) pairs a brute-force hamming scan
+    finds at radius 3 (pigeonhole-exact), including hamming-0 self hits
+    and excluding everything past the radius."""
+    import random
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.dedup import hamming_blocked_join
+
+    rnd = random.Random(7)
+
+    def signed64(u):
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    corpus_hashes = [signed64(rnd.getrandbits(64)) for _ in range(60)]
+    queries = []
+    for qi in range(12):
+        base = corpus_hashes[qi * 3]
+        flipped = base
+        for b in rnd.sample(range(64), qi % 5):  # 0..4 bit flips
+            flipped = signed64((flipped ^ (1 << b)) & 0xFFFFFFFFFFFFFFFF)
+        queries.append((f"q_{qi:02d}", flipped))
+    cdf = spark.createDataFrame(
+        [(f"c_{i:02d}", h) for i, h in enumerate(corpus_hashes)],
+        "corpus_id string, c_hash long",
+    )
+    qdf = spark.createDataFrame(queries, "query_id string, q_hash long")
+
+    got = {
+        (r["query_id"], r["corpus_id"], r["hamming"])
+        for r in hamming_blocked_join(qdf, cdf, max_hamming=3).collect()
+    }
+    want = {
+        (qid, f"c_{ci:02d}", imaging.hamming64(qh, ch))
+        for qid, qh in queries
+        for ci, ch in enumerate(corpus_hashes)
+        if imaging.hamming64(qh, ch) <= 3
+    }
+    assert got == want
+    assert any(h == 0 for _, _, h in want)  # exact hits exercised
+    assert len(want) < len(queries) * len(corpus_hashes)
+
+
+def test_image_clusters_and_keep(spark):
+    """Cluster assignment + representative retention: twins cluster with
+    their base under the base's id; the higher-resolution member is kept
+    (resolution beats id order), singletons keep themselves."""
+    import numpy as np
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        image_clusters,
+        image_dedup_keep,
+    )
+
+    def img(seed, w=32, h=32):
+        return imaging.make_image(np.random.default_rng(seed), w, h)
+
+    a = img(1, 40, 40)
+    # upscaled twin: same content at higher resolution -> same phash
+    ys = (np.arange(64) * 40 // 64).clip(0, 39)
+    a_big = a[ys][:, ys]
+    rows = [
+        ("img_a", imaging.encode_lossy(a), "jpeg"),
+        ("img_b", imaging.encode_lossy(a_big), "jpeg"),  # twin, larger area
+        ("img_c", imaging.encode_lossy(img(3)), "jpeg"),  # singleton
+        ("img_bad", b"\x00\x01", "jpeg"),  # undecodable singleton
+    ]
+    corpus = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+    clusters = {r["image_id"]: r["cluster_id"] for r in image_clusters(corpus).collect()}
+    assert clusters["img_a"] == clusters["img_b"] == "img_a"
+    assert clusters["img_c"] == "img_c"
+    assert clusters["img_bad"] == "img_bad"
+
+    keep = {r["image_id"]: r["keep"] for r in image_dedup_keep(corpus).collect()}
+    assert keep == {"img_a": False, "img_b": True, "img_c": True, "img_bad": True}
+
+
+def test_aspect_bucket_assignment(spark):
+    """Known dims land in the multiplicatively-nearest bucket; ties keep
+    the earliest bucket; undecodable rows get a NULL bucket."""
+    import numpy as np
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.multimodal import aspect_bucket
+
+    def enc(w, h):
+        return imaging.encode_lossless(
+            imaging.make_image(np.random.default_rng(w * 100 + h), w, h)
+        )
+
+    rows = [
+        ("sq", enc(32, 32), "png"),       # exactly 1:1
+        ("land", enc(40, 30), "png"),     # exactly 4:3
+        ("port", enc(30, 40), "png"),     # exactly 3:4
+        ("wide", enc(48, 27), "png"),     # exactly 16:9
+        ("tall", enc(27, 48), "png"),     # exactly 9:16
+        ("mid", enc(40, 32), "png"),      # 1.25 -> nearer 4:3 than 1:1
+        ("bad", b"\x00", "png"),          # undecodable
+    ]
+    corpus = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r["image_id"]: r["bucket"] for r in aspect_bucket(corpus).collect()}
+    assert got == {
+        "sq": "1:1", "land": "4:3", "port": "3:4", "wide": "16:9",
+        "tall": "9:16", "mid": "4:3", "bad": None,
+    }
+
+
+def test_image_shard_pack_chunking(spark):
+    """Byte-budget packing: an image belongs to the chunk its first byte
+    lands in; per-shard cumsum is independent of other shards."""
+    from linkkchecker_net_spark.pipeline.multimodal import image_shard_pack
+
+    rows = [
+        ("img_a", b"\x01" * 100),
+        ("img_b", b"\x02" * 200),
+        ("img_c", b"\x03" * 100),
+    ]
+    corpus = spark.createDataFrame(rows, "image_id string, bytes binary")
+    # n_shards=1 collapses hashing: one stream ordered img_a, img_b, img_c
+    # with first-byte offsets 0, 100, 300 -> chunks 0, 0, 1 at 250 bytes
+    out = {
+        (r["shard_id"], r["chunk_id"]): (r["n_images"], r["n_bytes"],
+                                         r["min_image_id"], r["max_image_id"])
+        for r in image_shard_pack(corpus, shard_bytes=250, n_shards=1).collect()
+    }
+    assert out == {
+        (0, 0): (2, 300, "img_a", "img_b"),
+        (0, 1): (1, 100, "img_c", "img_c"),
+    }
