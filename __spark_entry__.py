@@ -861,6 +861,98 @@ def q_image_shard_pack(spark, sf_dir):
     return image_shard_pack(corpus, shard_bytes=16384, n_shards=8)
 
 
+def _funnel_fixture_docs(spark, sf_dir):
+    """Curation-funnel corpus: documents (doc_id < 400) with PII suffixes
+    appended arithmetically (doc_id % 7 == 0 → email, % 11 == 0 → phone,
+    same recipe as the pii_stats fixture) and doc_id % 10 == 7 docs
+    replaced by a byte-identical copy of doc (doc_id - 7)'s augmented text
+    — so exact-dup canonicality is arithmetic (canonical ⇔ % 10 != 7)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    src = docs.select(
+        F.col("doc_id").alias("src_id"), F.col("text").alias("src_text")
+    )
+    copies = (
+        docs.filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id")
+        .join(src, F.col("doc_id") - 7 == F.col("src_id"))
+        .select("doc_id", F.col("src_text").alias("text"))
+    )
+    return docs.filter(F.col("doc_id") % 10 != 7).unionByName(copies)
+
+
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end text curation funnel (lang → quality → repetition →
+    PII → exact-dedup) with first-failing-gate reason codes."""
+    from linkkchecker_net_spark.pipeline.curation import curation_funnel
+
+    _prep(spark)
+    return curation_funnel(_funnel_fixture_docs(spark, sf_dir))
+
+
+def _image_funnel_fixture_corpus(spark, sf_dir):
+    """Image-funnel corpus: like _quality_fixture_corpus (arithmetic dims,
+    src % 13 == 11 undecodable) but doc_id % 9 == 4 images are BYTE-exact
+    copies of image (doc_id - 1) — so md5 dedup groups are the disjoint
+    pairs {(i-1, i) : i % 9 == 4} and canonicality is arithmetic.
+    Truncated (undecodable) payloads carry the source id in their tail so
+    two truncated images never collide on the 4-byte format signature."""
+    import numpy as np
+    import pandas as pd
+
+    from linkkchecker_net_spark import imaging
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                src = i - 1 if i % 9 == 4 else i
+                w = 16 + (src * 3) % 33
+                h = 16 + (src * 5) % 33
+                fmt = ("png", "jpeg", "gif")[src % 3]
+                arr = imaging.make_image(np.random.default_rng(5_000_011 + src), w, h)
+                data = imaging.encode_image(arr, fmt)
+                if src % 13 == 11:
+                    data = data[:4] + src.to_bytes(4, "big")
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(data)
+                out["fmt"].append(fmt)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids.mapInPandas(gen, "image_id string, bytes binary, fmt string")
+
+
+def q_image_funnel(spark, sf_dir):
+    """End-to-end image curation funnel (decode → dims → aspect →
+    byte-exact dedup) with first-failing-gate reason codes."""
+    from linkkchecker_net_spark.pipeline.multimodal import image_funnel
+
+    _prep(spark)
+    corpus = _image_funnel_fixture_corpus(spark, sf_dir)
+    return image_funnel(corpus, min_dim=24, max_aspect=1.8)
+
+
 def q_decontaminate(spark, sf_dir):
     """Test-set decontamination: train docs (doc_id % 20 != 0) sharing any
     3-gram shingle with the eval slice (doc_id % 20 == 0)."""
@@ -1104,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_search": q_image_search,
         "aspect_bucket": q_aspect_bucket,
         "image_shard_pack": q_image_shard_pack,
+        "curation_funnel": q_curation_funnel,
+        "image_funnel": q_image_funnel,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "shard_assign": q_shard_assign,
@@ -1669,6 +1763,47 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_images, CAST(SUM(n_b) AS BIGINT) AS n_bytes,
                    MIN(image_id) AS min_image_id, MAX(image_id) AS max_image_id
             FROM cum GROUP BY 1, 2
+        """,
+        "curation_funnel": _CURATION_FUNNEL_SQL,
+        # image funnel: arithmetic dims via the source-id indirection
+        # (copies at i % 9 == 4 inherit ALL of source i-1's properties),
+        # md5 dedup groups are exactly those disjoint pairs
+        "image_funnel": """
+            WITH m AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 4 THEN doc_id - 1
+                          ELSE doc_id END AS src
+              FROM documents WHERE doc_id < 300
+            ),
+            d AS (
+              SELECT doc_id,
+                     src % 13 <> 11 AS ok,
+                     CAST(CASE WHEN src % 13 = 11 THEN -1
+                               ELSE 16 + (src * 3) % 33 END AS INT) AS w,
+                     CAST(CASE WHEN src % 13 = 11 THEN -1
+                               ELSE 16 + (src * 5) % 33 END AS INT) AS h,
+                     doc_id % 9 <> 4 AS canonical
+              FROM m
+            ),
+            g AS (
+              SELECT 'img_' || lpad(doc_id::VARCHAR, 6, '0') AS image_id,
+                     ok AS decode_ok,
+                     ok AND least(w, h) >= 24 AS dims_ok,
+                     ok AND greatest(w, h)::DOUBLE / least(w, h)::DOUBLE <= 1.8
+                       AS aspect_ok,
+                     canonical
+              FROM d
+            )
+            SELECT image_id, decode_ok, dims_ok, aspect_ok, canonical,
+                   (CASE WHEN NOT decode_ok THEN 'decode'
+                         WHEN NOT dims_ok THEN 'dims'
+                         WHEN NOT aspect_ok THEN 'aspect'
+                         WHEN NOT canonical THEN 'duplicate' END) IS NULL AS keep,
+                   CASE WHEN NOT decode_ok THEN 'decode'
+                        WHEN NOT dims_ok THEN 'dims'
+                        WHEN NOT aspect_ok THEN 'aspect'
+                        WHEN NOT canonical THEN 'duplicate' END AS reason
+            FROM g
         """,
         "decontaminate": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -2236,4 +2371,99 @@ SELECT doc_id,
        (len(ts) >= 20 AND stop_hits > 0
         AND len(list_distinct(ts))::DOUBLE / len(ts) > 0.2) AS quality_pass
 FROM t
+"""
+
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = {_best} AND {_best} > 0 THEN '{lang}'"
+        for lang in _LANG_SCORES
+    )
+    + " ELSE 'und' END"
+)
+
+# text curation funnel: replays the augmented+copied fixture
+# (_funnel_fixture_docs), then each gate EXACTLY as the standalone oracles
+# pin it (lang CASE, quality condition, Gopher repetition CTE chain, PII
+# regexes), plus md5-window canonicality; reason = first failing gate
+_CURATION_FUNNEL_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' call 555-123-4567' ELSE '' END AS text
+  FROM documents WHERE doc_id < 400
+),
+corpus AS (
+  SELECT a.doc_id,
+         CASE WHEN a.doc_id % 10 = 7 THEN b.text ELSE a.text END AS text
+  FROM aug a LEFT JOIN aug b ON b.doc_id = a.doc_id - 7
+),
+s AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ts,
+         {", ".join(f"({expr}) AS s_{lang}" for lang, expr in _score_exprs.items())}
+  FROM corpus
+),
+g AS (
+  SELECT doc_id,
+         ({_LANG_CASE}) = 'en' AS lang_ok,
+         (len(ts) >= 20 AND s_en > 0
+          AND len(list_distinct(ts))::DOUBLE / len(ts) > 0.2) AS quality_ok,
+         (len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) = 0
+          AND len(regexp_extract_all(text, '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) = 0)
+           AS pii_ok,
+         (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))) AS canonical
+  FROM s
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM corpus
+),
+g2 AS (
+  SELECT doc_id, n_tokens, ts[i] || ' ' || ts[i+1] AS gram
+  FROM toks, unnest(generate_series(1, greatest(len(ts)-1, 0))) AS t2(i)
+),
+top2 AS (
+  SELECT doc_id, MAX(cnt) AS top_2gram_cnt FROM (
+    SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2
+  ) GROUP BY 1
+),
+anchored AS (
+  SELECT t.doc_id, t.n_tokens,
+         coalesce(top2.top_2gram_cnt, 0) AS top_2gram_cnt
+  FROM toks t LEFT JOIN top2 ON t.doc_id = top2.doc_id
+),
+g5 AS (
+  SELECT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+           || ts[i+3] || ' ' || ts[i+4] AS gram
+  FROM toks, unnest(generate_series(1, greatest(len(ts)-4, 0))) AS t5(i)
+),
+d5 AS (
+  SELECT doc_id, COUNT(*) AS total_5grams,
+         COUNT(DISTINCT gram) AS distinct_5grams
+  FROM g5 GROUP BY 1
+),
+rep AS (
+  SELECT anchored.doc_id,
+         (round(top_2gram_cnt * 2 / n_tokens, 6) <= 0.2
+          AND coalesce(round(1 - distinct_5grams / CAST(total_5grams AS DOUBLE), 6),
+                       0.0) <= 0.3) AS repetition_ok
+  FROM anchored LEFT JOIN d5 ON anchored.doc_id = d5.doc_id
+)
+SELECT g.doc_id, lang_ok, quality_ok, repetition_ok, pii_ok, canonical,
+       (CASE WHEN NOT lang_ok THEN 'lang'
+             WHEN NOT quality_ok THEN 'quality'
+             WHEN NOT repetition_ok THEN 'repetition'
+             WHEN NOT pii_ok THEN 'pii'
+             WHEN NOT canonical THEN 'duplicate' END) IS NULL AS keep,
+       CASE WHEN NOT lang_ok THEN 'lang'
+            WHEN NOT quality_ok THEN 'quality'
+            WHEN NOT repetition_ok THEN 'repetition'
+            WHEN NOT pii_ok THEN 'pii'
+            WHEN NOT canonical THEN 'duplicate' END AS reason
+FROM g JOIN rep ON g.doc_id = rep.doc_id
 """

@@ -379,3 +379,80 @@ def dsir_weights(
             F.coalesce(F.col("n_tok"), F.lit(0)).cast("bigint").alias("n_tok"),
         )
     )
+
+
+def curation_funnel(docs: DataFrame, lang: str = "en") -> DataFrame:
+    """End-to-end curation decision per document: the composition a real
+    pretraining pipeline runs (RefinedWeb/Gopher shape) — language gate →
+    quality gate → repetition gate → PII gate → exact-dedup canonical
+    selection — emitting one keep/reason verdict per doc.  `reason` is the
+    FIRST failing gate in that fixed order (NULL when the doc survives),
+    so funnel loss is attributable per stage with one groupBy(reason).
+
+    Scale shape: the language, quality and PII gates are recomputed
+    INLINE as one map-only codegen pass (joining the standalone
+    lang_id/quality_score/pii_stats outputs would cost three avoidable
+    doc_id shuffles for map-only expressions); the only shuffles are the
+    exact-dup window (keyed on md5(text) — content-derived, no hot key
+    beyond a duplicate cluster's own size), the repetition gate's gram
+    aggregation, and their doc_id join.  Gate semantics are bit-identical
+    to the standalone operators (same helper expressions from
+    pipeline/text.py), which the standalone oracles already pin.
+
+    Returns (doc_id, lang_ok, quality_ok, repetition_ok, pii_ok,
+    canonical, keep, reason).
+    """
+    from linkkchecker_net_spark.pipeline.text import (
+        LANG_MARKERS,
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        _count_token,
+        repetition_stats,
+    )
+
+    scores = {
+        lg: sum([_count_token(F.col("text"), t) for t in toks], F.lit(0))
+        for lg, toks in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lg in reversed(list(LANG_MARKERS)):
+        pred = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_hits = scores[lang]
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    quality_ok = (n_tokens >= 20) & (stop_hits > 0) & (distinct_ratio > 0.2)
+    pii_ok = (F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)) == 0) & (
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE)) == 0
+    )
+    canonical = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.col("text")))
+    )
+    gates = docs.select(
+        "doc_id",
+        (pred == F.lit(lang)).alias("lang_ok"),
+        quality_ok.alias("quality_ok"),
+        pii_ok.alias("pii_ok"),
+        canonical.alias("canonical"),
+    )
+    rep = repetition_stats(docs).select(
+        "doc_id", F.col("repetition_pass").alias("repetition_ok")
+    )
+    reason = (
+        F.when(~F.col("lang_ok"), F.lit("lang"))
+        .when(~F.col("quality_ok"), F.lit("quality"))
+        .when(~F.col("repetition_ok"), F.lit("repetition"))
+        .when(~F.col("pii_ok"), F.lit("pii"))
+        .when(~F.col("canonical"), F.lit("duplicate"))
+    )
+    return gates.join(rep, "doc_id").select(
+        "doc_id",
+        "lang_ok",
+        "quality_ok",
+        "repetition_ok",
+        "pii_ok",
+        "canonical",
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )

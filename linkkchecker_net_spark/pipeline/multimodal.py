@@ -415,6 +415,65 @@ def image_shard_pack(
     )
 
 
+def image_funnel(
+    corpus: DataFrame, min_dim: int = 24, max_aspect: float = 1.8
+) -> DataFrame:
+    """End-to-end image curation decision: decode gate → resolution gate →
+    aspect gate → exact-byte dedup canonical selection, one keep/reason
+    verdict per image — the image twin of curation_funnel (curation.py)
+    and the first funnel a LAION-scale pipeline runs (byte-level dedup by
+    content hash BEFORE any perceptual pass; phash near-dup retention is
+    the separate image_dedup_keep stage).
+
+    `reason` is the FIRST failing gate in that order (NULL when the image
+    survives), so per-stage funnel loss is one groupBy(reason) away.
+
+    Scale shape: one mapInPandas decode pass produces the dim scalars;
+    the byte hash is computed in the SAME scan of the raw corpus
+    (md5 over the binary column, JVM-side) and feeds a window keyed on
+    the content hash — no hot key beyond a duplicate cluster's own size —
+    then one image_id join ties hash verdicts to decode verdicts.  Bytes
+    never cross a shuffle: only (image_id, md5) leaves the scan.
+
+    Returns (image_id, decode_ok, dims_ok, aspect_ok, canonical, keep,
+    reason).
+    """
+    meta = image_metadata(corpus).select("image_id", "w", "h", "decode_ok")
+    dims_ok = F.col("decode_ok") & (F.least("w", "h") >= F.lit(min_dim))
+    aspect_ok = F.col("decode_ok") & (
+        F.greatest("w", "h").cast("double") / F.least("w", "h").cast("double")
+        <= F.lit(float(max_aspect))
+    )
+    canon = corpus.select(
+        "image_id",
+        (
+            F.col("image_id")
+            == F.min("image_id").over(PWindow.partitionBy(F.md5(F.col("bytes"))))
+        ).alias("canonical"),
+    )
+    gated = meta.select(
+        "image_id",
+        "decode_ok",
+        dims_ok.alias("dims_ok"),
+        aspect_ok.alias("aspect_ok"),
+    ).join(canon, "image_id")
+    reason = (
+        F.when(~F.col("decode_ok"), F.lit("decode"))
+        .when(~F.col("dims_ok"), F.lit("dims"))
+        .when(~F.col("aspect_ok"), F.lit("aspect"))
+        .when(~F.col("canonical"), F.lit("duplicate"))
+    )
+    return gated.select(
+        "image_id",
+        "decode_ok",
+        "dims_ok",
+        "aspect_ok",
+        "canonical",
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 def resize_images(corpus: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """Nearest-neighbor resize (pure numpy — the 'real' branch of the
     multimodal transform pattern); emits re-encoded lossless bytes."""

@@ -72,7 +72,7 @@ NON_CRAWL = [
     "redact_pii", "weighted_sample", "semantic_dedup", "bm25", "tfidf_topk",
     "unigram_ppl", "bigram_ppl", "bpe_pairs", "dsir_weights",
     "image_clusters", "image_quality_gate", "image_dedup_keep", "image_search",
-    "aspect_bucket", "image_shard_pack",
+    "aspect_bucket", "image_shard_pack", "curation_funnel", "image_funnel",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -148,3 +148,37 @@ def test_semantic_dedup_pairs_join_on_cluster(spark):
     p = _plan(semantic_dedup(emb, k=4, iters=1, threshold=0.4))
     assert "CartesianProduct" not in p, p
     assert "cluster" in p, p
+
+
+def test_image_shard_pack_prunes_bytes_before_shuffle(spark):
+    """The packing window must shuffle only (image_id, shard_id, n_b) —
+    the binary payload is projected away at the scan, never exchanged."""
+    from linkkchecker_net_spark.pipeline.multimodal import image_shard_pack
+
+    corpus = spark.createDataFrame(
+        [(f"i{i}", b"\x00" * 64) for i in range(8)],
+        "image_id string, bytes binary",
+    )
+    p = _plan(image_shard_pack(corpus, shard_bytes=128, n_shards=2))
+    # the raw payload column must not appear in any Exchange/Window/Sort
+    # (word-boundary: n_bytes#... the manifest column is fine)
+    import re
+
+    for line in p.splitlines():
+        if any(op in line for op in ("Exchange", "Window", "Sort")):
+            assert not re.search(r"(?<![A-Za-z0-9_])bytes#", line), line
+
+
+def test_aspect_bucket_argmin_is_codegen(spark):
+    """The bucket argmin is pure JVM expression work on decode scalars —
+    no Python evaluation and no shuffle after the decode pass."""
+    from linkkchecker_net_spark.pipeline.multimodal import aspect_bucket
+
+    corpus = spark.createDataFrame(
+        [("i0", b"\x00", "png")], "image_id string, bytes binary, fmt string"
+    )
+    p = _plan(aspect_bucket(corpus))
+    assert "Exchange" not in p, p  # map-only after mapInPandas decode
+    # exactly one Python stage: the decode pass itself
+    assert p.count("MapInPandas") == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

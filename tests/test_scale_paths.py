@@ -630,3 +630,62 @@ def test_image_shard_pack_chunking(spark):
         (0, 0): (2, 300, "img_a", "img_b"),
         (0, 1): (1, 100, "img_c", "img_c"),
     }
+
+
+def test_curation_funnel_reasons(spark):
+    """Each gate fires in precedence order and attributes the FIRST
+    failing reason; a clean doc survives with reason NULL."""
+    from linkkchecker_net_spark.pipeline.curation import curation_funnel
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox is a friend of the dog in every way we know")
+    rows = [
+        (1, good),                                  # keep
+        (2, "der der und und ist das die der und ist das der die und "
+            "der das und ist die der das und"),     # German -> lang
+        (3, "the a of and is"),                     # <20 tokens -> quality
+        # 24 tokens, 18 distinct (quality passes), but "the fox" covers
+        # 8/24 > 0.2 of tokens -> repetition
+        (4, "the fox the fox the fox the fox ate one two three four "
+            "five six seven eight nine ten eleven twelve"),
+        (5, good + " mail me at bob@corp.io"),      # -> pii
+        (6, good),                                  # dup of 1 -> duplicate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in curation_funnel(docs).collect()}
+    assert got == {
+        1: (True, None), 2: (False, "lang"), 3: (False, "quality"),
+        4: (False, "repetition"), 5: (False, "pii"), 6: (False, "duplicate"),
+    }
+
+
+def test_image_funnel_reasons(spark):
+    """Decode, dims, aspect and byte-dedup gates fire in precedence
+    order; the canonical (min-id) copy of a byte-twin survives."""
+    import numpy as np
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.multimodal import image_funnel
+
+    def enc(seed, w, h):
+        return imaging.encode_lossless(
+            imaging.make_image(np.random.default_rng(seed), w, h)
+        )
+
+    ok = enc(1, 32, 32)
+    rows = [
+        ("img_a", ok, "png"),              # keep (canonical of the twin)
+        ("img_b", ok, "png"),              # byte twin -> duplicate
+        ("img_c", b"\x00\x01", "png"),     # -> decode
+        ("img_d", enc(2, 16, 16), "png"),  # -> dims (min_dim 24)
+        ("img_e", enc(3, 48, 24), "png"),  # aspect 2.0 -> aspect
+    ]
+    corpus = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r["image_id"]: (r["keep"], r["reason"])
+           for r in image_funnel(corpus, min_dim=24, max_aspect=1.8).collect()}
+    assert got == {
+        "img_a": (True, None), "img_b": (False, "duplicate"),
+        "img_c": (False, "decode"), "img_d": (False, "dims"),
+        "img_e": (False, "aspect"),
+    }
