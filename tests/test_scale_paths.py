@@ -689,3 +689,39 @@ def test_image_funnel_reasons(spark):
         "img_c": (False, "decode"), "img_d": (False, "dims"),
         "img_e": (False, "aspect"),
     }
+
+
+def test_new_image_ops_empty_corpus(spark):
+    """Every new image operator must return an empty, correctly-typed
+    result on an empty corpus (empty mapInPandas batches are an accident
+    of partitioning at scale)."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        aspect_bucket,
+        image_clusters,
+        image_dedup_keep,
+        image_funnel,
+        image_quality_gate,
+        image_radius_search,
+        image_shard_pack,
+    )
+
+    empty = spark.createDataFrame([], "image_id string, bytes binary, fmt string")
+    assert aspect_bucket(empty).count() == 0
+    assert image_quality_gate(empty).count() == 0
+    assert image_shard_pack(empty).count() == 0
+    assert image_funnel(empty).count() == 0
+    assert image_clusters(empty).count() == 0
+    assert image_dedup_keep(empty).count() == 0
+    assert image_radius_search(empty, empty).count() == 0
+
+
+def test_curation_funnel_empty(spark):
+    from linkkchecker_net_spark.pipeline.curation import curation_funnel
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    df = curation_funnel(empty)
+    assert df.count() == 0
+    assert df.columns == [
+        "doc_id", "lang_ok", "quality_ok", "repetition_ok", "pii_ok",
+        "canonical", "keep", "reason",
+    ]
