@@ -554,6 +554,21 @@ def q_ann_topk(spark, sf_dir):
     return cosine_topk_bruteforce(emb, queries, k=10)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: 8 coarse cells (quantized embeddings of vec_id 0-7
+    as the deterministic quantizer), nprobe=2, integer inner-product
+    rerank — fully exact for the oracle because all arithmetic is the
+    bit-identical floor(x*1000) integer dot product."""
+    from linkkchecker_net_spark.pipeline.similarity import ivf_ann
+
+    _prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ivf_ann(emb, queries, n_cells=8, nprobe=2, k=10)
+
+
 def q_ann_lsh(spark, sf_dir):
     from linkkchecker_net_spark.pipeline.similarity import lsh_bucket_ann
 
@@ -1198,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_shard_pack": q_image_shard_pack,
         "curation_funnel": q_curation_funnel,
         "image_funnel": q_image_funnel,
+        "ann_ivf": q_ann_ivf,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "shard_assign": q_shard_assign,
@@ -1763,6 +1779,52 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_images, CAST(SUM(n_b) AS BIGINT) AS n_bytes,
                    MIN(image_id) AS min_image_id, MAX(image_id) AS max_image_id
             FROM cum GROUP BY 1, 2
+        """,
+        # IVF ANN: same quantizer (floor(x*1000) ints, vec_id<8 centroids),
+        # same (d DESC, cid) / (score DESC, vec_id) tie-breaks as the Spark
+        # operator — all-integer arithmetic, so no float-sum-order hazard
+        "ann_ivf": """
+            WITH flatq AS (
+              SELECT vec_id, g.i AS ord,
+                     CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000) AS BIGINT) AS v
+              FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+            ),
+            cent AS (SELECT vec_id AS cid, ord, v AS cv FROM flatq WHERE vec_id < 8),
+            dots AS (
+              SELECT f.vec_id, c.cid, SUM(f.v * c.cv) AS d
+              FROM flatq f JOIN cent c USING (ord) GROUP BY 1, 2
+            ),
+            cells AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, cid) AS rn
+                FROM dots) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT vec_id AS query_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, cid) AS rn
+                FROM dots WHERE vec_id < 5) WHERE rn <= 2
+            ),
+            cand AS (
+              SELECT p.query_id, c.vec_id
+              FROM probes p JOIN cells c USING (cell)
+              WHERE c.vec_id <> p.query_id
+            ),
+            pair AS (
+              SELECT ca.query_id, ca.vec_id, SUM(fq.v * fc.v) AS score
+              FROM cand ca
+              JOIN flatq fq ON fq.vec_id = ca.query_id
+              JOIN flatq fc ON fc.vec_id = ca.vec_id AND fc.ord = fq.ord
+              GROUP BY 1, 2
+            )
+            SELECT query_id, vec_id, score, rank FROM (
+              SELECT query_id, vec_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS INT) AS rank
+              FROM pair) WHERE rank <= 10
         """,
         "curation_funnel": _CURATION_FUNNEL_SQL,
         # image funnel: arithmetic dims via the source-id indirection

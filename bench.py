@@ -345,7 +345,7 @@ def run_queries(spark) -> dict:
         "unigram_ppl", "bigram_ppl", "bpe_pairs", "dsir_weights",
         "image_clusters", "image_quality_gate", "image_dedup_keep",
         "image_search", "aspect_bucket", "image_shard_pack",
-        "curation_funnel", "image_funnel",
+        "curation_funnel", "image_funnel", "ann_ivf",
     ]
     out = {}
     qs = entrymod.queries()

@@ -235,3 +235,104 @@ def lsh_recall(
             F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact") >= F.lit(floor)
         ).alias("recall_floor_met"),
     )
+
+
+def ivf_ann(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 10,
+    scale: int = 1000,
+    centroids: list | None = None,
+) -> DataFrame:
+    """IVF-style ANN (the FAISS/ScaNN coarse-quantizer shape, third scale
+    path beside brute force and hyperplane LSH): assign every corpus
+    vector to its nearest coarse centroid ONCE, probe only the `nprobe`
+    nearest cells per query, exact-rerank inside the probed cells.
+
+    All similarity arithmetic is the INTEGER inner product of
+    floor(x·scale)-quantized vectors — bit-identical on any engine (the
+    DuckDB oracle replays it exactly), no float-sum ordering hazards.
+    `centroids` default to the quantized embeddings of the `n_cells`
+    smallest vec_ids — a deterministic stand-in for trained centroids
+    (production swaps in pipeline/cluster.kmeans output; assignment,
+    probing and rerank are unchanged).  Ties break to the smaller
+    centroid index / vec_id everywhere.
+
+    Scale shape: cell assignment is MAP-ONLY codegen (n_cells unrolled
+    integer dots against centroid literals — the centroid table is
+    metadata-sized, collected once like kmeans' init); the probe is an
+    equi-join on the cell id, so each query touches only its probed
+    cells' inverted lists, never the corpus; the rerank window partitions
+    by query_id.  Hot cells are the skew risk (unbalanced quantizer) —
+    AQE skew-join plus re-training the quantizer are the standard fixes.
+
+    Returns (query_id, vec_id, score, rank) with integer `score`.
+    """
+
+    def quant(c):
+        return F.transform(
+            c, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+        )
+
+    corpus = emb.select("vec_id", quant(F.col("embedding")).alias("qv"))
+    if centroids is None:
+        rows = (
+            corpus.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+        )
+        centroids = [list(r["qv"]) for r in rows]
+
+    def dot_lit(col, cvec):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in cvec])
+        return F.aggregate(
+            F.zip_with(col, arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def cell_col(col):
+        best_d, best_i = dot_lit(col, centroids[0]), F.lit(0)
+        for i, cv in enumerate(centroids[1:], start=1):
+            d = dot_lit(col, cv)
+            better = d > best_d
+            best_i = F.when(better, F.lit(i)).otherwise(best_i)
+            best_d = F.when(better, d).otherwise(best_d)
+        return best_i
+
+    cells = corpus.select("vec_id", "qv", cell_col(F.col("qv")).alias("cell"))
+    q = queries.select("query_id", quant(F.col("q_embedding")).alias("q_qv"))
+    entries = F.array(
+        *[
+            F.struct(
+                (F.lit(0).cast("long") - dot_lit(F.col("q_qv"), cv)).alias("nd"),
+                F.lit(i).alias("i"),
+            )
+            for i, cv in enumerate(centroids)
+        ]
+    )
+    probed = F.slice(F.array_sort(entries), 1, nprobe)
+    qp = q.select(
+        "query_id",
+        "q_qv",
+        F.explode(F.transform(probed, lambda s: s["i"])).alias("cell"),
+    )
+    scored = (
+        qp.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("q_qv"), F.col("qv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )

@@ -725,3 +725,48 @@ def test_curation_funnel_empty(spark):
         "doc_id", "lang_ok", "quality_ok", "repetition_ok", "pii_ok",
         "canonical", "keep", "reason",
     ]
+
+
+def test_ivf_ann_full_probe_equals_bruteforce(spark):
+    """With nprobe = n_cells the IVF path degenerates to exact search:
+    its output must equal the exhaustive integer-dot top-k, and with
+    nprobe < n_cells every hit must come from a probed cell."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from linkkchecker_net_spark.pipeline.similarity import ivf_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    got = {
+        (r["query_id"], r["vec_id"], r["score"], r["rank"])
+        for r in ivf_ann(emb, queries, n_cells=8, nprobe=8, k=5).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {
+        r["vec_id"]: np.array(
+            [math.floor(float(x) * 1000) for x in r["embedding"]], dtype=np.int64
+        )
+        for r in rows
+    }
+    want = set()
+    for qid in range(5):
+        scored = sorted(
+            ((int(vecs[qid] @ v), vid) for vid, v in vecs.items() if vid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        want |= {(qid, vid, s, i + 1) for i, (s, vid) in enumerate(scored)}
+    assert got == want
+
+    # partial probe: a strict subset is allowed, never a superset
+    partial = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_ann(emb, queries, n_cells=8, nprobe=2, k=5).collect()
+    }
+    assert partial  # non-empty
+    assert len(partial) <= len(want)
