@@ -93,29 +93,65 @@ def synth_corpus(spark, ids_df: DataFrame, fmt_cycle=("png", "jpeg", "gif")) -> 
     )
 
 
-def image_metadata(corpus: DataFrame) -> DataFrame:
-    """Decode + feature-extract pass: (id, fmt, size, dims, decode_ok,
-    phash, mean luma) — bytes are dropped at the stage boundary so the
-    downstream shuffle carries only scalars."""
+def image_metadata(
+    corpus: DataFrame, level: str = "full", content_md5: bool = False
+) -> DataFrame:
+    """Decode pass with a tiered cost contract — at 10^10 images the
+    per-image work is the bill, so callers request only what they gate on:
 
+      * ``level="dims"``  — decode + dimensions only (resolution/aspect
+        gates); skips phash AND the feature battery.
+      * ``level="phash"`` — dims + 64-bit perceptual hash (near-dup paths).
+      * ``level="full"``  — everything incl. the feature battery (default;
+        the `image_meta` driver query pins this output).
+
+    ``content_md5=True`` additionally emits the byte-content hash computed
+    IN THE SAME SCAN (the bytes are already in hand) so exact-dup logic
+    never re-reads the payload.  Bytes are dropped at the stage boundary —
+    only scalars cross any shuffle.  The further production step when
+    decode_ok can be deferred is a header-only dims probe (PIL lazy-open /
+    JPEG SOF analog); here decode_ok is part of every gate's contract, so
+    the decode is kept."""
+    import hashlib
+
+    if level not in ("dims", "phash", "full"):
+        raise ValueError(f"unknown level {level!r}")
     nan = float("nan")
-    feat_names = ("mean_luma", "luma_var", "edge_density", "hist_entropy", "thumb_phash")
+    feat_names = (
+        ("mean_luma", "luma_var", "edge_density", "hist_entropy", "thumb_phash")
+        if level == "full"
+        else ()
+    )
+    want_phash = level in ("phash", "full")
+
+    schema = "image_id string, fmt string, n_bytes long, w int, h int, decode_ok boolean"
+    if want_phash:
+        schema += ", phash long"
+    if level == "full":
+        schema = IMAGE_META_SCHEMA
+    if content_md5:
+        schema += ", content_md5 string"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
-                "image_id", "fmt", "n_bytes", "w", "h", "decode_ok", "phash",
-                *feat_names)}
+                "image_id", "fmt", "n_bytes", "w", "h", "decode_ok",
+                *(("phash",) if want_phash else ()),
+                *feat_names,
+                *(("content_md5",) if content_md5 else ()))}
             for r in pdf.itertuples(index=False):
                 data = bytes(r.bytes)
                 ok, w, h, ph = False, -1, -1, 0
                 feats = dict.fromkeys(feat_names, nan)
-                feats["thumb_phash"] = 0
+                if feat_names:
+                    feats["thumb_phash"] = 0
                 try:
                     arr = imaging.decode_image(data, r.fmt)
                     ok, (h, w) = True, arr.shape[:2]
-                    ph = imaging.phash64(arr)
-                    feats = _image_features(arr)
+                    if want_phash:
+                        ph = imaging.phash64(arr)
+                    if feat_names:
+                        feats = _image_features(arr)
                 except Exception:
                     pass
                 rows["image_id"].append(r.image_id)
@@ -124,15 +160,16 @@ def image_metadata(corpus: DataFrame) -> DataFrame:
                 rows["w"].append(w)
                 rows["h"].append(h)
                 rows["decode_ok"].append(ok)
-                rows["phash"].append(ph)
+                if want_phash:
+                    rows["phash"].append(ph)
                 for k in feat_names:
                     rows[k].append(feats[k])
+                if content_md5:
+                    rows["content_md5"].append(hashlib.md5(data).hexdigest())
             if rows["image_id"]:
                 yield pd.DataFrame(rows)
 
-    return corpus.select("image_id", "fmt", "bytes").mapInPandas(
-        extract, IMAGE_META_SCHEMA
-    )
+    return corpus.select("image_id", "fmt", "bytes").mapInPandas(extract, schema)
 
 
 def phash_neardup_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -151,9 +188,9 @@ def phash_neardup_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     from linkkchecker_net_spark.pipeline.dedup import hamming_blocked_pairs
 
-    meta = image_metadata(corpus).filter(F.col("decode_ok")).select(
-        "image_id", "phash"
-    )
+    meta = image_metadata(corpus, level="phash").filter(
+        F.col("decode_ok")
+    ).select("image_id", "phash")
     return hamming_blocked_pairs(
         meta, "image_id", "phash", max_hamming, "img_a", "img_b"
     )
@@ -236,7 +273,9 @@ def image_quality_gate(
     aspect_ok, keep); undecoded images carry w = h = -1 and fail every
     gate.
     """
-    meta = image_metadata(corpus).select("image_id", "w", "h", "decode_ok")
+    meta = image_metadata(corpus, level="dims").select(
+        "image_id", "w", "h", "decode_ok"
+    )
     dims_ok = F.col("decode_ok") & (F.least("w", "h") >= F.lit(min_dim))
     aspect_ok = F.col("decode_ok") & (
         F.greatest("w", "h").cast("double") / F.least("w", "h").cast("double")
@@ -275,7 +314,7 @@ def image_dedup_keep(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
     # the pair graph, the cluster rounds (eager inside dedup_clusters) AND
     # the final area-ranking join — persist+unpersist here would drop the
     # cache before the returned plan runs and silently decode twice
-    meta = image_metadata(corpus).select(
+    meta = image_metadata(corpus, level="phash").select(
         "image_id", "phash", "decode_ok", (F.col("w") * F.col("h")).alias("area")
     ).localCheckpoint()
     pairs = hamming_blocked_pairs(
@@ -313,12 +352,12 @@ def image_radius_search(
     """
     from linkkchecker_net_spark.pipeline.dedup import hamming_blocked_join
 
-    q = image_metadata(queries).filter(F.col("decode_ok")).select(
-        F.col("image_id").alias("query_id"), F.col("phash").alias("q_hash")
-    )
-    c = image_metadata(corpus).filter(F.col("decode_ok")).select(
-        F.col("image_id").alias("corpus_id"), F.col("phash").alias("c_hash")
-    )
+    q = image_metadata(queries, level="phash").filter(
+        F.col("decode_ok")
+    ).select(F.col("image_id").alias("query_id"), F.col("phash").alias("q_hash"))
+    c = image_metadata(corpus, level="phash").filter(
+        F.col("decode_ok")
+    ).select(F.col("image_id").alias("corpus_id"), F.col("phash").alias("c_hash"))
     return hamming_blocked_join(
         q, c, "query_id", "corpus_id", "q_hash", "c_hash", max_hamming
     ).select("query_id", F.col("corpus_id").alias("image_id"))
@@ -344,7 +383,9 @@ def aspect_bucket(
     this stage.  Undecodable images get bucket = NULL.  Returns
     (image_id, w, h, decode_ok, bucket).
     """
-    meta = image_metadata(corpus).select("image_id", "w", "h", "decode_ok")
+    meta = image_metadata(corpus, level="dims").select(
+        "image_id", "w", "h", "decode_ok"
+    )
     best_d = None
     best_i = None
     for i, (bw, bh) in enumerate(buckets):
@@ -428,35 +469,34 @@ def image_funnel(
     `reason` is the FIRST failing gate in that order (NULL when the image
     survives), so per-stage funnel loss is one groupBy(reason) away.
 
-    Scale shape: one mapInPandas decode pass produces the dim scalars;
-    the byte hash is computed in the SAME scan of the raw corpus
-    (md5 over the binary column, JVM-side) and feeds a window keyed on
-    the content hash — no hot key beyond a duplicate cluster's own size —
-    then one image_id join ties hash verdicts to decode verdicts.  Bytes
-    never cross a shuffle: only (image_id, md5) leaves the scan.
+    Scale shape: ONE dims-level decode pass (image_metadata level="dims",
+    content_md5=True) produces both the dim scalars and the byte-content
+    hash in the same scan — no phash, no feature battery, no second read
+    of the payload.  The only shuffle is the dedup window keyed on the
+    content hash (no hot key beyond a duplicate cluster's own size); bytes
+    never cross it — only (image_id, dims, md5) leave the scan.
 
     Returns (image_id, decode_ok, dims_ok, aspect_ok, canonical, keep,
     reason).
     """
-    meta = image_metadata(corpus).select("image_id", "w", "h", "decode_ok")
+    meta = image_metadata(corpus, level="dims", content_md5=True).select(
+        "image_id", "w", "h", "decode_ok", "content_md5"
+    )
     dims_ok = F.col("decode_ok") & (F.least("w", "h") >= F.lit(min_dim))
     aspect_ok = F.col("decode_ok") & (
         F.greatest("w", "h").cast("double") / F.least("w", "h").cast("double")
         <= F.lit(float(max_aspect))
     )
-    canon = corpus.select(
-        "image_id",
-        (
-            F.col("image_id")
-            == F.min("image_id").over(PWindow.partitionBy(F.md5(F.col("bytes"))))
-        ).alias("canonical"),
+    canonical = F.col("image_id") == F.min("image_id").over(
+        PWindow.partitionBy("content_md5")
     )
     gated = meta.select(
         "image_id",
         "decode_ok",
         dims_ok.alias("dims_ok"),
         aspect_ok.alias("aspect_ok"),
-    ).join(canon, "image_id")
+        canonical.alias("canonical"),
+    )
     reason = (
         F.when(~F.col("decode_ok"), F.lit("decode"))
         .when(~F.col("dims_ok"), F.lit("dims"))
