@@ -182,3 +182,30 @@ def test_aspect_bucket_argmin_is_codegen(spark):
     # exactly one Python stage: the decode pass itself
     assert p.count("MapInPandas") == 1, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_image_funnel_is_single_scan(spark):
+    """The funnel's docstring claims ONE decode pass and no second payload
+    read: exactly one MapInPandas, no Join, and one exchange (the
+    content-hash dedup window)."""
+    from linkkchecker_net_spark.pipeline.multimodal import image_funnel
+
+    corpus = spark.createDataFrame(
+        [(f"i{i}", b"\x00" * 16, "png") for i in range(4)],
+        "image_id string, bytes binary, fmt string",
+    )
+    p = _plan(image_funnel(corpus))
+    assert p.count("MapInPandas") == 1, p
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_curation_funnel_gates_stay_jvm(spark):
+    """The map-only gates (lang/quality/PII) must be inlined JVM
+    expressions — no Python evaluation anywhere in the funnel plan."""
+    from linkkchecker_net_spark.pipeline.curation import curation_funnel
+
+    docs = spark.createDataFrame([(1, "the a of and is")], "doc_id long, text string")
+    p = _plan(curation_funnel(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "MapInPandas" not in p, p
