@@ -1168,6 +1168,36 @@ def q_event_stats(spark, sf_dir):
     )
 
 
+def q_dup_span(spark, sf_dir):
+    """Exact-substring duplication fraction (fixed-k approximation of
+    Lee et al. suffix-array dedup) per document."""
+    from linkkchecker_net_spark.pipeline.dedup import dup_span_fraction
+
+    _prep(spark)
+    return dup_span_fraction(_docs(spark, sf_dir), k=5, threshold=0.3)
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-source document quota (C4-style domain cap), longest-text
+    priority, deterministic tie-break."""
+    from linkkchecker_net_spark.pipeline.curation import domain_cap
+
+    _prep(spark)
+    return domain_cap(_docs(spark, sf_dir), cap=10, group_col="source")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based per-user event sessionization (30-min idle gap) — the
+    batch spec of the applyInPandasWithState stateful streaming operator
+    (streaming/sessions.py; stream≡batch pinned by
+    tests/test_streaming_sessions.py)."""
+    from linkkchecker_net_spark.streaming.sessions import sessionize
+
+    _prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -1234,6 +1264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "dsir_weights": q_dsir_weights,
         "event_stats": q_event_stats,
+        "dup_span": q_dup_span,
+        "domain_cap": q_domain_cap,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1626,6 +1659,77 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "dup_span": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ts[i:i+4], ' ') AS shingle
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(ts)-4, 0))) AS g(i)
+            ),
+            dfq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+            pd AS (
+              SELECT sh.doc_id,
+                     COUNT(*) AS n_grams,
+                     SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_shared
+              FROM sh JOIN dfq USING (shingle)
+              GROUP BY 1
+            ),
+            j AS (
+              SELECT d.doc_id,
+                     COALESCE(n_grams, 0) AS n_grams,
+                     CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared
+              FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+            )
+            SELECT doc_id, n_grams, n_shared,
+                   round(CASE WHEN n_grams > 0
+                              THEN n_shared::DOUBLE / n_grams
+                              ELSE 0.0 END, 6) AS dup_fraction,
+                   round(CASE WHEN n_grams > 0
+                              THEN n_shared::DOUBLE / n_grams
+                              ELSE 0.0 END, 6) >= 0.3 AS dup_flag
+            FROM j
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars, rnk FROM (
+              SELECT doc_id, source, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id
+                     ) AS rnk
+              FROM documents
+            ) WHERE rnk <= 10
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, value,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS d
+              FROM events
+            ),
+            f AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN d IS NULL OR d > 1800000000
+                          THEN 1 ELSE 0 END AS flag
+              FROM o
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     CAST(SUM(flag) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS BIGINT) AS session_idx
+              FROM f
+            )
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   epoch_us(MIN(ts)) AS session_start_us,
+                   epoch_us(MAX(ts)) AS session_end_us,
+                   round(SUM(value), 6) AS total_value
+            FROM s GROUP BY 1, 2
         """,
         # simhash token hash = first-15-hex-of-md5 (pipeline/dedup.py
         # _token_hash_expr) precisely so both engines can compute it

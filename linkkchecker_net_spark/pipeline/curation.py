@@ -456,3 +456,30 @@ def curation_funnel(docs: DataFrame, lang: str = "en") -> DataFrame:
         reason.isNull().alias("keep"),
         reason.alias("reason"),
     )
+
+
+def domain_cap(
+    docs: DataFrame, cap: int = 10, group_col: str = "source"
+) -> DataFrame:
+    """Per-domain document quota: keep at most ``cap`` docs per
+    ``group_col``, priority = longest text first (the cheap quality proxy
+    production URL-curation uses), doc_id as the deterministic tie-break.
+
+    The C4/RefinedWeb-style "domain cap" that stops a single boilerplate
+    mill from dominating the corpus.  Plan: one window per group with
+    ``row_number() <= cap`` — Spark 4 pushes the filter down as a partial
+    WindowGroupLimit below the exchange (the same operator the
+    weighted_sample/vocab_topk plan-contract tests pin), so each input
+    partition forwards at most ``cap`` rows per domain into the shuffle:
+    a hot domain with 10^8 pages moves cap x n_partitions rows, not 10^8.
+    For adversarial single-domain skew beyond that, the engine's two-phase
+    salted top-K (engine/epoch.py J7) is the drop-in replacement.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= cap)
+        .select("doc_id", group_col, "n_chars", "rnk")
+    )

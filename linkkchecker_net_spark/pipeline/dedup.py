@@ -567,3 +567,66 @@ def dedup_clusters(
         )
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplication fraction (fixed-k approximation)
+# --------------------------------------------------------------------------
+
+
+def dup_span_fraction(
+    docs: DataFrame, k: int = 5, threshold: float = 0.3
+) -> DataFrame:
+    """Per-doc duplicated-span fraction: the share of a document's distinct
+    word k-grams that also appear in at least one OTHER document.
+
+    This is the fixed-k approximation of exact-substring deduplication
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a k-gram shared across documents certifies a duplicated
+    span of >= k tokens, so ``dup_fraction`` upper-bounds the share of the
+    doc covered by cross-document repeats without building a suffix
+    array.  ``dup_flag`` marks docs above ``threshold`` — the drop rule
+    production pipelines apply to boilerplate-heavy pages.
+
+    Plan: the shingle inverted index (one groupBy on the gram, map-side
+    combine) produces per-gram distinct-doc counts; joining back on the
+    gram and re-aggregating per doc is a second gram-keyed shuffle.
+    Nothing is quadratic and nothing collects: the only wide key is the
+    gram.  Skew: stop-phrases ("of the", boilerplate headers) are hot
+    grams — AQE skew-join splits them, and a production stop-gram cutoff
+    (drop grams with df > D, they are boilerplate by definition and
+    saturate dup_fraction anyway) bounds the reducer.  Docs shorter than
+    k tokens have no grams and are anchored back with n_grams=0 /
+    dup_fraction=0.0 (the repetition_stats left-anchor rule from ADVICE
+    r3 applied from the start here).
+
+    Reference analog: none — /root/reference stops at link checking; this
+    is part of the training-data-pipeline surface the brief demands.
+    """
+    s = shingles(docs, k)  # distinct (doc_id, shingle) — gram df == doc freq
+    df_cnt = s.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        s.join(df_cnt, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.col("n_shared") / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .withColumn("dup_flag", F.col("dup_fraction") >= F.lit(threshold))
+    )

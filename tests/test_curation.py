@@ -137,3 +137,54 @@ def test_dsir_weights_anchors_tokenless_docs(spark):
     )
     out = {r["doc_id"]: r for r in dsir_weights(docs, n_buckets=16).collect()}
     assert out[2]["logw"] == 0.0 and out[2]["n_tok"] == 0
+
+
+def test_dup_span_fraction_hand_computed(spark):
+    from linkkchecker_net_spark.pipeline.dedup import dup_span_fraction
+
+    rows = [
+        # docs 1 and 2 share the 3-gram "a b c"; doc 3 is disjoint;
+        # doc 4 is shorter than k and must be anchored with zeros
+        (1, "a b c d"),
+        (2, "a b c e"),
+        (3, "x y z w"),
+        (4, "p q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_fraction(docs, k=3, threshold=0.5).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_grams"] == 2 and out[1]["n_shared"] == 1
+    assert out[1]["dup_fraction"] == 0.5 and out[1]["dup_flag"]
+    assert out[3]["n_shared"] == 0 and not out[3]["dup_flag"]
+    assert out[4]["n_grams"] == 0 and out[4]["dup_fraction"] == 0.0
+
+
+def test_dup_span_fraction_empty_corpus(spark):
+    from linkkchecker_net_spark.pipeline.dedup import dup_span_fraction
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dup_span_fraction(docs).count() == 0
+
+
+def test_domain_cap_quota_and_priority(spark):
+    from linkkchecker_net_spark.pipeline.curation import domain_cap
+
+    rows = [
+        (1, "s1", 100), (2, "s1", 300), (3, "s1", 200), (4, "s1", 300),
+        (5, "s2", 50),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = domain_cap(docs, cap=2, group_col="source").collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["rnk"], r["doc_id"]))
+    # quota enforced; priority = n_chars desc, doc_id tie-break (2 before 4)
+    assert sorted(by_src["s1"]) == [(1, 2), (2, 4)]
+    assert sorted(by_src["s2"]) == [(1, 5)]
+
+
+def test_domain_cap_empty_corpus(spark):
+    from linkkchecker_net_spark.pipeline.curation import domain_cap
+
+    docs = spark.createDataFrame([], "doc_id long, source string, n_chars long")
+    assert domain_cap(docs).count() == 0
