@@ -209,3 +209,35 @@ def test_curation_funnel_gates_stay_jvm(spark):
     p = _plan(curation_funnel(docs))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert "MapInPandas" not in p, p
+
+
+def test_domain_cap_partial_group_limit_below_exchange(spark):
+    """domain_cap's quota must partial-limit per input partition BEFORE the
+    shuffle: a hot domain forwards cap x n_partitions rows, not its whole
+    page set.  (Partitioned windows DO get the WindowGroupLimit rewrite on
+    this build — unlike the empty-spec case documented above.)"""
+    from linkkchecker_net_spark.pipeline.curation import domain_cap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(domain_cap(docs, cap=10))
+    partial = p.find("Partial")
+    exchange = p.find("Exchange")
+    assert "WindowGroupLimit" in p, p
+    assert partial != -1 and exchange != -1, p
+    # children print below parents, so the Partial pass sitting under the
+    # Exchange appears after it in the tree text
+    assert partial > exchange, p
+    # only the 3 needed columns reach the parquet scan
+    assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in p, p
+
+
+def test_sessionize_single_exchange(spark):
+    """Batch sessionize shuffles once on user_id: the lag window, the
+    running-sum window, and the per-(user, session) aggregate all reuse
+    the same hash partitioning (HashPartitioning(user_id) satisfies the
+    groupBy's clustering on a key superset)."""
+    from linkkchecker_net_spark.streaming.sessions import sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = _plan(sessionize(ev))
+    assert p.count("Exchange") == 1, p
