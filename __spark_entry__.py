@@ -1168,6 +1168,59 @@ def q_event_stats(spark, sf_dir):
     )
 
 
+def _robots_fixture(spark, sf_dir):
+    """Deterministic robots.txt corpus, one body per documents.source —
+    an arithmetic function of the source id so the DuckDB oracle builds
+    the byte-identical text.  Exercises: orphan rules before any group,
+    wildcard + exact + irrelevant groups, consecutive user-agent lines,
+    mixed-case directives, trailing comments, crawl-delay."""
+    src = (
+        _docs(spark, sf_dir)
+        .select(F.col("source").alias("host"))
+        .distinct()
+        .withColumn("n", F.substring("host", 4, 10).cast("int"))
+    )
+    nl = F.lit("\n")
+    t0 = F.when(F.col("n") % 5 == 0, F.concat(F.lit("Disallow: /orphan/"), nl)).otherwise(F.lit(""))
+    t1 = F.when(
+        F.col("n") % 7 == 3,
+        F.concat(F.lit("User-agent: googlebot"), nl, F.lit("Disallow: /"), nl),
+    ).otherwise(
+        F.concat(
+            F.lit("User-agent: *"), nl,
+            F.lit("Disallow: /tmp/"), nl,
+            F.lit("Crawl-delay: "), (F.col("n") % 4).cast("string"), nl,
+        )
+    )
+    t2 = F.when(
+        F.col("n") % 3 == 0,
+        F.concat(
+            F.lit("User-Agent: LinkKChecker  # exact group"), nl,
+            F.lit("Disallow: /private/"), nl,
+            F.lit("Disallow: /cache/"), nl,
+        ),
+    ).otherwise(F.lit(""))
+    t3 = F.when(
+        F.col("n") % 2 == 0,
+        F.concat(
+            F.lit("User-agent: badbot"), nl,
+            F.lit("User-agent: worsebot"), nl,
+            F.lit("Disallow: /spam/"), nl,
+        ),
+    ).otherwise(F.lit(""))
+    return src.select("host", F.concat(t0, t1, t2, t3).alias("txt"))
+
+
+def q_parse_robots(spark, sf_dir):
+    """robots.txt text parsing (RFC 9309 group selection: exact agent
+    beats *, groups at the winning level merge) — the production front of
+    the F10 politeness gate."""
+    from linkkchecker_net_spark.kernels.robotsparse import parse_robots
+
+    _prep(spark)
+    return parse_robots(_robots_fixture(spark, sf_dir), agent="linkkchecker")
+
+
 def q_dup_span(spark, sf_dir):
     """Exact-substring duplication fraction (fixed-k approximation of
     Lee et al. suffix-array dedup) per document."""
@@ -1267,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span": q_dup_span,
         "domain_cap": q_domain_cap,
         "sessionize": q_sessionize,
+        "parse_robots": q_parse_robots,
     }
 
 
@@ -1659,6 +1713,102 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "parse_robots": """
+            WITH src AS (
+              SELECT DISTINCT source AS host,
+                     CAST(substr(source, 4) AS INT) AS n
+              FROM documents
+            ),
+            rb AS (
+              SELECT host,
+                (CASE WHEN n % 5 = 0
+                      THEN 'Disallow: /orphan/' || chr(10) ELSE '' END) ||
+                (CASE WHEN n % 7 = 3
+                      THEN 'User-agent: googlebot' || chr(10)
+                           || 'Disallow: /' || chr(10)
+                      ELSE 'User-agent: *' || chr(10)
+                           || 'Disallow: /tmp/' || chr(10)
+                           || 'Crawl-delay: ' || (n % 4)::VARCHAR || chr(10)
+                 END) ||
+                (CASE WHEN n % 3 = 0
+                      THEN 'User-Agent: LinkKChecker  # exact group' || chr(10)
+                           || 'Disallow: /private/' || chr(10)
+                           || 'Disallow: /cache/' || chr(10)
+                      ELSE '' END) ||
+                (CASE WHEN n % 2 = 0
+                      THEN 'User-agent: badbot' || chr(10)
+                           || 'User-agent: worsebot' || chr(10)
+                           || 'Disallow: /spam/' || chr(10)
+                      ELSE '' END) AS txt
+              FROM src
+            ),
+            lines AS (
+              SELECT host, g.i AS ln,
+                     trim(regexp_replace(parts[g.i], '#.*', '')) AS line
+              FROM (SELECT host, string_split(txt, chr(10)) AS parts FROM rb),
+                   unnest(generate_series(1, len(parts))) AS g(i)
+            ),
+            kv AS (
+              SELECT host, ln,
+                     lower(regexp_extract(line, '^([A-Za-z][A-Za-z-]*)\\s*:', 1)) AS key,
+                     trim(regexp_extract(line, '^[A-Za-z][A-Za-z-]*\\s*:\\s*(.*)$', 1)) AS val
+              FROM lines WHERE line <> ''
+            ),
+            f AS (
+              SELECT * FROM kv
+              WHERE key IN ('user-agent', 'disallow', 'allow', 'crawl-delay')
+            ),
+            marked AS (
+              SELECT *, CASE WHEN key = 'user-agent'
+                              AND COALESCE(lag(key) OVER (
+                                    PARTITION BY host ORDER BY ln), '')
+                                  <> 'user-agent'
+                             THEN 1 ELSE 0 END AS grp_start
+              FROM f
+            ),
+            grp AS (
+              SELECT *, SUM(grp_start) OVER (
+                          PARTITION BY host ORDER BY ln
+                          ROWS UNBOUNDED PRECEDING) AS gid
+              FROM marked
+            ),
+            per_group AS (
+              SELECT host, gid,
+                MAX(CASE WHEN key = 'user-agent' AND val = '*' THEN 1
+                         WHEN key = 'user-agent'
+                              AND lower(val) = 'linkkchecker' THEN 2
+                         ELSE 0 END) AS level,
+                list(val) FILTER (
+                  WHERE key = 'disallow' AND val <> '') AS dis,
+                MAX(CASE WHEN key = 'crawl-delay'
+                         THEN CAST(val AS DOUBLE) END) AS delay
+              FROM grp WHERE gid > 0 GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT host, MAX(level) AS best_level FROM per_group GROUP BY 1
+            ),
+            chosen AS (
+              SELECT p.host, MAX(p.level) AS level,
+                     array_to_string(
+                       list_sort(flatten(list(COALESCE(dis, [])))), '|'
+                     ) AS disallow,
+                     CAST(len(flatten(list(COALESCE(dis, [])))) AS BIGINT)
+                       AS n_rules,
+                     MAX(delay) AS crawl_delay
+              FROM per_group p
+              JOIN best b ON p.host = b.host AND p.level = b.best_level
+              WHERE p.level > 0
+              GROUP BY 1
+            )
+            SELECT r.host,
+                   CASE WHEN level = 2 THEN 'exact'
+                        WHEN level = 1 THEN 'wildcard'
+                        ELSE 'none' END AS matched,
+                   COALESCE(n_rules, 0) AS n_rules,
+                   COALESCE(disallow, '') AS disallow,
+                   crawl_delay
+            FROM rb r LEFT JOIN chosen c ON r.host = c.host
         """,
         "dup_span": """
             WITH toks AS (

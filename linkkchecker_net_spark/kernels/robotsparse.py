@@ -1,0 +1,126 @@
+"""robots.txt text parsing — the production front of the F10 politeness
+gate (engine/driver.py consumes a pre-parsed robots table; this kernel
+produces that table from raw robots.txt bodies fetched at crawl start).
+
+Reference analog: none — /root/reference/SpiderEngine/Engine.cs has no
+robots support; this is from-scratch crawl surface the north rule names
+("robots.txt-gated fetch").
+
+Semantics (RFC 9309, simplified to the deterministic core):
+
+  * a **group** is a maximal run of consecutive ``User-agent:`` lines
+    followed by its rule lines (``Disallow`` / ``Allow`` /
+    ``Crawl-delay``);
+  * a group **matches** at level 2 if any of its agents equals the
+    crawler's product token (case-insensitive), level 1 if any is ``*``,
+    else 0;
+  * the rules applied are the union over ALL groups at the host's highest
+    match level (RFC merge rule for repeated groups of the same agent);
+  * rule lines before any ``User-agent:`` line belong to no group and are
+    ignored; comments (``#``) and blank lines are stripped; directive
+    keys are case-insensitive.
+
+Scale: lines explode per host then group via two windows partitioned by
+host — ONE shuffle keyed on host, and the robots corpus is tiny next to
+the crawl (one row per host, KB-sized).  All parsing is JVM codegen
+(split / regexp_extract / window / agg) — no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_KEY_RE = r"^([A-Za-z][A-Za-z-]*)\s*:"
+_VAL_RE = r"^[A-Za-z][A-Za-z-]*\s*:\s*(.*)$"
+
+
+def parse_robots(robots_txt: DataFrame, agent: str = "linkkchecker") -> DataFrame:
+    """Parse raw robots.txt bodies into the engine's politeness table.
+
+    Input: ``(host string, txt string)``.  Output, one row per input host
+    (hosts with no matching group are anchored with empty rules — "no
+    rules" must read as "allow all", not vanish):
+
+      host, matched ('exact' | 'wildcard' | 'none'), n_rules,
+      disallow ('|'-joined sorted prefix list), crawl_delay (double,
+      max over merged groups — the conservative pick).
+    """
+    agent_lc = agent.lower()
+
+    lines = robots_txt.select(
+        "host", F.posexplode(F.split("txt", "\n")).alias("ln", "raw")
+    )
+    d = (
+        lines.select(
+            "host",
+            "ln",
+            F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"),
+        )
+        .filter(F.col("line") != "")
+        .select(
+            "host",
+            "ln",
+            F.lower(F.regexp_extract("line", _KEY_RE, 1)).alias("key"),
+            F.trim(F.regexp_extract("line", _VAL_RE, 1)).alias("val"),
+        )
+        .filter(F.col("key").isin("user-agent", "disallow", "allow", "crawl-delay"))
+    )
+
+    w = Window.partitionBy("host").orderBy("ln")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    # a group starts at a user-agent line NOT preceded by another
+    # user-agent line (consecutive UA lines share one group)
+    start = F.when((is_ua == 1) & (F.lag(is_ua, 1, 0).over(w) == 0), 1).otherwise(0)
+    g = d.withColumn("gid", F.sum(start).over(run)).filter(F.col("gid") > 0)
+
+    per_group = g.groupBy("host", "gid").agg(
+        F.max(
+            F.when((F.col("key") == "user-agent") & (F.col("val") == "*"), 1)
+            .when(
+                (F.col("key") == "user-agent")
+                & (F.lower("val") == F.lit(agent_lc)),
+                2,
+            )
+            .otherwise(0)
+        ).alias("level"),
+        F.sort_array(
+            F.collect_list(
+                F.when((F.col("key") == "disallow") & (F.col("val") != ""), F.col("val"))
+            )
+        ).alias("dis"),
+        F.max(
+            F.when(F.col("key") == "crawl-delay", F.col("val").cast("double"))
+        ).alias("delay"),
+    )
+
+    best = per_group.groupBy("host").agg(F.max("level").alias("best_level"))
+    chosen = (
+        per_group.join(best, "host")
+        .filter((F.col("level") == F.col("best_level")) & (F.col("level") > 0))
+        .groupBy("host")
+        .agg(
+            F.max("level").alias("level"),
+            F.array_join(
+                F.array_sort(F.flatten(F.collect_list("dis"))), "|"
+            ).alias("disallow"),
+            F.size(F.flatten(F.collect_list("dis"))).cast("long").alias("n_rules"),
+            F.max("delay").alias("crawl_delay"),
+        )
+    )
+
+    return (
+        robots_txt.select("host")
+        .join(chosen, "host", "left")
+        .select(
+            "host",
+            F.when(F.col("level") == 2, F.lit("exact"))
+            .when(F.col("level") == 1, F.lit("wildcard"))
+            .otherwise(F.lit("none"))
+            .alias("matched"),
+            F.coalesce("n_rules", F.lit(0).cast("long")).alias("n_rules"),
+            F.coalesce("disallow", F.lit("")).alias("disallow"),
+            F.col("crawl_delay"),
+        )
+    )

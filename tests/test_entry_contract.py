@@ -73,7 +73,7 @@ NON_CRAWL = [
     "unigram_ppl", "bigram_ppl", "bpe_pairs", "dsir_weights",
     "image_clusters", "image_quality_gate", "image_dedup_keep", "image_search",
     "aspect_bucket", "image_shard_pack", "curation_funnel", "image_funnel",
-    "ann_ivf", "dup_span", "domain_cap", "sessionize",
+    "ann_ivf", "dup_span", "domain_cap", "sessionize", "parse_robots",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -308,3 +308,74 @@ def test_canonicalize_fast_path_equivalence():
         base = row["url"]
         for ln in parse_page(row.get("body"))["links"]:
             assert canonicalize(base, ln["href"]) == slow(base, ln["href"])
+
+
+# ----------------------------------------------------------- robots parsing
+
+
+def _robots(spark, txt: str):
+    from linkkchecker_net_spark.kernels.robotsparse import parse_robots
+
+    df = spark.createDataFrame([("h.test", txt)], "host string, txt string")
+    return parse_robots(df, agent="linkkchecker").collect()[0]
+
+
+def test_robots_exact_beats_wildcard(spark):
+    r = _robots(
+        spark,
+        "User-agent: *\nDisallow: /a/\nCrawl-delay: 7\n"
+        "User-agent: linkkchecker\nDisallow: /b/\n",
+    )
+    assert r["matched"] == "exact"
+    assert r["disallow"] == "/b/"
+    # the wildcard group's crawl-delay does NOT leak into the exact group
+    assert r["crawl_delay"] is None
+
+
+def test_robots_merges_groups_at_winning_level(spark):
+    r = _robots(
+        spark,
+        "User-agent: *\nDisallow: /x/\n"
+        "User-agent: googlebot\nDisallow: /g/\n"
+        "User-agent: *\nDisallow: /y/\nCrawl-delay: 2\n",
+    )
+    assert r["matched"] == "wildcard"
+    assert r["disallow"] == "/x/|/y/"
+    assert r["n_rules"] == 2
+    assert r["crawl_delay"] == 2.0
+
+
+def test_robots_orphan_rules_comments_case(spark):
+    r = _robots(
+        spark,
+        "Disallow: /orphan/\n"  # before any group: ignored
+        "# header comment\n"
+        "USER-AGENT: LinkKChecker  # trailing comment\n"
+        "DISALLOW: /p/\n"
+        "Crawl-Delay: 1.5\n",
+    )
+    assert r["matched"] == "exact"
+    assert r["disallow"] == "/p/"
+    assert r["crawl_delay"] == 1.5
+
+
+def test_robots_consecutive_agents_share_group(spark):
+    r = _robots(
+        spark,
+        "User-agent: badbot\nUser-agent: linkkchecker\nDisallow: /s/\n",
+    )
+    assert r["matched"] == "exact" and r["disallow"] == "/s/"
+
+
+def test_robots_no_match_anchored(spark):
+    r = _robots(spark, "User-agent: googlebot\nDisallow: /\n")
+    assert r["matched"] == "none"
+    assert r["n_rules"] == 0 and r["disallow"] == ""
+    assert r["crawl_delay"] is None
+
+
+def test_robots_empty_corpus(spark):
+    from linkkchecker_net_spark.kernels.robotsparse import parse_robots
+
+    df = spark.createDataFrame([], "host string, txt string")
+    assert parse_robots(df).count() == 0
