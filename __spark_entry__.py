@@ -1168,6 +1168,31 @@ def q_event_stats(spark, sf_dir):
     )
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Incremental recrawl diff: snapshot v1 = the real crawl; snapshot
+    v2 = a deterministic md5-keyed perturbation (first hex digit '0' →
+    page disappeared, '1' → now returns 500/broken) plus 10 new pages —
+    exercising every change class of the diff operator."""
+    from linkkchecker_net_spark.reports.reports import crawl_diff
+
+    d = _crawl(spark, sf_dir)
+    v1 = d.results().select("url", "status", "classification")
+    h = F.substring(F.md5(F.encode(F.col("url"), "utf-8")), 1, 1)
+    v2 = v1.filter(h != "0").select(
+        "url",
+        F.when(h == "1", F.lit(500)).otherwise(F.col("status")).alias("status"),
+        F.when(h == "1", F.lit("broken"))
+        .otherwise(F.col("classification"))
+        .alias("classification"),
+    )
+    added = spark.range(10).select(
+        F.concat(F.lit("http://recrawl.test/new/"), F.col("id")).alias("url"),
+        F.lit(200).cast("int").alias("status"),
+        F.lit("ok").alias("classification"),
+    )
+    return crawl_diff(v1, v2.unionByName(added))
+
+
 def _robots_fixture(spark, sf_dir):
     """Deterministic robots.txt corpus, one body per documents.source —
     an arithmetic function of the source id so the DuckDB oracle builds
@@ -1321,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "sessionize": q_sessionize,
         "parse_robots": q_parse_robots,
+        "crawl_diff": q_crawl_diff,
     }
 
 
@@ -1713,6 +1739,43 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "crawl_diff": with_graph
+        + """
+            , res AS (
+              SELECT r.url AS url,
+                     CASE WHEN p.i IS NOT NULL
+                          THEN (CASE WHEN p.status = 0 THEN NULL ELSE p.status END)
+                          WHEN r.url LIKE 'mailto:%' THEN NULL
+                          ELSE 404 END AS status,
+                     CASE WHEN r.url LIKE 'mailto:%' THEN 'unsupported'
+                          WHEN p.i IS NULL THEN 'broken'
+                          WHEN p.status BETWEEN 200 AND 299 THEN 'ok'
+                          WHEN p.status IN (301,302,303,307) THEN 'redirect'
+                          WHEN p.status = 0 THEN 'error'
+                          ELSE 'broken' END AS classification
+              FROM reach r LEFT JOIN page p ON p.url = r.url
+            ),
+            v2 AS (
+              SELECT url,
+                     CASE WHEN substr(md5(url), 1, 1) = '1'
+                          THEN 500 ELSE status END AS status,
+                     CASE WHEN substr(md5(url), 1, 1) = '1'
+                          THEN 'broken' ELSE classification END AS classification
+              FROM res WHERE substr(md5(url), 1, 1) <> '0'
+              UNION ALL
+              SELECT 'http://recrawl.test/new/' || k::VARCHAR, 200, 'ok'
+              FROM unnest(generate_series(0, 9)) AS t(k)
+            )
+            SELECT COALESCE(a.url, b.url) AS url,
+                   a.status AS old_status, b.status AS new_status,
+                   a.classification AS old_class, b.classification AS new_class,
+                   CASE WHEN a.url IS NULL THEN 'added'
+                        WHEN b.url IS NULL THEN 'removed'
+                        WHEN a.status IS DISTINCT FROM b.status THEN 'status_changed'
+                        WHEN a.classification <> b.classification THEN 'class_changed'
+                        ELSE 'unchanged' END AS change
+            FROM res a FULL OUTER JOIN v2 b ON a.url = b.url
         """,
         "parse_robots": """
             WITH src AS (

@@ -286,3 +286,54 @@ def recrawl_schedule(results: DataFrame) -> DataFrame:
             F.floor(F.lit(100) * F.col("n_failing") / F.col("n_urls")),
         )
     )
+
+
+def crawl_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Incremental recrawl diff: classify every URL across two crawl
+    snapshots as added / removed / status_changed / class_changed /
+    unchanged.
+
+    The production question a recurring crawl answers ("what broke since
+    last week?") — pairs with recrawl_schedule, which prioritizes hosts
+    from exactly this signal.  Reference analog: none — the C# engine is
+    one-shot (Engine.cs:322-349); snapshot comparison is from-scratch
+    frontier surface.
+
+    Plan: ONE full-outer join on url — at 10^10 URLs both sides are
+    hash-keyed on the same column, so the join co-partitions (and both
+    snapshot tables come out of the checkpoint catalog bucketed by
+    url_hash, making this exchange-free on bucketed inputs).  Status
+    comparison is null-safe (errored fetches carry NULL status — a NULL
+    on one side only is a real status change).
+    """
+    o = old.select(
+        "url",
+        F.col("status").alias("old_status"),
+        F.col("classification").alias("old_class"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        "url",
+        F.col("status").alias("new_status"),
+        F.col("classification").alias("new_class"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, "url", "full_outer")
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_status").eqNullSafe(F.col("new_status")),
+            F.lit("status_changed"),
+        )
+        .when(F.col("old_class") != F.col("new_class"), F.lit("class_changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "url",
+        "old_status",
+        "new_status",
+        "old_class",
+        "new_class",
+        change.alias("change"),
+    )

@@ -78,7 +78,7 @@ NON_CRAWL = [
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
     "canonical_report", "used_images", "crawl_log", "failure_count",
-    "recrawl_schedule",
+    "recrawl_schedule", "crawl_diff",
 ]
 @pytest.mark.parametrize("name", NON_CRAWL)
 def test_non_crawl_query(spark, duck, name):

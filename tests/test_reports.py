@@ -150,3 +150,38 @@ def test_used_images_path_report_branches(spark):
     assert not any("readme" in p for _v, p in rows)
     # host/prefix/mime-filtered site rows never appear
     assert not any("c.png" in p or "d.png" in p or "page" in p for _v, p in rows)
+
+
+def test_crawl_diff_all_change_classes(spark):
+    from linkkchecker_net_spark.reports.reports import crawl_diff
+
+    schema = "url string, status int, classification string"
+    old = spark.createDataFrame(
+        [
+            ("u1", 200, "ok"),        # unchanged
+            ("u2", 200, "ok"),        # status change (200 -> 301)
+            ("u3", None, "error"),    # status change (NULL -> 404): null-safe
+            ("u4", 404, "broken"),    # removed
+            ("u5", 301, "redirect"),  # class change, same status
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("u1", 200, "ok"),
+            ("u2", 301, "redirect"),
+            ("u3", 404, "broken"),
+            ("u5", 301, "ok"),
+            ("u6", 200, "ok"),        # added
+        ],
+        schema,
+    )
+    out = {r["url"]: r["change"] for r in crawl_diff(old, new).collect()}
+    assert out == {
+        "u1": "unchanged",
+        "u2": "status_changed",
+        "u3": "status_changed",
+        "u4": "removed",
+        "u5": "class_changed",
+        "u6": "added",
+    }
