@@ -124,3 +124,27 @@ def parse_robots(robots_txt: DataFrame, agent: str = "linkkchecker") -> DataFram
             F.col("crawl_delay"),
         )
     )
+
+
+def robots_table(
+    robots_txt: DataFrame, agent: str = "linkkchecker"
+) -> DataFrame:
+    """Engine-ready politeness table (schemas.ROBOTS) from raw robots.txt
+    bodies: the production path is fetch /robots.txt per host at crawl
+    start → this function → CrawlDriver(robots=...).
+
+    ``budget`` is NULL — per-host fetch budgets are an operator knob, not
+    a robots.txt directive; callers overlay them (tables.robots_df rows
+    do).  Hosts whose robots.txt matched no group get disallow=NULL /
+    crawl_delay=NULL, which the engine's F10 gate already reads as
+    "allow all" (epoch.py robots join is a left join with a NULL-guarded
+    exists)."""
+    parsed = parse_robots(robots_txt, agent)
+    return parsed.select(
+        "host",
+        F.when(F.col("n_rules") > 0, F.split("disallow", "\\|"))
+        .otherwise(F.lit(None).cast("array<string>"))
+        .alias("disallow"),
+        F.col("crawl_delay").cast("double"),
+        F.lit(None).cast("int").alias("budget"),
+    )

@@ -379,3 +379,29 @@ def test_robots_empty_corpus(spark):
 
     df = spark.createDataFrame([], "host string, txt string")
     assert parse_robots(df).count() == 0
+
+
+def test_robots_table_round_trips_fixture(spark, golden_fixtures):
+    """Render the golden fixture's pre-parsed robots rows as robots.txt
+    text, parse them back, and require the engine-ready table to match
+    field-for-field — the production swap (raw text in, same crawl out)."""
+    from linkkchecker_net_spark.kernels.robotsparse import robots_table
+
+    rows = golden_fixtures["robots"]
+    txt_rows = []
+    for r in rows:
+        body = "User-agent: *\n"
+        for p in r["disallow"]:
+            body += f"Disallow: {p}\n"
+        body += f"Crawl-delay: {r['crawl_delay']}\n"
+        txt_rows.append((r["host"], body))
+    df = spark.createDataFrame(txt_rows, "host string, txt string")
+    got = {
+        r["host"]: (sorted(r["disallow"]), r["crawl_delay"], r["budget"])
+        for r in robots_table(df).collect()
+    }
+    want = {
+        r["host"]: (sorted(r["disallow"]), r["crawl_delay"], None)
+        for r in rows
+    }
+    assert got == want
