@@ -1193,6 +1193,38 @@ def q_crawl_diff(spark, sf_dir):
     return crawl_diff(v1, v2.unionByName(added))
 
 
+def q_pagerank(spark, sf_dir):
+    """Graph op — damped PageRank (4 iterations, d=0.85) over the REAL
+    parsed anchor graph: docweb bodies -> Arrow HTML parse -> href
+    canonicalization -> page-to-page semi-join -> power iteration
+    (pipeline/graph.py).  Oracle rebuilds the same edge set arithmetically
+    and unrolls the iterations as CTEs."""
+    from linkkchecker_net_spark.fixtures import docweb
+    from linkkchecker_net_spark.kernels.canonicalize import canonicalize_udf
+    from linkkchecker_net_spark.kernels.htmlparse import parse_page_udf
+    from linkkchecker_net_spark.pipeline.graph import pagerank
+
+    _prep(spark)
+    web = docweb.build_web(spark, sf_dir)
+    pages = web.select("url")
+    live = web.filter(F.col("status") == 200)
+    anchors = (
+        live.select(
+            F.col("url").alias("src"),
+            F.explode(parse_page_udf("body").links).alias("ln"),
+        )
+        .filter(F.col("ln.tag") == "a")
+        .select(
+            "src", canonicalize_udf(F.col("src"), F.col("ln.href")).alias("dst")
+        )
+    )
+    edges = anchors.join(
+        pages.select(F.col("url").alias("dst")), "dst", "semi"
+    )
+    pr = pagerank(pages, edges, node_col="url", iterations=4, damping=0.85)
+    return pr.select("url", F.round("pagerank", 6).alias("pagerank"))
+
+
 def _robots_fixture(spark, sf_dir):
     """Deterministic robots.txt corpus, one body per documents.source —
     an arithmetic function of the source id so the DuckDB oracle builds
@@ -1347,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "parse_robots": q_parse_robots,
         "crawl_diff": q_crawl_diff,
+        "pagerank": q_pagerank,
     }
 
 
@@ -1366,9 +1399,43 @@ def oracle_sql() -> dict[str, str]:
 
     with_graph = "WITH RECURSIVE " + PAGE_CTE.strip() + ", " + EDGES_CTE.strip() + ", " + REACH_CTE.strip()
 
+    def _pagerank_sql(iters: int = 4) -> str:
+        """Damped PageRank unrolled as CTEs.  pe mirrors the three <a>
+        page-to-page link families of docweb.body_expr (the host-relative
+        family only lands on a page when the parent's host matches);
+        mailto/missing anchors are not page nodes on either side.  All
+        arithmetic is forced to DOUBLE so DuckDB's DECIMAL literals can't
+        diverge from Spark's float64."""
+        pe = """
+pe AS (
+  SELECT p.i AS src, ((p.i+1) % c) AS dst FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  SELECT p.i, ((p.i*31+7) % c) FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  SELECT p.i, ((p.i*13+1) % c) FROM page p, nn
+   WHERE p.status = 200 AND (p.i % 3) = (((p.i*13+1) % c) % 3)
+),
+deg AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM pe GROUP BY src),
+r0 AS (SELECT p.i AS id, 1.0::DOUBLE / c AS pr FROM page p, nn)"""
+        parts = ["WITH " + PAGE_CTE.strip() + "," + pe]
+        for k in range(1, iters + 1):
+            parts.append(f""",
+c{k} AS (SELECT pe.dst AS id, SUM(r.pr / d.outdeg) AS m
+        FROM pe JOIN r{k - 1} r ON r.id = pe.src JOIN deg d ON d.src = pe.src
+        GROUP BY pe.dst),
+r{k} AS (SELECT p.i AS id,
+               (1.0::DOUBLE - 0.85::DOUBLE) / c
+               + 0.85::DOUBLE * COALESCE(c{k}.m, 0.0::DOUBLE) AS pr
+        FROM page p CROSS JOIN nn LEFT JOIN c{k} ON c{k}.id = p.i)""")
+        parts.append(f"""
+SELECT p.url AS url, ROUND(r{iters}.pr, 6) AS pagerank
+FROM r{iters} JOIN page p ON p.i = r{iters}.id""")
+        return "".join(parts)
+
     return {
         "crawl_results": CRAWL_RESULTS_SQL,
         "crawl_broken": CRAWL_BROKEN_SQL,
+        "pagerank": _pagerank_sql(4),
         "classify": """
             SELECT 'http://site-' || (doc_id % 3) || '.test/page/' || doc_id AS url,
                    CASE WHEN doc_id < 3 THEN 'ok'

@@ -346,7 +346,7 @@ def run_queries(spark) -> dict:
         "image_clusters", "image_quality_gate", "image_dedup_keep",
         "image_search", "aspect_bucket", "image_shard_pack",
         "curation_funnel", "image_funnel", "ann_ivf",
-        "dup_span", "domain_cap", "sessionize", "parse_robots",
+        "dup_span", "domain_cap", "sessionize", "parse_robots", "pagerank",
     ]
     out = {}
     qs = entrymod.queries()

@@ -1,0 +1,108 @@
+"""Link-graph analytics over the crawl's parsed edge set.
+
+The reference engine keeps no global link-graph state — its scan loop is
+per-page (`SpiderEngine/Engine.cs:160-240` visits, extracts, enqueues).
+At web scale the frontier's per-host priority queue (north star: "keyed by
+(host_hash, priority, crawl_depth)") needs a priority SIGNAL; PageRank
+over the crawled anchor graph is the canonical one.  This module computes
+it Spark-first from the same parse output the epoch loop already emits.
+
+Scale design (10^10-node graph):
+  * the edge table is joined with out-degrees ONCE and hash-partitioned by
+    ``src`` before the loop — every iteration's rank join lands on that
+    cached partitioning, so only the (small, 2-column) rank table moves
+    per iteration;
+  * each iteration is one join + one partial-aggregated ``groupBy(dst)``:
+    the map-side combine bounds shuffle rows by distinct-dst-per-partition,
+    not by edge count;
+  * dangling-node mass is DROPPED each iteration (a documented, widely used
+    variant): redistributing it uniformly needs one extra metadata-sized
+    scalar aggregation per iteration and makes the independent-oracle SQL
+    needlessly stateful — the fixed-point ordering is unaffected for
+    ranking use;
+  * rank lineage grows linearly with iterations — ``checkpoint_every``
+    truncates it periodically with ``localCheckpoint`` (single-box / RDD-
+    replicated; on multi-executor clusters with executor churn prefer a
+    reliable checkpoint dir, same trade-off as engine.epoch.run_epoch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "url",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 4,
+    damping: float = 0.85,
+    checkpoint_every: int = 0,
+    materialize: bool = True,
+) -> DataFrame:
+    """Damped power-iteration PageRank.
+
+    ``nodes`` — one row per graph node (``node_col``); ``edges`` — one row
+    per directed edge (``src_col`` → ``dst_col``), duplicates = parallel
+    edges and count toward out-degree, exactly like repeated hrefs on a
+    page.  Edges whose ``dst`` is outside ``nodes`` leak their mass (same
+    treatment as dangling nodes); callers that care semi-join first.
+
+    rank_{t+1}(v) = (1-d)/N + d * sum_{u->v} rank_t(u)/outdeg(u)
+
+    Returns (node_col, pagerank).  ``materialize=True`` (default) eagerly
+    localCheckpoints the final rank table (N rows x 16 bytes — the output
+    itself) so the loop's persisted inputs can be released before return.
+    """
+    n = nodes.count()  # metadata-sized action (one long)
+    if n == 0:
+        return nodes.select(
+            F.col(node_col), F.lit(0.0).alias("pagerank")
+        )
+    deg = edges.groupBy(src_col).agg(
+        F.count("*").cast("double").alias("outdeg")
+    )
+    ew = (
+        edges.join(deg, src_col)
+        .select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            "outdeg",
+        )
+        .repartition("src")
+        .persist()
+    )
+    pinned_nodes = (
+        nodes.select(F.col(node_col).alias("id")).repartition("id").persist()
+    )
+    base = (1.0 - damping) / n
+    ranks = pinned_nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for it in range(iterations):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = pinned_nodes.join(
+            contrib.withColumnRenamed("dst", "id"), "id", "left"
+        ).select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    out = ranks.select(
+        F.col("id").alias(node_col), F.col("rank").alias("pagerank")
+    )
+    if materialize:
+        out = out.localCheckpoint()
+        ew.unpersist()
+        pinned_nodes.unpersist()
+    return out

@@ -1,0 +1,74 @@
+"""pipeline.graph.pagerank — hand-checkable graphs + invariants."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from linkkchecker_net_spark.pipeline.graph import pagerank
+
+
+def _pr(spark, node_ids, edge_pairs, **kw):
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "url string")
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in edge_pairs], "src string, dst string"
+    )
+    rows = pagerank(nodes, edges, **kw).collect()
+    return {r["url"]: r["pagerank"] for r in rows}
+
+
+def test_cycle_is_uniform(spark):
+    """On a k-cycle the uniform distribution is the exact fixed point —
+    every iteration reproduces it, so 4 iterations must return 1/k."""
+    ids = [f"n{i}" for i in range(4)]
+    edges = [(ids[i], ids[(i + 1) % 4]) for i in range(4)]
+    out = _pr(spark, ids, edges)
+    for v in out.values():
+        assert math.isclose(v, 0.25, rel_tol=1e-12)
+
+
+def test_star_center_dominates_and_matches_numpy(spark):
+    """Star (all leaves -> center, center dangling): compare against a
+    straight numpy power iteration with the same drop-dangling variant."""
+    leaves = [f"l{i}" for i in range(5)]
+    ids = ["c"] + leaves
+    edges = [(l, "c") for l in leaves]
+    out = _pr(spark, ids, edges, iterations=3)
+
+    n, d = len(ids), 0.85
+    r = {u: 1.0 / n for u in ids}
+    for _ in range(3):
+        nxt = {u: (1.0 - d) / n for u in ids}
+        nxt["c"] += d * sum(r[l] / 1.0 for l in leaves)
+        r = nxt
+    for u in ids:
+        assert math.isclose(out[u], r[u], rel_tol=1e-12), u
+    assert out["c"] > max(out[l] for l in leaves) * 3
+
+
+def test_parallel_edges_count_toward_outdegree(spark):
+    """a posts two links to b and one to c: b gets 2/3 of a's mass."""
+    ids = ["a", "b", "c"]
+    edges = [("a", "b"), ("a", "b"), ("a", "c")]
+    out = _pr(spark, ids, edges, iterations=1)
+    base = 0.15 / 3
+    assert math.isclose(out["b"], base + 0.85 * (1 / 3) * (2 / 3), rel_tol=1e-12)
+    assert math.isclose(out["c"], base + 0.85 * (1 / 3) * (1 / 3), rel_tol=1e-12)
+
+
+def test_empty_graph(spark):
+    nodes = spark.createDataFrame([], "url string")
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(nodes, edges).count() == 0
+
+
+def test_rank_mass_bounded(spark):
+    """Drop-dangling variant: total mass never exceeds 1 and every node
+    keeps at least the teleport floor."""
+    ids = [f"n{i}" for i in range(6)]
+    edges = [(ids[i], ids[(i * 3 + 1) % 6]) for i in range(4)]  # n4,n5 dangle
+    out = _pr(spark, ids, edges, iterations=5)
+    assert sum(out.values()) <= 1.0 + 1e-9
+    floor = 0.15 / 6
+    assert all(v >= floor - 1e-12 for v in out.values())
