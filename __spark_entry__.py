@@ -1225,6 +1225,33 @@ def q_pagerank(spark, sf_dir):
     return pr.select("url", F.round("pagerank", 6).alias("pagerank"))
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text corpus: real <a>-text extraction (kernels/anchortext)
+    over docweb bodies, hrefs canonicalized, aggregated per target URL
+    (pipeline/graph.anchor_corpus).  Targets include dead pages (real
+    anchor corpora do); non-http schemes (mailto) are gated out exactly
+    like the engine's F1 scheme gate."""
+    from linkkchecker_net_spark.fixtures import docweb
+    from linkkchecker_net_spark.kernels.anchortext import anchor_texts_udf
+    from linkkchecker_net_spark.kernels.canonicalize import canonicalize_udf
+    from linkkchecker_net_spark.pipeline.graph import anchor_corpus
+
+    _prep(spark)
+    live = docweb.build_web(spark, sf_dir).filter(F.col("status") == 200)
+    an = (
+        live.select(
+            F.col("url").alias("src"),
+            F.explode(anchor_texts_udf("body")).alias("an"),
+        )
+        .select(
+            canonicalize_udf(F.col("src"), F.col("an.href")).alias("dst"),
+            F.col("an.text").alias("text"),
+        )
+        .filter(F.col("dst").startswith("http"))
+    )
+    return anchor_corpus(an)
+
+
 def _robots_fixture(spark, sf_dir):
     """Deterministic robots.txt corpus, one body per documents.source —
     an arithmetic function of the source id so the DuckDB oracle builds
@@ -1380,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_robots": q_parse_robots,
         "crawl_diff": q_crawl_diff,
         "pagerank": q_pagerank,
+        "anchor_texts": q_anchor_texts,
     }
 
 
@@ -1436,6 +1464,31 @@ FROM r{iters} JOIN page p ON p.i = r{iters}.id""")
         "crawl_results": CRAWL_RESULTS_SQL,
         "crawl_broken": CRAWL_BROKEN_SQL,
         "pagerank": _pagerank_sql(4),
+        # the four http-target <a> families of docweb.body_expr with their
+        # literal anchor texts (n/x/y/d); mailto is scheme-gated out on
+        # both sides.  a#2 lands on the PARENT's host (relative href)
+        # whether or not that page exists — anchor corpora keep targets
+        # that 404.
+        "anchor_texts": "WITH "
+        + PAGE_CTE.strip()
+        + """,
+an AS (
+  SELECT 'http://site-' || (((p.i+1) % c) % 3) || '.test/page/' || ((p.i+1) % c) AS url,
+         'n' AS txt FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  SELECT 'http://site-' || (((p.i*31+7) % c) % 3) || '.test/page/' || ((p.i*31+7) % c),
+         'x' FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  SELECT 'http://site-' || (p.i % 3) || '.test/page/' || ((p.i*13+1) % c),
+         'y' FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  SELECT 'http://site-' || (p.i % 3) || '.test/missing/' || p.i,
+         'd' FROM page p WHERE p.status = 200 AND p.i % 7 = 2
+)
+SELECT url, COUNT(*)::BIGINT AS n_anchors,
+       string_agg(txt, ' ' ORDER BY txt) AS anchor_blob
+FROM an GROUP BY url
+""",
         "classify": """
             SELECT 'http://site-' || (doc_id % 3) || '.test/page/' || doc_id AS url,
                    CASE WHEN doc_id < 3 THEN 'ok'

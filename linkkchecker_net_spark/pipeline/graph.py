@@ -106,3 +106,47 @@ def pagerank(
         ew.unpersist()
         pinned_nodes.unpersist()
     return out
+
+
+def anchor_corpus(
+    anchors: DataFrame,
+    dst_col: str = "dst",
+    text_col: str = "text",
+    cap_per_target: int | None = None,
+) -> DataFrame:
+    """Per-target anchor-text corpus: (url, n_anchors, anchor_blob).
+
+    ``anchors`` — one row per parsed ``<a>`` (resolved target + anchor
+    text).  The blob is the target's anchor texts sorted and
+    space-joined — a deterministic scalar (oracle-hashable and directly
+    usable as a retrieval/training field).
+
+    Scale: one partial-aggregated ``groupBy(dst)``.  The skew hazard is
+    real — home pages collect 10^8 in-links — so ``cap_per_target`` keeps
+    only the k deterministically-first anchors per target (ranked by
+    ``xxhash64(dst, text)``, a seeded sample) via a window that Spark 4
+    push-downs as a partial group-limit; ``n_anchors`` still counts ALL
+    anchors (cheap count agg, no list state).
+    """
+    from pyspark.sql import Window
+
+    base = anchors.select(
+        F.col(dst_col).alias("url"), F.col(text_col).alias("text")
+    )
+    counts = base.groupBy("url").agg(F.count("*").alias("n_anchors"))
+    kept = base
+    if cap_per_target is not None:
+        w = Window.partitionBy("url").orderBy(
+            F.xxhash64("url", "text"), "text"
+        )
+        kept = (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap_per_target)
+            .drop("_rn")
+        )
+    blobs = kept.groupBy("url").agg(
+        F.concat_ws(" ", F.sort_array(F.collect_list("text"))).alias(
+            "anchor_blob"
+        )
+    )
+    return counts.join(blobs, "url")

@@ -63,6 +63,41 @@ def test_empty_graph(spark):
     assert pagerank(nodes, edges).count() == 0
 
 
+def test_anchor_extraction_handles_markup():
+    from linkkchecker_net_spark.kernels.anchortext import extract_anchor_texts
+
+    html = (
+        '<a href="/a">foo <b>bar</b></a>'
+        "<a href='/b'>x &amp; y</a>"
+        '<a href="/c">first<a href="/d">implicit close'
+        "<a>no href — skipped</a>"
+        '<a href="/e">  spaced\n\ttext  </a>'
+    )
+    got = extract_anchor_texts(html.encode("utf-8"))
+    assert got == [
+        ("/a", "foo bar"),
+        ("/b", "x & y"),
+        ("/c", "first"),
+        ("/d", "implicit close"),  # dangling anchor emitted at EOF
+        ("/e", "spaced text"),
+    ]
+    assert extract_anchor_texts(None) == []
+    assert extract_anchor_texts(b"") == []
+
+
+def test_anchor_corpus_cap_keeps_count_exact(spark):
+    from linkkchecker_net_spark.pipeline.graph import anchor_corpus
+
+    rows = [("u1", f"t{i}") for i in range(10)] + [("u2", "only")]
+    an = spark.createDataFrame(rows, "dst string, text string")
+    out = {
+        r["url"]: r for r in anchor_corpus(an, cap_per_target=3).collect()
+    }
+    assert out["u1"]["n_anchors"] == 10  # count is over ALL anchors
+    assert len(out["u1"]["anchor_blob"].split(" ")) == 3  # blob is capped
+    assert out["u2"]["anchor_blob"] == "only"
+
+
 def test_rank_mass_bounded(spark):
     """Drop-dangling variant: total mass never exceeds 1 and every node
     keeps at least the teleport floor."""
