@@ -108,6 +108,45 @@ def pagerank(
     return out
 
 
+def priority_from_rank(
+    pr: DataFrame, node_col: str = "url", buckets: int = 64
+) -> DataFrame:
+    """Map PageRank to the frontier's integer ``priority`` (0 = crawl
+    first — the politeness window's leading sort key,
+    engine/epoch.py:99 ``split_politeness``).
+
+    priority = clamp(floor(log2(max_rank / rank)), 0, buckets-1): each
+    halving of rank costs one level, so the head of the rank distribution
+    separates finely while the tail collapses — the shape a recrawl
+    scheduler wants.  Scale: ONE scalar max aggregation (metadata-sized),
+    then pure map-side codegen — no global sort/ntile window.
+    """
+    mx = pr.agg(F.max("pagerank")).first()[0]  # one double
+    if not mx or mx <= 0:
+        return pr.select(node_col, F.lit(0).alias("priority"))
+    lvl = F.floor(F.log2(F.lit(float(mx)) / F.col("pagerank")))
+    p = F.least(F.lit(buckets - 1), F.greatest(F.lit(0), lvl)).cast("int")
+    return pr.select(
+        node_col, F.coalesce(p, F.lit(buckets - 1)).alias("priority")
+    )
+
+
+def pagerank_seeds(
+    pr: DataFrame, node_col: str = "url", buckets: int = 64
+) -> DataFrame:
+    """Recrawl seed list (idx, seed_url, priority) for
+    ``CrawlDriver.init_seeds_df`` — the loop-closure the north star names:
+    the per-host priority queue consumes PageRank from the previous
+    crawl's parsed graph.  idx = xxhash64(url): deterministic keep-first
+    tie-break key, no global ordering pass."""
+    pri = priority_from_rank(pr, node_col=node_col, buckets=buckets)
+    return pri.select(
+        F.xxhash64(node_col).alias("idx"),
+        F.col(node_col).alias("seed_url"),
+        "priority",
+    )
+
+
 def anchor_corpus(
     anchors: DataFrame,
     dst_col: str = "dst",

@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from linkkchecker_net_spark.pipeline.graph import pagerank
 
@@ -96,6 +97,54 @@ def test_anchor_corpus_cap_keeps_count_exact(spark):
     assert out["u1"]["n_anchors"] == 10  # count is over ALL anchors
     assert len(out["u1"]["anchor_blob"].split(" ")) == 3  # blob is capped
     assert out["u2"]["anchor_blob"] == "only"
+
+
+def test_priority_from_rank_log_buckets(spark):
+    from linkkchecker_net_spark.pipeline.graph import priority_from_rank
+
+    pr = spark.createDataFrame(
+        [("a", 0.4), ("b", 0.2), ("c", 0.1), ("d", 0.4 / 2**70), ("e", 0.3)],
+        "url string, pagerank double",
+    )
+    out = {r["url"]: r["priority"] for r in priority_from_rank(pr).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 63, "e": 0}  # d clamps
+
+
+def test_pagerank_priority_drives_politeness_window(spark):
+    """Loop closure: seeds built from PageRank put the high-rank URL in
+    the first politeness batch; the low-rank URL carries over.  Also the
+    first engine-level pin of split_politeness's priority-first ordering."""
+    from linkkchecker_net_spark.engine.epoch import split_politeness
+    from linkkchecker_net_spark.pipeline.graph import pagerank_seeds
+
+    # star + chain: everyone links to hub; spoke pages link onward
+    ids = ["hub"] + [f"s{i}" for i in range(4)]
+    urls = {n: f"http://one.test/{n}" for n in ids}
+    nodes = spark.createDataFrame([(u,) for u in urls.values()], "url string")
+    edges = spark.createDataFrame(
+        [(urls[f"s{i}"], urls["hub"]) for i in range(4)]
+        + [(urls[f"s{i}"], urls[f"s{(i + 1) % 4}"]) for i in range(4)],
+        "src string, dst string",
+    )
+    seeds = pagerank_seeds(pagerank(nodes, edges))
+    assert set(seeds.columns) == {"idx", "seed_url", "priority"}
+    pri = {r["seed_url"]: r["priority"] for r in seeds.collect()}
+    assert pri[urls["hub"]] == 0
+    assert all(pri[urls[f"s{i}"]] > 0 for i in range(4))
+
+    frontier = seeds.select(
+        F.col("seed_url").alias("url"),
+        F.lit("one.test").alias("host"),
+        "priority",
+        F.lit(0).alias("crawl_depth"),
+        F.monotonically_increasing_id().alias("discovery_rank"),
+    )
+    robots = spark.createDataFrame(
+        [("one.test", 1)], "host string, budget int"
+    )
+    batch, carry = split_politeness(frontier, robots, default_budget=None)
+    assert [r["url"] for r in batch.collect()] == [urls["hub"]]
+    assert carry.count() == 4
 
 
 def test_rank_mass_bounded(spark):
