@@ -241,3 +241,33 @@ def test_sessionize_single_exchange(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     p = _plan(sessionize(ev))
     assert p.count("Exchange") == 1, p
+
+
+def test_pagerank_reuses_cached_edges_and_partial_aggregates(spark):
+    """pipeline.graph.pagerank: the out-degree-joined edge table must be
+    read from cache in EVERY iteration (InMemoryTableScan per iteration —
+    the 10^10-edge table never recomputes or re-shuffles), and the rank
+    contribution sum must partial-aggregate map-side."""
+    from linkkchecker_net_spark.pipeline.graph import pagerank
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "url string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    p = _plan(pagerank(nodes, edges, iterations=2, materialize=False))
+    assert p.count("InMemoryTableScan") >= 2, p
+    assert "partial_sum" in p, p
+
+
+def test_anchor_corpus_cap_is_partial_group_limit(spark):
+    """pipeline.graph.anchor_corpus(cap_per_target): the per-target window
+    is PARTITIONED (no 0-partition hazard) and Spark pushes the row_number
+    filter down as a Partial WindowGroupLimit below the exchange, so hot
+    targets shuffle at most cap rows per map partition."""
+    from linkkchecker_net_spark.pipeline.graph import anchor_corpus
+
+    an = spark.createDataFrame(
+        [("u", "t1"), ("u", "t2"), ("v", "t3")], "dst string, text string"
+    )
+    p = _plan(anchor_corpus(an, cap_per_target=2))
+    assert "WindowGroupLimit" in p and ", Partial" in p, p
