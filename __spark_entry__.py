@@ -1193,16 +1193,12 @@ def q_crawl_diff(spark, sf_dir):
     return crawl_diff(v1, v2.unionByName(added))
 
 
-def q_pagerank(spark, sf_dir):
-    """Graph op — damped PageRank (4 iterations, d=0.85) over the REAL
-    parsed anchor graph: docweb bodies -> Arrow HTML parse -> href
-    canonicalization -> page-to-page semi-join -> power iteration
-    (pipeline/graph.py).  Oracle rebuilds the same edge set arithmetically
-    and unrolls the iterations as CTEs."""
+def _docweb_page_graph(spark, sf_dir):
+    """(pages, page-to-page edges) from the REAL parse path: docweb bodies
+    -> Arrow HTML parse -> href canonicalization -> page semi-join."""
     from linkkchecker_net_spark.fixtures import docweb
     from linkkchecker_net_spark.kernels.canonicalize import canonicalize_udf
     from linkkchecker_net_spark.kernels.htmlparse import parse_page_udf
-    from linkkchecker_net_spark.pipeline.graph import pagerank
 
     _prep(spark)
     web = docweb.build_web(spark, sf_dir)
@@ -1221,7 +1217,36 @@ def q_pagerank(spark, sf_dir):
     edges = anchors.join(
         pages.select(F.col("url").alias("dst")), "dst", "semi"
     )
+    return pages, edges
+
+
+def q_pagerank(spark, sf_dir):
+    """Graph op — damped PageRank (4 iterations, d=0.85) over the REAL
+    parsed anchor graph (pipeline/graph.py).  Oracle rebuilds the same
+    edge set arithmetically and unrolls the iterations as CTEs."""
+    from linkkchecker_net_spark.pipeline.graph import pagerank
+
+    pages, edges = _docweb_page_graph(spark, sf_dir)
     pr = pagerank(pages, edges, node_col="url", iterations=4, damping=0.85)
+    return pr.select("url", F.round("pagerank", 6).alias("pagerank"))
+
+
+def q_trustrank(spark, sf_dir):
+    """TrustRank (personalized-teleport PageRank, Gyongyi 2004) over the
+    same parsed anchor graph: teleport mass lands only on the crawl's own
+    seed whitelist (pages 0..2), so pages unreachable from the seeds
+    score exactly 0 — the spam-resistant frontier-priority variant."""
+    from linkkchecker_net_spark.fixtures import docweb
+    from linkkchecker_net_spark.pipeline.graph import pagerank
+
+    pages, edges = _docweb_page_graph(spark, sf_dir)
+    teleport = spark.createDataFrame(
+        [(s["seed_url"],) for s in docweb.seeds()], "url string"
+    )
+    pr = pagerank(
+        pages, edges, node_col="url", iterations=4, damping=0.85,
+        teleport=teleport,
+    )
     return pr.select("url", F.round("pagerank", 6).alias("pagerank"))
 
 
@@ -1407,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_robots": q_parse_robots,
         "crawl_diff": q_crawl_diff,
         "pagerank": q_pagerank,
+        "trustrank": q_trustrank,
         "anchor_texts": q_anchor_texts,
     }
 
@@ -1427,14 +1453,23 @@ def oracle_sql() -> dict[str, str]:
 
     with_graph = "WITH RECURSIVE " + PAGE_CTE.strip() + ", " + EDGES_CTE.strip() + ", " + REACH_CTE.strip()
 
-    def _pagerank_sql(iters: int = 4) -> str:
-        """Damped PageRank unrolled as CTEs.  pe mirrors the three <a>
-        page-to-page link families of docweb.body_expr (the host-relative
-        family only lands on a page when the parent's host matches);
-        mailto/missing anchors are not page nodes on either side.  All
-        arithmetic is forced to DOUBLE so DuckDB's DECIMAL literals can't
-        diverge from Spark's float64."""
-        pe = """
+    def _pagerank_sql(iters: int = 4, trust: bool = False) -> str:
+        """Damped (optionally personalized) PageRank unrolled as CTEs.
+        pe mirrors the three <a> page-to-page link families of
+        docweb.body_expr (the host-relative family only lands on a page
+        when the parent's host matches); mailto/missing anchors are not
+        page nodes on either side.  All arithmetic is forced to DOUBLE
+        so DuckDB's DECIMAL literals can't diverge from Spark's float64;
+        the teleport term is (1-d)*t with t a per-node value — the exact
+        expression shape pipeline/graph.pagerank evaluates.  trust=True
+        = TrustRank: t = 1/3 on the crawl seeds (pages 0..2), 0 elsewhere,
+        and rank_0 = t."""
+        t_expr = (
+            "CASE WHEN p.i < 3 THEN 1.0::DOUBLE / 3 ELSE 0.0::DOUBLE END"
+            if trust
+            else "1.0::DOUBLE / c"
+        )
+        pe = f"""
 pe AS (
   SELECT p.i AS src, ((p.i+1) % c) AS dst FROM page p, nn WHERE p.status = 200
   UNION ALL
@@ -1444,7 +1479,7 @@ pe AS (
    WHERE p.status = 200 AND (p.i % 3) = (((p.i*13+1) % c) % 3)
 ),
 deg AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM pe GROUP BY src),
-r0 AS (SELECT p.i AS id, 1.0::DOUBLE / c AS pr FROM page p, nn)"""
+r0 AS (SELECT p.i AS id, {t_expr} AS pr FROM page p, nn)"""
         parts = ["WITH " + PAGE_CTE.strip() + "," + pe]
         for k in range(1, iters + 1):
             parts.append(f""",
@@ -1452,7 +1487,7 @@ c{k} AS (SELECT pe.dst AS id, SUM(r.pr / d.outdeg) AS m
         FROM pe JOIN r{k - 1} r ON r.id = pe.src JOIN deg d ON d.src = pe.src
         GROUP BY pe.dst),
 r{k} AS (SELECT p.i AS id,
-               (1.0::DOUBLE - 0.85::DOUBLE) / c
+               (1.0::DOUBLE - 0.85::DOUBLE) * ({t_expr})
                + 0.85::DOUBLE * COALESCE(c{k}.m, 0.0::DOUBLE) AS pr
         FROM page p CROSS JOIN nn LEFT JOIN c{k} ON c{k}.id = p.i)""")
         parts.append(f"""
@@ -1464,6 +1499,7 @@ FROM r{iters} JOIN page p ON p.i = r{iters}.id""")
         "crawl_results": CRAWL_RESULTS_SQL,
         "crawl_broken": CRAWL_BROKEN_SQL,
         "pagerank": _pagerank_sql(4),
+        "trustrank": _pagerank_sql(4, trust=True),
         # the four http-target <a> families of docweb.body_expr with their
         # literal anchor texts (n/x/y/d); mailto is scheme-gated out on
         # both sides.  a#2 lands on the PARENT's host (relative href)

@@ -42,8 +42,9 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 0,
     materialize: bool = True,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
-    """Damped power-iteration PageRank.
+    """Damped power-iteration PageRank — optionally PERSONALIZED.
 
     ``nodes`` — one row per graph node (``node_col``); ``edges`` — one row
     per directed edge (``src_col`` → ``dst_col``), duplicates = parallel
@@ -51,7 +52,15 @@ def pagerank(
     page.  Edges whose ``dst`` is outside ``nodes`` leak their mass (same
     treatment as dangling nodes); callers that care semi-join first.
 
-    rank_{t+1}(v) = (1-d)/N + d * sum_{u->v} rank_t(u)/outdeg(u)
+    rank_{t+1}(v) = (1-d)*t(v) + d * sum_{u->v} rank_t(u)/outdeg(u)
+
+    ``teleport=None`` — classic PageRank, t(v) = 1/N uniform.
+    ``teleport=<nodes subset>`` — TrustRank (Gyongyi 2004): t(v) = 1/|T|
+    on the trusted set, 0 elsewhere, and rank_0 = t; mass can only enter
+    the graph through the whitelist, so link-spam clusters unreachable
+    from trusted seeds score ~0.  The crawl's own seed list is the natural
+    whitelist.  Same plan physics: the flag joins into the pinned node
+    table once, the loop is unchanged.
 
     Returns (node_col, pagerank).  ``materialize=True`` (default) eagerly
     localCheckpoints the final rank table (N rows x 16 bytes — the output
@@ -75,14 +84,30 @@ def pagerank(
         .repartition("src")
         .persist()
     )
-    pinned_nodes = (
-        nodes.select(F.col(node_col).alias("id")).repartition("id").persist()
-    )
-    base = (1.0 - damping) / n
-    ranks = pinned_nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    pinned = nodes.select(F.col(node_col).alias("id"))
+    if teleport is not None:
+        n_t = teleport.count()  # metadata-sized
+        if n_t == 0:
+            raise ValueError("teleport set is empty")
+        pinned = pinned.join(
+            teleport.select(F.col(node_col).alias("id"))
+            .distinct()
+            .withColumn("_t", F.lit(True)),
+            "id",
+            "left",
+        ).select(
+            "id",
+            F.when(F.col("_t"), F.lit(1.0 / n_t))
+            .otherwise(F.lit(0.0))
+            .alias("t"),
+        )
+    else:
+        pinned = pinned.select("id", F.lit(1.0 / n).alias("t"))
+    pinned_nodes = pinned.repartition("id").persist()
+    ranks = pinned_nodes.select("id", F.col("t").alias("rank"))
     for it in range(iterations):
         contrib = (
-            ew.join(ranks.withColumnRenamed("id", "src"), "src")
+            ew.join(ranks.select("id", "rank").withColumnRenamed("id", "src"), "src")
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
@@ -92,7 +117,7 @@ def pagerank(
         ).select(
             "id",
             (
-                F.lit(base)
+                F.lit(1.0 - damping) * F.col("t")
                 + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
             ).alias("rank"),
         )

@@ -99,6 +99,41 @@ def test_anchor_corpus_cap_keeps_count_exact(spark):
     assert out["u2"]["anchor_blob"] == "only"
 
 
+def test_trustrank_spam_cluster_scores_zero(spark):
+    """Personalized teleport: a link-spam clique unreachable from the
+    trusted seed gets exactly 0 mass; trusted-reachable pages don't."""
+    ids = ["seed", "good", "spam1", "spam2"]
+    edges = [
+        ("seed", "good"),
+        ("spam1", "spam2"),
+        ("spam2", "spam1"),
+        ("spam1", "good"),  # spam linking OUT doesn't launder mass IN
+    ]
+    nodes = spark.createDataFrame([(n,) for n in ids], "url string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    t = spark.createDataFrame([("seed",)], "url string")
+    out = {
+        r["url"]: r["pagerank"]
+        for r in pagerank(nodes, e, iterations=4, teleport=t).collect()
+    }
+    assert out["spam1"] == 0.0 and out["spam2"] == 0.0
+    assert out["seed"] > 0 and out["good"] > 0
+    # classic pagerank by contrast gives the clique teleport mass
+    classic = {
+        r["url"]: r["pagerank"]
+        for r in pagerank(nodes, e, iterations=4).collect()
+    }
+    assert classic["spam1"] > 0
+
+
+def test_trustrank_empty_teleport_raises(spark):
+    nodes = spark.createDataFrame([("a",)], "url string")
+    e = spark.createDataFrame([], "src string, dst string")
+    t = spark.createDataFrame([], "url string")
+    with pytest.raises(ValueError):
+        pagerank(nodes, e, teleport=t)
+
+
 def test_priority_from_rank_log_buckets(spark):
     from linkkchecker_net_spark.pipeline.graph import priority_from_rank
 
