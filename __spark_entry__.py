@@ -1250,6 +1250,21 @@ def q_trustrank(spark, sf_dir):
     return pr.select("url", F.round("pagerank", 6).alias("pagerank"))
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (2 L1-normalized iterations) over the parsed
+    anchor graph — the hub signal PageRank can't give a frontier
+    scheduler.  Oracle unrolls the half-steps with 1-row sum CTEs."""
+    from linkkchecker_net_spark.pipeline.graph import hits
+
+    pages, edges = _docweb_page_graph(spark, sf_dir)
+    out = hits(pages, edges, node_col="url", iterations=2)
+    return out.select(
+        "url",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def q_anchor_texts(spark, sf_dir):
     """Anchor-text corpus: real <a>-text extraction (kernels/anchortext)
     over docweb bodies, hrefs canonicalized, aggregated per target URL
@@ -1433,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
+        "hits": q_hits,
         "anchor_texts": q_anchor_texts,
     }
 
@@ -1500,6 +1516,39 @@ FROM r{iters} JOIN page p ON p.i = r{iters}.id""")
         "crawl_broken": CRAWL_BROKEN_SQL,
         "pagerank": _pagerank_sql(4),
         "trustrank": _pagerank_sql(4, trust=True),
+        # HITS: 2 L1-normalized iterations over the same pe edge families;
+        # the normalizing sums are 1-row CTEs (cross-joined), mirroring
+        # the Spark broadcast-scalar normalization.  Empty-graph degenerate
+        # case yields NULL/0 consistently via the final COALESCE.
+        "hits": "WITH "
+        + PAGE_CTE.strip()
+        + """,
+pe AS (
+  SELECT p.i AS src, ((p.i+1) % c) AS dst FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  SELECT p.i, ((p.i*31+7) % c) FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  SELECT p.i, ((p.i*13+1) % c) FROM page p, nn
+   WHERE p.status = 200 AND (p.i % 3) = (((p.i*13+1) % c) % 3)
+),
+h0 AS (SELECT p.i AS id, 1.0::DOUBLE AS h FROM page p),
+a1r AS (SELECT pe.dst AS id, SUM(h0.h) AS v FROM pe JOIN h0 ON h0.id = pe.src GROUP BY pe.dst),
+a1s AS (SELECT SUM(v) AS s FROM a1r),
+a1 AS (SELECT id, v / s AS a FROM a1r, a1s),
+h1r AS (SELECT pe.src AS id, SUM(a1.a) AS v FROM pe JOIN a1 ON a1.id = pe.dst GROUP BY pe.src),
+h1s AS (SELECT SUM(v) AS s FROM h1r),
+h1 AS (SELECT id, v / s AS h FROM h1r, h1s),
+a2r AS (SELECT pe.dst AS id, SUM(h1.h) AS v FROM pe JOIN h1 ON h1.id = pe.src GROUP BY pe.dst),
+a2s AS (SELECT SUM(v) AS s FROM a2r),
+a2 AS (SELECT id, v / s AS a FROM a2r, a2s),
+h2r AS (SELECT pe.src AS id, SUM(a2.a) AS v FROM pe JOIN a2 ON a2.id = pe.dst GROUP BY pe.src),
+h2s AS (SELECT SUM(v) AS s FROM h2r),
+h2 AS (SELECT id, v / s AS h FROM h2r, h2s)
+SELECT p.url AS url,
+       ROUND(COALESCE(h2.h, 0.0::DOUBLE), 6) AS hub,
+       ROUND(COALESCE(a2.a, 0.0::DOUBLE), 6) AS authority
+FROM page p LEFT JOIN h2 ON h2.id = p.i LEFT JOIN a2 ON a2.id = p.i
+""",
         # the four http-target <a> families of docweb.body_expr with their
         # literal anchor texts (n/x/y/d); mailto is scheme-gated out on
         # both sides.  a#2 lands on the PARENT's host (relative href)

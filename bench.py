@@ -347,7 +347,7 @@ def run_queries(spark) -> dict:
         "image_search", "aspect_bucket", "image_shard_pack",
         "curation_funnel", "image_funnel", "ann_ivf",
         "dup_span", "domain_cap", "sessionize", "parse_robots", "pagerank",
-        "anchor_texts", "trustrank",
+        "anchor_texts", "trustrank", "hits",
     ]
     out = {}
     qs = entrymod.queries()

@@ -133,6 +133,79 @@ def pagerank(
     return out
 
 
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "url",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """HITS (Kleinberg 1999) hubs & authorities, L1-normalized per
+    half-step — the complement to PageRank for seed discovery: a good
+    hub is a directory page whose outlinks are worth enqueueing even
+    when the hub itself ranks low.
+
+        a_k(v) = sum_{u->v} h_{k-1}(u) / ||.||_1
+        h_k(u) = sum_{u->v} a_k(v)     / ||.||_1
+
+    Scale: TWO persisted copies of the edge table, hash-partitioned by
+    src and by dst — each half-step's join reuses the matching
+    partitioning so edges never re-shuffle; the normalizing sums are
+    1-row aggregates broadcast back (no driver collect, no global
+    window).  Nodes without in-/out-links get 0 (left-join coalesce).
+
+    Returns (node_col, hub, authority).
+    """
+    es = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
+    ed = es.repartition("dst").persist()
+    h = nodes.select(F.col(node_col).alias("id"), F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(iterations):
+        ar = (
+            es.join(
+                h.select(F.col("id").alias("src"), F.col("h").alias("hv")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("hv").alias("v"))
+        )
+        a = ar.crossJoin(F.broadcast(ar.agg(F.sum("v").alias("s")))).select(
+            F.col("dst").alias("id"), (F.col("v") / F.col("s")).alias("a")
+        )
+        hr = (
+            ed.join(
+                a.select(F.col("id").alias("dst"), F.col("a").alias("av")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.sum("av").alias("v"))
+        )
+        h = hr.crossJoin(F.broadcast(hr.agg(F.sum("v").alias("s")))).select(
+            F.col("src").alias("id"), (F.col("v") / F.col("s")).alias("h")
+        )
+    out = (
+        nodes.select(F.col(node_col).alias("id"))
+        .join(h, "id", "left")
+        .join(a, "id", "left")
+        .select(
+            F.col("id").alias(node_col),
+            F.coalesce("h", F.lit(0.0)).alias("hub"),
+            F.coalesce("a", F.lit(0.0)).alias("authority"),
+        )
+    )
+    if materialize:
+        out = out.localCheckpoint()
+        es.unpersist()
+        ed.unpersist()
+    return out
+
+
 def priority_from_rank(
     pr: DataFrame, node_col: str = "url", buckets: int = 64
 ) -> DataFrame:

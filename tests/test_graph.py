@@ -99,6 +99,41 @@ def test_anchor_corpus_cap_keeps_count_exact(spark):
     assert out["u2"]["anchor_blob"] == "only"
 
 
+def test_hits_matches_reference_iteration(spark):
+    """Directory page linking to 3 endorsed targets: compare hub/authority
+    against a straight dict-based replication of the same L1-normalized
+    half-steps."""
+    from linkkchecker_net_spark.pipeline.graph import hits
+
+    ids = ["dir", "p1", "p2", "p3", "stray"]
+    edge_pairs = [("dir", "p1"), ("dir", "p2"), ("dir", "p3"), ("p1", "p2")]
+    nodes = spark.createDataFrame([(n,) for n in ids], "url string")
+    edges = spark.createDataFrame(edge_pairs, "src string, dst string")
+    got = {
+        r["url"]: (r["hub"], r["authority"])
+        for r in hits(nodes, edges, iterations=2).collect()
+    }
+
+    h = {u: 1.0 for u in ids}
+    a = {}
+    for _ in range(2):
+        a = {}
+        for s, d in edge_pairs:
+            a[d] = a.get(d, 0.0) + h.get(s, 0.0)
+        sa = sum(a.values())
+        a = {k: v / sa for k, v in a.items()}
+        h = {}
+        for s, d in edge_pairs:
+            h[s] = h.get(s, 0.0) + a[d]
+        sh = sum(h.values())
+        h = {k: v / sh for k, v in h.items()}
+    for u in ids:
+        assert math.isclose(got[u][0], h.get(u, 0.0), rel_tol=1e-12, abs_tol=1e-15), u
+        assert math.isclose(got[u][1], a.get(u, 0.0), rel_tol=1e-12, abs_tol=1e-15), u
+    assert got["dir"][0] > got["p1"][0]  # the directory is the top hub
+    assert got["stray"] == (0.0, 0.0)
+
+
 def test_trustrank_spam_cluster_scores_zero(spark):
     """Personalized teleport: a link-spam clique unreachable from the
     trusted seed gets exactly 0 mass; trusted-reachable pages don't."""
