@@ -1375,6 +1375,76 @@ def q_sessionize(spark, sf_dir):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_clip_align(spark, sf_dir):
+    """CLIP-score-style image<->caption alignment gate
+    (pipeline/multimodal.clip_alignment).  This driver corpus derives
+    the 63-bit phash surrogate from doc_id via md5 halves so DuckDB can
+    replay the image-embedding bits, and uses the document text as the
+    caption (real token variety); the real-phash path (synth_corpus
+    decode output) is covered by tests/test_sketch.py."""
+    from linkkchecker_net_spark.pipeline.multimodal import clip_alignment
+
+    _prep(spark)
+    d = _docs(spark, sf_dir)
+    seed = F.concat(F.lit("ph:"), F.col("doc_id").cast("string"))
+    b1 = F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("long")
+    b2 = F.conv(F.substring(F.md5(seed), 9, 8), 16, 10).cast("long")
+    corpus = d.select(
+        F.col("doc_id").alias("image_id"),
+        ((b1 % F.lit(2147483648)) * F.lit(4294967296) + b2).alias("phash"),
+        F.col("text").alias("caption"),
+    )
+    return clip_alignment(corpus, threshold=0.0)
+
+
+def q_hll_users(spark, sf_dir):
+    """HyperLogLog (p=10) distinct-user estimate per event_type beside
+    the exact count — the mergeable register table is the 100 TB shape
+    (pipeline/sketch.hll_distinct; register sum is exact-integer so the
+    estimate is addition-order-free)."""
+    from linkkchecker_net_spark.pipeline.sketch import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_distinct(ev, "event_type", "user_id", p=10)
+
+
+def q_cms_tokens(spark, sf_dir):
+    """Count-Min sketch (4x1024) point estimates for the corpus's top-20
+    exact tokens (pipeline/sketch) — est >= exact by construction."""
+    from linkkchecker_net_spark.pipeline.sketch import cms_point_estimates
+
+    _prep(spark)
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    probe = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    est = cms_point_estimates(toks, probe.select("token"), depth=4, width=1024)
+    return probe.join(est, "token").select("token", "exact_cnt", "cms_est")
+
+
+def q_ann_sq8(spark, sf_dir):
+    """SQ8 scalar-quantization ANN: 8-bit affine codes against per-dim
+    corpus [min,max], integer code-dot candidates, top-30 exact rerank
+    (pipeline/similarity.sq8_ann) — bit-exact for the oracle because
+    quantization is a fixed float64 expression tree and both scoring
+    stages are integer dots."""
+    from linkkchecker_net_spark.pipeline.similarity import sq8_ann
+
+    _prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return sq8_ann(emb, queries, k=10, rerank=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -1450,6 +1520,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "hits": q_hits,
         "anchor_texts": q_anchor_texts,
+        "clip_align": q_clip_align,
+        "hll_users": q_hll_users,
+        "cms_tokens": q_cms_tokens,
+        "ann_sq8": q_ann_sq8,
     }
 
 
@@ -2712,6 +2786,171 @@ FROM an GROUP BY url
                      AS recrawl_score
             FROM res WHERE host IS NOT NULL
             GROUP BY 1
+        """,
+        "clip_align": """
+            WITH ph AS (
+              SELECT doc_id AS image_id,
+                     ((('0x'||substr(md5('ph:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+                        % 2147483648) * 4294967296
+                      + ('0x'||substr(md5('ph:'||CAST(doc_id AS VARCHAR)),9,8))::BIGINT)
+                       AS phash,
+                     text AS caption
+              FROM documents
+            ),
+            toks AS (
+              SELECT image_id, phash,
+                     ('0x'||substr(md5(t.tok),1,8))::BIGINT AS h1,
+                     ('0x'||substr(md5(t.tok),9,8))::BIGINT AS h2
+              FROM ph, unnest(string_split(caption, ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            dims AS (
+              SELECT image_id, phash, g.j AS dim,
+                     CASE WHEN g.j < 32 THEN ((h1 >> g.j) & 1) * 2 - 1
+                          ELSE ((h2 >> (g.j - 32)) & 1) * 2 - 1 END AS s
+              FROM toks, unnest(generate_series(0, 63)) AS g(j)
+            ),
+            cap AS (
+              SELECT image_id, dim,
+                     (((phash >> dim) & 1) * 2 - 1) AS pb,
+                     SUM(s) AS capj
+              FROM dims GROUP BY 1, 2, 3
+            ),
+            per_img AS (
+              SELECT image_id, SUM(capj * pb) AS dot, SUM(capj * capj) AS nrm2
+              FROM cap GROUP BY 1
+            ),
+            scored AS (
+              SELECT image_id,
+                     round(CASE WHEN nrm2 > 0
+                                THEN CAST(dot AS DOUBLE)
+                                     / (8.0 * sqrt(CAST(nrm2 AS DOUBLE)))
+                                ELSE 0.0 END, 6) AS clip_score
+              FROM per_img
+            )
+            SELECT d.doc_id AS image_id,
+                   COALESCE(s.clip_score, 0.0) AS clip_score,
+                   COALESCE(s.clip_score, 0.0) >= 0.0 AS align_pass
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.image_id
+        """,
+        "hll_users": f"""
+            WITH h AS (
+              SELECT event_type,
+                     ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS h1,
+                     ('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8))::BIGINT AS w
+              FROM events
+            ),
+            regs AS (
+              SELECT event_type, h1 % 1024 AS reg,
+                     MAX(CASE WHEN w = 0 THEN 33
+                              ELSE 33 - length(bin(w)) END) AS rho
+              FROM h GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT event_type,
+                     SUM(CAST(1 AS BIGINT) << (33 - rho)) AS s_present,
+                     COUNT(*) AS n_present
+              FROM regs GROUP BY 1
+            ),
+            est AS (
+              SELECT event_type,
+                     {0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * 8589934592.0!r}
+                       / CAST(s_present + (1024 - n_present) * 8589934592 AS DOUBLE)
+                       AS raw,
+                     CAST(1024 - n_present AS DOUBLE) AS zeros
+              FROM agg
+            ),
+            rounded AS (
+              SELECT event_type,
+                     round(CASE WHEN raw <= 2560.0 AND zeros > 0
+                                THEN 1024.0 * ln(1024.0 / zeros)
+                                ELSE raw END, 4) AS hll_est
+              FROM est
+            ),
+            exact AS (
+              SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_type, e.n_exact, r.hll_est,
+                   round(abs(r.hll_est - e.n_exact) / e.n_exact, 6) AS rel_err
+            FROM exact e JOIN rounded r USING (event_type)
+        """,
+        "cms_tokens": """
+            WITH toks AS (
+              SELECT t.tok AS token
+              FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            cells AS (
+              SELECT g.i AS rw,
+                     ('0x'||substr(md5(CAST(g.i AS VARCHAR)||':'||token),1,8))::BIGINT
+                       % 1024 AS bucket
+              FROM toks, unnest(generate_series(0, 3)) AS g(i)
+            ),
+            sk AS (SELECT rw, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+            probe AS (
+              SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY 1
+              ORDER BY exact_cnt DESC, token LIMIT 20
+            ),
+            pc AS (
+              SELECT p.token, p.exact_cnt, g.i AS rw,
+                     ('0x'||substr(md5(CAST(g.i AS VARCHAR)||':'||p.token),1,8))::BIGINT
+                       % 1024 AS bucket
+              FROM probe p, unnest(generate_series(0, 3)) AS g(i)
+            )
+            SELECT pc.token, pc.exact_cnt, MIN(COALESCE(sk.cnt, 0)) AS cms_est
+            FROM pc LEFT JOIN sk USING (rw, bucket)
+            GROUP BY 1, 2
+        """,
+        "ann_sq8": """
+            WITH flat AS (
+              SELECT vec_id, g.i AS ord, CAST(embedding[g.i] AS DOUBLE) AS v
+              FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+            ),
+            stats AS (
+              SELECT ord, min(v) AS mn, max(v) - min(v) AS rng
+              FROM flat GROUP BY 1
+            ),
+            codes0 AS (
+              SELECT f.vec_id, f.ord, s.mn, s.rng,
+                     CASE WHEN s.rng > 0
+                          THEN least(greatest(CAST(floor(((f.v - s.mn) / s.rng)
+                                                         * 255.0) AS BIGINT),
+                                              0), 255)
+                          ELSE 0 END AS c,
+                     CAST(floor(f.v * 1000) AS BIGINT) AS q
+              FROM flat f JOIN stats s USING (ord)
+            ),
+            codes AS (
+              SELECT vec_id, ord, c, q,
+                     CAST(floor((mn + c * (rng / 255.0)) * 1000.0) AS BIGINT) AS rv
+              FROM codes0
+            ),
+            cand AS (
+              SELECT qc.vec_id AS query_id, cc.vec_id, SUM(qc.q * cc.rv) AS ascore
+              FROM codes qc JOIN codes cc USING (ord)
+              WHERE qc.vec_id < 5 AND cc.vec_id <> qc.vec_id
+              GROUP BY 1, 2
+            ),
+            surv AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ascore DESC, vec_id) AS arank
+                FROM cand) WHERE arank <= 30
+            ),
+            exact AS (
+              SELECT s.query_id, s.vec_id, SUM(a.q * b.q) AS score
+              FROM surv s
+              JOIN codes a ON a.vec_id = s.query_id
+              JOIN codes b ON b.vec_id = s.vec_id AND b.ord = a.ord
+              GROUP BY 1, 2
+            )
+            SELECT query_id, vec_id, score, rank FROM (
+              SELECT query_id, vec_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS INT) AS rank
+              FROM exact) WHERE rank <= 10
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

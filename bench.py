@@ -348,6 +348,7 @@ def run_queries(spark) -> dict:
         "curation_funnel", "image_funnel", "ann_ivf",
         "dup_span", "domain_cap", "sessionize", "parse_robots", "pagerank",
         "anchor_texts", "trustrank", "hits",
+        "clip_align", "hll_users", "cms_tokens", "ann_sq8",
     ]
     out = {}
     qs = entrymod.queries()

@@ -577,3 +577,93 @@ def audio_metadata(audio: DataFrame, allow_fake: bool = True) -> DataFrame:
     return audio.select("audio_id", "payload").mapInPandas(
         extract, "audio_id string, duration_sec double, sample_rate int, real_decode boolean"
     )
+
+
+def clip_alignment(
+    corpus: DataFrame,
+    threshold: float = 0.0,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    round_dp: int = 6,
+) -> DataFrame:
+    """CLIP-score-style image<->caption alignment gate (the LAION-400M /
+    DataComp filter shape: drop pairs whose image and text embeddings
+    disagree), with deterministic sandbox embeddings so the score is
+    engine-replayable:
+
+      * image embedding  = the 64 phash bits as +-1 (the decode pass
+        already produced phash; production swaps in a real CLIP image
+        tower via the image_metadata mapInPandas battery — the gate,
+        threshold and output shape are unchanged),
+      * text embedding   = 64-dim hashed-unigram sign projection: token
+        t contributes sign bit j of md5(t) (two 32-bit md5 halves give
+        the 64 dims) — the same md5-prefix hash device as dsir_weights.
+
+    score = <img, txt> / (|img| * |txt|)  (|img| = 8 = sqrt(64)), 0 for
+    caption-less rows; align_pass = score >= threshold.  Output anchored
+    on the FULL corpus (left join — empty-caption rows keep a verdict,
+    the repetition_stats lesson).
+
+    Scale shape: the token explode is map-side; the (id, dim) partial
+    aggregation combines map-side to <= 64 rows per image before any
+    exchange; phash rides the rows so no join back to the corpus is
+    needed; the final per-image fold reads 64 rows.  Everything is JVM
+    codegen — no Python in the hot path.  Skew: captions are short and
+    bounded, so the only hot key is a repeated id_col (upstream dedup's
+    job).  No reference analog; SURVEY §2.10.
+    """
+    toks = corpus.select(
+        F.col(id_col),
+        F.col(phash_col).alias("_ph"),
+        F.explode(F.split(F.col(caption_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    toks = toks.withColumn(
+        "_h1", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "_h2", F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long")
+    )
+
+    def bit(c, j):
+        # +-1 sign from bit j; j is a Python int (shiftright's amount is
+        # a literal), so the 64 dims unroll into one codegen expression.
+        return F.shiftright(c, j).bitwiseAND(F.lit(1)) * 2 - 1
+
+    elems = [
+        F.struct(
+            bit(F.col("_h1") if j < 32 else F.col("_h2"), j % 32).alias("s"),
+            bit(F.col("_ph"), j).alias("pb"),
+        )
+        for j in range(64)
+    ]
+    dims = toks.select(
+        id_col, F.posexplode(F.array(*elems)).alias("dim", "e")
+    )
+    cap = dims.groupBy(
+        F.col(id_col), F.col("dim"), F.col("e.pb").alias("pb")
+    ).agg(F.sum("e.s").alias("capj"))
+    per_img = (
+        cap.select(
+            id_col,
+            (F.col("capj") * F.col("pb")).alias("term"),
+            (F.col("capj") * F.col("capj")).alias("c2"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("term").alias("dot"), F.sum("c2").alias("nrm2"))
+    )
+    score = F.when(
+        F.col("nrm2") > 0,
+        F.col("dot").cast("double")
+        / (F.lit(8.0) * F.sqrt(F.col("nrm2").cast("double"))),
+    ).otherwise(F.lit(0.0))
+    scored = per_img.select(
+        id_col, F.round(score, round_dp).alias("clip_score")
+    )
+    base = corpus.select(id_col).distinct()
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("clip_score", F.lit(0.0)).alias("clip_score"),
+        (F.coalesce("clip_score", F.lit(0.0)) >= F.lit(threshold)).alias(
+            "align_pass"
+        ),
+    )

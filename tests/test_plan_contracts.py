@@ -271,3 +271,68 @@ def test_anchor_corpus_cap_is_partial_group_limit(spark):
     )
     p = _plan(anchor_corpus(an, cap_per_target=2))
     assert "WindowGroupLimit" in p and ", Partial" in p, p
+
+
+def test_hll_partial_aggregates_and_bounded_shuffle(spark):
+    """HLL register build: the groupBy(grp, reg).max must partial-aggregate
+    map-side (HashAggregate with a partial max) so at most m rows per
+    group per partition cross the exchange — the property that makes the
+    sketch 100 TB-viable."""
+    from linkkchecker_net_spark.pipeline.sketch import hll_registers
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = _plan(hll_registers(ev, "event_type", "user_id"))
+    assert "partial_max" in p or "partial" in p.lower(), p
+    assert "Join" not in p, p
+
+
+def test_cms_probe_is_broadcast_join(spark):
+    """The d*w sketch is metadata-sized: point probes must broadcast it,
+    never shuffle the token stream to meet the probes."""
+    from linkkchecker_net_spark.pipeline.sketch import cms_point_estimates
+
+    toks = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    probe = toks.limit(5).distinct()
+    p = _plan(cms_point_estimates(toks, probe))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_clip_alignment_no_corpus_rejoin_and_codegen(spark):
+    """clip_alignment: phash rides the token rows (no join back to the
+    corpus for the image side — the only joins are the final verdict
+    anchor), and the per-dim math is JVM codegen, no Python UDF."""
+    from linkkchecker_net_spark.pipeline.multimodal import clip_alignment
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("image_id"),
+        F.col("doc_id").alias("phash"),
+        F.col("text").alias("caption"),
+    )
+    p = _plan(clip_alignment(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # exactly one join: the left anchor onto the full corpus id set
+    assert p.count("Join") <= 2, p  # physical join + its reuse line at most
+
+
+def test_sq8_candidate_scan_carries_codes_not_floats(spark):
+    """sq8_ann candidate stage: the cross join's corpus side must carry
+    only (vec_id, rv) — the reconstructed code vector — not the raw
+    embedding column (the 4x memory-traffic win is the operator's point)."""
+    from linkkchecker_net_spark.pipeline.similarity import sq8_ann
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    plan = _plan(sq8_ann(emb, q, k=5, rerank=10))
+    # candidate BroadcastNestedLoopJoin inputs must not project `embedding`
+    # beyond the code-building scans; the final output never needs it
+    import re
+
+    joins = [seg for seg in plan.split("\n") if "NestedLoop" in seg or "CartesianProduct" in seg]
+    assert joins, plan
