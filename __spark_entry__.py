@@ -1345,6 +1345,41 @@ def q_parse_robots(spark, sf_dir):
     return parse_robots(_robots_fixture(spark, sf_dir), agent="linkkchecker")
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: directive extraction from robots.txt bodies (RFC 9309
+    §2.3 — group-independent).  Fixture: an arithmetic function of the
+    source id; exercises 0/1/2-directive hosts, mixed-case keys,
+    trailing comments, and a malformed line that must NOT match."""
+    from linkkchecker_net_spark.kernels.robotsparse import extract_sitemaps
+
+    _prep(spark)
+    src = (
+        _docs(spark, sf_dir)
+        .select(F.col("source").alias("host"))
+        .distinct()
+        .withColumn("n", F.substring("host", 4, 10).cast("int"))
+    )
+    nl = F.lit("\n")
+    s0 = F.when(
+        F.col("n") % 2 == 0,
+        F.concat(F.lit("Sitemap: http://"), F.col("host"), F.lit("/sitemap.xml"), nl),
+    ).otherwise(F.lit(""))
+    s1 = F.when(
+        F.col("n") % 4 == 1,
+        F.concat(
+            F.lit("sitemap: http://"), F.col("host"), F.lit("/s1.xml"), nl,
+            F.lit("SiteMap: http://"), F.col("host"), F.lit("/s2.xml  # mirror"), nl,
+            F.lit("Sitemap: http://"), F.col("host"), F.lit("/bad.xml trailing junk"), nl,
+        ),
+    ).otherwise(F.lit(""))
+    txt = F.concat(
+        s0,
+        F.lit("User-agent: *"), nl, F.lit("Disallow: /tmp/"), nl,
+        s1,
+    )
+    return extract_sitemaps(src.select("host", txt.alias("txt")))
+
+
 def q_dup_span(spark, sf_dir):
     """Exact-substring duplication fraction (fixed-k approximation of
     Lee et al. suffix-array dedup) per document."""
@@ -1520,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "hits": q_hits,
         "anchor_texts": q_anchor_texts,
+        "robots_sitemaps": q_robots_sitemaps,
         "clip_align": q_clip_align,
         "hll_users": q_hll_users,
         "cms_tokens": q_cms_tokens,
@@ -2786,6 +2822,36 @@ FROM an GROUP BY url
                      AS recrawl_score
             FROM res WHERE host IS NOT NULL
             GROUP BY 1
+        """,
+        "robots_sitemaps": """
+            WITH hosts AS (
+              SELECT DISTINCT source AS host,
+                     CAST(substr(source, 4, 10) AS INT) AS n
+              FROM documents
+            ),
+            txts AS (
+              SELECT host,
+                (CASE WHEN n % 2 = 0
+                      THEN 'Sitemap: http://' || host || '/sitemap.xml' || chr(10)
+                      ELSE '' END)
+                || 'User-agent: *' || chr(10) || 'Disallow: /tmp/' || chr(10)
+                || (CASE WHEN n % 4 = 1
+                         THEN 'sitemap: http://' || host || '/s1.xml' || chr(10)
+                           || 'SiteMap: http://' || host || '/s2.xml  # mirror' || chr(10)
+                           || 'Sitemap: http://' || host || '/bad.xml trailing junk' || chr(10)
+                         ELSE '' END) AS txt
+              FROM hosts
+            ),
+            lines AS (
+              SELECT host, g.i - 1 AS ln,
+                     trim(regexp_replace(parts[g.i], '#.*$', '')) AS line
+              FROM (SELECT host, string_split(txt, chr(10)) AS parts FROM txts),
+                   unnest(generate_series(1, len(parts))) AS g(i)
+            )
+            SELECT host, ln,
+                   regexp_extract(line, '(?i)^sitemap\\s*:\\s*(\\S+)$', 1) AS sitemap_url
+            FROM lines
+            WHERE regexp_extract(line, '(?i)^sitemap\\s*:\\s*(\\S+)$', 1) <> ''
         """,
         "clip_align": """
             WITH ph AS (

@@ -148,3 +148,30 @@ def robots_table(
         F.col("crawl_delay").cast("double"),
         F.lit(None).cast("int").alias("budget"),
     )
+
+
+def extract_sitemaps(robots_txt: DataFrame) -> DataFrame:
+    """``Sitemap:`` directives from raw robots.txt bodies — the crawl's
+    S5 seed feed (sitemap URLs discovered at politeness-fetch time, RFC
+    9309 §2.3: the directive is GROUP-INDEPENDENT, so no group selection
+    applies — every line counts regardless of user-agent context).
+
+    Input ``(host, txt)``; output ``(host, ln, sitemap_url)`` with ``ln``
+    the 0-based line number (deterministic dedup/ordering key).  A line
+    yields a URL iff, after comment stripping and trimming, it is exactly
+    ``sitemap: <single-token-url>`` case-insensitively; malformed lines
+    (trailing junk, empty value) yield nothing.  Hosts without directives
+    emit no rows — anchoring "no sitemap" verdicts is the join site's
+    job (same contract as htmlparse's extract tables).
+
+    Scale: pure map-side codegen (split + regexp per line) — the robots
+    corpus is one KB-row per host, so this never shuffles at all.
+    """
+    lines = robots_txt.select(
+        "host", F.posexplode(F.split(F.col("txt"), "\n")).alias("ln", "line")
+    )
+    stripped = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
+    url = F.regexp_extract(stripped, r"(?i)^sitemap\s*:\s*(\S+)$", 1)
+    return lines.select("host", "ln", url.alias("sitemap_url")).filter(
+        F.col("sitemap_url") != ""
+    )

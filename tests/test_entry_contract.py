@@ -74,7 +74,7 @@ NON_CRAWL = [
     "image_clusters", "image_quality_gate", "image_dedup_keep", "image_search",
     "aspect_bucket", "image_shard_pack", "curation_funnel", "image_funnel",
     "ann_ivf", "dup_span", "domain_cap", "sessionize", "parse_robots",
-    "clip_align", "hll_users", "cms_tokens", "ann_sq8",
+    "clip_align", "hll_users", "cms_tokens", "ann_sq8", "robots_sitemaps",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -405,3 +405,25 @@ def test_robots_table_round_trips_fixture(spark, golden_fixtures):
         for r in rows
     }
     assert got == want
+
+
+def test_extract_sitemaps(spark):
+    """Sitemap: directives are group-independent, case-insensitive,
+    comment-stripped; malformed (multi-token) values never match."""
+    from linkkchecker_net_spark.kernels.robotsparse import extract_sitemaps
+
+    body = (
+        "Sitemap: http://h/a.xml\n"
+        "User-agent: googlebot\n"
+        "Disallow: /\n"
+        "  sitemap: http://h/b.xml  # inside a foreign group, still counts\n"
+        "SiteMap: http://h/c.xml extra junk\n"
+        "Sitemap:\n"
+    )
+    df = spark.createDataFrame([("h", body), ("empty", "User-agent: *\n")],
+                               "host string, txt string")
+    rows = sorted(
+        (r["host"], r["ln"], r["sitemap_url"])
+        for r in extract_sitemaps(df).collect()
+    )
+    assert rows == [("h", 0, "http://h/a.xml"), ("h", 3, "http://h/b.xml")]
