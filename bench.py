@@ -349,6 +349,7 @@ def run_queries(spark) -> dict:
         "dup_span", "domain_cap", "sessionize", "parse_robots", "pagerank",
         "anchor_texts", "trustrank", "hits",
         "clip_align", "hll_users", "cms_tokens", "ann_sq8",
+        "robots_sitemaps",
     ]
     out = {}
     qs = entrymod.queries()
@@ -669,6 +670,90 @@ def spawn_leg(
     )
 
 
+def _probe_span_ok(a: dict, b: dict, tol: float = 0.15) -> bool:
+    """Same-window certificate for a leg pair: the four bracketing membw
+    probes must sit within ``tol`` of each other.  Consistency, not just
+    above-floor — the single-thread probe under-detects multi-core fabric
+    pressure, so a drifting window shows up as probe SPREAD first."""
+    ps = [a["membw_pre"], a["membw_post"], b["membw_pre"], b["membw_post"]]
+    return min(ps) >= (1 - tol) * max(ps)
+
+
+def paired_efficiency(
+    rounds_raw: list, low: int, high: int, n_rounds: int = 3
+) -> tuple[list, dict | None]:
+    """Window-matched scaling efficiency from interleaved leg rounds.
+
+    ``rounds_raw`` is ``[(round_idx, cores, leg_result), ...]`` where each
+    leg_result carries independent (deep-copied) ``crawl``/``validate``
+    dicts — the per-level best-of merge in main() mutates its own copies,
+    and aliasing them here once published a cross-round composite as a
+    "paired" round.
+
+    A round's pair is accepted (``pair_ok``) when:
+      (a) both legs passed their steal+membw gates;
+      (b) the round's LOW leg reproduces the cross-round best low leg to
+          within 10% — the low (1-core) leg is bandwidth-insensitive (it
+          reproduced within 1.4-4% across every r3 judge/driver/builder
+          window), so a low leg >10% under the best one is the signature
+          of a contaminated low leg, which INFLATES the pair eff (one
+          cold-rerun round published eff 1.225 off a 36%-depressed 1c leg);
+      (c) the four bracketing membw probes sit within a 15% span.
+
+    Returns ``(pair_rounds, best_pair)`` where best_pair is the accepted
+    round with the highest crawl_eff: shared-box contention can only
+    DEPRESS the high leg (lowering eff), so with (b) excluding the one
+    inflation path, max-over-rounds is a certified lower bound on the
+    true efficiency, tightened by every extra round.
+    """
+    ratio = high / low
+    low_legs = [r["crawl"]["urls_per_sec"] for _, c, r in rounds_raw if c == low]
+    best_low = max(low_legs) if low_legs else 0.0
+    pair_rounds = []
+    for ri in range(n_rounds):
+        lo_r = next((r for i, c, r in rounds_raw if i == ri and c == low), None)
+        hi_r = next((r for i, c, r in rounds_raw if i == ri and c == high), None)
+        if lo_r is None or hi_r is None:
+            continue
+        lc_, hc_ = lo_r["crawl"], hi_r["crawl"]
+        low_ok = lc_["urls_per_sec"] >= 0.9 * best_low
+        pair_rounds.append(
+            {
+                "round": ri,
+                "crawl_eff": round(
+                    (hc_["urls_per_sec"] / lc_["urls_per_sec"]) / ratio, 3
+                ),
+                "validate_eff": round(
+                    (
+                        hi_r["validate"]["images_per_sec"]
+                        / lo_r["validate"]["images_per_sec"]
+                    )
+                    / ratio,
+                    3,
+                ),
+                "pair_ok": bool(
+                    hc_["gate_pass"]
+                    and lc_["gate_pass"]
+                    and low_ok
+                    and _probe_span_ok(hc_, lc_)
+                ),
+                "low_leg_reproduces": bool(low_ok),
+                "low_urls_per_sec": lc_["urls_per_sec"],
+                "high_urls_per_sec": hc_["urls_per_sec"],
+                "probes": [
+                    lc_["membw_pre"], lc_["membw_post"],
+                    hc_["membw_pre"], hc_["membw_post"],
+                ],
+            }
+        )
+    best_pair = max(
+        (p for p in pair_rounds if p["pair_ok"]),
+        key=lambda p: p["crawl_eff"],
+        default=None,
+    )
+    return pair_rounds, best_pair
+
+
 def main() -> None:
     web_path = os.path.join(tempfile.gettempdir(), f"bench_web_{PAGES}")
     corpus_path = os.path.join(tempfile.gettempdir(), f"bench_corpus_{IMAGES}")
@@ -722,19 +807,31 @@ def main() -> None:
         # the measured crawl_eff at 0.355 while back-to-back clean runs of
         # the SAME build measured 0.83; 3 spawns/level with 1 steal-gated
         # trial each samples 3 windows per level instead of 2
-        order = [c for _ in range(3) for c in (head_cores, high, low)]
+        round_levels = (head_cores, high, low)
         if head_cores in (high, low):
-            order = [c for _ in range(3) for c in (high, low)]
-        for cores in order:
-            r = spawn_leg(cores, LEG_PAGES, scale_images)
-            prev = levels.get(cores)
-            if prev is None:
-                levels[cores] = r
-            else:
-                # gate-accepted trials outrank faster-but-contaminated ones
-                for k in ("crawl", "validate"):
-                    if _better(r[k], prev[k]):
-                        prev[k] = r[k]
+            round_levels = (high, low)
+        rounds_raw: list[tuple[int, int, dict]] = []
+        for ri in range(3):
+            for cores in round_levels:
+                r = spawn_leg(cores, LEG_PAGES, scale_images)
+                # deep-copy into rounds_raw: the per-level best-of merge
+                # below mutates levels[cores] IN PLACE, and levels[cores]
+                # starts as an alias of round 0's r — without the copy,
+                # round 0's "paired" entry silently becomes a cross-round
+                # composite (the exact artifact pairing exists to prevent;
+                # bit us in the r4 cold rerun: round 0 published round-2's
+                # low leg against round-1's high leg)
+                rounds_raw.append(
+                    (ri, cores, {"crawl": dict(r["crawl"]), "validate": dict(r["validate"])})
+                )
+                prev = levels.get(cores)
+                if prev is None:
+                    levels[cores] = r
+                else:
+                    # gate-accepted trials outrank faster-but-contaminated
+                    for k in ("crawl", "validate"):
+                        if _better(r[k], prev[k]):
+                            prev[k] = r[k]
         # supplementary TRUE-multi-executor pair: 1 vs 4 separate 2-core
         # executor JVMs (local-cluster), interleaved, per-level best-of.
         # OFF by default — see run_cluster_leg docstring for the sandbox
@@ -762,6 +859,15 @@ def main() -> None:
                     "crawl_eff": round((eh / el) / (ex_high / ex_low), 3),
                     "levels": lc_levels,
                 }
+        # WINDOW-MATCHED pair efficiency (r4 cold-rerun lesson): the
+        # per-level best-of ratio composes legs from DIFFERENT minutes of
+        # a drifting host — a 1c leg from a clean window over a 4c leg
+        # from a depressed one (or vice versa) measures the drift, not
+        # the engine.  Gating + selection rationale: paired_efficiency
+        # docstring.  The legacy cross-window best-of ratio stays
+        # published alongside.
+        pair_rounds, best_pair = paired_efficiency(rounds_raw, low, high)
+        ratio = high / low
         ch, cl = levels[high], levels[low]
         fetch_val_high = (ch["crawl"]["fetched"] + ch["validate"]["validated"]) / (
             ch["crawl"]["elapsed_sec"] + ch["validate"]["elapsed_sec"]
@@ -769,10 +875,12 @@ def main() -> None:
         fetch_val_low = (cl["crawl"]["fetched"] + cl["validate"]["validated"]) / (
             cl["crawl"]["elapsed_sec"] + cl["validate"]["elapsed_sec"]
         )
-        ratio = high / low
         scaling = {
             "cores_low": low,
             "cores_high": high,
+            "crawl_eff_paired": best_pair["crawl_eff"] if best_pair else None,
+            "validate_eff_paired": best_pair["validate_eff"] if best_pair else None,
+            "pair_rounds": pair_rounds,
             "validate_eff": round(
                 (ch["validate"]["images_per_sec"] / cl["validate"]["images_per_sec"])
                 / ratio,
