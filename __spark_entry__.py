@@ -1380,6 +1380,92 @@ def q_robots_sitemaps(spark, sf_dir):
     return extract_sitemaps(src.select("host", txt.alias("txt")))
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (pipeline/graph.py:
+    resolve_redirects) over the docweb Location edges: 301 pages hop
+    pseudo-randomly (chains), 302 pages form deliberate 2-cycles (loops),
+    and 301 chains can ENTER a 302 cycle.  The reference follows
+    redirects per-fetch inside HttpWebResponse; at frontier scale the
+    Location edges are bulk data.  Oracle: recursive CTE walking the same
+    edges hop-by-hop, loop = never reaching a non-redirect within the
+    functional-graph bound."""
+    from linkkchecker_net_spark.fixtures import docweb
+    from linkkchecker_net_spark.pipeline.graph import resolve_redirects
+
+    _prep(spark)
+    web = docweb.build_web(spark, sf_dir)
+    edges = web.filter(F.col("redirect_to").isNotNull()).select(
+        F.col("url").alias("src"), F.col("redirect_to").alias("dst")
+    )
+    return resolve_redirects(edges)
+
+
+def q_url_traps(spark, sf_dir):
+    """Crawl-trap detection (pipeline/traps.py): the REAL parse path's
+    candidate URL stream (every extracted link of every live page,
+    canonicalized, scheme-gated) collapsed to URL templates per host;
+    hosts whose distinct-URL/template ratio clears the threshold are
+    flagged.  Oracle rebuilds the same candidate multiset arithmetically
+    (the extract_links families minus mailto) and mirrors both
+    regexp_replace passes with the 'g' flag."""
+    from linkkchecker_net_spark.fixtures import docweb
+    from linkkchecker_net_spark.kernels.canonicalize import canonicalize_udf
+    from linkkchecker_net_spark.kernels.htmlparse import parse_page_udf
+    from linkkchecker_net_spark.pipeline.traps import trap_hosts
+
+    _prep(spark)
+    live = docweb.build_web(spark, sf_dir).filter(F.col("status") == 200)
+    cands = (
+        live.select(
+            F.col("url").alias("src"),
+            F.explode(parse_page_udf("body").links).alias("ln"),
+        )
+        .select(canonicalize_udf(F.col("src"), F.col("ln.href")).alias("url"))
+        .filter(F.col("url").startswith("http"))
+    )
+    return trap_hosts(cands, explosion_threshold=50.0)
+
+
+def q_host_linkgraph(spark, sf_dir):
+    """Host-level link-graph rollup (pipeline/graph.py:host_linkgraph)
+    over the REAL parsed page graph — the unit crawl policy operates on
+    (politeness, domain budgets, spam neighborhoods)."""
+    from linkkchecker_net_spark.pipeline.graph import host_linkgraph
+
+    pages, edges = _docweb_page_graph(spark, sf_dir)
+    return host_linkgraph(edges)
+
+
+def q_quality_keep(spark, sf_dir):
+    """Quality-ranked retention per near-dup cluster (FineWeb-style):
+    MinHash-LSH clusters (dedup_clusters) joined with the quality battery
+    (quality_score); keep = the cluster member winning on (quality_pass,
+    n_tokens, lowest doc_id) — integer-only ordering, no float ties.
+    One window per cluster; Spark 4 plans the rank as a partial
+    group-limit, so hot clusters never single-task."""
+    from pyspark.sql import Window
+
+    from linkkchecker_net_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+    from linkkchecker_net_spark.pipeline.text import quality_score
+
+    _prep(spark)
+    docs = _docs(spark, sf_dir)
+    clusters = dedup_clusters(docs, minhash_lsh_pairs(docs, threshold=0.8))
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality_pass")
+    j = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_pass").cast("int").desc(),
+        F.col("n_tokens").desc(),
+        F.col("doc_id"),
+    )
+    return j.select(
+        "doc_id", "cluster_id", (F.row_number().over(w) == 1).alias("keep")
+    )
+
+
 def q_dup_span(spark, sf_dir):
     """Exact-substring duplication fraction (fixed-k approximation of
     Lee et al. suffix-array dedup) per document."""
@@ -1556,6 +1642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "anchor_texts": q_anchor_texts,
         "robots_sitemaps": q_robots_sitemaps,
+        "resolve_redirects": q_resolve_redirects,
+        "url_traps": q_url_traps,
+        "host_linkgraph": q_host_linkgraph,
+        "quality_keep": q_quality_keep,
         "clip_align": q_clip_align,
         "hll_users": q_hll_users,
         "cms_tokens": q_cms_tokens,
@@ -1575,6 +1665,7 @@ def oracle_sql() -> dict[str, str]:
         EDGES_CTE,
         PAGE_CTE,
         REACH_CTE,
+        REDIR_CTE,
     )
 
     with_graph = "WITH RECURSIVE " + PAGE_CTE.strip() + ", " + EDGES_CTE.strip() + ", " + REACH_CTE.strip()
@@ -1948,37 +2039,20 @@ FROM an GROUP BY url
         # connected components: recursive transitive closure over the SAME
         # >=0.8 exact-jaccard edge set (LSH recall is 1 at this threshold/SF,
         # see minhash_lsh_pairs above); cluster_id = min reachable doc_id
-        "dedup_clusters": """
-            WITH RECURSIVE toks AS (
-              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-            ),
-            sh AS (
-              SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-              FROM toks, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS g(i)
-            ),
-            s AS (SELECT DISTINCT doc_id, shingle FROM sh),
-            cnt AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
-            p AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-              FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            ),
-            pf AS (
-              SELECT doc_a, doc_b FROM p
-              JOIN cnt ca ON ca.doc_id = doc_a
-              JOIN cnt cb ON cb.doc_id = doc_b
-              WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8
-            ),
-            edges AS (
-              SELECT doc_a AS a, doc_b AS b FROM pf
-              UNION SELECT doc_b, doc_a FROM pf
-            ),
-            reach(src, dst) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-            )
+        "dedup_clusters": "WITH RECURSIVE " + _CLUSTER_CTES + """
             SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+        """,
+        "quality_keep": "WITH RECURSIVE " + _CLUSTER_CTES + """,
+            clusters AS (
+              SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+            ),
+            q AS (""" + _QUALITY_SQL + """)
+            SELECT c.doc_id, c.cluster_id,
+                   (row_number() OVER (
+                      PARTITION BY c.cluster_id
+                      ORDER BY q.quality_pass DESC, q.n_tokens DESC, c.doc_id
+                    ) = 1) AS keep
+            FROM clusters c JOIN q USING (doc_id)
         """,
         # NOTE: duckdb's list_cosine_similarity computes in float32 (≈1e-7
         # error — observed breaking 6-dp rounding), so both embedding
@@ -2853,6 +2927,107 @@ FROM an GROUP BY url
             FROM lines
             WHERE regexp_extract(line, '(?i)^sitemap\\s*:\\s*(\\S+)$', 1) <> ''
         """,
+        # hop-by-hop recursive walk of the same Location edges the Spark
+        # side resolves by pointer doubling; the functional-graph bound
+        # (hops <= #redirects for any acyclic chain) caps the recursion,
+        # so a walker that never reaches a non-redirect node is a loop
+        "resolve_redirects": (
+            "WITH RECURSIVE "
+            + PAGE_CTE.strip()
+            + ", "
+            + REDIR_CTE.strip()
+            + """,
+            rc AS (SELECT COUNT(*)::BIGINT AS k FROM redir),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, 1::BIGINT FROM redir
+              UNION ALL
+              SELECT w.src, r.dst, w.hops + 1
+              FROM walk w JOIN redir r ON r.src = w.cur CROSS JOIN rc
+              WHERE w.hops < rc.k + 1
+            ),
+            resolved AS (
+              SELECT w.src, w.cur, w.hops FROM walk w
+              WHERE w.cur NOT IN (SELECT src FROM redir)
+            )
+            SELECT r0.src AS url, res.cur AS final_url, res.hops AS hops,
+                   CASE WHEN res.src IS NULL THEN 'loop'
+                        ELSE 'resolved' END AS terminal
+            FROM redir r0 LEFT JOIN resolved res ON res.src = r0.src
+        """
+        ),
+        # candidate stream = the extract_links families, canonicalized
+        # (a#2 and script resolve on the parent's host) minus mailto
+        # (scheme gate); template collapse mirrors pipeline/traps.py
+        # (hex pass, then digit pass, both global)
+        "url_traps": "WITH " + PAGE_CTE.strip() + """,
+            cand AS (
+              SELECT 'http://site-' || (((p.i+1) % c) % 3) || '.test/page/' || ((p.i+1) % c) AS u
+                FROM page p, nn WHERE p.status = 200
+              UNION ALL
+              SELECT 'http://site-' || (((p.i*31+7) % c) % 3) || '.test/page/' || ((p.i*31+7) % c)
+                FROM page p, nn WHERE p.status = 200
+              UNION ALL
+              SELECT 'http://site-' || (p.i % 3) || '.test/page/' || ((p.i*13+1) % c)
+                FROM page p, nn WHERE p.status = 200
+              UNION ALL
+              SELECT 'http://site-' || (p.i % 3) || '.test/missing/' || p.i
+                FROM page p WHERE p.status = 200 AND p.i % 7 = 2
+              UNION ALL
+              SELECT 'http://site-' || (p.i % 3) || '.test/js/app-' || (p.i % 7) || '.js'
+                FROM page p WHERE p.status = 200 AND p.i % 5 = 3
+              UNION ALL
+              SELECT p.url FROM page p WHERE p.status = 200 AND p.i % 4 = 0
+              UNION ALL
+              SELECT 'http://site-' || (p.i % 3) || '.test/canon/' || p.i
+                FROM page p WHERE p.status = 200 AND p.i % 4 = 1
+              UNION ALL
+              SELECT 'http://cdn.test/img/' || ((p.i*3) % 60) || '.bin'
+                FROM page p WHERE p.status = 200 AND p.i % 4 = 1
+            ),
+            tpl AS (
+              SELECT regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+                     regexp_replace(regexp_replace(lower(u), '[0-9a-f]{8,}', '{hex}', 'g'),
+                                    '[0-9]+', '{n}', 'g') AS template,
+                     u
+              FROM cand
+            ),
+            pt AS (
+              SELECT host, template, COUNT(*) AS n_hits, COUNT(DISTINCT u) AS n_urls
+              FROM tpl GROUP BY 1, 2
+            )
+            SELECT host,
+                   CAST(SUM(n_hits) AS BIGINT) AS n_candidates,
+                   CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+                   COUNT(*) AS n_templates,
+                   round(SUM(n_urls)::DOUBLE / COUNT(*), 6) AS explosion,
+                   (SUM(n_urls)::DOUBLE / COUNT(*)) >= 50.0 AS trap
+            FROM pt GROUP BY 1
+        """,
+        # the page graph is the <a>-anchor graph (same edge set as the
+        # pagerank oracle's pe): chain + multiplicative hops always land
+        # on pages; the host-relative '/page/j' family lands only when
+        # the parent's host matches j's
+        "host_linkgraph": (
+            "WITH "
+            + PAGE_CTE.strip()
+            + """,
+            pe AS (
+              SELECT p.i AS src_i, ((p.i+1) % c) AS dst_i
+                FROM page p, nn WHERE p.status = 200
+              UNION ALL
+              SELECT p.i, ((p.i*31+7) % c) FROM page p, nn WHERE p.status = 200
+              UNION ALL
+              SELECT p.i, ((p.i*13+1) % c) FROM page p, nn
+               WHERE p.status = 200 AND ((p.i*13+1) % c) % 3 = p.i % 3
+            )
+            SELECT src_host, dst_host, links, src_host = dst_host AS intra
+            FROM (
+              SELECT 'site-' || (src_i % 3) || '.test' AS src_host,
+                     'site-' || (dst_i % 3) || '.test' AS dst_host,
+                     COUNT(*) AS links
+              FROM pe GROUP BY 1, 2) t
+        """
+        ),
         "clip_align": """
             WITH ph AS (
               SELECT doc_id AS image_id,
@@ -3244,6 +3419,42 @@ _LANG_ID_SQL = (
     )
     + " ELSE 'und' END AS pred_lang FROM s"
 )
+
+# MinHash-LSH near-dup clusters as exact-Jaccard CC (the LSH+verify pair
+# set equals the exact >=0.8 pair set; see q_dedup_clusters): shingle ->
+# inverted-index pair counts -> Jaccard filter -> symmetric closure ->
+# min-label reachability.  Shared by dedup_clusters and quality_keep.
+_CLUSTER_CTES = """
+            toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+              FROM toks, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS g(i)
+            ),
+            s AS (SELECT DISTINCT doc_id, shingle FROM sh),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pf AS (
+              SELECT doc_a, doc_b FROM p
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8
+            ),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pf
+              UNION SELECT doc_b, doc_a FROM pf
+            ),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+"""
 
 _QUALITY_SQL = f"""
 WITH t AS (

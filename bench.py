@@ -350,6 +350,7 @@ def run_queries(spark) -> dict:
         "anchor_texts", "trustrank", "hits",
         "clip_align", "hll_users", "cms_tokens", "ann_sq8",
         "robots_sitemaps",
+        "resolve_redirects", "url_traps", "host_linkgraph", "quality_keep",
     ]
     out = {}
     qs = entrymod.queries()

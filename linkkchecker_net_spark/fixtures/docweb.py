@@ -73,6 +73,43 @@ def _opt(cond, col):
     return F.when(cond, col).otherwise(F.lit(""))
 
 
+def _url_of(j):
+    """URL of page index expression j (same formula as url_expr)."""
+    return F.concat(
+        F.lit("http://site-"),
+        (j % N_HOSTS).cast("string"),
+        F.lit(".test/page/"),
+        j.cast("string"),
+    )
+
+
+def redirect_to_expr(i, n: int):
+    """Location header for the 3xx pages (reference: the C# engine follows
+    HttpWebResponse redirects transparently; here the Location edge is
+    first-class so redirect CHAINS are analyzable).
+
+    * 301 pages (i%17==5) hop to pseudo-random page (i*7+3)%n — the target
+      may itself be a 3xx page, producing multi-hop chains that sometimes
+      terminate and sometimes fall into a cycle;
+    * 302 pages (i%17==13) pair up into deliberate 2-cycles: consecutive
+      302 indices point at each other (i <-> i+17, parity of (i-13)/17
+      tested integer-only via (i-13)%34), so the redirect graph ALWAYS
+      contains loops for resolve_redirects to classify.  The last 302
+      page keeps no Location when its partner index >= n.
+
+    Mirrored byte-exactly by REDIR_CTE.
+    """
+    m = i % 17
+    j301 = (i * 7 + 3) % n
+    pair_even = (i - 13) % 34 == 0
+    j302 = F.when(pair_even, i + 17).otherwise(i - 17)
+    tgt = (
+        F.when((m == 5) & (i >= 3), j301)
+        .when((m == 13) & (i >= 3) & (j302 < n), j302)
+    )
+    return F.when(tgt.isNotNull(), _url_of(tgt))
+
+
 def body_expr(i, n: int, extra_links: int = 0, filler: int = 0):
     """Page HTML.  extra_links/filler are BENCH-ONLY knobs (realistic page
     weight: tens of links, multi-KB text) — the sf-dir oracle contract uses
@@ -183,7 +220,7 @@ def build_web_from_ids(
         F.xxhash64(url_expr(i)).alias("url_hash"),
         host_expr(i).alias("host"),
         status.alias("status"),
-        F.lit(None).cast("string").alias("redirect_to"),
+        redirect_to_expr(i, n).cast("string").alias("redirect_to"),
         F.when(status == 200, F.lit("text/html")).alias("content_type"),
         F.when(status == 200, F.encode(body, "UTF-8")).alias("body"),
         F.lit(None).cast("string").alias("image_id"),
@@ -313,6 +350,22 @@ edges AS (
   -- embedded <style> background-image url
   SELECT p.i, 'http://cdn.test/bg/' || (p.i % 20) || '.png'
     FROM page p WHERE p.status = 200 AND p.i % 9 = 6
+)
+"""
+
+# redirect (Location) edges — mirrors redirect_to_expr exactly
+REDIR_CTE = """
+redir AS (
+  SELECT 'http://site-' || (q.i % 3) || '.test/page/' || q.i AS src,
+         'http://site-' || (q.j % 3) || '.test/page/' || q.j AS dst
+  FROM (
+    SELECT p.i,
+           CASE WHEN p.status = 301 THEN (p.i*7+3) % c
+                WHEN p.status = 302 AND (p.i-13) % 34 = 0 AND p.i+17 < c THEN p.i+17
+                WHEN p.status = 302 AND (p.i-13) % 34 <> 0 THEN p.i-17
+           END AS j
+    FROM page p, nn) q
+  WHERE q.j IS NOT NULL
 )
 """
 

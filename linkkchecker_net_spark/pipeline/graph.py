@@ -287,3 +287,114 @@ def anchor_corpus(
         )
     )
     return counts.join(blobs, "url")
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Resolve redirect (Location) chains to their terminal URL by pointer
+    doubling — O(log L) shuffle rounds for chains of length L, never a
+    per-hop driver loop.
+
+    The reference engine follows redirects transparently inside a single
+    HttpWebResponse (`SpiderEngine/Engine.cs` fetch path), so chains are
+    invisible to it; at crawl scale the Location edges are data, and a
+    frontier needs them resolved in bulk: a fetch of N URLs that are all
+    hop-1 of the same chain is N wasted fetches.
+
+    ``edges`` — one row per redirecting URL with its Location target.  A
+    redirect graph is functional (out-degree 1); duplicate src rows are
+    collapsed keep-min(dst) for determinism.
+
+    Rounds double the covered hop count: f_{k+1}(x) = f_k(f_k(x)), so
+    ceil(log2(#edges)) + 1 rounds cover every acyclic chain (a chain can
+    visit each redirect node at most once).  Rows whose cursor still
+    points at a redirecting URL after that are cycle members or chains
+    that ENTER a cycle — classified 'loop', final_url/hops NULL (a loop
+    has no terminal).  Each round is one self-join on the cursor key over
+    the REDIRECT subgraph only (tiny relative to the corpus — 3xx rows);
+    lineage is truncated every ``checkpoint_every`` rounds.
+
+    Returns (url, final_url, hops, terminal in {'resolved','loop'}).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+    )
+    n = e.count()  # metadata-sized action (one long)
+    out_schema = lambda df: df.select(  # noqa: E731
+        F.col("src").alias("url"),
+        F.col("final_url"),
+        F.col("hops"),
+        F.col("terminal"),
+    )
+    if n == 0:
+        return out_schema(
+            e.select(
+                "src",
+                F.lit(None).cast("string").alias("final_url"),
+                F.lit(None).cast("long").alias("hops"),
+                F.lit(None).cast("string").alias("terminal"),
+            )
+        )
+    rounds = max(int(n - 1).bit_length(), 0) + 1  # ceil(log2(n)) + 1
+    f = e.select(
+        "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops")
+    ).localCheckpoint()
+    for r in range(rounds):
+        j = f.select(
+            F.col("src").alias("cur"),
+            F.col("cur").alias("nxt"),
+            F.col("hops").alias("h2"),
+        )
+        f = (
+            f.join(j, "cur", "left")
+            .select(
+                "src",
+                F.coalesce("nxt", "cur").alias("cur"),
+                (F.col("hops") + F.coalesce(F.col("h2"), F.lit(0))).alias("hops"),
+            )
+        )
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
+            f = f.localCheckpoint()
+    srcs = e.select(F.col("src").alias("cur"), F.lit(True).alias("_s"))
+    resolved = f.join(srcs, "cur", "left").select(
+        "src",
+        F.when(F.col("_s").isNull(), F.col("cur")).alias("final_url"),
+        F.when(F.col("_s").isNull(), F.col("hops")).alias("hops"),
+        F.when(F.col("_s").isNotNull(), F.lit("loop"))
+        .otherwise(F.lit("resolved"))
+        .alias("terminal"),
+    )
+    return out_schema(resolved)
+
+
+def host_linkgraph(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    host_pattern: str = r"^[a-z][a-z0-9+.-]*://([^/]+)",
+) -> DataFrame:
+    """Collapse the page-level link graph to a host-level rollup:
+    (src_host, dst_host, links, intra).
+
+    The host graph is the unit crawl policy operates on (politeness,
+    per-domain budgets, spam-neighborhood detection) — 10^10 page edges
+    roll up to ~10^7 host pairs, small enough to drive scheduling.  One
+    map-side host extraction (JVM regexp, no UDF) + one partial-aggregated
+    groupBy; skew (every page linking to a hub host) is absorbed by the
+    map-side combine — reducers see distinct (src_host, dst_host) keys.
+    """
+    hosts = edges.select(
+        F.regexp_extract(F.col(src_col), host_pattern, 1).alias("src_host"),
+        F.regexp_extract(F.col(dst_col), host_pattern, 1).alias("dst_host"),
+    ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    return (
+        hosts.groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("links"))
+        .withColumn("intra", F.col("src_host") == F.col("dst_host"))
+    )

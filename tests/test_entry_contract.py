@@ -75,6 +75,7 @@ NON_CRAWL = [
     "aspect_bucket", "image_shard_pack", "curation_funnel", "image_funnel",
     "ann_ivf", "dup_span", "domain_cap", "sessionize", "parse_robots",
     "clip_align", "hll_users", "cms_tokens", "ann_sq8", "robots_sitemaps",
+    "resolve_redirects", "url_traps", "host_linkgraph", "quality_keep",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -226,3 +226,86 @@ def test_rank_mass_bounded(spark):
     assert sum(out.values()) <= 1.0 + 1e-9
     floor = 0.15 / 6
     assert all(v >= floor - 1e-12 for v in out.values())
+
+
+# ---------------------------------------------------------------------------
+# resolve_redirects — pointer-doubling chain resolution
+# ---------------------------------------------------------------------------
+
+
+def _rr(spark, edge_pairs, **kw):
+    from linkkchecker_net_spark.pipeline.graph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in edge_pairs], "src string, dst string"
+    )
+    rows = resolve_redirects(edges, **kw).collect()
+    return {r["url"]: (r["final_url"], r["hops"], r["terminal"]) for r in rows}
+
+
+def test_redirect_chain_resolves_with_exact_hops(spark):
+    # a -> b -> c -> T : every chain member resolves to T with its own
+    # remaining-hop count
+    out = _rr(spark, [("a", "b"), ("b", "c"), ("c", "T")])
+    assert out["a"] == ("T", 3, "resolved")
+    assert out["b"] == ("T", 2, "resolved")
+    assert out["c"] == ("T", 1, "resolved")
+
+
+def test_redirect_cycle_and_feeder_classified_loop(spark):
+    # x <-> y is a 2-cycle; f feeds INTO the cycle — all three are loops
+    out = _rr(spark, [("x", "y"), ("y", "x"), ("f", "x")])
+    for u in ("x", "y", "f"):
+        assert out[u] == (None, None, "loop"), u
+
+
+def test_redirect_self_loop(spark):
+    out = _rr(spark, [("s", "s"), ("a", "s")])
+    assert out["s"] == (None, None, "loop")
+    assert out["a"] == (None, None, "loop")
+
+
+def test_redirect_long_chain_beyond_one_doubling(spark):
+    # chain of 9 needs 4 doubling rounds (2^4=16 >= 9); rounds are sized
+    # from the edge count so this must resolve exactly
+    n = 9
+    edges = [(f"u{i}", f"u{i+1}") for i in range(n)]  # u0->...->u9(terminal)
+    out = _rr(spark, edges)
+    for i in range(n):
+        assert out[f"u{i}"] == ("u9", n - i, "resolved"), i
+
+
+def test_redirect_duplicate_src_keeps_min_dst(spark):
+    # functional-graph contract: duplicate Location rows collapse keep-min
+    out = _rr(spark, [("a", "z"), ("a", "b")])
+    assert out["a"] == ("b", 1, "resolved")
+
+
+def test_redirect_empty_edges(spark):
+    out = _rr(spark, [])
+    assert out == {}
+
+
+# ---------------------------------------------------------------------------
+# host_linkgraph — host-level rollup
+# ---------------------------------------------------------------------------
+
+
+def test_host_linkgraph_rollup_and_intra_flag(spark):
+    from linkkchecker_net_spark.pipeline.graph import host_linkgraph
+
+    edges = spark.createDataFrame(
+        [
+            ("http://a.test/1", "http://a.test/2"),
+            ("http://a.test/2", "http://a.test/1"),
+            ("http://a.test/1", "http://b.test/x"),
+            ("mailto:u@a.test", "http://b.test/x"),  # no authority -> dropped
+        ],
+        "src string, dst string",
+    )
+    rows = host_linkgraph(edges).collect()
+    got = {(r["src_host"], r["dst_host"]): (r["links"], r["intra"]) for r in rows}
+    assert got == {
+        ("a.test", "a.test"): (2, True),
+        ("a.test", "b.test"): (1, False),
+    }

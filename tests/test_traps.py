@@ -1,0 +1,84 @@
+"""pipeline.traps — URL-template collapse + explosion detection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linkkchecker_net_spark.pipeline.traps import (
+    template_stats,
+    trap_hosts,
+    url_template,
+)
+
+
+def _templates(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(url_template(F.col("url"))).collect()]
+
+
+def test_template_collapses_digits_and_hex(spark):
+    got = _templates(
+        spark,
+        [
+            "http://h.test/page/123",
+            "http://h.test/item?id=9",
+            "http://h.test/s/DEADBEEF42abc/x",  # 8+ hex run (case-folded)
+            "http://h.test/v2/short/abc",  # 'abc': hex chars but < 8 chars
+        ],
+    )
+    assert got == [
+        "http://h.test/page/{n}",
+        "http://h.test/item?id={n}",
+        "http://h.test/s/{hex}/x",
+        "http://h.test/v{n}/short/abc",
+    ]
+
+
+def test_template_hex_pass_runs_before_digit_pass(spark):
+    # a 10-digit run is ALSO a hex run -> collapses to {hex}, not {n}
+    assert _templates(spark, ["http://h.test/t/1234567890"]) == [
+        "http://h.test/t/{hex}"
+    ]
+
+
+def test_template_stats_counts_hits_and_distinct(spark):
+    urls = [
+        "http://h.test/p/1",
+        "http://h.test/p/1",  # duplicate hit, same URL
+        "http://h.test/p/2",
+        "http://other.test/q/7",
+        "mailto:u@h.test",  # no authority -> dropped
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = template_stats(df).collect()
+    got = {(r["host"], r["template"]): (r["n_hits"], r["n_urls"]) for r in rows}
+    assert got == {
+        ("h.test", "http://h.test/p/{n}"): (3, 2),
+        ("other.test", "http://other.test/q/{n}"): (1, 1),
+    }
+
+
+def test_trap_hosts_flags_explosive_host_only(spark):
+    # trap.test: 40 distinct urls, 1 template -> explosion 40 >= 10
+    # flat.test: 4 urls, 4 templates -> explosion 1
+    urls = [f"http://trap.test/cal/{i}" for i in range(40)] + [
+        "http://flat.test/about",
+        "http://flat.test/contact",
+        "http://flat.test/pricing",
+        "http://flat.test/blog",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = trap_hosts(df, explosion_threshold=10.0).collect()
+    got = {r["host"]: (r["n_urls"], r["n_templates"], r["trap"]) for r in rows}
+    assert got["trap.test"] == (40, 1, True)
+    assert got["flat.test"] == (4, 4, False)
+
+
+def test_trap_hosts_plan_is_two_partial_aggregates(spark):
+    """Scale contract: the rollup is exactly two hash aggregates with
+    map-side partials (template keyspace bounded by site structure) —
+    no window, no join, no exchange beyond the two groupBys."""
+    df = spark.createDataFrame([("http://h.test/p/1",)], "url string")
+    plan = trap_hosts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "Window" not in plan and "Join" not in plan
