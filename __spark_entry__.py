@@ -1466,6 +1466,53 @@ def q_quality_keep(spark, sf_dir):
     )
 
 
+def q_url_normalize(spark, sf_dir):
+    """Query-string normalization (kernels/canonicalize.py:
+    normalize_query_expr): tracking params stripped, remaining params
+    sorted — the additive dedup layer that collapses param-order
+    permutations and utm_* decoration BEFORE the seen anti-join.  Input
+    URLs are an arithmetic function of doc_id exercising all branches:
+    no query, two param orders of the same logical query (must collapse
+    to one normalized form), and an all-tracking query (must strip to a
+    bare URL).  Oracle mirrors with string_split/list_filter/list_sort."""
+    from linkkchecker_net_spark.kernels.canonicalize import (
+        normalize_query_expr,
+    )
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    base = F.concat(
+        F.lit("http://site-"), (i % 3).cast("string"),
+        F.lit(".test/p/"), i.cast("string"),
+    )
+    m = i % 4
+    q = (
+        F.when(m == 0, F.lit(""))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("?b="), i.cast("string"),
+                F.lit("&a="), (i % 7).cast("string"),
+                F.lit("&utm_source=x"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("?utm_campaign=y&a="), (i % 7).cast("string"),
+                F.lit("&b="), i.cast("string"),
+            ),
+        )
+        .otherwise(F.lit("?utm_medium=z&fbclid=abc"))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(base, q).alias("url")
+    )
+    return docs.select(
+        "doc_id", "url", normalize_query_expr("url").alias("normalized")
+    )
+
+
 def q_dup_span(spark, sf_dir):
     """Exact-substring duplication fraction (fixed-k approximation of
     Lee et al. suffix-array dedup) per document."""
@@ -1566,6 +1613,165 @@ def q_ann_sq8(spark, sf_dir):
     return sq8_ann(emb, queries, k=10, rerank=30)
 
 
+def q_dust_rules(spark, sf_dir):
+    """DUST rewrite-rule mining (pipeline/dust.py, Bar-Yossef WWW'07):
+    same-content URL pairs per host classified into rewrite rules.
+    Synthesized alias families: each content group c = doc_id//5 emits 5
+    spellings of one page on host d{c%3} — canonical, trailing-slash,
+    https, tracking-param, and case variants — so every group yields one
+    pair per recognized rule plus 6 unrelated-spelling 'other' pairs."""
+    from linkkchecker_net_spark.pipeline.dust import dust_rules
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    c = (i / 5).cast("long")
+    v = i % 5
+    host = F.concat(F.lit("d"), (c % 3).cast("string"), F.lit(".test"))
+    stem = F.concat(host, F.lit("/p/"), c.cast("string"))
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), stem))
+        .when(v == 1, F.concat(F.lit("http://"), stem, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://"), stem))
+        .when(
+            v == 3,
+            F.concat(F.lit("http://"), stem, F.lit("?utm_source=x")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), host, F.lit("/P/"), c.cast("string")
+            )
+        )
+    )
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), F.md5(c.cast("string")).alias("content_hash")
+    )
+    return dust_rules(pages)
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (pipeline/dust.py): content-fingerprint
+    Jaccard over host pairs via the inverted-index join.  m0/m1 share
+    every fingerprint (full mirror), m2 shares the even half (partial),
+    m3 is disjoint — with min_jaccard=0.3 the result is exactly the
+    m0-m1, m0-m2, m1-m2 pairs."""
+    from linkkchecker_net_spark.pipeline.dust import mirror_hosts
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    p = i % 4
+    g = (i / 4).cast("long")
+    c = (
+        F.when(p.isin(0, 1), g)
+        .when(p == 2, F.when(g % 2 == 0, g).otherwise(g + 1000))
+        .otherwise(g + 2000)
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://m"), p.cast("string"), F.lit(".test/p/"),
+            i.cast("string"),
+        ).alias("url"),
+        F.md5(c.cast("string")).alias("content_hash"),
+    )
+    return mirror_hosts(pages, min_jaccard=0.3)
+
+
+def q_soft404(spark, sf_dir):
+    """Soft-404 gate (kernels/classify.soft404_expr): 200-status pages
+    whose body reads like an error page.  doc_id%7==3 → error-page body
+    served as 200 (soft 404); %7==5 → honest 404; %7==6 → a LONG page
+    that merely mentions '404 not found' (length gate must hold it out);
+    everything else ok."""
+    from linkkchecker_net_spark.kernels.classify import soft404_expr
+
+    _prep(spark)
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 7
+    status = F.when(m == 5, F.lit(404)).otherwise(F.lit(200))
+    body = (
+        F.when(
+            m == 3,
+            F.lit("<html>Sorry — Page Not Found: it does not exist.</html>"),
+        )
+        .when(
+            m == 6,
+            F.concat(
+                F.repeat(F.lit("x "), 1200), F.lit("404 not found")
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    soft = soft404_expr(status, body)
+    return d.select(
+        "doc_id",
+        status.alias("status"),
+        soft.cast("int").alias("soft404"),
+        F.when(soft, F.lit("soft404"))
+        .when(status == 404, F.lit("broken"))
+        .otherwise(F.lit("ok"))
+        .alias("effective_class"),
+    )
+
+
+def q_registrable_domains(spark, sf_dir):
+    """eTLD+1 extraction (kernels/domains.registrable_domain_expr):
+    multi-label public suffixes (co.uk), private-registry suffixes
+    (github.io — each subdomain its own site), PSL last-label fallback
+    (.com/.org at any depth), IPv4 literals, and single-label hosts."""
+    from linkkchecker_net_spark.kernels.domains import registrable_domain_expr
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 6
+    g = (i % 7).cast("string")
+    host = (
+        F.when(m == 0, F.concat(F.lit("www.shop"), g, F.lit(".co.uk")))
+        .when(m == 1, F.concat(F.lit("a.b.ex"), g, F.lit(".com")))
+        .when(m == 2, F.concat(F.lit("cdn"), g, F.lit(".github.io")))
+        .when(m == 3, F.concat(F.lit("ex"), g, F.lit(".org")))
+        .when(m == 4, F.concat(F.lit("10.0."), g, F.lit(".1")))
+        .otherwise(F.lit("localhost"))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        host.alias("host"),
+        registrable_domain_expr(host).alias("registrable_domain"),
+    )
+
+
+def q_change_rate(spark, sf_dir):
+    """Per-URL change-rate estimation (pipeline/recrawl.change_rate):
+    6 daily snapshots per URL whose content flips every (1 + doc_id%4)
+    snapshots → X = floor(5/period) observed changes over 5 intervals;
+    doc_id%11==7 URLs have a single snapshot (no rate signal → NULLs)."""
+    from linkkchecker_net_spark.pipeline.recrawl import change_rate
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    period = (i % 4 + 1).cast("long")
+    n_snaps = F.when(i % 11 == 7, F.lit(1)).otherwise(F.lit(6))
+    snaps = (
+        _docs(spark, sf_dir)
+        .select(
+            i.alias("i"),
+            period.alias("c"),
+            F.explode(F.sequence(F.lit(0), n_snaps - 1)).alias("s"),
+        )
+        .select(
+            F.concat(F.lit("http://rc.test/p/"), F.col("i").cast("string"))
+            .alias("url"),
+            (F.col("s") * 86400).alias("ts"),
+            F.md5(
+                F.concat(
+                    F.col("i").cast("string"),
+                    F.lit(":"),
+                    F.floor(F.col("s") / F.col("c")).cast("string"),
+                )
+            ).alias("content_hash"),
+        )
+    )
+    return change_rate(snaps)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -1644,6 +1850,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "resolve_redirects": q_resolve_redirects,
         "url_traps": q_url_traps,
+        "url_normalize": q_url_normalize,
+        "dust_rules": q_dust_rules,
+        "mirror_hosts": q_mirror_hosts,
+        "soft404": q_soft404,
+        "registrable_domains": q_registrable_domains,
+        "change_rate": q_change_rate,
         "host_linkgraph": q_host_linkgraph,
         "quality_keep": q_quality_keep,
         "clip_align": q_clip_align,
@@ -2955,6 +3167,239 @@ FROM an GROUP BY url
             FROM redir r0 LEFT JOIN resolved res ON res.src = r0.src
         """
         ),
+        "url_normalize": """
+            WITH u AS (
+              SELECT doc_id,
+                     'http://site-' || (doc_id % 3) || '.test/p/' || doc_id ||
+                     CASE doc_id % 4
+                       WHEN 0 THEN ''
+                       WHEN 1 THEN '?b=' || doc_id || '&a=' || (doc_id % 7)
+                                   || '&utm_source=x'
+                       WHEN 2 THEN '?utm_campaign=y&a=' || (doc_id % 7)
+                                   || '&b=' || doc_id
+                       ELSE '?utm_medium=z&fbclid=abc'
+                     END AS url
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id, url,
+                     list_filter(
+                       string_split(
+                         CASE WHEN strpos(url, '?') = 0 THEN ''
+                              ELSE substr(url, strpos(url, '?') + 1) END,
+                         '&'),
+                       x -> NOT (starts_with(x, 'utm_')
+                                 OR starts_with(x, 'fbclid')
+                                 OR starts_with(x, 'gclid')
+                                 OR starts_with(x, 'msclkid')
+                                 OR starts_with(x, 'mc_eid'))) AS kept
+              FROM u
+            )
+            SELECT doc_id, url,
+                   CASE WHEN strpos(url, '?') = 0 THEN url
+                        ELSE substr(url, 1, strpos(url, '?') - 1) ||
+                          CASE WHEN len(kept) > 0
+                               THEN '?' || array_to_string(list_sort(kept), '&')
+                               ELSE '' END
+                   END AS normalized
+            FROM k
+        """,
+        "dust_rules": r"""
+            WITH base AS (
+              SELECT doc_id % 5 AS v, doc_id // 5 AS c,
+                     'd' || ((doc_id // 5) % 3) || '.test' AS host
+              FROM documents
+            ),
+            u AS (
+              SELECT DISTINCT host, c,
+                CASE v
+                  WHEN 0 THEN 'http://' || host || '/p/' || c
+                  WHEN 1 THEN 'http://' || host || '/p/' || c || '/'
+                  WHEN 2 THEN 'https://' || host || '/p/' || c
+                  WHEN 3 THEN 'http://' || host || '/p/' || c
+                              || '?utm_source=x'
+                  ELSE 'http://' || host || '/P/' || c
+                END AS u
+              FROM base
+            ),
+            norm AS (
+              SELECT u AS nu_url,
+                CASE WHEN strpos(u, '?') = 0 THEN u
+                     ELSE substr(u, 1, strpos(u, '?') - 1) ||
+                       CASE WHEN len(kept) > 0
+                            THEN '?' || array_to_string(list_sort(kept), '&')
+                            ELSE '' END
+                END AS nu
+              FROM (
+                SELECT u,
+                       list_filter(
+                         string_split(
+                           CASE WHEN strpos(u, '?') = 0 THEN ''
+                                ELSE substr(u, strpos(u, '?') + 1) END,
+                           '&'),
+                         x -> NOT (starts_with(x, 'utm_')
+                                   OR starts_with(x, 'fbclid')
+                                   OR starts_with(x, 'gclid')
+                                   OR starts_with(x, 'msclkid')
+                                   OR starts_with(x, 'mc_eid'))) AS kept
+                FROM (SELECT DISTINCT u FROM u)
+              )
+            ),
+            pairs AS (
+              SELECT a.host AS host, a.u AS ua, b.u AS ub
+              FROM u a JOIN u b
+                ON a.host = b.host AND a.c = b.c AND a.u < b.u
+            ),
+            cls AS (
+              SELECT host,
+                CASE
+                  WHEN ua = ub || '/' OR ub = ua || '/'
+                    THEN 'trailing_slash'
+                  WHEN regexp_replace(ua, 'index\.html?$', '')
+                       = regexp_replace(ub, 'index\.html?$', '')
+                       AND ua <> ub THEN 'index_file'
+                  WHEN regexp_replace(ua, '^[a-z][a-z0-9+.-]*://', '')
+                       = regexp_replace(ub, '^[a-z][a-z0-9+.-]*://', '')
+                       AND ua <> ub THEN 'scheme'
+                  WHEN na.nu = nb.nu THEN 'query_order'
+                  WHEN (CASE WHEN strpos(ua, '?') = 0 THEN ua
+                             ELSE substr(ua, 1, strpos(ua, '?') - 1) END)
+                       = (CASE WHEN strpos(ub, '?') = 0 THEN ub
+                               ELSE substr(ub, 1, strpos(ub, '?') - 1) END)
+                       AND ua <> ub THEN 'query_strip'
+                  WHEN lower(ua) = lower(ub) THEN 'case'
+                  ELSE 'other'
+                END AS rule
+              FROM pairs
+              JOIN norm na ON na.nu_url = pairs.ua
+              JOIN norm nb ON nb.nu_url = pairs.ub
+            )
+            SELECT host, rule, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM cls GROUP BY host, rule
+        """,
+        "mirror_hosts": """
+            WITH hh AS (
+              SELECT DISTINCT 'm' || (doc_id % 4) || '.test' AS host,
+                md5(CAST(
+                  CASE WHEN doc_id % 4 IN (0, 1) THEN doc_id // 4
+                       WHEN doc_id % 4 = 2 THEN
+                         CASE WHEN (doc_id // 4) % 2 = 0 THEN doc_id // 4
+                              ELSE doc_id // 4 + 1000 END
+                       ELSE doc_id // 4 + 2000 END AS VARCHAR)) AS h
+              FROM documents
+            ),
+            totals AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM hh GROUP BY host),
+            fan AS (SELECT h FROM hh GROUP BY h
+                    HAVING COUNT(*) BETWEEN 2 AND 16),
+            nar AS (SELECT hh.host, hh.h FROM hh JOIN fan USING (h)),
+            sh AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM nar a JOIN nar b
+                ON a.h = b.h AND a.host < b.host
+              GROUP BY 1, 2
+            )
+            SELECT host_a, host_b, shared, ta.n AS n_a, tb.n AS n_b,
+                   round(shared / (ta.n + tb.n - shared), 6) AS jaccard
+            FROM sh
+            JOIN totals ta ON ta.host = sh.host_a
+            JOIN totals tb ON tb.host = sh.host_b
+            WHERE shared >= 2
+              AND round(shared / (ta.n + tb.n - shared), 6) >= 0.3
+        """,
+        "soft404": """
+            WITH b AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 5 THEN 404 ELSE 200 END AS status,
+                CASE WHEN doc_id % 7 = 3 THEN
+                       '<html>Sorry — Page Not Found: it does not exist.</html>'
+                     WHEN doc_id % 7 = 6 THEN
+                       repeat('x ', 1200) || '404 not found'
+                     ELSE text END AS body
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, status,
+                (status >= 200 AND status < 300
+                 AND length(body) <= 2048
+                 AND regexp_matches(
+                       lower(substr(body, 1, 2048)),
+                       'page not found|404 not found|does not exist|no longer available'
+                     )) AS soft
+              FROM b
+            )
+            SELECT doc_id, status, CAST(soft AS INT) AS soft404,
+                   CASE WHEN soft THEN 'soft404'
+                        WHEN status = 404 THEN 'broken'
+                        ELSE 'ok' END AS effective_class
+            FROM s
+        """,
+        "registrable_domains": r"""
+            WITH h AS (
+              SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'www.shop' || (doc_id % 7) || '.co.uk'
+                  WHEN 1 THEN 'a.b.ex' || (doc_id % 7) || '.com'
+                  WHEN 2 THEN 'cdn' || (doc_id % 7) || '.github.io'
+                  WHEN 3 THEN 'ex' || (doc_id % 7) || '.org'
+                  WHEN 4 THEN '10.0.' || (doc_id % 7) || '.1'
+                  ELSE 'localhost'
+                END AS host
+              FROM documents
+            ),
+            l AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h)
+            SELECT doc_id, host,
+              CASE
+                WHEN regexp_matches(host,
+                       '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$') THEN host
+                WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN (
+                  'co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'me.uk',
+                  'com.au', 'net.au', 'org.au',
+                  'co.jp', 'ne.jp', 'or.jp',
+                  'com.br', 'com.cn', 'com.mx', 'com.tr', 'com.ar',
+                  'co.in', 'co.kr', 'co.za', 'co.nz',
+                  'github.io', 'gitlab.io', 'blogspot.com',
+                  'herokuapp.com', 'cloudfront.net', 's3.amazonaws.com'
+                ) THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+                ELSE host
+              END AS registrable_domain
+            FROM l
+        """,
+        "change_rate": """
+            WITH snaps AS (
+              SELECT 'http://rc.test/p/' || doc_id AS url,
+                     s * 86400 AS t,
+                     md5(doc_id || ':' || (s // (doc_id % 4 + 1))) AS h
+              FROM documents CROSS JOIN range(6) r(s)
+              WHERE s < CASE WHEN doc_id % 11 = 7 THEN 1 ELSE 6 END
+            ),
+            lagd AS (
+              SELECT url, t, h,
+                     lag(h) OVER (PARTITION BY url ORDER BY t) AS ph
+              FROM snaps
+            ),
+            agg AS (
+              SELECT url,
+                CAST(COUNT(*) - 1 AS BIGINT) AS n_intervals,
+                CAST(COALESCE(SUM(
+                  CASE WHEN ph IS NULL THEN NULL
+                       WHEN h <> ph THEN 1 ELSE 0 END), 0) AS BIGINT)
+                  AS n_changes,
+                MAX(t) - MIN(t) AS span
+              FROM lagd GROUP BY url
+            )
+            SELECT url, n_intervals, n_changes,
+              round(CASE WHEN n_intervals = 0 THEN NULL
+                         ELSE span / n_intervals END, 6) AS avg_gap,
+              round(CASE WHEN n_intervals = 0 THEN NULL
+                         WHEN n_changes = 0
+                           THEN 2 * n_intervals * (span / n_intervals)
+                         ELSE (span / n_intervals) * n_intervals / n_changes
+                    END, 6) AS recrawl_interval
+            FROM agg
+        """,
         # candidate stream = the extract_links families, canonicalized
         # (a#2 and script resolve on the parent's host) minus mailto
         # (scheme gate); template collapse mirrors pipeline/traps.py

@@ -351,6 +351,8 @@ def run_queries(spark) -> dict:
         "clip_align", "hll_users", "cms_tokens", "ann_sq8",
         "robots_sitemaps",
         "resolve_redirects", "url_traps", "host_linkgraph", "quality_keep",
+        "url_normalize", "dust_rules", "mirror_hosts", "soft404",
+        "registrable_domains", "change_rate",
     ]
     out = {}
     qs = entrymod.queries()

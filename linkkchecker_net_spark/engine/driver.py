@@ -122,6 +122,16 @@ class CrawlConfig:
     # a join, so pacing only adds wall-clock; in a live-HTTP deployment
     # this switch belongs ON.
     pace_fetch: bool = False
+    # crawl-trap damping (pipeline/traps.py wired into F10): after each
+    # epoch, measure URL-template explosion (distinct URLs per distinct
+    # template) on the OUTGOING frontier; hosts clearing the ratio with at
+    # least trap_min_urls distinct URLs get their politeness budget capped
+    # at trap_budget for every later epoch (sticky — a trap host keeps
+    # generating URL variety, capping keeps it bounded without banning).
+    # None = off (the default; no plan change anywhere).
+    trap_explosion_threshold: float | None = None
+    trap_budget: int = 8
+    trap_min_urls: int = 64
 
 
 class CrawlDriver:
@@ -138,6 +148,10 @@ class CrawlDriver:
         self.cfg = config
         self._robots_empty: bool | None = None
         self._crawl_delays: dict[str, float] | None = None
+        # sticky trap-host set (trap_explosion_threshold); derived per
+        # epoch from the live frontier, so a resumed driver re-converges
+        # from the same frontier without any extra checkpoint state
+        self._trap_hosts: set[str] = set()
         if config.bucketed_seen or config.bucketed_frontier:
             # a HashPartitioning on a SUBSET of the join keys (url_hash of
             # [url_hash, url]) must be allowed to satisfy the join's
@@ -525,6 +539,15 @@ class CrawlDriver:
         # and folds into the next epoch's first job.
         frontier = self._read_frontier(state)
         skip_pol, skip_rob = self._politeness_flags()
+        trap_budgets = None
+        if cfg.trap_explosion_threshold is not None and self._trap_hosts:
+            trap_budgets = spark.createDataFrame(
+                [(h, cfg.trap_budget) for h in sorted(self._trap_hosts)],
+                "host string, trap_budget long",
+            )
+            # a capped host makes W1 a real bound even when the default
+            # budget is the unbounded sentinel and robots is empty
+            skip_pol = False
         broadcast_seen = (
             state.get("seen_total", 0) + state["frontier_count"]
             <= cfg.broadcast_seen_threshold
@@ -573,6 +596,7 @@ class CrawlDriver:
             crawl_delays=self._delays() if cfg.pace_fetch else None,
             truncate_plans=cfg.truncate_plans,
             rank_lo=state.get("frontier_min_rank", 0),
+            trap_budgets=trap_budgets,
         )
         self._last_small_rank = small_rank  # observability for tests
 
@@ -687,6 +711,28 @@ class CrawlDriver:
                 "min_gap_sec": float(prow["mg"]) if prow["mg"] is not None else None,
                 "multi_fetch_hosts": int(prow["nh"] or 0),
             }
+        # trap measurement (pipeline/traps.py): URL-template explosion on
+        # the OUTGOING frontier — the host whose frontier share keeps
+        # growing in URL variety but not in templates is the trap.  One
+        # batch-sized aggregate over the already-persisted intermediates;
+        # the driver collects FLAGGED HOSTS ONLY (bounded by real trap
+        # count — for adversarial trap fleets swap the collect for a
+        # DataFrame join into the next epoch's trap_budgets dim).
+        if cfg.trap_explosion_threshold is not None:
+            from linkkchecker_net_spark.pipeline.traps import (
+                trap_hosts as _trap_hosts_op,
+            )
+
+            flagged = (
+                _trap_hosts_op(
+                    new_frontier.select("url"),
+                    explosion_threshold=cfg.trap_explosion_threshold,
+                )
+                .filter(F.col("trap") & (F.col("n_urls") >= cfg.trap_min_urls))
+                .select("host")
+                .collect()
+            )
+            self._trap_hosts.update(r["host"] for r in flagged)
         for df in res.persisted:
             df.unpersist()
 

@@ -83,6 +83,7 @@ def split_politeness(
     robots: DataFrame,
     default_budget: int | None,
     salt_partitions: int = 0,
+    trap_budgets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """W1/A4/O3 — per-host priority rank, top-`budget` rows form the batch.
 
@@ -105,6 +106,26 @@ def split_politeness(
             F.broadcast(robots.select("host", "budget")), on="host", how="left"
         ).withColumn("budget", F.coalesce("budget", fallback))
     )
+    if trap_budgets is not None:
+        # trap-aware damping (pipeline/traps.py wired into F10): hosts the
+        # driver flagged for URL-template explosion get their budget capped
+        # — least(), so an explicit robots budget can only tighten further.
+        # The trap table is flagged-hosts-only (small) → broadcast dim.
+        with_budget = (
+            with_budget.join(
+                F.broadcast(trap_budgets.select("host", "trap_budget")),
+                on="host",
+                how="left",
+            )
+            .withColumn(
+                "budget",
+                F.least(
+                    F.col("budget"),
+                    F.coalesce(F.col("trap_budget"), F.col("budget")),
+                ),
+            )
+            .drop("trap_budget")
+        )
     if salt_partitions > 0:
         w1 = Window.partitionBy(
             "host", F.pmod(F.xxhash64("url"), F.lit(salt_partitions))
@@ -648,6 +669,7 @@ def run_epoch(
     crawl_delays: dict[str, float] | None = None,
     truncate_plans: bool = False,
     rank_lo: int = 0,
+    trap_budgets: DataFrame | None = None,
 ) -> EpochResult:
     """Wire the full epoch DAG; nothing is materialized here — the driver
     decides what to write/count (writes ARE the checkpoint).
@@ -668,7 +690,11 @@ def run_epoch(
         batch_needs_pin = False  # already a shallow, re-readable scan
     else:
         batch, carry = split_politeness(
-            frontier, robots, default_budget, salt_partitions=politeness_salt
+            frontier,
+            robots,
+            default_budget,
+            salt_partitions=politeness_salt,
+            trap_budgets=trap_budgets,
         )
         batch_needs_pin = True
     if truncate_plans:

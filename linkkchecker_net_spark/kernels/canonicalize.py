@@ -258,3 +258,72 @@ def canonical_match_udf(url: pd.Series, href: pd.Series) -> pd.Series:
             for u, h in zip(url, href)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-string normalization (pure Column expression — JVM codegen, no UDF)
+# ---------------------------------------------------------------------------
+
+# ad/analytics click-tracking params: never affect the resource served, so
+# two URLs differing only in them are the same page — the classic crawl
+# duplicate multiplier (utm_* alone is most of it in the wild)
+TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid")
+
+
+def normalize_query_expr(url_col, strip_prefixes=TRACKING_PARAM_PREFIXES):
+    """URL with its query string normalized: tracking params stripped,
+    remaining params sorted bytewise, fragment-free URLs only (the crawl
+    candidate stream is already defragmented by P1 canonicalization).
+
+    Collapses the two biggest query-string duplicate families a frontier
+    sees — param ORDER permutations and click-tracking decoration — before
+    the seen anti-join, so the 10^10-row seen set never stores them.  The
+    reference's .NET Uri normalization keeps query strings verbatim
+    (`UriHelpers.cs` — host/scheme/port only), so this is an additive
+    dedup layer, off the P1 path, applied where a pipeline opts in.
+
+    Pure built-in expression (split / filter / array_sort / array_join —
+    whole-stage codegen); the DuckDB oracle mirrors it with string_split /
+    list_filter / list_sort / array_to_string (both engines sort ASCII
+    bytewise).
+    """
+    url = F.col(url_col) if isinstance(url_col, str) else url_col
+    base = F.substring_index(url, "?", 1)
+    # query part: everything after the FIRST '?' (a '?' inside the query
+    # is legal and preserved by substr(len(base)+2))
+    q = url.substr(F.length(base) + F.lit(2), F.length(url))
+    return F.when(
+        ~url.contains("?"), url
+    ).otherwise(
+        F.concat(
+            base,
+            F.when(
+                F.size(
+                    F.filter(
+                        F.split(q, "&"),
+                        lambda x: ~_is_tracking(x, strip_prefixes),
+                    )
+                )
+                > 0,
+                F.concat(
+                    F.lit("?"),
+                    F.array_join(
+                        F.array_sort(
+                            F.filter(
+                                F.split(q, "&"),
+                                lambda x: ~_is_tracking(x, strip_prefixes),
+                            )
+                        ),
+                        "&",
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        )
+    )
+
+
+def _is_tracking(param, prefixes):
+    cond = param.startswith(prefixes[0])
+    for p in prefixes[1:]:
+        cond = cond | param.startswith(p)
+    return cond

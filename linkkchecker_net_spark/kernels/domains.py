@@ -1,0 +1,76 @@
+"""Registrable-domain (eTLD+1) extraction — the crawl-policy unit above
+the host.
+
+Politeness budgets, trap damping, and domain quota caps (C4-style,
+`pipeline/curation.py:domain_cap`) all want the REGISTRABLE domain, not
+the raw host: `a.shop.example.co.uk` and `b.example.co.uk` are one
+operator and should share one budget, while `x.github.io` and
+`y.github.io` are different operators and must NOT.  The reference
+compares raw authorities only (`UriHelpers.cs` host equality), which is
+the right call for its single-site scan but wrong at web scale.
+
+Implementation is a pure Column expression over a compiled-in suffix
+set — the public-suffix list's *algorithm* (longest matching suffix
+wins; unlisted TLD ⇒ last label is the suffix) over a deterministic,
+bounded excerpt of multi-label suffixes.  No UDF, no join: the suffix
+set is small enough to inline as an `isin` literal (Catalyst compiles it
+to a hash-set probe in codegen).  Swapping in the full Mozilla PSL is a
+data change (extend the tuples), not a code change.
+
+Oracle parity: DuckDB mirrors with string_split + list slicing; both
+engines split on '.' and compare bytewise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# multi-label public suffixes (PSL excerpt, deterministic): the
+# registrable domain is ONE label deeper than these
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
+    "co.in", "co.kr", "co.za", "co.nz",
+    # private-registry suffixes: every subdomain is an independent site
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "cloudfront.net", "s3.amazonaws.com",
+)
+
+_IPV4 = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+
+
+def registrable_domain_expr(host_col) -> Column:
+    """eTLD+1 of a lowercase hostname.
+
+    Rules, in order:
+      * IPv4 literal → the address itself (no registrable domain);
+      * last TWO labels in MULTI_SUFFIXES → last THREE labels;
+      * host with ≥2 labels → last TWO labels (the PSL fallback rule:
+        an unlisted TLD is itself the public suffix);
+      * single-label host (`localhost`, intranet names) → the host.
+    A host that IS a public suffix (`co.uk` itself) has no registrable
+    domain; this returns the host unchanged — callers grouping by the
+    result still get a stable, collision-free key.
+    """
+    host = F.col(host_col) if isinstance(host_col, str) else host_col
+    host = F.lower(host)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return (
+        F.when(host.rlike(_IPV4), host)
+        .when((n >= 3) & last2.isin(*MULTI_SUFFIXES), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )

@@ -76,6 +76,8 @@ NON_CRAWL = [
     "ann_ivf", "dup_span", "domain_cap", "sessionize", "parse_robots",
     "clip_align", "hll_users", "cms_tokens", "ann_sq8", "robots_sitemaps",
     "resolve_redirects", "url_traps", "host_linkgraph", "quality_keep",
+    "url_normalize", "dust_rules", "mirror_hosts", "soft404",
+    "registrable_domains", "change_rate",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

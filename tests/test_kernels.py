@@ -427,3 +427,42 @@ def test_extract_sitemaps(spark):
         for r in extract_sitemaps(df).collect()
     )
     assert rows == [("h", 0, "http://h/a.xml"), ("h", 3, "http://h/b.xml")]
+
+
+def test_normalize_query_expr_sorts_strips_and_passes_through(spark):
+    from linkkchecker_net_spark.kernels.canonicalize import normalize_query_expr
+
+    cases = [
+        # (input, expected)
+        ("http://h.test/p", "http://h.test/p"),  # no query
+        ("http://h.test/p?b=2&a=1", "http://h.test/p?a=1&b=2"),  # sort
+        (
+            "http://h.test/p?utm_source=x&a=1&fbclid=z",
+            "http://h.test/p?a=1",
+        ),  # strip tracking
+        ("http://h.test/p?utm_medium=e", "http://h.test/p"),  # all-tracking
+        (
+            "http://h.test/p?a=1&a=0",
+            "http://h.test/p?a=0&a=1",
+        ),  # duplicate keys keep both, bytewise order
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r[0] for r in df.select(normalize_query_expr("url")).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+
+def test_normalize_query_expr_is_codegen_only(spark):
+    """Scale contract: the kernel is pure built-in expression work — the
+    plan is a single Project (no UDF/python eval, no exchange)."""
+    from linkkchecker_net_spark.kernels.canonicalize import normalize_query_expr
+
+    df = spark.createDataFrame([("http://h.test/p?b=2&a=1",)], "url string")
+    plan = (
+        df.select(normalize_query_expr("url").alias("n"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Project" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
+        assert bad not in plan, plan
