@@ -1772,6 +1772,152 @@ def q_change_rate(spark, sf_dir):
     return change_rate(snaps)
 
 
+def q_meta_robots(spark, sf_dir):
+    """Robots META + X-Robots-Tag gates (kernels/linkpolicy.py): per-page
+    noindex/nofollow from `<meta name="robots">` OR the response header.
+    Fixture exercises every token path: no tag, noindex, mixed-case
+    comma-packed nofollow, both, the `none` shorthand — plus a decoy
+    `<meta name="keywords" content="nofollow">` on EVERY page that must
+    never trigger (the name= match is the regex under test), and an
+    X-Robots-Tag: noindex header on doc_id%7==2."""
+    from linkkchecker_net_spark.kernels.linkpolicy import (
+        meta_robots_expr,
+        x_robots_expr,
+    )
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 5
+    meta = (
+        F.when(m == 0, F.lit(""))
+        .when(m == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(m == 2, F.lit('<meta name="robots" content="foo,NoFollow">'))
+        .when(m == 3, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .otherwise(F.lit('<meta name="robots" content="none">'))
+    )
+    body = F.concat(
+        F.lit('<html><head><meta name="keywords" content="nofollow">'),
+        meta,
+        F.lit('</head><body><a href="/x">t</a></body></html>'),
+    )
+    header = F.when(i % 7 == 2, F.lit("noindex")).otherwise(
+        F.lit(None).cast("string")
+    )
+    mr = meta_robots_expr(body)
+    xr = x_robots_expr(header)
+    return _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://p"), (i % 3).cast("string"),
+            F.lit(".test/d/"), i.cast("string"),
+        ).alias("url"),
+        mr["noindex"].alias("meta_noindex"),
+        mr["nofollow"].alias("meta_nofollow"),
+        xr["noindex"].alias("hdr_noindex"),
+        (mr["noindex"] | xr["noindex"]).alias("noindex"),
+        (mr["nofollow"] | xr["nofollow"]).alias("nofollow"),
+    )
+
+
+def q_nofollow_links(spark, sf_dir):
+    """Per-anchor rel=nofollow gating (kernels/linkpolicy.py): every page
+    carries one plain anchor, one rel=nofollow anchor, and one href-less
+    `<a name=...>` (must not emit a row); pages with doc_id%4==0 also set
+    page-level META nofollow, which kills BOTH anchors' followability."""
+    from linkkchecker_net_spark.kernels.linkpolicy import (
+        anchor_policy_expr,
+        meta_robots_expr,
+    )
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    meta = F.when(
+        i % 4 == 0, F.lit('<meta name="robots" content="nofollow">')
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>"),
+        F.lit('<a href="/k/'), s, F.lit('">keep</a>'),
+        F.lit('<a rel="nofollow" href="/nf/'), s, F.lit('">ugc</a>'),
+        F.lit('<a name="top">anchor</a>'),
+        F.lit("</body></html>"),
+    )
+    page_nf = meta_robots_expr(body)["nofollow"]
+    url = F.concat(F.lit("http://p"), (i % 3).cast("string"),
+                   F.lit(".test/d/"), s)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            url.alias("url"),
+            page_nf.alias("page_nofollow"),
+            F.posexplode(anchor_policy_expr(body)).alias("pos", "a"),
+        )
+        .select(
+            "url",
+            "pos",
+            F.col("a.href").alias("href"),
+            F.col("a.nofollow").alias("anchor_nofollow"),
+            (~(F.col("page_nofollow") | F.col("a.nofollow"))).alias(
+                "followable"
+            ),
+        )
+    )
+
+
+def q_rel_canonical(spark, sf_dir):
+    """rel=canonical clustering through the REAL byte scanner
+    (kernels/htmlparse.scan_page → canonical_href; first tag wins) +
+    .NET-Uri relative resolution (kernels/canonicalize.canonicalize_udf).
+    Variants: no canonical (self), absolute target, RELATIVE target
+    (resolves against the page's own host), and a duplicate-tag page
+    where the scanner's first-wins rule is the thing under test.
+    cluster_size counts pages per resolved canonical target — the
+    collapse a crawl dedup layer applies before re-fetching variants."""
+    from linkkchecker_net_spark.kernels.canonicalize import canonicalize_udf
+    from linkkchecker_net_spark.kernels.htmlparse import parse_page_udf
+
+    _prep(spark)
+    from pyspark.sql import Window as W
+
+    i = F.col("doc_id").cast("long")
+    m = i % 4
+    g = (i / 8).cast("long").cast("string")
+    host = F.concat(F.lit("site-"), (i % 3).cast("string"), F.lit(".test"))
+    url = F.concat(F.lit("http://"), host, F.lit("/d/"), i.cast("string"))
+    abs_tag = F.concat(
+        F.lit('<link rel="canonical" href="http://c.test/page/'), g,
+        F.lit('">'),
+    )
+    rel_tag = F.concat(
+        F.lit('<link rel="canonical" href="/page/'), g, F.lit('">')
+    )
+    dup_tag = F.concat(
+        abs_tag, F.lit('<link rel="canonical" href="http://evil.test/x">')
+    )
+    body = F.concat(
+        F.lit("<html><head>"),
+        F.when(m == 0, F.lit("")).when(m == 1, abs_tag)
+        .when(m == 2, rel_tag).otherwise(dup_tag),
+        F.lit('</head><body><a href="/x">t</a></body></html>'),
+    )
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), parse_page_udf(body)["canonical_href"].alias("ch")
+    )
+    resolved = pages.select(
+        "url",
+        F.coalesce(
+            canonicalize_udf(F.col("url"), F.col("ch")), F.col("url")
+        ).alias("canonical_url"),
+    )
+    return resolved.select(
+        "url",
+        "canonical_url",
+        (F.col("canonical_url") == F.col("url")).alias("is_self"),
+        F.count("*")
+        .over(W.partitionBy("canonical_url"))
+        .alias("cluster_size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -1856,6 +2002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": q_soft404,
         "registrable_domains": q_registrable_domains,
         "change_rate": q_change_rate,
+        "meta_robots": q_meta_robots,
+        "nofollow_links": q_nofollow_links,
+        "rel_canonical": q_rel_canonical,
         "host_linkgraph": q_host_linkgraph,
         "quality_keep": q_quality_keep,
         "clip_align": q_clip_align,
@@ -3399,6 +3548,51 @@ FROM an GROUP BY url
                          ELSE (span / n_intervals) * n_intervals / n_changes
                     END, 6) AS recrawl_interval
             FROM agg
+        """,
+        # structural oracle (the Spark side runs the real regex kernel):
+        # meta directives are an arithmetic function of doc_id%5, the
+        # X-Robots-Tag header of doc_id%7
+        "meta_robots": """
+            SELECT 'http://p' || (doc_id % 3) || '.test/d/' || doc_id AS url,
+                   doc_id % 5 IN (1, 3, 4) AS meta_noindex,
+                   doc_id % 5 IN (2, 3, 4) AS meta_nofollow,
+                   doc_id % 7 = 2 AS hdr_noindex,
+                   (doc_id % 5 IN (1, 3, 4) OR doc_id % 7 = 2) AS noindex,
+                   doc_id % 5 IN (2, 3, 4) AS nofollow
+            FROM documents
+        """,
+        # two href-carrying anchors per page (the href-less <a name=...>
+        # must not emit a row); page-level META nofollow on doc_id%4==0
+        "nofollow_links": """
+            SELECT 'http://p' || (doc_id % 3) || '.test/d/' || doc_id AS url,
+                   a.pos,
+                   CASE a.pos WHEN 0 THEN '/k/' || doc_id
+                              ELSE '/nf/' || doc_id END AS href,
+                   a.pos = 1 AS anchor_nofollow,
+                   (a.pos = 0 AND doc_id % 4 <> 0) AS followable
+            FROM documents
+            CROSS JOIN (VALUES (0), (1)) a(pos)
+        """,
+        # canonical target is arithmetic in (doc_id%4, doc_id//8): self /
+        # absolute / relative-resolved / duplicate-tag-first-wins; the
+        # cluster count mirrors Spark's window over the resolved target
+        "rel_canonical": """
+            WITH r AS (
+              SELECT 'http://site-' || (doc_id % 3) || '.test/d/' || doc_id
+                       AS url,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'http://site-' || (doc_id % 3)
+                                   || '.test/d/' || doc_id
+                       WHEN 2 THEN 'http://site-' || (doc_id % 3)
+                                   || '.test/page/' || (doc_id // 8)
+                       ELSE 'http://c.test/page/' || (doc_id // 8)
+                     END AS canonical_url
+              FROM documents
+            )
+            SELECT url, canonical_url, canonical_url = url AS is_self,
+                   COUNT(*) OVER (PARTITION BY canonical_url)
+                     AS cluster_size
+            FROM r
         """,
         # candidate stream = the extract_links families, canonicalized
         # (a#2 and script resolve on the parent's host) minus mailto

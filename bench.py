@@ -353,6 +353,7 @@ def run_queries(spark) -> dict:
         "resolve_redirects", "url_traps", "host_linkgraph", "quality_keep",
         "url_normalize", "dust_rules", "mirror_hosts", "soft404",
         "registrable_domains", "change_rate",
+        "meta_robots", "nofollow_links", "rel_canonical",
     ]
     out = {}
     qs = entrymod.queries()

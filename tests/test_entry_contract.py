@@ -78,6 +78,7 @@ NON_CRAWL = [
     "resolve_redirects", "url_traps", "host_linkgraph", "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
     "registrable_domains", "change_rate",
+    "meta_robots", "nofollow_links", "rel_canonical",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

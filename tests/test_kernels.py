@@ -466,3 +466,69 @@ def test_normalize_query_expr_is_codegen_only(spark):
     assert "Project" in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
         assert bad not in plan, plan
+
+
+def test_linkpolicy_gates(spark):
+    """META/header/anchor directive semantics on hand-built pages,
+    including the decoy-meta and href-less-anchor traps."""
+    from linkkchecker_net_spark.kernels.linkpolicy import (
+        anchor_policy_expr,
+        meta_robots_expr,
+        x_robots_expr,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ('<meta name="robots" content="NOINDEX, nofollow">', None),
+            ('<meta name="robots" content="none">', None),
+            ('<meta name="keywords" content="nofollow">', "noindex"),
+            ("<p>no meta</p>", None),
+        ],
+        "body string, hdr string",
+    )
+    rows = df.select(
+        meta_robots_expr(F.col("body")).alias("m"),
+        x_robots_expr(F.col("hdr")).alias("x"),
+    ).collect()
+    assert [(r.m.noindex, r.m.nofollow, r.x.noindex) for r in rows] == [
+        (True, True, False),
+        (True, True, False),
+        (False, False, True),  # decoy meta never triggers
+        (False, False, False),
+    ]
+
+    body = (
+        '<a href="/a">x</a><a rel="nofollow" href="/b">y</a>'
+        '<a name="top">z</a>'
+    )
+    anchors = (
+        spark.range(1)
+        .select(anchor_policy_expr(F.lit(body)).alias("a"))
+        .collect()[0]["a"]
+    )
+    assert [(a.href, a.nofollow) for a in anchors] == [
+        ("/a", False), ("/b", True),
+    ]
+
+
+def test_linkpolicy_is_codegen_only(spark):
+    """Scale contract: all three gates are pure expressions — one Project,
+    no Python eval, no exchange."""
+    from linkkchecker_net_spark.kernels.linkpolicy import (
+        anchor_policy_expr,
+        meta_robots_expr,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("<p>x</p>",)], "body string")
+    plan = (
+        df.select(
+            meta_robots_expr(F.col("body")).alias("m"),
+            anchor_policy_expr(F.col("body")).alias("a"),
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Project" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
+        assert bad not in plan, plan
