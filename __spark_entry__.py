@@ -1918,6 +1918,64 @@ def q_rel_canonical(spark, sf_dir):
     )
 
 
+def q_c4_lines(spark, sf_dir):
+    """C4 line/page filtering (pipeline/text.c4_line_filter, Raffel et
+    al. JMLR'20 §2.2).  Synthesized pages exercise every rule: two
+    always-kept sentences, a too-short line, a javascript boilerplate
+    line, a no-terminal-punctuation line; doc_id%5==0 adds a third kept
+    sentence (page passes the min-kept gate), doc_id%7==3 plants 'lorem
+    ipsum', doc_id%11==4 plants a '{' — both page-level rejections."""
+    from linkkchecker_net_spark.pipeline.text import c4_line_filter
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    l3 = (
+        F.when(i % 7 == 3, F.lit("this line has lorem ipsum inside"))
+        .when(i % 11 == 4, F.lit("code { x } block"))
+        .otherwise(F.lit("no terminal punct here"))
+    )
+    lines = [
+        F.concat(F.lit("This is a good line number "), s, F.lit(".")),
+        F.lit("short."),
+        F.lit("Enable JavaScript to continue."),
+        l3,
+        F.concat(F.lit("Another fine sentence "), s, F.lit(" right here!")),
+    ]
+    text = F.when(
+        i % 5 == 0,
+        F.concat_ws(
+            "\n", *lines, F.lit("Third solid sentence stands here.")
+        ),
+    ).otherwise(F.concat_ws("\n", *lines))
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return c4_line_filter(docs)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet corpus-wide paragraph dedup (pipeline/text.paragraph_dedup,
+    Wenzek et al. LREC'20 §3.1).  Each doc = widely-shared header
+    (doc_id%10 residue), unique body (empty on doc_id%13==5 — exercises
+    the empty-paragraph drop), widely-shared footer (doc_id%7 residue);
+    keep-first means only the minimum doc_id of each residue class
+    retains its shared paragraphs."""
+    from linkkchecker_net_spark.pipeline.text import paragraph_dedup
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    body = F.when(i % 13 == 5, F.lit("")).otherwise(
+        F.concat(F.lit("unique body "), i.cast("string"))
+    )
+    text = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("shared header "), (i % 10).cast("string")),
+        body,
+        F.concat(F.lit("shared footer "), (i % 7).cast("string")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return paragraph_dedup(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2005,6 +2063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": q_meta_robots,
         "nofollow_links": q_nofollow_links,
         "rel_canonical": q_rel_canonical,
+        "c4_lines": q_c4_lines,
+        "paragraph_dedup": q_paragraph_dedup,
         "host_linkgraph": q_host_linkgraph,
         "quality_keep": q_quality_keep,
         "clip_align": q_clip_align,
@@ -3593,6 +3653,62 @@ FROM an GROUP BY url
                    COUNT(*) OVER (PARTITION BY canonical_url)
                      AS cluster_size
             FROM r
+        """,
+        # the kept set is arithmetic: lines 0 and 4 always survive, line 5
+        # exists+survives iff doc_id%5==0; l1 too short, l2 javascript,
+        # l3 no terminal punctuation (its lorem/brace variants likewise)
+        "c4_lines": """
+            WITH d AS (
+              SELECT doc_id,
+                     doc_id % 5 = 0 AS extra,
+                     doc_id % 7 = 3 AS has_lorem,
+                     -- l3's when-chain gives lorem precedence: the brace
+                     -- variant only materializes when lorem didn't
+                     (doc_id % 11 = 4 AND doc_id % 7 <> 3) AS has_brace
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN extra THEN 6 ELSE 5 END AS n_lines,
+                   CASE WHEN extra THEN 3 ELSE 2 END AS n_kept,
+                   has_lorem, has_brace,
+                   (extra AND NOT has_lorem AND NOT has_brace) AS c4_pass,
+                   CASE WHEN extra AND NOT has_lorem AND NOT has_brace
+                        THEN 'This is a good line number ' || doc_id || '.'
+                             || chr(10) || 'Another fine sentence '
+                             || doc_id || ' right here!' || chr(10)
+                             || 'Third solid sentence stands here.'
+                        ELSE '' END AS cleaned
+            FROM d
+        """,
+        # generic mirror (not structural): same synthesized paragraphs,
+        # keep-first via row_number over (para) ordered by (doc_id, pos)
+        "paragraph_dedup": """
+            WITH paras AS (
+              SELECT doc_id, p.pos,
+                     CASE p.pos
+                       WHEN 0 THEN 'shared header ' || (doc_id % 10)
+                       WHEN 1 THEN CASE WHEN doc_id % 13 = 5 THEN ''
+                                        ELSE 'unique body ' || doc_id END
+                       ELSE 'shared footer ' || (doc_id % 7)
+                     END AS para
+              FROM documents
+              CROSS JOIN (VALUES (0), (1), (2)) p(pos)
+            ),
+            nz AS (SELECT * FROM paras WHERE trim(para) <> ''),
+            rn AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pos) = 1 AS kept
+              FROM nz
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_paras,
+                   CAST(COALESCE(SUM(CASE WHEN kept THEN 1 END), 0)
+                        AS BIGINT) AS n_kept,
+                   COALESCE(string_agg(para, chr(10) || chr(10)
+                                       ORDER BY pos)
+                            FILTER (WHERE kept), '') AS cleaned
+            FROM rn GROUP BY doc_id
         """,
         # candidate stream = the extract_links families, canonicalized
         # (a#2 and script resolve on the parent's host) minus mailto

@@ -259,3 +259,112 @@ def fingerprint(docs: DataFrame, prefix_tokens: int = 8) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.md5(prefix).alias("prefix_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering (Raffel et al., JMLR'20 §2.2 — the line/page
+# rules behind the C4 corpus, simplified to the SQL-expressible core)
+# ---------------------------------------------------------------------------
+
+# a kept line ends in terminal punctuation and carries >= C4_MIN_WORDS
+# whitespace words; any line mentioning javascript is dropped (cookie /
+# enable-JS boilerplate); pages containing "lorem ipsum" or "{" are
+# rejected wholesale; a page needs >= C4_MIN_KEPT surviving lines
+C4_MIN_WORDS = 3
+C4_MIN_KEPT = 3
+_TERMINAL_PAT = r'[.!?"]$'
+_JS_PAT = r"(?i)javascript"
+
+
+def _line_kept(ln):
+    return (
+        ln.rlike(_TERMINAL_PAT)
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= C4_MIN_WORDS)
+        & ~ln.rlike(_JS_PAT)
+    )
+
+
+def c4_line_filter(docs: DataFrame, min_kept: int = C4_MIN_KEPT) -> DataFrame:
+    """(doc_id, n_lines, n_kept, has_lorem, has_brace, c4_pass, cleaned).
+
+    Pure per-row array work (split / filter / array_join — whole-stage
+    codegen, zero shuffle): line-level rules drop boilerplate lines,
+    page-level rules reject template/code pages outright.  ``cleaned`` is
+    the newline-join of surviving lines (empty when the page is
+    rejected).  Scale: map-only — partitions stream independently; the
+    only memory is one page's line array.
+    """
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(lines, _line_kept)
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    ok = ~has_lorem & ~has_brace & (F.size(kept) >= min_kept)
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ok.alias("c4_pass"),
+        F.when(ok, F.array_join(kept, "\n")).otherwise(F.lit("")).alias(
+            "cleaned"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet paragraph-level exact dedup (Wenzek et al., LREC'20 §3.1: hash
+# every paragraph, keep the first occurrence corpus-wide)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(docs: DataFrame, sep: str = "\n\n") -> DataFrame:
+    """(doc_id, n_paras, n_kept, cleaned) — corpus-wide paragraph dedup.
+
+    Explode paragraphs with position, hash each (md5 — CCNet uses the
+    first 64 bits of SHA-1; any collision-safe digest works), pick ONE
+    winner per hash corpus-wide (min (doc_id, pos) — deterministic
+    keep-first in document order, matching CCNet's sharded head/middle/
+    tail convention at shard granularity), and reassemble every doc from
+    its surviving paragraphs in original order.
+
+    Scale: one hash-partitioned groupBy on the paragraph digest (min_by
+    combiner — partial aggregation map-side), one co-keyed join back on
+    (hash, doc, pos), one groupBy doc_id with sort_array over collected
+    (pos, text) pairs.  Paragraph text rides through the shuffle once;
+    for 100 TB corpora swap the carried text for (digest → first-writer
+    re-read) if paragraphs are huge — the plan shape is unchanged.
+    """
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), sep)).alias("pos", "para"),
+    ).filter(F.trim(F.col("para")) != "")
+    hashed = paras.select(
+        "doc_id", "pos", "para", F.md5(F.col("para")).alias("h")
+    )
+    winners = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    ).select("h", F.col("w.doc_id").alias("doc_id"), F.col("w.pos").alias("pos"))
+    kept = hashed.join(winners, ["h", "doc_id", "pos"], "leftsemi")
+    stats = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("cleaned"),
+    )
+    return (
+        stats.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        )
+    )

@@ -336,3 +336,29 @@ def test_sq8_candidate_scan_carries_codes_not_floats(spark):
 
     joins = [seg for seg in plan.split("\n") if "NestedLoop" in seg or "CartesianProduct" in seg]
     assert joins, plan
+
+
+def test_c4_line_filter_is_map_only(spark):
+    """C4 line/page rules are one Project over the scan — no exchange,
+    no Python eval; partitions stream independently at any corpus size."""
+    from linkkchecker_net_spark.pipeline.text import c4_line_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(c4_line_filter(docs))
+    assert "Exchange" not in p, p
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in p, p
+
+
+def test_paragraph_dedup_partial_agg_and_semi_join(spark):
+    """Corpus-wide keep-first: the winner pick partial-aggregates
+    map-side (min struct combiner) and the keep step is a LeftSemi hash
+    join on the digest — no window over the exploded paragraph stream,
+    no Python, no broadcast of corpus-sized data."""
+    from linkkchecker_net_spark.pipeline.text import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(paragraph_dedup(docs))
+    assert "LeftSemi" in p, p
+    assert "partial_min" in p or "partial_count" in p, p
+    assert "WindowExec" not in p and "BatchEvalPython" not in p, p
