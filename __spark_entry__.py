@@ -1976,6 +1976,83 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(docs)
 
 
+def q_sitemap_meta(spark, sf_dir):
+    """Sitemap <url> block metadata (kernels/sitemapparse.parse_urlset —
+    real namespaced XML parse, same error contract as the loc-only S5
+    kernel): lastmod/changefreq/priority per loc plus the changefreq →
+    recrawl-hint mapping.  Each doc is a site: one fully-decorated block,
+    one loc-only block (absent children → NULL, hint falls to the daily
+    default); doc_id%17==9 sitemaps are malformed XML and must vanish."""
+    from linkkchecker_net_spark.kernels.sitemapparse import (
+        changefreq_hint_expr,
+        sitemap_urlset_udf,
+    )
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    h = (i % 5).cast("string")
+    cf = (
+        F.when(i % 6 == 0, F.lit("always"))
+        .when(i % 6 == 1, F.lit("hourly"))
+        .when(i % 6 == 2, F.lit("daily"))
+        .when(i % 6 == 3, F.lit("weekly"))
+        .when(i % 6 == 4, F.lit("monthly"))
+        .otherwise(F.lit("never"))
+    )
+    dd = F.lpad((i % 28 + 1).cast("string"), 2, "0")
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.lit("<url><loc>http://s"), h, F.lit(".test/p/"), s,
+        F.lit("</loc><lastmod>2026-01-"), dd,
+        F.lit("</lastmod><changefreq>"), cf,
+        F.lit("</changefreq><priority>0."), (i % 10).cast("string"),
+        F.lit("</priority></url>"),
+        F.lit("<url><loc>http://s"), h, F.lit(".test/q/"), s,
+        F.lit("</loc></url></urlset>"),
+    )
+    body = F.when(i % 17 == 9, F.lit("<urlset><url>")).otherwise(xml)
+    blocks = _docs(spark, sf_dir).select(
+        F.concat(F.lit("s"), h, F.lit(".test")).alias("host"),
+        F.explode(sitemap_urlset_udf(body.cast("binary"))).alias("u"),
+    )
+    return blocks.select(
+        "host",
+        F.col("u.loc").alias("loc"),
+        F.col("u.lastmod").alias("lastmod"),
+        F.col("u.changefreq").alias("changefreq"),
+        F.col("u.priority").alias("priority"),
+        changefreq_hint_expr(F.col("u.changefreq")).alias("hint_sec"),
+    )
+
+
+def q_budget_alloc(spark, sf_dir):
+    """Per-host fetch-budget allocation (pipeline/recrawl.budget_alloc):
+    √size-damped, quality-tiered integer proportional split of a
+    1000-fetch epoch budget over 23 synthetic hosts, clamped to [5, 200]
+    and to each host's own URL count.  Integer weights make the floor
+    boundary partition-order-independent (see docstring) — the oracle
+    reproduces the split bit-exactly with a window sum."""
+    from linkkchecker_net_spark.pipeline.recrawl import budget_alloc
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    hs = (
+        _docs(spark, sf_dir)
+        .select((i % 23).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_urls"))
+        .select(
+            F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".test"))
+            .alias("host"),
+            "n_urls",
+            (F.col("k") % 5 + 1).cast("long").alias("quality_scaled"),
+        )
+    )
+    return budget_alloc(hs, total_budget=1000, min_per_host=5,
+                        max_per_host=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2065,6 +2142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_canonical": q_rel_canonical,
         "c4_lines": q_c4_lines,
         "paragraph_dedup": q_paragraph_dedup,
+        "sitemap_meta": q_sitemap_meta,
+        "budget_alloc": q_budget_alloc,
         "host_linkgraph": q_host_linkgraph,
         "quality_keep": q_quality_keep,
         "clip_align": q_clip_align,
@@ -3709,6 +3788,63 @@ FROM an GROUP BY url
                                        ORDER BY pos)
                             FILTER (WHERE kept), '') AS cleaned
             FROM rn GROUP BY doc_id
+        """,
+        # two blocks per well-formed sitemap (doc_id%17==9 is malformed
+        # XML → zero rows); block 2 carries loc only (NULL metadata,
+        # daily-default hint); 'never' maps to NULL hint
+        "sitemap_meta": """
+            WITH good AS (SELECT doc_id FROM documents
+                          WHERE doc_id % 17 <> 9),
+            b AS (
+              SELECT doc_id, p.blk FROM good
+              CROSS JOIN (VALUES (1), (2)) p(blk)
+            )
+            SELECT 's' || (doc_id % 5) || '.test' AS host,
+                   'http://s' || (doc_id % 5) || '.test/'
+                     || CASE blk WHEN 1 THEN 'p/' ELSE 'q/' END || doc_id
+                     AS loc,
+                   CASE WHEN blk = 1
+                        THEN '2026-01-' || lpad((doc_id % 28 + 1)::VARCHAR,
+                                                2, '0')
+                   END AS lastmod,
+                   CASE WHEN blk = 1 THEN
+                     CASE doc_id % 6 WHEN 0 THEN 'always'
+                                     WHEN 1 THEN 'hourly'
+                                     WHEN 2 THEN 'daily'
+                                     WHEN 3 THEN 'weekly'
+                                     WHEN 4 THEN 'monthly'
+                                     ELSE 'never' END
+                   END AS changefreq,
+                   CASE WHEN blk = 1 THEN '0.' || (doc_id % 10)
+                   END AS priority,
+                   CAST(CASE
+                     WHEN blk = 2 THEN 86400
+                     WHEN doc_id % 6 = 0 THEN 1800
+                     WHEN doc_id % 6 = 1 THEN 3600
+                     WHEN doc_id % 6 = 2 THEN 86400
+                     WHEN doc_id % 6 = 3 THEN 604800
+                     WHEN doc_id % 6 = 4 THEN 2592000
+                     ELSE NULL END AS BIGINT) AS hint_sec
+            FROM b
+        """,
+        # integer weights ⇒ the proportional floor split is exact integer
+        # arithmetic — the window SUM mirrors Spark's 1-row broadcast dim
+        "budget_alloc": """
+            WITH hs AS (
+              SELECT doc_id % 23 AS k, CAST(COUNT(*) AS BIGINT) AS n_urls
+              FROM documents GROUP BY 1
+            ),
+            w AS (
+              SELECT 'h' || k || '.test' AS host, n_urls,
+                     CAST((k % 5 + 1)
+                          * floor(sqrt(n_urls) * 1000) AS BIGINT) AS weight
+              FROM hs
+            )
+            SELECT host, n_urls, weight,
+                   least(greatest(CAST(5 AS BIGINT),
+                                  (1000 * weight) // SUM(weight) OVER ()),
+                         CAST(200 AS BIGINT), n_urls) AS alloc
+            FROM w
         """,
         # candidate stream = the extract_links families, canonicalized
         # (a#2 and script resolve on the parent's host) minus mailto

@@ -354,7 +354,7 @@ def run_queries(spark) -> dict:
         "url_normalize", "dust_rules", "mirror_hosts", "soft404",
         "registrable_domains", "change_rate",
         "meta_robots", "nofollow_links", "rel_canonical",
-        "c4_lines", "paragraph_dedup",
+        "c4_lines", "paragraph_dedup", "sitemap_meta", "budget_alloc",
     ]
     out = {}
     qs = entrymod.queries()

@@ -45,3 +45,68 @@ def parse_sitemap(body: bytes | str | None) -> list[str] | None:
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def sitemap_locs_udf(body: pd.Series) -> pd.Series:
     return pd.Series([parse_sitemap(b) for b in body], dtype="object")
+
+
+# ---------------------------------------------------------------------------
+# Full <url> block parsing — the scheduling metadata the reference's
+# loc-only load (SiteMapChecker.cs:26-28) throws away.  lastmod /
+# changefreq / priority are the site operator's own recrawl hints; joined
+# against pipeline/recrawl.change_rate they seed the scheduler before any
+# observed history exists.
+# ---------------------------------------------------------------------------
+
+_URL_TAG = f"{{{SITEMAP_NS}}}url"
+_URL_FIELDS = ("loc", "lastmod", "changefreq", "priority")
+
+URLSET_SCHEMA = T.ArrayType(
+    T.StructType(
+        [T.StructField(f, T.StringType()) for f in _URL_FIELDS]
+    )
+)
+
+
+def parse_urlset(body: bytes | str | None) -> list[dict] | None:
+    """All namespaced <url> blocks as dicts (children trimmed, absent →
+    None); blocks without a <loc> are skipped; parse error → None —
+    identical error contract to :func:`parse_sitemap`."""
+    if body is None:
+        return None
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError:
+        return None
+    out = []
+    for u in root.iter(_URL_TAG):
+        rec = {}
+        for f in _URL_FIELDS:
+            el = u.find(f"{{{SITEMAP_NS}}}{f}")
+            rec[f] = (el.text or "").strip() if el is not None else None
+        if rec["loc"]:
+            out.append(rec)
+    return out
+
+
+@F.pandas_udf(URLSET_SCHEMA)
+def sitemap_urlset_udf(body: pd.Series) -> pd.Series:
+    return pd.Series([parse_urlset(b) for b in body], dtype="object")
+
+
+# changefreq → recrawl-hint seconds (sitemaps.org vocabulary; 'never' ⇒
+# no recrawl (NULL), unknown/absent ⇒ the daily default)
+CHANGEFREQ_SEC = {
+    "always": 1800,
+    "hourly": 3600,
+    "daily": 86400,
+    "weekly": 604800,
+    "monthly": 2592000,
+    "yearly": 31536000,
+}
+
+
+def changefreq_hint_expr(changefreq):
+    """Column: changefreq string → recrawl hint in seconds (pure when-chain)."""
+    c = F.lower(F.coalesce(changefreq, F.lit("")))
+    expr = F.when(c == "never", F.lit(None).cast("long"))
+    for k, v in CHANGEFREQ_SEC.items():
+        expr = expr.when(c == k, F.lit(v))
+    return expr.otherwise(F.lit(CHANGEFREQ_SEC["daily"]))

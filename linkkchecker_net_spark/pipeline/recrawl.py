@@ -74,3 +74,52 @@ def change_rate(
         ).alias("avg_gap"),
         F.round(interval, 6).alias("recrawl_interval"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-host fetch-budget allocation — the scheduling step between "how
+# big/good is each host" and W1's per-host politeness top-K.  The
+# reference has no analog (single-site scan); at web scale the global
+# fetch budget of an epoch must be SPLIT before the politeness window
+# runs, or one mega-host starves the tail.
+# ---------------------------------------------------------------------------
+
+
+def budget_alloc(
+    host_stats: DataFrame,
+    total_budget: int,
+    min_per_host: int = 1,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """(host, n_urls, weight, alloc) — proportional-√size allocation.
+
+    weight = quality_scaled · ⌊√n_urls·1000⌋ (INTEGER on purpose: the
+    global weight sum is then exact, so the proportional split
+    ⌊total·w/Σw⌋ is pure integer arithmetic — bit-identical across
+    engines and across partition orders; a float Σw would make the floor
+    boundary depend on double summation order).  √n_urls damps mega-host
+    dominance (politeness bounds per-host throughput at ~1/host anyway,
+    so linear-in-size allocation over-promises on big hosts).  The
+    result is clamped to [min_per_host, max_per_host] and never exceeds
+    n_urls.
+
+    host_stats columns: host, n_urls (long), quality_scaled (long ≥ 1 —
+    an integer quality tier, e.g. 1-5).  Scale: one partial-aggregated
+    groupBy upstream of this, then a 1-row global sum broadcast back —
+    map-only after that.
+    """
+    w = (
+        F.col("quality_scaled")
+        * F.floor(F.sqrt(F.col("n_urls").cast("double")) * 1000)
+    ).cast("long")
+    weighted = host_stats.withColumn("weight", w)
+    total_w = weighted.agg(F.sum("weight").alias("sum_w"))
+    raw = F.expr(f"CAST({total_budget} AS BIGINT) * weight div sum_w")
+    alloc = F.greatest(F.lit(int(min_per_host)).cast("long"), raw)
+    if max_per_host is not None:
+        alloc = F.least(alloc, F.lit(int(max_per_host)).cast("long"))
+    alloc = F.least(alloc, F.col("n_urls"))
+    return (
+        weighted.crossJoin(F.broadcast(total_w))  # 1-row scalar dim
+        .select("host", "n_urls", "weight", alloc.alias("alloc"))
+    )

@@ -79,7 +79,7 @@ NON_CRAWL = [
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
     "registrable_domains", "change_rate",
     "meta_robots", "nofollow_links", "rel_canonical",
-    "c4_lines", "paragraph_dedup",
+    "c4_lines", "paragraph_dedup", "sitemap_meta", "budget_alloc",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -362,3 +362,24 @@ def test_paragraph_dedup_partial_agg_and_semi_join(spark):
     assert "LeftSemi" in p, p
     assert "partial_min" in p or "partial_count" in p, p
     assert "WindowExec" not in p and "BatchEvalPython" not in p, p
+
+
+def test_budget_alloc_scalar_dim_is_broadcast(spark):
+    """The global weight sum joins back as a 1-row broadcast dim — no
+    sort-merge join, no corpus-sized shuffle beyond the host groupBy."""
+    from pyspark.sql import functions as F2
+    from linkkchecker_net_spark.pipeline.recrawl import budget_alloc
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hs = (
+        docs.groupBy((F2.col("doc_id") % 23).alias("k"))
+        .agg(F2.count("*").alias("n_urls"))
+        .select(
+            F2.concat(F2.lit("h"), F2.col("k").cast("string")).alias("host"),
+            "n_urls",
+            (F2.col("k") % 5 + 1).cast("long").alias("quality_scaled"),
+        )
+    )
+    p = _plan(budget_alloc(hs, 1000, 5, 200))
+    assert "Broadcast" in p, p
+    assert "SortMergeJoin" not in p, p
