@@ -2053,6 +2053,27 @@ def q_budget_alloc(spark, sf_dir):
                         max_per_host=200)
 
 
+def q_image_borders(spark, sf_dir):
+    """Letterbox / black-border detection (pipeline/multimodal.
+    detect_borders — FFmpeg-cropdetect semantics over REAL decoded
+    pixels, all three codecs incl. the lossy one).  The bordered fixture
+    makes the crop box an arithmetic function of doc_id (see
+    synth_bordered_corpus); 240 images keep the decode pass bounded at
+    every SF."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        detect_borders,
+        synth_bordered_corpus,
+    )
+
+    _prep(spark)
+    ids = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 240)
+        .select(F.col("doc_id").alias("id"))
+    )
+    return detect_borders(synth_bordered_corpus(spark, ids))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2144,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "sitemap_meta": q_sitemap_meta,
         "budget_alloc": q_budget_alloc,
+        "image_borders": q_image_borders,
         "host_linkgraph": q_host_linkgraph,
         "quality_keep": q_quality_keep,
         "clip_align": q_clip_align,
@@ -3845,6 +3867,28 @@ FROM an GROUP BY url
                                   (1000 * weight) // SUM(weight) OVER ()),
                          CAST(200 AS BIGINT), n_urls) AS alloc
             FROM w
+        """,
+        # structural oracle (Spark decodes real pixels): border widths and
+        # content dims are the fixture's arithmetic (synth_bordered_corpus)
+        "image_borders": """
+            SELECT 'img_' || lpad(doc_id::VARCHAR, 6, '0') AS image_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'png'
+                                   WHEN 1 THEN 'jpeg'
+                                   ELSE 'gif' END AS fmt,
+                   CAST(16 + doc_id % 9 + (doc_id // 12) % 3
+                        + (doc_id // 36) % 2 AS INT) AS w,
+                   CAST(12 + doc_id % 7 + doc_id % 4
+                        + (doc_id // 4) % 3 AS INT) AS h,
+                   CAST(doc_id % 4 AS INT) AS top,
+                   CAST((doc_id // 4) % 3 AS INT) AS bottom,
+                   CAST((doc_id // 12) % 3 AS INT) AS "left",
+                   CAST((doc_id // 36) % 2 AS INT) AS "right",
+                   CAST(16 + doc_id % 9 AS INT) AS content_w,
+                   CAST(12 + doc_id % 7 AS INT) AS content_h,
+                   (doc_id % 4 > 0 OR (doc_id // 4) % 3 > 0
+                    OR (doc_id // 12) % 3 > 0 OR (doc_id // 36) % 2 > 0)
+                     AS has_border
+            FROM documents WHERE doc_id < 240
         """,
         # candidate stream = the extract_links families, canonicalized
         # (a#2 and script resolve on the parent's host) minus mailto

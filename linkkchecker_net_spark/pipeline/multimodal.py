@@ -667,3 +667,101 @@ def clip_alignment(
             "align_pass"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Letterbox / black-border detection (FFmpeg-cropdetect semantics): count
+# leading/trailing rows and columns whose every pixel is near-black, emit
+# the crop box.  A web image corpus is full of letterboxed thumbnails and
+# padded social-card renders; cropping them BEFORE phash/feature
+# extraction stops the border pixels from dominating the hash.
+# ---------------------------------------------------------------------------
+
+BORDER_SCHEMA = (
+    "image_id string, fmt string, w int, h int, top int, bottom int, "
+    "left int, right int, content_w int, content_h int, has_border boolean"
+)
+
+
+def _crop_box(arr: np.ndarray, luma_thresh: float) -> tuple:
+    """(top, bottom, left, right) black-border widths of one decoded
+    image — a row/col is border iff its max channel value <= thresh."""
+    rowmax = arr.max(axis=(1, 2)).astype(np.float64)
+    colmax = arr.max(axis=(0, 2)).astype(np.float64)
+    h, w = arr.shape[0], arr.shape[1]
+    top = int(np.argmax(rowmax > luma_thresh)) if (rowmax > luma_thresh).any() else h
+    if top == h:  # all-black frame: report it as one top border
+        return h, 0, 0, 0
+    bottom = int(np.argmax(rowmax[::-1] > luma_thresh))
+    left = int(np.argmax(colmax > luma_thresh))
+    right = int(np.argmax(colmax[::-1] > luma_thresh))
+    return top, bottom, left, right
+
+
+def detect_borders(corpus: DataFrame, luma_thresh: float = 16.0) -> DataFrame:
+    """Decode each payload once, emit the crop box (mapInPandas — bytes
+    die at the stage boundary, scalars out).  luma_thresh=16 is the
+    broadcast-black level FFmpeg cropdetect defaults to; the lossy
+    codec's ±2 error stays far inside it.  Scale: map-only scan."""
+    from linkkchecker_net_spark import imaging
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "fmt", "w", "h", "top", "bottom", "left",
+                "right", "content_w", "content_h", "has_border")}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                arr = imaging.decode_image(bytes(data), fmt)
+                t, b, l, r = _crop_box(arr, luma_thresh)
+                h, w = arr.shape[0], arr.shape[1]
+                out["image_id"].append(iid)
+                out["fmt"].append(fmt)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["top"].append(t)
+                out["bottom"].append(b)
+                out["left"].append(l)
+                out["right"].append(r)
+                out["content_w"].append(max(w - l - r, 0))
+                out["content_h"].append(max(h - t - b, 0))
+                out["has_border"].append(bool(t or b or l or r))
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        scan, BORDER_SCHEMA
+    )
+
+
+def synth_bordered_corpus(spark, ids_df: DataFrame) -> DataFrame:
+    """Deterministic letterbox fixture: per id, a bright checkerboard
+    content block (channel0 alternates 128/255 — every row AND column of
+    content carries a >=128 pixel, so no content line can ever classify
+    as border, lossy ±2 included) padded with black borders of
+    arithmetic widths top=id%4, bottom=(id//4)%3, left=(id//12)%3,
+    right=(id//36)%2."""
+    from linkkchecker_net_spark import imaging
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                t, b = i % 4, (i // 4) % 3
+                l, r = (i // 12) % 3, (i // 36) % 2
+                w0, h0 = 16 + i % 9, 12 + i % 7
+                ys, xs = np.mgrid[0:h0, 0:w0]
+                content = np.zeros((h0, w0, 3), dtype=np.uint8)
+                content[..., 0] = 128 + 127 * ((xs + ys) % 2)
+                arr = np.zeros((h0 + t + b, w0 + l + r, 3), dtype=np.uint8)
+                arr[t:t + h0, l:l + w0] = content
+                fmt = ("png", "jpeg", "gif")[i % 3]
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(imaging.encode_image(arr, fmt))
+                out["fmt"].append(fmt)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(gen, "image_id string, bytes binary, fmt string")

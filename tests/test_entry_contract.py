@@ -80,6 +80,7 @@ NON_CRAWL = [
     "registrable_domains", "change_rate",
     "meta_robots", "nofollow_links", "rel_canonical",
     "c4_lines", "paragraph_dedup", "sitemap_meta", "budget_alloc",
+    "image_borders",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -532,3 +532,23 @@ def test_linkpolicy_is_codegen_only(spark):
     assert "Project" in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
         assert bad not in plan, plan
+
+
+def test_crop_box_edges():
+    """Pure-numpy crop-box semantics: no border, all-black frame, lossy
+    near-black noise staying under the cropdetect threshold."""
+    import numpy as np
+
+    from linkkchecker_net_spark.pipeline.multimodal import _crop_box
+
+    content = np.zeros((4, 5, 3), dtype=np.uint8)
+    content[..., 0] = 200
+    assert _crop_box(content, 16.0) == (0, 0, 0, 0)
+
+    framed = np.zeros((8, 9, 3), dtype=np.uint8)
+    framed[2:6, 3:8] = content
+    framed[0, 0, 1] = 2  # lossy wobble on a border pixel: still border
+    assert _crop_box(framed, 16.0) == (2, 2, 3, 1)
+
+    black = np.zeros((6, 6, 3), dtype=np.uint8)
+    assert _crop_box(black, 16.0) == (6, 0, 0, 0)
