@@ -2074,6 +2074,88 @@ def q_image_borders(spark, sf_dir):
     return detect_borders(synth_bordered_corpus(spark, ids))
 
 
+def q_charset_sniff(spark, sf_dir):
+    """HTML5-prescan charset detection (kernels/httpmeta.
+    charset_sniff_expr): BOM ≻ Content-Type header ≻ META ≻
+    windows-1252.  Variants cover all three BOMs (raw bytes via unhex —
+    the UTF-16 ones are NOT valid UTF-8, exercising the decode-tolerant
+    META scan), header-beats-meta and bom-beats-header precedence, both
+    META spellings, and the default fall-through."""
+    from linkkchecker_net_spark.kernels.httpmeta import charset_sniff_expr
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 7
+    plain = F.encode(F.lit("<html><p>x</p></html>"), "UTF-8")
+    meta_sj = F.encode(
+        F.lit('<html><meta charset="Shift_JIS"><p>x</p></html>'), "UTF-8"
+    )
+    body = (
+        F.when(m == 0, F.concat(F.unhex(F.lit("EFBBBF")), meta_sj))
+        .when(m == 1, F.concat(F.unhex(F.lit("FFFE")), plain))
+        .when(m == 2, F.concat(F.unhex(F.lit("FEFF")), plain))
+        .when(m == 3, meta_sj)
+        .when(m == 4, meta_sj)
+        .when(
+            m == 5,
+            F.encode(
+                F.lit(
+                    '<html><meta http-equiv="Content-Type" content='
+                    '"text/html; charset=EUC-KR"><p>x</p></html>'
+                ),
+                "UTF-8",
+            ),
+        )
+        .otherwise(plain)
+    )
+    header = F.when(
+        m.isin(0, 3), F.lit("text/html; charset=ISO-8859-1")
+    ).otherwise(F.lit("text/html"))
+    cs = charset_sniff_expr(body, header)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        cs["charset"].alias("charset"),
+        cs["source"].alias("source"),
+    )
+
+
+def q_cache_policy(spark, sf_dir):
+    """Cache-Control / validator policy extraction (kernels/httpmeta.
+    cache_policy_expr, RFC 9111): max-age parse (with an s-maxage decoy
+    that must NOT match), no-store vs no-cache ttl semantics, heuristic
+    default ttl, and the conditional-GET eligibility bit."""
+    from linkkchecker_net_spark.kernels.httpmeta import cache_policy_expr
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 6
+    cc = (
+        F.when(m == 0, F.lit("max-age=3600, public"))
+        .when(m == 1, F.lit("no-store"))
+        .when(m == 2, F.lit("no-cache"))
+        .when(m == 4, F.lit("public"))
+        .when(m == 5, F.lit("s-maxage=30, max-age=60"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    etag = F.when(i % 2 == 0, F.concat(F.lit('"e'), i.cast("string"),
+                                       F.lit('"'))).otherwise(
+        F.lit(None).cast("string")
+    )
+    lm = F.when(i % 3 == 0, F.lit("Mon, 01 Jan 2026 00:00:00 GMT")).otherwise(
+        F.lit(None).cast("string")
+    )
+    p = cache_policy_expr(cc, etag, lm)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        p["no_store"].alias("no_store"),
+        p["no_cache"].alias("no_cache"),
+        p["max_age"].alias("max_age"),
+        p["revalidatable"].alias("revalidatable"),
+        p["ttl_sec"].alias("ttl_sec"),
+        p["conditional_get"].alias("conditional_get"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2166,6 +2248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_meta": q_sitemap_meta,
         "budget_alloc": q_budget_alloc,
         "image_borders": q_image_borders,
+        "charset_sniff": q_charset_sniff,
+        "cache_policy": q_cache_policy,
         "host_linkgraph": q_host_linkgraph,
         "quality_keep": q_quality_keep,
         "clip_align": q_clip_align,
@@ -3889,6 +3973,47 @@ FROM an GROUP BY url
                     OR (doc_id // 12) % 3 > 0 OR (doc_id // 36) % 2 > 0)
                      AS has_border
             FROM documents WHERE doc_id < 240
+        """,
+        # precedence is arithmetic in doc_id%7: BOMs win over the header
+        # (m=0 carries header+meta too), header (m=3) beats meta, both
+        # META spellings (m=4, m=5), default fall-through (m=6)
+        "charset_sniff": """
+            SELECT doc_id,
+                   CASE doc_id % 7
+                     WHEN 0 THEN 'utf-8'
+                     WHEN 1 THEN 'utf-16le'
+                     WHEN 2 THEN 'utf-16be'
+                     WHEN 3 THEN 'iso-8859-1'
+                     WHEN 4 THEN 'shift_jis'
+                     WHEN 5 THEN 'euc-kr'
+                     ELSE 'windows-1252' END AS charset,
+                   CASE doc_id % 7
+                     WHEN 0 THEN 'bom' WHEN 1 THEN 'bom' WHEN 2 THEN 'bom'
+                     WHEN 3 THEN 'header'
+                     WHEN 4 THEN 'meta' WHEN 5 THEN 'meta'
+                     ELSE 'default' END AS source
+            FROM documents
+        """,
+        # ttl/flags arithmetic in doc_id%6; validators on doc_id%2 (etag)
+        # and doc_id%3 (last-modified)
+        "cache_policy": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 6 AS m,
+                     (doc_id % 2 = 0 OR doc_id % 3 = 0) AS reval
+              FROM documents
+            )
+            SELECT doc_id,
+                   m = 1 AS no_store,
+                   m = 2 AS no_cache,
+                   CAST(CASE WHEN m = 0 THEN 3600
+                             WHEN m = 5 THEN 60 END AS BIGINT) AS max_age,
+                   reval AS revalidatable,
+                   CAST(CASE WHEN m IN (1, 2) THEN 0
+                             WHEN m = 0 THEN 3600
+                             WHEN m = 5 THEN 60
+                             ELSE 86400 END AS BIGINT) AS ttl_sec,
+                   (reval AND m <> 1) AS conditional_get
+            FROM d
         """,
         # candidate stream = the extract_links families, canonicalized
         # (a#2 and script resolve on the parent's host) minus mailto

@@ -1,0 +1,126 @@
+"""HTTP response-metadata sniffing: charset detection + cache policy.
+
+The reference trusts the .NET HttpClient's own charset handling and
+ignores caching headers entirely (one-shot scan —
+`SpiderEngine/Spider.cs` fetch loop).  A continuous web-scale crawler
+needs both:
+
+  * charset — mis-decoded bodies corrupt link extraction and every text
+    operator downstream; the HTML5 prescan precedence (BOM ≻
+    Content-Type header ≻ in-page META ≻ windows-1252 default) is the
+    de-facto law of the web.
+  * cache policy — Cache-Control/ETag/Last-Modified decide whether the
+    NEXT visit is a free conditional GET or a full refetch; at 10^10
+    URLs the revalidation ratio is a first-order bandwidth term.  The
+    ttl feeds the same scheduler as `pipeline/recrawl.change_rate`
+    (server hint vs observed rate — the scheduler takes the min).
+
+Both are pure Column expressions (hex/substring on the raw bytes +
+regexp on header strings — whole-stage codegen, zero shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BOM signatures, hex of the leading bytes
+_BOM_UTF8 = "EFBBBF"
+_BOM_UTF16LE = "FFFE"
+_BOM_UTF16BE = "FEFF"
+
+_HDR_CHARSET_PAT = r'(?i)charset=["\']?([a-zA-Z0-9_.:-]+)'
+_META_CHARSET_PAT = r'(?i)<meta\s+charset=["\']?([a-zA-Z0-9_.:-]+)'
+_META_HTTPEQUIV_PAT = (
+    r'(?i)<meta\s+http-equiv=["\']?content-type["\']?'
+    r'\s+content="[^"]*charset=([a-zA-Z0-9_.:-]+)'
+)
+
+CHARSET_DEFAULT = "windows-1252"
+
+
+def charset_sniff_expr(body: Column, content_type: Column) -> Column:
+    """struct(charset, source) per HTML5-prescan precedence.
+
+    ``body`` is the raw BINARY payload (BOM check = hex of the first
+    bytes; the META scan decodes a UTF-8 view, which is sound for the
+    ASCII-superset encodings the prescan is defined over).  ``source``
+    ∈ {bom, header, meta, default} records which rung won — the audit
+    column a recrawl of mis-labeled hosts filters on.
+    """
+    h3 = F.hex(F.substring(body, 1, 3))
+    h2 = F.hex(F.substring(body, 1, 2))
+    text = F.decode(body, "UTF-8")
+    hdr = F.lower(
+        F.regexp_extract(F.coalesce(content_type, F.lit("")),
+                         _HDR_CHARSET_PAT, 1)
+    )
+    meta = F.lower(
+        F.coalesce(
+            F.nullif(F.regexp_extract(text, _META_CHARSET_PAT, 1), F.lit("")),
+            F.nullif(F.regexp_extract(text, _META_HTTPEQUIV_PAT, 1),
+                     F.lit("")),
+        )
+    )
+    return (
+        F.when(h3 == _BOM_UTF8,
+               F.struct(F.lit("utf-8").alias("charset"),
+                        F.lit("bom").alias("source")))
+        .when(h2 == _BOM_UTF16LE,
+              F.struct(F.lit("utf-16le").alias("charset"),
+                       F.lit("bom").alias("source")))
+        .when(h2 == _BOM_UTF16BE,
+              F.struct(F.lit("utf-16be").alias("charset"),
+                       F.lit("bom").alias("source")))
+        .when(hdr != "",
+              F.struct(hdr.alias("charset"), F.lit("header").alias("source")))
+        .when(meta.isNotNull(),
+              F.struct(meta.alias("charset"), F.lit("meta").alias("source")))
+        .otherwise(
+            F.struct(F.lit(CHARSET_DEFAULT).alias("charset"),
+                     F.lit("default").alias("source"))
+        )
+    )
+
+
+# Cache-Control directive extraction (RFC 9111 §5.2, response side)
+_MAX_AGE_PAT = r"(?i)(^|[,\s])max-age=(\d+)"
+_NO_STORE_PAT = r"(?i)(^|[,\s])no-store([,\s]|$)"
+_NO_CACHE_PAT = r"(?i)(^|[,\s])no-cache([,\s=]|$)"
+
+CACHE_DEFAULT_TTL = 86400
+
+
+def cache_policy_expr(
+    cache_control: Column, etag: Column, last_modified: Column
+) -> Column:
+    """struct(no_store, no_cache, max_age, revalidatable, ttl_sec,
+    conditional_get) from response caching headers.
+
+    ttl_sec: 0 under no-store/no-cache, else max-age when present, else
+    the 1-day heuristic default (RFC 9111 allows heuristic freshness;
+    10%-of-Last-Modified-age is the classic rule — age isn't modeled
+    here, so the flat default stands in).  conditional_get is true when
+    a validator (ETag / Last-Modified) exists and no-store doesn't
+    forbid reuse — the rows a scheduler may revalidate for free.
+    """
+    cc = F.coalesce(cache_control, F.lit(""))
+    no_store = cc.rlike(_NO_STORE_PAT)
+    no_cache = cc.rlike(_NO_CACHE_PAT)
+    max_age = F.nullif(
+        F.regexp_extract(cc, _MAX_AGE_PAT, 2), F.lit("")
+    ).cast("long")
+    reval = etag.isNotNull() | last_modified.isNotNull()
+    ttl = (
+        F.when(no_store | no_cache, F.lit(0).cast("long"))
+        .when(max_age.isNotNull(), max_age)
+        .otherwise(F.lit(CACHE_DEFAULT_TTL).cast("long"))
+    )
+    return F.struct(
+        no_store.alias("no_store"),
+        no_cache.alias("no_cache"),
+        max_age.alias("max_age"),
+        reval.alias("revalidatable"),
+        ttl.alias("ttl_sec"),
+        (reval & ~no_store).alias("conditional_get"),
+    )

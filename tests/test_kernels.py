@@ -552,3 +552,31 @@ def test_crop_box_edges():
 
     black = np.zeros((6, 6, 3), dtype=np.uint8)
     assert _crop_box(black, 16.0) == (6, 0, 0, 0)
+
+
+def test_httpmeta_is_codegen_only(spark):
+    """Scale contract: charset sniff + cache policy are pure expressions
+    — one Project, no Python eval, no exchange."""
+    from pyspark.sql import functions as F
+
+    from linkkchecker_net_spark.kernels.httpmeta import (
+        cache_policy_expr,
+        charset_sniff_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(b"<html></html>", "text/html", "max-age=60", None, None)],
+        "body binary, ct string, cc string, etag string, lm string",
+    )
+    plan = (
+        df.select(
+            charset_sniff_expr(F.col("body"), F.col("ct")).alias("c"),
+            cache_policy_expr(
+                F.col("cc"), F.col("etag"), F.col("lm")
+            ).alias("p"),
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Project" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
+        assert bad not in plan, plan
