@@ -2156,6 +2156,26 @@ def q_cache_policy(spark, sf_dir):
     )
 
 
+def q_warc_manifest(spark, sf_dir):
+    """WARC export planning (reports/warc.warc_manifest): content-
+    addressed shard assignment + per-shard byte offsets for synthesized
+    fetch results (body_len arithmetic in doc_id).  The oracle replays
+    the same md5-hex8 hash and windowed cumsum in SQL — offsets are
+    bit-exact, not just counts."""
+    from linkkchecker_net_spark.reports.warc import warc_manifest
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    results = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://w"), (i % 11).cast("string"),
+            F.lit(".test/p/"), i.cast("string"),
+        ).alias("url"),
+        (100 + (i * 37) % 9000).alias("body_len"),
+    )
+    return warc_manifest(results, n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2250,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_borders": q_image_borders,
         "charset_sniff": q_charset_sniff,
         "cache_policy": q_cache_policy,
+        "warc_manifest": q_warc_manifest,
         "host_linkgraph": q_host_linkgraph,
         "quality_keep": q_quality_keep,
         "clip_align": q_clip_align,
@@ -4014,6 +4035,33 @@ FROM an GROUP BY url
                              ELSE 86400 END AS BIGINT) AS ttl_sec,
                    (reval AND m <> 1) AS conditional_get
             FROM d
+        """,
+        # same md5-hex8 shard hash and URL-ordered per-shard cumsum —
+        # offsets bit-exact
+        "warc_manifest": """
+            WITH r AS (
+              SELECT 'http://w' || (doc_id % 11) || '.test/p/' || doc_id
+                       AS url,
+                     100 + (doc_id * 37) % 9000 AS body_len
+              FROM documents
+            ),
+            s AS (
+              SELECT url,
+                     ('0x' || substr(md5(url), 1, 8))::BIGINT % 8
+                       AS shard_id,
+                     CAST(120 + length(url) + body_len + 4 AS BIGINT)
+                       AS record_len
+              FROM r
+            )
+            SELECT shard_id, url, record_len,
+                   CAST(COALESCE(SUM(record_len) OVER (
+                          PARTITION BY shard_id ORDER BY url
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+                   CAST(SUM(record_len) OVER (PARTITION BY shard_id)
+                        AS BIGINT) AS shard_bytes,
+                   COUNT(*) OVER (PARTITION BY shard_id) AS shard_records
+            FROM s
         """,
         # candidate stream = the extract_links families, canonicalized
         # (a#2 and script resolve on the parent's host) minus mailto

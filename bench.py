@@ -355,7 +355,7 @@ def run_queries(spark) -> dict:
         "registrable_domains", "change_rate",
         "meta_robots", "nofollow_links", "rel_canonical",
         "c4_lines", "paragraph_dedup", "sitemap_meta", "budget_alloc",
-        "image_borders", "charset_sniff", "cache_policy",
+        "image_borders", "charset_sniff", "cache_policy", "warc_manifest",
     ]
     out = {}
     qs = entrymod.queries()

@@ -80,7 +80,7 @@ NON_CRAWL = [
     "registrable_domains", "change_rate",
     "meta_robots", "nofollow_links", "rel_canonical",
     "c4_lines", "paragraph_dedup", "sitemap_meta", "budget_alloc",
-    "image_borders", "charset_sniff", "cache_policy",
+    "image_borders", "charset_sniff", "cache_policy", "warc_manifest",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
