@@ -2176,6 +2176,28 @@ def q_warc_manifest(spark, sf_dir):
     return warc_manifest(results, n_shards=8)
 
 
+def q_image_dhash(spark, sf_dir):
+    """Difference-hash near-dup (pipeline/multimodal.dhash_neardup_pairs
+    over imaging.dhash64 — real decode, all three codecs).  The gradient
+    fixture makes every pair distance EXACT by construction (dhash bits
+    = step signs; see synth_gradient_corpus): the radius-3 pair set is
+    precisely the (2g, 2g+1) twins with g%6 <= 3, and their hamming is
+    g%6.  Margins verified offline: lossy round-trip flips zero bits
+    (±14-point gradient vs ±2 pixel error), min cross-group hamming 17."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        dhash_neardup_pairs,
+        synth_gradient_corpus,
+    )
+
+    _prep(spark)
+    ids = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 240)
+        .select(F.col("doc_id").alias("id"))
+    )
+    return dhash_neardup_pairs(synth_gradient_corpus(spark, ids))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2271,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_sniff": q_charset_sniff,
         "cache_policy": q_cache_policy,
         "warc_manifest": q_warc_manifest,
+        "image_dhash": q_image_dhash,
         "host_linkgraph": q_host_linkgraph,
         "quality_keep": q_quality_keep,
         "clip_align": q_clip_align,
@@ -4062,6 +4085,16 @@ FROM an GROUP BY url
                         AS BIGINT) AS shard_bytes,
                    COUNT(*) OVER (PARTITION BY shard_id) AS shard_records
             FROM s
+        """,
+        # structural oracle: pair distances are the fixture's construction
+        # (dhash bits = step signs; odd member flips g%6 of them)
+        "image_dhash": """
+            SELECT 'img_' || lpad(doc_id::VARCHAR, 6, '0') AS img_a,
+                   'img_' || lpad((doc_id + 1)::VARCHAR, 6, '0') AS img_b,
+                   CAST((doc_id // 2) % 6 AS INT) AS hamming
+            FROM documents
+            WHERE doc_id < 240 AND doc_id % 2 = 0
+              AND (doc_id // 2) % 6 <= 3
         """,
         # candidate stream = the extract_links families, canonicalized
         # (a#2 and script resolve on the parent's host) minus mailto

@@ -356,6 +356,7 @@ def run_queries(spark) -> dict:
         "meta_robots", "nofollow_links", "rel_canonical",
         "c4_lines", "paragraph_dedup", "sitemap_meta", "budget_alloc",
         "image_borders", "charset_sniff", "cache_policy", "warc_manifest",
+        "image_dhash",
     ]
     out = {}
     qs = entrymod.queries()

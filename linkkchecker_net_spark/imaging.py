@@ -182,3 +182,29 @@ def make_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     )
     noise = rng.integers(-12, 13, size=(h, w, 3))
     return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference-hash: grayscale → 8×9 block means → sign of each
+    horizontal gradient (row-major), signed int64.
+
+    Complements :func:`phash64` (average hash): dhash keys on local
+    gradient STRUCTURE, phash on global brightness layout — the pair
+    disagrees exactly on the uniform-brightness-shift edits that defeat
+    one of them alone.
+    """
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 10).astype(int)
+    m = np.empty((8, 9))
+    for i in range(8):
+        for j in range(9):
+            m[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (m[:, 1:] > m[:, :-1]).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val

@@ -765,3 +765,91 @@ def synth_bordered_corpus(spark, ids_df: DataFrame) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return ids_df.mapInPandas(gen, "image_id string, bytes binary, fmt string")
+
+
+# ---------------------------------------------------------------------------
+# Difference-hash (dhash) near-dup — the gradient-structure complement to
+# the phash average-hash path.  Same blocked-join scale shape.
+# ---------------------------------------------------------------------------
+
+
+def dhash_neardup_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(img_a, img_b, hamming) by 64-bit dhash distance.
+
+    Decode + dhash in one mapInPandas Arrow pass (bytes die at the stage
+    boundary), then the shared 4×16-bit chunk blocking
+    (pipeline/dedup.hamming_blocked_pairs — exact recall ≤ 3 by
+    pigeonhole).  dhash keys on horizontal gradient signs, so it catches
+    the brightness-shifted re-exports phash's global mean threshold
+    misses; a production dedup ORs both pair sets (same shape as
+    caption_phash_neardup_pairs' two-leg merge).
+    """
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.dedup import hamming_blocked_pairs
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "dhash": []}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    continue  # undecodable: excluded, like phash path
+                out["image_id"].append(iid)
+                out["dhash"].append(imaging.dhash64(arr))
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    hashed = corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        scan, "image_id string, dhash long"
+    )
+    return hamming_blocked_pairs(
+        hashed, "image_id", "dhash", max_hamming, "img_a", "img_b"
+    )
+
+
+def synth_gradient_corpus(spark, ids_df: DataFrame) -> DataFrame:
+    """Deterministic dhash fixture with EXACT pair distances: each group
+    g = id//2 draws 64 random step signs (seeded by g); block means walk
+    ±14 from 128 along each row, 8×8-px blocks (64×72 image) — so the
+    dhash bits ARE the step signs by construction.  The odd member flips
+    the first g%6 steps → intra-pair hamming is exactly g%6; cross-group
+    patterns are independent draws (measured min cross hamming 17 over
+    the 240-image fixture, lossy round-trip included — margins verified
+    offline, see q_image_dhash docstring).  The ±14 step with ±2 lossy
+    pixel error leaves every gradient sign a ≥12-point margin: hashes
+    are codec-independent."""
+    from linkkchecker_net_spark import imaging
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                g, odd = divmod(i, 2)
+                rng = np.random.default_rng(70_000_003 + g)
+                steps = rng.integers(0, 2, 64)
+                if odd:
+                    steps = steps.copy()
+                    steps[: g % 6] ^= 1
+                m = np.empty((8, 9))
+                for r in range(8):
+                    m[r, 0] = 128.0
+                    for c in range(8):
+                        m[r, c + 1] = m[r, c] + (
+                            14.0 if steps[r * 8 + c] else -14.0
+                        )
+                arr = np.repeat(np.repeat(m, 8, axis=0), 8, axis=1)
+                img = np.stack([arr] * 3, axis=2).clip(0, 255).astype(
+                    np.uint8
+                )
+                fmt = ("png", "jpeg", "gif")[i % 3]
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(imaging.encode_image(img, fmt))
+                out["fmt"].append(fmt)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(gen, "image_id string, bytes binary, fmt string")
