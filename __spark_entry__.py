@@ -2198,6 +2198,34 @@ def q_image_dhash(spark, sf_dir):
     return dhash_neardup_pairs(synth_gradient_corpus(spark, ids))
 
 
+def q_host_reputation(spark, sf_dir):
+    """Host-reputation rollup (pipeline/reputation.host_reputation):
+    integer-exact ppm rates + score over synthesized per-page signals —
+    13 hosts, soft404 on doc_id%9==2, honest 404 on %9==5, duplicate
+    content groups of 4 on %4==0 pages (hash keyed by (host, doc_id//52)
+    so dups never straddle hosts), quality tier doc_id%5+1."""
+    from linkkchecker_net_spark.pipeline.reputation import host_reputation
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("r"), (i % 13).cast("string"), F.lit(".test"))
+    soft = i % 9 == 2
+    status = F.when(i % 9 == 5, F.lit(404)).otherwise(F.lit(200))
+    chash = F.when(
+        i % 4 == 0,
+        F.md5(F.concat(F.lit("dup:"), (i % 13).cast("string"),
+                       F.lit(":"), (i / 52).cast("long").cast("string"))),
+    ).otherwise(F.md5(F.concat(F.lit("u:"), i.cast("string"))))
+    pages = _docs(spark, sf_dir).select(
+        host.alias("host"),
+        status.alias("status"),
+        soft.alias("soft404"),
+        chash.alias("content_hash"),
+        (i % 5 + 1).cast("long").alias("quality_scaled"),
+    )
+    return host_reputation(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2294,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_policy": q_cache_policy,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
+        "host_reputation": q_host_reputation,
         "host_linkgraph": q_host_linkgraph,
         "quality_keep": q_quality_keep,
         "clip_align": q_clip_align,
@@ -4095,6 +4124,43 @@ FROM an GROUP BY url
             FROM documents
             WHERE doc_id < 240 AND doc_id % 2 = 0
               AND (doc_id // 2) % 6 <= 3
+        """,
+        # same synthesized signals; integer div keeps every rate and the
+        # score bit-exact across engines
+        "host_reputation": """
+            WITH p AS (
+              SELECT 'r' || (doc_id % 13) || '.test' AS host,
+                     doc_id % 9 = 2 AS soft,
+                     doc_id % 9 = 5 AS broken,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN md5('dup:' || (doc_id % 13) || ':'
+                                   || (doc_id // 52))
+                          ELSE md5('u:' || doc_id) END AS h,
+                     doc_id % 5 + 1 AS q
+              FROM documents
+            ),
+            a AS (
+              SELECT host,
+                     CAST(COUNT(*) AS BIGINT) AS n_pages,
+                     CAST(SUM(CASE WHEN soft THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_soft,
+                     CAST(SUM(CASE WHEN broken THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_broken,
+                     CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+                     CAST(SUM(q) AS BIGINT) AS sum_q
+              FROM p GROUP BY host
+            )
+            SELECT host, n_pages,
+                   1000000 * n_soft // n_pages AS soft404_ppm,
+                   1000000 * n_broken // n_pages AS broken_ppm,
+                   1000000 * (n_pages - n_distinct) // n_pages AS dup_ppm,
+                   100 * sum_q // n_pages AS quality_centi,
+                   10 * (100 * sum_q // n_pages)
+                     - (1000000 * n_soft // n_pages) // 500
+                     - (1000000 * (n_pages - n_distinct) // n_pages) // 500
+                     - (1000000 * n_broken // n_pages) // 1000
+                     AS reputation
+            FROM a
         """,
         # candidate stream = the extract_links families, canonicalized
         # (a#2 and script resolve on the parent's host) minus mailto
