@@ -2226,6 +2226,73 @@ def q_host_reputation(spark, sf_dir):
     return host_reputation(pages)
 
 
+def q_revalidation_plan(spark, sf_dir):
+    """Conditional-GET fetch planning (pipeline/recrawl.
+    revalidation_plan over kernels/httpmeta.cache_policy_expr): the
+    fresh / revalidate / full split plus the bytes ledger.  Header
+    variants are the cache_policy battery (doc_id%6) with ages spanning
+    the 1-day heuristic ttl ((i*17)%100000) so every action arm and
+    every ttl tier is exercised; validators on i%2 (ETag) / i%3
+    (Last-Modified)."""
+    from linkkchecker_net_spark.pipeline.recrawl import revalidation_plan
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 6
+    cc = (
+        F.when(m == 0, F.lit("max-age=3600, public"))
+        .when(m == 1, F.lit("no-store"))
+        .when(m == 2, F.lit("no-cache"))
+        .when(m == 4, F.lit("public"))
+        .when(m == 5, F.lit("s-maxage=30, max-age=60"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    etag = F.when(
+        i % 2 == 0, F.concat(F.lit('"e'), i.cast("string"), F.lit('"'))
+    ).otherwise(F.lit(None).cast("string"))
+    lm = F.when(i % 3 == 0, F.lit("Mon, 01 Jan 2026 00:00:00 GMT")).otherwise(
+        F.lit(None).cast("string")
+    )
+    results = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://h"), (i % 7).cast("string"),
+                 F.lit(".test/p/"), i.cast("string")).alias("url"),
+        cc.alias("cache_control"),
+        etag.alias("etag"),
+        lm.alias("last_modified"),
+        ((i * 17) % 100000).alias("age_sec"),
+        (200 + (i * 31) % 8000).alias("body_len"),
+    )
+    return revalidation_plan(results)
+
+
+def q_retry_after(spark, sf_dir):
+    """Reactive politeness (pipeline/recrawl.retry_after_backoff):
+    429/503 runs escalate exponential backoff (5s·2^k, capped at 320s),
+    Retry-After is a floor.  Status pattern doc_id%11 over hosts
+    doc_id%7 makes failure runs of varied lengths inside each host
+    stream; Retry-After present on m==3 (30+i%13 s).  The oracle
+    replays the same segmented-window reset in SQL."""
+    from linkkchecker_net_spark.pipeline.recrawl import retry_after_backoff
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 11
+    status = (
+        F.when(m.isin(2, 3, 4), F.lit(429))
+        .when(m == 7, F.lit(503))
+        .otherwise(F.lit(200))
+    )
+    ra = F.when(m == 3, 30 + i % 13).otherwise(F.lit(None).cast("long"))
+    events = _docs(spark, sf_dir).select(
+        F.concat(F.lit("b"), (i % 7).cast("string"),
+                 F.lit(".test")).alias("host"),
+        i.alias("ts"),
+        status.alias("status"),
+        ra.alias("retry_after"),
+    )
+    return retry_after_backoff(events)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2320,6 +2387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_borders": q_image_borders,
         "charset_sniff": q_charset_sniff,
         "cache_policy": q_cache_policy,
+        "revalidation_plan": q_revalidation_plan,
+        "retry_after": q_retry_after,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4087,6 +4156,83 @@ FROM an GROUP BY url
                              ELSE 86400 END AS BIGINT) AS ttl_sec,
                    (reval AND m <> 1) AS conditional_get
             FROM d
+        """,
+        # action arms + bytes ledger are arithmetic in (doc_id%6, age);
+        # ttl tiers mirror the cache_policy oracle
+        "revalidation_plan": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 6 AS m,
+                     (doc_id % 2 = 0 OR doc_id % 3 = 0) AS reval,
+                     (doc_id * 17) % 100000 AS age,
+                     200 + (doc_id * 31) % 8000 AS blen
+              FROM documents
+            ),
+            e AS (
+              SELECT *, CAST(CASE WHEN m IN (1, 2) THEN 0
+                                  WHEN m = 0 THEN 3600
+                                  WHEN m = 5 THEN 60
+                                  ELSE 86400 END AS BIGINT) AS ttl
+              FROM d
+            ),
+            f AS (
+              SELECT *, CASE WHEN m NOT IN (1, 2) AND ttl > age
+                               THEN 'fresh'
+                             WHEN reval AND m <> 1 THEN 'revalidate'
+                             ELSE 'full' END AS action
+              FROM e
+            )
+            SELECT 'http://h' || (doc_id % 7) || '.test/p/' || doc_id
+                     AS url,
+                   action,
+                   ttl AS ttl_sec,
+                   CAST(age AS BIGINT) AS age_sec,
+                   CAST(CASE WHEN action = 'full' THEN blen ELSE 0 END
+                        AS BIGINT) AS bytes_fetched,
+                   CAST(CASE WHEN action = 'full' THEN 0 ELSE blen END
+                        AS BIGINT) AS bytes_saved
+            FROM f
+        """,
+        # the segmented-window reset (seg = running success count) is
+        # replayed verbatim; backoff = 5 * 2^min(run-1, 6), Retry-After
+        # as a floor
+        "retry_after": """
+            WITH e AS (
+              SELECT 'b' || (doc_id % 7) || '.test' AS host,
+                     CAST(doc_id AS BIGINT) AS ts,
+                     CASE WHEN doc_id % 11 IN (2, 3, 4) THEN 429
+                          WHEN doc_id % 11 = 7 THEN 503
+                          ELSE 200 END AS status,
+                     CASE WHEN doc_id % 11 = 3
+                          THEN CAST(30 + doc_id % 13 AS BIGINT) END AS ra
+              FROM documents
+            ),
+            s AS (
+              SELECT *, status IN (429, 503) AS is_fail,
+                     SUM(CASE WHEN status IN (429, 503) THEN 0 ELSE 1 END)
+                       OVER (PARTITION BY host ORDER BY ts) AS seg
+              FROM e
+            ),
+            c AS (
+              SELECT *, SUM(CASE WHEN is_fail THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY host, seg ORDER BY ts)
+                          AS consec
+              FROM s
+            ),
+            g AS (
+              SELECT *, CAST(CASE WHEN is_fail
+                               THEN GREATEST(
+                                 5 * (1 << CAST(LEAST(consec - 1, 6)
+                                                AS INT)),
+                                 COALESCE(ra, 0))
+                               ELSE 0 END AS BIGINT) AS delay
+              FROM c
+            )
+            SELECT host, ts, status, is_fail,
+                   CAST(CASE WHEN is_fail THEN consec ELSE 0 END
+                        AS BIGINT) AS consec_fails,
+                   delay AS delay_sec,
+                   ts + delay AS next_allowed_ts
+            FROM g
         """,
         # same md5-hex8 shard hash and URL-ordered per-shard cumsum —
         # offsets bit-exact

@@ -356,7 +356,7 @@ def run_queries(spark) -> dict:
         "meta_robots", "nofollow_links", "rel_canonical",
         "c4_lines", "paragraph_dedup", "sitemap_meta", "budget_alloc",
         "image_borders", "charset_sniff", "cache_policy", "warc_manifest",
-        "image_dhash", "host_reputation",
+        "image_dhash", "host_reputation", "revalidation_plan", "retry_after",
     ]
     out = {}
     qs = entrymod.queries()

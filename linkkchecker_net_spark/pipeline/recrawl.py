@@ -123,3 +123,137 @@ def budget_alloc(
         weighted.crossJoin(F.broadcast(total_w))  # 1-row scalar dim
         .select("host", "n_urls", "weight", alloc.alias("alloc"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional-GET revalidation planning — turns the per-URL cache policy
+# (kernels/httpmeta.cache_policy_expr) plus the time since last fetch
+# into a fetch ACTION and a bandwidth ledger.  The reference refetches
+# everything every run (one-shot scan, SpiderEngine/Spider.cs); at 10^10
+# URLs the fresh/revalidate/full split IS the bandwidth bill of a
+# recrawl epoch.
+# ---------------------------------------------------------------------------
+
+
+def revalidation_plan(
+    results,
+    url_col: str = "url",
+    cc_col: str = "cache_control",
+    etag_col: str = "etag",
+    lm_col: str = "last_modified",
+    age_col: str = "age_sec",
+    len_col: str = "body_len",
+):
+    """(url, action, ttl_sec, age_sec, bytes_fetched, bytes_saved).
+
+    action ∈ {fresh, revalidate, full} per RFC 9111 response semantics:
+
+      * ``fresh``       — age < ttl and the response is cacheable and
+                          doesn't demand revalidation (no-cache) — no
+                          request at all; saves the full body.
+      * ``revalidate``  — a validator exists (ETag / Last-Modified) and
+                          no-store doesn't forbid reuse — a conditional
+                          GET whose 304 costs headers only; the body
+                          bytes are saved (the planner assumes
+                          unmodified; `change_rate` supplies the
+                          probability refinement upstream).
+      * ``full``        — everything else: full refetch.
+
+    Pure Column codegen (regex on header strings + arithmetic) — zero
+    shuffle, map-only at any scale.
+    """
+    from linkkchecker_net_spark.kernels.httpmeta import cache_policy_expr
+
+    p = cache_policy_expr(F.col(cc_col), F.col(etag_col), F.col(lm_col))
+    age = F.col(age_col).cast("long")
+    blen = F.col(len_col).cast("long")
+    with_p = results.select(
+        F.col(url_col).alias("url"), age.alias("age_sec"),
+        blen.alias("body_len"), p.alias("p"),
+    )
+    fresh = (
+        (F.col("p.ttl_sec") > F.col("age_sec"))
+        & ~F.col("p.no_cache")
+        & ~F.col("p.no_store")
+    )
+    action = (
+        F.when(fresh, F.lit("fresh"))
+        .when(F.col("p.conditional_get"), F.lit("revalidate"))
+        .otherwise(F.lit("full"))
+    )
+    return with_p.select(
+        "url",
+        action.alias("action"),
+        F.col("p.ttl_sec").alias("ttl_sec"),
+        "age_sec",
+        F.when(action == "full", F.col("body_len"))
+        .otherwise(F.lit(0)).cast("long").alias("bytes_fetched"),
+        F.when(action == "full", F.lit(0))
+        .otherwise(F.col("body_len")).cast("long").alias("bytes_saved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retry-After / 429 adaptive backoff — the reactive side of politeness.
+# W1's per-host window enforces a STATIC budget; real hosts talk back
+# (429 Too Many Requests / 503 + Retry-After, RFC 9110 §10.2.3), and a
+# crawler that ignores them gets IP-banned.  Consecutive-failure runs
+# escalate an exponential backoff; an explicit Retry-After header is a
+# floor, never ignored.
+# ---------------------------------------------------------------------------
+
+BACKOFF_BASE_SEC = 5
+BACKOFF_MAX_DOUBLINGS = 6  # 5 * 2^6 = 320 s cap
+
+
+def retry_after_backoff(
+    events,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    status_col: str = "status",
+    ra_col: str = "retry_after",
+) -> "DataFrame":
+    """(host, ts, status, is_fail, consec_fails, delay_sec,
+    next_allowed_ts) — per fetch event.
+
+    A *fail* is 429 or 503.  consec_fails counts the failure run the
+    event extends (reset by any success): computed with one segmented
+    window — segment id = running success count, so each segment is
+    [success, fail, fail, ...] and the running fail-sum inside it is the
+    consecutive index.  delay = max(base·2^min(run−1, cap), Retry-After)
+    for fails, 0 for successes; next_allowed_ts = ts + delay.
+
+    Scale: two windows over the SAME (host, ts) ordering — one shuffle
+    by host, millions of independent partitions, state O(1) per row.
+    """
+    w = Window.partitionBy("host").orderBy("ts")
+    fail = F.col("status").isin(429, 503)
+    seg = F.sum(F.when(fail, 0).otherwise(1)).over(w)
+    ev = events.select(
+        F.col(host_col).alias("host"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(status_col).cast("int").alias("status"),
+        F.col(ra_col).cast("long").alias("ra"),
+    ).withColumn("is_fail", fail).withColumn("seg", seg)
+    ws = Window.partitionBy("host", "seg").orderBy("ts")
+    consec = F.sum(F.col("is_fail").cast("long")).over(ws)
+    # shiftleft's numBits arg must be a literal — doubling count is data-
+    # dependent, so the 2^k goes through F.expr (still pure codegen)
+    backoff = F.expr(
+        f"CAST({BACKOFF_BASE_SEC} * shiftleft(1L, CAST(LEAST("
+        f"consec_fails - 1, {BACKOFF_MAX_DOUBLINGS}) AS INT)) AS BIGINT)"
+    )
+    delay = F.when(
+        F.col("is_fail"),
+        F.greatest(backoff, F.coalesce(F.col("ra"), F.lit(0).cast("long"))),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        ev.withColumn("consec_fails",
+                      F.when(F.col("is_fail"), consec)
+                      .otherwise(F.lit(0).cast("long")))
+        .withColumn("delay_sec", delay)
+        .select(
+            "host", "ts", "status", "is_fail", "consec_fails", "delay_sec",
+            (F.col("ts") + F.col("delay_sec")).alias("next_allowed_ts"),
+        )
+    )

@@ -81,7 +81,7 @@ NON_CRAWL = [
     "meta_robots", "nofollow_links", "rel_canonical",
     "c4_lines", "paragraph_dedup", "sitemap_meta", "budget_alloc",
     "image_borders", "charset_sniff", "cache_policy", "warc_manifest",
-    "image_dhash", "host_reputation",
+    "image_dhash", "host_reputation", "revalidation_plan", "retry_after",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
