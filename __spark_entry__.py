@@ -2293,6 +2293,34 @@ def q_retry_after(spark, sf_dir):
     return retry_after_backoff(events)
 
 
+def q_pagination_chains(spark, sf_dir):
+    """rel=next chain assembly (pipeline/graph.pagination_chains):
+    pointer doubling on predecessor pointers, O(log L) rounds.  The
+    fixture lays disjoint chains inside blocks of 8 ids — block b
+    carries a chain of length (b%7)+2 starting at its first id, the
+    rest singletons (edge i→i+1 iff i%8 < (i//8)%7+1, gated on i+1
+    existing) — so every length 2..8 and the singleton case appear.
+    The oracle recomputes head/pos from the SAME edge set with a
+    recursive CTE — it replays the walk, not the arithmetic."""
+    from linkkchecker_net_spark.pipeline.graph import pagination_chains
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(F.concat(F.lit("p"), i.cast("string")).alias("url"))
+    ids = docs.select(i.alias("i"))
+    cand = ids.filter(
+        (F.col("i") % 8) < (F.expr("i div 8") % 7) + 1
+    ).select(F.col("i").alias("s"), (F.col("i") + 1).alias("d"))
+    edges = cand.join(
+        ids.select(F.col("i").alias("d")), "d", "left_semi"
+    ).select(
+        F.concat(F.lit("p"), F.col("s").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("d").cast("string")).alias("dst"),
+    )
+    return pagination_chains(pages, edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2389,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_policy": q_cache_policy,
         "revalidation_plan": q_revalidation_plan,
         "retry_after": q_retry_after,
+        "pagination_chains": q_pagination_chains,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4191,6 +4220,31 @@ FROM an GROUP BY url
                    CAST(CASE WHEN action = 'full' THEN 0 ELSE blen END
                         AS BIGINT) AS bytes_saved
             FROM f
+        """,
+        # the oracle replays the WALK with a recursive CTE anchored at
+        # in-degree-0 heads — chain structure, not fixture arithmetic
+        "pagination_chains": """
+            WITH RECURSIVE p AS (
+              SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+            ),
+            e AS (
+              SELECT a.i AS s, a.i + 1 AS d
+              FROM p a JOIN p b ON b.i = a.i + 1
+              WHERE (a.i % 8) < ((a.i // 8) % 7) + 1
+            ),
+            heads AS (SELECT i FROM p WHERE i NOT IN (SELECT d FROM e)),
+            walk AS (
+              SELECT i AS head, i AS node, CAST(0 AS BIGINT) AS pos
+              FROM heads
+              UNION ALL
+              SELECT w.head, e.d, w.pos + 1
+              FROM walk w JOIN e ON e.s = w.node
+            )
+            SELECT 'p' || node AS url,
+                   'p' || head AS chain_head,
+                   pos,
+                   COUNT(*) OVER (PARTITION BY head) AS chain_len
+            FROM walk
         """,
         # the segmented-window reset (seg = running success count) is
         # replayed verbatim; backoff = 5 * 2^min(run-1, 6), Retry-After

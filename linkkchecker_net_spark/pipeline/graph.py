@@ -28,7 +28,7 @@ Scale design (10^10-node graph):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -397,4 +397,91 @@ def host_linkgraph(
         hosts.groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("links"))
         .withColumn("intra", F.col("src_host") == F.col("dst_host"))
+    )
+
+
+def pagination_chains(
+    pages: DataFrame,
+    next_edges: DataFrame,
+    url_col: str = "url",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Assemble rel=next pagination chains: every page gets its chain
+    head, 0-based position, and chain length — by pointer doubling on
+    PREDECESSOR pointers, O(log L) shuffle rounds for chains of length L.
+
+    The reference treats each page independently (`SpiderEngine/
+    Spider.cs` has no pagination notion); a crawl scheduler wants chains
+    because page 1 of a 400-page listing is worth fetching eagerly and
+    page 397 is not, and a training-data packer wants multi-page
+    articles reassembled in order.
+
+    ``pages`` — the full page set (singletons are chains of length 1;
+    anchoring on pages, not edges, keeps no-next pages visible — same
+    full-set anchoring rule as `text.repetition_stats`).  ``next_edges``
+    — one row per rel=next link.  Pagination is functional both ways;
+    duplicate src (or dst) rows are collapsed keep-min for determinism.
+    Input must be acyclic (a rel=next cycle is a crawl trap — feed
+    `traps.url_traps` upstream); the round cap bounds the loop for
+    adversarial input regardless.
+
+    Scale: rounds = ceil(log2(#edges)) + 1 self-joins over the EDGE
+    subgraph only; the corpus-sized `pages` set joins once at the end.
+    chain_len is a window over chain heads — millions of independent
+    partitions.  Lineage truncated every ``checkpoint_every`` rounds.
+
+    Returns (url, chain_head, pos, chain_len).
+    """
+    e = (
+        next_edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+        .groupBy("dst")
+        .agg(F.min("src").alias("src"))
+    )
+    n = e.count()  # metadata-sized action (one long)
+    p = pages.select(F.col(url_col).alias("url"))
+    if n == 0:
+        return p.select(
+            "url",
+            F.col("url").alias("chain_head"),
+            F.lit(0).cast("long").alias("pos"),
+            F.lit(1).cast("long").alias("chain_len"),
+        )
+    rounds = max(int(n - 1).bit_length(), 0) + 1  # ceil(log2(n)) + 1
+    # state over edge-touched nodes: cur = highest known ancestor,
+    # pos = hops walked to it; head reached when cur has no predecessor
+    f = e.select(
+        F.col("dst").alias("node"),
+        F.col("src").alias("cur"),
+        F.lit(1).cast("long").alias("pos"),
+    ).localCheckpoint()
+    for r in range(rounds):
+        j = f.select(
+            F.col("node").alias("cur"),
+            F.col("cur").alias("nxt"),
+            F.col("pos").alias("p2"),
+        )
+        f = f.join(j, "cur", "left").select(
+            "node",
+            F.coalesce("nxt", "cur").alias("cur"),
+            (F.col("pos") + F.coalesce(F.col("p2"), F.lit(0))).alias("pos"),
+        )
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
+            f = f.localCheckpoint()
+    anchored = p.join(
+        f.select(F.col("node").alias("url"), "cur", "pos"), "url", "left"
+    ).select(
+        "url",
+        F.coalesce("cur", F.col("url")).alias("chain_head"),
+        F.coalesce("pos", F.lit(0)).cast("long").alias("pos"),
+    )
+    w = Window.partitionBy("chain_head")
+    return anchored.select(
+        "url", "chain_head", "pos",
+        F.count("*").over(w).cast("long").alias("chain_len"),
     )

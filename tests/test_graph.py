@@ -309,3 +309,58 @@ def test_host_linkgraph_rollup_and_intra_flag(spark):
         ("a.test", "a.test"): (2, True),
         ("a.test", "b.test"): (1, False),
     }
+
+
+# ---------------------------------------------------------------------------
+# pagination_chains — pointer-doubling chain assembly
+# ---------------------------------------------------------------------------
+
+from linkkchecker_net_spark.pipeline.graph import pagination_chains  # noqa: E402
+
+
+def _chains(spark, page_ids, edge_pairs, **kw):
+    pages = spark.createDataFrame([(p,) for p in page_ids], "url string")
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in edge_pairs], "src string, dst string"
+    )
+    rows = pagination_chains(pages, edges, **kw).collect()
+    return {r["url"]: (r["chain_head"], r["pos"], r["chain_len"]) for r in rows}
+
+
+def test_long_chain_positions_exact(spark):
+    """A 9-page chain (forces >3 doubling rounds incl. a checkpoint) gets
+    head=p0 and pos=index for every member."""
+    ids = [f"p{i}" for i in range(9)]
+    edges = [(ids[i], ids[i + 1]) for i in range(8)]
+    out = _chains(spark, ids, edges, checkpoint_every=2)
+    for i, u in enumerate(ids):
+        assert out[u] == ("p0", i, 9)
+
+
+def test_singletons_and_multiple_chains(spark):
+    """Pages with no rel=next are 1-length chains; disjoint chains don't
+    interfere."""
+    ids = ["a1", "a2", "b1", "b2", "b3", "solo"]
+    edges = [("a1", "a2"), ("b1", "b2"), ("b2", "b3")]
+    out = _chains(spark, ids, edges)
+    assert out["solo"] == ("solo", 0, 1)
+    assert out["a2"] == ("a1", 1, 2)
+    assert out["b3"] == ("b1", 2, 3)
+    assert out["b1"] == ("b1", 0, 3)
+
+
+def test_duplicate_next_edges_collapse_keep_min(spark):
+    """Functional cleanup: conflicting rel=next targets collapse to the
+    lexicographic min on BOTH sides (src and dst), deterministically."""
+    ids = ["h", "x", "y"]
+    # h claims two successors; both x and y claim h as predecessor target
+    edges = [("h", "x"), ("h", "y")]
+    out = _chains(spark, ids, edges)
+    assert out["x"] == ("h", 1, 2)
+    assert out["y"] == ("y", 0, 1)  # dropped edge -> y is a singleton
+
+
+def test_no_edges_all_singletons(spark):
+    ids = ["q1", "q2"]
+    out = _chains(spark, ids, [])
+    assert out == {"q1": ("q1", 0, 1), "q2": ("q2", 0, 1)}
