@@ -2321,6 +2321,27 @@ def q_pagination_chains(spark, sf_dir):
     return pagination_chains(pages, edges)
 
 
+def q_image_sharpness(spark, sf_dir):
+    """Laplacian focus measure over REAL decoded pixels (pipeline/
+    multimodal.laplacian_sharpness, all 3 codecs).  The striped fixture
+    makes the energy exact arithmetic: lap_sq_sum = 540·(32/s−1)·Δ²
+    with s = 2^(1+i%4), Δ = 4·(1+i%7) — stripe levels sit on lossy
+    bucket centers so every codec round-trips bit-exactly (verified
+    offline over the full 360-image grid)."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        laplacian_sharpness,
+        synth_striped_corpus,
+    )
+
+    _prep(spark)
+    ids = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 240)
+        .select(F.col("doc_id").alias("id"))
+    )
+    return laplacian_sharpness(synth_striped_corpus(spark, ids))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2418,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revalidation_plan": q_revalidation_plan,
         "retry_after": q_retry_after,
         "pagination_chains": q_pagination_chains,
+        "image_sharpness": q_image_sharpness,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4220,6 +4242,32 @@ FROM an GROUP BY url
                    CAST(CASE WHEN action = 'full' THEN 0 ELSE blen END
                         AS BIGINT) AS bytes_saved
             FROM f
+        """,
+        # structural oracle: energy is the fixture's construction
+        # (540·(32/s−1)·Δ², codecs round-trip bucket-center stripes
+        # exactly); Spark earns it by decoding real pixels
+        "image_sharpness": """
+            WITH d AS (
+              SELECT doc_id,
+                     (1 << CAST(1 + doc_id % 4 AS INT)) AS s,
+                     4 * (1 + doc_id % 7) AS delta
+              FROM documents WHERE doc_id < 240
+            ),
+            e AS (
+              SELECT doc_id, s, delta,
+                     CAST(540 * (32 // s - 1) * delta * delta AS BIGINT)
+                       AS lap
+              FROM d
+            )
+            SELECT 'img_' || lpad(doc_id::VARCHAR, 6, '0') AS image_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        ELSE 'gif' END AS fmt,
+                   CAST(32 AS INT) AS w, CAST(32 AS INT) AS h,
+                   lap AS lap_sq_sum,
+                   CAST(900 AS BIGINT) AS interior_px,
+                   CAST(100 * lap // 900 AS BIGINT) AS sharpness_x100,
+                   (100 * lap // 900) >= 20000 AS sharp
+            FROM e
         """,
         # the oracle replays the WALK with a recursive CTE anchored at
         # in-degree-0 heads — chain structure, not fixture arithmetic

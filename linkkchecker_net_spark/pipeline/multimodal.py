@@ -853,3 +853,115 @@ def synth_gradient_corpus(spark, ids_df: DataFrame) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return ids_df.mapInPandas(gen, "image_id string, bytes binary, fmt string")
+
+
+# ---------------------------------------------------------------------------
+# Blur / sharpness scoring — Laplacian energy over decoded pixels.  A
+# training-data image funnel drops blurry thumbnails and upscaled
+# re-encodes BEFORE captioning spends GPU time on them; variance-of-
+# Laplacian is the standard cheap focus measure (Pech-Pacheco et al.,
+# ICPR'00).  The reference never looks inside image bytes at all
+# (LinkChecker.net checks status codes only) — this is pipeline-axis
+# surface, same decode scan as detect_borders.
+# ---------------------------------------------------------------------------
+
+SHARPNESS_SCHEMA = (
+    "image_id string, fmt string, w int, h int, lap_sq_sum long, "
+    "interior_px long, sharpness_x100 long, sharp boolean"
+)
+
+
+def laplacian_sharpness(
+    corpus: DataFrame, sharp_thresh_x100: int = 20000
+) -> DataFrame:
+    """(image_id, fmt, w, h, lap_sq_sum, interior_px, sharpness_x100,
+    sharp) — integer Laplacian focus measure per image.
+
+    gray3 = R+G+B (integer, no float luma weights — keeps every value
+    exact across engines); L = 4c − N − S − E − W over the interior
+    (valid convolution, no border handling ambiguity); lap_sq_sum = ΣL²
+    as int64.  sharpness_x100 = 100·lap_sq_sum div interior — an
+    integer per-pixel energy, bit-identical anywhere.  Scale: one
+    mapInPandas decode scan, bytes die at the stage boundary, map-only.
+    """
+    from linkkchecker_net_spark import imaging
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "fmt", "w", "h", "lap_sq_sum", "interior_px")}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    continue  # undecodable: excluded, like the hash paths
+                g = arr.astype(np.int64).sum(axis=2)
+                h, w = g.shape
+                if h < 3 or w < 3:
+                    lap, interior = 0, 0
+                else:
+                    c = g[1:-1, 1:-1]
+                    L = (
+                        4 * c
+                        - g[:-2, 1:-1] - g[2:, 1:-1]
+                        - g[1:-1, :-2] - g[1:-1, 2:]
+                    )
+                    lap = int((L * L).sum())
+                    interior = (h - 2) * (w - 2)
+                out["image_id"].append(iid)
+                out["fmt"].append(fmt)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["lap_sq_sum"].append(lap)
+                out["interior_px"].append(interior)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    scanned = corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        scan,
+        "image_id string, fmt string, w int, h int, lap_sq_sum long, "
+        "interior_px long",
+    )
+    score = F.expr("100 * lap_sq_sum div greatest(interior_px, 1)")
+    return scanned.select(
+        "image_id", "fmt", "w", "h", "lap_sq_sum", "interior_px",
+        score.alias("sharpness_x100"),
+        (score >= F.lit(int(sharp_thresh_x100))).alias("sharp"),
+    )
+
+
+def synth_striped_corpus(spark, ids_df: DataFrame) -> DataFrame:
+    """Deterministic sharpness fixture with EXACT Laplacian energy:
+    32×32 vertical stripes of width s = 2^(1+id%4), levels A=2 and
+    B=2+Δ with Δ = 4·(1+id%7) — both lossy-codec bucket centers
+    (v ≡ 2 mod 4), so every codec round-trips the pixels EXACTLY and
+    the energy is pure arithmetic: boundaries contribute 2 columns ×
+    (h−2) rows × (3Δ)², i.e. lap_sq_sum = 540·(32/s − 1)·Δ².  Wider
+    stripes = fewer edges = blurrier, spanning ~1k–700k in
+    sharpness_x100 across the (s, Δ) grid."""
+    from linkkchecker_net_spark import imaging
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                s = 1 << (1 + i % 4)
+                delta = 4 * (1 + i % 7)
+                xs = np.arange(32)
+                row = np.where((xs // s) % 2 == 0, 2, 2 + delta).astype(
+                    np.uint8
+                )
+                arr = np.repeat(
+                    np.tile(row, (32, 1))[:, :, None], 3, axis=2
+                )
+                fmt = ("png", "jpeg", "gif")[i % 3]
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(imaging.encode_image(arr, fmt))
+                out["fmt"].append(fmt)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(gen, "image_id string, bytes binary, fmt string")

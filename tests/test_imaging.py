@@ -55,3 +55,34 @@ def test_phash_deterministic_and_local():
     # a very different image gets a distant hash
     other = _img(seed=12345)[:21, :33][::-1]
     assert imaging.hamming64(h1, imaging.phash64(255 - other)) > 10
+
+
+def test_laplacian_sharpness_flat_tiny_and_striped(spark):
+    """Flat frame → zero energy; <3px image → interior 0 (guarded, not
+    a crash); one striped id matches the closed-form 540·(32/s−1)·Δ²."""
+    import pandas as pd
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        laplacian_sharpness,
+        synth_striped_corpus,
+    )
+
+    flat = imaging.encode_image(
+        np.full((8, 8, 3), 77, dtype=np.uint8), "png"
+    )
+    tiny = imaging.encode_image(
+        np.full((2, 2, 3), 10, dtype=np.uint8), "gif"
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["flat", "tiny"], "bytes": [flat, tiny],
+             "fmt": ["png", "gif"]}
+        )
+    )
+    out = {r["image_id"]: r for r in laplacian_sharpness(corpus).collect()}
+    assert out["flat"]["lap_sq_sum"] == 0 and not out["flat"]["sharp"]
+    assert out["tiny"]["interior_px"] == 0
+    assert out["tiny"]["sharpness_x100"] == 0  # div guarded
+
+    ids = spark.createDataFrame([(5,)], "id long")  # s=4, delta=24
+    row = laplacian_sharpness(synth_striped_corpus(spark, ids)).collect()[0]
+    assert row["lap_sq_sum"] == 540 * (32 // 4 - 1) * 24 * 24
