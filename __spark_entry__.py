@@ -2342,6 +2342,38 @@ def q_image_sharpness(spark, sf_dir):
     return laplacian_sharpness(synth_striped_corpus(spark, ids))
 
 
+def q_hreflang(spark, sf_dir):
+    """hreflang alternate-cluster audit (pipeline/graph.hreflang_audit):
+    clusters of 4 language variants (en/fr/de/ja at c*4+j), each page
+    annotating all 4 — except pages with i%5==0 drop the link to member
+    (i*7+1)%4, making every surviving reverse edge non-reciprocal.  BOTH
+    engines run the regexp extraction over the same synthesized HTML
+    (DuckDB regexp_extract_all mirrors Spark's) — the oracle replays the
+    parse and the reciprocity EXISTS, not fixture arithmetic."""
+    from linkkchecker_net_spark.pipeline.graph import hreflang_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    segs = []
+    for j, lang in enumerate(["en", "fr", "de", "ja"]):
+        tgt = (i - i % 4) + j
+        seg = F.concat(
+            F.lit(f'<link rel="alternate" hreflang="{lang}" '
+                  f'href="http://alt.test/p'),
+            tgt.cast("string"), F.lit('">'),
+        )
+        segs.append(
+            F.when((i % 5 == 0) & ((i * 7 + 1) % 4 == j), F.lit(""))
+            .otherwise(seg)
+        )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://alt.test/p"), i.cast("string")).alias("url"),
+        F.concat(F.lit("<html><head>"), *segs,
+                 F.lit("</head></html>")).alias("body"),
+    )
+    return hreflang_audit(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2440,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_after": q_retry_after,
         "pagination_chains": q_pagination_chains,
         "image_sharpness": q_image_sharpness,
+        "hreflang": q_hreflang,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4242,6 +4275,45 @@ FROM an GROUP BY url
                    CAST(CASE WHEN action = 'full' THEN 0 ELSE blen END
                         AS BIGINT) AS bytes_saved
             FROM f
+        """,
+        # the oracle REPLAYS the regexp extraction (regexp_extract_all +
+        # unnest) and the reciprocity EXISTS over the same HTML — both
+        # engines parse, neither reads fixture arithmetic
+        "hreflang": """
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+            b AS (
+              SELECT 'http://alt.test/p' || i AS src,
+                (CASE WHEN i%5=0 AND (i*7+1)%4=0 THEN '' ELSE
+                  '<link rel="alternate" hreflang="en" href="http://alt.test/p'
+                  || (i - i%4) || '">' END)
+                || (CASE WHEN i%5=0 AND (i*7+1)%4=1 THEN '' ELSE
+                  '<link rel="alternate" hreflang="fr" href="http://alt.test/p'
+                  || (i - i%4 + 1) || '">' END)
+                || (CASE WHEN i%5=0 AND (i*7+1)%4=2 THEN '' ELSE
+                  '<link rel="alternate" hreflang="de" href="http://alt.test/p'
+                  || (i - i%4 + 2) || '">' END)
+                || (CASE WHEN i%5=0 AND (i*7+1)%4=3 THEN '' ELSE
+                  '<link rel="alternate" hreflang="ja" href="http://alt.test/p'
+                  || (i - i%4 + 3) || '">' END) AS body
+              FROM d
+            ),
+            t AS (
+              SELECT src, unnest(regexp_extract_all(
+                '<html><head>' || body || '</head></html>',
+                '(?i)<link\\s+rel="alternate"\\s+hreflang="[^"]*"\\s+href="[^"]*"\\s*/?>'
+              )) AS tag FROM b
+            ),
+            e AS (
+              SELECT src,
+                     regexp_extract(tag, '(?i)hreflang="([^"]*)"', 1) AS lang,
+                     regexp_extract(tag, '(?i)href="([^"]*)"', 1) AS dst
+              FROM t
+            )
+            SELECT e.src, e.dst, e.lang,
+                   EXISTS (SELECT 1 FROM e r
+                           WHERE r.src = e.dst AND r.dst = e.src)
+                     AS reciprocal
+            FROM e WHERE e.dst <> ''
         """,
         # structural oracle: energy is the fixture's construction
         # (540·(32/s−1)·Δ², codecs round-trip bucket-center stripes
