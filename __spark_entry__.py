@@ -2374,6 +2374,31 @@ def q_hreflang(spark, sf_dir):
     return hreflang_audit(pages)
 
 
+def q_meta_audit(spark, sf_dir):
+    """Declared-vs-actual metadata audit over the north-rule table shape
+    (pipeline/multimodal.meta_consistency): real decode + phash +
+    magic-sniff per row; the fixture corrupts exactly one declared fact
+    per i%7 arm (w+1 / fmt rotated / phash⊕1 / truncated bytes).  The
+    oracle is structural — flags follow the corruption rule — but Spark
+    earns every flag from the payload (clean rows match because the
+    declared phash is the round-tripped-pixel hash, verified offline).
+    phash values themselves stay Spark-side only (they'd be fixture
+    arithmetic on the oracle side, proving nothing); the FLAGS carry the
+    audit (and the hamming, which the ⊕1 arm pins to exactly 1)."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        meta_consistency,
+        synth_meta_corpus,
+    )
+
+    _prep(spark)
+    ids = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 240)
+        .select(F.col("doc_id").alias("id"))
+    )
+    return meta_consistency(synth_meta_corpus(spark, ids))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2473,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_chains": q_pagination_chains,
         "image_sharpness": q_image_sharpness,
         "hreflang": q_hreflang,
+        "meta_audit": q_meta_audit,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4275,6 +4301,42 @@ FROM an GROUP BY url
                    CAST(CASE WHEN action = 'full' THEN 0 ELSE blen END
                         AS BIGINT) AS bytes_saved
             FROM f
+        """,
+        # structural oracle: each i%7 arm corrupts exactly one declared
+        # fact; Spark earns the flags by decoding the payload (a PNG
+        # truncated to 6 bytes also loses its 8-byte magic -> NULL
+        # actual_fmt; the 4-byte QIMG/QLS0 magics survive)
+        "meta_audit": """
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+              WHERE doc_id < 240
+            ),
+            e AS (
+              SELECT i, i % 7 AS m,
+                     CAST(16 + i % 5 AS INT) AS tw,
+                     CAST(12 + i % 4 AS INT) AS th,
+                     CASE CAST(i % 3 AS INT) WHEN 0 THEN 'png'
+                          WHEN 1 THEN 'jpeg' ELSE 'gif' END AS tfmt,
+                     CASE CAST((i + 1) % 3 AS INT) WHEN 0 THEN 'png'
+                          WHEN 1 THEN 'jpeg' ELSE 'gif' END AS rfmt
+              FROM d
+            )
+            SELECT 'img_' || lpad(i::VARCHAR, 6, '0') AS image_id,
+                   CASE WHEN m = 3 THEN rfmt ELSE tfmt END AS fmt,
+                   CASE WHEN m = 6 AND tfmt = 'png' THEN NULL
+                        ELSE tfmt END AS actual_fmt,
+                   CAST(tw + CASE WHEN m = 1 THEN 1 ELSE 0 END AS INT) AS w,
+                   th AS h,
+                   CASE WHEN m = 6 THEN NULL ELSE tw END AS actual_w,
+                   CASE WHEN m = 6 THEN NULL ELSE th END AS actual_h,
+                   m <> 6 AS decodable,
+                   m NOT IN (1, 6) AS dims_ok,
+                   m NOT IN (3, 6) AS fmt_ok,
+                   CAST(CASE WHEN m = 6 THEN NULL WHEN m = 5 THEN 1
+                             ELSE 0 END AS BIGINT) AS phash_hamming,
+                   m NOT IN (5, 6) AS phash_ok,
+                   m NOT IN (1, 3, 5, 6) AS ok
+            FROM e
         """,
         # the oracle REPLAYS the regexp extraction (regexp_extract_all +
         # unnest) and the reciprocity EXISTS over the same HTML — both

@@ -965,3 +965,140 @@ def synth_striped_corpus(spark, ids_df: DataFrame) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return ids_df.mapInPandas(gen, "image_id string, bytes binary, fmt string")
+
+
+# ---------------------------------------------------------------------------
+# Declared-vs-actual metadata audit over the north-rule input table
+# (image_id, bytes, w, h, fmt, caption, phash).  Web-scraped corpora lie:
+# the Content-Type says png while the magic says jpeg, the <img width>
+# says 800 while the pixels say 160, and a stale phash column poisons
+# every dedup join downstream.  The audit decodes once and verifies the
+# three declared facts a pipeline actually joins/filters on.
+# ---------------------------------------------------------------------------
+
+META_AUDIT_SCHEMA = (
+    "image_id string, fmt string, actual_fmt string, w int, h int, "
+    "actual_w int, actual_h int, decodable boolean, dims_ok boolean, "
+    "fmt_ok boolean, phash_hamming long, phash_ok boolean, ok boolean"
+)
+
+
+def sniff_fmt(data: bytes) -> str | None:
+    """Container detection by magic bytes (the only trustworthy fmt)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:4] == b"QIMG":
+        return "jpeg"
+    if data[:4] == b"QLS0":
+        return "gif"
+    return None
+
+
+def meta_consistency(corpus: DataFrame) -> DataFrame:
+    """(image_id, fmt, actual_fmt, w, h, actual_w, actual_h, decodable,
+    dims_ok, fmt_ok, phash_hamming, phash_ok, ok) — one decode scan.
+
+    Undecodable payloads fail every check (audit semantics: an
+    unverifiable row is a bad row) with NULL actuals.  phash is compared
+    exactly (the declared column is supposed to be the pipeline's own
+    hash of these pixels); the hamming distance is emitted so a
+    tolerance policy can re-gate without re-decoding.  Scale: map-only
+    mapInPandas, bytes die at the stage boundary.
+    """
+    from linkkchecker_net_spark import imaging
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = ("image_id", "fmt", "actual_fmt", "w", "h", "actual_w",
+                    "actual_h", "decodable", "dims_ok", "fmt_ok",
+                    "phash_hamming", "phash_ok", "ok")
+            out = {k: [] for k in cols}
+            for iid, data, fmt, w, h, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"],
+                pdf["h"], pdf["phash"],
+            ):
+                data = bytes(data)
+                afmt = sniff_fmt(data)
+                try:
+                    arr = imaging.decode_image(data, fmt)
+                except Exception:
+                    arr = None
+                row = dict.fromkeys(cols)
+                row.update(image_id=iid, fmt=fmt, w=int(w), h=int(h))
+                if arr is None:
+                    row.update(actual_fmt=afmt, decodable=False,
+                               dims_ok=False, fmt_ok=False,
+                               phash_ok=False, ok=False)
+                else:
+                    ah, aw = arr.shape[0], arr.shape[1]
+                    hamm = imaging.hamming64(
+                        imaging.phash64(arr), int(ph)
+                    )
+                    row.update(
+                        actual_fmt=afmt, actual_w=aw, actual_h=ah,
+                        decodable=True,
+                        dims_ok=(aw == int(w) and ah == int(h)),
+                        fmt_ok=(afmt == fmt),
+                        phash_hamming=hamm,
+                        phash_ok=(hamm == 0),
+                    )
+                    row["ok"] = bool(
+                        row["dims_ok"] and row["fmt_ok"] and row["phash_ok"]
+                    )
+                for k in cols:
+                    out[k].append(row[k])
+            if out["image_id"]:
+                yield pd.DataFrame(out).astype(
+                    {"actual_w": "Int32", "actual_h": "Int32",
+                     "phash_hamming": "Int64"}
+                )
+
+    return corpus.select(
+        "image_id", "bytes", "fmt", "w", "h", "phash"
+    ).mapInPandas(scan, META_AUDIT_SCHEMA)
+
+
+def synth_meta_corpus(spark, ids_df: DataFrame) -> DataFrame:
+    """Deterministic audit fixture in the EXACT north-rule table shape:
+    per id a gradient tile is encoded, decoded back, and its TRUE
+    (w, h, fmt, phash) recorded — then one declared fact is corrupted by
+    arithmetic rule: i%7==1 → w+1, i%7==3 → fmt rotated, i%7==5 →
+    phash⊕1, i%7==6 → bytes truncated to 6 (undecodable); else clean.
+    Because the declared phash is computed from the ROUND-TRIPPED
+    pixels, clean rows match bit-exactly on every codec — no margin
+    analysis needed."""
+    from linkkchecker_net_spark import imaging
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "caption": [], "phash": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                w, h = 16 + i % 5, 12 + i % 4
+                ys, xs = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [((xs * 7 + ys * 13 + i) % 17 * 15) % 256] * 3, axis=2
+                ).astype(np.uint8)
+                fmt = ("png", "jpeg", "gif")[i % 3]
+                data = imaging.encode_image(arr, fmt)
+                dec = imaging.decode_image(data, fmt)
+                ph = imaging.phash64(dec)
+                m = i % 7
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(data[:6] if m == 6 else data)
+                out["w"].append(w + (1 if m == 1 else 0))
+                out["h"].append(h)
+                out["fmt"].append(
+                    ("png", "jpeg", "gif")[(i + 1) % 3] if m == 3 else fmt
+                )
+                out["caption"].append(f"tile {i}")
+                out["phash"].append(ph ^ 1 if m == 5 else ph)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )

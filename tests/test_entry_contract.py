@@ -82,7 +82,7 @@ NON_CRAWL = [
     "c4_lines", "paragraph_dedup", "sitemap_meta", "budget_alloc",
     "image_borders", "charset_sniff", "cache_policy", "warc_manifest",
     "image_dhash", "host_reputation", "revalidation_plan", "retry_after",
-    "pagination_chains", "image_sharpness", "hreflang",
+    "pagination_chains", "image_sharpness", "hreflang", "meta_audit",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
