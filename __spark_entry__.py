@@ -1292,6 +1292,36 @@ def q_anchor_texts(spark, sf_dir):
     return anchor_corpus(an)
 
 
+def q_anchor_spam(spark, sf_dir):
+    """Anchor-text spam scoring (pipeline/graph.anchor_spam) over the
+    SAME parsed <a> edge set as anchor_texts, src kept so linking-host
+    concentration is real: per target, text/host concentration ppm and
+    an integer 0..1000 spam score gate a frontier demotion the reference
+    (link-walking only, Engine.cs:324-326) never needed."""
+    from linkkchecker_net_spark.fixtures import docweb
+    from linkkchecker_net_spark.kernels.anchortext import anchor_texts_udf
+    from linkkchecker_net_spark.kernels.canonicalize import canonicalize_udf
+    from linkkchecker_net_spark.pipeline.graph import anchor_spam
+
+    _prep(spark)
+    live = docweb.build_web(spark, sf_dir).filter(F.col("status") == 200)
+    an = (
+        live.select(
+            F.col("url").alias("src"),
+            F.explode(anchor_texts_udf("body")).alias("an"),
+        )
+        .select(
+            "src",
+            canonicalize_udf(F.col("src"), F.col("an.href")).alias("dst"),
+            F.col("an.text").alias("text"),
+        )
+        .filter(F.col("dst").startswith("http"))
+    )
+    # fixture in-degree tops out at 3 — thresholds tuned so BOTH branches
+    # of the spam flag appear in the gate (defaults would be all-false)
+    return anchor_spam(an, min_anchors=3, score_threshold=450)
+
+
 def _robots_fixture(spark, sf_dir):
     """Deterministic robots.txt corpus, one body per documents.source —
     an arithmetic function of the source id so the DuckDB oracle builds
@@ -2474,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "hits": q_hits,
         "anchor_texts": q_anchor_texts,
+        "anchor_spam": q_anchor_spam,
         "robots_sitemaps": q_robots_sitemaps,
         "resolve_redirects": q_resolve_redirects,
         "url_traps": q_url_traps,
@@ -2632,6 +2663,50 @@ an AS (
 SELECT url, COUNT(*)::BIGINT AS n_anchors,
        string_agg(txt, ' ' ORDER BY txt) AS anchor_blob
 FROM an GROUP BY url
+""",
+        # same four <a> families, src host kept: two-level (url,text) /
+        # (url,host) aggregation mirrors graph.anchor_spam; all rates are
+        # integer ppm (//) so the score is engine- and order-exact.
+        "anchor_spam": "WITH "
+        + PAGE_CTE.strip()
+        + """,
+an AS (
+  SELECT 'http://site-' || (((p.i+1) % c) % 3) || '.test/page/' || ((p.i+1) % c) AS url,
+         'n' AS txt, 'site-' || (p.i % 3) || '.test' AS host
+    FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  SELECT 'http://site-' || (((p.i*31+7) % c) % 3) || '.test/page/' || ((p.i*31+7) % c),
+         'x', 'site-' || (p.i % 3) || '.test' FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  SELECT 'http://site-' || (p.i % 3) || '.test/page/' || ((p.i*13+1) % c),
+         'y', 'site-' || (p.i % 3) || '.test' FROM page p, nn WHERE p.status = 200
+  UNION ALL
+  SELECT 'http://site-' || (p.i % 3) || '.test/missing/' || p.i,
+         'd', 'site-' || (p.i % 3) || '.test'
+    FROM page p WHERE p.status = 200 AND p.i % 7 = 2
+),
+bt AS (
+  SELECT url, CAST(SUM(cnt) AS BIGINT) AS n_anchors,
+         COUNT(*)::BIGINT AS n_texts,
+         CAST(MAX(cnt) AS BIGINT) AS top_text_cnt
+  FROM (SELECT url, txt, COUNT(*)::BIGINT AS cnt FROM an GROUP BY url, txt)
+  GROUP BY url
+),
+bh AS (
+  SELECT url, COUNT(*)::BIGINT AS n_hosts,
+         CAST(MAX(cnt) AS BIGINT) AS top_host_cnt
+  FROM (SELECT url, host, COUNT(*)::BIGINT AS cnt FROM an GROUP BY url, host)
+  GROUP BY url
+)
+SELECT bt.url AS url, n_anchors, n_hosts, n_texts,
+       1000000 * top_text_cnt // n_anchors AS top_text_ppm,
+       1000000 * top_host_cnt // n_anchors AS top_host_ppm,
+       (1000000 * top_text_cnt // n_anchors) // 2000
+         + (1000000 * top_host_cnt // n_anchors) // 2000 AS spam_score,
+       ((1000000 * top_text_cnt // n_anchors) // 2000
+         + (1000000 * top_host_cnt // n_anchors) // 2000) >= 450
+         AND n_anchors >= 3 AS spam
+FROM bt JOIN bh ON bt.url = bh.url
 """,
         "classify": """
             SELECT 'http://site-' || (doc_id % 3) || '.test/page/' || doc_id AS url,

@@ -544,3 +544,93 @@ def hreflang_audit(
         "src", "dst", "lang",
         F.col("_r").isNotNull().alias("reciprocal"),
     )
+
+
+def anchor_spam(
+    anchors: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    text_col: str = "text",
+    min_anchors: int = 4,
+    score_threshold: int = 900,
+) -> DataFrame:
+    """Per-target anchor-text spam score over the parsed <a> edge set.
+
+    Link farms reveal themselves in the ANCHOR DISTRIBUTION, not the
+    page body: a target whose in-links repeat one commercial phrase from
+    a handful of hosts is bought, not earned (the signal behind
+    TrustRank's motivating examples, Gyongyi 2004 §2).  The reference
+    only walks links (`SpiderEngine/Engine.cs:324-326`); a web-scale
+    frontier must DEMOTE spam targets before spending fetch budget, so
+    this feeds `priority_from_rank` / `recrawl.budget_alloc` the same
+    way host_reputation does.
+
+    Inputs: one row per parsed anchor (``src_col`` page URL, ``dst_col``
+    resolved target, ``text_col`` anchor text).  Output per target:
+
+      n_anchors       total in-anchors
+      n_hosts         distinct linking hosts (parsed from src)
+      n_texts         distinct anchor texts
+      top_text_ppm    1e6 * (most-frequent text's count) div n_anchors
+      top_host_ppm    1e6 * (most-frequent host's count) div n_anchors
+      spam_score      top_text_ppm div 2000 + top_host_ppm div 2000
+                      (0..1000, integer end-to-end — partition-order and
+                      engine independent, same discipline as
+                      reputation.host_reputation)
+      spam            spam_score >= score_threshold AND
+                      n_anchors >= min_anchors  (low-volume targets are
+                      never flagged: 2 identical anchors is normal)
+
+    Scale (10^10 anchors): two two-level partial aggregations — per
+    (dst,text) then per dst, per (dst,host) then per dst — each map-side
+    combined, so shuffle rows are bounded by distinct pairs, not edge
+    count; the final join is dst-keyed between two already-aggregated
+    tables.  Hot targets (home pages) are exactly the rows where the
+    two-level shape matters: their 10^8 anchors collapse to
+    distinct-text/host counts per partition before moving.
+    """
+    host = F.regexp_extract(F.col(src_col), r"^[a-z]+://([^/]+)", 1)
+    base = anchors.select(
+        F.col(dst_col).alias("url"),
+        F.col(text_col).alias("text"),
+        host.alias("host"),
+    )
+    by_text = (
+        base.groupBy("url", "text")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("url")
+        .agg(
+            F.sum("cnt").alias("n_anchors"),
+            F.count("*").alias("n_texts"),
+            F.max("cnt").alias("top_text_cnt"),
+        )
+    )
+    by_host = (
+        base.groupBy("url", "host")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_hosts"),
+            F.max("cnt").alias("top_host_cnt"),
+        )
+    )
+    j = by_text.join(by_host, "url")
+    top_text_ppm = F.expr("1000000 * top_text_cnt div n_anchors")
+    top_host_ppm = F.expr("1000000 * top_host_cnt div n_anchors")
+    score = (
+        F.expr("(1000000 * top_text_cnt div n_anchors) div 2000")
+        + F.expr("(1000000 * top_host_cnt div n_anchors) div 2000")
+    )
+    return j.select(
+        "url",
+        "n_anchors",
+        "n_hosts",
+        "n_texts",
+        top_text_ppm.alias("top_text_ppm"),
+        top_host_ppm.alias("top_host_ppm"),
+        score.alias("spam_score"),
+        (
+            (score >= F.lit(score_threshold))
+            & (F.col("n_anchors") >= F.lit(min_anchors))
+        ).alias("spam"),
+    )

@@ -364,3 +364,61 @@ def test_no_edges_all_singletons(spark):
     ids = ["q1", "q2"]
     out = _chains(spark, ids, [])
     assert out == {"q1": ("q1", 0, 1), "q2": ("q2", 0, 1)}
+
+
+# --------------------------------------------------------------- anchor_spam
+def _spam(spark, rows, **kw):
+    from linkkchecker_net_spark.pipeline.graph import anchor_spam
+
+    an = spark.createDataFrame(
+        rows, "src string, dst string, text string"
+    )
+    return {r["url"]: r.asDict() for r in anchor_spam(an, **kw).collect()}
+
+
+def test_anchor_spam_link_farm_flagged(spark):
+    """10 identical anchors from 2 hosts -> ppm concentration maxes out,
+    integer score 1000, flagged; an organic target with diverse anchors
+    and hosts stays below threshold."""
+    farm = [
+        (f"http://farm-{i % 2}.test/p/{i}", "http://victim.test/", "cheap pills")
+        for i in range(10)
+    ]
+    organic = [
+        (f"http://site-{i}.test/a", "http://good.test/", f"text {i}")
+        for i in range(5)
+    ]
+    out = _spam(spark, farm + organic)
+    v = out["http://victim.test/"]
+    assert v["n_anchors"] == 10 and v["n_texts"] == 1 and v["n_hosts"] == 2
+    assert v["top_text_ppm"] == 1_000_000
+    assert v["top_host_ppm"] == 500_000  # 5/10 per host
+    assert v["spam_score"] == 500 + 250 == 750
+    g = out["http://good.test/"]
+    assert g["n_texts"] == 5 and g["n_hosts"] == 5
+    assert g["top_text_ppm"] == 200_000 and g["spam_score"] == 200
+    assert not g["spam"]
+    # default threshold 900: single-host farm trips it, two-host doesn't
+    assert not v["spam"]
+    one_host = [
+        (f"http://farm.test/p/{i}", "http://victim2.test/", "buy now")
+        for i in range(10)
+    ]
+    out2 = _spam(spark, one_host)
+    v2 = out2["http://victim2.test/"]
+    assert v2["spam_score"] == 1000 and v2["spam"]
+
+
+def test_anchor_spam_min_anchors_gate(spark):
+    """Perfect concentration at low volume is NEVER flagged — two
+    identical anchors is normal linking, not a farm."""
+    rows = [
+        ("http://a.test/x", "http://t.test/", "home"),
+        ("http://a.test/y", "http://t.test/", "home"),
+    ]
+    out = _spam(spark, rows)
+    t = out["http://t.test/"]
+    assert t["spam_score"] == 1000 and not t["spam"]
+    # lowering the volume gate flips it
+    out2 = _spam(spark, rows, min_anchors=2)
+    assert out2["http://t.test/"]["spam"]
