@@ -2006,6 +2006,19 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(docs)
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined-chunking sub-document dedup
+    (pipeline/dedup.cdc_dedup, LBFS/FastCDC idea at token granularity)
+    over the RAW documents text — the oracle recomputes the identical
+    chunking in SQL (md5 boundary rule + window prefix-sum grouping), so
+    the fold, the boundary rule, and the cross-doc sharing counts are
+    all independently verified, not fixture-granted."""
+    from linkkchecker_net_spark.pipeline.dedup import cdc_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return cdc_dedup(docs)
+
+
 def q_sitemap_meta(spark, sf_dir):
     """Sitemap <url> block metadata (kernels/sitemapparse.parse_urlset —
     real namespaced XML parse, same error contract as the loc-only S5
@@ -2519,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_canonical": q_rel_canonical,
         "c4_lines": q_c4_lines,
         "paragraph_dedup": q_paragraph_dedup,
+        "cdc_dedup": q_cdc_dedup,
         "sitemap_meta": q_sitemap_meta,
         "budget_alloc": q_budget_alloc,
         "image_borders": q_image_borders,
@@ -4221,6 +4235,51 @@ FROM bt JOIN bh ON bt.url = bh.url
                                        ORDER BY pos)
                             FILTER (WHERE kept), '') AS cleaned
             FROM rn GROUP BY doc_id
+        """,
+        # identical CDC chunking recomputed in SQL: per-token md5
+        # boundary flag, exclusive prefix-sum -> chunk group, string_agg
+        # in token order -> chunk, md5(chunk) -> hash; a chunk instance
+        # is dup when its hash spans >= 2 distinct docs
+        "cdc_dedup": """
+            WITH toks AS (
+              SELECT doc_id, ts[i] AS tok, i
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents),
+                   unnest(generate_series(1, len(ts))) AS g(i)
+            ),
+            b AS (
+              SELECT doc_id, i, tok,
+                     CASE WHEN substr(md5(tok), 1, 1) IN ('0','1','2','3')
+                          THEN 1 ELSE 0 END AS isb
+              FROM toks
+            ),
+            grp AS (
+              SELECT doc_id, i, tok,
+                     COALESCE(SUM(isb) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS g
+              FROM b
+            ),
+            ch AS (
+              SELECT doc_id, g,
+                     md5(string_agg(tok, ' ' ORDER BY i)) AS h
+              FROM grp GROUP BY doc_id, g
+            ),
+            sh AS (
+              SELECT h FROM ch GROUP BY h
+              HAVING COUNT(DISTINCT doc_id) >= 2
+            )
+            SELECT ch.doc_id AS doc_id,
+                   COUNT(*)::BIGINT AS n_chunks,
+                   CAST(COALESCE(SUM(CASE WHEN sh.h IS NOT NULL THEN 1
+                                          ELSE 0 END), 0) AS BIGINT)
+                     AS n_dup_chunks,
+                   1000000 * CAST(COALESCE(SUM(CASE WHEN sh.h IS NOT NULL
+                                                    THEN 1 ELSE 0 END), 0)
+                                  AS BIGINT) // COUNT(*) AS dup_ppm
+            FROM ch LEFT JOIN sh ON ch.h = sh.h
+            GROUP BY ch.doc_id
         """,
         # two blocks per well-formed sitemap (doc_id%17==9 is malformed
         # XML → zero rows); block 2 carries loc only (NULL metadata,

@@ -630,3 +630,110 @@ def dup_span_fraction(
         )
         .withColumn("dup_flag", F.col("dup_fraction") >= F.lit(threshold))
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_hex: tuple[str, ...] = ("0", "1", "2", "3"),
+) -> DataFrame:
+    """Content-defined chunking: (id, chunk_pos, chunk, chunk_hash).
+
+    Fixed-size chunking breaks under insertion (one shifted byte re-cuts
+    every downstream chunk); CDC cuts where the CONTENT says so — the
+    idea behind LBFS/rsync/FastCDC and the sub-document dedup pass in
+    large-pretraining pipelines (shared boilerplate paragraphs survive
+    surrounding edits).  Boundary rule here: a token ends its chunk when
+    ``md5(token)`` starts with one of ``boundary_hex`` — a gear-hash
+    with window=1 at token granularity (p = len(boundary_hex)/16, so
+    the default cuts every ~4 tokens in expectation).  Deterministic,
+    engine-portable (md5 hex is identical in Spark and DuckDB), and
+    shift-robust: an inserted sentence changes only the chunks it
+    touches.
+
+    The chunker is a single ``F.aggregate`` fold over the token array —
+    whole-stage-codegen JVM expression, zero Python, zero shuffle; the
+    only exchange in a downstream dedup is the chunk-hash groupBy.
+    Trailing tokens after the last boundary form a final chunk (finish
+    lambda), so every token lands in exactly one chunk.
+    """
+    toks = F.split(F.col(text_col), " ")
+    is_b = lambda t: F.substring(F.md5(t), 1, 1).isin(*boundary_hex)  # noqa: E731
+    zero = F.struct(
+        F.lit(None).cast("array<string>").alias("chunks"),
+        F.lit("").alias("cur"),
+    )
+
+    def step(acc, tok):
+        cur2 = F.when(acc.cur == "", tok).otherwise(
+            F.concat(acc.cur, F.lit(" "), tok)
+        )
+        closed = F.coalesce(
+            F.array_append(acc.chunks, cur2), F.array(cur2)
+        )
+        return F.struct(
+            F.when(is_b(tok), closed).otherwise(acc.chunks).alias("chunks"),
+            F.when(is_b(tok), F.lit("")).otherwise(cur2).alias("cur"),
+        )
+
+    def finish(acc):
+        return F.when(acc.cur == "", F.coalesce(acc.chunks, F.array())).otherwise(
+            F.coalesce(F.array_append(acc.chunks, acc.cur), F.array(acc.cur))
+        )
+
+    arr = F.aggregate(toks, zero, step, finish)
+    return docs.select(
+        F.col(id_col), F.posexplode(arr).alias("chunk_pos", "chunk")
+    ).withColumn("chunk_hash", F.md5("chunk"))
+
+
+def cdc_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    boundary_hex: tuple[str, ...] = ("0", "1", "2", "3"),
+) -> DataFrame:
+    """Sub-document duplication stats via content-defined chunks:
+    (id, n_chunks, n_dup_chunks, dup_ppm).
+
+    A chunk INSTANCE is duplicated when its hash occurs in >= ``min_docs``
+    distinct documents — shifted/partially-rewritten boilerplate that
+    whole-doc dedup (exact/minhash) under-counts and paragraph dedup
+    misses when separators are stripped.  dup_ppm is integer
+    parts-per-million (div), partition-order and engine exact.
+
+    Scale (10^12 chunks): the chunk table never materializes per-doc
+    state — chunking is codegen (see cdc_chunks); the shared-hash set is
+    one partial-aggregated groupBy(chunk_hash) with count-distinct on
+    doc id (swap to approx_count_distinct >= 2 at extreme scale — the
+    verdict flips only on hash-collision-rare boundaries); the per-doc
+    rollup re-shuffles on id once.  Mega-duplicated boilerplate chunks
+    (site templates) are the skew hazard on the hash join: AQE skew-join
+    handles it, or pre-filter hashes above a document-frequency cap the
+    same way stop-shingles are dropped in jaccard_pairs.
+    """
+    ch = cdc_chunks(docs, id_col, text_col, boundary_hex)
+    shared = (
+        ch.groupBy("chunk_hash")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("chunk_hash", F.lit(True).alias("_dup"))
+    )
+    return (
+        ch.join(shared, "chunk_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(False)).cast("long")).alias(
+                "n_dup_chunks"
+            ),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr("1000000 * n_dup_chunks div n_chunks").alias("dup_ppm"),
+        )
+    )

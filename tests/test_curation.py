@@ -188,3 +188,67 @@ def test_domain_cap_empty_corpus(spark):
 
     docs = spark.createDataFrame([], "doc_id long, source string, n_chars long")
     assert domain_cap(docs).count() == 0
+
+
+# ----------------------------------------------------------------- cdc_dedup
+def test_cdc_chunks_match_reference_fold(spark):
+    """Chunk stream equals a per-doc python reference of the same
+    boundary rule (md5(token) first hex in 0-3), trailing chunk kept."""
+    import hashlib
+
+    from linkkchecker_net_spark.pipeline.dedup import cdc_chunks
+
+    texts = [
+        (0, "key agg row scan slow fast table value"),
+        (1, "zz"),
+        (2, "key"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(docs).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_pos, r.chunk))
+    for d, t in texts:
+        out, cur = [], ""
+        for tok in t.split(" "):
+            cur = tok if cur == "" else cur + " " + tok
+            if hashlib.md5(tok.encode()).hexdigest()[0] in "0123":
+                out.append(cur)
+                cur = ""
+        if cur:
+            out.append(cur)
+        assert [c for _, c in sorted(got[d])] == out, d
+
+
+def test_cdc_dedup_shift_robust(spark):
+    """The CDC property fixed-size chunking lacks: inserting a token
+    mid-document leaves chunks outside the edited region identical, so
+    the shared boilerplate still dedups."""
+    from linkkchecker_net_spark.pipeline.dedup import cdc_chunks, cdc_dedup
+
+    base = "key agg row scan slow fast table value part hash merge batch"
+    # insert one token after 'scan' — everything before/after re-chunks
+    # identically because boundaries are content-local
+    edited = base.replace("scan slow", "scan INSERTED slow")
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string"
+    )
+    ch = {(r.doc_id, r.chunk) for r in cdc_chunks(docs).collect()}
+    c0 = {c for d, c in ch if d == 0}
+    c1 = {c for d, c in ch if d == 1}
+    shared = c0 & c1
+    assert len(shared) >= len(c0) - 2  # only the edited chunk diverges
+    out = {r.doc_id: r for r in cdc_dedup(docs).collect()}
+    assert out[0].n_dup_chunks >= out[0].n_chunks - 2
+    assert out[0].dup_ppm > 500_000 and out[1].dup_ppm > 500_000
+
+
+def test_cdc_dedup_unique_corpus_zero(spark):
+    """No cross-doc sharing -> every doc reports 0 dup chunks."""
+    from linkkchecker_net_spark.pipeline.dedup import cdc_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c") for i in range(4)],
+        "doc_id long, text string",
+    )
+    for r in cdc_dedup(docs).collect():
+        assert r.n_dup_chunks == 0 and r.dup_ppm == 0 and r.n_chunks >= 1

@@ -79,7 +79,7 @@ NON_CRAWL = [
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
     "registrable_domains", "change_rate",
     "meta_robots", "nofollow_links", "rel_canonical",
-    "c4_lines", "paragraph_dedup", "sitemap_meta", "budget_alloc",
+    "c4_lines", "paragraph_dedup", "cdc_dedup", "sitemap_meta", "budget_alloc",
     "image_borders", "charset_sniff", "cache_policy", "warc_manifest",
     "image_dhash", "host_reputation", "revalidation_plan", "retry_after",
     "pagination_chains", "image_sharpness", "hreflang", "meta_audit",
