@@ -2417,6 +2417,54 @@ def q_hreflang(spark, sf_dir):
     return hreflang_audit(pages)
 
 
+def q_srcset(spark, sf_dir):
+    """Responsive-image srcset candidates (kernels/srcset): img 1 mixes
+    src fallback + w-descriptors (3rd candidate only when i%2==0), img 2
+    (i%3!=1, uppercase <IMG>) exercises no-space commas, a
+    descriptor-less entry (spec default 1x), a trailing comma, and an
+    src that must be IGNORED because srcset is present; img 3 (i%4==2)
+    is bare-src fallback.  BOTH engines replay the full parse over the
+    same synthesized HTML — tags, attributes, candidate grammar, and the
+    w>x>src chosen-winner window."""
+    from linkkchecker_net_spark.kernels.srcset import srcset_candidates
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    img1 = F.concat(
+        F.lit('<img src="http://cdn.test/f/'), s,
+        F.lit('.jpg" srcset="http://cdn.test/i/'), s,
+        F.lit('-s.jpg 480w, http://cdn.test/i/'), s,
+        F.lit("-m.jpg 800w"),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit(", http://cdn.test/i/"), s, F.lit("-l.jpg 1200w")),
+        ).otherwise(F.lit("")),
+        F.lit('">'),
+    )
+    img2 = F.when(
+        i % 3 != 1,
+        F.concat(
+            F.lit('<IMG srcset="http://cdn.test/d/'), s,
+            F.lit("-1.png 1x,http://cdn.test/d/"), s,
+            F.lit("-2.png 1.5x,http://cdn.test/d/"), s,
+            F.lit('-0.png , " src="http://cdn.test/d/'), s,
+            F.lit('-f.png">'),
+        ),
+    ).otherwise(F.lit(""))
+    img3 = F.when(
+        i % 4 == 2,
+        F.concat(F.lit('<img src="http://cdn.test/p/'), s, F.lit('.gif">')),
+    ).otherwise(F.lit(""))
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://rsp.test/p"), s).alias("url"),
+        F.concat(
+            F.lit("<html><body>"), img1, img2, img3, F.lit("</body></html>")
+        ).alias("body"),
+    )
+    return srcset_candidates(pages)
+
+
 def q_meta_audit(spark, sf_dir):
     """Declared-vs-actual metadata audit over the north-rule table shape
     (pipeline/multimodal.meta_consistency): real decode + phash +
@@ -2544,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_sharpness": q_image_sharpness,
         "hreflang": q_hreflang,
         "meta_audit": q_meta_audit,
+        "srcset": q_srcset,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4440,6 +4489,86 @@ FROM bt JOIN bh ON bt.url = bh.url
         # fact; Spark earns the flags by decoding the payload (a PNG
         # truncated to 6 bytes also loses its 8-byte magic -> NULL
         # actual_fmt; the 4-byte QIMG/QLS0 magics survive)
+        # full parse replay: same <img> tag regex, attribute regexps,
+        # comma-split candidate grammar (trim, drop empties, 1x default),
+        # integer centi-densities, and the w>x>src chosen window
+        "srcset": """
+            WITH pages AS (
+              SELECT 'http://rsp.test/p' || doc_id AS url,
+                     '<html><body>'
+                     || '<img src="http://cdn.test/f/' || doc_id
+                     || '.jpg" srcset="http://cdn.test/i/' || doc_id
+                     || '-s.jpg 480w, http://cdn.test/i/' || doc_id
+                     || '-m.jpg 800w'
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN ', http://cdn.test/i/' || doc_id
+                                  || '-l.jpg 1200w'
+                             ELSE '' END
+                     || '">'
+                     || CASE WHEN doc_id % 3 <> 1
+                             THEN '<IMG srcset="http://cdn.test/d/'
+                                  || doc_id || '-1.png 1x,http://cdn.test/d/'
+                                  || doc_id || '-2.png 1.5x,http://cdn.test/d/'
+                                  || doc_id || '-0.png , " src="http://cdn.test/d/'
+                                  || doc_id || '-f.png">'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 2
+                             THEN '<img src="http://cdn.test/p/' || doc_id
+                                  || '.gif">'
+                             ELSE '' END
+                     || '</body></html>' AS body
+              FROM documents
+            ),
+            timg AS (
+              SELECT url, CAST(k - 1 AS INT) AS img_idx, l[k] AS tag
+              FROM (SELECT url,
+                           regexp_extract_all(body, '(?i)<img\\b[^>]*>') AS l
+                    FROM pages),
+                   unnest(generate_series(1, len(l))) AS g(k)
+            ),
+            attrs AS (
+              SELECT url, img_idx,
+                     regexp_extract(tag, '(?i)srcset="([^"]*)"', 1) AS ss,
+                     regexp_extract(tag, '(?i)src="([^"]*)"', 1) AS src
+              FROM timg
+            ),
+            rawc AS (
+              SELECT url, img_idx, trim(cs[k2]) AS cand
+              FROM (SELECT url, img_idx, string_split(ss, ',') AS cs
+                    FROM attrs WHERE ss <> ''),
+                   unnest(generate_series(1, len(cs))) AS g2(k2)
+            ),
+            pc AS (
+              SELECT url, img_idx, parts[1] AS cand_url,
+                     CASE WHEN len(parts) > 1 THEN parts[2]
+                          ELSE '1x' END AS des
+              FROM (SELECT url, img_idx,
+                           string_split_regex(cand, '\\s+') AS parts
+                    FROM rawc WHERE cand <> '')
+            ),
+            typed AS (
+              SELECT url, img_idx, cand_url,
+                     CASE WHEN des LIKE '%w' THEN 'w' ELSE 'x' END AS kind,
+                     CASE WHEN des LIKE '%w'
+                          THEN CAST(substr(des, 1, len(des) - 1) AS BIGINT)
+                               * 100
+                          ELSE CAST(ROUND(CAST(substr(des, 1, len(des) - 1)
+                                               AS DOUBLE) * 100) AS BIGINT)
+                     END AS val_centi
+              FROM pc
+              UNION ALL
+              SELECT url, img_idx, src, 'src', NULL
+              FROM attrs WHERE ss = '' AND src <> ''
+            )
+            SELECT url, img_idx, cand_url, kind, val_centi,
+                   row_number() OVER (
+                     PARTITION BY url, img_idx
+                     ORDER BY CASE kind WHEN 'w' THEN 0
+                                        WHEN 'x' THEN 1 ELSE 2 END,
+                              val_centi DESC NULLS LAST, cand_url
+                   ) = 1 AS chosen
+            FROM typed
+        """,
         "meta_audit": """
             WITH d AS (
               SELECT CAST(doc_id AS BIGINT) AS i FROM documents

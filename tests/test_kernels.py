@@ -580,3 +580,58 @@ def test_httpmeta_is_codegen_only(spark):
     assert "Project" in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
         assert bad not in plan, plan
+
+
+# ------------------------------------------------------------------- srcset
+def _srcset(spark, body):
+    from linkkchecker_net_spark.kernels.srcset import srcset_candidates
+
+    pages = spark.createDataFrame(
+        [("http://t.test/", body)], "url string, body string"
+    )
+    return sorted(
+        (r.img_idx, r.cand_url, r.kind, r.val_centi, r.chosen)
+        for r in srcset_candidates(pages).collect()
+    )
+
+
+def test_srcset_width_descriptors_pick_largest(spark):
+    out = _srcset(
+        spark,
+        '<img src="f.jpg" srcset="a.jpg 480w, b.jpg 1200w, c.jpg 800w">',
+    )
+    assert out == [
+        (0, "a.jpg", "w", 48000, False),
+        (0, "b.jpg", "w", 120000, True),
+        (0, "c.jpg", "w", 80000, False),
+    ]
+
+
+def test_srcset_density_default_and_trailing_comma(spark):
+    # descriptor-less entry defaults to 1x; trailing comma dropped;
+    # fractional density held as integer centi; src ignored (srcset wins)
+    out = _srcset(
+        spark, '<IMG srcset="a.png,b.png 1.5x, " src="z.png">'
+    )
+    assert out == [
+        (0, "a.png", "x", 100, False),
+        (0, "b.png", "x", 150, True),
+    ]
+
+
+def test_srcset_bare_src_fallback_and_multiple_imgs(spark):
+    out = _srcset(
+        spark,
+        '<img srcset="a.jpg 2x"><img src="only.gif">'
+        "<img >",  # no attributes at all -> no candidates
+    )
+    assert out == [
+        (0, "a.jpg", "x", 200, True),
+        (1, "only.gif", "src", None, True),
+    ]
+
+
+def test_srcset_w_beats_x_for_chosen(spark):
+    out = _srcset(spark, '<img srcset="d.png 3x, w.png 100w">')
+    chosen = [u for _, u, _, _, c in out if c]
+    assert chosen == ["w.png"]
