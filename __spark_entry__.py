@@ -2490,6 +2490,26 @@ def q_meta_audit(spark, sf_dir):
     return meta_consistency(synth_meta_corpus(spark, ids))
 
 
+def q_inline_images(spark, sf_dir):
+    """Inline data:-URI image extraction + REAL decode
+    (pipeline/multimodal.inline_images): codegen regexp harvest +
+    unbase64, one Arrow decode pass returning dims and a full-pixel
+    checksum.  The fixture's pixel values are arithmetic in doc_id
+    ((i*37+row)%251 gradient; 4x4 constant second image on i%4==2;
+    truncated payload on i%9==4; text/plain data URI and http img that
+    must NOT extract), so the oracle computes every pix_sum — including
+    the lossy codec's (v div 4)*4+2 dequantization — without touching
+    bytes, while Spark must decode to know it."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        inline_images,
+        synth_inline_corpus,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return inline_images(synth_inline_corpus(spark, ids))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2593,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang": q_hreflang,
         "meta_audit": q_meta_audit,
         "srcset": q_srcset,
+        "inline_images": q_inline_images,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4489,6 +4510,44 @@ FROM bt JOIN bh ON bt.url = bh.url
         # fact; Spark earns the flags by decoding the payload (a PNG
         # truncated to 6 bytes also loses its 8-byte magic -> NULL
         # actual_fmt; the 4-byte QIMG/QLS0 magics survive)
+        # structural oracle: dims/fmt/ok follow the fixture arms, and
+        # pix_sum is computed arithmetically per row of the gradient —
+        # including the lossy codec's (v div 4)*4+2 bucket-center
+        # dequantization — which Spark can only know by decoding
+        "inline_images": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            dims AS (
+              SELECT i, 8 + (i % 5) * 4 AS w, 6 + (i % 7) * 2 AS h,
+                     (['png','jpeg','gif'])[(i % 3) + 1] AS fmt
+              FROM d
+            ),
+            rsums AS (
+              SELECT i, CAST(SUM(
+                       CASE WHEN (i % 3) = 1
+                            THEN ((i*37 + r) % 251) // 4 * 4 + 2
+                            ELSE (i*37 + r) % 251 END) AS BIGINT) AS rsum
+              FROM dims, unnest(generate_series(0, h - 1)) AS g(r)
+              GROUP BY i
+            ),
+            img0 AS (
+              SELECT 'http://in.test/p' || dims.i AS url, 0 AS img_pos,
+                     fmt, dims.i % 9 <> 4 AS ok,
+                     CASE WHEN dims.i % 9 = 4 THEN NULL
+                          ELSE CAST(w AS INT) END AS w,
+                     CASE WHEN dims.i % 9 = 4 THEN NULL
+                          ELSE CAST(h AS INT) END AS h,
+                     CASE WHEN dims.i % 9 = 4 THEN NULL
+                          ELSE 3 * w * rsum END AS pix_sum
+              FROM dims JOIN rsums ON dims.i = rsums.i
+            ),
+            img1 AS (
+              SELECT 'http://in.test/p' || i AS url, 1 AS img_pos,
+                     'png' AS fmt, true AS ok, 4 AS w, 4 AS h,
+                     CAST(48 * ((i*11) % 251) AS BIGINT) AS pix_sum
+              FROM d WHERE i % 4 = 2
+            )
+            SELECT * FROM img0 UNION ALL SELECT * FROM img1
+        """,
         # full parse replay: same <img> tag regex, attribute regexps,
         # comma-split candidate grammar (trim, drop empties, 1x default),
         # integer centi-densities, and the w>x>src chosen window

@@ -358,7 +358,7 @@ def run_queries(spark) -> dict:
         "image_borders", "charset_sniff", "cache_policy", "warc_manifest",
         "image_dhash", "host_reputation", "revalidation_plan", "retry_after",
         "pagination_chains", "image_sharpness", "hreflang", "meta_audit",
-        "anchor_spam", "cdc_dedup", "srcset",
+        "anchor_spam", "cdc_dedup", "srcset", "inline_images",
     ]
     out = {}
     qs = entrymod.queries()

@@ -1102,3 +1102,127 @@ def synth_meta_corpus(spark, ids_df: DataFrame) -> DataFrame:
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
     )
+
+
+# --------------------------------------------------------- inline data: URIs
+DATA_URI_PAT = r"data:image/[a-z]+;base64,[A-Za-z0-9+/=]+"
+_DATA_FMT_PAT = r"data:image/([a-z]+);base64,"
+_DATA_B64_PAT = r";base64,([A-Za-z0-9+/=]+)$"
+
+INLINE_IMG_SCHEMA = (
+    "url string, img_pos int, fmt string, ok boolean, w int, h int, "
+    "pix_sum long"
+)
+
+
+def synth_inline_corpus(spark, ids_df: DataFrame) -> DataFrame:
+    """Deterministic HTML pages with inline base64 images: per id, img 0
+    is a row-gradient tile (pixel value (i*37+row) % 251 on every
+    channel/column) in the i%3-rotated codec; i%4==2 pages add a second
+    4x4 constant-fill PNG; i%9==4 pages truncate img 0's payload to 6
+    bytes (valid base64, undecodable container); i%6==1 pages carry a
+    data:text/plain URI and i%5==3 a plain http <img> — both must be
+    ignored by the extractor.  Every decodable pixel sum is an
+    arithmetic function of id, so the DuckDB oracle knows the answer
+    WITHOUT decoding — Spark must earn it from the payload."""
+    import base64
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, bodies = [], []
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                w, h = 8 + (i % 5) * 4, 6 + (i % 7) * 2
+                col = ((i * 37 + np.arange(h)) % 251).astype(np.uint8)
+                arr = np.repeat(col[:, None], w, axis=1)
+                arr = np.stack([arr] * 3, axis=2)
+                fmt = ("png", "jpeg", "gif")[i % 3]
+                data = imaging.encode_image(arr, fmt)
+                if i % 9 == 4:
+                    data = data[:6]
+                b64 = base64.b64encode(data).decode("ascii")
+                parts = [f'<img src="data:image/{fmt};base64,{b64}">']
+                if i % 6 == 1:
+                    t64 = base64.b64encode(b"not an image").decode("ascii")
+                    parts.append(
+                        f'<a href="data:text/plain;base64,{t64}">t</a>'
+                    )
+                if i % 5 == 3:
+                    parts.append(f'<img src="http://cdn.test/x/{i}.jpg">')
+                if i % 4 == 2:
+                    c = (i * 11) % 251
+                    tiny = np.full((4, 4, 3), c, dtype=np.uint8)
+                    b2 = base64.b64encode(
+                        imaging.encode_image(tiny, "png")
+                    ).decode("ascii")
+                    parts.append(f'<img src="data:image/png;base64,{b2}">')
+                urls.append(f"http://in.test/p{i}")
+                bodies.append(
+                    "<html><body>" + "".join(parts) + "</body></html>"
+                )
+            if urls:
+                yield pd.DataFrame({"url": urls, "body": bodies})
+
+    return ids_df.mapInPandas(gen, "url string, body string")
+
+
+def inline_images(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Extract + decode inline ``data:image/*;base64`` payloads:
+    (url, img_pos, fmt, ok, w, h, pix_sum).
+
+    Pages "fetch" inline images with the page itself — no frontier
+    round-trip — so a crawler that validates images (the reference's
+    UsedImagesChecker purpose) must decode them at parse time or they
+    silently escape the audit.  Extraction is whole-stage codegen (one
+    regexp_extract_all over the body + per-URI attribute regexps +
+    JVM ``unbase64``); only the decoded-bytes pass crosses to Python,
+    as one Arrow ``mapInPandas`` batch that returns scalars (dims +
+    full-pixel checksum) and drops the payload at the stage boundary —
+    identical plan shape to image_meta.
+
+    Scale: map-only end-to-end (zero shuffles); payload bytes never
+    move between stages, so the exchange-free plan holds at any page
+    count.  pix_sum is the uint8 sum over every decoded
+    channel/pixel — a value unobtainable without a full decode.
+    """
+    uris = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(body_col), F.lit(DATA_URI_PAT), 0)
+        ).alias("img_pos", "uri"),
+    ).select(
+        "url",
+        "img_pos",
+        F.regexp_extract("uri", _DATA_FMT_PAT, 1).alias("mime_fmt"),
+        F.unbase64(F.regexp_extract("uri", _DATA_B64_PAT, 1)).alias("data"),
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "img_pos": [], "fmt": [], "ok": [],
+                   "w": [], "h": [], "pix_sum": []}
+            for url, pos, fmt, data in zip(
+                pdf["url"], pdf["img_pos"], pdf["mime_fmt"], pdf["data"]
+            ):
+                out["url"].append(url)
+                out["img_pos"].append(int(pos))
+                out["fmt"].append(fmt)
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                    out["ok"].append(True)
+                    out["w"].append(arr.shape[1])
+                    out["h"].append(arr.shape[0])
+                    out["pix_sum"].append(int(arr.astype(np.int64).sum()))
+                except Exception:
+                    out["ok"].append(False)
+                    out["w"].append(None)
+                    out["h"].append(None)
+                    out["pix_sum"].append(None)
+            if out["url"]:
+                yield pd.DataFrame(out)
+
+    return uris.mapInPandas(dec, INLINE_IMG_SCHEMA)

@@ -86,3 +86,69 @@ def test_laplacian_sharpness_flat_tiny_and_striped(spark):
     ids = spark.createDataFrame([(5,)], "id long")  # s=4, delta=24
     row = laplacian_sharpness(synth_striped_corpus(spark, ids)).collect()[0]
     assert row["lap_sq_sum"] == 540 * (32 // 4 - 1) * 24 * 24
+
+
+# ------------------------------------------------------------ inline_images
+def test_inline_images_extract_and_decode(spark):
+    """Extractor harvests only data:image URIs (text/plain and http
+    <img> ignored), decodes for real, and the pixel checksum equals the
+    numpy truth."""
+    import base64
+
+    import numpy as np
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.multimodal import inline_images
+
+    arr = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    b64 = base64.b64encode(imaging.encode_image(arr, "png")).decode()
+    t64 = base64.b64encode(b"plain").decode()
+    body = (
+        f'<img src="data:image/png;base64,{b64}">'
+        f'<a href="data:text/plain;base64,{t64}">x</a>'
+        '<img src="http://cdn.test/a.jpg">'
+    )
+    pages = spark.createDataFrame(
+        [("http://t.test/", body)], "url string, body string"
+    )
+    rows = inline_images(pages).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.img_pos, r.fmt, r.ok, r.w, r.h) == (0, "png", True, 4, 3)
+    assert r.pix_sum == int(arr.astype(np.int64).sum())
+
+
+def test_inline_images_corrupt_payload(spark):
+    """Valid base64 of a truncated container -> ok=False, NULL dims."""
+    import base64
+
+    from linkkchecker_net_spark.pipeline.multimodal import inline_images
+
+    b64 = base64.b64encode(b"\x89PNGxx").decode()
+    pages = spark.createDataFrame(
+        [("u", f'<img src="data:image/png;base64,{b64}">')],
+        "url string, body string",
+    )
+    r = inline_images(pages).collect()[0]
+    assert r.ok is False and r.w is None and r.pix_sum is None
+
+
+def test_inline_images_lossy_roundtrip_checksum(spark):
+    """jpeg (lossy) checksum equals the dequantized truth, not the
+    original pixels — proves the decode path, not an echo."""
+    import base64
+
+    import numpy as np
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.multimodal import inline_images
+
+    arr = np.full((2, 2, 3), 37, dtype=np.uint8)  # 37//4*4+2 = 38
+    b64 = base64.b64encode(imaging.encode_image(arr, "jpeg")).decode()
+    pages = spark.createDataFrame(
+        [("u", f'<img src="data:image/jpeg;base64,{b64}">')],
+        "url string, body string",
+    )
+    r = inline_images(pages).collect()[0]
+    assert r.pix_sum == 38 * 12
+    assert r.pix_sum != int(arr.astype(np.int64).sum())
