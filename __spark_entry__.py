@@ -2510,6 +2510,94 @@ def q_inline_images(spark, sf_dir):
     return inline_images(synth_inline_corpus(spark, ids))
 
 
+def q_feed_links(spark, sf_dir):
+    """RSS 2.0 / Atom feed link+timestamp extraction (kernels/feedparse):
+    even ids serve RSS (RFC 822 pubDates, a link-less item that must be
+    skipped, whitespace-padded link text), odd ids serve Atom (RFC 3339
+    updated, multi-<link> entry incl. rel=enclosure image), i%11==7 is
+    malformed XML and must vanish.  Timestamps are epoch-arithmetic in
+    doc_id, FORMATTED into each dialect's date grammar by the fixture —
+    Spark recovers the epoch only by actually parsing RFC 822 / RFC 3339
+    dates; the oracle knows it arithmetically."""
+    from datetime import datetime, timezone
+    from email.utils import format_datetime
+
+    from linkkchecker_net_spark.kernels.feedparse import feed_items_udf
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, bodies = [], []
+            for i in pdf["doc_id"].astype(int):
+                i = int(i)
+                e0 = 1700000000 + i * 3600
+                if i % 11 == 7:
+                    body = "<rss><channel><item>"
+                elif i % 2 == 0:
+                    d0 = format_datetime(
+                        datetime.fromtimestamp(e0, timezone.utc)
+                    )
+                    d1 = format_datetime(
+                        datetime.fromtimestamp(e0 + 1800, timezone.utc)
+                    )
+                    body = (
+                        f'<rss version="2.0"><channel><title>c{i}</title>'
+                        f"<item><title>item {i} 0</title>"
+                        f"<link> http://feed.test/r{i}/a </link>"
+                        f"<pubDate>{d0}</pubDate></item>"
+                        f"<item><title>item {i} 1</title>"
+                        f"<link>http://feed.test/r{i}/b</link>"
+                        f"<pubDate>{d1}</pubDate></item>"
+                        f"<item><title>no link {i}</title></item>"
+                        "</channel></rss>"
+                    )
+                else:
+                    u0 = (
+                        datetime.fromtimestamp(e0, timezone.utc)
+                        .isoformat()
+                        .replace("+00:00", "Z")
+                    )
+                    u1 = (
+                        datetime.fromtimestamp(e0 + 1800, timezone.utc)
+                        .isoformat()
+                        .replace("+00:00", "Z")
+                    )
+                    body = (
+                        f'<feed xmlns="http://www.w3.org/2005/Atom">'
+                        f"<entry><title>entry {i} 0</title>"
+                        f"<updated>{u0}</updated>"
+                        f'<link href="http://feed.test/a{i}/0"/>'
+                        f'<link rel="enclosure" '
+                        f'href="http://feed.test/img/{i}.jpg"/></entry>'
+                        f"<entry><title>entry {i} 1</title>"
+                        f"<updated>{u1}</updated>"
+                        f'<link rel="alternate" '
+                        f'href="http://feed.test/a{i}/1"/></entry></feed>'
+                    )
+                urls.append(f"http://feed.test/{i}/feed.xml")
+                bodies.append(body)
+            if urls:
+                yield pd.DataFrame({"url": urls, "body": bodies})
+
+    feeds = ids.mapInPandas(gen, "url string, body string")
+    it = F.col("it")
+    return feeds.select(
+        "url", F.posexplode(feed_items_udf("body")).alias("pos", "it")
+    ).select(
+        "url",
+        "pos",
+        it.kind.alias("kind"),
+        it.link.alias("link"),
+        it.rel.alias("rel"),
+        it.title.alias("title"),
+        it.ts_epoch.alias("ts_epoch"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2614,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_audit": q_meta_audit,
         "srcset": q_srcset,
         "inline_images": q_inline_images,
+        "feed_links": q_feed_links,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4510,6 +4599,43 @@ FROM bt JOIN bh ON bt.url = bh.url
         # fact; Spark earns the flags by decoding the payload (a PNG
         # truncated to 6 bytes also loses its 8-byte magic -> NULL
         # actual_fmt; the 4-byte QIMG/QLS0 magics survive)
+        # arithmetic replay of the feed fixture: epochs are linear in
+        # doc_id (the fixture FORMATS them as RFC 822 / RFC 3339 text;
+        # Spark must parse those grammars to recover them); the link-less
+        # RSS item never gets a position, malformed feeds vanish
+        "feed_links": """
+            WITH d AS (SELECT doc_id AS i FROM documents
+                       WHERE doc_id % 11 <> 7),
+            rss AS (
+              SELECT 'http://feed.test/' || i || '/feed.xml' AS url,
+                     p AS pos, 'rss' AS kind,
+                     'http://feed.test/r' || i
+                       || CASE p WHEN 0 THEN '/a' ELSE '/b' END AS link,
+                     'alternate' AS rel,
+                     'item ' || i || ' ' || p AS title,
+                     CAST(1700000000 + i*3600 + p*1800 AS BIGINT)
+                       AS ts_epoch
+              FROM d, unnest([0, 1]) AS t(p) WHERE i % 2 = 0
+            ),
+            atom AS (
+              SELECT 'http://feed.test/' || i || '/feed.xml' AS url,
+                     p AS pos, 'atom' AS kind,
+                     CASE p WHEN 0 THEN 'http://feed.test/a' || i || '/0'
+                            WHEN 1 THEN 'http://feed.test/img/' || i
+                                        || '.jpg'
+                            ELSE 'http://feed.test/a' || i || '/1'
+                     END AS link,
+                     CASE p WHEN 1 THEN 'enclosure'
+                            ELSE 'alternate' END AS rel,
+                     'entry ' || i || ' '
+                       || CASE WHEN p < 2 THEN 0 ELSE 1 END AS title,
+                     CAST(1700000000 + i*3600
+                          + CASE WHEN p < 2 THEN 0 ELSE 1800 END
+                          AS BIGINT) AS ts_epoch
+              FROM d, unnest([0, 1, 2]) AS t(p) WHERE i % 2 = 1
+            )
+            SELECT * FROM rss UNION ALL SELECT * FROM atom
+        """,
         # structural oracle: dims/fmt/ok follow the fixture arms, and
         # pix_sum is computed arithmetically per row of the gradient —
         # including the lossy codec's (v div 4)*4+2 bucket-center

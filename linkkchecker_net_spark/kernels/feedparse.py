@@ -1,0 +1,119 @@
+"""RSS 2.0 / Atom feed parse kernel — the discovery source the reference
+lacks.
+
+The reference ingests sitemap.xml only (`SpiderEngine/SiteMapChecker.cs:
+26-28`); real crawl scheduling leans on feeds because they carry
+per-item TIMESTAMPS (RSS `<pubDate>` RFC 822, Atom `<updated>` RFC 3339)
+— the freshest recrawl signal a site publishes.  This kernel parses both
+dialects with a real XML parse (same error contract as the sitemap
+kernel: malformed XML yields no rows) and normalizes both date grammars
+to epoch seconds, so `pipeline/recrawl` consumes one column regardless
+of dialect.
+
+Dialect handling:
+  * RSS 2.0 — ``<rss><channel><item>`` at any depth; per item the
+    ``<link>`` text (trimmed), ``<title>``, and ``<pubDate>`` parsed per
+    RFC 822 (email.utils — the same grammar HTTP Date headers use).
+    Items without a <link> are skipped; rel is 'alternate' by definition.
+  * Atom — ``{http://www.w3.org/2005/Atom}entry``; every ``<link>``
+    child is emitted with its ``rel`` (default 'alternate' per RFC 4287
+    §4.2.7.2 — enclosure links are how podcast/image payloads ship),
+    sharing the entry's ``<title>``/``<updated>`` (RFC 3339 → epoch).
+
+Arrow-vectorized pandas UDF over fetched bodies: one columnar pass, no
+per-row Python across the JVM boundary; downstream is a codegen
+posexplode.  Unparseable dates yield NULL ts (the feed row itself is
+kept — link discovery must not depend on date hygiene).
+"""
+
+from __future__ import annotations
+
+import email.utils
+import xml.etree.ElementTree as ET
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ATOM_NS = "http://www.w3.org/2005/Atom"
+_A = f"{{{ATOM_NS}}}"
+
+FEED_ITEM_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("link", T.StringType()),
+            T.StructField("rel", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("ts_epoch", T.LongType()),
+        ]
+    )
+)
+
+
+def _rfc822_epoch(s: str | None) -> int | None:
+    if not s:
+        return None
+    try:
+        return int(email.utils.parsedate_to_datetime(s.strip()).timestamp())
+    except (ValueError, TypeError):
+        return None
+
+
+def _rfc3339_epoch(s: str | None) -> int | None:
+    if not s:
+        return None
+    try:
+        t = s.strip().replace("Z", "+00:00")
+        dt = datetime.fromisoformat(t)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp())
+    except ValueError:
+        return None
+
+
+def parse_feed(body: bytes | str | None) -> list[tuple] | None:
+    """Feed → [(kind, link, rel, title, ts_epoch)] in document order, or
+    None on parse error / unknown root (same contract as parse_sitemap)."""
+    if body is None:
+        return None
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError:
+        return None
+    out: list[tuple] = []
+    if root.tag == "rss":
+        for item in root.iter("item"):
+            link = (item.findtext("link") or "").strip()
+            if not link:
+                continue
+            out.append(
+                (
+                    "rss",
+                    link,
+                    "alternate",
+                    item.findtext("title"),
+                    _rfc822_epoch(item.findtext("pubDate")),
+                )
+            )
+    elif root.tag == _A + "feed":
+        for entry in root.iter(_A + "entry"):
+            title = entry.findtext(_A + "title")
+            ts = _rfc3339_epoch(entry.findtext(_A + "updated"))
+            for ln in entry.findall(_A + "link"):
+                href = (ln.get("href") or "").strip()
+                if not href:
+                    continue
+                out.append(
+                    ("atom", href, ln.get("rel") or "alternate", title, ts)
+                )
+    else:
+        return None
+    return out
+
+
+@F.pandas_udf(FEED_ITEM_TYPE)
+def feed_items_udf(body: pd.Series) -> pd.Series:
+    return pd.Series([parse_feed(b) for b in body], dtype="object")

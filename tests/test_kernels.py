@@ -635,3 +635,43 @@ def test_srcset_w_beats_x_for_chosen(spark):
     out = _srcset(spark, '<img srcset="d.png 3x, w.png 100w">')
     chosen = [u for _, u, _, _, c in out if c]
     assert chosen == ["w.png"]
+
+
+# ---------------------------------------------------------------- feedparse
+def test_feedparse_rss_and_atom():
+    from linkkchecker_net_spark.kernels.feedparse import parse_feed
+
+    rss = (
+        '<rss version="2.0"><channel>'
+        "<item><title>t0</title><link> http://x/a </link>"
+        "<pubDate>Tue, 14 Nov 2023 22:13:20 GMT</pubDate></item>"
+        "<item><title>skip me</title></item>"
+        "<item><title>bad date</title><link>http://x/b</link>"
+        "<pubDate>not a date</pubDate></item>"
+        "</channel></rss>"
+    )
+    out = parse_feed(rss)
+    assert out == [
+        ("rss", "http://x/a", "alternate", "t0", 1700000000),
+        ("rss", "http://x/b", "alternate", "bad date", None),
+    ]
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+        "<title>e0</title><updated>2023-11-14T22:13:20Z</updated>"
+        '<link href="http://x/0"/>'
+        '<link rel="enclosure" href="http://x/i.jpg"/>'
+        "</entry></feed>"
+    )
+    assert parse_feed(atom) == [
+        ("atom", "http://x/0", "alternate", "e0", 1700000000),
+        ("atom", "http://x/i.jpg", "enclosure", "e0", 1700000000),
+    ]
+
+
+def test_feedparse_error_contract():
+    from linkkchecker_net_spark.kernels.feedparse import parse_feed
+
+    assert parse_feed("<rss><channel><item>") is None  # malformed
+    assert parse_feed("<html><body/></html>") is None  # unknown root
+    assert parse_feed(None) is None
+    assert parse_feed("<rss/>") == []  # well-formed, empty
