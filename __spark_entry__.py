@@ -2598,6 +2598,45 @@ def q_feed_links(spark, sf_dir):
     )
 
 
+def q_link_header(spark, sf_dir):
+    """RFC 8288 Link-header edge extraction (kernels/httpmeta.
+    link_header_edges): every page carries rel=next + a rel=preload;
+    as=image (the header-only image-discovery path); i%3==0 adds a
+    multi-relation rel="canonical prefetch" (one row per relation),
+    i%5==2 a rel-less link-value (kept, rel ''), i%4==1 an
+    uppercase no-space ;REL="Prev" (case-insensitive grammar).  BOTH
+    engines replay the same parse over the same synthesized header."""
+    from linkkchecker_net_spark.kernels.httpmeta import link_header_edges
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    hdr = F.concat(
+        F.lit("<http://s.test/p"), (i + 1).cast("string"),
+        F.lit('>; rel="next", <http://cdn.test/i/'), s,
+        F.lit(".jpg>; rel=preload; as=image"),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit(", <http://s.test/c"), s,
+                     F.lit('>; rel="canonical prefetch"')),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 2,
+            F.concat(F.lit(", <http://s.test/x"), s, F.lit(">")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 1,
+            F.concat(F.lit(", <http://s.test/v"), s,
+                     F.lit('>;REL="Prev"')),
+        ).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://s.test/p"), s).alias("url"),
+        hdr.alias("link_header"),
+    )
+    return link_header_edges(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2703,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srcset": q_srcset,
         "inline_images": q_inline_images,
         "feed_links": q_feed_links,
+        "link_header": q_link_header,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4599,6 +4639,50 @@ FROM bt JOIN bh ON bt.url = bh.url
         # fact; Spark earns the flags by decoding the payload (a PNG
         # truncated to 6 bytes also loses its 8-byte magic -> NULL
         # actual_fmt; the 4-byte QIMG/QLS0 magics survive)
+        # same header synthesized by concat, same regex grammar replayed:
+        # link-values anchored at '<', rel/as params case-insensitive,
+        # multi-relation rel values split on whitespace into rows
+        "link_header": """
+            WITH h AS (
+              SELECT 'http://s.test/p' || doc_id AS url,
+                     '<http://s.test/p' || (doc_id + 1)
+                     || '>; rel="next", <http://cdn.test/i/' || doc_id
+                     || '.jpg>; rel=preload; as=image'
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ', <http://s.test/c' || doc_id
+                                  || '>; rel="canonical prefetch"'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 2
+                             THEN ', <http://s.test/x' || doc_id || '>'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 1
+                             THEN ', <http://s.test/v' || doc_id
+                                  || '>;REL="Prev"'
+                             ELSE '' END AS lh
+              FROM documents
+            ),
+            vals AS (
+              SELECT url, CAST(k - 1 AS INT) AS pos, l[k] AS val
+              FROM (SELECT url,
+                           regexp_extract_all(lh, '<[^>]*>[^,]*') AS l
+                    FROM h),
+                   unnest(generate_series(1, len(l))) AS g(k)
+            ),
+            attrs AS (
+              SELECT url, pos,
+                     regexp_extract(val, '<([^>]*)>', 1) AS target,
+                     lower(trim(regexp_extract(val,
+                       '(?i);\\s*rel="?([^";,]*)"?', 1))) AS rels,
+                     lower(regexp_extract(val,
+                       '(?i);\\s*as="?([^";,]*)"?', 1)) AS as_attr
+              FROM vals
+            )
+            SELECT url, pos, target, rs[k2] AS rel, as_attr
+            FROM (SELECT url, pos, target, as_attr,
+                         string_split_regex(rels, '\\s+') AS rs
+                  FROM attrs),
+                 unnest(generate_series(1, len(rs))) AS g2(k2)
+        """,
         # arithmetic replay of the feed fixture: epochs are linear in
         # doc_id (the fixture FORMATS them as RFC 822 / RFC 3339 text;
         # Spark must parse those grammars to recover them); the link-less

@@ -124,3 +124,63 @@ def cache_policy_expr(
         ttl.alias("ttl_sec"),
         (reval & ~no_store).alias("conditional_get"),
     )
+
+
+# ------------------------------------------------------- RFC 8288 Link header
+# The reference reads only the Location header (SpiderEngine/Engine.cs
+# redirect handling); HTTP `Link:` headers carry rel=next/canonical/
+# preload edges that never appear in the body — pagination APIs and
+# image preloads ship exclusively here, so a crawler parsing bodies only
+# is blind to them.  Subset note: link-values are split on commas, which
+# per RFC 8288 is correct unless a quoted parameter itself contains a
+# comma — URLs inside <> are safe (commas there don't split because the
+# pattern anchors each value at '<').
+_LINK_VALUE_PAT = r"<[^>]*>[^,]*"
+_LINK_TARGET_PAT = r"<([^>]*)>"
+_LINK_REL_PAT = r'(?i);\s*rel="?([^";,]*)"?'
+_LINK_AS_PAT = r'(?i);\s*as="?([^";,]*)"?'
+
+
+def link_header_edges(
+    df,
+    url_col: str = "url",
+    header_col: str = "link_header",
+):
+    """(url, pos, target, rel, as_attr) per relation type in a Link
+    header.
+
+    One row per (link-value, relation): RFC 8288 §3.3 allows
+    ``rel="next prefetch"`` — space-separated relation types — and each
+    becomes its own edge row (lowercased; relation types are
+    case-insensitive).  ``pos`` is the link-value index, shared by the
+    multi-rel rows it expands to.  A link-value with no rel parameter
+    yields one row with rel '' (kept: the target URL is still a
+    discovery edge).  ``as_attr`` surfaces preload typing (as=image is
+    how hero images are declared before the body arrives).
+
+    Whole-stage codegen end-to-end: regexp_extract_all + two
+    posexplodes + per-value regexps — zero Python, zero shuffles.
+    """
+    vals = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(header_col), F.lit(_LINK_VALUE_PAT), 0
+            )
+        ).alias("pos", "val"),
+    ).select(
+        "url",
+        "pos",
+        F.regexp_extract("val", _LINK_TARGET_PAT, 1).alias("target"),
+        F.lower(
+            F.trim(F.regexp_extract("val", _LINK_REL_PAT, 1))
+        ).alias("rels"),
+        F.lower(F.regexp_extract("val", _LINK_AS_PAT, 1)).alias("as_attr"),
+    )
+    return vals.select(
+        "url",
+        "pos",
+        "target",
+        F.explode(F.split("rels", r"\s+")).alias("rel"),
+        "as_attr",
+    )

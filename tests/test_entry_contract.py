@@ -83,7 +83,7 @@ NON_CRAWL = [
     "image_borders", "charset_sniff", "cache_policy", "warc_manifest",
     "image_dhash", "host_reputation", "revalidation_plan", "retry_after",
     "pagination_chains", "image_sharpness", "hreflang", "meta_audit",
-    "srcset", "inline_images", "feed_links",
+    "srcset", "inline_images", "feed_links", "link_header",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

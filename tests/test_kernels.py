@@ -675,3 +675,40 @@ def test_feedparse_error_contract():
     assert parse_feed("<html><body/></html>") is None  # unknown root
     assert parse_feed(None) is None
     assert parse_feed("<rss/>") == []  # well-formed, empty
+
+
+# -------------------------------------------------------- link_header_edges
+def test_link_header_multi_rel_and_defaults(spark):
+    from linkkchecker_net_spark.kernels.httpmeta import link_header_edges
+
+    df = spark.createDataFrame(
+        [(
+            "u",
+            '<http://a/2>; rel="next", </hero.jpg>; rel=preload; as=image,'
+            ' <http://a/c>; rel="canonical prefetch", <http://bare/>',
+        )],
+        "url string, link_header string",
+    )
+    rows = sorted(
+        (r.pos, r.target, r.rel, r.as_attr)
+        for r in link_header_edges(df).collect()
+    )
+    assert rows == [
+        (0, "http://a/2", "next", ""),
+        (1, "/hero.jpg", "preload", "image"),
+        (2, "http://a/c", "canonical", ""),
+        (2, "http://a/c", "prefetch", ""),
+        (3, "http://bare/", "", ""),
+    ]
+
+
+def test_link_header_case_and_comma_in_url(spark):
+    from linkkchecker_net_spark.kernels.httpmeta import link_header_edges
+
+    df = spark.createDataFrame(
+        [("u", '<http://a/x,y>;REL="Prev"')],
+        "url string, link_header string",
+    )
+    rows = [(r.target, r.rel) for r in link_header_edges(df).collect()]
+    # comma INSIDE <> must not split the link-value; rel lowercased
+    assert rows == [("http://a/x,y", "prev")]
