@@ -2510,6 +2510,23 @@ def q_inline_images(spark, sf_dir):
     return inline_images(synth_inline_corpus(spark, ids))
 
 
+def q_resize_images(spark, sf_dir):
+    """Area-average image downsample (pipeline/multimodal.resize_images,
+    factor 2) over the row-gradient north-rule corpus: Spark decodes and
+    pools real pixels; the oracle prices every block mean arithmetically
+    — including the lossy codec's dequantization — via two
+    generate_series folds (full-res sum and per-block floor-mean sum).
+    Truncated payloads (i%9==4) stay ok=false with NULL sums."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        resize_images,
+        synth_rowgrad_corpus,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return resize_images(synth_rowgrad_corpus(spark, ids), factor=2)
+
+
 def q_feed_links(spark, sf_dir):
     """RSS 2.0 / Atom feed link+timestamp extraction (kernels/feedparse):
     even ids serve RSS (RFC 822 pubDates, a link-less item that must be
@@ -2743,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inline_images": q_inline_images,
         "feed_links": q_feed_links,
         "link_header": q_link_header,
+        "resize_images": q_resize_images,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4639,6 +4657,50 @@ FROM bt JOIN bh ON bt.url = bh.url
         # fact; Spark earns the flags by decoding the payload (a PNG
         # truncated to 6 bytes also loses its 8-byte magic -> NULL
         # actual_fmt; the 4-byte QIMG/QLS0 magics survive)
+        # resize oracle: full-res sum and factor-2 block floor-means are
+        # arithmetic in (i, row) for the row-gradient corpus; jpeg rows
+        # price the (v div 4)*4+2 dequantization first
+        "resize_images": """
+            WITH d AS (SELECT doc_id AS i, 8 + (doc_id % 5) * 4 AS w,
+                              6 + (doc_id % 7) * 2 AS h
+                       FROM documents),
+            fulls AS (
+              SELECT i, CAST(SUM(
+                       CASE WHEN i % 3 = 1
+                            THEN ((i*37 + r) % 251) // 4 * 4 + 2
+                            ELSE (i*37 + r) % 251 END) AS BIGINT) AS rsum
+              FROM d, unnest(generate_series(0, h - 1)) AS g(r)
+              GROUP BY i
+            ),
+            halfs AS (
+              SELECT i, CAST(SUM((u0 + u1) // 2) AS BIGINT) AS hsum
+              FROM (
+                SELECT i,
+                       CASE WHEN i % 3 = 1
+                            THEN ((i*37 + 2*r2) % 251) // 4 * 4 + 2
+                            ELSE (i*37 + 2*r2) % 251 END AS u0,
+                       CASE WHEN i % 3 = 1
+                            THEN ((i*37 + 2*r2 + 1) % 251) // 4 * 4 + 2
+                            ELSE (i*37 + 2*r2 + 1) % 251 END AS u1
+                FROM d, unnest(generate_series(0, h // 2 - 1)) AS g(r2)
+              ) GROUP BY i
+            )
+            SELECT 'img_' || lpad(d.i::VARCHAR, 6, '0') AS image_id,
+                   d.i % 9 <> 4 AS ok,
+                   CASE WHEN d.i % 9 = 4 THEN NULL
+                        ELSE CAST(w AS INT) END AS w,
+                   CASE WHEN d.i % 9 = 4 THEN NULL
+                        ELSE CAST(h AS INT) END AS h,
+                   CASE WHEN d.i % 9 = 4 THEN NULL
+                        ELSE CAST(w // 2 AS INT) END AS rw,
+                   CASE WHEN d.i % 9 = 4 THEN NULL
+                        ELSE CAST(h // 2 AS INT) END AS rh,
+                   CASE WHEN d.i % 9 = 4 THEN NULL
+                        ELSE 3 * w * rsum END AS pix_sum,
+                   CASE WHEN d.i % 9 = 4 THEN NULL
+                        ELSE 3 * (w // 2) * hsum END AS rpix_sum
+            FROM d JOIN fulls ON d.i = fulls.i JOIN halfs ON d.i = halfs.i
+        """,
         # same header synthesized by concat, same regex grammar replayed:
         # link-values anchored at '<', rel/as params case-insensitive,
         # multi-relation rel values split on whitespace into rows

@@ -1226,3 +1226,105 @@ def inline_images(
                 yield pd.DataFrame(out)
 
     return uris.mapInPandas(dec, INLINE_IMG_SCHEMA)
+
+
+# ------------------------------------------------------------- image resize
+RESIZE_SCHEMA = (
+    "image_id string, ok boolean, w int, h int, rw int, rh int, "
+    "pix_sum long, rpix_sum long"
+)
+
+
+def synth_rowgrad_corpus(spark, ids_df: DataFrame) -> DataFrame:
+    """North-rule-shaped corpus whose pixels are a pure row gradient:
+    value (i*37 + row) % 251 on every channel/column, w = 8+(i%5)*4 and
+    h = 6+(i%7)*2 (both even — factor-2 blocks tile exactly), codec
+    rotated by i%3, bytes truncated on i%9==4.  Every block-mean the
+    resize computes is therefore arithmetic in (i, row) — the oracle
+    can price the whole transform without pixels."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "caption": [], "phash": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                w, h = 8 + (i % 5) * 4, 6 + (i % 7) * 2
+                col = ((i * 37 + np.arange(h)) % 251).astype(np.uint8)
+                arr = np.stack([np.repeat(col[:, None], w, axis=1)] * 3,
+                               axis=2)
+                fmt = ("png", "jpeg", "gif")[i % 3]
+                data = imaging.encode_image(arr, fmt)
+                if i % 9 == 4:
+                    data = data[:6]
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(data)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append(fmt)
+                out["caption"].append(f"grad {i}")
+                out["phash"].append(0)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+
+
+def resize_images(corpus: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode → area-average downsample by ``factor`` → integer
+    checksums: (image_id, ok, w, h, rw, rh, pix_sum, rpix_sum).
+
+    THE canonical image-pipeline transform (training corpora are
+    resized before feature extraction; thumbnails before near-dup).
+    Box semantics: each output pixel is the floor of its
+    factor×factor block mean (pure integer — engine- and
+    platform-exact, unlike float bilinear).  Images whose dims don't
+    tile by ``factor`` are cropped to the largest tiling region first
+    (standard pooling semantics); undecodable rows keep ok=false with
+    NULL dims/sums.
+
+    Scale: one mapInPandas Arrow pass, map-only, zero shuffles; bytes
+    die at the stage boundary and only 6 scalars per image survive —
+    the same exchange-free shape as image_meta, so the plan is flat at
+    any corpus size.
+    """
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "ok": [], "w": [], "h": [],
+                   "rw": [], "rh": [], "pix_sum": [], "rpix_sum": []}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                out["image_id"].append(iid)
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    out["ok"].append(False)
+                    for k in ("w", "h", "rw", "rh", "pix_sum", "rpix_sum"):
+                        out[k].append(None)
+                    continue
+                h, w, _ = arr.shape
+                rh, rw = h // factor, w // factor
+                crop = arr[: rh * factor, : rw * factor].astype(np.int64)
+                rs = (
+                    crop.reshape(rh, factor, rw, factor, 3).sum(axis=(1, 3))
+                    // (factor * factor)
+                )
+                out["ok"].append(True)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["rw"].append(rw)
+                out["rh"].append(rh)
+                out["pix_sum"].append(int(arr.astype(np.int64).sum()))
+                out["rpix_sum"].append(int(rs.sum()))
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        dec, RESIZE_SCHEMA
+    )
