@@ -2654,6 +2654,88 @@ def q_link_header(spark, sf_dir):
     return link_header_edges(pages)
 
 
+def q_caption_pairs(spark, sf_dir):
+    """LAION-style image+caption pair harvest (kernels/captions):
+    <img alt> pairs plus og:image×og:title pairs, entity-decoded, with
+    the caption quality gate.  Arms: every page carries a good alt pair;
+    i%3==0 an alt="" decorative (empty caption, gate false); i%4==1 an
+    uppercase <IMG> with NO alt (NULL caption); i%6==3 entities
+    (&amp;/&quot;) that must decode; i%5==2 a src-less img (dropped);
+    i%7==4 a 4-char alt (below min length); i%11==7 a 210-char alt
+    (above max); even ids add og:image (+og:title except i%8==6 →
+    NULL-caption og row; i%10==0 a second og:image, Property="OG:IMAGE"
+    case variant).  BOTH engines replay the full grammar."""
+    from linkkchecker_net_spark.kernels.captions import caption_pairs
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    head = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.when(
+                i % 8 != 6,
+                F.concat(
+                    F.lit('<meta property="og:title" content="Gallery page '),
+                    s, F.lit(' overview">'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit('<meta property="og:image" content="http://cdn.test/og/'),
+            s, F.lit('.png">'),
+            F.when(
+                i % 10 == 0,
+                F.concat(
+                    F.lit('<meta Property="OG:IMAGE" '
+                          'content="http://cdn.test/og2/'),
+                    s, F.lit('.png">'),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("<html><head>"), head, F.lit("</head><body>"),
+        F.lit('<img src="http://cdn.test/a/'), s,
+        F.lit('.jpg" alt="photo of item '), s, F.lit(' on display">'),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit('<img src="http://cdn.test/b/'), s,
+                     F.lit('.png" alt="">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 1,
+            F.concat(F.lit('<IMG SRC="http://cdn.test/c/'), s,
+                     F.lit('.gif">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 6 == 3,
+            F.concat(F.lit('<img src="http://cdn.test/d/'), s,
+                     F.lit('.jpg" alt="cat &amp; dog &quot;'), s,
+                     F.lit('&quot;">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 2, F.lit('<img alt="decorative spacer no src">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 7 == 4,
+            F.concat(F.lit('<img src="http://cdn.test/e/'), s,
+                     F.lit('.jpg" alt="tiny">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 11 == 7,
+            F.concat(F.lit('<img src="http://cdn.test/g/'), s,
+                     F.lit('.jpg" alt="'),
+                     F.repeat(F.lit("long caption segment "), 10),
+                     F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://cap.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return caption_pairs(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2761,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_links": q_feed_links,
         "link_header": q_link_header,
         "resize_images": q_resize_images,
+        "caption_pairs": q_caption_pairs,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4700,6 +4783,130 @@ FROM bt JOIN bh ON bt.url = bh.url
                    CASE WHEN d.i % 9 = 4 THEN NULL
                         ELSE 3 * (w // 2) * hsum END AS rpix_sum
             FROM d JOIN fulls ON d.i = fulls.i JOIN halfs ON d.i = halfs.i
+        """,
+        # caption-pair oracle: same HTML synthesized by concat, same
+        # tag/attribute grammar replayed; alt=""(empty) vs missing alt
+        # (NULL) distinguished by regexp_matches; 5-entity decode as the
+        # same replace chain; quality gate COALESCEd to non-NULL bool
+        "caption_pairs": """
+            WITH pages AS (
+              SELECT 'http://cap.test/p' || doc_id AS url,
+                     '<html><head>'
+                     || CASE WHEN doc_id % 2 = 0 THEN
+                          CASE WHEN doc_id % 8 <> 6
+                               THEN '<meta property="og:title" '
+                                    || 'content="Gallery page ' || doc_id
+                                    || ' overview">'
+                               ELSE '' END
+                          || '<meta property="og:image" '
+                          || 'content="http://cdn.test/og/' || doc_id
+                          || '.png">'
+                          || CASE WHEN doc_id % 10 = 0
+                                  THEN '<meta Property="OG:IMAGE" '
+                                       || 'content="http://cdn.test/og2/'
+                                       || doc_id || '.png">'
+                                  ELSE '' END
+                        ELSE '' END
+                     || '</head><body>'
+                     || '<img src="http://cdn.test/a/' || doc_id
+                     || '.jpg" alt="photo of item ' || doc_id
+                     || ' on display">'
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN '<img src="http://cdn.test/b/' || doc_id
+                                  || '.png" alt="">'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 1
+                             THEN '<IMG SRC="http://cdn.test/c/' || doc_id
+                                  || '.gif">'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 6 = 3
+                             THEN '<img src="http://cdn.test/d/' || doc_id
+                                  || '.jpg" alt="cat &amp; dog &quot;'
+                                  || doc_id || '&quot;">'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 2
+                             THEN '<img alt="decorative spacer no src">'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 4
+                             THEN '<img src="http://cdn.test/e/' || doc_id
+                                  || '.jpg" alt="tiny">'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 7
+                             THEN '<img src="http://cdn.test/g/' || doc_id
+                                  || '.jpg" alt="'
+                                  || repeat('long caption segment ', 10)
+                                  || '">'
+                             ELSE '' END
+                     || '</body></html>' AS body
+              FROM documents
+            ),
+            timg AS (
+              SELECT url, CAST(k - 1 AS INT) AS idx, l[k] AS tag
+              FROM (SELECT url,
+                           regexp_extract_all(body, '(?i)<img\\b[^>]*>') AS l
+                    FROM pages),
+                   unnest(generate_series(1, len(l))) AS g(k)
+            ),
+            alt_rows AS (
+              SELECT url, 'alt' AS source, idx,
+                     regexp_extract(tag, '(?i)\\bsrc="([^"]*)"', 1)
+                       AS img_url,
+                     CASE WHEN regexp_matches(tag, '(?i)\\balt="')
+                          THEN regexp_extract(tag,
+                                 '(?i)\\balt="([^"]*)"', 1) END AS raw_cap
+              FROM timg
+            ),
+            ogt AS (
+              SELECT url, l2[1] AS og_title
+              FROM (SELECT url,
+                           regexp_extract_all(body,
+                             '(?i)<meta\\b[^>]*property="og:title"'
+                             || '[^>]*content="([^"]*)"', 1) AS l2
+                    FROM pages)
+            ),
+            ogi AS (
+              SELECT url, CAST(k - 1 AS INT) AS idx, l[k] AS tag
+              FROM (SELECT url,
+                           regexp_extract_all(body,
+                             '(?i)<meta\\b[^>]*property="og:image"[^>]*>')
+                             AS l
+                    FROM pages),
+                   unnest(generate_series(1, len(l))) AS g(k)
+            ),
+            og_rows AS (
+              SELECT ogi.url, 'og' AS source, idx,
+                     regexp_extract(tag, '(?i)\\bcontent="([^"]*)"', 1)
+                       AS img_url,
+                     ogt.og_title AS raw_cap
+              FROM ogi JOIN ogt ON ogi.url = ogt.url
+            ),
+            uni AS (
+              SELECT * FROM alt_rows WHERE img_url <> ''
+              UNION ALL
+              SELECT * FROM og_rows WHERE img_url <> ''
+            ),
+            dec AS (
+              SELECT url, source, idx, img_url,
+                     replace(replace(replace(replace(replace(raw_cap,
+                       '&quot;', '"'), '&#39;', ''''), '&lt;', '<'),
+                       '&gt;', '>'), '&amp;', '&') AS caption
+              FROM uni
+            )
+            SELECT url, source, idx, img_url, caption,
+                   CAST(length(caption) AS INT) AS cap_len,
+                   CAST(CASE WHEN caption IS NULL THEN NULL
+                             WHEN trim(caption) = '' THEN 0
+                             ELSE len(string_split_regex(trim(caption),
+                                                         '\\s+')) END
+                        AS INT) AS cap_words,
+                   COALESCE(caption IS NOT NULL
+                            AND length(caption) BETWEEN 5 AND 200
+                            AND (CASE WHEN trim(caption) = '' THEN 0
+                                 ELSE len(string_split_regex(trim(caption),
+                                                             '\\s+')) END)
+                                >= 2,
+                            FALSE) AS caption_ok
+            FROM dec
         """,
         # same header synthesized by concat, same regex grammar replayed:
         # link-values anchored at '<', rel/as params case-insensitive,

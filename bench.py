@@ -359,7 +359,7 @@ def run_queries(spark) -> dict:
         "image_dhash", "host_reputation", "revalidation_plan", "retry_after",
         "pagination_chains", "image_sharpness", "hreflang", "meta_audit",
         "anchor_spam", "cdc_dedup", "srcset", "inline_images",
-        "feed_links", "link_header", "resize_images",
+        "feed_links", "link_header", "resize_images", "caption_pairs",
     ]
     out = {}
     qs = entrymod.queries()
