@@ -2654,6 +2654,24 @@ def q_link_header(spark, sf_dir):
     return link_header_edges(pages)
 
 
+def q_image_histogram(spark, sf_dir):
+    """4-bin luminance histogram + exposure gate (pipeline/multimodal.
+    image_histogram) over the row-gradient north-rule corpus: Spark bins
+    real decoded pixels; the oracle prices every bin arithmetically —
+    each gradient row contributes 3·w pixels of one value (jpeg rows
+    dequantized first), so bins/min/max/ppm are pure integer folds over
+    generate_series.  Truncated payloads (i%9==4) stay ok=false with
+    NULL stats and exposure_ok=false."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        image_histogram,
+        synth_rowgrad_corpus,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return image_histogram(synth_rowgrad_corpus(spark, ids))
+
+
 def q_caption_pairs(spark, sf_dir):
     """LAION-style image+caption pair harvest (kernels/captions):
     <img alt> pairs plus og:image×og:title pairs, entity-decoded, with
@@ -2844,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_header": q_link_header,
         "resize_images": q_resize_images,
         "caption_pairs": q_caption_pairs,
+        "image_histogram": q_image_histogram,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4783,6 +4802,55 @@ FROM bt JOIN bh ON bt.url = bh.url
                    CASE WHEN d.i % 9 = 4 THEN NULL
                         ELSE 3 * (w // 2) * hsum END AS rpix_sum
             FROM d JOIN fulls ON d.i = fulls.i JOIN halfs ON d.i = halfs.i
+        """,
+        # histogram oracle: each gradient row contributes 3*w pixels of
+        # one value (jpeg rows dequantized (v div 4)*4+2 first), so the
+        # 4 bins, min/max, and integer-ppm exposure gate are pure folds
+        # over generate_series — Spark earns them from decoded pixels
+        "image_histogram": """
+            WITH d AS (SELECT doc_id AS i, 8 + (doc_id % 5) * 4 AS w,
+                              6 + (doc_id % 7) * 2 AS h
+                       FROM documents),
+            vals AS (
+              SELECT i, w,
+                     CASE WHEN i % 3 = 1
+                          THEN ((i*37 + r) % 251) // 4 * 4 + 2
+                          ELSE (i*37 + r) % 251 END AS u
+              FROM d, unnest(generate_series(0, h - 1)) AS g(r)
+            ),
+            agg AS (
+              SELECT i,
+                     CAST(SUM(CASE WHEN u < 64 THEN 3*w
+                              ELSE 0 END) AS BIGINT) AS b0,
+                     CAST(SUM(CASE WHEN u >= 64 AND u < 128 THEN 3*w
+                              ELSE 0 END) AS BIGINT) AS b1,
+                     CAST(SUM(CASE WHEN u >= 128 AND u < 192 THEN 3*w
+                              ELSE 0 END) AS BIGINT) AS b2,
+                     CAST(SUM(CASE WHEN u >= 192 THEN 3*w
+                              ELSE 0 END) AS BIGINT) AS b3,
+                     CAST(MIN(u) AS INT) AS vmin,
+                     CAST(MAX(u) AS INT) AS vmax
+              FROM vals GROUP BY i
+            )
+            SELECT 'img_' || lpad(d.i::VARCHAR, 6, '0') AS image_id,
+                   d.i % 9 <> 4 AS ok,
+                   CASE WHEN d.i % 9 = 4 THEN NULL ELSE b0 END AS b0,
+                   CASE WHEN d.i % 9 = 4 THEN NULL ELSE b1 END AS b1,
+                   CASE WHEN d.i % 9 = 4 THEN NULL ELSE b2 END AS b2,
+                   CASE WHEN d.i % 9 = 4 THEN NULL ELSE b3 END AS b3,
+                   CASE WHEN d.i % 9 = 4 THEN NULL ELSE vmin END AS vmin,
+                   CASE WHEN d.i % 9 = 4 THEN NULL ELSE vmax END AS vmax,
+                   CASE WHEN d.i % 9 = 4 THEN NULL
+                        ELSE CAST(1000000 * b0 // (3 * d.w * d.h)
+                                  AS BIGINT) END AS dark_ppm,
+                   CASE WHEN d.i % 9 = 4 THEN NULL
+                        ELSE CAST(1000000 * b3 // (3 * d.w * d.h)
+                                  AS BIGINT) END AS bright_ppm,
+                   CASE WHEN d.i % 9 = 4 THEN FALSE
+                        ELSE 1000000 * b0 // (3 * d.w * d.h) <= 600000
+                             AND 1000000 * b3 // (3 * d.w * d.h) <= 600000
+                   END AS exposure_ok
+            FROM d JOIN agg ON d.i = agg.i
         """,
         # caption-pair oracle: same HTML synthesized by concat, same
         # tag/attribute grammar replayed; alt=""(empty) vs missing alt

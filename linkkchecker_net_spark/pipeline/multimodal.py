@@ -1328,3 +1328,76 @@ def resize_images(corpus: DataFrame, factor: int = 2) -> DataFrame:
     return corpus.select("image_id", "bytes", "fmt").mapInPandas(
         dec, RESIZE_SCHEMA
     )
+
+
+# -------------------------------------------------------- image histogram
+HIST_SCHEMA = (
+    "image_id string, ok boolean, b0 long, b1 long, b2 long, b3 long, "
+    "vmin int, vmax int, dark_ppm long, bright_ppm long, exposure_ok boolean"
+)
+
+# exposure gate: reject when >60% of pixels sit in the darkest or
+# brightest quartile bin (integer ppm so the threshold never crosses a
+# float boundary between engines)
+EXPOSURE_MAX_PPM = 600_000
+
+
+def image_histogram(corpus: DataFrame) -> DataFrame:
+    """Decode → 4-bin luminance histogram (bin = value // 64) + exposure
+    gate: (image_id, ok, b0..b3, vmin, vmax, dark_ppm, bright_ppm,
+    exposure_ok).
+
+    THE standard corpus pre-filter (LAION/DataComp drop under/over-
+    exposed images before paying CLIP inference); the bins double as a
+    cheap brightness signature for stratified sampling.  dark_ppm =
+    10^6 * b0 // total, bright_ppm = 10^6 * b3 // total — integer
+    division, engine-exact.  Undecodable rows keep ok=false with NULL
+    stats and a non-NULL exposure_ok=false (a corrupt payload never
+    passes a gate).
+
+    Scale: one mapInPandas Arrow pass, map-only, zero shuffles; bytes
+    die at the stage boundary — same flat plan shape as image_meta /
+    resize_images at any corpus size.
+    """
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "ok": [], "b0": [], "b1": [], "b2": [],
+                   "b3": [], "vmin": [], "vmax": [], "dark_ppm": [],
+                   "bright_ppm": [], "exposure_ok": []}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                out["image_id"].append(iid)
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    out["ok"].append(False)
+                    for k in ("b0", "b1", "b2", "b3", "vmin", "vmax",
+                              "dark_ppm", "bright_ppm"):
+                        out[k].append(None)
+                    out["exposure_ok"].append(False)
+                    continue
+                flat = arr.reshape(-1)
+                bins = np.bincount(flat // 64, minlength=4)
+                total = int(flat.size)
+                dark = 1_000_000 * int(bins[0]) // total
+                bright = 1_000_000 * int(bins[3]) // total
+                out["ok"].append(True)
+                out["b0"].append(int(bins[0]))
+                out["b1"].append(int(bins[1]))
+                out["b2"].append(int(bins[2]))
+                out["b3"].append(int(bins[3]))
+                out["vmin"].append(int(flat.min()))
+                out["vmax"].append(int(flat.max()))
+                out["dark_ppm"].append(dark)
+                out["bright_ppm"].append(bright)
+                out["exposure_ok"].append(
+                    dark <= EXPOSURE_MAX_PPM and bright <= EXPOSURE_MAX_PPM
+                )
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        dec, HIST_SCHEMA
+    )

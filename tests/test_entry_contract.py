@@ -84,7 +84,7 @@ NON_CRAWL = [
     "image_dhash", "host_reputation", "revalidation_plan", "retry_after",
     "pagination_chains", "image_sharpness", "hreflang", "meta_audit",
     "srcset", "inline_images", "feed_links", "link_header",
-    "resize_images", "caption_pairs",
+    "resize_images", "caption_pairs", "image_histogram",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
