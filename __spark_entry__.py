@@ -2754,6 +2754,80 @@ def q_caption_pairs(spark, sf_dir):
     return caption_pairs(pages)
 
 
+def q_jsonld_images(spark, sf_dir):
+    """JSON-LD structured-data harvest (kernels/jsonld): every
+    <script type=application/ld+json> block exploded into items with
+    @type + schema.org image/caption field ladders.  Arms: every page
+    an ImageObject block (uppercase SCRIPT + single-quoted type attr
+    when i%2==1); i%3==1 a Product (image+name fallback); i%5==0 a
+    top-level ARRAY [ImageObject, WebPage] (bounded fan-out); i%4==2 a
+    truncated block (parse_ok=false NULL-field row); i%7==3 attr noise
+    (async, spaces around =, data-attr) with NewsArticle
+    headline+thumbnailUrl fallbacks.  BOTH engines run real JSON
+    parsers (Jackson get_json_object vs DuckDB JSON) over the same
+    synthesized HTML — grammar replay, not a structural shortcut."""
+    from linkkchecker_net_spark.kernels.jsonld import jsonld_items
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    base_open = F.when(
+        i % 2 == 1, F.lit("<SCRIPT TYPE='application/ld+json'>")
+    ).otherwise(F.lit('<script type="application/ld+json">'))
+    base_close = F.when(i % 2 == 1, F.lit("</SCRIPT>")).otherwise(
+        F.lit("</script>")
+    )
+    body = F.concat(
+        F.lit("<html><head>"),
+        base_open,
+        F.lit('{"@context":"https://schema.org","@type":"ImageObject",'
+              '"contentUrl":"http://cdn.test/ld/'),
+        s, F.lit('.jpg","caption":"ld caption '), s, F.lit('"}'),
+        base_close,
+        F.when(
+            i % 3 == 1,
+            F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '{"@type":"Product","name":"item '),
+                s, F.lit('","image":"http://cdn.test/ldp/'),
+                s, F.lit('.png"}</script>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '[{"@type":"ImageObject",'
+                      '"contentUrl":"http://cdn.test/lda/'),
+                s, F.lit('.jpg","name":"arr item '), s,
+                F.lit('"},{"@type":"WebPage","name":"page '),
+                s, F.lit('"}]</script>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 2,
+            F.lit('<script type="application/ld+json">'
+                  '{"@type": "ImageObj</script>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 7 == 3,
+            F.concat(
+                F.lit("<script async type = 'application/ld+json' "
+                      'data-x="1">{"@type":"NewsArticle","headline":'
+                      '"news '),
+                s, F.lit('","thumbnailUrl":"http://cdn.test/t/'),
+                s, F.lit('.jpg"}</script>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body></body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://ld.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return jsonld_items(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2863,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images": q_resize_images,
         "caption_pairs": q_caption_pairs,
         "image_histogram": q_image_histogram,
+        "jsonld_images": q_jsonld_images,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -4975,6 +5050,95 @@ FROM bt JOIN bh ON bt.url = bh.url
                                 >= 2,
                             FALSE) AS caption_ok
             FROM dec
+        """,
+        # jsonld oracle: same HTML synthesized by concat, same script-tag
+        # regex, then DuckDB's real JSON parser mirrors Jackson —
+        # json_valid ≡ get_json_object('$') IS NOT NULL; bounded array
+        # fan-out replayed by an index cross join (contiguous JSON arrays
+        # make the filtered index equal j on both sides)
+        "jsonld_images": """
+            WITH pages AS (
+              SELECT 'http://ld.test/p' || doc_id AS url,
+                     '<html><head>'
+                     || CASE WHEN doc_id % 2 = 1
+                             THEN '<SCRIPT TYPE=''application/ld+json''>'
+                             ELSE '<script type="application/ld+json">'
+                        END
+                     || '{"@context":"https://schema.org",'
+                     || '"@type":"ImageObject",'
+                     || '"contentUrl":"http://cdn.test/ld/' || doc_id
+                     || '.jpg","caption":"ld caption ' || doc_id || '"}'
+                     || CASE WHEN doc_id % 2 = 1 THEN '</SCRIPT>'
+                             ELSE '</script>' END
+                     || CASE WHEN doc_id % 3 = 1
+                             THEN '<script type="application/ld+json">'
+                                  || '{"@type":"Product","name":"item '
+                                  || doc_id
+                                  || '","image":"http://cdn.test/ldp/'
+                                  || doc_id || '.png"}</script>'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN '<script type="application/ld+json">'
+                                  || '[{"@type":"ImageObject",'
+                                  || '"contentUrl":"http://cdn.test/lda/'
+                                  || doc_id || '.jpg","name":"arr item '
+                                  || doc_id
+                                  || '"},{"@type":"WebPage","name":"page '
+                                  || doc_id || '"}]</script>'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 2
+                             THEN '<script type="application/ld+json">'
+                                  || '{"@type": "ImageObj</script>'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 3
+                             THEN '<script async type = '
+                                  || '''application/ld+json'' data-x="1">'
+                                  || '{"@type":"NewsArticle","headline":'
+                                  || '"news ' || doc_id
+                                  || '","thumbnailUrl":"http://cdn.test/t/'
+                                  || doc_id || '.jpg"}</script>'
+                             ELSE '' END
+                     || '</head><body></body></html>' AS body
+              FROM documents),
+            blk AS (
+              SELECT url,
+                     regexp_extract_all(body,
+                       '(?is)<script[^>]*type\\s*=\\s*["'']application/'
+                       || 'ld\\+json["''][^>]*>(.*?)</script>', 1) AS bs
+              FROM pages),
+            b AS (
+              SELECT url, g.k AS block_idx, bs[g.k + 1] AS b
+              FROM blk, unnest(generate_series(0, len(bs) - 1)) AS g(k)),
+            it AS (
+              SELECT url, block_idx, json_valid(b) AS parse_ok,
+                     left(ltrim(b), 1) = '[' AS is_array, b,
+                     CASE WHEN json_valid(b) THEN b END AS jb, gj.j
+              FROM b, unnest(generate_series(0, 3)) AS gj(j)),
+            items AS (
+              SELECT url, block_idx, parse_ok, is_array,
+                     CAST(j AS INT) AS item_idx,
+                     CASE WHEN NOT parse_ok THEN NULL
+                          WHEN is_array
+                          THEN CAST(json_extract(jb, '$[' || j || ']')
+                                    AS VARCHAR)
+                          ELSE b END AS item
+              FROM it
+              WHERE (NOT parse_ok AND j = 0)
+                 OR (parse_ok AND NOT is_array AND j = 0)
+                 OR (parse_ok AND is_array
+                     AND json_extract(jb, '$[' || j || ']') IS NOT NULL))
+            SELECT url, CAST(block_idx AS INT) AS block_idx, item_idx,
+                   parse_ok, is_array,
+                   json_extract_string(item, '$."@type"') AS type,
+                   COALESCE(json_extract_string(item, '$.contentUrl'),
+                            json_extract_string(item, '$.image'),
+                            json_extract_string(item, '$.thumbnailUrl'))
+                       AS image_url,
+                   COALESCE(json_extract_string(item, '$.caption'),
+                            json_extract_string(item, '$.name'),
+                            json_extract_string(item, '$.headline'))
+                       AS caption
+            FROM items
         """,
         # same header synthesized by concat, same regex grammar replayed:
         # link-values anchored at '<', rel/as params case-insensitive,

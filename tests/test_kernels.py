@@ -712,3 +712,45 @@ def test_link_header_case_and_comma_in_url(spark):
     rows = [(r.target, r.rel) for r in link_header_edges(df).collect()]
     # comma INSIDE <> must not split the link-value; rel lowercased
     assert rows == [("http://a/x,y", "prev")]
+
+
+def test_jsonld_object_array_and_malformed(spark):
+    from linkkchecker_net_spark.kernels.jsonld import jsonld_items
+
+    body = (
+        "<html>"
+        "<SCRIPT TYPE='application/ld+json'>"
+        '{"@type":"ImageObject","contentUrl":"http://a/1.jpg",'
+        '"caption":"c1"}</SCRIPT>'
+        '<script type="application/ld+json">'
+        '[{"@type":"ImageObject","contentUrl":"u2"},'
+        '{"@type":"WebPage","name":"n2"}]</script>'
+        '<script type="application/ld+json">{"@type": "brok</script>'
+        "</html>"
+    )
+    df = spark.createDataFrame([("u", body)], "url string, body string")
+    rows = sorted(
+        (r.block_idx, r.item_idx, r.parse_ok, r.is_array, r.type,
+         r.image_url, r.caption)
+        for r in jsonld_items(df).collect()
+    )
+    assert rows == [
+        (0, 0, True, False, "ImageObject", "http://a/1.jpg", "c1"),
+        (1, 0, True, True, "ImageObject", "u2", None),
+        (1, 1, True, True, "WebPage", None, "n2"),
+        (2, 0, False, False, None, None, None),
+    ]
+
+
+def test_jsonld_field_ladders(spark):
+    from linkkchecker_net_spark.kernels.jsonld import jsonld_items
+
+    body = (
+        '<script type="application/ld+json">'
+        '{"@type":"NewsArticle","headline":"h","thumbnailUrl":"t.jpg",'
+        '"image":"i.png"}</script>'
+    )
+    df = spark.createDataFrame([("u", body)], "url string, body string")
+    r = jsonld_items(df).collect()[0]
+    # image beats thumbnailUrl; headline used when caption/name absent
+    assert (r.image_url, r.caption) == ("i.png", "h")
