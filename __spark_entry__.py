@@ -2828,6 +2828,59 @@ def q_jsonld_images(spark, sf_dir):
     return jsonld_items(pages)
 
 
+def q_mixed_content(spark, sf_dir):
+    """Mixed-content audit + scheme-upgrade join (reports/security):
+    W3C passive (img/video/audio/source src) vs active (script/iframe
+    src, link href) http:// inventories per page, and an equi-join of
+    the exploded http refs against the page-URL dimension to count
+    HSTS-upgradable refs.  Arms: page scheme https iff i%2==0; an
+    https img ref always (never counted); http cdn img on i%3!=1;
+    http script on i%4==0; http iframe on i%5==2; http stylesheet on
+    i%6==3; and always an http site-twin ref to page j=i-i%7 — its
+    https twin exists in the page set iff j is even, so the join is
+    earned, not assumed.  BOTH engines replay the same regex grammar
+    and the same join."""
+    from linkkchecker_net_spark.reports.security import mixed_content_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    j = (i - i % 7).cast("string")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://site.test/p"), s,
+    )
+    body = F.concat(
+        F.lit('<html><body><img src="https://ok.test/i'), s,
+        F.lit('.png">'),
+        F.when(
+            i % 3 != 1,
+            F.concat(F.lit('<img src="http://cdn.test/img'), s,
+                     F.lit('.jpg">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 0,
+            F.concat(F.lit('<script src="http://js.test/s'), s,
+                     F.lit('.js"></script>')),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 2,
+            F.concat(F.lit('<iframe src="http://frame.test/f'), s,
+                     F.lit('.html"></iframe>')),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 6 == 3,
+            F.concat(F.lit('<link rel="stylesheet" '
+                           'href="http://css.test/c'), s,
+                     F.lit('.css">')),
+        ).otherwise(F.lit("")),
+        F.lit('<img src="http://site.test/p'), j, F.lit('">'),
+        F.lit("</body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(url.alias("url"), body.alias("body"))
+    return mixed_content_audit(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -2938,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": q_caption_pairs,
         "image_histogram": q_image_histogram,
         "jsonld_images": q_jsonld_images,
+        "mixed_content": q_mixed_content,
         "warc_manifest": q_warc_manifest,
         "image_dhash": q_image_dhash,
         "host_reputation": q_host_reputation,
@@ -5139,6 +5193,68 @@ FROM bt JOIN bh ON bt.url = bh.url
                             json_extract_string(item, '$.headline'))
                        AS caption
             FROM items
+        """,
+        # mixed-content oracle: same page/body synthesis, same three
+        # regex inventories (DuckDB list || concat keeps duplicates like
+        # Spark F.concat), same exploded-ref join against the page-URL
+        # dimension for the upgradable count
+        "mixed_content": """
+            WITH pages AS (
+              SELECT CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+                     || '://site.test/p' || doc_id AS url,
+                     '<html><body><img src="https://ok.test/i' || doc_id
+                     || '.png">'
+                     || CASE WHEN doc_id % 3 <> 1
+                             THEN '<img src="http://cdn.test/img'
+                                  || doc_id || '.jpg">'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN '<script src="http://js.test/s'
+                                  || doc_id || '.js"></script>'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 2
+                             THEN '<iframe src="http://frame.test/f'
+                                  || doc_id || '.html"></iframe>'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 6 = 3
+                             THEN '<link rel="stylesheet" '
+                                  || 'href="http://css.test/c'
+                                  || doc_id || '.css">'
+                             ELSE '' END
+                     || '<img src="http://site.test/p'
+                     || (doc_id - doc_id % 7) || '">'
+                     || '</body></html>' AS body
+              FROM documents),
+            refs AS (
+              SELECT url, starts_with(url, 'https://') AS page_https,
+                     regexp_extract_all(body,
+                       '(?i)<(?:img|video|audio|source)\\b[^>]*\\bsrc='
+                       || '"(http://[^"]*)"', 1) AS pas,
+                     regexp_extract_all(body,
+                       '(?i)<(?:script|iframe)\\b[^>]*\\bsrc='
+                       || '"(http://[^"]*)"', 1)
+                     || regexp_extract_all(body,
+                       '(?i)<link\\b[^>]*\\bhref="(http://[^"]*)"', 1)
+                       AS act
+              FROM pages),
+            base AS (
+              SELECT url, page_https,
+                     CAST(len(pas) AS INT) AS passive_http,
+                     CAST(len(act) AS INT) AS active_http,
+                     page_https AND len(pas) + len(act) > 0 AS mixed,
+                     pas || act AS allrefs
+              FROM refs),
+            twins AS (
+              SELECT b.url,
+                     CAST(COUNT(*) AS BIGINT) AS upgradable
+              FROM base b, unnest(b.allrefs) AS r(ref)
+              JOIN (SELECT DISTINCT url FROM pages) p
+                ON 'https://' || substr(ref, 8) = p.url
+              GROUP BY b.url)
+            SELECT b.url, b.page_https, b.passive_http, b.active_http,
+                   b.mixed,
+                   COALESCE(t.upgradable, 0) AS upgradable
+            FROM base b LEFT JOIN twins t ON b.url = t.url
         """,
         # same header synthesized by concat, same regex grammar replayed:
         # link-values anchored at '<', rel/as params case-insensitive,

@@ -360,7 +360,7 @@ def run_queries(spark) -> dict:
         "pagination_chains", "image_sharpness", "hreflang", "meta_audit",
         "anchor_spam", "cdc_dedup", "srcset", "inline_images",
         "feed_links", "link_header", "resize_images", "caption_pairs",
-        "image_histogram", "jsonld_images",
+        "image_histogram", "jsonld_images", "mixed_content",
     ]
     out = {}
     qs = entrymod.queries()

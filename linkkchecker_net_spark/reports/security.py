@@ -1,0 +1,85 @@
+"""Mixed-content audit + scheme-upgrade candidates.
+
+The reference validates links but never looks at the *scheme
+relationship* between a page and its subresources.  For a production
+crawl that feeds a training corpus this is a first-class quality/
+security gate: an https page that loads http subresources ("mixed
+content") is blocked or degraded by every modern browser, so its
+images frequently never render for users — a harvest that keeps them
+inherits captions for pixels nobody sees.  Browsers split the policy
+by tag family (the W3C mixed-content spec): *active* content
+(script/iframe/stylesheet) is hard-blocked, *passive* content
+(img/video/audio) is merely warned — the audit reports both counts so
+a curation funnel can choose its own severity.
+
+``upgradable`` additionally counts http refs whose https twin is a
+known page (the HSTS-upgrade candidate set): those are fixable by URL
+rewrite rather than refetch, which at corpus scale is the difference
+between a string transform and a new crawl epoch.
+
+Scale: the harvest is map-only codegen (three ``regexp_extract_all``
+inventories over the body — no Python); the upgrade check is ONE
+equi-join of the exploded http refs against the page-URL dimension
+(broadcast under AQE when the dimension is small; hash-partitioned on
+the URL otherwise — the same key the seen-set is already bucketed by),
+then a partial-aggregated count back to page grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# W3C mixed-content tag families.  Anchored http:// in the capture so
+# https/relative refs never enter the exploded stream (pushdown by
+# construction — the join input is only the at-risk refs).
+PASSIVE_PAT = r'(?i)<(?:img|video|audio|source)\b[^>]*\bsrc="(http://[^"]*)"'
+ACTIVE_SRC_PAT = r'(?i)<(?:script|iframe)\b[^>]*\bsrc="(http://[^"]*)"'
+ACTIVE_HREF_PAT = r'(?i)<link\b[^>]*\bhref="(http://[^"]*)"'
+
+
+def mixed_content_audit(pages: DataFrame) -> DataFrame:
+    """pages: (url, body) → one row per page:
+    (url, page_https, passive_http, active_http, mixed, upgradable).
+
+    ``upgradable`` = http refs (either family) whose ``https://``
+    rewrite equals some page URL in ``pages`` itself.
+    """
+    refs = pages.select(
+        "url",
+        F.startswith(F.col("url"), F.lit("https://")).alias("page_https"),
+        F.regexp_extract_all("body", F.lit(PASSIVE_PAT), 1).alias("pas"),
+        F.concat(
+            F.regexp_extract_all("body", F.lit(ACTIVE_SRC_PAT), 1),
+            F.regexp_extract_all("body", F.lit(ACTIVE_HREF_PAT), 1),
+        ).alias("act"),
+    )
+    base = refs.select(
+        "url",
+        "page_https",
+        F.size("pas").alias("passive_http"),
+        F.size("act").alias("active_http"),
+    ).withColumn(
+        "mixed",
+        F.col("page_https") & ((F.col("passive_http") + F.col("active_http")) > 0),
+    )
+    twins = (
+        refs.select("url", F.explode(F.concat("pas", "act")).alias("ref"))
+        .withColumn(
+            "https_twin", F.concat(F.lit("https://"), F.substring("ref", 8, 2 ** 30))
+        )
+        .join(
+            pages.select(F.col("url").alias("https_twin")).distinct(),
+            "https_twin",
+        )
+        .groupBy("url")
+        .agg(F.count("*").cast("long").alias("upgradable"))
+    )
+    return base.join(twins, "url", "left").select(
+        "url",
+        "page_https",
+        "passive_http",
+        "active_http",
+        "mixed",
+        F.coalesce("upgradable", F.lit(0).cast("long")).alias("upgradable"),
+    )

@@ -185,3 +185,32 @@ def test_crawl_diff_all_change_classes(spark):
         "u5": "class_changed",
         "u6": "added",
     }
+
+
+def test_mixed_content_families_and_upgrade(spark):
+    from linkkchecker_net_spark.reports.security import mixed_content_audit
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a/p1",
+                '<img src="http://x/i.jpg"><img src="http://x/i.jpg">'
+                '<script src="http://x/s.js"></script>'
+                '<img src="https://safe/i.png">'
+                '<iframe src="http://a/p2"></iframe>',
+            ),
+            ("https://a/p2", "<p>clean</p>"),
+            ("http://b/p3", '<link href="http://x/c.css">'),
+        ],
+        "url string, body string",
+    )
+    rows = {r.url: r for r in mixed_content_audit(pages).collect()}
+    r1 = rows["https://a/p1"]
+    # duplicate refs both counted; https refs never counted
+    assert (r1.passive_http, r1.active_http, r1.mixed) == (2, 2, True)
+    # the iframe ref http://a/p2 has https twin page p2 -> upgradable
+    assert r1.upgradable == 1
+    assert rows["https://a/p2"].mixed is False
+    r3 = rows["http://b/p3"]
+    # http page: counted but never "mixed"
+    assert (r3.active_http, r3.mixed, r3.upgradable) == (1, False, 0)
