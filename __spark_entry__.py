@@ -2881,6 +2881,51 @@ def q_mixed_content(spark, sf_dir):
     return mixed_content_audit(pages)
 
 
+def q_fragment_audit(spark, sf_dir):
+    """Fragment-anchor audit (reports/fragments): every href carrying a
+    ``#fragment`` is checked against the target page's declared anchors
+    (``id=`` on any tag, legacy ``<a name=>``) — the half of link
+    checking the reference's page-level validation never sees.  Arms:
+    every page declares id s{i%5}; i%4==1 adds id x{i}; i%3==0 adds
+    <a name="top">.  Links: an in-page #s{(i*3)%7} (resolves iff it
+    collides with the declared residue), a #top in-page link on
+    i%6∈{0,2} (resolves iff i%3==0), a cross-page p{(i*7+1)%n}#s{(i*2)%8}
+    (resolves iff the residue matches the TARGET page's id set — an
+    earned join, not an arm replay), and a dangling link to a missing
+    page on i%9==4.  BOTH engines replay the same regex grammar and the
+    same two joins."""
+    from linkkchecker_net_spark.fixtures.docweb import doc_count
+    from linkkchecker_net_spark.reports.fragments import fragment_audit
+
+    _prep(spark)
+    n = doc_count(spark, sf_dir)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    url = F.concat(F.lit("http://site.test/p"), s)
+    body = F.concat(
+        F.lit('<html><body><h2 id="s'), (i % 5).cast("string"), F.lit('">h</h2>'),
+        F.when(
+            i % 4 == 1,
+            F.concat(F.lit('<div id="x'), s, F.lit('">d</div>')),
+        ).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit('<a name="top">t</a>')).otherwise(F.lit("")),
+        F.lit('<a href="#s'), ((i * 3) % 7).cast("string"), F.lit('">a</a>'),
+        F.when(i % 6 == 0, F.lit('<a href="#top">b</a>'))
+        .when(i % 6 == 2, F.lit('<a href="#top">b</a>'))
+        .otherwise(F.lit("")),
+        F.lit('<a href="http://site.test/p'),
+        ((i * 7 + 1) % n).cast("string"),
+        F.lit('#s'), ((i * 2) % 8).cast("string"), F.lit('">c</a>'),
+        F.when(
+            i % 9 == 4,
+            F.concat(F.lit('<a href="http://site.test/m'), s, F.lit('#s1">d</a>')),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(url.alias("url"), body.alias("body"))
+    return fragment_audit(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3001,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users": q_hll_users,
         "cms_tokens": q_cms_tokens,
         "ann_sq8": q_ann_sq8,
+        "fragment_audit": q_fragment_audit,
     }
 
 
@@ -5930,6 +5976,59 @@ FROM bt JOIN bh ON bt.url = bh.url
                      CAST(row_number() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, vec_id) AS INT) AS rank
               FROM exact) WHERE rank <= 10
+        """,
+        # same fixture arithmetic, same regex grammar, same two joins
+        # (page dimension + distinct anchor dimension)
+        "fragment_audit": """
+            WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+            pages AS (
+              SELECT 'http://site.test/p' || doc_id AS url,
+                     '<html><body><h2 id="s' || (doc_id % 5) || '">h</h2>'
+                     || CASE WHEN doc_id % 4 = 1
+                             THEN '<div id="x' || doc_id || '">d</div>'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN '<a name="top">t</a>' ELSE '' END
+                     || '<a href="#s' || ((doc_id * 3) % 7) || '">a</a>'
+                     || CASE WHEN doc_id % 6 IN (0, 2)
+                             THEN '<a href="#top">b</a>' ELSE '' END
+                     || '<a href="http://site.test/p'
+                     || ((doc_id * 7 + 1) % n) || '#s'
+                     || ((doc_id * 2) % 8) || '">c</a>'
+                     || CASE WHEN doc_id % 9 = 4
+                             THEN '<a href="http://site.test/m' || doc_id
+                                  || '#s1">d</a>'
+                             ELSE '' END
+                     || '</body></html>' AS body
+              FROM documents, cnt),
+            anchors AS (
+              SELECT DISTINCT url AS target_url, a AS fragment FROM (
+                SELECT url,
+                       unnest(regexp_extract_all(body,
+                                '(?i)\\bid="([^"]*)"', 1)
+                              || regexp_extract_all(body,
+                                '(?i)<a\\b[^>]*\\bname="([^"]*)"', 1)) AS a
+                FROM pages)),
+            frags AS (
+              SELECT url, unnest(regexp_extract_all(body,
+                       '(?i)<a\\b[^>]*\\bhref="([^"]*#[^"]*)"', 1)) AS ref
+              FROM pages),
+            links AS (
+              SELECT url,
+                     split_part(ref, '#', 1) = '' AS in_page,
+                     CASE WHEN split_part(ref, '#', 1) = '' THEN url
+                          ELSE split_part(ref, '#', 1) END AS target_url,
+                     split_part(ref, '#', 2) AS fragment
+              FROM frags)
+            SELECT l.url, l.target_url, l.fragment, l.in_page,
+                   p.target_url IS NOT NULL AS target_exists,
+                   (p.target_url IS NOT NULL AND a.fragment IS NOT NULL)
+                     AS resolved
+            FROM links l
+            LEFT JOIN (SELECT DISTINCT url AS target_url FROM pages) p
+              ON l.target_url = p.target_url
+            LEFT JOIN anchors a
+              ON a.target_url = l.target_url AND a.fragment = l.fragment
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl
