@@ -2926,6 +2926,68 @@ def q_fragment_audit(spark, sf_dir):
     return fragment_audit(pages)
 
 
+def q_sitemap_images(spark, sf_dir):
+    """Google image-sitemap extension harvest (kernels/sitemapparse.
+    parse_image_urlset — real namespaced XML parse): one row per
+    <image:image> block with page loc, position, image loc, optional
+    caption/title, plus a shared-image dimension (n_pages_declaring via
+    a window over img_loc — (i*5+k)%40 collides across pages so the
+    count is earned).  Arms: i%3 images per page (0/1/2); caption iff
+    (i+k)%2==0; title iff (i*3+k)%5==2; a loc-less orphan image block
+    FIRST on i%7==5 (must be skipped WITHOUT consuming a position); a
+    second imageless <url> block always (contributes nothing);
+    i%13==6 sitemaps are malformed XML and must vanish."""
+    from pyspark.sql import Window
+
+    from linkkchecker_net_spark.kernels.sitemapparse import sitemap_images_udf
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    h = (i % 4).cast("string")
+
+    def img_block(k: int):
+        cap = F.when(
+            (i + k) % 2 == 0,
+            F.concat(F.lit("<image:caption>cap "), s, F.lit(f" {k}"),
+                     F.lit("</image:caption>")),
+        ).otherwise(F.lit(""))
+        tit = F.when(
+            (i * 3 + k) % 5 == 2,
+            F.concat(F.lit("<image:title>ttl "),
+                     ((i + k) % 9).cast("string"), F.lit("</image:title>")),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit("<image:image><image:loc>http://cdn.test/im/"),
+            ((i * 5 + k) % 40).cast("string"),
+            F.lit(".jpg</image:loc>"), cap, tit, F.lit("</image:image>"),
+        )
+
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" '
+              'xmlns:image='
+              '"http://www.google.com/schemas/sitemap-image/1.1">'),
+        F.lit("<url><loc>http://s"), h, F.lit(".test/p/"), s, F.lit("</loc>"),
+        F.when(
+            i % 7 == 5,
+            F.lit("<image:image><image:caption>orphan</image:caption>"
+                  "</image:image>"),
+        ).otherwise(F.lit("")),
+        F.when(i % 3 >= 1, img_block(0)).otherwise(F.lit("")),
+        F.when(i % 3 == 2, img_block(1)).otherwise(F.lit("")),
+        F.lit("</url><url><loc>http://s"), h, F.lit(".test/q/"), s,
+        F.lit("</loc></url></urlset>"),
+    )
+    body = F.when(i % 13 == 6, F.lit("<urlset><url>")).otherwise(xml)
+    rows = _docs(spark, sf_dir).select(
+        F.explode(sitemap_images_udf(body.cast("binary"))).alias("u")
+    ).select("u.loc", "u.img_pos", "u.img_loc", "u.caption", "u.title")
+    w = Window.partitionBy("img_loc")
+    return rows.withColumn(
+        "n_pages_declaring", F.count("*").over(w).cast("long")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3047,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens": q_cms_tokens,
         "ann_sq8": q_ann_sq8,
         "fragment_audit": q_fragment_audit,
+        "sitemap_images": q_sitemap_images,
     }
 
 
@@ -6029,6 +6092,31 @@ FROM bt JOIN bh ON bt.url = bh.url
               ON l.target_url = p.target_url
             LEFT JOIN anchors a
               ON a.target_url = l.target_url AND a.fragment = l.fragment
+        """,
+        # structural replay of the image-sitemap fixture arithmetic (the
+        # Spark side earns it through a real namespaced XML parse); the
+        # shared-image count is the same window in both engines
+        "sitemap_images": """
+            WITH d AS (SELECT doc_id AS i FROM documents
+                       WHERE doc_id % 13 <> 6),
+            imgs AS (
+              SELECT i, k FROM d, unnest([0, 1]) AS t(k)
+              WHERE (k = 0 AND i % 3 >= 1) OR (k = 1 AND i % 3 = 2)
+            ),
+            rws AS (
+              SELECT 'http://s' || (i % 4) || '.test/p/' || i AS loc,
+                     CAST(k AS INT) AS img_pos,
+                     'http://cdn.test/im/' || ((i * 5 + k) % 40)
+                       || '.jpg' AS img_loc,
+                     CASE WHEN (i + k) % 2 = 0
+                          THEN 'cap ' || i || ' ' || k END AS caption,
+                     CASE WHEN (i * 3 + k) % 5 = 2
+                          THEN 'ttl ' || ((i + k) % 9) END AS title
+              FROM imgs)
+            SELECT loc, img_pos, img_loc, caption, title,
+                   COUNT(*) OVER (PARTITION BY img_loc)
+                     AS n_pages_declaring
+            FROM rws
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

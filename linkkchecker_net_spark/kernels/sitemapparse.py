@@ -91,6 +91,79 @@ def sitemap_urlset_udf(body: pd.Series) -> pd.Series:
     return pd.Series([parse_urlset(b) for b in body], dtype="object")
 
 
+# ---------------------------------------------------------------------------
+# Google image-sitemap extension (sitemap-image/1.1): <image:image> blocks
+# nested in each <url>, declaring the page's images with optional caption /
+# title.  For an image+caption harvest this is the *site operator's own*
+# pairing — higher-precision supervision than alt-text scraping — so it is
+# first-class here even though the reference's loc-only load discards it.
+# ---------------------------------------------------------------------------
+
+IMAGE_NS = "http://www.google.com/schemas/sitemap-image/1.1"
+_IMG_TAG = f"{{{IMAGE_NS}}}image"
+# Google caps image entries at 1,000 per <url> block — parse enforces it
+MAX_IMAGES_PER_URL = 1000
+
+IMAGE_URLSET_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("loc", T.StringType()),
+            T.StructField("img_pos", T.IntegerType()),
+            T.StructField("img_loc", T.StringType()),
+            T.StructField("caption", T.StringType()),
+            T.StructField("title", T.StringType()),
+        ]
+    )
+)
+
+
+def parse_image_urlset(body: bytes | str | None) -> list[dict] | None:
+    """One dict per <image:image> block: (page loc, position, image loc,
+    caption, title).  Blocks without an <image:loc> are skipped; <url>
+    blocks without images contribute nothing; parse error → None (same
+    contract as :func:`parse_sitemap`)."""
+    if body is None:
+        return None
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError:
+        return None
+    out = []
+    for u in root.iter(_URL_TAG):
+        loc_el = u.find(f"{{{SITEMAP_NS}}}loc")
+        loc = (loc_el.text or "").strip() if loc_el is not None else None
+        if not loc:
+            continue
+        pos = 0
+        for img in u.findall(_IMG_TAG)[:MAX_IMAGES_PER_URL]:
+            il = img.find(f"{{{IMAGE_NS}}}loc")
+            img_loc = (il.text or "").strip() if il is not None else None
+            if not img_loc:
+                continue
+            cap = img.find(f"{{{IMAGE_NS}}}caption")
+            tit = img.find(f"{{{IMAGE_NS}}}title")
+            out.append(
+                {
+                    "loc": loc,
+                    "img_pos": pos,
+                    "img_loc": img_loc,
+                    "caption": (cap.text or "").strip()
+                    if cap is not None
+                    else None,
+                    "title": (tit.text or "").strip()
+                    if tit is not None
+                    else None,
+                }
+            )
+            pos += 1
+    return out
+
+
+@F.pandas_udf(IMAGE_URLSET_SCHEMA)
+def sitemap_images_udf(body: pd.Series) -> pd.Series:
+    return pd.Series([parse_image_urlset(b) for b in body], dtype="object")
+
+
 # changefreq → recrawl-hint seconds (sitemaps.org vocabulary; 'never' ⇒
 # no recrawl (NULL), unknown/absent ⇒ the daily default)
 CHANGEFREQ_SEC = {

@@ -85,7 +85,7 @@ NON_CRAWL = [
     "pagination_chains", "image_sharpness", "hreflang", "meta_audit",
     "srcset", "inline_images", "feed_links", "link_header",
     "resize_images", "caption_pairs", "image_histogram",
-    "jsonld_images", "mixed_content", "fragment_audit",
+    "jsonld_images", "mixed_content", "fragment_audit", "sitemap_images",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
