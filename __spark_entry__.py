@@ -2988,6 +2988,73 @@ def q_sitemap_images(spark, sf_dir):
     )
 
 
+def q_meta_refresh(spark, sf_dir):
+    """Meta-refresh redirect extraction (kernels/metarefresh): the
+    HTML-level redirect no status-code path surfaces.  Arms by i%5:
+    0 → instant absolute (`content="0; url=http://…"`, instant=true);
+    1 → delayed single-quoted relative with uppercase `HTTP-EQUIV` /
+    `URL` (absolutized against the page base); 2 → reversed attribute
+    order (`content=` before `http-equiv=` — exercises the second
+    RE2-safe pattern); 3 → delay-only reload (target NULL); 4 → no
+    refresh meta (row filtered).  A viewport meta distractor is always
+    present so the content-first pattern can't false-positive.  BOTH
+    engines replay the same two harvest patterns and the same
+    delay/url sub-grammars."""
+    from linkkchecker_net_spark.fixtures.docweb import doc_count
+    from linkkchecker_net_spark.kernels.metarefresh import meta_refresh
+
+    _prep(spark)
+    n = doc_count(spark, sf_dir)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    base = F.concat(F.lit("http://s"), (i % 3).cast("string"), F.lit(".test"))
+    meta = (
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="0; url=http://s'),
+                ((i + 1) % 3).cast("string"), F.lit(".test/p"),
+                ((i * 7) % n).cast("string"), F.lit('">'),
+            ),
+        )
+        .when(
+            i % 5 == 1,
+            F.concat(
+                F.lit('<meta HTTP-EQUIV="Refresh" content="'),
+                (i % 30).cast("string"), F.lit("; URL='/p"),
+                ((i * 3) % n).cast("string"), F.lit("'\">"),
+            ),
+        )
+        .when(
+            i % 5 == 2,
+            F.concat(
+                F.lit('<meta content="3;url=http://x.test/q'), s,
+                F.lit('" http-equiv="refresh">'),
+            ),
+        )
+        .when(
+            i % 5 == 3,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content=" '),
+                (i % 7 + 1).cast("string"), F.lit(' ">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    body = F.concat(
+        F.lit('<html><head>'
+              '<meta name="viewport" content="width=device-width">'),
+        meta,
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(base, F.lit("/p"), s).alias("url"),
+        base.alias("base"),
+        body.alias("body"),
+    )
+    return meta_refresh(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3110,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8": q_ann_sq8,
         "fragment_audit": q_fragment_audit,
         "sitemap_images": q_sitemap_images,
+        "meta_refresh": q_meta_refresh,
     }
 
 
@@ -6117,6 +6185,56 @@ FROM bt JOIN bh ON bt.url = bh.url
                    COUNT(*) OVER (PARTITION BY img_loc)
                      AS n_pages_declaring
             FROM rws
+        """,
+        # same fixture, same two RE2-safe harvest patterns, same
+        # delay/url sub-grammars replayed
+        "meta_refresh": """
+            WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+            pages AS (
+              SELECT 'http://s' || (doc_id % 3) || '.test' AS base,
+                     'http://s' || (doc_id % 3) || '.test/p' || doc_id
+                       AS url,
+                     '<html><head>'
+                     || '<meta name="viewport" '
+                     || 'content="width=device-width">'
+                     || CASE doc_id % 5
+                        WHEN 0 THEN '<meta http-equiv="refresh" '
+                             || 'content="0; url=http://s'
+                             || ((doc_id + 1) % 3) || '.test/p'
+                             || ((doc_id * 7) % n) || '">'
+                        WHEN 1 THEN '<meta HTTP-EQUIV="Refresh" content="'
+                             || (doc_id % 30) || '; URL=''/p'
+                             || ((doc_id * 3) % n) || '''">'
+                        WHEN 2 THEN '<meta content="3;url=http://x.test/q'
+                             || doc_id || '" http-equiv="refresh">'
+                        WHEN 3 THEN '<meta http-equiv="refresh" content=" '
+                             || (doc_id % 7 + 1) || ' ">'
+                        ELSE '' END
+                     || '</head><body>x</body></html>' AS body
+              FROM documents, cnt),
+            c AS (
+              SELECT url, base,
+                     (regexp_extract_all(body,
+                        '(?i)<meta\\b[^>]*http-equiv="refresh"[^>]*'
+                        || 'content="([^"]*)"', 1)
+                      || regexp_extract_all(body,
+                        '(?i)<meta\\b[^>]*content="([^"]*)"[^>]*'
+                        || 'http-equiv="refresh"', 1))[1] AS content
+              FROM pages),
+            p AS (
+              SELECT url, base,
+                     CAST(regexp_extract(content, '^\\s*(\\d+)', 1)
+                          AS BIGINT) AS delay_s,
+                     NULLIF(regexp_extract(content,
+                       '(?i);\\s*url\\s*=\\s*[''"]?([^''"]*)', 1), '')
+                       AS target
+              FROM c WHERE content IS NOT NULL)
+            SELECT url, delay_s, target,
+                   CASE WHEN target IS NULL THEN NULL
+                        WHEN target LIKE 'http%' THEN target
+                        ELSE base || target END AS target_abs,
+                   (delay_s = 0 AND target IS NOT NULL) AS instant
+            FROM p
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl
