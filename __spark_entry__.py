@@ -3055,6 +3055,83 @@ def q_meta_refresh(spark, sf_dir):
     return meta_refresh(pages)
 
 
+def q_sri_audit(spark, sf_dir):
+    """Subresource-Integrity audit (reports/security.sri_audit): whole
+    <script>/<link> tags harvested first (RE2-safe, attribute-order-
+    independent), then src/href/integrity pulled from the tag string.
+    Arms: a same-origin relative script always; an inline <script> and a
+    rel=icon link always (both must be excluded); a cross-origin cdn
+    script on i%2==0 with integrity on i%4==0 (algo cycles
+    sha256/384/512 by i%3) and a crossorigin attr distractor on i%8==0;
+    a stylesheet on i%3!=2 with sha384 integrity on i%6==1; a
+    REVERSED-attribute-order script (integrity before src) on i%5==2; a
+    same-host ABSOLUTE script on i%7==3 (ref_host == page host → not
+    cross-origin).  BOTH engines replay the same tag harvest and
+    attribute sub-grammars."""
+    from linkkchecker_net_spark.reports.security import sri_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    host = F.concat(F.lit("s"), (i % 3).cast("string"), F.lit(".test"))
+    alg = (
+        F.when(i % 3 == 0, F.lit("sha256"))
+        .when(i % 3 == 1, F.lit("sha384"))
+        .otherwise(F.lit("sha512"))
+    )
+    body = F.concat(
+        F.lit('<html><head><script src="/js/a'), s, F.lit('.js"></script>'),
+        F.lit("<script>var x=1</script>"),
+        F.lit('<link rel="icon" href="/fav.ico">'),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit('<script src="https://cdn.test/lib'),
+                (i % 9).cast("string"), F.lit('.js"'),
+                F.when(
+                    i % 4 == 0,
+                    F.concat(F.lit(' integrity="'), alg, F.lit("-h"), s,
+                             F.lit('"')),
+                ).otherwise(F.lit("")),
+                F.when(i % 8 == 0, F.lit(' crossorigin="anonymous"'))
+                .otherwise(F.lit("")),
+                F.lit("></script>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 != 2,
+            F.concat(
+                F.lit('<link rel="stylesheet" href="https://css.test/s'),
+                (i % 5).cast("string"), F.lit('.css"'),
+                F.when(
+                    i % 6 == 1,
+                    F.concat(F.lit(' integrity="sha384-k'), s, F.lit('"')),
+                ).otherwise(F.lit("")),
+                F.lit(">"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 2,
+            F.concat(F.lit('<script integrity="sha512-z'), s,
+                     F.lit('" src="https://cdn2.test/r'), s,
+                     F.lit('.js"></script>')),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 7 == 3,
+            F.concat(F.lit('<script src="http://s'),
+                     (i % 3).cast("string"), F.lit(".test/self"), s,
+                     F.lit('.js"></script>')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://"), host, F.lit("/p"), s).alias("url"),
+        host.alias("host"),
+        body.alias("body"),
+    )
+    return sri_audit(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3178,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fragment_audit": q_fragment_audit,
         "sitemap_images": q_sitemap_images,
         "meta_refresh": q_meta_refresh,
+        "sri_audit": q_sri_audit,
     }
 
 
@@ -6235,6 +6313,95 @@ FROM bt JOIN bh ON bt.url = bh.url
                         ELSE base || target END AS target_abs,
                    (delay_s = 0 AND target IS NOT NULL) AS instant
             FROM p
+        """,
+        # same fixture, same tag-level harvest + attribute sub-grammars
+        "sri_audit": """
+            WITH pages AS (
+              SELECT 's' || (doc_id % 3) || '.test' AS host,
+                     'http://s' || (doc_id % 3) || '.test/p' || doc_id
+                       AS url,
+                     '<html><head><script src="/js/a' || doc_id
+                     || '.js"></script>'
+                     || '<script>var x=1</script>'
+                     || '<link rel="icon" href="/fav.ico">'
+                     || CASE WHEN doc_id % 2 = 0
+                        THEN '<script src="https://cdn.test/lib'
+                             || (doc_id % 9) || '.js"'
+                             || CASE WHEN doc_id % 4 = 0
+                                THEN ' integrity="'
+                                     || CASE doc_id % 3
+                                        WHEN 0 THEN 'sha256'
+                                        WHEN 1 THEN 'sha384'
+                                        ELSE 'sha512' END
+                                     || '-h' || doc_id || '"'
+                                ELSE '' END
+                             || CASE WHEN doc_id % 8 = 0
+                                THEN ' crossorigin="anonymous"'
+                                ELSE '' END
+                             || '></script>'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 3 <> 2
+                        THEN '<link rel="stylesheet" '
+                             || 'href="https://css.test/s'
+                             || (doc_id % 5) || '.css"'
+                             || CASE WHEN doc_id % 6 = 1
+                                THEN ' integrity="sha384-k' || doc_id
+                                     || '"'
+                                ELSE '' END
+                             || '>'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 2
+                        THEN '<script integrity="sha512-z' || doc_id
+                             || '" src="https://cdn2.test/r' || doc_id
+                             || '.js"></script>'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 3
+                        THEN '<script src="http://s' || (doc_id % 3)
+                             || '.test/self' || doc_id
+                             || '.js"></script>'
+                        ELSE '' END
+                     || '</head><body>x</body></html>' AS body
+              FROM documents),
+            tags AS (
+              SELECT url, host,
+                     unnest(regexp_extract_all(body,
+                              '(?i)<script\\b[^>]*>')
+                            || regexp_extract_all(body,
+                              '(?i)<link\\b[^>]*>')) AS tag
+              FROM pages),
+            k AS (
+              SELECT url, host, tag,
+                     CASE WHEN lower(substr(tag, 1, 7)) = '<script'
+                          THEN 'script'
+                          WHEN regexp_matches(tag,
+                            '(?i)\\brel="stylesheet"')
+                          THEN 'stylesheet' END AS kind
+              FROM tags),
+            r AS (
+              SELECT url, host, kind,
+                     NULLIF(CASE WHEN kind = 'script'
+                                 THEN regexp_extract(tag,
+                                   '(?i)\\bsrc="([^"]*)"', 1)
+                                 ELSE regexp_extract(tag,
+                                   '(?i)\\bhref="([^"]*)"', 1) END, '')
+                       AS ref,
+                     NULLIF(regexp_extract(tag,
+                       '(?i)\\bintegrity="([^"]*)"', 1), '') AS integrity
+              FROM k WHERE kind IS NOT NULL),
+            f AS (
+              SELECT url, kind, ref, integrity, host,
+                     NULLIF(regexp_extract(ref,
+                       '^https?://([^/]+)', 1), '') AS ref_host
+              FROM r WHERE ref IS NOT NULL)
+            SELECT url, kind, ref,
+                   NULLIF(regexp_extract(integrity,
+                     '^(sha256|sha384|sha512)-', 1), '') AS integrity_algo,
+                   integrity IS NOT NULL AS has_integrity,
+                   (ref_host IS NOT NULL AND ref_host <> host)
+                     AS cross_origin,
+                   (ref_host IS NOT NULL AND ref_host <> host
+                    AND integrity IS NULL) AS sri_missing
+            FROM f
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

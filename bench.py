@@ -361,7 +361,7 @@ def run_queries(spark) -> dict:
         "anchor_spam", "cdc_dedup", "srcset", "inline_images",
         "feed_links", "link_header", "resize_images", "caption_pairs",
         "image_histogram", "jsonld_images", "mixed_content",
-        "fragment_audit", "sitemap_images", "meta_refresh",
+        "fragment_audit", "sitemap_images", "meta_refresh", "sri_audit",
     ]
     out = {}
     qs = entrymod.queries()

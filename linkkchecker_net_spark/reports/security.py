@@ -83,3 +83,84 @@ def mixed_content_audit(pages: DataFrame) -> DataFrame:
         "mixed",
         F.coalesce("upgradable", F.lit(0).cast("long")).alias("upgradable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subresource Integrity (SRI) audit.  A cross-origin <script> or
+# stylesheet <link> without an integrity= hash lets the third-party host
+# (or anyone who compromises it) run code on every page that embeds it —
+# the W3C SRI spec exists precisely for this.  For corpus curation the
+# flag doubles as a provenance signal: pages shipping unpinned third-party
+# code are the ones whose *rendered* content can drift from the crawl.
+#
+# Tag-level harvest keeps the grammar RE2-safe and attribute-order-
+# independent: whole <script>/<link> tags are extracted first (group 0),
+# then src/href/integrity/crossorigin are pulled out of the tag string —
+# no lookahead, no ordering assumption.  Map-only codegen; no shuffle.
+# ---------------------------------------------------------------------------
+
+SCRIPT_TAG_PAT = r"(?i)<script\b[^>]*>"
+LINK_TAG_PAT = r"(?i)<link\b[^>]*>"
+SRC_ATTR_PAT = r'(?i)\bsrc="([^"]*)"'
+HREF_ATTR_PAT = r'(?i)\bhref="([^"]*)"'
+INTEGRITY_ATTR_PAT = r'(?i)\bintegrity="([^"]*)"'
+REL_STYLESHEET_PAT = r'(?i)\brel="stylesheet"'
+SRI_ALGO_PAT = r"^(sha256|sha384|sha512)-"
+REF_HOST_PAT = r"^https?://([^/]+)"
+
+
+def sri_audit(pages: DataFrame) -> DataFrame:
+    """pages: (url, host, body) → one row per external script/stylesheet
+    ref: (url, kind, ref, integrity_algo, has_integrity, cross_origin,
+    sri_missing).  Inline scripts (no src) and non-stylesheet links are
+    excluded; ``sri_missing`` = cross-origin AND no integrity attribute.
+    """
+    tags = pages.select(
+        "url",
+        "host",
+        F.explode(
+            F.concat(
+                F.regexp_extract_all("body", F.lit(SCRIPT_TAG_PAT), 0),
+                F.regexp_extract_all("body", F.lit(LINK_TAG_PAT), 0),
+            )
+        ).alias("tag"),
+    )
+    kind = (
+        F.when(F.lower(F.substring("tag", 1, 7)) == "<script", F.lit("script"))
+        .when(
+            F.regexp_extract("tag", REL_STYLESHEET_PAT, 0) != "",
+            F.lit("stylesheet"),
+        )
+    )
+    ref = F.when(
+        F.col("kind") == "script",
+        F.nullif(F.regexp_extract("tag", SRC_ATTR_PAT, 1), F.lit("")),
+    ).otherwise(
+        F.nullif(F.regexp_extract("tag", HREF_ATTR_PAT, 1), F.lit(""))
+    )
+    rows = (
+        tags.withColumn("kind", kind)
+        .filter(F.col("kind").isNotNull())
+        .withColumn("ref", ref)
+        .filter(F.col("ref").isNotNull())
+        .withColumn(
+            "integrity",
+            F.nullif(F.regexp_extract("tag", INTEGRITY_ATTR_PAT, 1), F.lit("")),
+        )
+        .withColumn(
+            "ref_host",
+            F.nullif(F.regexp_extract("ref", REF_HOST_PAT, 1), F.lit("")),
+        )
+    )
+    cross = F.col("ref_host").isNotNull() & (F.col("ref_host") != F.col("host"))
+    has_sri = F.col("integrity").isNotNull()
+    return rows.select(
+        "url",
+        "kind",
+        "ref",
+        F.nullif(F.regexp_extract("integrity", SRI_ALGO_PAT, 1), F.lit(""))
+        .alias("integrity_algo"),
+        has_sri.alias("has_integrity"),
+        cross.alias("cross_origin"),
+        (cross & ~has_sri).alias("sri_missing"),
+    )
