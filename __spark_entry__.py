@@ -3132,6 +3132,55 @@ def q_sri_audit(spark, sf_dir):
     return sri_audit(pages)
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index over SURT keys (reports/warc.cdx_index): the
+    lookup-side companion of the WARC manifest.  Each URL is captured
+    twice (capture index i folds onto page j = i % max(n//2,1), ts is
+    injective in i) so the per-key sequence window is earned.  URL arms
+    by j: scheme http/https, mixed-case host (lowered), leading www.
+    (stripped), ports :8080 (kept) / :80 / :443 (dropped only for the
+    matching scheme), empty path (→ root '/'), unsorted query params
+    (→ sorted).  BOTH engines replay the full SURT transform and the
+    same (ts, url)-ordered capture window."""
+    from linkkchecker_net_spark.fixtures.docweb import doc_count
+    from linkkchecker_net_spark.reports.warc import cdx_index
+
+    _prep(spark)
+    n = doc_count(spark, sf_dir)
+    m = max(n // 2, 1)
+    i = F.col("doc_id").cast("long")
+    j = i % m
+    scheme = F.when(j % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    core = F.when(
+        j % 4 == 1,
+        F.concat(F.lit("EX"), (j % 23).cast("string"), F.lit(".Example.COM")),
+    ).otherwise(
+        F.concat(F.lit("ex"), (j % 23).cast("string"), F.lit(".example.com"))
+    )
+    www = F.when(j % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    port = (
+        F.when(j % 11 == 3, F.lit(":8080"))
+        .when(j % 13 == 2, F.lit(":80"))
+        .when(j % 13 == 6, F.lit(":443"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(j % 7 == 5, F.lit("")).otherwise(
+        F.concat(F.lit("/P"), (j % 9).cast("string"), F.lit("/x"))
+    )
+    qs = F.when(
+        (j % 5 == 1) | (j % 5 == 3),
+        F.concat(F.lit("?b="), (j % 7).cast("string"),
+                 F.lit("&a="), (j % 3).cast("string")),
+    ).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), www, core, port, path, qs)
+    results = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        (F.lit(1700000000) + i * 37).alias("ts"),
+        F.when(i % 17 == 3, F.lit(404)).otherwise(F.lit(200)).alias("status"),
+    )
+    return cdx_index(results)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3256,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_images": q_sitemap_images,
         "meta_refresh": q_meta_refresh,
         "sri_audit": q_sri_audit,
+        "cdx_index": q_cdx_index,
     }
 
 
@@ -6402,6 +6452,73 @@ FROM bt JOIN bh ON bt.url = bh.url
                    (ref_host IS NOT NULL AND ref_host <> host
                     AND integrity IS NULL) AS sri_missing
             FROM f
+        """,
+        # full SURT transform + capture window replayed in SQL
+        "cdx_index": """
+            WITH cnt AS (SELECT GREATEST(COUNT(*) // 2, 1) AS m
+                         FROM documents),
+            caps AS (
+              SELECT doc_id AS i, doc_id % m AS j FROM documents, cnt),
+            u AS (
+              SELECT i,
+                     CASE WHEN j % 2 = 0 THEN 'https' ELSE 'http' END
+                       AS scheme,
+                     CASE WHEN j % 2 = 0 THEN 'https' ELSE 'http' END
+                     || '://'
+                     || CASE WHEN j % 3 = 0 THEN 'www.' ELSE '' END
+                     || CASE WHEN j % 4 = 1
+                             THEN 'EX' || (j % 23) || '.Example.COM'
+                             ELSE 'ex' || (j % 23) || '.example.com' END
+                     || CASE WHEN j % 11 = 3 THEN ':8080'
+                             WHEN j % 13 = 2 THEN ':80'
+                             WHEN j % 13 = 6 THEN ':443'
+                             ELSE '' END
+                     || CASE WHEN j % 7 = 5 THEN ''
+                             ELSE '/P' || (j % 9) || '/x' END
+                     || CASE WHEN j % 5 IN (1, 3)
+                             THEN '?b=' || (j % 7) || '&a=' || (j % 3)
+                             ELSE '' END AS url,
+                     CAST(1700000000 + i * 37 AS BIGINT) AS ts,
+                     CASE WHEN i % 17 = 3 THEN 404 ELSE 200 END AS status
+              FROM caps),
+            parts AS (
+              SELECT url, ts, status, scheme,
+                     lower(regexp_extract(url,
+                       '^https?://([^/?#]+)', 1)) AS auth,
+                     regexp_replace(url, '^https?://[^/?#]+', '') AS rest
+              FROM u),
+            norm AS (
+              SELECT url, ts, status, scheme, rest,
+                     NULLIF(regexp_extract(auth, ':(\\d+)$', 1), '')
+                       AS port_s,
+                     regexp_replace(regexp_replace(auth, ':\\d+$', ''),
+                       '^www\\.', '') AS host,
+                     split_part(rest, '?', 1) AS path,
+                     CASE WHEN rest LIKE '%?%'
+                          THEN array_to_string(list_sort(string_split(
+                                 split_part(rest, '?', 2), '&')), '&')
+                          END AS q
+              FROM parts),
+            keyed AS (
+              SELECT array_to_string(list_reverse(string_split(host, '.')),
+                       ',')
+                     || CASE WHEN port_s IS NOT NULL
+                              AND NOT ((scheme = 'http' AND port_s = '80')
+                                   OR (scheme = 'https'
+                                       AND port_s = '443'))
+                             THEN ':' || port_s ELSE '' END
+                     || ')'
+                     || CASE WHEN path = '' THEN '/' ELSE path END
+                     || CASE WHEN q IS NOT NULL THEN '?' || q
+                             ELSE '' END AS surt_key,
+                     ts, url, CAST(status AS INT) AS status,
+                     substr(md5(url || ':' || ts), 1, 8) AS digest8
+              FROM norm)
+            SELECT surt_key, ts, url, status, digest8,
+                   CAST(row_number() OVER (PARTITION BY surt_key
+                                           ORDER BY ts, url) AS INT) AS seq,
+                   COUNT(*) OVER (PARTITION BY surt_key) AS n_captures
+            FROM keyed
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

@@ -73,3 +73,83 @@ def warc_manifest(
         .withColumn("shard_bytes", F.sum("record_len").over(wall))
         .withColumn("shard_records", F.count("*").over(wall))
     )
+
+
+# ---------------------------------------------------------------------------
+# CDX capture index over SURT keys — the lookup-side companion of the
+# WARC manifest above.  Readers (wayback-style replay, dedup-by-digest,
+# recrawl diffing) binary-search a CDX index sorted by
+# (SURT key, timestamp); SURT (Sort-friendly URI Reordering Transform)
+# puts the registrable domain first so one host's captures are one
+# contiguous key range:
+#
+#   https://www.Example.com:8080/a/B?b=2&a=1
+#     → com,example:8080)/a/B?a=1&b=2
+#
+# Canonicalization applied (the common CDX writer rules): scheme
+# dropped, host lowercased, leading www. stripped, default port dropped
+# (80 for http, 443 for https — others kept), query params sorted;
+# path case is preserved (it is significant on most origins).
+#
+# Everything is map-only codegen (split / reverse / array_join /
+# regexp) except the capture window: row_number + count per SURT key,
+# partitioned on the key — exactly the partitioning a
+# repartitionByRange(surt_key) writer needs anyway, so at export time
+# the sort is free.  No Python, no joins.
+# ---------------------------------------------------------------------------
+
+
+def cdx_index(results: DataFrame, url_col: str = "url", ts_col: str = "ts") -> DataFrame:
+    """(surt_key, ts, url, status, digest8, seq, n_captures) — one row
+    per capture, sequenced oldest-first within its SURT key.
+
+    ``results`` needs (url, ts, status); ``digest8`` content-addresses
+    the capture (md5 of url:ts — the writer substitutes the true body
+    digest), so index shards are stable under re-export.
+    """
+    url = F.col(url_col)
+    scheme = F.regexp_extract(url, r"^(https?)://", 1)
+    auth = F.lower(F.regexp_extract(url, r"^https?://([^/?#]+)", 1))
+    port = F.nullif(F.regexp_extract(auth, r":(\d+)$", 1), F.lit(""))
+    host = F.regexp_replace(
+        F.regexp_replace(auth, r":\d+$", ""), r"^www\.", ""
+    )
+    keep_port = port.isNotNull() & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    rest = F.regexp_replace(url, r"^https?://[^/?#]+", "")
+    path = F.substring_index(rest, "?", 1)
+    qsorted = F.when(
+        rest.contains("?"),
+        F.array_join(
+            F.array_sort(F.split(F.substring_index(rest, "?", -1), "&")),
+            "&",
+        ),
+    )
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(qsorted.isNotNull(), F.concat(F.lit("?"), qsorted)).otherwise(
+            F.lit("")
+        ),
+    )
+    wk = Window.partitionBy("surt_key")
+    wseq = wk.orderBy(ts_col, url_col)
+    return (
+        results.select(
+            surt.alias("surt_key"),
+            F.col(ts_col).cast("long").alias("ts"),
+            url.alias("url"),
+            F.col("status").cast("int").alias("status"),
+            F.substring(
+                F.md5(F.concat(url, F.lit(":"), F.col(ts_col).cast("string"))),
+                1,
+                8,
+            ).alias("digest8"),
+        )
+        .withColumn("seq", F.row_number().over(wseq).cast("int"))
+        .withColumn("n_captures", F.count("*").over(wk).cast("long"))
+    )
