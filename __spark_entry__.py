@@ -3181,6 +3181,24 @@ def q_cdx_index(spark, sf_dir):
     return cdx_index(results)
 
 
+def q_color_palette(spark, sf_dir):
+    """Dominant-color palette (pipeline/multimodal.color_palette) over
+    the channel-distinct stripe corpus: Spark decodes real pixels and
+    quantizes to the 64-cell joint RGB code; the oracle prices every
+    cell arithmetically (each stripe row contributes w pixels of one
+    cell; the 2-bit cell is codec-invariant under the lossy stand-in's
+    bucket-center reconstruction, so no dequant CASE is needed).
+    Truncated payloads (i%9==4) keep one ok=false row."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        color_palette,
+        synth_rgbstripe_corpus,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return color_palette(synth_rgbstripe_corpus(spark, ids))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3306,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_refresh": q_meta_refresh,
         "sri_audit": q_sri_audit,
         "cdx_index": q_cdx_index,
+        "color_palette": q_color_palette,
     }
 
 
@@ -6519,6 +6538,40 @@ FROM bt JOIN bh ON bt.url = bh.url
                                            ORDER BY ts, url) AS INT) AS seq,
                    COUNT(*) OVER (PARTITION BY surt_key) AS n_captures
             FROM keyed
+        """,
+        # arithmetic replay of the stripe corpus: cell per scanline row,
+        # w pixels per row, same (count DESC, cell ASC) ranking
+        "color_palette": """
+            WITH d AS (SELECT doc_id AS i, 8 + (doc_id % 5) * 4 AS w,
+                              6 + (doc_id % 7) * 2 AS h
+                       FROM documents),
+            cells AS (
+              SELECT i, w, h,
+                     (((i*37 + r*5) % 251) // 64) * 16
+                     + (((i*53 + r*7) % 251) // 64) * 4
+                     + (((i*71 + r*11) % 251) // 64) AS cell
+              FROM d, unnest(generate_series(0, h - 1)) AS g(r)),
+            cnts AS (
+              SELECT i, w, h, cell,
+                     CAST(COUNT(*) * w AS BIGINT) AS pix_cnt
+              FROM cells GROUP BY i, w, h, cell),
+            ranked AS (
+              SELECT i, w, h, cell, pix_cnt,
+                     CAST(row_number() OVER (PARTITION BY i
+                            ORDER BY pix_cnt DESC, cell) AS INT) AS rank,
+                     CAST(COUNT(*) OVER (PARTITION BY i) AS INT)
+                       AS n_colors
+              FROM cnts)
+            SELECT 'img_' || lpad(i::VARCHAR, 6, '0') AS image_id,
+                   TRUE AS ok, rank, CAST(cell AS INT) AS cell, pix_cnt,
+                   CAST(1000000 * pix_cnt // (w * h) AS BIGINT)
+                     AS share_ppm,
+                   n_colors
+            FROM ranked WHERE rank <= 3 AND i % 9 <> 4
+            UNION ALL
+            SELECT 'img_' || lpad(i::VARCHAR, 6, '0'), FALSE,
+                   NULL, NULL, NULL, NULL, NULL
+            FROM d WHERE i % 9 = 4
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

@@ -1401,3 +1401,123 @@ def image_histogram(corpus: DataFrame) -> DataFrame:
     return corpus.select("image_id", "bytes", "fmt").mapInPandas(
         dec, HIST_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Dominant-color palette — decode → 2-bit/channel joint quantization →
+# per-image top-k cells.  LAION-scale curation uses exactly this as a
+# near-free pre-filter (flat-color logos/banners out, screenshots vs
+# photos stratification) and as a blocking key for near-dup candidate
+# generation: images whose top cell differs need no pixel comparison.
+# The 64-cell code (r>>6)*16+(g>>6)*4+(b>>6) is codec-invariant under
+# the corpus' lossy stand-in (6-bit quantization reconstructs at bucket
+# centers v//4*4+2, which never crosses a 64-value bin boundary), so
+# palette cells are bit-identical across png/jpeg/gif rows.
+# ---------------------------------------------------------------------------
+
+PALETTE_SCHEMA = (
+    "image_id string, ok boolean, rank int, cell int, pix_cnt long, "
+    "share_ppm long, n_colors int"
+)
+
+
+def synth_rgbstripe_corpus(spark, ids_df: DataFrame) -> DataFrame:
+    """North-rule-shaped corpus whose rows carry channel-distinct
+    stripes: row r of image i is the constant RGB
+    ((i*37+r*5)%251, (i*53+r*7)%251, (i*71+r*11)%251), w = 8+(i%5)*4,
+    h = 6+(i%7)*2, codec rotated by i%3, bytes truncated on i%9==4 —
+    every palette cell count is w × (rows hitting that cell), pure
+    arithmetic for the oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "caption": [], "phash": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                w, h = 8 + (i % 5) * 4, 6 + (i % 7) * 2
+                r = np.arange(h)
+                chans = [
+                    ((i * 37 + r * 5) % 251).astype(np.uint8),
+                    ((i * 53 + r * 7) % 251).astype(np.uint8),
+                    ((i * 71 + r * 11) % 251).astype(np.uint8),
+                ]
+                arr = np.stack(
+                    [np.repeat(c[:, None], w, axis=1) for c in chans], axis=2
+                )
+                fmt = ("png", "jpeg", "gif")[i % 3]
+                data = imaging.encode_image(arr, fmt)
+                if i % 9 == 4:
+                    data = data[:6]
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(data)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append(fmt)
+                out["caption"].append(f"stripe {i}")
+                out["phash"].append(0)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+
+
+def color_palette(corpus: DataFrame, top_k: int = 3) -> DataFrame:
+    """Decode → 64-cell joint RGB quantization → top-k dominant cells:
+    one row per (image, rank≤k): (image_id, ok, rank, cell, pix_cnt,
+    share_ppm, n_colors); undecodable rows keep ONE ok=false row with
+    NULL stats.  Ordering is (count DESC, cell ASC) — fully
+    deterministic, no float ties.
+
+    Scale: one mapInPandas Arrow pass, map-only, zero shuffles; bytes
+    die at the stage boundary and ≤ k skinny rows per image survive —
+    the same flat plan shape as image_meta at any corpus size.
+    """
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "ok": [], "rank": [], "cell": [],
+                   "pix_cnt": [], "share_ppm": [], "n_colors": []}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    out["image_id"].append(iid)
+                    out["ok"].append(False)
+                    for k in ("rank", "cell", "pix_cnt", "share_ppm",
+                              "n_colors"):
+                        out[k].append(None)
+                    continue
+                cells = (
+                    (arr[:, :, 0] >> 6).astype(np.int32) * 16
+                    + (arr[:, :, 1] >> 6) * 4
+                    + (arr[:, :, 2] >> 6)
+                ).reshape(-1)
+                counts = np.bincount(cells, minlength=64)
+                total = int(cells.size)
+                n_colors = int((counts > 0).sum())
+                order = sorted(
+                    np.flatnonzero(counts), key=lambda c: (-counts[c], c)
+                )
+                for rank, c in enumerate(order[:top_k], start=1):
+                    out["image_id"].append(iid)
+                    out["ok"].append(True)
+                    out["rank"].append(rank)
+                    out["cell"].append(int(c))
+                    out["pix_cnt"].append(int(counts[c]))
+                    out["share_ppm"].append(
+                        1_000_000 * int(counts[c]) // total
+                    )
+                    out["n_colors"].append(n_colors)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        dec, PALETTE_SCHEMA
+    )

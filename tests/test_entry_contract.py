@@ -86,7 +86,7 @@ NON_CRAWL = [
     "srcset", "inline_images", "feed_links", "link_header",
     "resize_images", "caption_pairs", "image_histogram",
     "jsonld_images", "mixed_content", "fragment_audit", "sitemap_images",
-    "meta_refresh", "sri_audit", "cdx_index",
+    "meta_refresh", "sri_audit", "cdx_index", "color_palette",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
