@@ -3199,6 +3199,66 @@ def q_color_palette(spark, sf_dir):
     return color_palette(synth_rgbstripe_corpus(spark, ids))
 
 
+def q_favicon_pick(spark, sf_dir):
+    """Favicon discovery + best-per-host pick (reports/favicon): icon
+    link tags harvested across every page of a host, distinct by
+    (href, rel, size), best = highest size → href/rel lexicographic;
+    hosts declaring nothing fall back to /favicon.ico.  Arms: 7 hosts
+    by i%7 (host 4 NEVER declares → fallback row); rel="icon" with a
+    16/32/64/128 sizes ladder on i%3==0; apple-touch-icon 180x180 on
+    i%6==1; size-less shortcut icon on i%9==2; sizes="any" SVG (ranks
+    above every raster) on i%12==5; an UPPERCASE <LINK REL="ICON"> on
+    i%10==7; a stylesheet link distractor always.  BOTH engines replay
+    the same tag harvest, ladder, window and anti-join."""
+    from linkkchecker_net_spark.reports.favicon import favicon_pick
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    k = i % 7
+    host = F.concat(F.lit("h"), k.cast("string"), F.lit(".test"))
+    sz = (
+        F.when(i % 4 == 0, F.lit("16")).when(i % 4 == 1, F.lit("32"))
+        .when(i % 4 == 2, F.lit("64")).otherwise(F.lit("128"))
+    )
+    body = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/c.css">'),
+        F.when(
+            (i % 3 == 0) & (k != 4),
+            F.concat(F.lit('<link rel="icon" href="/i'),
+                     ((i * 3) % 9).cast("string"),
+                     F.lit('.png" sizes="'), sz, F.lit("x"), sz,
+                     F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            (i % 6 == 1) & (k != 4),
+            F.concat(F.lit('<link rel="apple-touch-icon" href="/a'),
+                     ((i * 5) % 6).cast("string"),
+                     F.lit('.png" sizes="180x180">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            (i % 9 == 2) & (k != 4),
+            F.lit('<link rel="shortcut icon" href="/s.ico">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            (i % 12 == 5) & (k != 4),
+            F.lit('<link rel="icon" href="/v.svg" sizes="any">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            (i % 10 == 7) & (k != 4),
+            F.concat(F.lit('<LINK REL="ICON" HREF="/u'),
+                     (i % 3).cast("string"), F.lit('.png">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://"), host, F.lit("/p"),
+                 i.cast("string")).alias("url"),
+        host.alias("host"),
+        body.alias("body"),
+    )
+    return favicon_pick(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3325,6 +3385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sri_audit": q_sri_audit,
         "cdx_index": q_cdx_index,
         "color_palette": q_color_palette,
+        "favicon_pick": q_favicon_pick,
     }
 
 
@@ -6572,6 +6633,80 @@ FROM bt JOIN bh ON bt.url = bh.url
             SELECT 'img_' || lpad(i::VARCHAR, 6, '0'), FALSE,
                    NULL, NULL, NULL, NULL, NULL
             FROM d WHERE i % 9 = 4
+        """,
+        # same fixture, same tag harvest / size ladder / pick window /
+        # fallback anti-join
+        "favicon_pick": """
+            WITH b AS (
+              SELECT doc_id AS i, doc_id % 7 AS k,
+                     CASE doc_id % 4 WHEN 0 THEN '16' WHEN 1 THEN '32'
+                          WHEN 2 THEN '64' ELSE '128' END AS sz
+              FROM documents),
+            pages AS (
+              SELECT 'h' || k || '.test' AS host,
+                     '<html><head><link rel="stylesheet" href="/c.css">'
+                     || CASE WHEN i % 3 = 0 AND k <> 4
+                        THEN '<link rel="icon" href="/i' || ((i * 3) % 9)
+                             || '.png" sizes="' || sz || 'x' || sz || '">'
+                        ELSE '' END
+                     || CASE WHEN i % 6 = 1 AND k <> 4
+                        THEN '<link rel="apple-touch-icon" href="/a'
+                             || ((i * 5) % 6)
+                             || '.png" sizes="180x180">'
+                        ELSE '' END
+                     || CASE WHEN i % 9 = 2 AND k <> 4
+                        THEN '<link rel="shortcut icon" href="/s.ico">'
+                        ELSE '' END
+                     || CASE WHEN i % 12 = 5 AND k <> 4
+                        THEN '<link rel="icon" href="/v.svg" sizes="any">'
+                        ELSE '' END
+                     || CASE WHEN i % 10 = 7 AND k <> 4
+                        THEN '<LINK REL="ICON" HREF="/u' || (i % 3)
+                             || '.png">'
+                        ELSE '' END
+                     || '</head></html>' AS body
+              FROM b),
+            tags AS (
+              SELECT host, unnest(regexp_extract_all(body,
+                       '(?i)<link\\b[^>]*>')) AS tag
+              FROM pages),
+            attrs AS (
+              SELECT host,
+                     lower(regexp_extract(tag,
+                       '(?i)\\brel="([^"]*)"', 1)) AS rel,
+                     NULLIF(regexp_extract(tag,
+                       '(?i)\\bhref="([^"]*)"', 1), '') AS href0,
+                     NULLIF(regexp_extract(tag,
+                       '(?i)\\bsizes="([^"]*)"', 1), '') AS sizes
+              FROM tags),
+            cand AS (
+              SELECT DISTINCT host,
+                     CASE WHEN href0 LIKE 'http%' THEN href0
+                          ELSE 'http://' || host || href0 END AS href,
+                     rel,
+                     CASE WHEN sizes = 'any' THEN 1000000
+                          ELSE COALESCE(CAST(NULLIF(regexp_extract(
+                                 sizes, '^(\\d+)', 1), '') AS INT), 0)
+                          END AS size_px
+              FROM attrs
+              WHERE rel IN ('icon', 'shortcut icon', 'apple-touch-icon')
+                AND href0 IS NOT NULL),
+            ranked AS (
+              SELECT host, href, rel, size_px,
+                     CAST(COUNT(*) OVER (PARTITION BY host) AS BIGINT)
+                       AS n_declared,
+                     row_number() OVER (PARTITION BY host
+                       ORDER BY size_px DESC, href, rel) AS rk
+              FROM cand)
+            SELECT host, href, rel, CAST(size_px AS INT) AS size_px,
+                   TRUE AS declared, n_declared
+            FROM ranked WHERE rk = 1
+            UNION ALL
+            SELECT DISTINCT host,
+                   'http://' || host || '/favicon.ico' AS href,
+                   'fallback' AS rel, CAST(0 AS INT) AS size_px,
+                   FALSE AS declared, CAST(0 AS BIGINT) AS n_declared
+            FROM pages WHERE host NOT IN (SELECT host FROM cand)
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl
