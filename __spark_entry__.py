@@ -3259,6 +3259,42 @@ def q_favicon_pick(spark, sf_dir):
     return favicon_pick(pages)
 
 
+def q_host_templates(spark, sf_dir):
+    """Host-scoped boilerplate template detection (pipeline/text.
+    host_templates): a line is template iff it appears on ≥60% of its
+    OWN host's pages.  Fixture: 5 hosts by i%5; every page carries a
+    host-constant nav line and footer line (100% support → template), a
+    promo line split by i%2 (50% support → kept), a unique content
+    line, an extra line on i%3==0, and a forced empty line (must be
+    dropped before counting).  The oracle rebuilds the line relation
+    arithmetically and replays the same support threshold and ppm
+    arithmetic."""
+    from linkkchecker_net_spark.pipeline.text import host_templates
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    k = (i % 5).cast("string")
+    host = F.concat(F.lit("t"), k, F.lit(".test"))
+    text = F.concat(
+        F.lit("nav home about contact "), k, F.lit("\n"),
+        F.lit("promo "), k, F.lit(" "), (i % 2).cast("string"), F.lit("\n"),
+        F.lit("content body text "), i.cast("string"), F.lit(" alpha"),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit("\nextra paragraph "), (i * 7).cast("string")),
+        ).otherwise(F.lit("")),
+        F.lit("\n\n"),
+        F.lit("footer copyright site "), k,
+    )
+    pages = _docs(spark, sf_dir).select(
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, F.lit("/p"),
+                 i.cast("string")).alias("url"),
+        text.alias("text"),
+    )
+    return host_templates(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3386,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "color_palette": q_color_palette,
         "favicon_pick": q_favicon_pick,
+        "host_templates": q_host_templates,
     }
 
 
@@ -6707,6 +6744,51 @@ FROM bt JOIN bh ON bt.url = bh.url
                    'fallback' AS rel, CAST(0 AS INT) AS size_px,
                    FALSE AS declared, CAST(0 AS BIGINT) AS n_declared
             FROM pages WHERE host NOT IN (SELECT host FROM cand)
+        """,
+        # line relation rebuilt arithmetically; same 60% support rule,
+        # same ppm arithmetic
+        "host_templates": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 5 AS k
+                       FROM documents),
+            pages AS (
+              SELECT i, k, 't' || k || '.test' AS host,
+                     'http://t' || k || '.test/p' || i AS url
+              FROM d),
+            lines AS (
+              SELECT host, url, 'nav home about contact ' || k AS line
+              FROM pages
+              UNION ALL
+              SELECT host, url, 'promo ' || k || ' ' || (i % 2)
+              FROM pages
+              UNION ALL
+              SELECT host, url, 'content body text ' || i || ' alpha'
+              FROM pages
+              UNION ALL
+              SELECT host, url, 'extra paragraph ' || (i * 7)
+              FROM pages WHERE i % 3 = 0
+              UNION ALL
+              SELECT host, url, 'footer copyright site ' || k
+              FROM pages),
+            np AS (SELECT host, COUNT(DISTINCT url) AS n_pages
+                   FROM lines GROUP BY host),
+            lp AS (SELECT host, line, COUNT(DISTINCT url) AS page_cnt
+                   FROM lines GROUP BY host, line),
+            tmpl AS (
+              SELECT lp.host, lp.line
+              FROM lp JOIN np USING (host)
+              WHERE page_cnt * 100 >= 60 * n_pages AND n_pages >= 2),
+            marked AS (
+              SELECT l.host, l.url, (t.line IS NOT NULL) AS is_t
+              FROM lines l LEFT JOIN tmpl t
+                ON l.host = t.host AND l.line = t.line)
+            SELECT host, url, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                     AS tmpl_lines,
+                   CAST(COUNT(*) - SUM(CASE WHEN is_t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS kept_lines,
+                   CAST(1000000 * (COUNT(*) - SUM(CASE WHEN is_t THEN 1
+                          ELSE 0 END)) // COUNT(*) AS BIGINT) AS kept_ppm
+            FROM marked GROUP BY host, url
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

@@ -362,7 +362,7 @@ def run_queries(spark) -> dict:
         "feed_links", "link_header", "resize_images", "caption_pairs",
         "image_histogram", "jsonld_images", "mixed_content",
         "fragment_audit", "sitemap_images", "meta_refresh", "sri_audit",
-        "cdx_index", "color_palette", "favicon_pick",
+        "cdx_index", "color_palette", "favicon_pick", "host_templates",
     ]
     out = {}
     qs = entrymod.queries()

@@ -368,3 +368,73 @@ def paragraph_dedup(docs: DataFrame, sep: str = "\n\n") -> DataFrame:
             F.coalesce("cleaned", F.lit("")).alias("cleaned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-scoped boilerplate template detection (the nav/footer problem).
+# CCNet's paragraph dedup (above) removes corpus-wide repeats; template
+# lines are a *host-conditional* phenomenon: a line is boilerplate when
+# it appears on most pages OF ITS OWN HOST (nav bars, cookie banners,
+# footers), even if globally rare.  Standard practice in production web
+# corpora (e.g. the "line appears in ≥ N% of pages from the same
+# domain" rule used by several public pipelines) — removing it before
+# training stops the model from memorizing site chrome.
+# ---------------------------------------------------------------------------
+
+
+def host_templates(
+    pages: DataFrame, pct: int = 60, min_pages: int = 2
+) -> DataFrame:
+    """pages: (host, url, text) → per-page template stats:
+    (host, url, n_lines, tmpl_lines, kept_lines, kept_ppm).
+
+    A line is template iff distinct-page support × 100 ≥ pct × the
+    host's page count and the host has ≥ min_pages pages.  Integer-ppm
+    output keeps the oracle engine-exact.
+
+    Scale: lines shuffle once keyed by (host, md5(line)) — partial
+    aggregation map-side, so the exchange carries one row per distinct
+    (host, line), not one per occurrence; the template dimension that
+    survives the support filter is tiny (chrome lines per host are
+    single-digit) and broadcasts back under AQE; the final rollup is
+    keyed by (host, url) — the frontier's own bucketing key.  Hot-host
+    skew inherits the engine's salted-repartition pattern if one host
+    dominates a partition.
+    """
+    lines = pages.select(
+        "host",
+        "url",
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    ).filter(F.trim(F.col("line")) != "")
+    hashed = lines.select(
+        "host", "url", F.md5(F.trim(F.col("line"))).alias("h")
+    )
+    n_pages = pages.groupBy("host").agg(
+        F.countDistinct("url").alias("n_pages")
+    )
+    line_pages = hashed.groupBy("host", "h").agg(
+        F.countDistinct("url").alias("page_cnt")
+    )
+    tmpl = (
+        line_pages.join(n_pages, "host")
+        .filter(
+            (F.col("page_cnt") * 100 >= pct * F.col("n_pages"))
+            & (F.col("n_pages") >= min_pages)
+        )
+        .select("host", "h")
+        .withColumn("_t", F.lit(True))
+    )
+    return (
+        hashed.join(tmpl, ["host", "h"], "left")
+        .groupBy("host", "url")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("tmpl_lines"),
+        )
+        .withColumn("kept_lines", F.col("n_lines") - F.col("tmpl_lines"))
+        .withColumn(
+            "kept_ppm", F.expr("1000000 * kept_lines div n_lines")
+        )
+    )
