@@ -3295,6 +3295,64 @@ def q_host_templates(spark, sf_dir):
     return host_templates(pages)
 
 
+def q_cookie_audit(spark, sf_dir):
+    """Set-Cookie security audit (kernels/httpmeta.cookie_audit): RFC
+    6265bis attribute grammar + browser-policy flags.  Arms: a sid
+    cookie always (Secure on i%3==0, HttpOnly on i%4==1, SameSite
+    None/Lax on i%5∈{2,3} — None without Secure must flag, Max-Age on
+    i%7==4); a __Host- prefixed cookie on https pages (i%2==0) whose
+    spec invariants BREAK when i%6==0 adds a Domain; a lowercase
+    `set-cookie:` tracker with Expires+Domain on i%9==5 (session=false
+    via Expires, case-insensitive header name).  A Content-Type header
+    line is always present (the ^-anchored harvest must skip it).
+    BOTH engines replay the same line harvest and attribute grammar."""
+    from linkkchecker_net_spark.kernels.httpmeta import cookie_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    crlf = F.lit("\r\n")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://c"), (i % 6).cast("string"), F.lit(".test/p"), s,
+    )
+    headers = F.concat(
+        F.lit("Content-Type: text/html"), crlf,
+        F.lit("Set-Cookie: sid=s"), s, F.lit("; Path=/"),
+        F.when(i % 3 == 0, F.lit("; Secure")).otherwise(F.lit("")),
+        F.when(i % 4 == 1, F.lit("; HttpOnly")).otherwise(F.lit("")),
+        F.when(i % 5 == 2, F.lit("; SameSite=None"))
+        .when(i % 5 == 3, F.lit("; SameSite=Lax")).otherwise(F.lit("")),
+        F.when(
+            i % 7 == 4,
+            F.concat(F.lit("; Max-Age="), (i % 1000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                crlf, F.lit("Set-Cookie: __Host-pref=x"),
+                (i % 3).cast("string"), F.lit("; Secure; Path=/"),
+                F.when(i % 6 == 0, F.lit("; Domain=ex.test"))
+                .otherwise(F.lit("")),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 9 == 5,
+            F.concat(
+                crlf, F.lit("set-cookie: track=t"), s,
+                F.lit("; Expires=Wed, 21 Oct 2026 07:28:00 GMT"
+                      "; Domain=.ad.test"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    responses = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        (i % 2 == 0).alias("page_https"),
+        headers.alias("headers"),
+    )
+    return cookie_audit(responses)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3423,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "color_palette": q_color_palette,
         "favicon_pick": q_favicon_pick,
         "host_templates": q_host_templates,
+        "cookie_audit": q_cookie_audit,
     }
 
 
@@ -6789,6 +6848,75 @@ FROM bt JOIN bh ON bt.url = bh.url
                    CAST(1000000 * (COUNT(*) - SUM(CASE WHEN is_t THEN 1
                           ELSE 0 END)) // COUNT(*) AS BIGINT) AS kept_ppm
             FROM marked GROUP BY host, url
+        """,
+        # same header synthesis, same ^-anchored multiline harvest, same
+        # attribute grammar and policy flags
+        "cookie_audit": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            resp AS (
+              SELECT CASE WHEN i % 2 = 0 THEN 'https' ELSE 'http' END
+                     || '://c' || (i % 6) || '.test/p' || i AS url,
+                     i % 2 = 0 AS page_https,
+                     'Content-Type: text/html' || chr(13) || chr(10)
+                     || 'Set-Cookie: sid=s' || i || '; Path=/'
+                     || CASE WHEN i % 3 = 0 THEN '; Secure'
+                             ELSE '' END
+                     || CASE WHEN i % 4 = 1 THEN '; HttpOnly'
+                             ELSE '' END
+                     || CASE WHEN i % 5 = 2 THEN '; SameSite=None'
+                             WHEN i % 5 = 3 THEN '; SameSite=Lax'
+                             ELSE '' END
+                     || CASE WHEN i % 7 = 4
+                             THEN '; Max-Age=' || (i % 1000)
+                             ELSE '' END
+                     || CASE WHEN i % 2 = 0
+                             THEN chr(13) || chr(10)
+                                  || 'Set-Cookie: __Host-pref=x'
+                                  || (i % 3) || '; Secure; Path=/'
+                                  || CASE WHEN i % 6 = 0
+                                          THEN '; Domain=ex.test'
+                                          ELSE '' END
+                             ELSE '' END
+                     || CASE WHEN i % 9 = 5
+                             THEN chr(13) || chr(10)
+                                  || 'set-cookie: track=t' || i
+                                  || '; Expires=Wed, 21 Oct 2026 '
+                                  || '07:28:00 GMT; Domain=.ad.test'
+                             ELSE '' END AS headers
+              FROM d),
+            ck AS (
+              SELECT url, page_https,
+                     unnest(regexp_extract_all(headers,
+                       '(?im)^set-cookie:[ \\t]*([^\\r\\n]*)', 1)) AS c
+              FROM resp),
+            attrs AS (
+              SELECT url, page_https,
+                     trim(regexp_extract(c, '^([^=;]+)=', 1)) AS name,
+                     regexp_matches(c,
+                       '(?i);\\s*secure\\s*(;|$)') AS secure,
+                     regexp_matches(c,
+                       '(?i);\\s*httponly\\s*(;|$)') AS httponly,
+                     NULLIF(lower(regexp_extract(c,
+                       '(?i);\\s*samesite=([a-z]+)', 1)), '') AS samesite,
+                     CAST(NULLIF(regexp_extract(c,
+                       '(?i);\\s*max-age=(\\d+)', 1), '') AS BIGINT)
+                       AS max_age,
+                     regexp_matches(c, '(?i);\\s*expires=')
+                       AS has_expires,
+                     regexp_matches(c, '(?i);\\s*domain=') AS has_domain,
+                     NULLIF(trim(regexp_extract(c,
+                       '(?i);\\s*path=([^;]*)', 1)), '') AS path
+              FROM ck)
+            SELECT url, name, secure, httponly, samesite, max_age,
+                   (max_age IS NULL AND NOT has_expires)
+                     AS session_cookie,
+                   (page_https AND NOT secure) AS secure_missing,
+                   COALESCE(samesite = 'none' AND NOT secure, FALSE)
+                     AS samesite_none_insecure,
+                   CASE WHEN starts_with(name, '__Host-')
+                        THEN secure AND path = '/' AND NOT has_domain
+                        END AS host_prefix_ok
+            FROM attrs
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

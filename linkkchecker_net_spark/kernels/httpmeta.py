@@ -21,7 +21,7 @@ regexp on header strings — whole-stage codegen, zero shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # BOM signatures, hex of the leading bytes
@@ -183,4 +183,79 @@ def link_header_edges(
         "target",
         F.explode(F.split("rels", r"\s+")).alias("rel"),
         "as_attr",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set-Cookie security audit (RFC 6265bis attribute grammar).  The
+# reference reads only status + content-type from responses
+# (/root/reference/SpiderEngine/Engine.cs fetch loop); a production
+# crawl also wants the cookie posture of every host it touches —
+# Secure/HttpOnly/SameSite hygiene is a ranking/compliance signal, and
+# SameSite=None WITHOUT Secure is rejected by every modern browser, so
+# sites relying on such cookies break silently.  The __Host- name
+# prefix carries spec-mandated invariants (Secure, Path=/, no Domain)
+# that make a good grammar conformance check.
+#
+# Map-only codegen: one header-line harvest + per-cookie attribute
+# regexps; no Python, no shuffle.
+# ---------------------------------------------------------------------------
+
+_SET_COOKIE_PAT = r"(?im)^set-cookie:[ \t]*([^\r\n]*)"
+_COOKIE_NAME_PAT = r"^([^=;]+)="
+_SECURE_PAT = r"(?i);\s*secure\s*(;|$)"
+_HTTPONLY_PAT = r"(?i);\s*httponly\s*(;|$)"
+_SAMESITE_PAT = r"(?i);\s*samesite=([a-z]+)"
+_MAXAGE_PAT = r"(?i);\s*max-age=(\d+)"
+_EXPIRES_PAT = r"(?i);\s*expires="
+_DOMAIN_PAT = r"(?i);\s*domain="
+_PATH_PAT = r'(?i);\s*path=([^;]*)'
+
+
+def cookie_audit(responses: DataFrame) -> DataFrame:
+    """responses: (url, page_https, headers) → one row per Set-Cookie:
+    (url, name, secure, httponly, samesite, max_age, session_cookie,
+    secure_missing, samesite_none_insecure, host_prefix_ok).
+
+    ``host_prefix_ok`` is NULL for cookies not named ``__Host-*``;
+    for prefixed cookies it verifies Secure ∧ Path=/ ∧ no Domain.
+    """
+    cookies = responses.select(
+        "url",
+        "page_https",
+        F.explode(
+            F.regexp_extract_all("headers", F.lit(_SET_COOKIE_PAT), 1)
+        ).alias("c"),
+    )
+    secure = F.regexp_extract("c", _SECURE_PAT, 0) != ""
+    httponly = F.regexp_extract("c", _HTTPONLY_PAT, 0) != ""
+    samesite = F.nullif(
+        F.lower(F.regexp_extract("c", _SAMESITE_PAT, 1)), F.lit("")
+    )
+    max_age = F.nullif(F.regexp_extract("c", _MAXAGE_PAT, 1), F.lit("")) \
+        .cast("long")
+    has_expires = F.regexp_extract("c", _EXPIRES_PAT, 0) != ""
+    has_domain = F.regexp_extract("c", _DOMAIN_PAT, 0) != ""
+    path = F.nullif(F.trim(F.regexp_extract("c", _PATH_PAT, 1)), F.lit(""))
+    name = F.trim(F.regexp_extract("c", _COOKIE_NAME_PAT, 1))
+    out = cookies.select(
+        "url",
+        name.alias("name"),
+        secure.alias("secure"),
+        httponly.alias("httponly"),
+        samesite.alias("samesite"),
+        max_age.alias("max_age"),
+        (max_age.isNull() & ~has_expires).alias("session_cookie"),
+        (F.col("page_https") & ~secure).alias("secure_missing"),
+        ((samesite == "none") & ~secure).alias("samesite_none_insecure"),
+        F.when(
+            name.startswith("__Host-"),
+            secure & (path == "/") & ~has_domain,
+        ).alias("host_prefix_ok"),
+    )
+    # samesite_none_insecure: NULL samesite means the comparison is NULL;
+    # coalesce to false (absent SameSite is legal)
+    return out.withColumn(
+        "samesite_none_insecure",
+        F.coalesce("samesite_none_insecure", F.lit(False)),
     )
