@@ -3353,6 +3353,60 @@ def q_cookie_audit(spark, sf_dir):
     return cookie_audit(responses)
 
 
+def q_feed_discovery(spark, sf_dir):
+    """Feed autodiscovery (kernels/feedparse.feed_autodiscovery): the
+    <link rel=alternate type=application/rss+xml|atom+xml> convention.
+    Arms: a relative rss link with title on i%2==0 (shared /feed.xml
+    per host → n_pages_linking earned); an absolute title-less atom
+    link on i%3==0; an UPPERCASE variant on i%5==1; distractors always
+    (stylesheet link, rel=alternate hreflang with no type,
+    rel=alternate type=text/html) that must all be excluded.  BOTH
+    engines replay the same tag harvest, type map, absolutization and
+    shared-feed window."""
+    from linkkchecker_net_spark.kernels.feedparse import feed_autodiscovery
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    host = F.concat(F.lit("f"), (i % 4).cast("string"), F.lit(".test"))
+    body = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/c.css">'),
+        F.lit('<link rel="alternate" hreflang="de" href="/de/p'), s,
+        F.lit('">'),
+        F.lit('<link rel="alternate" type="text/html" href="/m/p'), s,
+        F.lit('">'),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" type="application/rss+xml" '
+                      'title="Feed '), (i % 6).cast("string"),
+                F.lit('" href="/feed.xml">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" '
+                      'type="application/atom+xml" href="http://f'),
+                (i % 4).cast("string"), F.lit(".test/atom"),
+                (i % 5).cast("string"), F.lit('.xml">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 1,
+            F.lit('<LINK REL="ALTERNATE" TYPE="application/rss+xml" '
+                  'HREF="/rss2.xml">'),
+        ).otherwise(F.lit("")),
+        F.lit("</head></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://"), host, F.lit("/p"), s).alias("url"),
+        host.alias("host"),
+        body.alias("body"),
+    )
+    return feed_autodiscovery(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3482,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "favicon_pick": q_favicon_pick,
         "host_templates": q_host_templates,
         "cookie_audit": q_cookie_audit,
+        "feed_discovery": q_feed_discovery,
     }
 
 
@@ -6917,6 +6972,67 @@ FROM bt JOIN bh ON bt.url = bh.url
                         THEN secure AND path = '/' AND NOT has_domain
                         END AS host_prefix_ok
             FROM attrs
+        """,
+        # same tag harvest, type map, absolutization, shared-feed window
+        "feed_discovery": """
+            WITH pages AS (
+              SELECT 'f' || (doc_id % 4) || '.test' AS host,
+                     'http://f' || (doc_id % 4) || '.test/p' || doc_id
+                       AS url,
+                     '<html><head><link rel="stylesheet" href="/c.css">'
+                     || '<link rel="alternate" hreflang="de" href="/de/p'
+                     || doc_id || '">'
+                     || '<link rel="alternate" type="text/html" '
+                     || 'href="/m/p' || doc_id || '">'
+                     || CASE WHEN doc_id % 2 = 0
+                        THEN '<link rel="alternate" '
+                             || 'type="application/rss+xml" title="Feed '
+                             || (doc_id % 6) || '" href="/feed.xml">'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                        THEN '<link rel="alternate" '
+                             || 'type="application/atom+xml" '
+                             || 'href="http://f' || (doc_id % 4)
+                             || '.test/atom' || (doc_id % 5) || '.xml">'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 1
+                        THEN '<LINK REL="ALTERNATE" '
+                             || 'TYPE="application/rss+xml" '
+                             || 'HREF="/rss2.xml">'
+                        ELSE '' END
+                     || '</head></html>' AS body
+              FROM documents),
+            tags AS (
+              SELECT url, host, unnest(regexp_extract_all(body,
+                       '(?i)<link\\b[^>]*>')) AS tag
+              FROM pages),
+            attrs AS (
+              SELECT url, host,
+                     lower(regexp_extract(tag,
+                       '(?i)\\brel="([^"]*)"', 1)) AS rel,
+                     lower(regexp_extract(tag,
+                       '(?i)\\btype="([^"]*)"', 1)) AS typ,
+                     NULLIF(regexp_extract(tag,
+                       '(?i)\\bhref="([^"]*)"', 1), '') AS href,
+                     NULLIF(regexp_extract(tag,
+                       '(?i)\\btitle="([^"]*)"', 1), '') AS title
+              FROM tags),
+            feeds AS (
+              SELECT url,
+                     CASE WHEN href LIKE 'http%' THEN href
+                          ELSE 'http://' || host || href END AS feed_url,
+                     CASE typ WHEN 'application/rss+xml' THEN 'rss'
+                          WHEN 'application/atom+xml' THEN 'atom' END
+                       AS feed_type,
+                     title
+              FROM attrs
+              WHERE rel = 'alternate' AND href IS NOT NULL
+                AND typ IN ('application/rss+xml',
+                            'application/atom+xml'))
+            SELECT url, feed_url, feed_type, title,
+                   COUNT(*) OVER (PARTITION BY feed_url)
+                     AS n_pages_linking
+            FROM feeds
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

@@ -117,3 +117,76 @@ def parse_feed(body: bytes | str | None) -> list[tuple] | None:
 @F.pandas_udf(FEED_ITEM_TYPE)
 def feed_items_udf(body: pd.Series) -> pd.Series:
     return pd.Series([parse_feed(b) for b in body], dtype="object")
+
+
+# ---------------------------------------------------------------------------
+# Feed autodiscovery (the RSS/Atom autodiscovery convention): pages
+# advertise their feeds via <link rel="alternate" type="application/
+# rss+xml|atom+xml" href=...>.  The feed PARSER above consumes feed
+# bodies; autodiscovery is how a crawler finds those bodies in the
+# first place — the reference's link extraction
+# (/root/reference/SpiderEngine/Engine.cs:42-49) treats <link> as a
+# generic href carrier and never surfaces the type= routing.
+# Tag-level harvest (RE2-safe, attribute-order-independent), map-only
+# codegen; the only shuffle is the shared-feed window keyed by the
+# absolutized feed URL.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import DataFrame, Window
+
+_LINK_TAG_PAT = r"(?i)<link\b[^>]*>"
+_REL_PAT = r'(?i)\brel="([^"]*)"'
+_TYPE_PAT = r'(?i)\btype="([^"]*)"'
+_HREF_PAT = r'(?i)\bhref="([^"]*)"'
+_TITLE_PAT = r'(?i)\btitle="([^"]*)"'
+FEED_TYPES = {
+    "application/rss+xml": "rss",
+    "application/atom+xml": "atom",
+}
+
+
+def feed_autodiscovery(pages: DataFrame) -> DataFrame:
+    """pages: (url, host, body) → one row per advertised feed:
+    (url, feed_url, feed_type, title, n_pages_linking)."""
+    tags = pages.select(
+        "url",
+        "host",
+        F.explode(
+            F.regexp_extract_all("body", F.lit(_LINK_TAG_PAT), 0)
+        ).alias("tag"),
+    )
+    rel = F.lower(F.regexp_extract("tag", _REL_PAT, 1))
+    typ = F.lower(F.regexp_extract("tag", _TYPE_PAT, 1))
+    href = F.nullif(F.regexp_extract("tag", _HREF_PAT, 1), F.lit(""))
+    title = F.nullif(F.regexp_extract("tag", _TITLE_PAT, 1), F.lit(""))
+    feed_type = (
+        F.when(typ == "application/rss+xml", F.lit("rss"))
+        .when(typ == "application/atom+xml", F.lit("atom"))
+    )
+    rows = (
+        tags.select(
+            "url",
+            "host",
+            rel.alias("rel"),
+            feed_type.alias("feed_type"),
+            href.alias("href"),
+            title.alias("title"),
+        )
+        .filter(
+            (F.col("rel") == "alternate")
+            & F.col("feed_type").isNotNull()
+            & F.col("href").isNotNull()
+        )
+        .select(
+            "url",
+            F.when(F.col("href").startswith("http"), F.col("href"))
+            .otherwise(F.concat(F.lit("http://"), "host", "href"))
+            .alias("feed_url"),
+            "feed_type",
+            "title",
+        )
+    )
+    wf = Window.partitionBy("feed_url")
+    return rows.withColumn(
+        "n_pages_linking", F.count("*").over(wf).cast("long")
+    )
