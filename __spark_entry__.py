@@ -3407,6 +3407,54 @@ def q_feed_discovery(spark, sf_dir):
     return feed_autodiscovery(pages)
 
 
+def q_csp_parse(spark, sf_dir):
+    """CSP directive parse (reports/security.csp_parse): CSP3 policy
+    grammar — ';'-separated directives, whitespace-separated source
+    lists.  Arms: default-src 'self' always; script-src with a cdn host
+    on i%2==0 plus 'unsafe-inline' on i%4==0; img-src * on i%3==1;
+    style-src 'unsafe-inline' on i%5==2; a DOUBLE ';;' before
+    frame-ancestors on i%7==3 (empty directive must drop); script-src-
+    elem 'unsafe-eval' blob: on i%6==5; lowercase header name on
+    i%8==1; NO CSP header at all on i%9==7 (page contributes no rows).
+    BOTH engines replay the same anchored extract, split and token
+    semantics."""
+    from linkkchecker_net_spark.reports.security import csp_parse
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    hname = F.when(i % 8 == 1, F.lit("content-security-policy: ")) \
+        .otherwise(F.lit("Content-Security-Policy: "))
+    policy = F.concat(
+        F.lit("default-src 'self'"),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("; script-src 'self' cdn"),
+                     (i % 3).cast("string"), F.lit(".test"),
+                     F.when(i % 4 == 0, F.lit(" 'unsafe-inline'"))
+                     .otherwise(F.lit(""))),
+        ).otherwise(F.lit("")),
+        F.when(i % 3 == 1, F.lit("; img-src *")).otherwise(F.lit("")),
+        F.when(i % 5 == 2, F.lit("; style-src 'unsafe-inline'"))
+        .otherwise(F.lit("")),
+        F.when(i % 7 == 3, F.lit(";; frame-ancestors 'none'"))
+        .otherwise(F.lit("")),
+        F.when(i % 6 == 5, F.lit("; script-src-elem 'unsafe-eval' blob:"))
+        .otherwise(F.lit("")),
+    )
+    headers = F.concat(
+        F.when(i % 9 == 7, F.lit("X-Other: 1"))
+        .otherwise(F.concat(hname, policy)),
+        F.lit("\r\nContent-Type: text/html"),
+    )
+    responses = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://k"), (i % 5).cast("string"),
+                 F.lit(".test/p"), s).alias("url"),
+        headers.alias("headers"),
+    )
+    return csp_parse(responses)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3537,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_templates": q_host_templates,
         "cookie_audit": q_cookie_audit,
         "feed_discovery": q_feed_discovery,
+        "csp_parse": q_csp_parse,
     }
 
 
@@ -7033,6 +7082,62 @@ FROM bt JOIN bh ON bt.url = bh.url
                    COUNT(*) OVER (PARTITION BY feed_url)
                      AS n_pages_linking
             FROM feeds
+        """,
+        # same header synthesis, anchored extract, directive split and
+        # token semantics
+        "csp_parse": """
+            WITH d0 AS (SELECT doc_id AS i FROM documents),
+            resp AS (
+              SELECT 'http://k' || (i % 5) || '.test/p' || i AS url,
+                     CASE WHEN i % 9 = 7 THEN 'X-Other: 1'
+                          ELSE CASE WHEN i % 8 = 1
+                               THEN 'content-security-policy: '
+                               ELSE 'Content-Security-Policy: ' END
+                          || 'default-src ''self'''
+                          || CASE WHEN i % 2 = 0
+                             THEN '; script-src ''self'' cdn' || (i % 3)
+                                  || '.test'
+                                  || CASE WHEN i % 4 = 0
+                                     THEN ' ''unsafe-inline'''
+                                     ELSE '' END
+                             ELSE '' END
+                          || CASE WHEN i % 3 = 1 THEN '; img-src *'
+                             ELSE '' END
+                          || CASE WHEN i % 5 = 2
+                             THEN '; style-src ''unsafe-inline'''
+                             ELSE '' END
+                          || CASE WHEN i % 7 = 3
+                             THEN ';; frame-ancestors ''none'''
+                             ELSE '' END
+                          || CASE WHEN i % 6 = 5
+                             THEN '; script-src-elem ''unsafe-eval'''
+                                  || ' blob:'
+                             ELSE '' END
+                     END || chr(13) || chr(10)
+                     || 'Content-Type: text/html' AS headers
+              FROM d0),
+            pol AS (
+              SELECT url, NULLIF(regexp_extract(headers,
+                '(?im)^content-security-policy:[ \\t]*([^\\r\\n]*)', 1),
+                '') AS policy
+              FROM resp),
+            dirs AS (
+              SELECT url, trim(x) AS d
+              FROM pol, unnest(string_split(policy, ';')) AS t(x)
+              WHERE policy IS NOT NULL AND trim(x) <> ''),
+            tokd AS (
+              SELECT url, string_split_regex(d, '\\s+') AS tok
+              FROM dirs)
+            SELECT url, lower(tok[1]) AS directive,
+                   CAST(len(tok) - 1 AS INT) AS n_sources,
+                   list_contains(tok[2:], '''unsafe-inline''')
+                     AS unsafe_inline,
+                   list_contains(tok[2:], '''unsafe-eval''')
+                     AS unsafe_eval,
+                   list_contains(tok[2:], '*') AS wildcard,
+                   (len(tok) - 1 = 1 AND list_contains(tok[2:],
+                      '''self''')) AS self_only
+            FROM tokd
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

@@ -164,3 +164,56 @@ def sri_audit(pages: DataFrame) -> DataFrame:
         cross.alias("cross_origin"),
         (cross & ~has_sri).alias("sri_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-Security-Policy directive parse.  Completes the transport-
+# security suite (mixed_content: what a page loads; sri_audit: whether
+# third-party code is pinned; cookie_audit: credential hygiene): CSP is
+# the host's own declaration of what it is ALLOWED to load.  For a
+# crawler the interesting bits are the inline/eval escape hatches and
+# wildcard sources — pages whose policy permits 'unsafe-inline' script
+# are the ones whose rendered DOM can diverge arbitrarily from the
+# fetched HTML.
+#
+# Grammar (CSP3 §2.2): policy = directives joined by ';', directive =
+# name + whitespace-separated source list.  Map-only codegen: one
+# anchored header extract, one split/explode, per-directive array ops;
+# the only shuffle is whatever the caller aggregates downstream.
+# ---------------------------------------------------------------------------
+
+CSP_HEADER_PAT = r"(?im)^content-security-policy:[ \t]*([^\r\n]*)"
+
+
+def csp_parse(responses: DataFrame) -> DataFrame:
+    """responses: (url, headers) → one row per CSP directive:
+    (url, directive, n_sources, unsafe_inline, unsafe_eval, wildcard,
+    self_only).  Pages without a CSP header contribute no rows; empty
+    directives (from ';;' or trailing ';') are dropped."""
+    policy = F.nullif(
+        F.regexp_extract("headers", CSP_HEADER_PAT, 1), F.lit("")
+    )
+    dirs = (
+        responses.select("url", policy.alias("policy"))
+        .select("url", F.explode(F.split("policy", ";")).alias("d"))
+        .select("url", F.trim("d").alias("d"))
+        .filter(F.col("d") != "")
+    )
+    tok = F.split("d", r"\s+")
+    rows = dirs.select(
+        "url",
+        F.lower(F.element_at(tok, 1)).alias("directive"),
+        F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0))).alias("srcs"),
+    )
+    n_src = F.size("srcs")
+    return rows.select(
+        "url",
+        "directive",
+        n_src.alias("n_sources"),
+        F.array_contains("srcs", "'unsafe-inline'").alias("unsafe_inline"),
+        F.array_contains("srcs", "'unsafe-eval'").alias("unsafe_eval"),
+        F.array_contains("srcs", "*").alias("wildcard"),
+        ((n_src == 1) & F.array_contains("srcs", "'self'")).alias(
+            "self_only"
+        ),
+    )
