@@ -3455,6 +3455,84 @@ def q_csp_parse(spark, sf_dir):
     return csp_parse(responses)
 
 
+def q_referrer_policy(spark, sf_dir):
+    """Referrer-Policy audit (reports/security.referrer_policy_audit):
+    header token list (comma-split, LAST recognized token wins) +
+    <meta name=referrer> override with legacy-keyword mapping.  Arms:
+    header value unsafe-url on i%2==0 else strict-origin, with an
+    "origin, " prefix on i%3==1 (comma split + last-wins), a
+    ", bogus-token" suffix on i%5==2 (unknown ignored), the whole value
+    replaced by lone "bogus" on i%8==1 (no valid header token),
+    lowercase header name on i%7==3, NO header at all on i%9==7.  Meta
+    on i%4==0: content never/same-origin/junk by i%3 (never maps
+    legacy→no-referrer; junk invalid), attribute order flipped on
+    i%6==2, and a SECOND later meta content=no-referrer on i%5==4
+    (last-valid-wins among metas).  A charset meta is always present
+    (name filter must skip it).  BOTH engines replay the same harvest,
+    token grammar and legacy map."""
+    from linkkchecker_net_spark.reports.security import referrer_policy_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    base = F.when(i % 2 == 0, F.lit("unsafe-url")).otherwise(
+        F.lit("strict-origin")
+    )
+    hval = F.when(i % 8 == 1, F.lit("bogus")).otherwise(
+        F.concat(
+            F.when(i % 3 == 1, F.lit("origin, ")).otherwise(F.lit("")),
+            base,
+            F.when(i % 5 == 2, F.lit(", bogus-token")).otherwise(F.lit("")),
+        )
+    )
+    hname = F.when(i % 7 == 3, F.lit("referrer-policy: ")).otherwise(
+        F.lit("Referrer-Policy: ")
+    )
+    headers = F.concat(
+        F.when(i % 9 == 7, F.lit("X-Other: 1")).otherwise(
+            F.concat(hname, hval)
+        ),
+        F.lit("\r\nContent-Type: text/html"),
+    )
+    mcontent = (
+        F.when(i % 3 == 0, F.lit("never"))
+        .when(i % 3 == 1, F.lit("same-origin"))
+        .otherwise(F.lit("junk"))
+    )
+    meta = F.when(
+        i % 4 == 0,
+        F.concat(
+            F.when(
+                i % 6 == 2,
+                F.concat(
+                    F.lit('<meta content="'), mcontent,
+                    F.lit('" name="referrer">'),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('<meta name="referrer" content="'), mcontent,
+                    F.lit('">'),
+                )
+            ),
+            F.when(
+                i % 5 == 4,
+                F.lit('<p>x</p><meta name="referrer" content="no-referrer">'),
+            ).otherwise(F.lit("")),
+        ),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('<meta charset="utf-8">'), meta,
+        F.lit('<img src="x.png">'),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://r"), (i % 5).cast("string"),
+                 F.lit(".test/p"), s).alias("url"),
+        headers.alias("headers"),
+        body.alias("body"),
+    )
+    return referrer_policy_audit(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3586,6 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cookie_audit": q_cookie_audit,
         "feed_discovery": q_feed_discovery,
         "csp_parse": q_csp_parse,
+        "referrer_policy": q_referrer_policy,
     }
 
 
@@ -7138,6 +7217,94 @@ FROM bt JOIN bh ON bt.url = bh.url
                    (len(tok) - 1 = 1 AND list_contains(tok[2:],
                       '''self''')) AS self_only
             FROM tokd
+        """,
+        # same header/meta synthesis, token grammar and legacy map
+        "referrer_policy": """
+            WITH d0 AS (SELECT doc_id AS i FROM documents),
+            pages AS (
+              SELECT 'http://r' || (i % 5) || '.test/p' || i AS url,
+                     CASE WHEN i % 9 = 7 THEN 'X-Other: 1'
+                          ELSE CASE WHEN i % 7 = 3
+                               THEN 'referrer-policy: '
+                               ELSE 'Referrer-Policy: ' END
+                          || CASE WHEN i % 8 = 1 THEN 'bogus'
+                             ELSE CASE WHEN i % 3 = 1
+                                  THEN 'origin, ' ELSE '' END
+                               || CASE WHEN i % 2 = 0 THEN 'unsafe-url'
+                                  ELSE 'strict-origin' END
+                               || CASE WHEN i % 5 = 2
+                                  THEN ', bogus-token' ELSE '' END
+                             END
+                     END || chr(13) || chr(10)
+                     || 'Content-Type: text/html' AS headers,
+                     '<meta charset="utf-8">'
+                     || CASE WHEN i % 4 = 0 THEN
+                          CASE WHEN i % 6 = 2
+                          THEN '<meta content="'
+                               || CASE WHEN i % 3 = 0 THEN 'never'
+                                  WHEN i % 3 = 1 THEN 'same-origin'
+                                  ELSE 'junk' END
+                               || '" name="referrer">'
+                          ELSE '<meta name="referrer" content="'
+                               || CASE WHEN i % 3 = 0 THEN 'never'
+                                  WHEN i % 3 = 1 THEN 'same-origin'
+                                  ELSE 'junk' END
+                               || '">' END
+                          || CASE WHEN i % 5 = 4
+                             THEN '<p>x</p><meta name="referrer"'
+                                  || ' content="no-referrer">'
+                             ELSE '' END
+                        ELSE '' END
+                     || '<img src="x.png">' AS body
+              FROM d0),
+            tok AS (
+              SELECT url,
+                list_filter(
+                  list_transform(
+                    string_split(regexp_extract(headers,
+                      '(?im)^referrer-policy:[ \\t]*([^\\r\\n]*)', 1), ','),
+                    t -> lower(trim(t))),
+                  t -> t IN ('no-referrer','no-referrer-when-downgrade',
+                             'same-origin','origin','strict-origin',
+                             'origin-when-cross-origin',
+                             'strict-origin-when-cross-origin',
+                             'unsafe-url')) AS h,
+                list_filter(
+                  list_transform(
+                    list_filter(
+                      regexp_extract_all(body, '(?i)<meta\\b[^>]*>', 0),
+                      t -> regexp_matches(t, '(?i)\\bname="referrer"')),
+                    t -> CASE lower(trim(regexp_extract(t,
+                           '(?i)\\bcontent="([^"]*)"', 1)))
+                         WHEN 'never' THEN 'no-referrer'
+                         WHEN 'always' THEN 'unsafe-url'
+                         WHEN 'origin-when-crossorigin'
+                           THEN 'origin-when-cross-origin'
+                         ELSE lower(trim(regexp_extract(t,
+                           '(?i)\\bcontent="([^"]*)"', 1))) END),
+                  c -> c IN ('no-referrer','no-referrer-when-downgrade',
+                             'same-origin','origin','strict-origin',
+                             'origin-when-cross-origin',
+                             'strict-origin-when-cross-origin',
+                             'unsafe-url')) AS m
+              FROM pages),
+            pol AS (
+              SELECT url, h[len(h)] AS header_policy,
+                     m[len(m)] AS meta_policy
+              FROM tok)
+            SELECT url, header_policy, meta_policy,
+                   coalesce(meta_policy, header_policy,
+                            'strict-origin-when-cross-origin') AS effective,
+                   (meta_policy IS NULL AND header_policy IS NULL)
+                     AS is_default,
+                   coalesce(meta_policy, header_policy,
+                            'strict-origin-when-cross-origin')
+                     IN ('unsafe-url','no-referrer-when-downgrade')
+                     AS full_url_cross_origin,
+                   coalesce(meta_policy, header_policy,
+                            'strict-origin-when-cross-origin')
+                     IN ('no-referrer','same-origin') AS private
+            FROM pol
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

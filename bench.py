@@ -363,7 +363,7 @@ def run_queries(spark) -> dict:
         "image_histogram", "jsonld_images", "mixed_content",
         "fragment_audit", "sitemap_images", "meta_refresh", "sri_audit",
         "cdx_index", "color_palette", "favicon_pick", "host_templates",
-        "cookie_audit", "feed_discovery", "csp_parse",
+        "cookie_audit", "feed_discovery", "csp_parse", "referrer_policy",
     ]
     out = {}
     qs = entrymod.queries()

@@ -185,6 +185,115 @@ def sri_audit(pages: DataFrame) -> DataFrame:
 CSP_HEADER_PAT = r"(?im)^content-security-policy:[ \t]*([^\r\n]*)"
 
 
+# ---------------------------------------------------------------------------
+# Referrer-Policy audit.  The last transport-security surface a crawler
+# sees: the page's declaration of how much of ITS OWN URL it leaks when
+# users follow the links we just extracted.  Two delivery channels (W3C
+# Referrer Policy §8.1/§8.2): the ``Referrer-Policy`` response header —
+# a comma-separated token list where the LAST recognized token wins —
+# and ``<meta name=referrer content=...>`` in the document, which is
+# processed after the header and therefore overrides it when valid.
+# Legacy meta values (``never``/``always``/``origin-when-crossorigin``)
+# map to their modern spellings per the spec's legacy-keyword table;
+# unknown tokens are ignored (they fall through to the previous valid
+# one, or to the browser default ``strict-origin-when-cross-origin``).
+#
+# For corpus curation the flags matter two ways: ``full_url_cross_origin``
+# pages broadcast their complete URL (query strings and all — session
+# tokens, search terms) to every third-party host they link, a privacy
+# signal that correlates with low-trust templated sites; ``private``
+# pages (no-referrer / same-origin) are the ones whose inbound-traffic
+# analytics cannot be reconstructed from referrer logs.
+#
+# Scale: map-only codegen — one anchored header extract, one meta-tag
+# harvest, array lambdas; no shuffle, no Python.
+# ---------------------------------------------------------------------------
+
+REFERRER_HEADER_PAT = r"(?im)^referrer-policy:[ \t]*([^\r\n]*)"
+META_TAG_PAT = r"(?i)<meta\b[^>]*>"
+META_NAME_REFERRER_PAT = r'(?i)\bname="referrer"'
+CONTENT_ATTR_PAT = r'(?i)\bcontent="([^"]*)"'
+
+VALID_REFERRER_POLICIES = [
+    "no-referrer",
+    "no-referrer-when-downgrade",
+    "same-origin",
+    "origin",
+    "strict-origin",
+    "origin-when-cross-origin",
+    "strict-origin-when-cross-origin",
+    "unsafe-url",
+]
+DEFAULT_REFERRER_POLICY = "strict-origin-when-cross-origin"
+
+
+def _map_legacy(c):
+    return (
+        F.when(c == "never", F.lit("no-referrer"))
+        .when(c == "always", F.lit("unsafe-url"))
+        .when(c == "origin-when-crossorigin", F.lit("origin-when-cross-origin"))
+        .otherwise(c)
+    )
+
+
+def referrer_policy_audit(pages: DataFrame) -> DataFrame:
+    """pages: (url, headers, body) → one row per page:
+    (url, header_policy, meta_policy, effective, is_default,
+    full_url_cross_origin, private).
+
+    ``header_policy`` = last recognized token of the Referrer-Policy
+    header list; ``meta_policy`` = last valid (legacy-mapped) referrer
+    meta in document order; ``effective`` = meta over header over the
+    spec default.  ``full_url_cross_origin`` marks policies that send
+    the complete page URL to same-scheme cross-origin targets."""
+    hdr_tokens = F.filter(
+        F.transform(
+            F.split(F.regexp_extract("headers", REFERRER_HEADER_PAT, 1), ","),
+            lambda t: F.lower(F.trim(t)),
+        ),
+        lambda t: t.isin(VALID_REFERRER_POLICIES),
+    )
+    meta_tokens = F.filter(
+        F.transform(
+            F.filter(
+                F.regexp_extract_all("body", F.lit(META_TAG_PAT), 0),
+                lambda t: t.rlike(META_NAME_REFERRER_PAT),
+            ),
+            lambda t: _map_legacy(
+                F.lower(F.trim(F.regexp_extract(t, CONTENT_ATTR_PAT, 1)))
+            ),
+        ),
+        lambda c: c.isin(VALID_REFERRER_POLICIES),
+    )
+    rows = pages.select(
+        "url", hdr_tokens.alias("_h"), meta_tokens.alias("_m")
+    ).select(
+        "url",
+        F.when(F.size("_h") > 0, F.element_at("_h", -1)).alias(
+            "header_policy"
+        ),
+        F.when(F.size("_m") > 0, F.element_at("_m", -1)).alias(
+            "meta_policy"
+        ),
+    )
+    effective = F.coalesce(
+        "meta_policy", "header_policy", F.lit(DEFAULT_REFERRER_POLICY)
+    )
+    return rows.select(
+        "url",
+        "header_policy",
+        "meta_policy",
+        effective.alias("effective"),
+        (
+            F.col("meta_policy").isNull() & F.col("header_policy").isNull()
+        ).alias("is_default"),
+        effective.isin("unsafe-url", "no-referrer-when-downgrade").alias(
+            "full_url_cross_origin"
+        ),
+        effective.isin("no-referrer", "same-origin").alias("private"),
+    )
+
+
 def csp_parse(responses: DataFrame) -> DataFrame:
     """responses: (url, headers) → one row per CSP directive:
     (url, directive, n_sources, unsafe_inline, unsafe_eval, wildcard,
