@@ -3533,6 +3533,73 @@ def q_referrer_policy(spark, sf_dir):
     return referrer_policy_audit(pages)
 
 
+def q_blank_target(spark, sf_dir):
+    """target=_blank noopener audit (reports/security.blank_target_audit):
+    reverse-tabnabbing lint over <a> open tags.  Link A (every page):
+    cross-origin absolute href, target="_blank" on i%2==0 else
+    target="_self" (excluded); rel by i%5: none / noopener /
+    "noreferrer nofollow" / mixed-case "NoOpener NOREFERRER" /
+    nofollow-only; attribute order flipped on i%3==1 (target+rel before
+    href).  Link B on i%4==2: RELATIVE href with target="_blank", no
+    rel (same-origin ⇒ never unprotected).  Link C on i%6==5:
+    same-host absolute href with UPPERCASE authority + target="_BLANK"
+    + rel="" (host compare must lowercase; empty rel ⇒ no tokens).
+    Decoys on every page: <area target="_blank"> (the <a\\b boundary
+    must exclude it), a target-less <a>, and <a name=...> without href.
+    BOTH engines replay the same tag harvest, attribute grammar, rel
+    tokenization and authority compare."""
+    from linkkchecker_net_spark.reports.security import blank_target_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    target_a = F.when(i % 2 == 0, F.lit(' target="_blank"')).otherwise(
+        F.lit(' target="_self"')
+    )
+    rel_a = (
+        F.when(i % 5 == 0, F.lit(""))
+        .when(i % 5 == 1, F.lit(' rel="noopener"'))
+        .when(i % 5 == 2, F.lit(' rel="noreferrer nofollow"'))
+        .when(i % 5 == 3, F.lit(' rel="NoOpener NOREFERRER"'))
+        .otherwise(F.lit(' rel="nofollow"'))
+    )
+    href_a = F.concat(
+        F.lit(' href="http://ext'), (i % 3).cast("string"),
+        F.lit(".example/x"), s, F.lit('"'),
+    )
+    link_a = F.when(
+        i % 3 == 1,
+        F.concat(F.lit("<a"), target_a, rel_a, href_a, F.lit(">A</a>")),
+    ).otherwise(
+        F.concat(F.lit("<a"), href_a, target_a, rel_a, F.lit(">A</a>"))
+    )
+    link_b = F.when(
+        i % 4 == 2,
+        F.concat(
+            F.lit('<a href="/local'), s, F.lit('" target="_blank">B</a>')
+        ),
+    ).otherwise(F.lit(""))
+    link_c = F.when(
+        i % 6 == 5,
+        F.concat(
+            F.lit('<a href="http://H'), (i % 7).cast("string"),
+            F.lit(".TEST/abs"), s,
+            F.lit('" target="_BLANK" rel="">C</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('<area target="_blank" href="#"><a name="top">'),
+        link_a, link_b, link_c,
+        F.lit('<a href="/plain'), s, F.lit('">P</a>'),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://h"), (i % 7).cast("string"),
+                 F.lit(".test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return blank_target_audit(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3665,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_discovery": q_feed_discovery,
         "csp_parse": q_csp_parse,
         "referrer_policy": q_referrer_policy,
+        "blank_target": q_blank_target,
     }
 
 
@@ -7305,6 +7373,82 @@ FROM bt JOIN bh ON bt.url = bh.url
                             'strict-origin-when-cross-origin')
                      IN ('no-referrer','same-origin') AS private
             FROM pol
+        """,
+        # same page synthesis, tag harvest, rel tokenization, host compare
+        "blank_target": """
+            WITH d0 AS (SELECT doc_id AS i FROM documents),
+            pages AS (
+              SELECT 'http://h' || (i % 7) || '.test/p' || i AS url,
+                     '<area target="_blank" href="#"><a name="top">'
+                     || CASE WHEN i % 3 = 1
+                        THEN '<a'
+                             || CASE WHEN i % 2 = 0
+                                THEN ' target="_blank"'
+                                ELSE ' target="_self"' END
+                             || CASE WHEN i % 5 = 0 THEN ''
+                                WHEN i % 5 = 1 THEN ' rel="noopener"'
+                                WHEN i % 5 = 2
+                                  THEN ' rel="noreferrer nofollow"'
+                                WHEN i % 5 = 3
+                                  THEN ' rel="NoOpener NOREFERRER"'
+                                ELSE ' rel="nofollow"' END
+                             || ' href="http://ext' || (i % 3)
+                             || '.example/x' || i || '">A</a>'
+                        ELSE '<a href="http://ext' || (i % 3)
+                             || '.example/x' || i || '"'
+                             || CASE WHEN i % 2 = 0
+                                THEN ' target="_blank"'
+                                ELSE ' target="_self"' END
+                             || CASE WHEN i % 5 = 0 THEN ''
+                                WHEN i % 5 = 1 THEN ' rel="noopener"'
+                                WHEN i % 5 = 2
+                                  THEN ' rel="noreferrer nofollow"'
+                                WHEN i % 5 = 3
+                                  THEN ' rel="NoOpener NOREFERRER"'
+                                ELSE ' rel="nofollow"' END
+                             || '>A</a>' END
+                     || CASE WHEN i % 4 = 2
+                        THEN '<a href="/local' || i
+                             || '" target="_blank">B</a>'
+                        ELSE '' END
+                     || CASE WHEN i % 6 = 5
+                        THEN '<a href="http://H' || (i % 7)
+                             || '.TEST/abs' || i
+                             || '" target="_BLANK" rel="">C</a>'
+                        ELSE '' END
+                     || '<a href="/plain' || i || '">P</a>' AS body
+              FROM d0),
+            tags AS (
+              SELECT url,
+                     unnest(regexp_extract_all(body,
+                            '(?i)<a\\b[^>]*>', 0)) AS tag
+              FROM pages),
+            blank AS (
+              SELECT url,
+                     regexp_extract(tag, '(?i)\\bhref="([^"]*)"', 1)
+                       AS href,
+                     string_split_regex(lower(regexp_extract(tag,
+                       '(?i)\\brel="([^"]*)"', 1)), '\\s+') AS rel_toks
+              FROM tags
+              WHERE lower(regexp_extract(tag,
+                      '(?i)\\btarget="([^"]*)"', 1)) = '_blank'
+                AND regexp_extract(tag, '(?i)\\bhref="([^"]*)"', 1)
+                      <> ''),
+            flags AS (
+              SELECT url, href,
+                     list_contains(rel_toks, 'noopener') AS noopener,
+                     list_contains(rel_toks, 'noreferrer') AS noreferrer,
+                     CASE WHEN regexp_matches(href, '(?i)^https?://')
+                          THEN lower(regexp_extract(href,
+                                 '^https?://([^/]+)', 1))
+                            <> lower(regexp_extract(url,
+                                 '^https?://([^/]+)', 1))
+                          ELSE false END AS cross_origin
+              FROM blank)
+            SELECT url, href, noopener, noreferrer, cross_origin,
+                   (cross_origin AND NOT noopener AND NOT noreferrer)
+                     AS unprotected
+            FROM flags
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

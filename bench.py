@@ -364,6 +364,7 @@ def run_queries(spark) -> dict:
         "fragment_audit", "sitemap_images", "meta_refresh", "sri_audit",
         "cdx_index", "color_palette", "favicon_pick", "host_templates",
         "cookie_audit", "feed_discovery", "csp_parse", "referrer_policy",
+        "blank_target",
     ]
     out = {}
     qs = entrymod.queries()

@@ -326,3 +326,71 @@ def csp_parse(responses: DataFrame) -> DataFrame:
             "self_only"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# target=_blank noopener audit (reverse tabnabbing).  An <a target="_blank">
+# without rel=noopener/noreferrer hands the opened page a live
+# ``window.opener`` handle back into the linking page — the opened site
+# can rewrite ``opener.location`` and phish the user ("reverse
+# tabnabbing").  Modern browsers default _blank to noopener, but the
+# audit is still the standard lint for legacy-browser exposure, and for
+# corpus curation the *density* of unprotected cross-origin blank-target
+# links is a low-trust template signal (ad/affiliate farms).
+#
+# Grammar (shared verbatim with the DuckDB oracle): harvest ``<a ...>``
+# open tags (``<a\b`` — excludes <area>/<abbr> by the word boundary),
+# keep tags whose double-quoted target attribute equals ``_blank``
+# case-insensitively, require a non-empty href; rel is a lowercased
+# whitespace-split token LIST (HTML spec) — ``rel="noopener2"`` must not
+# count, so membership is token equality, never substring.  Cross-origin
+# = absolute http(s) href whose lowercased authority differs from the
+# page's; relative hrefs are same-origin by construction.
+#
+# Scale: map-only codegen — one tag inventory per page, explode to link
+# grain (no shuffle; explode is a generator inside the same stage), a
+# handful of anchored extracts per link.  No joins, no Python.
+# ---------------------------------------------------------------------------
+
+A_TAG_PAT = r"(?i)<a\b[^>]*>"
+TARGET_ATTR_PAT = r'(?i)\btarget="([^"]*)"'
+REL_ATTR_PAT = r'(?i)\brel="([^"]*)"'
+ABS_HTTP_PAT = r"(?i)^https?://"
+
+
+def blank_target_audit(pages: DataFrame) -> DataFrame:
+    """pages: (url, body) → one row per target=_blank anchor:
+    (url, href, noopener, noreferrer, cross_origin, unprotected).
+
+    ``unprotected`` = cross-origin ∧ ¬noopener ∧ ¬noreferrer — the
+    reverse-tabnabbing exposure bit."""
+    tags = pages.select(
+        "url",
+        F.explode(
+            F.regexp_extract_all("body", F.lit(A_TAG_PAT), 0)
+        ).alias("tag"),
+    ).filter(
+        F.lower(F.regexp_extract("tag", TARGET_ATTR_PAT, 1)) == "_blank"
+    )
+    links = tags.select(
+        "url",
+        F.regexp_extract("tag", HREF_ATTR_PAT, 1).alias("href"),
+        F.split(
+            F.lower(F.regexp_extract("tag", REL_ATTR_PAT, 1)), r"\s+"
+        ).alias("rel_toks"),
+    ).filter(F.col("href") != "")
+    page_host = F.lower(F.regexp_extract("url", REF_HOST_PAT, 1))
+    href_host = F.lower(F.regexp_extract("href", REF_HOST_PAT, 1))
+    noopener = F.array_contains("rel_toks", "noopener")
+    noreferrer = F.array_contains("rel_toks", "noreferrer")
+    cross = F.when(
+        F.col("href").rlike(ABS_HTTP_PAT), href_host != page_host
+    ).otherwise(F.lit(False))
+    return links.select(
+        "url",
+        "href",
+        noopener.alias("noopener"),
+        noreferrer.alias("noreferrer"),
+        cross.alias("cross_origin"),
+        (cross & ~noopener & ~noreferrer).alias("unprotected"),
+    )
