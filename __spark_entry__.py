@@ -3600,6 +3600,95 @@ def q_blank_target(spark, sf_dir):
     return blank_target_audit(pages)
 
 
+def q_sitemap_index(spark, sf_dir):
+    """<sitemapindex> expansion (kernels/sitemapparse.sitemap_index_plan):
+    large sites shard their sitemap into children and publish an index
+    (sitemaps.org 0.9).  Per host, one REAL <sitemapindex> XML document
+    with one <sitemap> block per doc_id%8==0 child (loc padded with
+    whitespace the parser must trim; <lastmod> declared on i%16==0 as a
+    W3C date whose day varies with i), plus two decoys: a namespaced
+    <sitemap> with <lastmod> but NO <loc> (skipped; advances no seq)
+    and an un-namespaced <sitemap xmlns=""> block (wrong namespace ⇒
+    ignored).  The already-fetched catalog holds i%24==0 children, with
+    fetched_lastmod NULL on i%96==0 (held-but-unknown-vintage) and
+    '2024-02-15' otherwise — so ``stale`` exercises all three branches:
+    declared-but-never-dated, date-newer, date-not-newer.  Both engines
+    derive (seq, loc, lastmod, held, stale) from the same formulas; the
+    Spark side goes through the real XML parse."""
+    from linkkchecker_net_spark.kernels.sitemapparse import (
+        SITEMAP_NS,
+        sitemap_index_plan,
+    )
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("site-"), (i % 3).cast("string"), F.lit(".test"))
+    child = F.concat(
+        F.lit("http://"), host, F.lit("/sitemap-"), i.cast("string"), F.lit(".xml")
+    )
+    lastmod = F.when(
+        i % 16 == 0,
+        F.concat(F.lit("2024-02-"), F.lpad(((i % 28) + 1).cast("string"), 2, "0")),
+    )
+    block = F.concat(
+        F.lit("<sitemap><loc>\n  "),
+        child,
+        F.lit("  \n</loc>"),
+        F.coalesce(
+            F.concat(F.lit("<lastmod>"), lastmod, F.lit("</lastmod>")), F.lit("")
+        ),
+        F.lit("</sitemap>"),
+    )
+    kids = (
+        _docs(spark, sf_dir)
+        .filter(i % 8 == 0)
+        .select(host.alias("host"), F.struct(i.alias("i"), block.alias("block")).alias("s"))
+        .groupBy("host")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["block"]
+                ),
+                "",
+            ).alias("inner")
+        )
+    )
+    indexes = kids.select(
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/sitemap.xml")).alias(
+            "index_url"
+        ),
+        F.encode(
+            F.concat(
+                F.lit(
+                    f'<?xml version="1.0" encoding="UTF-8"?>'
+                    f'<sitemapindex xmlns="{SITEMAP_NS}">'
+                    "<sitemap><lastmod>2024-01-01</lastmod></sitemap>"
+                    '<sitemap xmlns=""><loc>http://bogus.test/x.xml</loc></sitemap>'
+                ),
+                F.col("inner"),
+                F.lit("</sitemapindex>"),
+            ),
+            "UTF-8",
+        ).alias("body"),
+    )
+    j = F.col("doc_id").cast("long")
+    fetched = (
+        _docs(spark, sf_dir)
+        .filter(j % 24 == 0)
+        .select(
+            F.concat(
+                F.lit("http://site-"), (j % 3).cast("string"),
+                F.lit(".test/sitemap-"), j.cast("string"), F.lit(".xml"),
+            ).alias("loc"),
+            F.when(j % 96 != 0, F.lit("2024-02-15")).alias("fetched_lastmod"),
+        )
+    )
+    out = sitemap_index_plan(indexes, fetched)
+    return out.select(
+        "index_url", "seq", "loc", "lastmod", "held", "stale"
+    ).orderBy("loc")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3733,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csp_parse": q_csp_parse,
         "referrer_policy": q_referrer_policy,
         "blank_target": q_blank_target,
+        "sitemap_index": q_sitemap_index,
     }
 
 
@@ -7449,6 +7539,28 @@ FROM bt JOIN bh ON bt.url = bh.url
                    (cross_origin AND NOT noopener AND NOT noreferrer)
                      AS unprotected
             FROM flags
+        """,
+        # same child/lastmod/catalog formulas; Spark goes through the
+        # real <sitemapindex> XML parse, the oracle derives arithmetically
+        "sitemap_index": """
+            WITH kids AS (
+              SELECT 'http://site-' || (doc_id % 3)
+                       || '.test/sitemap.xml' AS index_url,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id % 3 ORDER BY doc_id) - 1
+                       AS INTEGER) AS seq,
+                     'http://site-' || (doc_id % 3) || '.test/sitemap-'
+                       || doc_id || '.xml' AS loc,
+                     CASE WHEN doc_id % 16 = 0
+                          THEN '2024-02-' || lpad(CAST((doc_id % 28) + 1
+                                 AS VARCHAR), 2, '0') END AS lastmod,
+                     doc_id::BIGINT AS i
+              FROM documents WHERE doc_id % 8 = 0)
+            SELECT index_url, seq, loc, lastmod,
+                   (i % 24 = 0) AS held,
+                   (i % 24 = 0 AND lastmod IS NOT NULL
+                    AND (i % 96 = 0 OR lastmod > '2024-02-15')) AS stale
+            FROM kids ORDER BY loc
         """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl

@@ -24,6 +24,7 @@ from __future__ import annotations
 import xml.etree.ElementTree as ET
 
 import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -162,6 +163,114 @@ def parse_image_urlset(body: bytes | str | None) -> list[dict] | None:
 @F.pandas_udf(IMAGE_URLSET_SCHEMA)
 def sitemap_images_udf(body: pd.Series) -> pd.Series:
     return pd.Series([parse_image_urlset(b) for b in body], dtype="object")
+
+
+# ---------------------------------------------------------------------------
+# <sitemapindex> expansion (sitemaps.org 0.9): large sites shard their
+# sitemap into ≤50k-URL children and publish an index of <sitemap><loc>
+# entries.  The reference's loader (SiteMapChecker.cs:26-28) would read an
+# index's <loc> values as *page* URLs — here index expansion is explicit,
+# so the crawl scheduler can enqueue child sitemaps as fetchable documents
+# with their own lastmod-driven staleness, instead of misclassifying them.
+# ---------------------------------------------------------------------------
+
+_SITEMAP_TAG = f"{{{SITEMAP_NS}}}sitemap"
+
+SITEMAPINDEX_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("loc", T.StringType()),
+            T.StructField("lastmod", T.StringType()),
+        ]
+    )
+)
+
+
+def parse_sitemapindex(body: bytes | str | None) -> list[dict] | None:
+    """One dict per <sitemap> block of a <sitemapindex> document:
+    (seq = declaration order, child loc, optional lastmod).  Blocks
+    without a <loc> are skipped (they advance no seq); a <urlset>
+    document (no <sitemap> blocks) yields []; parse error → None —
+    identical error contract to :func:`parse_sitemap`."""
+    if body is None:
+        return None
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError:
+        return None
+    out = []
+    for sm in root.iter(_SITEMAP_TAG):
+        loc_el = sm.find(f"{{{SITEMAP_NS}}}loc")
+        loc = (loc_el.text or "").strip() if loc_el is not None else None
+        if not loc:
+            continue
+        lm = sm.find(f"{{{SITEMAP_NS}}}lastmod")
+        out.append(
+            {
+                "seq": len(out),
+                "loc": loc,
+                "lastmod": (lm.text or "").strip() if lm is not None else None,
+            }
+        )
+    return out
+
+
+@F.pandas_udf(SITEMAPINDEX_SCHEMA)
+def sitemapindex_udf(body: pd.Series) -> pd.Series:
+    return pd.Series([parse_sitemapindex(b) for b in body], dtype="object")
+
+
+def sitemap_index_plan(
+    indexes: DataFrame, fetched: DataFrame
+) -> DataFrame:
+    """Expand <sitemapindex> documents into a child-sitemap fetch plan.
+
+    ``indexes``: (index_url, body: binary) — fetched sitemap-index
+    documents.  ``fetched``: (loc, fetched_lastmod) — child sitemaps the
+    catalog already holds, keyed by their URL, with the lastmod they were
+    fetched AT (NULL lastmod = held but of unknown vintage).
+
+    Returns one row per declared child: (index_url, seq, loc, lastmod,
+    held, stale) where ``held`` = the catalog has it and ``stale`` = held
+    but the index now declares a strictly newer lastmod (string compare is
+    correct for W3C datetime prefixes) — i.e. the re-fetch set is
+    ``¬held ∨ stale``.
+
+    Scale: the expansion is one Arrow-vectorized parse pass, map-only; the
+    membership join broadcasts when the catalog side is small and falls to
+    a hash join on ``loc`` otherwise — both engines see only the skinny
+    (loc, lastmod) projection, never sitemap bodies.
+    """
+    kids = indexes.select(
+        "index_url",
+        F.explode(sitemapindex_udf(F.col("body"))).alias("s"),
+    ).select(
+        "index_url",
+        F.col("s.seq").alias("seq"),
+        F.col("s.loc").alias("loc"),
+        F.col("s.lastmod").alias("lastmod"),
+    )
+    have = fetched.select(
+        "loc", F.col("fetched_lastmod"), F.lit(True).alias("held")
+    )
+    out = kids.join(have, "loc", "left")
+    stale = (
+        F.col("held").isNotNull()
+        & F.col("lastmod").isNotNull()
+        & (
+            F.col("fetched_lastmod").isNull()
+            | (F.col("lastmod") > F.col("fetched_lastmod"))
+        )
+    )
+    return out.select(
+        "index_url",
+        "seq",
+        "loc",
+        "lastmod",
+        F.coalesce(F.col("held"), F.lit(False)).alias("held"),
+        stale.alias("stale"),
+    )
 
 
 # changefreq → recrawl-hint seconds (sitemaps.org vocabulary; 'never' ⇒

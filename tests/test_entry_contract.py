@@ -88,7 +88,7 @@ NON_CRAWL = [
     "jsonld_images", "mixed_content", "fragment_audit", "sitemap_images",
     "meta_refresh", "sri_audit", "cdx_index", "color_palette",
     "favicon_pick", "host_templates", "cookie_audit", "feed_discovery",
-    "csp_parse", "referrer_policy", "blank_target",
+    "csp_parse", "referrer_policy", "blank_target", "sitemap_index",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -754,3 +754,71 @@ def test_jsonld_field_ladders(spark):
     r = jsonld_items(df).collect()[0]
     # image beats thumbnailUrl; headline used when caption/name absent
     assert (r.image_url, r.caption) == ("i.png", "h")
+
+
+def test_parse_sitemapindex_contract():
+    """<sitemapindex> expansion: namespaced blocks only, loc-less blocks
+    advance no seq, trim, urlset→[], parse error→None (same error
+    contract as parse_sitemap)."""
+    from linkkchecker_net_spark.kernels.sitemapparse import (
+        SITEMAP_NS,
+        parse_sitemapindex,
+    )
+
+    body = (
+        f'<sitemapindex xmlns="{SITEMAP_NS}">'
+        "<sitemap><lastmod>2024-01-01</lastmod></sitemap>"  # no loc: skipped
+        '<sitemap xmlns=""><loc>http://bogus/x.xml</loc></sitemap>'  # wrong ns
+        "<sitemap><loc>\n  http://h/s1.xml  \n</loc>"
+        "<lastmod> 2024-02-03 </lastmod></sitemap>"
+        "<sitemap><loc>http://h/s2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    assert parse_sitemapindex(body) == [
+        {"seq": 0, "loc": "http://h/s1.xml", "lastmod": "2024-02-03"},
+        {"seq": 1, "loc": "http://h/s2.xml", "lastmod": None},
+    ]
+    assert parse_sitemapindex(f'<urlset xmlns="{SITEMAP_NS}"/>') == []
+    assert parse_sitemapindex("<not-xml") is None
+    assert parse_sitemapindex(None) is None
+
+
+def test_sitemap_index_plan_staleness(spark):
+    """held/stale verdicts: ¬held, held-no-lastmod, held-unknown-vintage
+    (fetched_lastmod NULL ⇒ stale), held-older (stale), held-current."""
+    from linkkchecker_net_spark.kernels.sitemapparse import (
+        SITEMAP_NS,
+        sitemap_index_plan,
+    )
+
+    inner = "".join(
+        f"<sitemap><loc>http://h/s{k}.xml</loc>{lm}</sitemap>"
+        for k, lm in [
+            (0, ""),  # not held
+            (1, ""),  # held, no declared lastmod -> never stale
+            (2, "<lastmod>2024-02-10</lastmod>"),  # held, vintage unknown
+            (3, "<lastmod>2024-02-10</lastmod>"),  # held at 2024-02-01 -> stale
+            (4, "<lastmod>2024-02-10</lastmod>"),  # held at 2024-02-10 -> fresh
+        ]
+    )
+    idx = spark.createDataFrame(
+        [("http://h/sitemap.xml",
+          f'<sitemapindex xmlns="{SITEMAP_NS}">{inner}</sitemapindex>'.encode())],
+        "index_url string, body binary",
+    )
+    fetched = spark.createDataFrame(
+        [("http://h/s1.xml", None), ("http://h/s2.xml", None),
+         ("http://h/s3.xml", "2024-02-01"), ("http://h/s4.xml", "2024-02-10")],
+        "loc string, fetched_lastmod string",
+    )
+    rows = {
+        r["loc"]: (r["seq"], r["held"], r["stale"])
+        for r in sitemap_index_plan(idx, fetched).collect()
+    }
+    assert rows == {
+        "http://h/s0.xml": (0, False, False),
+        "http://h/s1.xml": (1, True, False),
+        "http://h/s2.xml": (2, True, True),
+        "http://h/s3.xml": (3, True, True),
+        "http://h/s4.xml": (4, True, False),
+    }
