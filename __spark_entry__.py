@@ -3689,6 +3689,76 @@ def q_sitemap_index(spark, sf_dir):
     ).orderBy("loc")
 
 
+def q_domain_mix(spark, sf_dir):
+    """Static training-mixture planner (pipeline/curation.domain_mix):
+    per-source volume → uniform-target sampling weights in exact integer
+    ppm (floor-divided, LLaMA-style 4x upsample cap) — both engines
+    replay the same integer arithmetic."""
+    from linkkchecker_net_spark.pipeline.curation import domain_mix
+
+    _prep(spark)
+    return domain_mix(_docs(spark, sf_dir), budget_chars=1_000_000)
+
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination (curation.semantic_decontaminate):
+    vectors vec_id%20==0 are the 'benchmark' set; every other vector is
+    screened by max cosine against the broadcast benchmark side."""
+    from linkkchecker_net_spark.pipeline.curation import semantic_decontaminate
+
+    _prep(spark)
+    emb = _emb(spark, sf_dir)
+    i = F.col("vec_id")
+    return semantic_decontaminate(
+        emb.filter(i % 20 != 0), emb.filter(i % 20 == 0), threshold=0.4
+    )
+
+
+def q_content_language(spark, sf_dir):
+    """Declared-vs-detected language audit (pipeline/text.
+    content_language_audit).  Arms: <html lang> attribute absent on
+    i%8∈{3,7}, else the doc's true lang except a forced 'en' on i%3==1
+    (mismatch pressure), decorated with an upper-case region subtag on
+    i%10==0 ('EN-US' style) or '-gb' on i%5==0 (primary-subtag strip);
+    a <div lang="zz"> decoy on every page (only the <html> tag counts).
+    Content-Language header present on (i%2==0 ∧ i%8≠3) ∨ i%8==7, first
+    token 'DE-at' on i%7==2 else the true lang, a ', en' list tail on
+    i%6==0 (FIRST token wins), lowercase header name on i%9==4.  BOTH
+    engines replay the same harvest, BCP 47 primary-subtag
+    normalization, and stopword lang-id."""
+    from linkkchecker_net_spark.pipeline.text import content_language_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    v = F.when(i % 3 == 1, F.lit("en")).otherwise(F.col("lang"))
+    deco = (
+        F.when(i % 10 == 0, F.concat(F.upper(v), F.lit("-US")))
+        .when(i % 5 == 0, F.concat(v, F.lit("-gb")))
+        .otherwise(v)
+    )
+    html_tag = F.when(
+        (i % 8 == 3) | (i % 8 == 7), F.lit("<html>")
+    ).otherwise(F.concat(F.lit('<html class="x" lang="'), deco, F.lit('">')))
+    hv = F.when(i % 7 == 2, F.lit("DE-at")).otherwise(F.col("lang"))
+    hline = F.when(
+        ((i % 2 == 0) & (i % 8 != 3)) | (i % 8 == 7),
+        F.concat(
+            F.when(i % 9 == 4, F.lit("content-language: ")).otherwise(
+                F.lit("Content-Language: ")
+            ),
+            hv,
+            F.when(i % 6 == 0, F.lit(", en")).otherwise(F.lit("")),
+        ),
+    ).otherwise(F.lit("X-Other: 1"))
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(hline, F.lit("\r\nContent-Type: text/html")).alias("headers"),
+        F.concat(html_tag, F.lit('<div lang="zz">x</div>')).alias("body"),
+        "text",
+    )
+    return content_language_audit(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3823,6 +3893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referrer_policy": q_referrer_policy,
         "blank_target": q_blank_target,
         "sitemap_index": q_sitemap_index,
+        "domain_mix": q_domain_mix,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "content_language": q_content_language,
     }
 
 
@@ -7562,6 +7635,50 @@ FROM bt JOIN bh ON bt.url = bh.url
                     AND (i % 96 = 0 OR lastmod > '2024-02-15')) AS stale
             FROM kids ORDER BY loc
         """,
+        # integer-ppm mixture arithmetic replayed exactly (floor = Spark's
+        # positive-double -> long truncation)
+        "domain_mix": """
+            WITH per AS (
+              SELECT source, COUNT(*)::BIGINT AS n_docs,
+                     SUM(n_chars)::BIGINT AS n_chars
+              FROM documents GROUP BY 1),
+            tot AS (SELECT SUM(n_chars)::BIGINT AS tot_chars,
+                           COUNT(*)::BIGINT AS n_sources FROM per),
+            j AS (
+              SELECT source, n_docs, n_chars,
+                     CAST(floor(n_chars * 1000000.0 / tot_chars) AS BIGINT)
+                       AS actual_ppm,
+                     CAST(floor(1000000.0 / n_sources) AS BIGINT)
+                       AS target_ppm
+              FROM per, tot)
+            SELECT source, n_docs, n_chars, actual_ppm, target_ppm,
+                   least(CAST(floor(target_ppm * 1000000.0
+                                    / greatest(actual_ppm, 1)) AS BIGINT),
+                         4000000) AS weight_ppm,
+                   CAST(floor(1000000 * target_ppm / 1000000.0) AS BIGINT)
+                     AS planned_chars
+            FROM j
+        """,
+        # exact max-cosine screen vs the vec_id%20==0 benchmark side
+        "semantic_decontaminate": _FLAT_EMB_CTES
+        + """
+            , dots AS (
+              SELECT e.vec_id AS vec_id, d.vec_id AS did,
+                     sum(e.v * d.v) AS dot
+              FROM flat e JOIN flat d ON e.ord = d.ord
+              WHERE d.vec_id % 20 = 0 AND e.vec_id % 20 <> 0
+              GROUP BY 1, 2),
+            mc AS (
+              SELECT dots.vec_id, max(dot / (na.nrm * nb.nrm)) AS m
+              FROM dots
+              JOIN norms na ON na.vec_id = dots.vec_id
+              JOIN norms nb ON nb.vec_id = dots.did
+              GROUP BY 1)
+            SELECT vec_id, round(m, 6) AS max_cos,
+                   (m >= 0.4) AS contaminated
+            FROM mc
+        """,
+        "content_language": _CONTENT_LANGUAGE_SQL,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl
         # ordering is additionally tested in pytest vs the sequential
@@ -7787,6 +7904,65 @@ _LANG_ID_SQL = (
         f"WHEN s_{lang} = {_best} AND {_best} > 0 THEN '{lang}'" for lang in _LANG_SCORES
     )
     + " ELSE 'und' END AS pred_lang FROM s"
+)
+
+# content_language: same page/header synthesis as q_content_language,
+# same BCP 47 primary-subtag normalization, same stopword lang-id scoring
+_CONTENT_LANGUAGE_SQL = (
+    """
+    WITH d0 AS (
+      SELECT doc_id AS i, lang, text,
+             CASE WHEN doc_id % 3 = 1 THEN 'en' ELSE lang END AS v,
+             CASE WHEN doc_id % 7 = 2 THEN 'DE-at' ELSE lang END AS hv
+      FROM documents),
+    pg AS (
+      SELECT i, text,
+             CASE WHEN i % 8 IN (3, 7) THEN '<html>'
+                  ELSE '<html class="x" lang="'
+                       || CASE WHEN i % 10 = 0 THEN upper(v) || '-US'
+                               WHEN i % 5 = 0 THEN v || '-gb'
+                               ELSE v END
+                       || '">' END || '<div lang="zz">x</div>' AS body,
+             CASE WHEN (i % 2 = 0 AND i % 8 <> 3) OR i % 8 = 7
+                  THEN CASE WHEN i % 9 = 4 THEN 'content-language: '
+                            ELSE 'Content-Language: ' END
+                       || hv || CASE WHEN i % 6 = 0 THEN ', en' ELSE '' END
+                  ELSE 'X-Other: 1' END
+               || chr(13) || chr(10) || 'Content-Type: text/html' AS headers
+      FROM d0),
+    ext AS (
+      SELECT i AS doc_id, text,
+             nullif(string_split(lower(trim(regexp_extract(body,
+               '(?i)<html\\b[^>]*\\blang="([^"]*)"', 1))), '-')[1], '')
+               AS attr_lang,
+             nullif(string_split(lower(trim(string_split(regexp_extract(
+               headers, '(?im)^content-language:[ \\t]*([^\\r\\n]*)', 1),
+               ',')[1])), '-')[1], '') AS header_lang
+      FROM pg),
+    scored AS (
+      SELECT doc_id, attr_lang, header_lang, """
+    + ", ".join(f"({expr}) AS s_{lang}" for lang, expr in _score_exprs.items())
+    + """
+      FROM ext),
+    pred AS (
+      SELECT doc_id, attr_lang, header_lang, CASE """
+    + " ".join(
+        f"WHEN s_{lang} = {_best} AND {_best} > 0 THEN '{lang}'"
+        for lang in _LANG_SCORES
+    )
+    + """
+        ELSE 'und' END AS pred_lang
+      FROM scored)
+    SELECT doc_id, attr_lang, header_lang,
+           coalesce(attr_lang, header_lang) AS declared, pred_lang,
+           CASE WHEN coalesce(attr_lang, header_lang) IS NULL
+                  THEN 'undeclared'
+                WHEN pred_lang = 'und' THEN 'undetected'
+                WHEN coalesce(attr_lang, header_lang) = pred_lang
+                  THEN 'match'
+                ELSE 'mismatch' END AS verdict
+    FROM pred
+"""
 )
 
 # MinHash-LSH near-dup clusters as exact-Jaccard CC (the LSH+verify pair

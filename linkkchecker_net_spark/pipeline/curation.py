@@ -483,3 +483,145 @@ def domain_cap(
         .filter(F.col("rnk") <= cap)
         .select("doc_id", group_col, "n_chars", "rnk")
     )
+
+
+def domain_mix(
+    docs: DataFrame,
+    budget_chars: int = 1_000_000,
+    max_repeat_ppm: int = 4_000_000,
+    group_col: str = "source",
+    targets_ppm: dict[str, int] | None = None,
+) -> DataFrame:
+    """Static training-mixture planner per domain/source (the Pile /
+    LLaMA data-card step): given the corpus' ACTUAL per-source volume,
+    compute each source's sampling weight toward a target mixture and
+    the character budget it gets in the final blend.
+
+    Per source: ``n_docs``, ``n_chars``, ``actual_ppm`` (its share of the
+    corpus in parts-per-million), ``target_ppm`` (uniform over the
+    observed sources unless an explicit ``targets_ppm`` map is given —
+    sources absent from the map get 0 and are excluded from training),
+    ``weight_ppm`` = target/actual repeat factor in ppm, capped at
+    ``max_repeat_ppm`` (the LLaMA-style "no source is upsampled more
+    than Nx" bound — under-represented sources hit the cap instead of
+    being repeated into memorization), and ``planned_chars`` =
+    floor(budget x target/1e6).
+
+    All arithmetic is integer (floor-divided ppm), so the DuckDB oracle
+    replays it bit-exactly — no float mixture weights to drift.
+
+    Scale: one partial-aggregated groupBy on ``group_col`` (map-side
+    combine reduces each partition to one row per source), then a
+    broadcast join against the 1-row totals dimension — the corpus is
+    touched once and nothing data-sized shuffles.  Hot sources are
+    irrelevant here (the agg output is |sources| rows); the *application*
+    of weight_ppm (repeat/sample each doc) is a map-only filter on
+    ``xxhash64(doc_id) % 1e6 < weight_ppm`` downstream.
+    """
+    per = docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_chars").alias("tot_chars"),
+        F.count("*").alias("n_sources"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    if targets_ppm is None:
+        target = (F.lit(1_000_000).cast("long") / F.col("n_sources")).cast(
+            "long"
+        )
+    else:
+        target = F.coalesce(
+            *[
+                F.when(F.col(group_col) == s, F.lit(int(p)).cast("long"))
+                for s, p in sorted(targets_ppm.items())
+            ],
+            F.lit(0).cast("long"),
+        )
+    actual = (F.col("n_chars") * 1_000_000 / F.col("tot_chars")).cast("long")
+    weight = F.least(
+        (target * 1_000_000 / F.greatest(actual, F.lit(1))).cast("long"),
+        F.lit(int(max_repeat_ppm)).cast("long"),
+    )
+    return j.select(
+        group_col,
+        "n_docs",
+        "n_chars",
+        actual.alias("actual_ppm"),
+        target.alias("target_ppm"),
+        weight.alias("weight_ppm"),
+        (F.lit(int(budget_chars)).cast("long") * target / 1_000_000)
+        .cast("long")
+        .alias("planned_chars"),
+    )
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    dirty: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_dirty: bool = True,
+) -> DataFrame:
+    """Embedding-space test-set decontamination: flag corpus vectors whose
+    cosine similarity to ANY benchmark/eval vector reaches ``threshold``
+    — the semantic sibling of :func:`decontaminate` (verbatim n-grams
+    miss paraphrased benchmark leakage; embedding proximity catches it).
+
+    Output: one row per corpus vector — (id, max_cos rounded to 6 dp,
+    contaminated) — so downstream filtering is a boolean column, and the
+    audit trail (how close was the nearest benchmark item?) rides along.
+
+    Plan: the dirty side is benchmarks — MBs against a TB corpus — so it
+    broadcasts (like decontaminate's shingle set) and the corpus never
+    shuffles anything wider than (id, partial-max): the cosine pass is
+    map-side, the groupBy max partial-aggregates per partition.  Past
+    broadcast size (``broadcast_dirty=False``) the same LSH bucketing as
+    pipeline.similarity.ann_lsh is the scale path, trading exactness for
+    recall — this exact variant is the correctness baseline.
+
+    Determinism: cosine folded in array order via F.aggregate (sequential
+    fold, same order the SQL oracle's per-dim join sums), threshold
+    compared on the unrounded double with the 6-dp report rounding the
+    embed_neardup/ann operators use.
+    """
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    corpus = emb.select(
+        F.col(id_col), F.col(vec_col).alias("_ve"), nrm.alias("_ne")
+    )
+    d = dirty.select(F.col(vec_col).alias("_vd"), nrm.alias("_nd"))
+    if broadcast_dirty:
+        d = F.broadcast(d)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_ve"),
+            F.col("_vd"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        corpus.crossJoin(d)
+        .select(
+            F.col(id_col),
+            (dot / (F.col("_ne") * F.col("_nd"))).alias("_cos"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("_cos").alias("_mc"))
+        .select(
+            id_col,
+            F.round(F.col("_mc"), 6).alias("max_cos"),
+            (F.col("_mc") >= F.lit(float(threshold))).alias("contaminated"),
+        )
+    )

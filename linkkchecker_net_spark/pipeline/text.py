@@ -438,3 +438,76 @@ def host_templates(
             "kept_ppm", F.expr("1000000 * kept_lines div n_lines")
         )
     )
+
+
+# -- declared-vs-detected content language ----------------------------------
+
+_HTML_LANG_PAT = r'(?i)<html\b[^>]*\blang="([^"]*)"'
+_CONTENT_LANGUAGE_PAT = r"(?im)^content-language:[ \t]*([^\r\n]*)"
+
+
+def _primary_subtag(col):
+    # BCP 47 primary language subtag: lowercase, strip region/script
+    # ("EN-us" -> "en"); empty/whitespace values -> NULL
+    tag = F.lower(F.trim(col))
+    primary = F.split(tag, "-")[0]
+    return F.when(primary != "", primary)
+
+
+def content_language_audit(pages: DataFrame) -> DataFrame:
+    """pages: (doc_id, headers, body, text) → declared-vs-detected
+    language audit, one row per page: (doc_id, attr_lang, header_lang,
+    declared, pred_lang, verdict).
+
+    Declared sources, HTML-spec precedence (the root element's lang
+    attribute wins over the Content-Language header): ``attr_lang`` =
+    the <html lang="..."> attribute, ``header_lang`` = the FIRST token
+    of the Content-Language header's comma list (the header is a list;
+    the first entry is the primary audience language).  Both are
+    normalized to the BCP 47 primary subtag (lowercased, region/script
+    subtags stripped: "EN-us" ≡ "en").  Detected = the stopword-count
+    lang_id over the extracted text.  Verdict: 'undeclared' (no source
+    declared anything), 'undetected' (declared but the detector scored
+    no language), 'match' / 'mismatch' otherwise — the audit a crawl
+    pipeline uses both to QA sites (mislabeled lang hurts search) and to
+    pick the trustworthy label for corpus routing.
+
+    Scale: pure whole-stage-codegen regex/string expressions — map-only,
+    no shuffle, no Python.  Reference analog: none (the C# engine never
+    inspects language); the lang_id detector half is pipeline.text's.
+    """
+    attr = _primary_subtag(F.regexp_extract("body", _HTML_LANG_PAT, 1))
+    hdr = _primary_subtag(
+        F.split(F.regexp_extract("headers", _CONTENT_LANGUAGE_PAT, 1), ",")[0]
+    )
+    scores = {
+        lang: sum([_count_token(F.col("text"), t) for t in toks], F.lit(0))
+        for lang, toks in LANG_MARKERS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (scores[lang] == best_score) & (best_score > 0), F.lit(lang)
+        ).otherwise(pred)
+    rows = pages.select(
+        "doc_id",
+        attr.alias("attr_lang"),
+        hdr.alias("header_lang"),
+        pred.alias("pred_lang"),
+    )
+    declared = F.coalesce("attr_lang", "header_lang")
+    verdict = (
+        F.when(declared.isNull(), "undeclared")
+        .when(F.col("pred_lang") == "und", "undetected")
+        .when(declared == F.col("pred_lang"), "match")
+        .otherwise("mismatch")
+    )
+    return rows.select(
+        "doc_id",
+        "attr_lang",
+        "header_lang",
+        declared.alias("declared"),
+        "pred_lang",
+        verdict.alias("verdict"),
+    )

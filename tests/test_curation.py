@@ -252,3 +252,117 @@ def test_cdc_dedup_unique_corpus_zero(spark):
     )
     for r in cdc_dedup(docs).collect():
         assert r.n_dup_chunks == 0 and r.dup_ppm == 0 and r.n_chunks >= 1
+
+
+# ---------------------------------------------------------------- domain_mix
+def test_domain_mix_hand_computed(spark):
+    from linkkchecker_net_spark.pipeline.curation import domain_mix
+
+    rows = [(0, "a", 100), (1, "a", 100), (2, "b", 700), (3, "c", 100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_chars"], r["actual_ppm"], r["target_ppm"],
+            r["weight_ppm"], r["planned_chars"],
+        )
+        for r in domain_mix(docs, budget_chars=900, max_repeat_ppm=1_500_000).collect()
+    }
+    # totals: 1000 chars, 3 sources -> target 333333 ppm each
+    assert got == {
+        # 200/1000 = 200000 ppm; weight = 333333e6/200000 = 1666665 -> capped
+        "a": (2, 200, 200_000, 333_333, 1_500_000, 299),
+        # 700/1000 = 700000 ppm; weight = 333333e6/700000 = 476190
+        "b": (1, 700, 700_000, 333_333, 476_190, 299),
+        "c": (1, 100, 100_000, 333_333, 1_500_000, 299),
+    }
+
+
+def test_domain_mix_explicit_targets_and_empty(spark):
+    from linkkchecker_net_spark.pipeline.curation import domain_mix
+
+    rows = [(0, "a", 500), (1, "b", 500)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r["source"]: (r["target_ppm"], r["weight_ppm"])
+        for r in domain_mix(
+            docs, targets_ppm={"a": 900_000, "b": 0}
+        ).collect()
+    }
+    # a: 900000e6/500000 = 1800000; b excluded (target 0 -> weight 0)
+    assert got == {"a": (900_000, 1_800_000), "b": (0, 0)}
+    empty = spark.createDataFrame([], "doc_id long, source string, n_chars long")
+    assert domain_mix(empty).count() == 0
+
+
+# -------------------------------------------------- semantic_decontaminate
+def test_semantic_decontaminate_hand_computed(spark):
+    from linkkchecker_net_spark.pipeline.curation import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    dirty = spark.createDataFrame(
+        [(100, [2.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["max_cos"], r["contaminated"])
+        for r in semantic_decontaminate(corpus, dirty, threshold=0.7).collect()
+    }
+    assert got == {
+        1: (1.0, True),          # parallel
+        2: (0.0, False),         # orthogonal
+        3: (0.707107, True),     # 45 degrees = 1/sqrt(2)
+    }
+
+
+def test_semantic_decontaminate_broadcast_paths_agree(spark):
+    from linkkchecker_net_spark.pipeline.curation import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3 + 1), float(i % 5)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    dirty = spark.createDataFrame(
+        [(100 + j, [1.0, float(j)]) for j in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted(map(tuple, semantic_decontaminate(corpus, dirty).collect()))
+    b = sorted(
+        map(tuple, semantic_decontaminate(corpus, dirty, broadcast_dirty=False).collect())
+    )
+    assert a == b and len(a) == 20
+
+
+# --------------------------------------------------------- content_language
+def test_content_language_precedence_and_normalization(spark):
+    from linkkchecker_net_spark.pipeline.text import content_language_audit
+
+    en = "the a of and is the a of and is"
+    pages = spark.createDataFrame(
+        [
+            # attr wins over header; region subtag stripped; mixed case
+            (0, "Content-Language: fr\r\nX: 1", '<html lang="EN-us"><div lang="zz">', en),
+            # header only, first token of the list wins
+            (1, "content-language:  de , en\r\nX: 1", "<html>", en),
+            # nothing declared
+            (2, "X-Other: 1", "<html>", en),
+            # declared but undetectable text
+            (3, "Content-Language: en", "<html>", "zzz qqq xxx"),
+            # non-root lang attr must NOT count as declaration
+            (4, "X: 1", '<body><div lang="fr">x</div></body>', en),
+        ],
+        "doc_id long, headers string, body string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["attr_lang"], r["header_lang"], r["declared"],
+                      r["pred_lang"], r["verdict"])
+        for r in content_language_audit(pages).collect()
+    }
+    assert got == {
+        0: ("en", "fr", "en", "en", "match"),
+        1: (None, "de", "de", "en", "mismatch"),
+        2: (None, None, None, "en", "undeclared"),
+        3: (None, "en", "en", "und", "undetected"),
+        4: (None, None, None, "en", "undeclared"),
+    }

@@ -89,6 +89,7 @@ NON_CRAWL = [
     "meta_refresh", "sri_audit", "cdx_index", "color_palette",
     "favicon_pick", "host_templates", "cookie_audit", "feed_discovery",
     "csp_parse", "referrer_policy", "blank_target", "sitemap_index",
+    "domain_mix", "semantic_decontaminate", "content_language",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
