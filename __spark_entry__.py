@@ -3759,6 +3759,155 @@ def q_content_language(spark, sf_dir):
     return content_language_audit(pages)
 
 
+def _seo_pages(spark, sf_dir):
+    """Shared SEO-audit page fixture: 5 hosts by i%5."""
+    i = F.col("doc_id").cast("long")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://s"), (i % 5).cast("string"), F.lit(".test/p"),
+            i.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("s"), (i % 5).cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+    )
+
+
+def q_title_audit(spark, sf_dir):
+    """<title> duplication/length audit (reports/seo.title_audit).
+    Arms by i%4 (when a title exists): host-scoped 'Shared Title k'
+    duplicates / 65-char too_long / 'Tiny' too_short / unique ok — with
+    whitespace noise the collapse must normalize (leading newline
+    indent, trailing spaces, an internal double space on i%7==2), a
+    data- attribute on the open tag on i%11==5, NO title on i%9==3,
+    whitespace-only title on i%9==6 (also missing), and a SECOND
+    <title>decoy</title> on i%6==1 (first match wins).  BOTH engines
+    replay the same harvest, collapse, per-(host,title) count and
+    verdict ladder."""
+    from linkkchecker_net_spark.reports.seo import title_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    sep = F.when(i % 7 == 2, F.lit("  ")).otherwise(F.lit(" "))
+    text = (
+        F.when(i % 4 == 0, F.concat(F.lit("Shared"), sep, F.lit("Title "),
+                                    (i % 5).cast("string")))
+        .when(
+            i % 4 == 1,
+            F.concat(F.lit("Long "), i.cast("string"), F.lit(" "),
+                     F.repeat(F.lit("x"), 60)),
+        )
+        .when(i % 4 == 2, F.concat(F.lit("T"), i.cast("string")))
+        .otherwise(
+            F.concat(F.lit("Unique"), sep, F.lit("page title number "),
+                     i.cast("string"))
+        )
+    )
+    open_tag = F.when(i % 11 == 5, F.lit('<title data-x="1">')).otherwise(
+        F.lit("<title>")
+    )
+    tpart = (
+        F.when(i % 9 == 3, F.lit(""))
+        .when(i % 9 == 6, F.lit("<title>  \n </title>"))
+        .otherwise(
+            F.concat(open_tag, F.lit("\n  "), text, F.lit("  \n</title>"))
+        )
+    )
+    body = F.concat(
+        F.lit("<head>"), tpart,
+        F.when(i % 6 == 1, F.lit("<title>decoy</title>")).otherwise(
+            F.lit("")
+        ),
+        F.lit("</head><body><h1>x</h1></body>"),
+    )
+    pages = _seo_pages(spark, sf_dir).select("url", "host", body.alias("body"))
+    return title_audit(pages)
+
+
+def q_heading_audit(spark, sf_dir):
+    """Heading-outline audit (reports/seo.heading_audit).  Arms by i%5:
+    no headings / h2+h3 (no_h1) / double h1 (multiple_h1) / h1→h4 skip
+    / clean h1-h2-h3-h2 outline; the clean arm's h2 is UPPERCASE <H2>
+    on i%3==1 (case-insensitive harvest); decoys always present:
+    <header> and <h7> must not match the level grammar."""
+    from linkkchecker_net_spark.reports.seo import heading_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    h2 = F.when(i % 3 == 1, F.lit("<H2>b</H2>")).otherwise(
+        F.lit("<h2>b</h2>")
+    )
+    body = F.concat(
+        F.lit("<header>n</header><h7>x</h7>"),
+        F.when(i % 5 == 0, F.lit(""))
+        .when(i % 5 == 1, F.lit("<h2>a</h2><h3>b</h3>"))
+        .when(i % 5 == 2, F.lit("<h1>a</h1><h1>b</h1>"))
+        .when(i % 5 == 3, F.lit("<h1>a</h1><h4>b</h4><h2>c</h2>"))
+        .otherwise(
+            F.concat(F.lit("<h1>a</h1>"), h2, F.lit("<h3>c</h3><h2>d</h2>"))
+        ),
+    )
+    pages = _seo_pages(spark, sf_dir).select("url", body.alias("body"))
+    return heading_audit(pages)
+
+
+def q_alt_audit(spark, sf_dir):
+    """Image alt-coverage audit (reports/seo.alt_audit).  i%6==0 pages
+    carry no images; otherwise img1's alt rotates absent (i%12==7) /
+    explicit empty (i%3==1, decorative) / non-empty, img2 (i odd) never
+    has alt, img3 (i%4==2) has alt with an UPPERCASE ALT= attribute
+    name on i%7==3; an <image alt=..> decoy tag is always present (the
+    \\b boundary must exclude it)."""
+    from linkkchecker_net_spark.reports.seo import alt_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    alt1 = (
+        F.when(i % 12 == 7, F.lit(""))
+        .when(i % 3 == 1, F.lit(' alt=""'))
+        .otherwise(F.concat(F.lit(' alt="Photo of '), s, F.lit('"')))
+    )
+    img3_alt = F.when(i % 7 == 3, F.lit(' ALT="chart"')).otherwise(
+        F.lit(' alt="chart"')
+    )
+    body = F.concat(
+        F.lit('<image alt="no">'),
+        F.when(i % 6 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit('<img src="a'), s, F.lit('.png"'), alt1, F.lit(">"),
+                F.when(
+                    i % 2 == 1,
+                    F.concat(F.lit('<img src="b'), s, F.lit('.png">')),
+                ).otherwise(F.lit("")),
+                F.when(
+                    i % 4 == 2,
+                    F.concat(F.lit('<img src="c'), s, F.lit('.png"'),
+                             img3_alt, F.lit(">")),
+                ).otherwise(F.lit("")),
+            )
+        ),
+    )
+    pages = _seo_pages(spark, sf_dir).select("url", body.alias("body"))
+    return alt_audit(pages)
+
+
+def q_colorfulness(spark, sf_dir):
+    """Integer-ppm opponent-channel colorfulness (pipeline/multimodal.
+    colorfulness) over the channel-distinct stripe corpus: Spark decodes
+    real pixels (lossy rows through the bucket-center recon); the oracle
+    prices each stripe row arithmetically with the same recon formula."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        colorfulness,
+        synth_rgbstripe_corpus,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return colorfulness(synth_rgbstripe_corpus(spark, ids))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -3896,6 +4045,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "semantic_decontaminate": q_semantic_decontaminate,
         "content_language": q_content_language,
+        "title_audit": q_title_audit,
+        "heading_audit": q_heading_audit,
+        "alt_audit": q_alt_audit,
+        "colorfulness": q_colorfulness,
     }
 
 
@@ -7679,6 +7832,179 @@ FROM bt JOIN bh ON bt.url = bh.url
             FROM mc
         """,
         "content_language": _CONTENT_LANGUAGE_SQL,
+        # same page synthesis, first-match harvest, whitespace collapse,
+        # per-(host,title) count and verdict ladder
+        "title_audit": """
+            WITH d0 AS (SELECT doc_id AS i FROM documents),
+            pg AS (
+              SELECT 'http://s' || (i % 5) || '.test/p' || i AS url,
+                     's' || (i % 5) || '.test' AS host,
+                     '<head>'
+                     || CASE WHEN i % 9 = 3 THEN ''
+                        WHEN i % 9 = 6 THEN '<title>  ' || chr(10)
+                                            || ' </title>'
+                        ELSE CASE WHEN i % 11 = 5
+                             THEN '<title data-x="1">'
+                             ELSE '<title>' END
+                             || chr(10) || '  '
+                             || CASE WHEN i % 4 = 0
+                                THEN 'Shared'
+                                     || CASE WHEN i % 7 = 2
+                                        THEN '  ' ELSE ' ' END
+                                     || 'Title ' || (i % 5)
+                                WHEN i % 4 = 1
+                                THEN 'Long ' || i || ' ' || repeat('x', 60)
+                                WHEN i % 4 = 2 THEN 'T' || i
+                                ELSE 'Unique'
+                                     || CASE WHEN i % 7 = 2
+                                        THEN '  ' ELSE ' ' END
+                                     || 'page title number ' || i END
+                             || '  ' || chr(10) || '</title>' END
+                     || CASE WHEN i % 6 = 1
+                        THEN '<title>decoy</title>' ELSE '' END
+                     || '</head><body><h1>x</h1></body>' AS body
+              FROM d0),
+            t AS (
+              SELECT url, host,
+                     nullif(trim(regexp_replace(regexp_extract(body,
+                       '(?is)<title\\b[^>]*>(.*?)</title>', 1),
+                       '\\s+', ' ', 'g')), '') AS title
+              FROM pg),
+            cnt AS (
+              SELECT host, title, COUNT(*) AS n
+              FROM t WHERE title IS NOT NULL GROUP BY 1, 2)
+            SELECT t.url, t.host, t.title,
+                   length(t.title) AS title_len,
+                   coalesce(cnt.n, 0) AS n_pages_same_title,
+                   CASE WHEN t.title IS NULL THEN 'missing'
+                        WHEN cnt.n >= 2 THEN 'duplicate'
+                        WHEN length(t.title) > 60 THEN 'too_long'
+                        WHEN length(t.title) < 10 THEN 'too_short'
+                        ELSE 'ok' END AS verdict
+            FROM t LEFT JOIN cnt
+              ON cnt.host = t.host AND cnt.title = t.title
+        """,
+        # same outline synthesis, level harvest and pairwise-jump math
+        "heading_audit": """
+            WITH d0 AS (SELECT doc_id AS i FROM documents),
+            pg AS (
+              SELECT 'http://s' || (i % 5) || '.test/p' || i AS url,
+                     '<header>n</header><h7>x</h7>'
+                     || CASE WHEN i % 5 = 0 THEN ''
+                        WHEN i % 5 = 1 THEN '<h2>a</h2><h3>b</h3>'
+                        WHEN i % 5 = 2 THEN '<h1>a</h1><h1>b</h1>'
+                        WHEN i % 5 = 3 THEN '<h1>a</h1><h4>b</h4><h2>c</h2>'
+                        ELSE '<h1>a</h1>'
+                             || CASE WHEN i % 3 = 1
+                                THEN '<H2>b</H2>' ELSE '<h2>b</h2>' END
+                             || '<h3>c</h3><h2>d</h2>' END AS body
+              FROM d0),
+            lv AS (
+              SELECT url,
+                     list_transform(regexp_extract_all(body,
+                       '(?i)<h([1-6])\\b', 1),
+                       x -> CAST(x AS INT)) AS l
+              FROM pg),
+            m AS (
+              SELECT url, l, len(l) AS n,
+                     len(list_filter(l, x -> x = 1)) AS n_h1,
+                     coalesce(list_max(list_transform(
+                       generate_series(1, len(l) - 1),
+                       k -> greatest(l[k + 1] - l[k], 0))), 0) AS max_jump
+              FROM lv)
+            SELECT url, n AS n_headings, n_h1,
+                   CASE WHEN n > 0 THEN l[1] END AS first_level,
+                   max_jump,
+                   CASE WHEN n = 0 THEN 'no_headings'
+                        WHEN n_h1 = 0 THEN 'no_h1'
+                        WHEN n_h1 > 1 THEN 'multiple_h1'
+                        WHEN max_jump >= 2 THEN 'skip'
+                        ELSE 'ok' END AS verdict
+            FROM m
+        """,
+        # same img synthesis, tag harvest and coverage arithmetic
+        "alt_audit": """
+            WITH d0 AS (SELECT doc_id AS i FROM documents),
+            pg AS (
+              SELECT 'http://s' || (i % 5) || '.test/p' || i AS url,
+                     '<image alt="no">'
+                     || CASE WHEN i % 6 = 0 THEN ''
+                        ELSE '<img src="a' || i || '.png"'
+                             || CASE WHEN i % 12 = 7 THEN ''
+                                WHEN i % 3 = 1 THEN ' alt=""'
+                                ELSE ' alt="Photo of ' || i || '"' END
+                             || '>'
+                             || CASE WHEN i % 2 = 1
+                                THEN '<img src="b' || i || '.png">'
+                                ELSE '' END
+                             || CASE WHEN i % 4 = 2
+                                THEN '<img src="c' || i || '.png"'
+                                     || CASE WHEN i % 7 = 3
+                                        THEN ' ALT="chart"'
+                                        ELSE ' alt="chart"' END || '>'
+                                ELSE '' END END AS body
+              FROM d0),
+            tg AS (
+              SELECT url,
+                     regexp_extract_all(body, '(?i)<img\\b[^>]*>', 0) AS tags
+              FROM pg),
+            c AS (
+              SELECT url, len(tags) AS n_imgs,
+                     len(list_filter(tags, t -> regexp_extract(t,
+                       '(?i)\\balt="([^"]*)"', 1) <> '')) AS n_with_alt,
+                     len(list_filter(tags, t -> regexp_matches(t,
+                       '(?i)\\balt=""'))) AS n_empty_alt
+              FROM tg)
+            SELECT url, n_imgs, n_with_alt, n_empty_alt,
+                   CASE WHEN n_imgs > 0
+                        THEN CAST(floor((n_with_alt + n_empty_alt)
+                             * 1000000.0 / n_imgs) AS BIGINT) END
+                     AS coverage_ppm,
+                   CASE WHEN n_imgs = 0 THEN 'no_images'
+                        WHEN n_with_alt + n_empty_alt = n_imgs THEN 'ok'
+                        WHEN n_with_alt + n_empty_alt = 0 THEN 'none'
+                        ELSE 'partial' END AS verdict
+            FROM c
+        """,
+        # stripe-corpus arithmetic: each row r contributes w pixels of one
+        # constant RGB; lossy rows (fmt jpeg = i%3==1) go through the
+        # bucket-center recon v -> (v//4)*4 + 2 exactly as the decoder does
+        "colorfulness": """
+            WITH ids AS (SELECT doc_id::BIGINT AS i FROM documents),
+            dim AS (
+              SELECT i, 8 + (i % 5) * 4 AS w, 6 + (i % 7) * 2 AS h,
+                     (i % 3 = 1) AS lossy
+              FROM ids WHERE i % 9 <> 4),
+            px AS (
+              SELECT i, w, h,
+                     CASE WHEN lossy
+                          THEN ((i * 37 + g.r * 5) % 251) // 4 * 4 + 2
+                          ELSE (i * 37 + g.r * 5) % 251 END AS cr,
+                     CASE WHEN lossy
+                          THEN ((i * 53 + g.r * 7) % 251) // 4 * 4 + 2
+                          ELSE (i * 53 + g.r * 7) % 251 END AS cg,
+                     CASE WHEN lossy
+                          THEN ((i * 71 + g.r * 11) % 251) // 4 * 4 + 2
+                          ELSE (i * 71 + g.r * 11) % 251 END AS cb
+              FROM dim, unnest(generate_series(0, h - 1)) AS g(r)),
+            s AS (
+              SELECT i, max(w * h) AS n,
+                     sum(w * abs(cr - cg))::BIGINT AS srg,
+                     sum(w * abs(cr + cg - 2 * cb))::BIGINT AS syb
+              FROM px GROUP BY i)
+            SELECT 'img_' || lpad(i::VARCHAR, 6, '0') AS image_id,
+                   true AS ok,
+                   1000000 * srg // n AS mean_rg_ppm,
+                   1000000 * syb // (2 * n) AS mean_yb_ppm,
+                   1000000 * srg // n + 1000000 * syb // (2 * n)
+                     AS colorfulness_ppm,
+                   (srg = 0 AND syb = 0) AS grayscale
+            FROM s
+            UNION ALL
+            SELECT 'img_' || lpad(i::VARCHAR, 6, '0'), false,
+                   NULL, NULL, NULL, NULL
+            FROM ids WHERE i % 9 = 4
+        """,
         # every queries() entry now has an oracle (ann_lsh's raw neighbor
         # list is exercised + floored inside ann_lsh_recall); crawl
         # ordering is additionally tested in pytest vs the sequential

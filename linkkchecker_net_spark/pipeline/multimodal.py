@@ -1521,3 +1521,68 @@ def color_palette(corpus: DataFrame, top_k: int = 3) -> DataFrame:
     return corpus.select("image_id", "bytes", "fmt").mapInPandas(
         dec, PALETTE_SCHEMA
     )
+
+
+COLORFULNESS_SCHEMA = (
+    "image_id string, ok boolean, mean_rg_ppm long, mean_yb_ppm long, "
+    "colorfulness_ppm long, grayscale boolean"
+)
+
+
+def colorfulness(corpus: DataFrame) -> DataFrame:
+    """Integer-exact opponent-channel colorfulness (the Hasler–Süsstrunk
+    2003 metric's mean term, kept in exact integer ppm so the DuckDB
+    oracle replays it bit-for-bit — the std term would force float
+    accumulation order onto both engines for no extra test power).
+
+    Per decoded pixel: rg = |R − G| and yb2 = |R + G − 2B| (the yellow–
+    blue opponent at 2× scale to stay integral).  Outputs per image:
+    mean_rg_ppm = floor(1e6·Σrg / n), mean_yb_ppm = floor(1e6·Σyb2 /
+    2n), colorfulness_ppm = their sum, grayscale = both sums zero
+    (R=G=B everywhere).  Undecodable rows keep one ok=false row.
+
+    The LAION-style use: grayscale and near-monochrome images are
+    routed out of (or sampled down in) text-to-image training mixes.
+
+    Scale: one mapInPandas Arrow pass — map-only, zero shuffles, bytes
+    dead at the stage boundary, four longs per image survive; the same
+    flat plan as image_meta/color_palette at any corpus size.
+    """
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "ok": [], "mean_rg_ppm": [],
+                   "mean_yb_ppm": [], "colorfulness_ppm": [],
+                   "grayscale": []}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    out["image_id"].append(iid)
+                    out["ok"].append(False)
+                    for k in ("mean_rg_ppm", "mean_yb_ppm",
+                              "colorfulness_ppm"):
+                        out[k].append(None)
+                    out["grayscale"].append(None)
+                    continue
+                px = arr.astype(np.int64)
+                r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+                sum_rg = int(np.abs(r - g).sum())
+                sum_yb = int(np.abs(r + g - 2 * b).sum())
+                n = int(arr.shape[0] * arr.shape[1])
+                m_rg = 1_000_000 * sum_rg // n
+                m_yb = 1_000_000 * sum_yb // (2 * n)
+                out["image_id"].append(iid)
+                out["ok"].append(True)
+                out["mean_rg_ppm"].append(m_rg)
+                out["mean_yb_ppm"].append(m_yb)
+                out["colorfulness_ppm"].append(m_rg + m_yb)
+                out["grayscale"].append(sum_rg == 0 and sum_yb == 0)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        dec, COLORFULNESS_SCHEMA
+    )

@@ -1,0 +1,180 @@
+"""On-page SEO audits: <title> duplication, heading structure, image alt
+coverage.
+
+The natural widening of the reference's one on-page content check —
+DescriptionLengthChecker.cs:41-53 pulls a single meta node per page and
+reports on its length; these operators apply the same harvest-then-report
+shape to the other classic link-checker lints (duplicate titles across a
+host, heading hierarchy, alt-text coverage).
+
+All three are whole-stage-codegen regex/array expressions — map-only per
+page, with title_audit adding ONE skinny aggregation keyed by
+(host, title) for the cross-page duplicate count.  No Python in any path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TITLE_PAT = r"(?is)<title\b[^>]*>(.*?)</title>"
+_HEADING_PAT = r"(?i)<h([1-6])\b"
+_IMG_TAG_PAT = r"(?i)<img\b[^>]*>"
+_ALT_ATTR_PAT = r'(?i)\balt="([^"]*)"'
+
+TITLE_MAX = 60
+TITLE_MIN = 10
+
+
+def title_audit(pages: DataFrame) -> DataFrame:
+    """pages: (url, host, body) → one row per page: (url, host, title,
+    title_len, n_pages_same_title, verdict).
+
+    ``title`` = the FIRST <title> element's inner text, whitespace
+    collapsed and trimmed (empty ⇒ missing).  ``n_pages_same_title`` =
+    how many of the host's pages share exactly this title — the classic
+    duplicate-title SEO lint, and the only cross-page part of the audit.
+    Verdict precedence: missing → duplicate (shared by ≥2 pages) →
+    too_long (>60 chars) → too_short (<10) → ok.
+
+    Scale: the harvest is map-only codegen; the duplicate count is one
+    partial-aggregated groupBy on (host, title) — cardinality ≈ distinct
+    titles, skinny rows — broadcast-joined back when small, hash-joined
+    otherwise (Catalyst/AQE picks; both sides carry only the key + one
+    long).  A boilerplate mill emitting one title across 10^8 pages is a
+    hot key ONLY in the count agg (map-side combine absorbs it), never
+    in the join input.
+    """
+    title = F.nullif(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_extract("body", _TITLE_PAT, 1), r"\s+", " "
+            )
+        ),
+        F.lit(""),
+    )
+    rows = pages.select("url", "host", title.alias("title"))
+    counts = (
+        rows.filter(F.col("title").isNotNull())
+        .groupBy("host", "title")
+        .agg(F.count("*").alias("n_pages_same_title"))
+    )
+    j = rows.join(counts, ["host", "title"], "left")
+    tlen = F.length("title")
+    verdict = (
+        F.when(F.col("title").isNull(), "missing")
+        .when(F.col("n_pages_same_title") >= 2, "duplicate")
+        .when(tlen > TITLE_MAX, "too_long")
+        .when(tlen < TITLE_MIN, "too_short")
+        .otherwise("ok")
+    )
+    return j.select(
+        "url",
+        "host",
+        "title",
+        tlen.alias("title_len"),
+        F.coalesce("n_pages_same_title", F.lit(0)).alias(
+            "n_pages_same_title"
+        ),
+        verdict.alias("verdict"),
+    )
+
+
+def heading_audit(pages: DataFrame) -> DataFrame:
+    """pages: (url, body) → (url, n_headings, n_h1, first_level,
+    max_jump, verdict) — heading-outline lint.
+
+    Levels are harvested in document order from <h1>-<h6> OPEN tags.
+    ``max_jump`` = the largest downward level skip between consecutive
+    headings (h2 directly after h1 is 1; h4 after h1 is 3; upward moves
+    don't count).  Verdict precedence: no_headings → no_h1 (headings
+    exist, none is h1) → multiple_h1 → skip (max_jump ≥ 2) → ok.
+
+    Map-only: regexp_extract_all → int array → zip_with pairwise diffs;
+    every expression is codegen, nothing shuffles.
+    """
+    levels = F.transform(
+        F.regexp_extract_all("body", F.lit(_HEADING_PAT), 1),
+        lambda s: s.cast("int"),
+    )
+    rows = pages.select("url", levels.alias("_lv"))
+    n = F.size("_lv")
+    n_h1 = F.size(F.filter("_lv", lambda x: x == 1))
+    jumps = F.zip_with(
+        F.slice("_lv", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("_lv", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.greatest(b - a, F.lit(0)),
+    )
+    max_jump = F.coalesce(F.array_max(jumps), F.lit(0))
+    verdict = (
+        F.when(n == 0, "no_headings")
+        .when(n_h1 == 0, "no_h1")
+        .when(n_h1 > 1, "multiple_h1")
+        .when(max_jump >= 2, "skip")
+        .otherwise("ok")
+    )
+    return rows.select(
+        "url",
+        n.alias("n_headings"),
+        n_h1.alias("n_h1"),
+        F.when(n > 0, F.element_at("_lv", 1)).alias("first_level"),
+        max_jump.alias("max_jump"),
+        verdict.alias("verdict"),
+    )
+
+
+def alt_audit(pages: DataFrame) -> DataFrame:
+    """pages: (url, body) → (url, n_imgs, n_with_alt, n_empty_alt,
+    coverage_ppm, verdict) — image alt-text coverage lint.
+
+    ``n_with_alt`` counts <img> tags carrying a NON-empty alt attribute;
+    ``n_empty_alt`` counts explicit alt="" (the decorative-image idiom —
+    valid accessibility markup, tracked separately, NOT counted as
+    covered).  ``coverage_ppm`` = floor(1e6 × (n_with_alt + n_empty_alt)
+    / n_imgs) — decorative markup IS coverage for the ppm (the author
+    made a decision), NULL when the page has no images.  Verdict:
+    no_images / ok (coverage complete) / partial / none.
+
+    Map-only codegen: one regexp_extract_all for the img tags, array
+    filters for the alt forms.
+    """
+    tags = F.regexp_extract_all("body", F.lit(_IMG_TAG_PAT), 0)
+    alts = F.transform(
+        tags, lambda t: F.regexp_extract(t, _ALT_ATTR_PAT, 1)
+    )
+    has_attr = F.transform(tags, lambda t: t.rlike(_ALT_ATTR_PAT))
+    rows = pages.select(
+        "url",
+        F.size(tags).alias("n_imgs"),
+        F.size(
+            F.filter(
+                F.zip_with(alts, has_attr, lambda a, h: h & (a != "")),
+                lambda x: x,
+            )
+        ).alias("n_with_alt"),
+        F.size(
+            F.filter(
+                F.zip_with(alts, has_attr, lambda a, h: h & (a == "")),
+                lambda x: x,
+            )
+        ).alias("n_empty_alt"),
+    )
+    covered = F.col("n_with_alt") + F.col("n_empty_alt")
+    ppm = F.when(
+        F.col("n_imgs") > 0,
+        (covered * 1_000_000 / F.col("n_imgs")).cast("long"),
+    )
+    verdict = (
+        F.when(F.col("n_imgs") == 0, "no_images")
+        .when(covered == F.col("n_imgs"), "ok")
+        .when(covered == 0, "none")
+        .otherwise("partial")
+    )
+    return rows.select(
+        "url",
+        "n_imgs",
+        "n_with_alt",
+        "n_empty_alt",
+        ppm.alias("coverage_ppm"),
+        verdict.alias("verdict"),
+    )

@@ -90,6 +90,7 @@ NON_CRAWL = [
     "favicon_pick", "host_templates", "cookie_audit", "feed_discovery",
     "csp_parse", "referrer_policy", "blank_target", "sitemap_index",
     "domain_mix", "semantic_decontaminate", "content_language",
+    "title_audit", "heading_audit", "alt_audit", "colorfulness",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -152,3 +152,33 @@ def test_inline_images_lossy_roundtrip_checksum(spark):
     r = inline_images(pages).collect()[0]
     assert r.pix_sum == 38 * 12
     assert r.pix_sum != int(arr.astype(np.int64).sum())
+
+
+def test_colorfulness_grayscale_and_hand_values(spark):
+    """grayscale=true for an R=G=B image (the stripe-corpus fixture never
+    produces one); hand-checked ppm math; truncated bytes -> ok=false."""
+    import numpy as np
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.multimodal import colorfulness
+
+    gray = np.full((2, 3, 3), 77, dtype=np.uint8)
+    col = np.zeros((1, 2, 3), dtype=np.uint8)
+    col[:, :, 0] = 10  # R=10 G=0 B=0: rg=10, yb2=|10+0-0|=10 per pixel
+    rows = [
+        ("g", imaging.encode_image(gray, "png"), "png"),
+        ("c", imaging.encode_image(col, "gif"), "gif"),
+        ("bad", b"\x00\x01", "png"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    got = {r["image_id"]: r.asDict() for r in colorfulness(corpus).collect()}
+    assert got["g"]["grayscale"] is True and got["g"]["colorfulness_ppm"] == 0
+    # c: n=2, sum_rg=20, sum_yb=20 -> mean_rg = 1e7, mean_yb = 5e6
+    assert got["c"] == {
+        "image_id": "c", "ok": True, "mean_rg_ppm": 10_000_000,
+        "mean_yb_ppm": 5_000_000, "colorfulness_ppm": 15_000_000,
+        "grayscale": False,
+    }
+    assert got["bad"]["ok"] is False and got["bad"]["grayscale"] is None

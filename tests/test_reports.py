@@ -214,3 +214,69 @@ def test_mixed_content_families_and_upgrade(spark):
     r3 = rows["http://b/p3"]
     # http page: counted but never "mixed"
     assert (r3.active_http, r3.mixed, r3.upgradable) == (1, False, 0)
+
+
+# ------------------------------------------------------------------ reports/seo
+def test_title_audit_precedence_and_collapse(spark):
+    from linkkchecker_net_spark.reports.seo import title_audit
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "h", "<title>\n  Same   Name </title>"),
+            ("u2", "h", "<title>Same Name</title>"),
+            # same title, DIFFERENT host: not a duplicate
+            ("u3", "g", "<title>Same Name</title>"),
+            ("u4", "h", "<body>no title</body>"),
+            ("u5", "h", "<title>   </title>"),  # whitespace-only = missing
+            ("u6", "h", "<title>First</title><title>Second</title>"),
+        ],
+        "url string, host string, body string",
+    )
+    got = {r["url"]: (r["title"], r["verdict"]) for r in title_audit(pages).collect()}
+    assert got["u1"] == ("Same Name", "duplicate")
+    assert got["u2"] == ("Same Name", "duplicate")
+    assert got["u3"] == ("Same Name", "too_short")  # 9 chars, unique on g
+    assert got["u4"] == (None, "missing")
+    assert got["u5"] == (None, "missing")
+    assert got["u6"] == ("First", "too_short")  # first match wins
+
+
+def test_heading_audit_outline(spark):
+    from linkkchecker_net_spark.reports.seo import heading_audit
+
+    pages = spark.createDataFrame(
+        [
+            ("a", "<h1>x</h1><h2>y</h2><h3>z</h3>"),
+            ("b", "<h1>x</h1><h5>y</h5>"),
+            ("c", "<h3>x</h3><h1>y</h1>"),  # upward move is not a skip
+            ("d", "<p>no headings</p>"),
+        ],
+        "url string, body string",
+    )
+    got = {
+        r["url"]: (r["n_headings"], r["n_h1"], r["first_level"],
+                   r["max_jump"], r["verdict"])
+        for r in heading_audit(pages).collect()
+    }
+    assert got == {
+        "a": (3, 1, 1, 1, "ok"),
+        "b": (2, 1, 1, 4, "skip"),
+        "c": (2, 1, 3, 0, "ok"),
+        "d": (0, 0, None, 0, "no_headings"),
+    }
+
+
+def test_alt_audit_decorative_and_decoy(spark):
+    from linkkchecker_net_spark.reports.seo import alt_audit
+
+    pages = spark.createDataFrame(
+        [
+            ("a", '<img src="1" alt="cat"><img src="2" alt=""><img src="3">'),
+            ("b", '<image alt="decoy"><p>none</p>'),
+        ],
+        "url string, body string",
+    )
+    got = {r["url"]: tuple(r)[1:] for r in alt_audit(pages).collect()}
+    # a: 3 imgs, 1 real alt, 1 decorative -> covered 2/3
+    assert got["a"] == (3, 1, 1, 666_666, "partial")
+    assert got["b"] == (0, 0, 0, None, "no_images")
