@@ -3908,6 +3908,70 @@ def q_colorfulness(spark, sf_dir):
     return colorfulness(synth_rgbstripe_corpus(spark, ids))
 
 
+def q_base_href(spark, sf_dir):
+    """<base href> resolution audit (kernels/basehref.base_href_links):
+    pages at /d{i%3}/p{i} declare a root-relative <base href="/b/"> on
+    i%3==0, an absolute cross-host CDN base on i%3==1, none on i%3==2;
+    an href-less <base target=> always precedes (ignored) and a second
+    <base href="/decoy/"> follows the real one on i%4==1 ∧ i%3≠2 (first
+    base WITH href wins).  Anchors: path-relative, root-relative,
+    absolute, scheme-relative (i%5==0) and an href-less <a name=>
+    (skipped).  Spark harvests + resolves from the real HTML; the
+    oracle derives each arm's resolution arithmetically — divergence
+    (resolved ≠ page-naive) is exactly the frontier a base-unaware
+    crawler like the reference (UriExtensions.cs:12-24) corrupts."""
+    from linkkchecker_net_spark.kernels.basehref import base_href_links
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    url = F.concat(
+        F.lit("http://h"), (i % 7).cast("string"), F.lit(".test/d"),
+        (i % 3).cast("string"), F.lit("/p"), s,
+    )
+    base = (
+        F.when(i % 3 == 0, F.lit('<base href="/b/">'))
+        .when(
+            i % 3 == 1,
+            F.concat(F.lit('<base href="http://cdn'), (i % 4).cast("string"),
+                     F.lit('.test/assets/">')),
+        )
+        .otherwise(F.lit(""))
+    )
+    body = F.concat(
+        F.lit('<base target="_top">'),
+        base,
+        F.when((i % 4 == 1) & (i % 3 != 2), F.lit('<base href="/decoy/">'))
+        .otherwise(F.lit("")),
+        F.lit('<a name="n">skip</a>'),
+        F.lit('<a href="img'), s, F.lit('.png">1</a>'),
+        F.lit('<a href="/r'), s, F.lit('">2</a>'),
+        F.lit('<a href="http://ext.test/x'), s, F.lit('">3</a>'),
+        F.when(
+            i % 5 == 0,
+            F.concat(F.lit('<a href="//s'), (i % 3).cast("string"),
+                     F.lit(".test/y"), s, F.lit('">4</a>')),
+        ).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(url.alias("url"), body.alias("body"))
+    return base_href_links(pages)
+
+
+def q_contrast(spark, sf_dir):
+    """Integer-luma contrast gate (pipeline/multimodal.contrast_stats)
+    over the stripe corpus: Spark decodes real pixels; the oracle prices
+    each stripe row's 2R+5G+B luma arithmetically (lossy rows through
+    the same bucket-center recon) — all-integer, no float margins."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        contrast_stats,
+        synth_rgbstripe_corpus,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return contrast_stats(synth_rgbstripe_corpus(spark, ids))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4049,6 +4113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_audit": q_heading_audit,
         "alt_audit": q_alt_audit,
         "colorfulness": q_colorfulness,
+        "base_href": q_base_href,
+        "contrast": q_contrast,
     }
 
 
@@ -7999,6 +8065,89 @@ FROM bt JOIN bh ON bt.url = bh.url
                    1000000 * srg // n + 1000000 * syb // (2 * n)
                      AS colorfulness_ppm,
                    (srg = 0 AND syb = 0) AS grayscale
+            FROM s
+            UNION ALL
+            SELECT 'img_' || lpad(i::VARCHAR, 6, '0'), false,
+                   NULL, NULL, NULL, NULL
+            FROM ids WHERE i % 9 = 4
+        """,
+        # arithmetic arm derivation; only the RESOLUTION grammar is the
+        # shared contract (Spark additionally proves the HTML harvest)
+        "base_href": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            pg AS (
+              SELECT i,
+                     'http://h' || (i % 7) || '.test/d' || (i % 3)
+                       || '/p' || i AS url,
+                     'http://h' || (i % 7) || '.test' AS p_origin,
+                     'http://h' || (i % 7) || '.test/d' || (i % 3)
+                       || '/' AS p_dir,
+                     CASE WHEN i % 3 = 0 THEN '/b/'
+                          WHEN i % 3 = 1 THEN 'http://cdn' || (i % 4)
+                            || '.test/assets/' END AS base_href
+              FROM d0),
+            eb AS (
+              SELECT *,
+                     CASE WHEN i % 3 = 0 THEN p_origin || '/b/'
+                          WHEN i % 3 = 1 THEN base_href
+                          ELSE url END AS effective_base,
+                     CASE WHEN i % 3 = 0 THEN p_origin
+                          WHEN i % 3 = 1 THEN 'http://cdn' || (i % 4)
+                            || '.test'
+                          ELSE p_origin END AS b_origin,
+                     CASE WHEN i % 3 = 0 THEN p_origin || '/b/'
+                          WHEN i % 3 = 1 THEN base_href
+                          ELSE p_dir END AS b_dir
+              FROM pg)
+            SELECT url, base_href, effective_base,
+                   'img' || i || '.png' AS href,
+                   b_dir || 'img' || i || '.png' AS resolved,
+                   p_dir || 'img' || i || '.png' AS naive_resolved,
+                   (i % 3 <> 2) AS diverges
+            FROM eb
+            UNION ALL
+            SELECT url, base_href, effective_base, '/r' || i,
+                   b_origin || '/r' || i, p_origin || '/r' || i,
+                   (i % 3 = 1)
+            FROM eb
+            UNION ALL
+            SELECT url, base_href, effective_base,
+                   'http://ext.test/x' || i,
+                   'http://ext.test/x' || i, 'http://ext.test/x' || i,
+                   false
+            FROM eb
+            UNION ALL
+            SELECT url, base_href, effective_base,
+                   '//s' || (i % 3) || '.test/y' || i,
+                   'http://s' || (i % 3) || '.test/y' || i,
+                   'http://s' || (i % 3) || '.test/y' || i,
+                   false
+            FROM eb WHERE i % 5 = 0
+        """,
+        # stripe-corpus arithmetic: per-row integer luma 2R+5G+B through
+        # the same lossy recon; min/max over rows — all-integer, exact
+        "contrast": """
+            WITH ids AS (SELECT doc_id::BIGINT AS i FROM documents),
+            dim AS (
+              SELECT i, 6 + (i % 7) * 2 AS h, (i % 3 = 1) AS lossy
+              FROM ids WHERE i % 9 <> 4),
+            lum AS (
+              SELECT i,
+                     2 * (CASE WHEN lossy
+                          THEN ((i * 37 + g.r * 5) % 251) // 4 * 4 + 2
+                          ELSE (i * 37 + g.r * 5) % 251 END)
+                     + 5 * (CASE WHEN lossy
+                          THEN ((i * 53 + g.r * 7) % 251) // 4 * 4 + 2
+                          ELSE (i * 53 + g.r * 7) % 251 END)
+                     + (CASE WHEN lossy
+                          THEN ((i * 71 + g.r * 11) % 251) // 4 * 4 + 2
+                          ELSE (i * 71 + g.r * 11) % 251 END) AS v
+              FROM dim, unnest(generate_series(0, h - 1)) AS g(r)),
+            s AS (SELECT i, min(v)::INT AS lo, max(v)::INT AS hi
+                  FROM lum GROUP BY i)
+            SELECT 'img_' || lpad(i::VARCHAR, 6, '0') AS image_id,
+                   true AS ok, lo AS lum_min, hi AS lum_max,
+                   hi - lo AS contrast, (hi - lo < 80) AS low_contrast
             FROM s
             UNION ALL
             SELECT 'img_' || lpad(i::VARCHAR, 6, '0'), false,

@@ -1586,3 +1586,61 @@ def colorfulness(corpus: DataFrame) -> DataFrame:
     return corpus.select("image_id", "bytes", "fmt").mapInPandas(
         dec, COLORFULNESS_SCHEMA
     )
+
+
+CONTRAST_SCHEMA = (
+    "image_id string, ok boolean, lum_min int, lum_max int, contrast int, "
+    "low_contrast boolean"
+)
+
+# low-contrast gate on the 0..2040 integer-luma scale (≈10/255 — the
+# LAION-style "flat image" screen)
+LOW_CONTRAST_LT = 80
+
+
+def contrast_stats(corpus: DataFrame) -> DataFrame:
+    """Integer-exact luminance contrast gate: per decoded pixel the
+    8×-scaled integer luma 2R + 5G + B (the Rec.601-ish weights kept
+    integral — no float rounding for the oracle to chase), per image its
+    min/max and range, and the LAION-style ``low_contrast`` flag
+    (contrast < 80 on the 0..2040 scale ≈ 10 8-bit levels): flat,
+    single-color and near-empty images are routed out of (or sampled
+    down in) image-training mixes.  Undecodable rows keep one ok=false
+    row.
+
+    Scale: one mapInPandas Arrow pass — map-only, zero shuffles, bytes
+    dead at the stage boundary, three ints per image survive; same flat
+    plan as image_meta/colorfulness at any corpus size.
+    """
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "ok": [], "lum_min": [], "lum_max": [],
+                   "contrast": [], "low_contrast": []}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    out["image_id"].append(iid)
+                    out["ok"].append(False)
+                    for k in ("lum_min", "lum_max", "contrast",
+                              "low_contrast"):
+                        out[k].append(None)
+                    continue
+                px = arr.astype(np.int64)
+                lum = 2 * px[:, :, 0] + 5 * px[:, :, 1] + px[:, :, 2]
+                lo, hi = int(lum.min()), int(lum.max())
+                out["image_id"].append(iid)
+                out["ok"].append(True)
+                out["lum_min"].append(lo)
+                out["lum_max"].append(hi)
+                out["contrast"].append(hi - lo)
+                out["low_contrast"].append(hi - lo < LOW_CONTRAST_LT)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        dec, CONTRAST_SCHEMA
+    )

@@ -91,6 +91,7 @@ NON_CRAWL = [
     "csp_parse", "referrer_policy", "blank_target", "sitemap_index",
     "domain_mix", "semantic_decontaminate", "content_language",
     "title_audit", "heading_audit", "alt_audit", "colorfulness",
+    "base_href", "contrast",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

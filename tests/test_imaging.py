@@ -182,3 +182,31 @@ def test_colorfulness_grayscale_and_hand_values(spark):
         "grayscale": False,
     }
     assert got["bad"]["ok"] is False and got["bad"]["grayscale"] is None
+
+
+def test_contrast_stats_flat_image_is_low_contrast(spark):
+    """flat image -> contrast 0 / low_contrast (the stripe fixture never
+    produces one); hand-checked luma; truncated bytes -> ok=false."""
+    import numpy as np
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.multimodal import contrast_stats
+
+    flat = np.full((2, 2, 3), 100, dtype=np.uint8)  # luma = 800 everywhere
+    hi = np.zeros((1, 2, 3), dtype=np.uint8)
+    hi[0, 1] = 255  # luma 0 and 2040
+    rows = [
+        ("f", imaging.encode_image(flat, "png"), "png"),
+        ("h", imaging.encode_image(hi, "gif"), "gif"),
+        ("bad", b"\x00", "png"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    got = {r["image_id"]: r.asDict() for r in contrast_stats(corpus).collect()}
+    assert got["f"] == {
+        "image_id": "f", "ok": True, "lum_min": 800, "lum_max": 800,
+        "contrast": 0, "low_contrast": True,
+    }
+    assert got["h"]["contrast"] == 2040 and got["h"]["low_contrast"] is False
+    assert got["bad"]["ok"] is False

@@ -822,3 +822,43 @@ def test_sitemap_index_plan_staleness(spark):
         "http://h/s3.xml": (3, True, True),
         "http://h/s4.xml": (4, True, False),
     }
+
+
+def test_base_href_resolution_grammar(spark):
+    """first-base-with-href wins; href-less base ignored; all four href
+    shapes; divergence only where base changes the target."""
+    from linkkchecker_net_spark.kernels.basehref import base_href_links
+
+    body = (
+        '<base target="_top">'
+        '<base href="http://cdn.test/a/"><base href="/decoy/">'
+        '<a name="skip">s</a>'
+        '<a href="x.png">1</a><a href="/r">2</a>'
+        '<a href="http://e.test/z">3</a><a href="//s.test/y">4</a>'
+    )
+    pages = spark.createDataFrame(
+        [("http://h.test/d/p1", body),
+         ("http://h.test/d/p2", '<a href="x.png">1</a>')],  # no base
+        "url string, body string",
+    )
+    got = {
+        (r["url"], r["href"]): (r["effective_base"], r["resolved"],
+                                r["naive_resolved"], r["diverges"])
+        for r in base_href_links(pages).collect()
+    }
+    assert got[("http://h.test/d/p1", "x.png")] == (
+        "http://cdn.test/a/", "http://cdn.test/a/x.png",
+        "http://h.test/d/x.png", True,
+    )
+    assert got[("http://h.test/d/p1", "/r")] == (
+        "http://cdn.test/a/", "http://cdn.test/r", "http://h.test/r", True,
+    )
+    assert got[("http://h.test/d/p1", "http://e.test/z")][3] is False
+    assert got[("http://h.test/d/p1", "//s.test/y")] == (
+        "http://cdn.test/a/", "http://s.test/y", "http://s.test/y", False,
+    )
+    # no base: effective base = the page itself, nothing diverges
+    assert got[("http://h.test/d/p2", "x.png")] == (
+        "http://h.test/d/p2", "http://h.test/d/x.png",
+        "http://h.test/d/x.png", False,
+    )
