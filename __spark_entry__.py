@@ -3972,6 +3972,147 @@ def q_contrast(spark, sf_dir):
     return contrast_stats(synth_rgbstripe_corpus(spark, ids))
 
 
+def q_picture_sources(spark, sf_dir):
+    """<picture> type negotiation (kernels/srcset.picture_sources).
+    Block 1 per page: an unsupported avif <source> on i%2==0 (skipped),
+    a webp <source> on i%3≠1 (with a 2-candidate srcset and leading
+    whitespace the split must trim), a TYPE-LESS media-query <source>
+    on i%4==2 (unconditionally acceptable), an <img> fallback except on
+    i%9==4 — so the ladder hits source-webp / source-typeless / img /
+    none.  Block 2 (img-only picture) on i%5==3.  Decoys outside any
+    <picture> (a bare <img>, a stray <source>) must not be harvested.
+    The oracle derives each arm's negotiation arithmetically."""
+    from linkkchecker_net_spark.kernels.srcset import picture_sources
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    avif = F.when(
+        i % 2 == 0,
+        F.concat(F.lit('<source type="image/avif" srcset="a'), s,
+                 F.lit('.avif 1x">')),
+    ).otherwise(F.lit(""))
+    webp = F.when(
+        i % 3 != 1,
+        F.concat(F.lit('<source type="image/webp" srcset=" w'), s,
+                 F.lit(".webp 1x, w"), s, F.lit('@2x.webp 2x">')),
+    ).otherwise(F.lit(""))
+    typeless = F.when(
+        i % 4 == 2,
+        F.concat(F.lit('<source media="(min-width:600px)" srcset="m'), s,
+                 F.lit('.png">')),
+    ).otherwise(F.lit(""))
+    img = F.when(
+        i % 9 != 4,
+        F.concat(F.lit('<img src="f'), s, F.lit('.png" alt="x">')),
+    ).otherwise(F.lit(""))
+    block2 = F.when(
+        i % 5 == 3,
+        F.concat(F.lit('<picture><img src="g'), s, F.lit('.png"></picture>')),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('<img src="d'), s, F.lit('.png"><source srcset="out.png">'),
+        F.lit("<picture>"), avif, webp, typeless, img, F.lit("</picture>"),
+        block2,
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://p"), (i % 5).cast("string"),
+                 F.lit(".test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return picture_sources(pages)
+
+
+def q_reciprocal_links(spark, sf_dir):
+    """Reciprocal-link lint (pipeline/graph.reciprocal_links) over a
+    10-host arithmetic graph: edge family A k→(3k+1)%10 for every host,
+    family B (the reverses) for even k only, explicit self-loops on
+    i%7==0 (must be dropped), duplicate declarations across doc_ids
+    (distinct-ed).  Both engines derive the same edge set and replay
+    the reversed-pair membership + per-host ppm."""
+    from linkkchecker_net_spark.pipeline.graph import reciprocal_links
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    a = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (i % 10).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((i * 3 + 1) % 10).cast("string")).alias("dst"),
+    )
+    b = (
+        _docs(spark, sf_dir)
+        .filter(i % 2 == 0)
+        .select(
+            F.concat(F.lit("h"), ((i * 3 + 1) % 10).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("h"), (i % 10).cast("string")).alias("dst"),
+        )
+    )
+    loops = (
+        _docs(spark, sf_dir)
+        .filter(i % 7 == 0)
+        .select(
+            F.concat(F.lit("h"), (i % 10).cast("string")).alias("src"),
+            F.concat(F.lit("h"), (i % 10).cast("string")).alias("dst"),
+        )
+    )
+    # family D: an {h1,h2,h3} exchange clique (both directions) so a
+    # genuine farm_suspect row exists
+    d1 = (
+        _docs(spark, sf_dir)
+        .filter(i % 11 == 0)
+        .select(
+            F.concat(F.lit("h"), (1 + i % 3).cast("string")).alias("src"),
+            F.concat(F.lit("h"), (1 + (i + 1) % 3).cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    d2 = (
+        _docs(spark, sf_dir)
+        .filter(i % 11 == 5)
+        .select(
+            F.concat(F.lit("h"), (1 + (i + 1) % 3).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("h"), (1 + i % 3).cast("string")).alias("dst"),
+        )
+    )
+    return reciprocal_links(a.unionAll(b).unionAll(loops).unionAll(d1).unionAll(d2))
+
+
+def q_warc_revisit(spark, sf_dir):
+    """WARC revisit planning (reports/warc.warc_revisit): 40 URLs each
+    captured ~|docs|/40 times; the body digest rotates v0/v1/v2 by
+    i%6, so each (url, digest) group stores one response and turns the
+    re-captures into revisit records pointing at it.  Both engines
+    build the same capture stream (md5 digests included) and replay the
+    same window."""
+    from linkkchecker_net_spark.reports.warc import warc_revisit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    u = i % 40
+    url = F.concat(
+        F.lit("http://h"), (u % 4).cast("string"), F.lit(".test/p"),
+        u.cast("string"),
+    )
+    v = (
+        F.when(i % 6 == 0, F.lit("v1"))
+        .when(i % 6 == 3, F.lit("v2"))
+        .otherwise(F.lit("v0"))
+    )
+    captures = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        (F.lit(1_700_000_000) + i * 37).alias("ts"),
+        F.substring(F.md5(F.concat(url, F.lit("#"), v)), 1, 8).alias(
+            "digest8"
+        ),
+        (100 + (i % 900)).alias("body_len"),
+    )
+    return warc_revisit(captures)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4115,6 +4256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colorfulness": q_colorfulness,
         "base_href": q_base_href,
         "contrast": q_contrast,
+        "picture_sources": q_picture_sources,
+        "reciprocal_links": q_reciprocal_links,
+        "warc_revisit": q_warc_revisit,
     }
 
 
@@ -8070,6 +8214,91 @@ FROM bt JOIN bh ON bt.url = bh.url
             SELECT 'img_' || lpad(i::VARCHAR, 6, '0'), false,
                    NULL, NULL, NULL, NULL
             FROM ids WHERE i % 9 = 4
+        """,
+        # arithmetic arm derivation of the <picture> negotiation ladder
+        "picture_sources": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            pg AS (
+              SELECT i, 'http://p' || (i % 5) || '.test/p' || i AS url
+              FROM d0)
+            SELECT url, 0 AS pic_idx,
+                   CAST((CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN i % 3 <> 1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN i % 4 = 2 THEN 1 ELSE 0 END)
+                     AS INTEGER) AS n_sources,
+                   CASE WHEN i % 3 <> 1 THEN 'w' || i || '.webp'
+                        WHEN i % 4 = 2 THEN 'm' || i || '.png'
+                        WHEN i % 9 <> 4 THEN 'f' || i || '.png' END
+                     AS chosen_url,
+                   CASE WHEN i % 3 <> 1 THEN 'image/webp'
+                        WHEN i % 4 = 2 THEN '' END AS chosen_type,
+                   CASE WHEN i % 3 <> 1 OR i % 4 = 2 THEN 'source'
+                        WHEN i % 9 <> 4 THEN 'img'
+                        ELSE 'none' END AS chosen_from
+            FROM pg
+            UNION ALL
+            SELECT url, 1, 0, 'g' || i || '.png', NULL, 'img'
+            FROM pg WHERE i % 5 = 3
+        """,
+        # same arithmetic edge families, reversed-pair membership, ppm
+        "reciprocal_links": """
+            WITH e0 AS (
+              SELECT DISTINCT 'h' || (doc_id % 10) AS src,
+                     'h' || ((doc_id * 3 + 1) % 10) AS dst
+              FROM documents
+              UNION
+              SELECT DISTINCT 'h' || ((doc_id * 3 + 1) % 10),
+                     'h' || (doc_id % 10)
+              FROM documents WHERE doc_id % 2 = 0
+              UNION
+              SELECT DISTINCT 'h' || (1 + doc_id % 3),
+                     'h' || (1 + (doc_id + 1) % 3)
+              FROM documents WHERE doc_id % 11 = 0
+              UNION
+              SELECT DISTINCT 'h' || (1 + (doc_id + 1) % 3),
+                     'h' || (1 + doc_id % 3)
+              FROM documents WHERE doc_id % 11 = 5),
+            e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+            rec AS (
+              SELECT a.src, a.dst FROM e a
+              JOIN e b ON b.src = a.dst AND b.dst = a.src),
+            o AS (SELECT src, COUNT(*) AS n_out FROM e GROUP BY 1),
+            r AS (SELECT src, COUNT(*) AS n_rec FROM rec GROUP BY 1)
+            SELECT o.src AS host, o.n_out,
+                   coalesce(r.n_rec, 0) AS n_reciprocal,
+                   CAST(floor(coalesce(r.n_rec, 0) * 1000000.0 / o.n_out)
+                     AS BIGINT) AS reciprocal_ppm,
+                   (floor(coalesce(r.n_rec, 0) * 1000000.0 / o.n_out)
+                      >= 500000 AND o.n_out >= 3) AS farm_suspect
+            FROM o LEFT JOIN r ON r.src = o.src
+        """,
+        # same capture stream (md5 digests) and (url,digest) window
+        "warc_revisit": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            cap AS (
+              SELECT 'http://h' || ((i % 40) % 4) || '.test/p' || (i % 40)
+                       AS url,
+                     1700000000 + i * 37 AS ts,
+                     substr(md5('http://h' || ((i % 40) % 4) || '.test/p'
+                       || (i % 40) || '#'
+                       || CASE WHEN i % 6 = 0 THEN 'v1'
+                               WHEN i % 6 = 3 THEN 'v2'
+                               ELSE 'v0' END), 1, 8) AS digest8,
+                     100 + (i % 900) AS body_len
+              FROM d0),
+            w AS (
+              SELECT url, ts, digest8, body_len,
+                     ROW_NUMBER() OVER (PARTITION BY url, digest8
+                                        ORDER BY ts) AS rn,
+                     MIN(ts) OVER (PARTITION BY url, digest8) AS fts
+              FROM cap)
+            SELECT url, ts, digest8,
+                   CASE WHEN rn = 1 THEN 'response'
+                        ELSE 'revisit' END AS record_type,
+                   CASE WHEN rn > 1 THEN fts END AS refers_to_ts,
+                   CASE WHEN rn > 1 THEN body_len ELSE 0 END::BIGINT
+                     AS saved_bytes
+            FROM w
         """,
         # arithmetic arm derivation; only the RESOLUTION grammar is the
         # shared contract (Spark additionally proves the HTML harvest)

@@ -129,3 +129,79 @@ def srcset_candidates(
     return allc.withColumn(
         "chosen", F.row_number().over(w) == 1
     )
+
+
+# ---------------------------------------------------------------------------
+# <picture> element: type-negotiated source selection.  <picture> wraps
+# ordered <source type= srcset=> alternatives around an <img> fallback
+# (HTML spec 4.8.1-4.8.2): the user agent takes the FIRST source whose
+# type it supports (a type-less source is unconditionally acceptable —
+# media queries are a client-display concern a crawler ignores) and
+# falls back to the <img> src when no source qualifies.  A crawler that
+# only reads <img src> fetches the fallback JPEG while browsers fetch
+# the WebP/AVIF variant — this operator surfaces exactly which URL a
+# negotiating client would take.
+# ---------------------------------------------------------------------------
+
+_PICTURE_PAT = r"(?is)<picture\b.*?</picture>"
+_SOURCE_TAG_PAT = r"(?i)<source\b[^>]*>"
+_TYPE_PAT = r'(?i)\btype="([^"]*)"'
+
+# formats the crawling client advertises (avif deliberately absent so
+# the fallback ladder is exercised)
+SUPPORTED_PICTURE_TYPES = ("image/webp", "image/jpeg", "image/png")
+
+
+def picture_sources(pages: DataFrame) -> DataFrame:
+    """pages: (url, body) → one row per <picture>: (url, pic_idx,
+    n_sources, chosen_url, chosen_type, chosen_from).
+
+    ``chosen_url`` = the first URL of the winning <source>'s srcset
+    candidate list (the 1x/first candidate — full candidate ranking is
+    :func:`srcset_candidates`' job), or the <img> fallback src, or NULL
+    with chosen_from='none' when neither exists.  A <source> qualifies
+    when its type is empty/absent or ∈ SUPPORTED_PICTURE_TYPES and it
+    carries a non-empty srcset.
+
+    Map-only codegen: picture-block harvest → posexplode → per-block
+    array filters; nothing shuffles.
+    """
+    pics = F.regexp_extract_all("body", F.lit(_PICTURE_PAT), 0)
+    rows = pages.select(
+        "url", F.posexplode(pics).alias("pic_idx", "block")
+    )
+    srcs = F.regexp_extract_all("block", F.lit(_SOURCE_TAG_PAT), 0)
+    ok_srcs = F.filter(
+        srcs,
+        lambda t: F.lower(F.regexp_extract(t, _TYPE_PAT, 1)).isin(
+            "", *SUPPORTED_PICTURE_TYPES
+        )
+        & (F.regexp_extract(t, _SRCSET_PAT, 1) != ""),
+    )
+    chosen_tag = F.when(F.size(ok_srcs) > 0, F.element_at(ok_srcs, 1))
+    first_candidate = F.trim(
+        F.split(F.regexp_extract(chosen_tag, _SRCSET_PAT, 1), ",")[0]
+    )
+    source_url = F.split(first_candidate, r"\s+")[0]
+    img_src = F.nullif(
+        F.regexp_extract("block", r'(?i)<img\b[^>]*\bsrc="([^"]*)"', 1),
+        F.lit(""),
+    )
+    chosen_url = F.coalesce(source_url, img_src)
+    chosen_from = (
+        F.when(source_url.isNotNull(), "source")
+        .when(img_src.isNotNull(), "img")
+        .otherwise("none")
+    )
+    chosen_type = F.when(
+        source_url.isNotNull(),
+        F.lower(F.regexp_extract(chosen_tag, _TYPE_PAT, 1)),
+    )
+    return rows.select(
+        "url",
+        "pic_idx",
+        F.size(srcs).alias("n_sources"),
+        chosen_url.alias("chosen_url"),
+        chosen_type.alias("chosen_type"),
+        chosen_from.alias("chosen_from"),
+    )

@@ -634,3 +634,54 @@ def anchor_spam(
             & (F.col("n_anchors") >= F.lit(min_anchors))
         ).alias("spam"),
     )
+
+
+def reciprocal_links(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    farm_ppm: int = 500_000,
+    min_out: int = 3,
+) -> DataFrame:
+    """Reciprocal-link (link-exchange) lint over the host graph: for each
+    host, how many of its distinct outbound host edges are returned by
+    the target — the classic link-farm signal ("link to me and I'll
+    link to you") that complements anchor_spam's text-concentration
+    score.  Output per linking host: (host, n_out, n_reciprocal,
+    reciprocal_ppm, farm_suspect) with ppm = floor(1e6·rec/out) and
+    farm_suspect = ppm ≥ farm_ppm ∧ n_out ≥ min_out (tiny blogrolls are
+    not farms).
+
+    Plan: distinct directed host edges (self-loops dropped) → a
+    left_semi self-join on the REVERSED pair marks reciprocated edges →
+    two skinny per-host counts joined back.  Scale: the edge set is
+    host×host (orders of magnitude below page edges); both joins key on
+    (src,dst) pairs — a hub host with 10^6 out-edges is a big GROUP not
+    a hot JOIN key, and the groupBy partial-aggregates map-side.  AQE
+    handles residual pair skew.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e.join(rev, ["src", "dst"], "left_semi")
+    out_n = e.groupBy("src").agg(F.count("*").alias("n_out"))
+    rec_n = rec.groupBy("src").agg(F.count("*").alias("n_reciprocal"))
+    j = out_n.join(rec_n, "src", "left").select(
+        F.col("src").alias("host"),
+        "n_out",
+        F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
+    )
+    ppm = (F.col("n_reciprocal") * 1_000_000 / F.col("n_out")).cast("long")
+    return j.select(
+        "host",
+        "n_out",
+        "n_reciprocal",
+        ppm.alias("reciprocal_ppm"),
+        (
+            (ppm >= F.lit(int(farm_ppm)))
+            & (F.col("n_out") >= F.lit(int(min_out)))
+        ).alias("farm_suspect"),
+    )

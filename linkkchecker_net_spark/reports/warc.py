@@ -153,3 +153,37 @@ def cdx_index(results: DataFrame, url_col: str = "url", ts_col: str = "ts") -> D
         .withColumn("seq", F.row_number().over(wseq).cast("int"))
         .withColumn("n_captures", F.count("*").over(wk).cast("long"))
     )
+
+
+def warc_revisit(captures: DataFrame) -> DataFrame:
+    """WARC 1.1 §6.7.2 identical-payload-digest revisit planning: within
+    each (url, digest) group ordered by capture time, the FIRST capture
+    is stored as a full ``response`` record and every later identical
+    capture becomes a ``revisit`` record pointing at it — the archival
+    dedup that keeps a recrawl-heavy collection from storing the same
+    body every visit.
+
+    captures: (url, ts, digest8, body_len) → (url, ts, digest8,
+    record_type, refers_to_ts, saved_bytes) where refers_to_ts = the
+    referenced response's ts (NULL for responses) and saved_bytes =
+    body_len for revisits (the bytes NOT written), 0 for responses.
+
+    Scale: ONE window partitioned by (url, digest8) — the same key a
+    capture index already clusters by, so under a surt/url-bucketed
+    layout the sort is partition-local; no other shuffle.  A hot URL
+    recrawled 10^6 times is one group per distinct body, and the
+    min/row_number pair both compute in a single pass.
+    """
+    w = Window.partitionBy("url", "digest8").orderBy("ts")
+    rn = F.row_number().over(w)
+    first_ts = F.min("ts").over(Window.partitionBy("url", "digest8"))
+    return captures.select(
+        "url",
+        F.col("ts").cast("long").alias("ts"),
+        "digest8",
+        F.when(rn == 1, "response").otherwise("revisit").alias("record_type"),
+        F.when(rn > 1, first_ts).cast("long").alias("refers_to_ts"),
+        F.when(rn > 1, F.col("body_len")).otherwise(F.lit(0))
+        .cast("long")
+        .alias("saved_bytes"),
+    )

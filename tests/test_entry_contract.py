@@ -92,6 +92,7 @@ NON_CRAWL = [
     "domain_mix", "semantic_decontaminate", "content_language",
     "title_audit", "heading_audit", "alt_audit", "colorfulness",
     "base_href", "contrast",
+    "picture_sources", "reciprocal_links", "warc_revisit",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

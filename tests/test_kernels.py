@@ -862,3 +862,63 @@ def test_base_href_resolution_grammar(spark):
         "http://h.test/d/p2", "http://h.test/d/x.png",
         "http://h.test/d/x.png", False,
     )
+
+
+def test_picture_sources_negotiation(spark):
+    from linkkchecker_net_spark.kernels.srcset import picture_sources
+
+    body = (
+        '<img src="outside.png">'
+        "<picture>"
+        '<source type="image/avif" srcset="a.avif">'      # unsupported
+        '<source type="image/webp">'                       # no srcset: skip
+        '<source type="image/webp" srcset=" w.webp 1x, w2.webp 2x">'
+        '<img src="f.png"></picture>'
+        '<picture><source media="(min-width:1px)" srcset="m.png">'
+        "</picture>"
+        "<picture><p>nothing</p></picture>"
+    )
+    pages = spark.createDataFrame([("u", body)], "url string, body string")
+    got = {
+        r["pic_idx"]: (r["n_sources"], r["chosen_url"], r["chosen_type"],
+                       r["chosen_from"])
+        for r in picture_sources(pages).collect()
+    }
+    assert got == {
+        0: (3, "w.webp", "image/webp", "source"),   # leading space trimmed
+        1: (1, "m.png", "", "source"),              # typeless acceptable
+        2: (0, None, None, "none"),
+    }
+
+
+def test_reciprocal_links_hand_graph(spark):
+    from linkkchecker_net_spark.pipeline.graph import reciprocal_links
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "a"), ("a", "b")],
+        "src string, dst string",
+    )
+    got = {r["host"]: (r["n_out"], r["n_reciprocal"], r["reciprocal_ppm"])
+           for r in reciprocal_links(edges).collect()}
+    # a: out {b, c}; only a->b is returned. self-loop + dup dropped.
+    assert got == {"a": (2, 1, 500_000), "b": (1, 1, 1_000_000)}
+
+
+def test_warc_revisit_groups(spark):
+    from linkkchecker_net_spark.reports.warc import warc_revisit
+
+    caps = spark.createDataFrame(
+        [("u", 10, "d1", 100), ("u", 20, "d1", 100), ("u", 30, "d2", 50),
+         ("u", 40, "d1", 100), ("v", 15, "d1", 70)],
+        "url string, ts long, digest8 string, body_len long",
+    )
+    got = {(r["url"], r["ts"]): (r["record_type"], r["refers_to_ts"],
+                                 r["saved_bytes"])
+           for r in warc_revisit(caps).collect()}
+    assert got == {
+        ("u", 10): ("response", None, 0),
+        ("u", 20): ("revisit", 10, 100),
+        ("u", 30): ("response", None, 0),
+        ("u", 40): ("revisit", 10, 100),
+        ("v", 15): ("response", None, 0),  # same digest, other URL
+    }
