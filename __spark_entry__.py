@@ -4113,6 +4113,138 @@ def q_warc_revisit(spark, sf_dir):
     return warc_revisit(captures)
 
 
+def q_social_meta(spark, sf_dir):
+    """Open Graph / Twitter-card completeness (reports/seo.
+    social_meta_audit).  og:title absent on i%5==2, attribute order
+    flipped on i%3==1, name= spelling on i%7==4; og:image on i%2==0
+    with a SECOND decoy og:image on i%6==0 (first wins);
+    og:description on i%4≠3 but EMPTY content on i%8==5 (counts
+    absent); twitter:card on i%3==0.  Decoys: a charset meta and an
+    og:title:foo property (the closing-quote anchor must reject it).
+    The oracle derives each field arithmetically."""
+    from linkkchecker_net_spark.reports.seo import social_meta_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    title = F.when(
+        i % 5 != 2,
+        F.when(
+            i % 3 == 1,
+            F.concat(F.lit('<meta content="Title '), s,
+                     F.lit('" property="og:title">')),
+        )
+        .when(
+            i % 7 == 4,
+            F.concat(F.lit('<meta name="og:title" content="Title '), s,
+                     F.lit('">')),
+        )
+        .otherwise(
+            F.concat(F.lit('<meta property="og:title" content="Title '), s,
+                     F.lit('">'))
+        ),
+    ).otherwise(F.lit(""))
+    image = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit('<meta property="og:image" content="http://img.test/'),
+            s, F.lit('.jpg">'),
+        ),
+    ).otherwise(F.lit(""))
+    decoy2 = F.when(
+        i % 6 == 0,
+        F.lit('<meta property="og:image" content="http://img.test/decoy.jpg">'),
+    ).otherwise(F.lit(""))
+    desc = F.when(
+        i % 4 != 3,
+        F.when(i % 8 == 5, F.lit('<meta property="og:description" content="">'))
+        .otherwise(
+            F.concat(F.lit('<meta property="og:description" content="Desc '),
+                     s, F.lit('">'))
+        ),
+    ).otherwise(F.lit(""))
+    tw = F.when(
+        i % 3 == 0, F.lit('<meta name="twitter:card" content="summary">')
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('<meta charset="utf-8">'
+              '<meta property="og:title:foo" content="no">'),
+        title, image, decoy2, desc, tw,
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://sm"), (i % 4).cast("string"),
+                 F.lit(".test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return social_meta_audit(pages)
+
+
+def q_hsts(spark, sf_dir):
+    """HSTS preload-eligibility audit (reports/security.hsts_audit).
+    No header on i%6==1; max-age 63072000/31536000 (boundary)/300/
+    MISSING by i%4 (missing = invalid header, has_hsts stays true);
+    includeSubDomains on i%3≠1 (mixed-case on i%9==2); preload on
+    i%2==0; directive order rotated on i%5==3; lowercase header name on
+    i%7==5.  The oracle derives the parsed fields arithmetically."""
+    from linkkchecker_net_spark.reports.security import hsts_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    ma = (
+        F.when(i % 4 == 0, F.lit("max-age=63072000"))
+        .when(i % 4 == 1, F.lit("max-age=31536000"))
+        .when(i % 4 == 2, F.lit("max-age=300"))
+        .otherwise(F.lit(""))
+    )
+    inc = F.when(
+        i % 3 != 1,
+        F.when(i % 9 == 2, F.lit("IncludeSubDomains")).otherwise(
+            F.lit("includeSubDomains")
+        ),
+    ).otherwise(F.lit(""))
+    pre = F.when(i % 2 == 0, F.lit("preload")).otherwise(F.lit(""))
+    val = F.when(
+        i % 5 == 3,
+        F.concat(pre, F.lit(" ; "), ma, F.lit(" ; "), inc),
+    ).otherwise(F.concat(ma, F.lit(" ; "), inc, F.lit(" ; "), pre))
+    hname = F.when(
+        i % 7 == 5, F.lit("strict-transport-security: ")
+    ).otherwise(F.lit("Strict-Transport-Security: "))
+    headers = F.concat(
+        F.when(i % 6 == 1, F.lit("X-Other: 1")).otherwise(
+            F.concat(hname, val)
+        ),
+        F.lit("\r\nContent-Type: text/html"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://hs"), (i % 5).cast("string"),
+                 F.lit(".test/p"), i.cast("string")).alias("url"),
+        headers.alias("headers"),
+    )
+    return hsts_audit(pages)
+
+
+def q_dataset_card(spark, sf_dir):
+    """Datasheet composition rollup (pipeline/curation.dataset_card):
+    per (source, lang) doc/char/token counts + integer-ppm corpus share
+    — both engines replay the same integer arithmetic over the raw
+    documents table."""
+    from linkkchecker_net_spark.pipeline.curation import dataset_card
+
+    _prep(spark)
+    return dataset_card(_docs(spark, sf_dir))
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact nearest-rank length percentiles per lang (pipeline/
+    curation.length_quantiles): p50/p90 n_chars at rank ceil(q·n) —
+    deterministic, no interpolation."""
+    from linkkchecker_net_spark.pipeline.curation import length_quantiles
+
+    _prep(spark)
+    return length_quantiles(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4259,6 +4391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "picture_sources": q_picture_sources,
         "reciprocal_links": q_reciprocal_links,
         "warc_revisit": q_warc_revisit,
+        "social_meta": q_social_meta,
+        "hsts": q_hsts,
+        "dataset_card": q_dataset_card,
+        "length_quantiles": q_length_quantiles,
     }
 
 
@@ -8299,6 +8435,77 @@ FROM bt JOIN bh ON bt.url = bh.url
                    CASE WHEN rn > 1 THEN body_len ELSE 0 END::BIGINT
                      AS saved_bytes
             FROM w
+        """,
+        # arithmetic field derivation of the og/twitter meta arms
+        "social_meta": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents)
+            SELECT 'http://sm' || (i % 4) || '.test/p' || i AS url,
+                   CASE WHEN i % 5 <> 2 THEN 'Title ' || i END AS og_title,
+                   CASE WHEN i % 2 = 0
+                        THEN 'http://img.test/' || i || '.jpg' END
+                     AS og_image,
+                   CASE WHEN i % 4 <> 3 AND i % 8 <> 5
+                        THEN 'Desc ' || i END AS og_description,
+                   CASE WHEN i % 3 = 0 THEN 'summary' END AS twitter_card,
+                   CASE WHEN (CASE WHEN i % 5 <> 2 THEN 1 ELSE 0 END)
+                           + (CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)
+                           + (CASE WHEN i % 4 <> 3 AND i % 8 <> 5
+                              THEN 1 ELSE 0 END) = 3 THEN 'full'
+                        WHEN (CASE WHEN i % 5 <> 2 THEN 1 ELSE 0 END)
+                           + (CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)
+                           + (CASE WHEN i % 4 <> 3 AND i % 8 <> 5
+                              THEN 1 ELSE 0 END) = 0 THEN 'none'
+                        ELSE 'partial' END AS verdict
+            FROM d0
+        """,
+        # arithmetic derivation of the parsed HSTS directive fields
+        "hsts": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i, (i % 6 <> 1) AS has_hsts,
+                     CASE WHEN i % 6 <> 1 AND i % 4 = 0 THEN 63072000
+                          WHEN i % 6 <> 1 AND i % 4 = 1 THEN 31536000
+                          WHEN i % 6 <> 1 AND i % 4 = 2 THEN 300
+                          END::BIGINT AS max_age,
+                     CASE WHEN i % 6 <> 1 THEN (i % 3 <> 1) END
+                       AS include_subdomains,
+                     CASE WHEN i % 6 <> 1 THEN (i % 2 = 0) END AS preload
+              FROM d0)
+            SELECT 'https://hs' || (i % 5) || '.test/p' || i AS url,
+                   has_hsts, max_age, include_subdomains, preload,
+                   coalesce(max_age >= 31536000 AND include_subdomains
+                            AND preload, false) AS preload_eligible
+            FROM f
+        """,
+        # same integer datasheet arithmetic over the raw table
+        "dataset_card": """
+            WITH per AS (
+              SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+                     SUM(n_chars)::BIGINT AS n_chars,
+                     SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+              FROM documents GROUP BY 1, 2),
+            tot AS (SELECT SUM(n_chars)::BIGINT AS t FROM per)
+            SELECT source, lang, n_docs, n_chars, n_tokens,
+                   CAST(floor(n_chars * 1000000.0 / t) AS BIGINT)
+                     AS share_ppm,
+                   CAST(floor(n_chars * 1.0 / n_docs) AS BIGINT)
+                     AS mean_chars
+            FROM per, tot
+        """,
+        # same nearest-rank quantile window
+        "length_quantiles": """
+            WITH r AS (
+              SELECT lang, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            SELECT lang, max(n) AS n_docs,
+                   max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT)
+                       THEN n_chars END) AS p50_chars,
+                   max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
+                       THEN n_chars END) AS p90_chars
+            FROM r GROUP BY 1
         """,
         # arithmetic arm derivation; only the RESOLUTION grammar is the
         # shared contract (Spark additionally proves the HTML harvest)

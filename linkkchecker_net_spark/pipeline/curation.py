@@ -625,3 +625,84 @@ def semantic_decontaminate(
             (F.col("_mc") >= F.lit(float(threshold))).alias("contaminated"),
         )
     )
+
+
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """Datasheet-for-datasets rollup (Gebru et al. 2021 §3.2's
+    composition table): per (source, lang) — n_docs, n_chars, n_tokens
+    (whitespace tokens, matching pipeline.text.token_count), integer-ppm
+    share of corpus characters, and mean doc length — the composition
+    block every training-data release publishes.
+
+    All integer arithmetic (floor-divided ppm / means) so the oracle
+    replays it exactly.  Scale: ONE partial-aggregated groupBy over the
+    corpus (map-side combine → |sources×langs| skinny rows) + a
+    broadcast 1-row totals dim; the corpus is scanned once, projecting
+    only (source, lang, n_chars, text-token count) — at 100 TB the
+    token count rides the same scan, no second pass.
+    """
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_chars").alias("tot_chars"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_chars",
+            "n_tokens",
+            (F.col("n_chars") * 1_000_000 / F.col("tot_chars"))
+            .cast("long")
+            .alias("share_ppm"),
+            (F.col("n_chars") / F.col("n_docs")).cast("long").alias(
+                "mean_chars"
+            ),
+        )
+    )
+
+
+def length_quantiles(
+    docs: DataFrame, group_col: str = "lang"
+) -> DataFrame:
+    """Exact per-group length percentiles: (group, n_docs, p50_chars,
+    p90_chars) with p_q = the n_chars value at rank ceil(q·n) of the
+    group's ascending length order — the EXACT nearest-rank quantile
+    (deterministic; no interpolation, so no float divergence).
+
+    The length-distribution block of the dataset card: sequence-packing
+    and truncation budgets are set from these tails, not from means.
+
+    Scale: one window rank per group + a conditional-aggregation
+    groupBy.  The rank window shuffles (group)-keyed rows once; a hot
+    group (one lang dominating 10^10 docs) is the usual two-phase /
+    salted-quantile upgrade — or swap in approx_percentile when exact
+    ranks stop being worth a sort (this operator IS the exact
+    correctness baseline).
+    """
+    w = Window.partitionBy(group_col).orderBy("n_chars", "doc_id")
+    n = Window.partitionBy(group_col)
+    ranked = docs.select(
+        group_col,
+        "n_chars",
+        "doc_id",
+        F.row_number().over(w).alias("_rk"),
+        F.count("*").over(n).alias("_n"),
+    )
+    r50 = F.ceil(F.col("_n") * 0.5).cast("long")
+    r90 = F.ceil(F.col("_n") * 0.9).cast("long")
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.max("_n").alias("n_docs"),
+            F.max(F.when(F.col("_rk") == r50, F.col("n_chars"))).alias(
+                "p50_chars"
+            ),
+            F.max(F.when(F.col("_rk") == r90, F.col("n_chars"))).alias(
+                "p90_chars"
+            ),
+        )
+    )

@@ -394,3 +394,53 @@ def blank_target_audit(pages: DataFrame) -> DataFrame:
         cross.alias("cross_origin"),
         (cross & ~noopener & ~noreferrer).alias("unprotected"),
     )
+
+
+_HSTS_PAT = r"(?im)^strict-transport-security:[ \t]*([^\r\n]*)"
+# RFC 6797 + hstspreload.org submission bar
+HSTS_PRELOAD_MIN_AGE = 31_536_000
+
+
+def hsts_audit(responses: DataFrame) -> DataFrame:
+    """responses: (url, headers) → (url, has_hsts, max_age,
+    include_subdomains, preload, preload_eligible).
+
+    Parses the Strict-Transport-Security header (RFC 6797 §6.1:
+    ';'-separated directives, names case-insensitive, order free):
+    ``max_age`` NULL when the mandatory max-age directive is missing or
+    non-numeric (such a header is invalid per spec — has_hsts stays
+    true, eligibility false).  ``preload_eligible`` replays the
+    hstspreload.org bar: max-age ≥ 31536000 ∧ includeSubDomains ∧
+    preload.  Map-only codegen."""
+    raw = F.nullif(F.regexp_extract("headers", _HSTS_PAT, 1), F.lit(""))
+    toks = F.transform(
+        F.split(raw, ";"), lambda t: F.lower(F.trim(t))
+    )
+    max_age = F.nullif(
+        F.regexp_extract(
+            F.array_join(
+                F.filter(toks, lambda t: t.startswith("max-age=")), " "
+            ),
+            r"^max-age=(\d+)",
+            1,
+        ),
+        F.lit(""),
+    ).cast("long")
+    inc = F.array_contains(toks, "includesubdomains")
+    pre = F.array_contains(toks, "preload")
+    rows = responses.select(
+        "url",
+        raw.isNotNull().alias("has_hsts"),
+        F.when(raw.isNotNull(), max_age).alias("max_age"),
+        F.when(raw.isNotNull(), inc).alias("include_subdomains"),
+        F.when(raw.isNotNull(), pre).alias("preload"),
+    )
+    return rows.select(
+        "url", "has_hsts", "max_age", "include_subdomains", "preload",
+        F.coalesce(
+            (F.col("max_age") >= HSTS_PRELOAD_MIN_AGE)
+            & F.col("include_subdomains")
+            & F.col("preload"),
+            F.lit(False),
+        ).alias("preload_eligible"),
+    )

@@ -178,3 +178,60 @@ def alt_audit(pages: DataFrame) -> DataFrame:
         ppm.alias("coverage_ppm"),
         verdict.alias("verdict"),
     )
+
+
+_META_TAG_PAT = r"(?i)<meta\b[^>]*>"
+_CONTENT_PAT = r'(?i)\bcontent="([^"]*)"'
+
+
+def _first_meta_content(metas, key: str):
+    # first <meta> whose property= OR name= equals key (case-insensitive;
+    # crawlers accept both spellings in the wild), its content attr;
+    # empty content counts as absent
+    hit = F.filter(
+        metas,
+        lambda t: t.rlike(
+            rf'(?i)\b(?:property|name)="{key}"'
+        ),
+    )
+    return F.nullif(
+        F.regexp_extract(
+            F.when(F.size(hit) > 0, F.element_at(hit, 1)), _CONTENT_PAT, 1
+        ),
+        F.lit(""),
+    )
+
+
+def social_meta_audit(pages: DataFrame) -> DataFrame:
+    """pages: (url, body) → Open Graph / Twitter-card completeness:
+    (url, og_title, og_image, og_description, twitter_card, verdict).
+
+    First matching <meta> per key wins (document order), matched on
+    property= or name= case-insensitively.  Verdict: 'full' when all
+    three og fields are present, 'none' when none is, else 'partial' —
+    the share lint every link checker ships, and for the image+caption
+    corpus the og:title×og:image pair is caption_pairs' harvest source.
+
+    Map-only codegen: one regexp_extract_all for the meta tags, array
+    filters per key; nothing shuffles.
+    """
+    metas = F.regexp_extract_all("body", F.lit(_META_TAG_PAT), 0)
+    rows = pages.select(
+        "url",
+        _first_meta_content(metas, "og:title").alias("og_title"),
+        _first_meta_content(metas, "og:image").alias("og_image"),
+        _first_meta_content(metas, "og:description").alias("og_description"),
+        _first_meta_content(metas, "twitter:card").alias("twitter_card"),
+    )
+    n = (
+        F.col("og_title").isNotNull().cast("int")
+        + F.col("og_image").isNotNull().cast("int")
+        + F.col("og_description").isNotNull().cast("int")
+    )
+    verdict = (
+        F.when(n == 3, "full").when(n == 0, "none").otherwise("partial")
+    )
+    return rows.select(
+        "url", "og_title", "og_image", "og_description", "twitter_card",
+        verdict.alias("verdict"),
+    )

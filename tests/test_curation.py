@@ -366,3 +366,30 @@ def test_content_language_precedence_and_normalization(spark):
         3: (None, "en", "en", "und", "undetected"),
         4: (None, None, None, "en", "undeclared"),
     }
+
+
+def test_dataset_card_shares_sum_and_means(spark):
+    from linkkchecker_net_spark.pipeline.curation import dataset_card
+
+    rows = [(0, "a b c", "en", "s1", 5), (1, "x y", "en", "s1", 3),
+            (2, "zz", "de", "s2", 2)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r["source"], r["lang"]): (r["n_docs"], r["n_chars"], r["n_tokens"],
+                                      r["share_ppm"], r["mean_chars"])
+           for r in dataset_card(docs).collect()}
+    assert got == {
+        ("s1", "en"): (2, 8, 5, 800_000, 4),
+        ("s2", "de"): (1, 2, 1, 200_000, 2),
+    }
+
+
+def test_length_quantiles_nearest_rank(spark):
+    from linkkchecker_net_spark.pipeline.curation import length_quantiles
+
+    rows = [(i, "en", c) for i, c in enumerate([10, 20, 30, 40, 50])]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    r = length_quantiles(docs).collect()[0]
+    # n=5: p50 at rank ceil(2.5)=3 -> 30; p90 at rank ceil(4.5)=5 -> 50
+    assert (r["n_docs"], r["p50_chars"], r["p90_chars"]) == (5, 30, 50)

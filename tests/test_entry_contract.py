@@ -93,6 +93,7 @@ NON_CRAWL = [
     "title_audit", "heading_audit", "alt_audit", "colorfulness",
     "base_href", "contrast",
     "picture_sources", "reciprocal_links", "warc_revisit",
+    "social_meta", "hsts", "dataset_card", "length_quantiles",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -280,3 +280,47 @@ def test_alt_audit_decorative_and_decoy(spark):
     # a: 3 imgs, 1 real alt, 1 decorative -> covered 2/3
     assert got["a"] == (3, 1, 1, 666_666, "partial")
     assert got["b"] == (0, 0, 0, None, "no_images")
+
+
+def test_social_meta_first_wins_and_empty_content(spark):
+    from linkkchecker_net_spark.reports.seo import social_meta_audit
+
+    pages = spark.createDataFrame(
+        [
+            ("a", '<meta property="og:title" content="T1">'
+                  '<meta property="og:title" content="T2">'
+                  '<meta content="I" property="og:image">'
+                  '<meta name="og:description" content="D">'),
+            ("b", '<meta property="og:title" content="">'
+                  '<meta property="og:title:foo" content="x">'),
+            ("c", '<meta name="twitter:card" content="summary_large_image">'),
+        ],
+        "url string, body string",
+    )
+    got = {r["url"]: (r["og_title"], r["og_image"], r["og_description"],
+                      r["twitter_card"], r["verdict"])
+           for r in social_meta_audit(pages).collect()}
+    assert got["a"] == ("T1", "I", "D", None, "full")
+    assert got["b"] == (None, None, None, None, "none")
+    assert got["c"] == (None, None, None, "summary_large_image", "none")
+
+
+def test_hsts_audit_grammar(spark):
+    from linkkchecker_net_spark.reports.security import hsts_audit
+
+    rows = [
+        ("a", "Strict-Transport-Security: max-age=31536000; includeSubDomains; preload"),
+        ("b", "strict-transport-security: preload ;  MAX-AGE=63072000 ; IncludeSubDomains"),
+        ("c", "Strict-Transport-Security: max-age=100; preload"),
+        ("d", "Strict-Transport-Security: includeSubDomains; preload"),  # no max-age
+        ("e", "X-Other: 1"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, headers string")
+    got = {r["url"]: (r["has_hsts"], r["max_age"], r["include_subdomains"],
+                      r["preload"], r["preload_eligible"])
+           for r in hsts_audit(pages).collect()}
+    assert got["a"] == (True, 31536000, True, True, True)
+    assert got["b"] == (True, 63072000, True, True, True)
+    assert got["c"] == (True, 100, False, True, False)
+    assert got["d"] == (True, None, True, True, False)
+    assert got["e"] == (False, None, None, None, False)
