@@ -383,3 +383,86 @@ def test_budget_alloc_scalar_dim_is_broadcast(spark):
     p = _plan(budget_alloc(hs, 1000, 5, 200))
     assert "Broadcast" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_map_only_audits_have_no_exchange(spark):
+    """heading/alt/social/hsts/base_href/picture/content-language are all
+    claimed map-only codegen in their docstrings — pin it: zero
+    Exchange operators, no Python evals in the plan."""
+    from linkkchecker_net_spark.kernels.basehref import base_href_links
+    from linkkchecker_net_spark.kernels.srcset import picture_sources
+    from linkkchecker_net_spark.pipeline.text import content_language_audit
+    from linkkchecker_net_spark.reports.security import hsts_audit
+    from linkkchecker_net_spark.reports.seo import (
+        alt_audit,
+        heading_audit,
+        social_meta_audit,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pages = docs.selectExpr(
+        "doc_id",
+        "concat('http://h.test/d/', doc_id) AS url",
+        "concat('<h1>t</h1><img alt=\"a\" src=\"x\">', text) AS body",
+        "'Content-Language: en' AS headers",
+        "text",
+    )
+    for op, df in [
+        ("heading", heading_audit(pages)),
+        ("alt", alt_audit(pages)),
+        ("social", social_meta_audit(pages)),
+        ("hsts", hsts_audit(pages)),
+        ("base_href", base_href_links(pages)),
+        ("picture", picture_sources(pages)),
+        ("content_language", content_language_audit(pages)),
+    ]:
+        p = _plan(df)
+        assert "Exchange" not in p, (op, p)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            op, p,
+        )
+
+
+def test_warc_revisit_single_exchange(spark):
+    """Both window functions share the (url, digest8) partitioning — the
+    plan must carry exactly ONE Exchange."""
+    from linkkchecker_net_spark.reports.warc import warc_revisit
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    caps = docs.selectExpr(
+        "concat('u', doc_id % 10) AS url",
+        "doc_id AS ts",
+        "substr(md5(concat('d', doc_id % 3)), 1, 8) AS digest8",
+        "100 AS body_len",
+    )
+    p = _plan(warc_revisit(caps))
+    assert p.count("Exchange") == 1, p
+
+
+def test_title_audit_count_partial_aggregates(spark):
+    """The duplicate-title count must partial-aggregate map-side and the
+    join back must be an equi hash/broadcast join, never a cartesian."""
+    from linkkchecker_net_spark.reports.seo import title_audit
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pages = docs.selectExpr(
+        "concat('http://h', doc_id % 3, '.test/p', doc_id) AS url",
+        "concat('h', doc_id % 3) AS host",
+        "concat('<title>T', doc_id % 7, '</title>') AS body",
+    )
+    p = _plan(title_audit(pages))
+    assert "partial_count" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_reciprocal_links_semi_join_no_cartesian(spark):
+    from linkkchecker_net_spark.pipeline.graph import reciprocal_links
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    edges = docs.selectExpr(
+        "concat('h', doc_id % 10) AS src",
+        "concat('h', (doc_id * 3 + 1) % 10) AS dst",
+    )
+    p = _plan(reciprocal_links(edges))
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
