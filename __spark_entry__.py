@@ -4245,6 +4245,56 @@ def q_length_quantiles(spark, sf_dir):
     return length_quantiles(_docs(spark, sf_dir))
 
 
+_ROBOTS_RULES = [
+    ("r0", "disallow", "/private/"),
+    ("r0", "allow", "/private/pub/"),
+    ("r0", "disallow", "/*.json$"),
+    ("r0", "disallow", "/tmp*"),
+    ("r0", "allow", "/dup/"),
+    ("r0", "disallow", "/dup/"),
+    ("r1", "disallow", "/"),
+    ("r1", "allow", "/public/"),
+    ("r3", "disallow", "/a/*/c$"),
+    ("r3", "disallow", ""),
+]
+
+
+def q_robots_match(spark, sf_dir):
+    """RFC 9309 wildcard rule matching (kernels/robotsparse.
+    robots_match): a fixed 4-host rule dimension exercising '*'
+    expansion, '$' anchoring (…/x.jsonx must NOT match /*.json$),
+    longest-match precedence (allow /private/pub/ beats disallow
+    /private/), the equal-length allow-wins tiebreak (/dup/), an empty
+    Disallow (dropped) and a rule-less host (everything allowed); URL
+    paths rotate through 8 arms by i%8 over hosts i%4.  Both engines
+    build the same regexes from the same patterns and replay the same
+    precedence."""
+    from linkkchecker_net_spark.kernels.robotsparse import robots_match
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    path = (
+        F.when(i % 8 == 0, F.concat(F.lit("/private/x"), s))
+        .when(i % 8 == 1, F.concat(F.lit("/private/pub/y"), s))
+        .when(i % 8 == 2, F.concat(F.lit("/data/"), s, F.lit(".json")))
+        .when(i % 8 == 3, F.concat(F.lit("/data/"), s, F.lit(".jsonx")))
+        .when(i % 8 == 4, F.concat(F.lit("/tmp"), s))
+        .when(i % 8 == 5, F.concat(F.lit("/public/"), s))
+        .when(i % 8 == 6, F.concat(F.lit("/a/"), (i % 3).cast("string"),
+                                   F.lit("/c")))
+        .otherwise(F.concat(F.lit("/dup/z"), s))
+    )
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (i % 4).cast("string")).alias("host"),
+        path.alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, rule_type string, path string"
+    )
+    return robots_match(urls, rules)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4395,6 +4445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hsts": q_hsts,
         "dataset_card": q_dataset_card,
         "length_quantiles": q_length_quantiles,
+        "robots_match": q_robots_match,
     }
 
 
@@ -8506,6 +8557,61 @@ FROM bt JOIN bh ON bt.url = bh.url
                    max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                        THEN n_chars END) AS p90_chars
             FROM r GROUP BY 1
+        """,
+        # same regex construction + longest-match/allow-wins precedence
+        "robots_match": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            urls AS (
+              SELECT 'r' || (i % 4) AS host,
+                     CASE i % 8
+                       WHEN 0 THEN '/private/x' || i
+                       WHEN 1 THEN '/private/pub/y' || i
+                       WHEN 2 THEN '/data/' || i || '.json'
+                       WHEN 3 THEN '/data/' || i || '.jsonx'
+                       WHEN 4 THEN '/tmp' || i
+                       WHEN 5 THEN '/public/' || i
+                       WHEN 6 THEN '/a/' || (i % 3) || '/c'
+                       ELSE '/dup/z' || i END AS path
+              FROM d0),
+            rules(host, rtype, rpath) AS (VALUES
+              ('r0', 'disallow', '/private/'),
+              ('r0', 'allow', '/private/pub/'),
+              ('r0', 'disallow', '/*.json$'),
+              ('r0', 'disallow', '/tmp*'),
+              ('r0', 'allow', '/dup/'),
+              ('r0', 'disallow', '/dup/'),
+              ('r1', 'disallow', '/'),
+              ('r1', 'allow', '/public/'),
+              ('r3', 'disallow', '/a/*/c$'),
+              ('r3', 'disallow', '')),
+            rx AS (
+              SELECT host, rtype, rpath,
+                     '^' || replace(regexp_replace(
+                         CASE WHEN rpath LIKE '%$'
+                              THEN substr(rpath, 1, length(rpath) - 1)
+                              ELSE rpath END,
+                         '([.^$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'),
+                       '*', '.*')
+                       || CASE WHEN rpath LIKE '%$' THEN '$' ELSE '' END
+                       AS rex
+              FROM rules WHERE rpath <> ''),
+            m AS (
+              SELECT u.host, u.path, r.rtype, r.rpath,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY u.host, u.path
+                       ORDER BY length(r.rpath) DESC,
+                                (r.rtype = 'allow') DESC,
+                                r.rpath DESC) AS rn
+              FROM (SELECT DISTINCT host, path FROM urls) u
+              JOIN rx r ON r.host = u.host
+              WHERE regexp_matches(u.path, r.rex)),
+            w AS (SELECT host, path, rtype, rpath FROM m WHERE rn = 1)
+            SELECT u.host, u.path,
+                   CASE WHEN w.rtype IS NULL THEN true
+                        ELSE w.rtype = 'allow' END AS allowed,
+                   w.rtype AS rule_type, w.rpath AS rule_path
+            FROM urls u
+            LEFT JOIN w ON w.host = u.host AND w.path = u.path
         """,
         # arithmetic arm derivation; only the RESOLUTION grammar is the
         # shared contract (Spark additionally proves the HTML harvest)

@@ -175,3 +175,80 @@ def extract_sitemaps(robots_txt: DataFrame) -> DataFrame:
     return lines.select("host", "ln", url.alias("sitemap_url")).filter(
         F.col("sitemap_url") != ""
     )
+
+
+def robots_match(
+    urls: DataFrame,
+    rules: DataFrame,
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Full RFC 9309 §2.2.2-2.2.3 rule matching: '*' matches any octet
+    sequence, a trailing '$' anchors at path end, the applied rule is
+    the LONGEST (most octets) matching pattern, and on an exact length
+    tie the Allow rule wins (the documented Google/REP tiebreak).  Empty
+    rule paths match nothing (an empty Disallow means "no restriction")
+    and an unmatched URL is allowed.
+
+    urls: (host, path); rules: (host, rule_type ∈ {allow, disallow},
+    path).  Output one row per input url row: (host, path, allowed,
+    rule_type, rule_path) with the winning rule (NULLs when nothing
+    matched).
+
+    This is the compliance superset of the engine's F10 gate
+    (engine/epoch.py robots join, plain path-prefix containment — the
+    overwhelmingly common rule shape, kept codegen-cheap in the inner
+    loop); swap this operator into the gate when a host population
+    actually uses wildcard rules.
+
+    Scale: the rules side is a per-host dimension (robots.txt is KBs) —
+    it broadcasts; the URL side joins + regex-filters map-side and the
+    winner pick is one partial-aggregated groupBy on (host, path).
+    Regex compilation per rule row is the cost knob: at 10^10 URLs
+    pre-compile per distinct host×rule (the broadcast side), which is
+    exactly what the expression does — the regex column is built once
+    per rule row, not per URL.
+    """
+    ends = F.endswith(F.col("rpath"), F.lit("$"))
+    body = F.when(
+        ends, F.expr("substring(rpath, 1, length(rpath) - 1)")
+    ).otherwise(F.col("rpath"))
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    rex = F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(ends, F.lit("$")).otherwise(F.lit("")),
+    )
+    r = (
+        rules.filter(F.col("path") != "")
+        .select(
+            "host",
+            F.col("rule_type").alias("rtype"),
+            F.col("path").alias("rpath"),
+        )
+        .withColumn("rex", rex)
+    )
+    if broadcast_rules:
+        r = F.broadcast(r)
+    matched = urls.join(r, "host").filter(
+        F.regexp_like(F.col("path"), F.col("rex"))
+    )
+    win = matched.groupBy("host", "path").agg(
+        F.max(
+            F.struct(
+                F.length("rpath").alias("l"),
+                (F.col("rtype") == "allow").cast("int").alias("a"),
+                F.col("rtype").alias("t"),
+                F.col("rpath").alias("rp"),
+            )
+        ).alias("w")
+    )
+    out = urls.join(win, ["host", "path"], "left")
+    return out.select(
+        "host",
+        "path",
+        F.when(F.col("w").isNull(), F.lit(True))
+        .otherwise(F.col("w.a") == 1)
+        .alias("allowed"),
+        F.col("w.t").alias("rule_type"),
+        F.col("w.rp").alias("rule_path"),
+    )

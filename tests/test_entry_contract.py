@@ -94,6 +94,7 @@ NON_CRAWL = [
     "base_href", "contrast",
     "picture_sources", "reciprocal_links", "warc_revisit",
     "social_meta", "hsts", "dataset_card", "length_quantiles",
+    "robots_match",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

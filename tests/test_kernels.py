@@ -922,3 +922,40 @@ def test_warc_revisit_groups(spark):
         ("u", 40): ("revisit", 10, 100),
         ("v", 15): ("response", None, 0),  # same digest, other URL
     }
+
+
+def test_robots_match_rfc9309_precedence(spark):
+    """wildcards, $ anchor, longest-match, allow-wins tie, empty rule,
+    rule-less host, mid-pattern literal $ escaped."""
+    from linkkchecker_net_spark.kernels.robotsparse import robots_match
+
+    rules = spark.createDataFrame(
+        [
+            ("h", "disallow", "/p/"),
+            ("h", "allow", "/p/ok/"),
+            ("h", "disallow", "/*.pdf$"),
+            ("h", "allow", "/x/"),
+            ("h", "disallow", "/x/"),   # tie with allow: allow wins
+            ("h", "disallow", ""),      # empty: no restriction
+            ("h", "disallow", "/a$b"),  # mid-pattern $ is literal
+        ],
+        "host string, rule_type string, path string",
+    )
+    urls = spark.createDataFrame(
+        [("h", "/p/z"), ("h", "/p/ok/z"), ("h", "/d/f.pdf"),
+         ("h", "/d/f.pdfx"), ("h", "/x/q"), ("h", "/a$b/c"),
+         ("h", "/free"), ("g", "/p/z")],
+        "host string, path string",
+    )
+    got = {(r["host"], r["path"]): (r["allowed"], r["rule_path"])
+           for r in robots_match(urls, rules).collect()}
+    assert got == {
+        ("h", "/p/z"): (False, "/p/"),
+        ("h", "/p/ok/z"): (True, "/p/ok/"),       # longest match wins
+        ("h", "/d/f.pdf"): (False, "/*.pdf$"),
+        ("h", "/d/f.pdfx"): (True, None),          # $ anchor holds
+        ("h", "/x/q"): (True, "/x/"),              # equal length: allow
+        ("h", "/a$b/c"): (False, "/a$b"),          # literal mid $
+        ("h", "/free"): (True, None),
+        ("g", "/p/z"): (True, None),               # rule-less host
+    }
