@@ -4295,6 +4295,113 @@ def q_robots_match(spark, sf_dir):
     return robots_match(urls, rules)
 
 
+def q_crawl_delay_audit(spark, sf_dir):
+    """Politeness-compliance audit (pipeline/recrawl.crawl_delay_audit):
+    6 hosts fetch on a fixed cadence gap = 6·(100+75·h) ms; declared
+    Crawl-delays straddle each cadence (violating on f0/f2/f5,
+    compliant on f1/f4, undeclared on f3), plus a single-fetch 'solo'
+    host (no gap ⇒ compliant).  Both engines replay the same lag
+    window and violation counts."""
+    from linkkchecker_net_spark.pipeline.recrawl import crawl_delay_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    fetches = _docs(spark, sf_dir).select(
+        F.concat(F.lit("f"), (i % 6).cast("string")).alias("host"),
+        (F.lit(1_000_000) + i * (100 + (i % 6) * 75)).alias("ts_ms"),
+    )
+    solo = (
+        _docs(spark, sf_dir)
+        .filter(i == 0)
+        .select(F.lit("solo").alias("host"), F.lit(999).cast("long").alias("ts_ms"))
+    )
+    robots = spark.createDataFrame(
+        [("f0", 1), ("f1", 1), ("f2", 2), ("f4", 2), ("f5", 3), ("solo", 5)],
+        "host string, crawl_delay_sec int",
+    )
+    return crawl_delay_audit(fetches.unionAll(solo), robots)
+
+
+def q_sitemap_robots_conflict(spark, sf_dir):
+    """Sitemap-vs-robots conflict lint (kernels/robotsparse.
+    sitemap_robots_conflict): the q_robots_match rule dimension and URL
+    arms, declared as absolute sitemap locs — the conflict set is the
+    disallowed locs; full RFC 9309 matching underneath."""
+    from linkkchecker_net_spark.kernels.robotsparse import (
+        sitemap_robots_conflict,
+    )
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    path = (
+        F.when(i % 8 == 0, F.concat(F.lit("/private/x"), s))
+        .when(i % 8 == 1, F.concat(F.lit("/private/pub/y"), s))
+        .when(i % 8 == 2, F.concat(F.lit("/data/"), s, F.lit(".json")))
+        .when(i % 8 == 3, F.concat(F.lit("/data/"), s, F.lit(".jsonx")))
+        .when(i % 8 == 4, F.concat(F.lit("/tmp"), s))
+        .when(i % 8 == 5, F.concat(F.lit("/public/"), s))
+        .when(i % 8 == 6, F.concat(F.lit("/a/"), (i % 3).cast("string"),
+                                   F.lit("/c")))
+        .otherwise(F.concat(F.lit("/dup/z"), s))
+    )
+    host = F.concat(F.lit("r"), (i % 4).cast("string"))
+    locs = _docs(spark, sf_dir).select(
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, F.lit(".test"), path).alias("loc"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, rule_type string, path string"
+    )
+    return sitemap_robots_conflict(locs, rules)
+
+
+def q_canonical_consistency(spark, sf_dir):
+    """rel=canonical vs og:url consistency (reports/seo.
+    canonical_consistency).  Canonical link absent on i%3==2, UPPERCASE
+    REL= attribute on i%7==6, whitespace-padded href on i%5==4 (trim);
+    og:url present on (i%3≠2 ∧ i%4∈{1,3}) ∨ (i%3==2 ∧ i%2==0), equal
+    to the canonical on i%4==1 else an /alt URL; stylesheet link and
+    og:url:x decoys always present.  The oracle derives both fields
+    arithmetically."""
+    from linkkchecker_net_spark.reports.seo import canonical_consistency
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    href = F.concat(F.lit("http://c.test/page"), s)
+    pad = F.when(i % 5 == 4, F.lit("  ")).otherwise(F.lit(""))
+    rel = F.when(i % 7 == 6, F.lit('REL="canonical"')).otherwise(
+        F.lit('rel="canonical"')
+    )
+    canon = F.when(
+        i % 3 != 2,
+        F.concat(F.lit("<link "), rel, F.lit(' href="'), pad, href, pad,
+                 F.lit('">')),
+    ).otherwise(F.lit(""))
+    og_present = ((i % 3 != 2) & ((i % 4 == 1) | (i % 4 == 3))) | (
+        (i % 3 == 2) & (i % 2 == 0)
+    )
+    og_val = F.when(i % 4 == 1, href).otherwise(
+        F.concat(F.lit("http://c.test/alt"), s)
+    )
+    og = F.when(
+        og_present,
+        F.concat(F.lit('<meta property="og:url" content="'), og_val,
+                 F.lit('">')),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('<link rel="stylesheet" href="/c.css">'
+              '<meta property="og:url:x" content="no">'),
+        canon, og,
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://c.test/page"), s).alias("url"),
+        body.alias("body"),
+    )
+    return canonical_consistency(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4446,6 +4553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": q_dataset_card,
         "length_quantiles": q_length_quantiles,
         "robots_match": q_robots_match,
+        "crawl_delay_audit": q_crawl_delay_audit,
+        "sitemap_robots_conflict": q_sitemap_robots_conflict,
+        "canonical_consistency": q_canonical_consistency,
     }
 
 
@@ -8557,6 +8667,112 @@ FROM bt JOIN bh ON bt.url = bh.url
                    max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                        THEN n_chars END) AS p90_chars
             FROM r GROUP BY 1
+        """,
+        # same lag window + violation arithmetic
+        "crawl_delay_audit": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT 'f' || (i % 6) AS host,
+                     1000000 + i * (100 + (i % 6) * 75) AS ts_ms
+              FROM d0
+              UNION ALL
+              SELECT 'solo', 999 FROM d0 WHERE i = 0),
+            g AS (
+              SELECT host, ts_ms,
+                     ts_ms - lag(ts_ms) OVER (PARTITION BY host
+                                              ORDER BY ts_ms) AS gap
+              FROM f),
+            rob(host, dms) AS (VALUES
+              ('f0', 1000), ('f1', 1000), ('f2', 2000),
+              ('f4', 2000), ('f5', 3000), ('solo', 5000)),
+            per AS (
+              SELECT g.host, COUNT(*) AS n_fetches,
+                     MIN(gap) AS min_gap_ms,
+                     MAX(dms)::BIGINT AS declared_ms,
+                     SUM(CASE WHEN gap < dms THEN 1 ELSE 0 END)::BIGINT
+                       AS n_violations
+              FROM g LEFT JOIN rob ON rob.host = g.host
+              GROUP BY 1)
+            SELECT host, n_fetches, min_gap_ms, declared_ms, n_violations,
+                   (n_violations = 0) AS compliant
+            FROM per
+        """,
+        # the robots_match oracle re-applied to absolute sitemap locs
+        "sitemap_robots_conflict": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            locs AS (
+              SELECT 'r' || (i % 4) AS host,
+                     CASE i % 8
+                       WHEN 0 THEN '/private/x' || i
+                       WHEN 1 THEN '/private/pub/y' || i
+                       WHEN 2 THEN '/data/' || i || '.json'
+                       WHEN 3 THEN '/data/' || i || '.jsonx'
+                       WHEN 4 THEN '/tmp' || i
+                       WHEN 5 THEN '/public/' || i
+                       WHEN 6 THEN '/a/' || (i % 3) || '/c'
+                       ELSE '/dup/z' || i END AS path
+              FROM d0),
+            rules(host, rtype, rpath) AS (VALUES
+              ('r0', 'disallow', '/private/'),
+              ('r0', 'allow', '/private/pub/'),
+              ('r0', 'disallow', '/*.json$'),
+              ('r0', 'disallow', '/tmp*'),
+              ('r0', 'allow', '/dup/'),
+              ('r0', 'disallow', '/dup/'),
+              ('r1', 'disallow', '/'),
+              ('r1', 'allow', '/public/'),
+              ('r3', 'disallow', '/a/*/c$'),
+              ('r3', 'disallow', '')),
+            rx AS (
+              SELECT host, rtype, rpath,
+                     '^' || replace(regexp_replace(
+                         CASE WHEN rpath LIKE '%$'
+                              THEN substr(rpath, 1, length(rpath) - 1)
+                              ELSE rpath END,
+                         '([.^$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'),
+                       '*', '.*')
+                       || CASE WHEN rpath LIKE '%$' THEN '$' ELSE '' END
+                       AS rex
+              FROM rules WHERE rpath <> ''),
+            m AS (
+              SELECT u.host, u.path, r.rtype, r.rpath,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY u.host, u.path
+                       ORDER BY length(r.rpath) DESC,
+                                (r.rtype = 'allow') DESC,
+                                r.rpath DESC) AS rn
+              FROM (SELECT DISTINCT host, path FROM locs) u
+              JOIN rx r ON r.host = u.host
+              WHERE regexp_matches(u.path, r.rex)),
+            w AS (SELECT host, path, rtype, rpath FROM m WHERE rn = 1)
+            SELECT l.host, 'http://' || l.host || '.test' || l.path AS loc,
+                   CASE WHEN w.rtype IS NULL THEN true
+                        ELSE w.rtype = 'allow' END AS allowed,
+                   w.rpath AS rule_path
+            FROM locs l
+            LEFT JOIN w ON w.host = l.host AND w.path = l.path
+        """,
+        # arithmetic derivation of both declarations + verdict ladder
+        "canonical_consistency": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i,
+                     CASE WHEN i % 3 <> 2
+                          THEN 'http://c.test/page' || i END AS canonical_href,
+                     CASE WHEN (i % 3 <> 2 AND i % 4 IN (1, 3))
+                            OR (i % 3 = 2 AND i % 2 = 0)
+                          THEN CASE WHEN i % 4 = 1
+                               THEN 'http://c.test/page' || i
+                               ELSE 'http://c.test/alt' || i END END AS og_url
+              FROM d0)
+            SELECT 'http://c.test/page' || i AS url, canonical_href, og_url,
+                   CASE WHEN canonical_href IS NULL AND og_url IS NULL
+                          THEN 'both_missing'
+                        WHEN og_url IS NULL THEN 'canonical_only'
+                        WHEN canonical_href IS NULL THEN 'og_only'
+                        WHEN canonical_href = og_url THEN 'match'
+                        ELSE 'mismatch' END AS verdict
+            FROM f
         """,
         # same regex construction + longest-match/allow-wins precedence
         "robots_match": """

@@ -252,3 +252,36 @@ def robots_match(
         F.col("w.t").alias("rule_type"),
         F.col("w.rp").alias("rule_path"),
     )
+
+
+def sitemap_robots_conflict(
+    locs: DataFrame, rules: DataFrame
+) -> DataFrame:
+    """Sitemap-vs-robots conflict lint: URLs a site DECLARES in its
+    sitemap but DISALLOWS in its robots.txt — a self-contradiction
+    every crawler team reports back to webmasters (the sitemap invites
+    the fetch, the robots file forbids it; RFC 9309 wins and the URL
+    silently never gets indexed).
+
+    locs: (host, loc — absolute URL); rules: (host, rule_type, path) as
+    :func:`robots_match` takes.  Output one row per declared loc:
+    (host, loc, allowed, rule_path) — the conflict set is
+    ``allowed=false``.
+
+    Pure composition: strip the loc to its path and run the full
+    RFC 9309 matcher — the broadcast-rules/map-side-regex scale shape
+    is robots_match's.
+    """
+    urls = locs.select(
+        "host",
+        "loc",
+        F.regexp_replace("loc", r"^https?://[^/]+", "").alias("path"),
+    )
+    verdicts = robots_match(urls.select("host", "path").distinct(), rules)
+    j = urls.join(verdicts, ["host", "path"], "left")
+    return j.select(
+        "host",
+        "loc",
+        F.coalesce("allowed", F.lit(True)).alias("allowed"),
+        "rule_path",
+    )

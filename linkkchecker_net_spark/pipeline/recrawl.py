@@ -257,3 +257,56 @@ def retry_after_backoff(
             (F.col("ts") + F.col("delay_sec")).alias("next_allowed_ts"),
         )
     )
+
+
+def crawl_delay_audit(
+    fetches: DataFrame, robots: DataFrame
+) -> DataFrame:
+    """Politeness-compliance audit over the fetch log: per host, the
+    observed inter-fetch gaps vs the robots-declared Crawl-delay —
+    the closing-the-loop check on the engine's pacing (paced_fetch
+    enforces the delay going forward; this operator PROVES it from the
+    log, which is what a crawl operator shows a complaining webmaster).
+
+    fetches: (host, ts_ms); robots: (host, crawl_delay_sec, may be
+    absent per host).  Output per host: (host, n_fetches, min_gap_ms,
+    declared_ms, n_violations, compliant) — min_gap NULL for
+    single-fetch hosts, declared NULL ⇒ nothing to violate ⇒ compliant.
+
+    Scale: ONE window (lag over ts per host — the natural clustering of
+    any fetch log) + a partial-aggregated groupBy + a broadcast robots
+    dim join.  A mega-host with 10^8 fetches is one sort-partition;
+    beyond that the log is normally bucketed by host already, making
+    the window exchange-free (same layout argument as cdx_index).
+    """
+    w = Window.partitionBy("host").orderBy("ts_ms")
+    gaps = fetches.select(
+        "host",
+        "ts_ms",
+        (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap_ms"),
+    )
+    rob = robots.select(
+        "host", (F.col("crawl_delay_sec") * 1000).cast("long").alias("declared_ms")
+    )
+    per = (
+        gaps.join(F.broadcast(rob), "host", "left")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.min("gap_ms").alias("min_gap_ms"),
+            F.max("declared_ms").alias("declared_ms"),
+            F.sum(
+                F.when(
+                    F.col("gap_ms") < F.col("declared_ms"), 1
+                ).otherwise(0)
+            ).alias("n_violations"),
+        )
+    )
+    return per.select(
+        "host",
+        "n_fetches",
+        "min_gap_ms",
+        "declared_ms",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("compliant"),
+    )

@@ -235,3 +235,80 @@ def social_meta_audit(pages: DataFrame) -> DataFrame:
         "url", "og_title", "og_image", "og_description", "twitter_card",
         verdict.alias("verdict"),
     )
+
+
+_CANONICAL_LINK_PAT = r"(?i)<link\b[^>]*>"
+
+
+def canonical_consistency(pages: DataFrame) -> DataFrame:
+    """pages: (url, body) → rel=canonical vs og:url consistency:
+    (url, canonical_href, og_url, verdict ∈ both_missing /
+    canonical_only / og_only / match / mismatch).
+
+    The two "this is the real URL" declarations crawlers read — when
+    they disagree, dedup clustering (rel_canonical) and share previews
+    (og) route the same page to different identities; this lint
+    surfaces it.  First matching tag per declaration wins; both values
+    are compared exactly after trim (normalization beyond that is the
+    canonicalize kernel's job downstream).
+
+    Map-only codegen — two tag harvests over the same body.
+    """
+    links = F.regexp_extract_all("body", F.lit(_CANONICAL_LINK_PAT), 0)
+    canon_tags = F.filter(
+        links, lambda t: F.lower(F.regexp_extract(t, r'(?i)\brel="([^"]*)"', 1))
+        == "canonical"
+    )
+    canonical = F.nullif(
+        F.trim(
+            F.regexp_extract(
+                F.when(F.size(canon_tags) > 0, F.element_at(canon_tags, 1)),
+                r'(?i)\bhref="([^"]*)"',
+                1,
+            )
+        ),
+        F.lit(""),
+    )
+    metas = F.regexp_extract_all("body", F.lit(_META_TAG_PAT), 0)
+    og_url = F.when(
+        F.size(
+            F.filter(
+                metas, lambda t: t.rlike(r'(?i)\b(?:property|name)="og:url"')
+            )
+        )
+        > 0,
+        F.nullif(
+            F.trim(
+                F.regexp_extract(
+                    F.element_at(
+                        F.filter(
+                            metas,
+                            lambda t: t.rlike(
+                                r'(?i)\b(?:property|name)="og:url"'
+                            ),
+                        ),
+                        1,
+                    ),
+                    _CONTENT_PAT,
+                    1,
+                )
+            ),
+            F.lit(""),
+        ),
+    )
+    rows = pages.select(
+        "url", canonical.alias("canonical_href"), og_url.alias("og_url")
+    )
+    verdict = (
+        F.when(
+            F.col("canonical_href").isNull() & F.col("og_url").isNull(),
+            "both_missing",
+        )
+        .when(F.col("og_url").isNull(), "canonical_only")
+        .when(F.col("canonical_href").isNull(), "og_only")
+        .when(F.col("canonical_href") == F.col("og_url"), "match")
+        .otherwise("mismatch")
+    )
+    return rows.select(
+        "url", "canonical_href", "og_url", verdict.alias("verdict")
+    )

@@ -94,7 +94,8 @@ NON_CRAWL = [
     "base_href", "contrast",
     "picture_sources", "reciprocal_links", "warc_revisit",
     "social_meta", "hsts", "dataset_card", "length_quantiles",
-    "robots_match",
+    "robots_match", "crawl_delay_audit", "sitemap_robots_conflict",
+    "canonical_consistency",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -959,3 +959,45 @@ def test_robots_match_rfc9309_precedence(spark):
         ("h", "/free"): (True, None),
         ("g", "/p/z"): (True, None),               # rule-less host
     }
+
+
+def test_crawl_delay_audit_hand_log(spark):
+    from linkkchecker_net_spark.pipeline.recrawl import crawl_delay_audit
+
+    fetches = spark.createDataFrame(
+        [("a", 0), ("a", 500), ("a", 3000), ("b", 0), ("b", 5000), ("c", 7)],
+        "host string, ts_ms long",
+    )
+    robots = spark.createDataFrame(
+        [("a", 1), ("b", 1)], "host string, crawl_delay_sec int"
+    )
+    got = {r["host"]: (r["n_fetches"], r["min_gap_ms"], r["declared_ms"],
+                       r["n_violations"], r["compliant"])
+           for r in crawl_delay_audit(fetches, robots).collect()}
+    assert got == {
+        "a": (3, 500, 1000, 1, False),   # 500ms gap violates 1s
+        "b": (2, 5000, 1000, 0, True),
+        "c": (1, None, None, 0, True),   # single fetch, undeclared
+    }
+
+
+def test_sitemap_robots_conflict_composition(spark):
+    from linkkchecker_net_spark.kernels.robotsparse import (
+        sitemap_robots_conflict,
+    )
+
+    locs = spark.createDataFrame(
+        [("h", "http://h.test/p/x"), ("h", "http://h.test/ok"),
+         ("g", "http://g.test/p/x")],
+        "host string, loc string",
+    )
+    rules = spark.createDataFrame(
+        [("h", "disallow", "/p/")], "host string, rule_type string, path string"
+    )
+    got = {r["loc"]: (r["allowed"], r["rule_path"])
+           for r in sitemap_robots_conflict(locs, rules).collect()}
+    assert got == {
+        "http://h.test/p/x": (False, "/p/"),
+        "http://h.test/ok": (True, None),
+        "http://g.test/p/x": (True, None),
+    }

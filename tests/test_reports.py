@@ -324,3 +324,27 @@ def test_hsts_audit_grammar(spark):
     assert got["c"] == (True, 100, False, True, False)
     assert got["d"] == (True, None, True, True, False)
     assert got["e"] == (False, None, None, None, False)
+
+
+def test_canonical_consistency_verdicts(spark):
+    from linkkchecker_net_spark.reports.seo import canonical_consistency
+
+    pages = spark.createDataFrame(
+        [
+            ("a", '<link rel="canonical" href=" http://x/1 ">'
+                  '<meta property="og:url" content="http://x/1">'),
+            ("b", '<link REL="canonical" href="http://x/1">'
+                  '<meta property="og:url" content="http://x/2">'),
+            ("c", '<link rel="stylesheet" href="/s.css">'),
+            ("d", '<meta name="og:url" content="http://x/3">'),
+        ],
+        "url string, body string",
+    )
+    got = {r["url"]: (r["canonical_href"], r["og_url"], r["verdict"])
+           for r in canonical_consistency(pages).collect()}
+    assert got == {
+        "a": ("http://x/1", "http://x/1", "match"),
+        "b": ("http://x/1", "http://x/2", "mismatch"),
+        "c": (None, None, "both_missing"),
+        "d": (None, "http://x/3", "og_only"),
+    }
