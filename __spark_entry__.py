@@ -4402,6 +4402,24 @@ def q_canonical_consistency(spark, sf_dir):
     return canonical_consistency(pages)
 
 
+def q_event_dedup(spark, sf_dir):
+    """At-least-once event dedup, batch spec (streaming/dedup.
+    dedup_events — the executable twin of dropDuplicatesWithinWatermark,
+    stream==batch pinned in test_streaming_dedup): the events table with
+    id%5==0 redelivered once and id%10==0 twice; keep-first + delivery
+    counts."""
+    from linkkchecker_net_spark.streaming.dedup import dedup_events
+
+    _prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "value"
+    )
+    union = ev.unionByName(
+        ev.filter(F.col("event_id") % 5 == 0)
+    ).unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    return dedup_events(union)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4556,6 +4574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delay_audit": q_crawl_delay_audit,
         "sitemap_robots_conflict": q_sitemap_robots_conflict,
         "canonical_consistency": q_canonical_consistency,
+        "event_dedup": q_event_dedup,
     }
 
 
@@ -8667,6 +8686,19 @@ FROM bt JOIN bh ON bt.url = bh.url
                    max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                        THEN n_chars END) AS p90_chars
             FROM r GROUP BY 1
+        """,
+        # same redelivery injection + keep-first arithmetic (rows are
+        # byte-identical redeliveries, so MIN is the first delivery)
+        "event_dedup": """
+            WITH base AS (
+              SELECT event_id, epoch_us(ts) AS us, value FROM events),
+            un AS (
+              SELECT * FROM base
+              UNION ALL SELECT * FROM base WHERE event_id % 5 = 0
+              UNION ALL SELECT * FROM base WHERE event_id % 10 = 0)
+            SELECT event_id, MIN(us) AS first_ts_us, MIN(value) AS value,
+                   COUNT(*) AS n_seen
+            FROM un GROUP BY 1
         """,
         # same lag window + violation arithmetic
         "crawl_delay_audit": """
