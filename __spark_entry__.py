@@ -4420,6 +4420,23 @@ def q_event_dedup(spark, sf_dir):
     return dedup_events(union)
 
 
+def q_tile_neardup(spark, sf_dir):
+    """Crop-robust quadrant-hash near-dup (pipeline/multimodal.
+    tile_neardup) over the tiled corpus: Spark decodes real pixels and
+    hashes real quadrant bytes; the oracle derives the pair set purely
+    from the group structure — within each complete 4-image group the
+    shared-quadrant counts are (v0,v1)=3, (v0,v2)=2, (v1,v2)=1 and 0
+    with v3, so the ≥2 pair set is exactly {(v0,v1,3), (v0,v2,2)}."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        synth_tiled_corpus,
+        tile_neardup,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return tile_neardup(synth_tiled_corpus(spark, ids), min_shared=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4575,6 +4592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_robots_conflict": q_sitemap_robots_conflict,
         "canonical_consistency": q_canonical_consistency,
         "event_dedup": q_event_dedup,
+        "tile_neardup": q_tile_neardup,
     }
 
 
@@ -8686,6 +8704,22 @@ FROM bt JOIN bh ON bt.url = bh.url
                    max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                        THEN n_chars END) AS p90_chars
             FROM r GROUP BY 1
+        """,
+        # structural pair derivation: the tiled fixture's construction
+        # fixes the shared-quadrant counts; Spark proves the decode+hash
+        "tile_neardup": """
+            WITH g AS (
+              SELECT (doc_id // 4)::BIGINT AS g
+              FROM documents GROUP BY 1 HAVING COUNT(*) = 4)
+            SELECT 'img_' || lpad((4 * g)::VARCHAR, 6, '0') AS id_a,
+                   'img_' || lpad((4 * g + 1)::VARCHAR, 6, '0') AS id_b,
+                   3::BIGINT AS n_shared
+            FROM g
+            UNION ALL
+            SELECT 'img_' || lpad((4 * g)::VARCHAR, 6, '0'),
+                   'img_' || lpad((4 * g + 2)::VARCHAR, 6, '0'),
+                   2::BIGINT
+            FROM g
         """,
         # same redelivery injection + keep-first arithmetic (rows are
         # byte-identical redeliveries, so MIN is the first delivery)

@@ -1644,3 +1644,122 @@ def contrast_stats(corpus: DataFrame) -> DataFrame:
     return corpus.select("image_id", "bytes", "fmt").mapInPandas(
         dec, CONTRAST_SCHEMA
     )
+
+
+def synth_tiled_corpus(spark, ids_df: DataFrame) -> DataFrame:
+    """Quadrant-structured corpus for crop-robust dedup: images come in
+    groups of 4 (g = id//4, one codec per GROUP so equal pixels stay
+    equal through the decode): v0 = the group's base 8×8 pattern
+    P(g,r,c) = (g·31 + r·5 + c·3) % 239, v1 = base with the
+    bottom-right quadrant shifted +8 (two lossy buckets — survives the
+    6-bit quantization), v2 = base with BOTH top quadrants shifted,
+    v3 = a fully distinct pattern.  Within a complete group the shared-
+    quadrant counts are exactly (v0,v1)=3, (v0,v2)=2, (v1,v2)=1 and 0
+    for every v3 pairing — pure structure for the oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "caption": [], "phash": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                g, v = i // 4, i % 4
+                r = np.arange(8)[:, None]
+                c = np.arange(8)[None, :]
+                base = ((g * 31 + r * 5 + c * 3) % 239).astype(np.int64)
+                # group-id digits stamped into EVERY quadrant as 4k+2
+                # values (fixed points of the lossy recon, ≥4 apart for
+                # distinct digits — different buckets even through the
+                # 6-bit codec), so quadrants never collide across groups
+                # no matter how many groups the SF produces (g < 64^3)
+                digits = [
+                    (g % 64) * 4 + 2,
+                    ((g // 64) % 64) * 4 + 2,
+                    ((g // 4096) % 64) * 4 + 2,
+                ]
+                for quad_r, quad_c in ((0, 0), (0, 5), (5, 0), (5, 5)):
+                    for k, d in enumerate(digits):
+                        base[quad_r + k, quad_c + k] = d
+                if v == 3:
+                    px = (base + 97) % 239
+                else:
+                    px = base.copy()
+                    if v == 1:
+                        px[4:, 4:] = (px[4:, 4:] + 8) % 239
+                    elif v == 2:
+                        px[:4, :] = (px[:4, :] + 8) % 239
+                arr = np.repeat(
+                    px.astype(np.uint8)[:, :, None], 3, axis=2
+                )
+                fmt = ("png", "jpeg", "gif")[g % 3]
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(imaging.encode_image(arr, fmt))
+                out["w"].append(8)
+                out["h"].append(8)
+                out["fmt"].append(fmt)
+                out["caption"].append(f"tile {i}")
+                out["phash"].append(0)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+
+
+def tile_neardup(corpus: DataFrame, min_shared: int = 2) -> DataFrame:
+    """Crop-robust image near-dup via quadrant hashing (the PDQ/partial-
+    hash family): decode, split into 2×2 quadrants, hash each
+    quadrant's decoded bytes, and pair images sharing ≥ ``min_shared``
+    quadrant hashes — catching edits phash misses (a replaced banner,
+    a cropped corner) because the UNTOUCHED quadrants still collide.
+    Output (id_a, id_b, n_shared) with id_a < id_b.
+
+    Scale: the decode pass is one mapInPandas (4 skinny hash rows per
+    image survive, bytes die at the stage boundary); the pair search is
+    an inverted-index equi-join on (quadrant-position, hash) — never
+    all-pairs — followed by a partial-aggregated pair count.  A viral
+    quadrant (solid white) is the hot-key risk: the same stop-shingle /
+    AQE mitigation as the text inverted indexes (pipeline/dedup.py).
+    """
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"image_id": [], "q": [], "qhash": []}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    continue
+                h2, w2 = arr.shape[0] // 2, arr.shape[1] // 2
+                quads = [
+                    arr[:h2, :w2], arr[:h2, w2:], arr[h2:, :w2],
+                    arr[h2:, w2:],
+                ]
+                for q, quad in enumerate(quads):
+                    out["image_id"].append(iid)
+                    out["q"].append(q)
+                    out["qhash"].append(
+                        hashlib.md5(quad.tobytes()).hexdigest()[:16]
+                    )
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    qh = corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        dec, "image_id string, q int, qhash string"
+    )
+    a = qh.select(F.col("image_id").alias("id_a"), "q", "qhash")
+    b = qh.select(F.col("image_id").alias("id_b"), "q", "qhash")
+    return (
+        a.join(b, ["q", "qhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

@@ -95,7 +95,7 @@ NON_CRAWL = [
     "picture_sources", "reciprocal_links", "warc_revisit",
     "social_meta", "hsts", "dataset_card", "length_quantiles",
     "robots_match", "crawl_delay_audit", "sitemap_robots_conflict",
-    "canonical_consistency", "event_dedup",
+    "canonical_consistency", "event_dedup", "tile_neardup",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -210,3 +210,30 @@ def test_contrast_stats_flat_image_is_low_contrast(spark):
     }
     assert got["h"]["contrast"] == 2040 and got["h"]["low_contrast"] is False
     assert got["bad"]["ok"] is False
+
+
+def test_tile_neardup_crop_robustness(spark):
+    """Hand-built pair: B = A with one quadrant replaced -> 3 shared;
+    C = A with 3 quadrants replaced -> 1 shared (below threshold);
+    lossy codec on one of the shared-quadrant images must not break
+    equality when the group shares a codec (the fixture contract)."""
+    import numpy as np
+
+    from linkkchecker_net_spark import imaging
+    from linkkchecker_net_spark.pipeline.multimodal import tile_neardup
+
+    a = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) % 200
+    b = a.copy(); b[4:, 4:] = (b[4:, 4:] + 50) % 200
+    c = a.copy(); c[:4, :] = 0; c[4:, 4:] = 1
+    rows = [
+        ("A", imaging.encode_image(a, "jpeg"), "jpeg"),
+        ("B", imaging.encode_image(b, "jpeg"), "jpeg"),
+        ("C", imaging.encode_image(c, "jpeg"), "jpeg"),
+        ("bad", b"\x00", "png"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in tile_neardup(corpus, min_shared=2).collect()}
+    assert got == {("A", "B"): 3}
