@@ -4437,6 +4437,130 @@ def q_tile_neardup(spark, sf_dir):
     return tile_neardup(synth_tiled_corpus(spark, ids), min_shared=2)
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment (pipeline/dedup.containment_pairs):
+    the corpus plus a 12-token 'quote' excerpt of every i%25==0 doc
+    (doc_id+100000) — the quote is ≥0.7-contained in its source (and in
+    any exact dup of it) while the reverse direction is not; natural
+    exact-dup groups contribute symmetric containment-1 edges.  Both
+    engines replay the same shingle inverted index and integer-exact
+    threshold."""
+    from linkkchecker_net_spark.pipeline.dedup import containment_pairs
+
+    _prep(spark)
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id").cast("long")
+    quotes = base.filter(i % 25 == 0).select(
+        (i + 100_000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias(
+            "text"
+        ),
+    )
+    return containment_pairs(base.unionAll(quotes), threshold=0.7, k=3)
+
+
+def q_editdist(spark, sf_dir):
+    """Levenshtein verification of candidate pairs (pipeline/dedup.
+    editdist_verify): pairs = (i, i+200000) where the partner is the
+    doc with its FIRST TOKEN replaced by 'EDIT' (small edit → dup
+    unless the doc is tiny) for i%20==0, plus unrelated neighbor pairs
+    (i, i+1) for i%10==5 (large distance → not dup).  Both engines run
+    their built-in Levenshtein on identically constructed texts."""
+    from linkkchecker_net_spark.pipeline.dedup import editdist_verify
+
+    _prep(spark)
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id").cast("long")
+    edited = base.filter(i % 20 == 0).select(
+        (i + 200_000).alias("doc_id"),
+        F.when(
+            F.instr("text", " ") > 0,
+            F.concat(F.lit("EDIT"),
+                     F.expr("substring(text, instr(text, ' '))")),
+        ).otherwise(F.lit("EDIT")).alias("text"),
+    )
+    p1 = base.filter(i % 20 == 0).select(
+        i.alias("doc_a"), (i + 200_000).alias("doc_b")
+    )
+    p2 = base.filter(i % 10 == 5).select(
+        i.alias("doc_a"), (i + 1).alias("doc_b")
+    )
+    return editdist_verify(
+        base.unionAll(edited), p1.unionAll(p2), max_rel_ppm=200_000
+    )
+
+
+def q_unicode_hygiene(spark, sf_dir):
+    """Invisible-char hygiene (pipeline/text.unicode_hygiene): texts
+    salted with a soft hyphen after char 3 on i%4==0, two zero-width
+    spaces on i%6==1, a C0 control (BEL) on i%9==5 — counted, stripped,
+    and flagged identically in both engines."""
+    from linkkchecker_net_spark.pipeline.text import unicode_hygiene
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    marks = F.concat(
+        F.when(i % 4 == 0, F.lit("\u00ad")).otherwise(F.lit("")),
+        F.when(i % 6 == 1, F.lit("\u200b\u200b")).otherwise(F.lit("")),
+        F.when(i % 9 == 5, F.lit("\u0007")).otherwise(F.lit("")),
+    )
+    salted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.expr("substring(text, 1, 3)"), marks,
+            F.expr("substring(text, 4)"),
+        ).alias("text"),
+    )
+    return unicode_hygiene(salted)
+
+
+def q_main_content(spark, sf_dir):
+    """Text-density main-content split (pipeline/text.main_content).
+    Arms by i%5: no <p> at all / one 60+(i%40)-char lead paragraph /
+    three small blocks with a 30-char max (thin) / a nav shell of three
+    5-char blocks around a 100-char article / two EQUAL 40-char blocks
+    (tie → earliest wins, still thin).  Both engines replay the same
+    block harvest and density arithmetic."""
+    from linkkchecker_net_spark.pipeline.text import main_content
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    body = (
+        F.when(i % 5 == 0, F.lit("<div>no paragraphs</div>"))
+        .when(
+            i % 5 == 1,
+            F.concat(F.lit('<p class="lead">'),
+                     F.repeat(F.lit("a"), (60 + i % 40).cast("int")),
+                     F.lit("</p>")),
+        )
+        .when(
+            i % 5 == 2,
+            F.concat(
+                F.lit("<p>"), F.repeat(F.lit("b"), (10 + i % 20).cast("int")),
+                F.lit("</p><p>"), F.repeat(F.lit("c"), 30),
+                F.lit("</p><p>"), F.repeat(F.lit("d"), 20), F.lit("</p>"),
+            ),
+        )
+        .when(
+            i % 5 == 3,
+            F.concat(
+                F.lit("<p>eeeee</p><p>eeeee</p><p>eeeee</p><P>"),
+                F.repeat(F.lit("f"), 100), F.lit("</P>"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<p>"), F.repeat(F.lit("g"), 40),
+                     F.lit("</p><p>"), F.repeat(F.lit("h"), 40),
+                     F.lit("</p>")),
+        )
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://mc.test/p"), i.cast("string")).alias("url"),
+        body.alias("body"),
+    )
+    return main_content(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4593,6 +4717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_consistency": q_canonical_consistency,
         "event_dedup": q_event_dedup,
         "tile_neardup": q_tile_neardup,
+        "containment": q_containment,
+        "editdist": q_editdist,
+        "unicode_hygiene": q_unicode_hygiene,
+        "main_content": q_main_content,
     }
 
 
@@ -8704,6 +8832,137 @@ FROM bt JOIN bh ON bt.url = bh.url
                    max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                        THEN n_chars END) AS p90_chars
             FROM r GROUP BY 1
+        """,
+        # same shingle inverted index, asymmetric divisor, integer gate
+        "containment": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     array_to_string(string_split(text, ' ')[1:12], ' ')
+              FROM documents WHERE doc_id % 25 = 0),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+            sh AS (
+              SELECT doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(ts)-2, 0)))
+                     AS g(i)),
+            s AS (SELECT DISTINCT doc_id, shingle FROM sh),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS n_common
+              FROM s a JOIN s b USING (shingle)
+              WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_common, ca.n AS n_a,
+                   CAST(floor(n_common * 1000000.0 / ca.n) AS BIGINT)
+                     AS containment_ppm
+            FROM common JOIN cnt ca ON ca.doc_id = doc_a
+            WHERE n_common * 1000000 >= 700000 * ca.n
+        """,
+        # same pair construction + built-in Levenshtein
+        "editdist": """
+            WITH base AS (SELECT doc_id, text FROM documents),
+            ed AS (
+              SELECT doc_id + 200000 AS doc_id,
+                     CASE WHEN strpos(text, ' ') > 0
+                          THEN 'EDIT' || substr(text, strpos(text, ' '))
+                          ELSE 'EDIT' END AS text
+              FROM base WHERE doc_id % 20 = 0),
+            allt AS (SELECT * FROM base UNION ALL SELECT * FROM ed),
+            pairs AS (
+              SELECT doc_id AS doc_a, doc_id + 200000 AS doc_b
+              FROM base WHERE doc_id % 20 = 0
+              UNION ALL
+              SELECT doc_id, doc_id + 1 FROM base WHERE doc_id % 10 = 5),
+            j AS (
+              SELECT p.doc_a, p.doc_b,
+                     levenshtein(ta.text, tb.text) AS dist,
+                     greatest(length(ta.text), length(tb.text)) AS max_len
+              FROM pairs p
+              JOIN allt ta ON ta.doc_id = p.doc_a
+              JOIN allt tb ON tb.doc_id = p.doc_b)
+            SELECT doc_a, doc_b, dist, max_len,
+                   CAST(floor(dist * 1000000.0 / max_len) AS BIGINT)
+                     AS rel_ppm,
+                   (dist * 1000000 <= 200000 * max_len) AS dup
+            FROM j
+        """,
+        # same salting, counting and stripping
+        "unicode_hygiene": """
+            WITH salted AS (
+              SELECT doc_id,
+                     substr(text, 1, 3)
+                     || CASE WHEN doc_id % 4 = 0 THEN chr(173) ELSE '' END
+                     || CASE WHEN doc_id % 6 = 1
+                        THEN chr(8203) || chr(8203) ELSE '' END
+                     || CASE WHEN doc_id % 9 = 5 THEN chr(7) ELSE '' END
+                     || substr(text, 4) AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text,
+                       '[\\x{00ad}\\x{200b}\\x{200c}\\x{200d}\\x{2060}\\x{feff}]'))
+                       ::BIGINT AS n_invisible,
+                     len(regexp_extract_all(text,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]'))
+                       ::BIGINT AS n_control
+              FROM salted)
+            SELECT doc_id, n_invisible, n_control,
+                   regexp_replace(regexp_replace(text,
+                     '[\\x{00ad}\\x{200b}\\x{200c}\\x{200d}\\x{2060}\\x{feff}]', '',
+                     'g'),
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '',
+                     'g') AS clean_text,
+                   (n_invisible + n_control > 0) AS changed
+            FROM c
+        """,
+        # same block harvest + density arithmetic
+        "main_content": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            pg AS (
+              SELECT 'http://mc.test/p' || i AS url,
+                     CASE WHEN i % 5 = 0 THEN '<div>no paragraphs</div>'
+                          WHEN i % 5 = 1
+                            THEN '<p class="lead">'
+                                 || repeat('a', CAST(60 + i % 40 AS INT))
+                                 || '</p>'
+                          WHEN i % 5 = 2
+                            THEN '<p>' || repeat('b', CAST(10 + i % 20 AS INT))
+                                 || '</p><p>' || repeat('c', 30)
+                                 || '</p><p>' || repeat('d', 20) || '</p>'
+                          WHEN i % 5 = 3
+                            THEN '<p>eeeee</p><p>eeeee</p><p>eeeee</p><P>'
+                                 || repeat('f', 100) || '</P>'
+                          ELSE '<p>' || repeat('g', 40) || '</p><p>'
+                               || repeat('h', 40) || '</p>' END AS body
+              FROM d0),
+            b AS (
+              SELECT url,
+                     regexp_extract_all(body, '(?is)<p\\b[^>]*>(.*?)</p>', 1)
+                       AS blocks
+              FROM pg),
+            m AS (
+              SELECT url, blocks, len(blocks) AS n_blocks,
+                     coalesce(list_sum(list_transform(blocks,
+                       x -> length(x))), 0)::BIGINT AS total_chars,
+                     coalesce(list_max(list_transform(blocks,
+                       x -> length(x))), 0)::BIGINT AS main_chars,
+                     list_position(list_transform(blocks, x -> length(x)),
+                       list_max(list_transform(blocks, x -> length(x))))
+                       AS idx
+              FROM b)
+            SELECT url, n_blocks, total_chars, main_chars,
+                   CASE WHEN total_chars > 0
+                        THEN CAST(floor(main_chars * 1000000.0
+                             / total_chars) AS BIGINT) END AS main_ppm,
+                   CASE WHEN idx IS NOT NULL AND idx > 0
+                        THEN blocks[idx] END AS main_text,
+                   CASE WHEN n_blocks = 0 THEN 'no_content'
+                        WHEN main_chars < 50 THEN 'thin'
+                        ELSE 'ok' END AS verdict
+            FROM m
         """,
         # structural pair derivation: the tiled fixture's construction
         # fixes the shared-quadrant counts; Spark proves the decode+hash

@@ -737,3 +737,87 @@ def cdc_dedup(
             F.expr("1000000 * n_dup_chunks div n_chunks").alias("dup_ppm"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float = 0.7, k: int = 3
+) -> DataFrame:
+    """ASYMMETRIC containment (Broder 1997's other resemblance measure):
+    c(A→B) = |S(A) ∩ S(B)| / |S(A)| — how much of A's shingle set lives
+    inside B.  Jaccard misses quotes and inclusions (a paragraph pasted
+    into a 100× longer page scores near-zero Jaccard but containment
+    ≈ 1); training-data dedup wants BOTH: near-dup pairs by resemblance,
+    quote/inclusion edges by containment (the doc that should lose its
+    duplicated span is the small contained one).
+
+    Output one DIRECTED row per (small → big) pair with containment ≥
+    threshold: (doc_a, doc_b, n_common, n_a, containment_ppm) —
+    containment of A in B, integer ppm (floored) so the oracle replays
+    exactly; the threshold compares on the exact rational n_common/n_a.
+
+    Scale: identical inverted-index shape to jaccard_pairs (the shuffle
+    key is the shingle; the pair agg partial-aggregates) — containment
+    just divides by ONE side's size instead of the union.  Hot-shingle
+    skew: same AQE/stop-shingle mitigation.
+    """
+    s = shingles(docs, k)
+    cnt = s.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    j = common.join(ca, "doc_a")
+    return j.filter(
+        F.col("n_common") * F.lit(1_000_000)
+        >= F.lit(int(threshold * 1_000_000)) * F.col("n_a")
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        (F.col("n_common") * 1_000_000 / F.col("n_a"))
+        .cast("long")
+        .alias("containment_ppm"),
+    )
+
+
+def editdist_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_rel_ppm: int = 200_000,
+) -> DataFrame:
+    """Edit-distance verification of near-dup candidate pairs — the
+    exact final gate fuzzy dedup pipelines run AFTER MinHash/SimHash
+    blocking (shingle sketches approximate; Levenshtein is the ground
+    truth for 'same text modulo small edits').  pairs: (doc_a, doc_b)
+    candidates; output (doc_a, doc_b, dist, max_len, rel_ppm, dup)
+    where rel_ppm = floor(1e6·dist / max(len_a, len_b)) and dup =
+    rel_ppm ≤ ``max_rel_ppm`` (≤20% edited by default).
+
+    Scale: Levenshtein is O(len_a·len_b) PER PAIR — this operator must
+    only ever run on a blocked candidate set (the docstring contract;
+    feeding it the cross product is the anti-pattern).  The texts reach
+    the pair via two skinny hash joins on doc_id; at 10^10 docs the
+    candidate set is the dedup sketches' output, orders of magnitude
+    smaller than the corpus.  The distance itself is JVM codegen
+    (F.levenshtein) — no Python.
+    """
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    j = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    dist = F.levenshtein("_ta", "_tb")
+    mlen = F.greatest(F.length("_ta"), F.length("_tb"))
+    rel = (dist * 1_000_000 / mlen).cast("long")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        dist.alias("dist"),
+        mlen.alias("max_len"),
+        rel.alias("rel_ppm"),
+        (dist * 1_000_000 <= F.lit(int(max_rel_ppm)) * mlen).alias("dup"),
+    )

@@ -511,3 +511,90 @@ def content_language_audit(pages: DataFrame) -> DataFrame:
         "pred_lang",
         verdict.alias("verdict"),
     )
+
+
+# -- invisible/control character hygiene -------------------------------------
+
+# soft hyphen, zero-width space/non-joiner/joiner, word joiner, BOM/ZWNBSP
+_INVISIBLE_CLASS = "[\u00ad\u200b\u200c\u200d\u2060\ufeff]"
+# C0/C1 controls except tab/newline/carriage-return
+_CONTROL_CLASS = "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f-\u009f]"
+
+
+def unicode_hygiene(docs: DataFrame) -> DataFrame:
+    """Invisible-character hygiene pass: counts and strips the
+    characters that wreck tokenizers and dedup — soft hyphens (break
+    tokens into unmatched shingles), zero-width (spam/SEO cloaking and
+    watermarking), control chars (OCR/scrape damage).  Output:
+    (doc_id, n_invisible, n_control, clean_text, changed).
+
+    The standard pre-tokenization cleanup step (C4/CCNet pipelines run
+    exactly this class of filter before counting anything).  Counting
+    BEFORE stripping keeps the audit trail — a doc with thousands of
+    zero-widths is a spam signal, not just a cleanup.
+
+    Map-only codegen: two regexp_count + two regexp_replace over the
+    text column; nothing shuffles, no Python.
+    """
+    n_inv = F.regexp_count("text", F.lit(_INVISIBLE_CLASS))
+    n_ctl = F.regexp_count("text", F.lit(_CONTROL_CLASS))
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _INVISIBLE_CLASS, ""),
+        _CONTROL_CLASS,
+        "",
+    )
+    return docs.select(
+        "doc_id",
+        n_inv.cast("long").alias("n_invisible"),
+        n_ctl.cast("long").alias("n_control"),
+        clean.alias("clean_text"),
+        ((n_inv + n_ctl) > 0).alias("changed"),
+    )
+
+
+# -- main-content extraction (text-density heuristic) ------------------------
+
+_P_BLOCK_PAT = r"(?is)<p\b[^>]*>(.*?)</p>"
+
+
+def main_content(pages: DataFrame, min_main_chars: int = 50) -> DataFrame:
+    """Boilerplate-vs-content split by text density (the trafilatura /
+    readability family's core heuristic, reduced to its deterministic
+    skeleton): harvest <p> block texts, pick the LONGEST block as the
+    main content, and report how much of the page's paragraph text
+    lives in it.  Output: (url, n_blocks, total_chars, main_chars,
+    main_ppm, main_text, verdict in no_content / thin / ok).
+
+    A crawler feeding a training corpus extracts from here — link
+    farms and nav-shell pages score thin (many tiny blocks), article
+    pages concentrate mass in one block.  Ties on block length break
+    to the EARLIEST block (document order), so both engines agree.
+
+    Map-only codegen: one regexp_extract_all + array aggregates.
+    """
+    blocks = F.regexp_extract_all("body", F.lit(_P_BLOCK_PAT), 1)
+    lens = F.transform(blocks, lambda b: F.length(b))
+    total = F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+    main_len = F.coalesce(F.array_max(lens), F.lit(0))
+    main_idx = F.array_position(lens, main_len).cast("int")  # 1-based, first tie
+    rows = pages.select(
+        "url",
+        F.size(blocks).alias("n_blocks"),
+        total.cast("long").alias("total_chars"),
+        main_len.cast("long").alias("main_chars"),
+        F.when(
+            total > 0, (main_len * 1_000_000 / total).cast("long")
+        ).alias("main_ppm"),
+        F.when(main_idx > 0, F.element_at(blocks, main_idx)).alias(
+            "main_text"
+        ),
+    )
+    verdict = (
+        F.when(F.col("n_blocks") == 0, "no_content")
+        .when(F.col("main_chars") < min_main_chars, "thin")
+        .otherwise("ok")
+    )
+    return rows.select(
+        "url", "n_blocks", "total_chars", "main_chars", "main_ppm",
+        "main_text", verdict.alias("verdict"),
+    )

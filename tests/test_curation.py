@@ -393,3 +393,71 @@ def test_length_quantiles_nearest_rank(spark):
     r = length_quantiles(docs).collect()[0]
     # n=5: p50 at rank ceil(2.5)=3 -> 30; p90 at rank ceil(4.5)=5 -> 50
     assert (r["n_docs"], r["p50_chars"], r["p90_chars"]) == (5, 30, 50)
+
+
+def test_containment_asymmetry(spark):
+    from linkkchecker_net_spark.pipeline.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),       # big doc
+         (2, "a b c d e"),                  # fully contained prefix
+         (3, "x y z w v u t s r q")],       # disjoint
+        "doc_id long, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["containment_ppm"]
+           for r in containment_pairs(docs, threshold=0.7, k=3).collect()}
+    # doc2's 3 shingles all inside doc1 -> 1.0; reverse is 3/8 < 0.7
+    assert got == {(2, 1): 1_000_000}
+
+
+def test_editdist_verify_hand_pairs(spark):
+    from linkkchecker_net_spark.pipeline.dedup import editdist_verify
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghiX"), (3, "zzzzzzzzzz")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {(r["doc_a"], r["doc_b"]): (r["dist"], r["rel_ppm"], r["dup"])
+           for r in editdist_verify(docs, pairs).collect()}
+    assert got == {
+        (1, 2): (1, 100_000, True),
+        (1, 3): (10, 1_000_000, False),
+    }
+
+
+def test_unicode_hygiene_strip_and_count(spark):
+    from linkkchecker_net_spark.pipeline.text import unicode_hygiene
+
+    docs = spark.createDataFrame(
+        [(1, "to\u00adken\u200b\u0007 end"), (2, "clean text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_invisible"], r["n_control"], r["clean_text"],
+                         r["changed"])
+           for r in unicode_hygiene(docs).collect()}
+    assert got == {
+        1: (2, 1, "token end", True),
+        2: (0, 0, "clean text", False),
+    }
+
+
+def test_main_content_tie_and_density(spark):
+    from linkkchecker_net_spark.pipeline.text import main_content
+
+    pages = spark.createDataFrame(
+        [("a", "<p>short</p><p class='x'>" + "y" * 80 + "</p>"),
+         ("b", "<p>" + "q" * 40 + "</p><p>" + "r" * 40 + "</p>"),
+         ("c", "<div>none</div>")],
+        "url string, body string",
+    )
+    got = {r["url"]: (r["n_blocks"], r["main_chars"], r["main_text"][:2]
+                      if r["main_text"] else None, r["verdict"])
+           for r in main_content(pages).collect()}
+    assert got == {
+        "a": (2, 80, "yy", "ok"),
+        "b": (2, 40, "qq", "thin"),   # tie -> earliest block
+        "c": (0, 0, None, "no_content"),
+    }

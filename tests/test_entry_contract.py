@@ -96,6 +96,7 @@ NON_CRAWL = [
     "social_meta", "hsts", "dataset_card", "length_quantiles",
     "robots_match", "crawl_delay_audit", "sitemap_robots_conflict",
     "canonical_consistency", "event_dedup", "tile_neardup",
+    "containment", "editdist", "unicode_hygiene", "main_content",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
