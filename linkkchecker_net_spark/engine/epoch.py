@@ -424,10 +424,19 @@ def dedup_gate_rank(
         "host", F.when(F.col("supported"), _host_expr(F.col("url")))
     )
 
-    # F10 — robots gate (broadcast dim join, path-prefix containment)
+    # F10 — robots gate (broadcast dim join).  Plain rules stay on the
+    # codegen startswith fast path; rules carrying RFC 9309 metachars
+    # ('*' anywhere, '$' at end) go through the same regex grammar as
+    # kernels/robotsparse.robots_match — see rule_match_expr.  With only
+    # Disallow lists (no Allow), RFC matching IS "any rule matches", so
+    # no longest-match precedence is needed here.
     if skip_robots:
         cand = cand.withColumn("robots_blocked", F.lit(False))
     else:
+        from linkkchecker_net_spark.kernels.robotsparse import (
+            rule_match_expr,
+        )
+
         rob = robots.select("host", "disallow")
         cand = cand.join(F.broadcast(rob), on="host", how="left").withColumn(
             "robots_blocked",
@@ -436,7 +445,7 @@ def dedup_gate_rank(
                 F.col("disallow").isNotNull(),
                 F.exists(
                     F.col("disallow"),
-                    lambda p: F.startswith(_path_expr(F.col("url")), p),
+                    lambda p: rule_match_expr(_path_expr(F.col("url")), p),
                 ),
             ).otherwise(F.lit(False)),
         )

@@ -285,3 +285,30 @@ def sitemap_robots_conflict(
         F.coalesce("allowed", F.lit(True)).alias("allowed"),
         "rule_path",
     )
+
+
+def rule_match_expr(path_col, pattern_col):
+    """One RFC 9309 rule test as a pure codegen expression — usable
+    inside array lambdas (the engine's F10 gate applies it under
+    F.exists over the broadcast disallow list, engine/epoch.py).
+
+    Plain patterns (no '*', no trailing '$') stay on the cheap
+    startswith path; wildcard patterns build the same regex
+    :func:`robots_match` uses.  The oracle twin is
+    oracle/bfs.py:_rule_match — the two are pinned equal by
+    test_crawl_golden's wildcard-robots crawl.
+    """
+    ends = F.endswith(pattern_col, F.lit("$"))
+    wild = F.contains(pattern_col, F.lit("*")) | ends
+    body = F.when(
+        ends, F.regexp_replace(pattern_col, r"\$$", "")
+    ).otherwise(pattern_col)
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    rex = F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(ends, F.lit("$")).otherwise(F.lit("")),
+    )
+    return F.when(wild, F.regexp_like(path_col, rex)).otherwise(
+        F.startswith(path_col, pattern_col)
+    )

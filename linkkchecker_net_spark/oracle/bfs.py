@@ -74,6 +74,23 @@ from linkkchecker_net_spark.kernels.htmlparse import parse_page
 CSS_TAG_RANK = 4
 
 
+def _rule_match(path: str, pattern: str) -> bool:
+    """One RFC 9309 Disallow rule: plain patterns are prefixes; '*'
+    matches any octet run; a trailing '$' anchors at path end.  The
+    Spark twin is kernels/robotsparse.rule_match_expr (pinned equal by
+    the wildcard-robots golden crawl)."""
+    import re
+
+    if "*" in pattern or pattern.endswith("$"):
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rex = "^" + ".*".join(re.escape(seg) for seg in body.split("*"))
+        if anchored:
+            rex += "$"
+        return re.match(rex, path) is not None
+    return path.startswith(pattern)
+
+
 def classify(status, error, unsupported):
     if unsupported:
         return "unsupported"
@@ -119,7 +136,7 @@ class OracleCrawl:
         if not rob or not rob.get("disallow"):
             return False
         path = urlsplit(url).path or "/"
-        return any(path.startswith(p) for p in rob["disallow"])
+        return any(_rule_match(path, p) for p in rob["disallow"])
 
     def budget(self, host: str) -> int:
         rob = self.robots.get(host)

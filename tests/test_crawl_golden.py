@@ -164,3 +164,44 @@ def test_is_base_of_gates(spark, golden_spark_crawl, golden_oracle_crawl):
     subdir = [u for u in res if "/dir/sub/" in u and res[u]["classification"] == "ok"]
     assert subdir, "fixture lost its /dir/sub pages"
     assert not any(u in metas for u in subdir)
+
+
+def test_wildcard_robots_engine_equals_oracle(spark, tmp_path):
+    """RFC 9309 wildcard Disallow rules ('*' + '$' anchor) gate the
+    SAME urls in the engine (rule_match_expr inside the F10 exists
+    lambda) and the oracle (_rule_match) — and plain-prefix rules keep
+    their old behavior alongside."""
+
+    def page(path, links):
+        body = "".join(f'<a href="{l}">x</a>' for l in links).encode()
+        return dict(
+            url=f"http://w.test{path}", host="w.test", status=200,
+            content_type="text/html", body=body,
+        )
+
+    web = [
+        page("/", ["/a/1/c", "/a/1/cc", "/data/f.json", "/data/f.jsonx",
+                   "/tmp9", "/plain/x", "/old/y"]),
+        page("/a/1/c", []), page("/a/1/cc", []),
+        page("/data/f.json", []), page("/data/f.jsonx", []),
+        page("/tmp9", []), page("/plain/x", []), page("/old/y", []),
+    ]
+    robots = [dict(host="w.test",
+                   disallow=["/a/*/c$", "/*.json$", "/tmp*", "/old/"],
+                   crawl_delay=0.0, budget=10**9)]
+    seeds = [dict(seed_url="http://w.test/", priority=0)]
+    fx = dict(web=web, seeds=seeds, robots=robots)
+
+    driver = run_spark_crawl(spark, fx, tmp_path / "wc")
+    oracle = bfs.crawl_oracle(web, seeds, robots)
+
+    got = {(r["url"], r["classification"])
+           for r in driver.results().select("url", "classification").collect()}
+    want = {(r["url"], r["classification"]) for r in oracle.results}
+    assert got == want
+    blocked = {u for u, c in want if c == "robots_blocked"}
+    # $ anchor: /a/1/c blocked, /a/1/cc NOT; /tmp* wildcard; plain /old/
+    assert blocked == {
+        "http://w.test/a/1/c", "http://w.test/data/f.json",
+        "http://w.test/tmp9", "http://w.test/old/y",
+    }
