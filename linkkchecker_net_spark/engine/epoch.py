@@ -434,20 +434,41 @@ def dedup_gate_rank(
         cand = cand.withColumn("robots_blocked", F.lit(False))
     else:
         from linkkchecker_net_spark.kernels.robotsparse import (
-            rule_match_expr,
+            is_wildcard_rule_expr,
+            pattern_regex_expr,
         )
 
-        rob = robots.select("host", "disallow")
+        # split ONCE on the broadcast dim: prefix rules keep the codegen
+        # startswith fast path; wildcard rules arrive as pre-built
+        # regexes, so the per-candidate loop never re-detects/re-builds
+        rob = robots.select(
+            "host",
+            F.filter(
+                "disallow", lambda p: ~is_wildcard_rule_expr(p)
+            ).alias("dis_prefix"),
+            F.transform(
+                F.filter("disallow", is_wildcard_rule_expr),
+                pattern_regex_expr,
+            ).alias("dis_rex"),
+        )
+        path = _path_expr(F.col("url"))
         cand = cand.join(F.broadcast(rob), on="host", how="left").withColumn(
             "robots_blocked",
             F.col("supported")
-            & F.when(
-                F.col("disallow").isNotNull(),
-                F.exists(
-                    F.col("disallow"),
-                    lambda p: rule_match_expr(_path_expr(F.col("url")), p),
-                ),
-            ).otherwise(F.lit(False)),
+            & (
+                F.coalesce(
+                    F.exists(
+                        F.col("dis_prefix"), lambda p: F.startswith(path, p)
+                    ),
+                    F.lit(False),
+                )
+                | F.coalesce(
+                    F.exists(
+                        F.col("dis_rex"), lambda rx: F.regexp_like(path, rx)
+                    ),
+                    F.lit(False),
+                )
+            ),
         )
 
     # W2 — deterministic discovery rank over this epoch's survivors.
@@ -464,7 +485,7 @@ def dedup_gate_rank(
     #                   by frontier size.  Ranks are independent of the
     #                   sampled range boundaries because the order key
     #                   (parent_rank, tag_rank, doc_pos) is a total order.
-    cand = cand.drop("disallow")
+    cand = cand.drop("dis_prefix", "dis_rex")
     if small_rank:
         w2 = Window.orderBy(*_ORDER_COLS)
         cand = cand.withColumn(

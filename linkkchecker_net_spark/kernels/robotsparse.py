@@ -287,28 +287,46 @@ def sitemap_robots_conflict(
     )
 
 
-def rule_match_expr(path_col, pattern_col):
-    """One RFC 9309 rule test as a pure codegen expression — usable
-    inside array lambdas (the engine's F10 gate applies it under
-    F.exists over the broadcast disallow list, engine/epoch.py).
+def is_wildcard_rule_expr(pattern_col):
+    """True when a rule path carries RFC 9309 metachars ('*' anywhere,
+    '$' at end) and therefore needs the regex path."""
+    return F.contains(pattern_col, F.lit("*")) | F.endswith(
+        pattern_col, F.lit("$")
+    )
 
-    Plain patterns (no '*', no trailing '$') stay on the cheap
-    startswith path; wildcard patterns build the same regex
-    :func:`robots_match` uses.  The oracle twin is
-    oracle/bfs.py:_rule_match — the two are pinned equal by
-    test_crawl_golden's wildcard-robots crawl.
-    """
+
+def pattern_regex_expr(pattern_col):
+    """RFC 9309 rule path → anchored regex string (the grammar
+    :func:`robots_match` uses): strip a trailing '$' into an end
+    anchor, escape regex metachars (a mid-pattern '$' is literal),
+    expand '*' to '.*'."""
     ends = F.endswith(pattern_col, F.lit("$"))
-    wild = F.contains(pattern_col, F.lit("*")) | ends
     body = F.when(
         ends, F.regexp_replace(pattern_col, r"\$$", "")
     ).otherwise(pattern_col)
     esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
-    rex = F.concat(
+    return F.concat(
         F.lit("^"),
         F.replace(esc, F.lit("*"), F.lit(".*")),
         F.when(ends, F.lit("$")).otherwise(F.lit("")),
     )
-    return F.when(wild, F.regexp_like(path_col, rex)).otherwise(
-        F.startswith(path_col, pattern_col)
-    )
+
+
+def rule_match_expr(path_col, pattern_col):
+    """One RFC 9309 rule test as a pure codegen expression — usable
+    inside array lambdas.  Plain patterns (no '*', no trailing '$')
+    stay on the cheap startswith path; wildcard patterns build the same
+    regex :func:`robots_match` uses.  The oracle twin is
+    oracle/bfs.py:_rule_match — the two are pinned equal by
+    test_crawl_golden's wildcard-robots crawl.
+
+    The engine's F10 gate (engine/epoch.py) pre-SPLITS the broadcast
+    disallow dim into prefix rules and pre-built regexes with the two
+    helpers above instead, so the per-candidate hot loop never
+    re-detects or re-builds anything; this combined form is for one-off
+    rule tests.
+    """
+    return F.when(
+        is_wildcard_rule_expr(pattern_col),
+        F.regexp_like(path_col, pattern_regex_expr(pattern_col)),
+    ).otherwise(F.startswith(path_col, pattern_col))
