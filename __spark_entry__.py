@@ -4561,6 +4561,39 @@ def q_main_content(spark, sf_dir):
     return main_content(pages)
 
 
+def q_session_params(spark, sf_dir):
+    """Session-param detection (pipeline/dust.session_params): per host
+    h{i%4}, param arms — sid (unique value per URL → flagged), page
+    (i%7 → 7 values, low ratio), lang on i%2==0 (2 values), a
+    cachebuster cb on i%3==0 (unique → flagged), a rare unique param on
+    i%97==0 (below min_occurrences → NOT flagged despite ratio 1.0),
+    and a valueless 'flag' token (no '=', skipped).  Both engines
+    replay the same query split and integer arithmetic."""
+    from linkkchecker_net_spark.pipeline.dust import session_params
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    query = F.concat(
+        F.lit("sid="), F.md5(s), F.lit("&page="), (i % 7).cast("string"),
+        F.when(i % 2 == 0, F.concat(F.lit("&lang="),
+                                    F.when(i % 4 == 0, F.lit("en"))
+                                    .otherwise(F.lit("de"))))
+        .otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.concat(F.lit("&cb="), s)).otherwise(F.lit("")),
+        F.when(i % 97 == 0, F.concat(F.lit("&rare="), s)).otherwise(
+            F.lit("")
+        ),
+        F.lit("&flag"),
+    )
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (i % 4).cast("string")).alias("host"),
+        F.concat(F.lit("http://h"), (i % 4).cast("string"),
+                 F.lit(".test/p?"), query).alias("url"),
+    )
+    return session_params(urls)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4721,6 +4754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editdist": q_editdist,
         "unicode_hygiene": q_unicode_hygiene,
         "main_content": q_main_content,
+        "session_params": q_session_params,
     }
 
 
@@ -8832,6 +8866,36 @@ FROM bt JOIN bh ON bt.url = bh.url
                    max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                        THEN n_chars END) AS p90_chars
             FROM r GROUP BY 1
+        """,
+        # same param-arm derivation + exact-distinct arithmetic (the
+        # valueless 'flag' token carries no '=' and is skipped)
+        "session_params": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            kv AS (
+              SELECT 'h' || (i % 4) AS host, 'sid' AS param,
+                     md5(i::VARCHAR) AS val FROM d0
+              UNION ALL
+              SELECT 'h' || (i % 4), 'page', (i % 7)::VARCHAR FROM d0
+              UNION ALL
+              SELECT 'h' || (i % 4), 'lang',
+                     CASE WHEN i % 4 = 0 THEN 'en' ELSE 'de' END
+              FROM d0 WHERE i % 2 = 0
+              UNION ALL
+              SELECT 'h' || (i % 4), 'cb', i::VARCHAR FROM d0
+              WHERE i % 3 = 0
+              UNION ALL
+              SELECT 'h' || (i % 4), 'rare', i::VARCHAR FROM d0
+              WHERE i % 97 = 0),
+            per AS (
+              SELECT host, param, COUNT(*) AS n_occurrences,
+                     COUNT(DISTINCT val) AS n_distinct_values
+              FROM kv GROUP BY 1, 2)
+            SELECT host, param, n_occurrences, n_distinct_values,
+                   CAST(floor(n_distinct_values * 1000000.0
+                        / n_occurrences) AS BIGINT) AS distinct_ppm,
+                   (floor(n_distinct_values * 1000000.0 / n_occurrences)
+                      >= 800000 AND n_occurrences >= 5) AS session_param
+            FROM per
         """,
         # same shingle inverted index, asymmetric divisor, integer gate
         "containment": """

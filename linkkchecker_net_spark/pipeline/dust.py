@@ -200,3 +200,64 @@ def mirror_hosts(
         )
         .select("host_a", "host_b", "shared", "n_a", "n_b", "jaccard")
     )
+
+
+def session_params(
+    urls: DataFrame,
+    min_occurrences: int = 5,
+    distinct_ppm_threshold: int = 800_000,
+) -> DataFrame:
+    """Session-id / tracking-parameter detection by value entropy (the
+    Heritrix/Nutch heuristic that seeds DUST rules): a query parameter
+    whose VALUE is nearly unique per occurrence (sid=, phpsessid=,
+    timestamps, cache busters) multiplies every page into unbounded URL
+    aliases — the #1 crawl-trap and dedup-waste source.  Parameters
+    with few distinct values (page=, lang=, sort=) are real content
+    axes and must NOT be stripped.
+
+    urls: (host, url) → per (host, param): (host, param, n_occurrences,
+    n_distinct_values, distinct_ppm, session_param) where distinct_ppm
+    = floor(1e6·distinct/occurrences) and the flag requires BOTH the
+    ratio ≥ threshold AND ≥ min_occurrences sightings (a parameter seen
+    twice with two values is evidence of nothing).
+
+    Downstream: flagged params feed normalize_query_expr's strip list
+    (kernels/canonicalize) the same way dust_rules feeds rewrites.
+
+    Scale: explode query params (map-side), ONE partial-aggregated
+    groupBy on (host, param) with an exact distinct — the count_distinct
+    is per-group exact because the group is the decision unit; at
+    10^10 URLs swap in approx_count_distinct once groups exceed memory,
+    the flag tolerates sketch error at these thresholds.
+    """
+    q = F.parse_url(F.col("url"), F.lit("QUERY"))
+    kv = F.explode(
+        F.filter(F.split(q, "&"), lambda p: p.contains("="))
+    ).alias("kv")
+    pairs = urls.filter(q.isNotNull() & (q != "")).select("host", kv)
+    per = (
+        pairs.select(
+            "host",
+            F.substring_index("kv", "=", 1).alias("param"),
+            F.substring_index("kv", "=", -1).alias("val"),
+        )
+        .groupBy("host", "param")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("val").alias("n_distinct_values"),
+        )
+    )
+    ppm = (
+        F.col("n_distinct_values") * 1_000_000 / F.col("n_occurrences")
+    ).cast("long")
+    return per.select(
+        "host",
+        "param",
+        "n_occurrences",
+        "n_distinct_values",
+        ppm.alias("distinct_ppm"),
+        (
+            (ppm >= F.lit(int(distinct_ppm_threshold)))
+            & (F.col("n_occurrences") >= F.lit(int(min_occurrences)))
+        ).alias("session_param"),
+    )

@@ -1001,3 +1001,22 @@ def test_sitemap_robots_conflict_composition(spark):
         "http://h.test/ok": (True, None),
         "http://g.test/p/x": (True, None),
     }
+
+
+def test_session_params_entropy_flags(spark):
+    from linkkchecker_net_spark.pipeline.dust import session_params
+
+    urls = spark.createDataFrame(
+        [("h", f"http://h.test/p?sid=u{i}&page={i % 2}&flag") for i in range(6)]
+        + [("h", "http://h.test/noquery"),
+           ("g", "http://g.test/p?once=1")],
+        "host string, url string",
+    )
+    got = {(r["host"], r["param"]): (r["n_occurrences"], r["n_distinct_values"],
+                                     r["session_param"])
+           for r in session_params(urls).collect()}
+    assert got == {
+        ("h", "sid"): (6, 6, True),
+        ("h", "page"): (6, 2, False),
+        ("g", "once"): (1, 1, False),  # ratio 1.0 but below min_occurrences
+    }
