@@ -4594,6 +4594,55 @@ def q_session_params(spark, sf_dir):
     return session_params(urls)
 
 
+def q_outlink_stats(spark, sf_dir):
+    """Per-page outlink profile (reports/seo.outlink_stats).  Every page
+    carries: a relative link, a same-host ABSOLUTE link with UPPERCASE
+    authority (internal — case-insensitive compare), an external link
+    on i%2==0 with rel="nofollow" on i%4==0 and the multi-token
+    rel="ugc nofollow" on i%8==6, a mailto: on i%5==1 (counted in
+    n_links, neither bucket), an href-less <a name> decoy, and NO http
+    links at all on i%9==8 (external_ppm NULL — page has only the
+    mailto arm… the two internal links are suppressed on that arm).
+    Oracle derives each count arithmetically."""
+    from linkkchecker_net_spark.reports.seo import outlink_stats
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    host = F.concat(F.lit("o"), (i % 5).cast("string"), F.lit(".test"))
+    internal = F.concat(
+        F.lit('<a href="/rel'), s, F.lit('">r</a><a href="http://O'),
+        (i % 5).cast("string"), F.lit(".TEST/abs"), s, F.lit('">a</a>'),
+    )
+    ext_rel = (
+        F.when(i % 4 == 0, F.lit(' rel="nofollow"'))
+        .when(i % 8 == 6, F.lit(' rel="ugc nofollow"'))
+        .otherwise(F.lit(""))
+    )
+    ext = F.when(
+        i % 2 == 0,
+        F.concat(F.lit('<a href="http://ext.example/x'), s, F.lit('"'),
+                 ext_rel, F.lit(">e</a>")),
+    ).otherwise(F.lit(""))
+    mailto = F.when(
+        i % 5 == 1, F.concat(F.lit('<a href="mailto:a'), s,
+                             F.lit('@x.test">m</a>')),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('<a name="top">t</a>'),
+        F.when(i % 9 == 8, mailto).otherwise(
+            F.concat(internal, ext, mailto)
+        ),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://o"), (i % 5).cast("string"),
+                 F.lit(".test/p"), s).alias("url"),
+        host.alias("host"),
+        body.alias("body"),
+    )
+    return outlink_stats(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4755,6 +4804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_hygiene": q_unicode_hygiene,
         "main_content": q_main_content,
         "session_params": q_session_params,
+        "outlink_stats": q_outlink_stats,
     }
 
 
@@ -8866,6 +8916,32 @@ FROM bt JOIN bh ON bt.url = bh.url
                    max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                        THEN n_chars END) AS p90_chars
             FROM r GROUP BY 1
+        """,
+        # arithmetic arm derivation of the per-page outlink profile
+        "outlink_stats": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i,
+                     (i % 9 = 8) AS sup,
+                     (i % 2 = 0 AND i % 9 <> 8) AS has_ext,
+                     (i % 5 = 1) AS has_mailto
+              FROM d0),
+            c AS (
+              SELECT i,
+                     CASE WHEN sup THEN 0 ELSE 2 END AS n_internal,
+                     CASE WHEN has_ext THEN 1 ELSE 0 END AS n_external,
+                     CASE WHEN has_ext AND (i % 4 = 0 OR i % 8 = 6)
+                          THEN 1 ELSE 0 END AS n_nofollow,
+                     CASE WHEN has_mailto THEN 1 ELSE 0 END AS n_mailto
+              FROM f)
+            SELECT 'http://o' || (i % 5) || '.test/p' || i AS url,
+                   n_internal + n_external + n_mailto AS n_links,
+                   n_internal, n_external, n_nofollow,
+                   CASE WHEN n_internal + n_external > 0
+                        THEN CAST(floor(n_external * 1000000.0
+                             / (n_internal + n_external)) AS BIGINT) END
+                     AS external_ppm
+            FROM c
         """,
         # same param-arm derivation + exact-distinct arithmetic (the
         # valueless 'flag' token carries no '=' and is skipped)

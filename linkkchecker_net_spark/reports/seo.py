@@ -312,3 +312,82 @@ def canonical_consistency(pages: DataFrame) -> DataFrame:
     return rows.select(
         "url", "canonical_href", "og_url", verdict.alias("verdict")
     )
+
+
+_A_TAG_PAT = r"(?i)<a\b[^>]*>"
+_HREF_ATTR_PAT = r'(?i)\bhref="([^"]*)"'
+_REL_ATTR_PAT = r'(?i)\brel="([^"]*)"'
+
+
+def outlink_stats(pages: DataFrame) -> DataFrame:
+    """pages: (url, host, body) → per-page outlink profile: (url,
+    n_links, n_internal, n_external, n_nofollow, external_ppm) — the
+    link-audit rollup SEO crawlers ship (excessive external ratio +
+    blanket nofollow are the link-selling fingerprints anchor_spam
+    scores from the other side of the edge).
+
+    A link is external when its href is absolute http(s) with an
+    authority ≠ the page's host (case-insensitive); relative and
+    same-host absolute hrefs are internal; non-http schemes (mailto:,
+    javascript:) are counted in n_links but in neither bucket.
+    n_nofollow counts anchors whose rel token list contains nofollow
+    (whole-token, case-insensitive).  external_ppm = floor(1e6·ext /
+    (int+ext)), NULL when the page has no http links at all.
+
+    Map-only codegen: one tag harvest + array filters; nothing
+    shuffles.
+    """
+    tags = F.regexp_extract_all("body", F.lit(_A_TAG_PAT), 0)
+    hrefs = F.filter(
+        F.transform(tags, lambda t: F.regexp_extract(t, _HREF_ATTR_PAT, 1)),
+        lambda h: h != "",
+    )
+    rels = F.filter(
+        tags, lambda t: t.rlike(_HREF_ATTR_PAT)
+    )  # only anchors WITH an href count at all
+    n_nofollow = F.size(
+        F.filter(
+            rels,
+            lambda t: F.array_contains(
+                F.split(F.lower(F.regexp_extract(t, _REL_ATTR_PAT, 1)), r"\s+"),
+                "nofollow",
+            ),
+        )
+    )
+    is_abs = lambda h: h.rlike(r"(?i)^https?://")  # noqa: E731
+    authority = lambda h: F.lower(  # noqa: E731
+        F.regexp_extract(h, r"(?i)^https?://([^/]+)", 1)
+    )
+    nonhttp_scheme = lambda h: h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:") & ~is_abs(h)  # noqa: E731
+    internal = F.size(
+        F.filter(
+            hrefs,
+            lambda h: (~is_abs(h) & ~nonhttp_scheme(h))
+            | (is_abs(h) & (authority(h) == F.lower(F.col("host")))),
+        )
+    )
+    external = F.size(
+        F.filter(
+            hrefs,
+            lambda h: is_abs(h) & (authority(h) != F.lower(F.col("host"))),
+        )
+    )
+    rows = pages.select(
+        "url",
+        F.size(hrefs).alias("n_links"),
+        internal.alias("n_internal"),
+        external.alias("n_external"),
+        n_nofollow.alias("n_nofollow"),
+    )
+    http_total = F.col("n_internal") + F.col("n_external")
+    return rows.select(
+        "url",
+        "n_links",
+        "n_internal",
+        "n_external",
+        "n_nofollow",
+        F.when(
+            http_total > 0,
+            (F.col("n_external") * 1_000_000 / http_total).cast("long"),
+        ).alias("external_ppm"),
+    )

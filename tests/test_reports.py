@@ -348,3 +348,25 @@ def test_canonical_consistency_verdicts(spark):
         "c": (None, None, "both_missing"),
         "d": (None, "http://x/3", "og_only"),
     }
+
+
+def test_outlink_stats_buckets(spark):
+    from linkkchecker_net_spark.reports.seo import outlink_stats
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "h.test",
+             '<a href="/in"><a href="http://H.TEST/abs">'
+             '<a href="http://ext.org/x" rel="ugc NOFOLLOW">'
+             '<a href="mailto:a@b"><a name="skip">'),
+            ("u2", "h.test", "<p>no links</p>"),
+        ],
+        "url string, host string, body string",
+    )
+    got = {r["url"]: (r["n_links"], r["n_internal"], r["n_external"],
+                      r["n_nofollow"], r["external_ppm"])
+           for r in outlink_stats(pages).collect()}
+    assert got == {
+        "u1": (4, 2, 1, 1, 333_333),
+        "u2": (0, 0, 0, 0, None),
+    }
