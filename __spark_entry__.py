@@ -4643,6 +4643,63 @@ def q_outlink_stats(spark, sf_dir):
     return outlink_stats(pages)
 
 
+def q_breadcrumbs(spark, sf_dir):
+    """JSON-LD BreadcrumbList trails (kernels/jsonld.breadcrumb_trails):
+    depth-(2+i%3) trails with declared positions, a position MISMATCH
+    (declared position skips to 9) on the last item when i%7==3, a
+    Product decoy block always, a malformed (truncated) ld+json block
+    on i%11==7 (contributes nothing), and NO breadcrumbs on i%6==2.
+    Both engines parse REAL JSON (get_json_object / json_extract_string
+    with a json_valid guard)."""
+    from linkkchecker_net_spark.kernels.jsonld import breadcrumb_trails
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    depth = 2 + i % 3
+
+    def crumb(k: int):
+        pos = F.when(
+            (i % 7 == 3) & (depth == k + 1), F.lit(9)
+        ).otherwise(F.lit(k + 1))
+        return F.concat(
+            F.lit('{"@type":"ListItem","position":'), pos.cast("string"),
+            F.lit(f',"name":"Crumb {k}","item":"http://b'),
+            (i % 4).cast("string"), F.lit(f".test/lvl{k}"), F.lit('"}'),
+        )
+
+    inner = F.concat_ws(
+        ",",
+        *[
+            F.when(depth > k, crumb(k)).otherwise(F.lit(None))
+            for k in range(4)
+        ],
+    )
+    bc = F.when(
+        i % 6 != 2,
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"BreadcrumbList","itemListElement":['),
+            inner,
+            F.lit("]}</script>"),
+        ),
+    ).otherwise(F.lit(""))
+    decoy = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"Product","name":"P'), s, F.lit('"}</script>'),
+    )
+    malformed = F.when(
+        i % 11 == 7,
+        F.lit('<script type="application/ld+json">{"@type":"Breadcrumb'),
+    ).otherwise(F.lit(""))
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://b"), (i % 4).cast("string"),
+                 F.lit(".test/p"), s).alias("url"),
+        F.concat(decoy, bc, malformed).alias("body"),
+    )
+    return breadcrumb_trails(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4805,6 +4862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "session_params": q_session_params,
         "outlink_stats": q_outlink_stats,
+        "breadcrumbs": q_breadcrumbs,
     }
 
 
@@ -8916,6 +8974,25 @@ FROM bt JOIN bh ON bt.url = bh.url
                    max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                        THEN n_chars END) AS p90_chars
             FROM r GROUP BY 1
+        """,
+        # arithmetic trail derivation (the Product decoy is block 0, so
+        # every breadcrumb row sits at block_idx 1; the truncated block
+        # never closes its script tag and is not even harvested)
+        "breadcrumbs": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (SELECT i, 2 + i % 3 AS depth FROM d0 WHERE i % 6 <> 2),
+            k AS (
+              SELECT i, depth, g.k AS k
+              FROM f, unnest(generate_series(0, depth - 1)) AS g(k))
+            SELECT 'http://b' || (i % 4) || '.test/p' || i AS url,
+                   1 AS block_idx,
+                   CAST(k AS INT) AS item_idx,
+                   CAST(CASE WHEN i % 7 = 3 AND depth = k + 1 THEN 9
+                        ELSE k + 1 END AS INT) AS position,
+                   'Crumb ' || k AS name,
+                   'http://b' || (i % 4) || '.test/lvl' || k AS item_url,
+                   CAST(depth AS INT) AS depth
+            FROM k
         """,
         # arithmetic arm derivation of the per-page outlink profile
         "outlink_stats": """

@@ -102,3 +102,63 @@ def jsonld_items(pages: DataFrame, max_array_items: int = 4) -> DataFrame:
             F.get_json_object("item", "$.headline"),
         ).alias("caption"),
     )
+
+
+def breadcrumb_trails(pages: DataFrame, max_items: int = 6) -> DataFrame:
+    """JSON-LD BreadcrumbList extraction: the site's own declaration of
+    a page's position in its hierarchy — crawl schedulers use the trail
+    depth as a priority signal (shallow = hub) and SEO audits check it
+    against the URL path.  One row per breadcrumb item:
+    (url, block_idx, item_idx, position, name, item_url, depth) where
+    depth = the block's item count (bounded by ``max_items``, the same
+    static fan-out bound jsonld_items uses) and position is the
+    DECLARED ListItem position (audits compare it to item_idx+1).
+
+    Same plan shape as jsonld_items: regexp block harvest +
+    get_json_object field paths (Jackson inside codegen) + one bounded
+    posexplode — map-only, zero shuffles, no Python.  Blocks that are
+    not valid JSON or whose @type ≠ BreadcrumbList contribute nothing
+    (jsonld_items is the malformed-block auditor).
+    """
+    blocks = pages.select(
+        "url",
+        F.posexplode(
+            F.regexp_extract_all("body", F.lit(SCRIPT_LD_PAT), 1)
+        ).alias("block_idx", "b"),
+    ).filter(F.get_json_object("b", "$['@type']") == "BreadcrumbList")
+    items = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.get_json_object(
+                        "b", f"$.itemListElement[{k}].position"
+                    )
+                    .cast("int")
+                    .alias("position"),
+                    F.get_json_object(
+                        "b", f"$.itemListElement[{k}].name"
+                    ).alias("name"),
+                    F.get_json_object(
+                        "b", f"$.itemListElement[{k}].item"
+                    ).alias("item_url"),
+                )
+                for k in range(int(max_items))
+            ]
+        ),
+        lambda s: s["name"].isNotNull(),
+    )
+    rows = blocks.select(
+        "url",
+        "block_idx",
+        F.size(items).alias("depth"),
+        F.posexplode(items).alias("item_idx", "it"),
+    )
+    return rows.select(
+        "url",
+        "block_idx",
+        "item_idx",
+        F.col("it.position").alias("position"),
+        F.col("it.name").alias("name"),
+        F.col("it.item_url").alias("item_url"),
+        "depth",
+    )

@@ -97,7 +97,7 @@ NON_CRAWL = [
     "robots_match", "crawl_delay_audit", "sitemap_robots_conflict",
     "canonical_consistency", "event_dedup", "tile_neardup",
     "containment", "editdist", "unicode_hygiene", "main_content",
-    "session_params", "outlink_stats",
+    "session_params", "outlink_stats", "breadcrumbs",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

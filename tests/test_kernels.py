@@ -1020,3 +1020,29 @@ def test_session_params_entropy_flags(spark):
         ("h", "page"): (6, 2, False),
         ("g", "once"): (1, 1, False),  # ratio 1.0 but below min_occurrences
     }
+
+
+def test_breadcrumb_trails_parse(spark):
+    from linkkchecker_net_spark.kernels.jsonld import breadcrumb_trails
+
+    body = (
+        '<script type="application/ld+json">{"@type":"Product","name":"d"}'
+        "</script>"
+        '<script type="application/ld+json">'
+        '{"@type":"BreadcrumbList","itemListElement":['
+        '{"@type":"ListItem","position":1,"name":"Home","item":"http://h/"},'
+        '{"@type":"ListItem","position":2,"name":"Sub","item":"http://h/s"}'
+        "]}</script>"
+        '<script type="application/ld+json">{"broken":</script>'
+    )
+    pages = spark.createDataFrame(
+        [("u", body), ("v", "<p>none</p>")], "url string, body string"
+    )
+    rows = breadcrumb_trails(pages).collect()
+    got = {(r["url"], r["item_idx"]): (r["block_idx"], r["position"],
+                                       r["name"], r["item_url"], r["depth"])
+           for r in rows}
+    assert got == {
+        ("u", 0): (1, 1, "Home", "http://h/", 2),
+        ("u", 1): (1, 2, "Sub", "http://h/s", 2),
+    }
