@@ -4700,6 +4700,65 @@ def q_breadcrumbs(spark, sf_dir):
     return breadcrumb_trails(pages)
 
 
+def q_embedding_hygiene(spark, sf_dir):
+    """Embedding-table hygiene (pipeline/similarity.embedding_hygiene):
+    the embeddings table with three corruption arms appended — a zero
+    vector (vec_id+10000) on i%50==0, a 1000× rescaled vector
+    (extreme_norm) on i%50==1, a NaN-component vector on i%50==2 — so
+    every flag fires.  Norms are compared at the 6-dp rounding
+    convention; the NaN arm's norm sums only finite components in both
+    engines."""
+    from linkkchecker_net_spark.pipeline.similarity import embedding_hygiene
+
+    _prep(spark)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    i = F.col("vec_id").cast("long")
+    zero = emb.filter(i % 50 == 0).select(
+        (i + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: F.lit(0.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    big = emb.filter(i % 50 == 1).select(
+        (i + 20_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1000.0).alias("embedding"),
+    )
+    nanv = emb.filter(i % 50 == 2).select(
+        (i + 30_000).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(float("nan")).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return embedding_hygiene(
+        emb.unionAll(zero).unionAll(big).unionAll(nanv)
+    )
+
+
+def q_keyword_stuffing(spark, sf_dir):
+    """Keyword-stuffing detector (pipeline/text.keyword_stuffing): the
+    corpus with the token ' spam' repeated ceil(n_tokens/3) times
+    appended on i%10==0 (pushes top-share past the 20% gate) — both
+    engines replay the same tokenization, tie-break and integer
+    arithmetic."""
+    from linkkchecker_net_spark.pipeline.text import keyword_stuffing
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    n_toks = F.size(F.split(F.col("text"), " "))
+    stuffed_text = F.concat(
+        F.col("text"),
+        F.repeat(F.lit(" zzspam"), F.ceil(n_toks / 3).cast("int")),
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(i % 10 == 0, stuffed_text).otherwise(F.col("text")).alias(
+            "text"
+        ),
+    )
+    return keyword_stuffing(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4863,6 +4922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_params": q_session_params,
         "outlink_stats": q_outlink_stats,
         "breadcrumbs": q_breadcrumbs,
+        "embedding_hygiene": q_embedding_hygiene,
+        "keyword_stuffing": q_keyword_stuffing,
     }
 
 
@@ -8974,6 +9035,73 @@ FROM bt JOIN bh ON bt.url = bh.url
                    max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                        THEN n_chars END) AS p90_chars
             FROM r GROUP BY 1
+        """,
+        # same corruption arms + finite-component norm arithmetic
+        "embedding_hygiene": """
+            WITH base AS (SELECT vec_id, embedding FROM embeddings),
+            un AS (
+              SELECT vec_id, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE)) AS d
+              FROM base
+              UNION ALL
+              SELECT vec_id + 10000,
+                     list_transform(embedding, x -> 0.0)
+              FROM base WHERE vec_id % 50 = 0
+              UNION ALL
+              SELECT vec_id + 20000,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)
+                       * 1000.0)
+              FROM base WHERE vec_id % 50 = 1
+              UNION ALL
+              SELECT vec_id + 30000,
+                     ['nan'::DOUBLE] || list_transform(embedding[2:64],
+                       x -> CAST(x AS DOUBLE))
+              FROM base WHERE vec_id % 50 = 2),
+            m AS (
+              SELECT vec_id, CAST(len(d) AS INT) AS dim,
+                     CAST(len(list_filter(d, x -> isnan(x)
+                          OR abs(x) > 1e308)) AS INT) AS n_nonfinite,
+                     sqrt(coalesce(list_sum(list_transform(
+                       list_filter(d, x -> NOT isnan(x)),
+                       x -> x * x)), 0.0)) AS nrm
+              FROM un)
+            SELECT vec_id, dim, round(nrm, 6) AS norm, n_nonfinite,
+                   (nrm < 1e-6) AS zero_vector,
+                   (nrm > 100.0) AS extreme_norm,
+                   (n_nonfinite = 0 AND nrm >= 1e-6 AND nrm <= 100.0)
+                     AS ok
+            FROM m
+        """,
+        # same tokenization, tie-break and integer arithmetic
+        "keyword_stuffing": """
+            WITH docs2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0
+                          THEN text || repeat(' zzspam',
+                            CAST(ceil(len(string_split(text, ' '))
+                                 / 3.0) AS INT))
+                          ELSE text END AS text
+              FROM documents),
+            toks AS (
+              SELECT doc_id, u.t FROM docs2,
+                   unnest(string_split(text, ' ')) AS u(t)
+              WHERE u.t <> ''),
+            per AS (SELECT doc_id, t, COUNT(*) AS c
+                    FROM toks GROUP BY 1, 2),
+            mx AS (SELECT doc_id, MAX(c) AS max_c FROM per GROUP BY 1),
+            win AS (
+              SELECT per.doc_id, MIN(t) AS top_token, MAX(c) AS top_count
+              FROM per JOIN mx ON mx.doc_id = per.doc_id
+                             AND per.c = mx.max_c
+              GROUP BY 1),
+            n AS (SELECT doc_id, COUNT(*) AS n_tokens
+                  FROM toks GROUP BY 1)
+            SELECT n.doc_id, n.n_tokens, top_token, top_count,
+                   CAST(floor(top_count * 1000000.0 / n.n_tokens)
+                     AS BIGINT) AS top_share_ppm,
+                   (floor(top_count * 1000000.0 / n.n_tokens) >= 200000
+                    AND n.n_tokens >= 10) AS stuffed
+            FROM n JOIN win ON win.doc_id = n.doc_id
         """,
         # arithmetic trail derivation (the Product decoy is block 0, so
         # every breadcrumb row sits at block_idx 1; the truncated block

@@ -461,3 +461,46 @@ def sq8_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+def embedding_hygiene(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    low: float = 1e-6,
+    high: float = 100.0,
+) -> DataFrame:
+    """Embedding-table hygiene screen — the sanity pass every vector
+    corpus needs before ANN/dedup trusts it: (id, dim, norm — 6 dp,
+    n_nonfinite, zero_vector, extreme_norm, ok).  Zero/near-zero
+    vectors make cosine undefined (they satisfy every threshold as
+    0/0), NaN/Inf components poison distance kernels silently, and
+    runaway norms are the classic sign of an un-normalized batch mixed
+    into a normalized corpus.
+
+    Map-only codegen (aggregate/filter over the array) — no shuffle, no
+    Python; rides any existing scan of the table.
+    """
+    d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nonfinite = F.size(
+        F.filter(d, lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e308)))
+    )
+    sq = F.aggregate(
+        F.filter(d, lambda x: ~F.isnan(x)),
+        F.lit(0.0),
+        lambda a, x: a + x * x,
+    )
+    norm = F.sqrt(sq)
+    return emb.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("dim"),
+        F.round(norm, 6).alias("norm"),
+        nonfinite.alias("n_nonfinite"),
+        (norm < F.lit(float(low))).alias("zero_vector"),
+        (norm > F.lit(float(high))).alias("extreme_norm"),
+        (
+            (nonfinite == 0)
+            & (norm >= F.lit(float(low)))
+            & (norm <= F.lit(float(high)))
+        ).alias("ok"),
+    )

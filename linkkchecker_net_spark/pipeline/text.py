@@ -598,3 +598,51 @@ def main_content(pages: DataFrame, min_main_chars: int = 50) -> DataFrame:
         "url", "n_blocks", "total_chars", "main_chars", "main_ppm",
         "main_text", verdict.alias("verdict"),
     )
+
+
+def keyword_stuffing(
+    docs: DataFrame, share_ppm_threshold: int = 200_000, min_tokens: int = 10
+) -> DataFrame:
+    """Keyword-stuffing detector: the share of a doc's tokens taken by
+    its single most repeated token — the classic on-page spam metric
+    (an honest document's top token is a stopword at a few percent; a
+    stuffed one repeats the target phrase to 20%+).  Output: (doc_id,
+    n_tokens, top_token, top_count, top_share_ppm, stuffed) with the
+    flag requiring BOTH the share ≥ threshold AND ≥ min_tokens (tiny
+    docs trivially concentrate).  Tie on count → lexicographically
+    smallest token (deterministic in both engines).
+
+    Complements quality_score's distinct-ratio (which a stuffer evades
+    by padding with unique junk) and anchor_spam (which scores the
+    inbound side).
+
+    Scale: explode → ONE partial-aggregated groupBy (doc_id, token) →
+    max_by per doc.  The (doc, token) key is naturally high-cardinality
+    and skew-free; hot docs are bounded by max doc length.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    # smallest-token-wins tie semantics: rows at the max count, min token
+    mx = per.groupBy("doc_id").agg(F.max("c").alias("max_c"))
+    winner = (
+        per.join(mx, "doc_id")
+        .filter(F.col("c") == F.col("max_c"))
+        .groupBy("doc_id")
+        .agg(F.min("tok").alias("top_token"), F.max("c").alias("top_count"))
+    )
+    n = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    j = n.join(winner, "doc_id")
+    share = (F.col("top_count") * 1_000_000 / F.col("n_tokens")).cast("long")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "top_token",
+        "top_count",
+        share.alias("top_share_ppm"),
+        (
+            (share >= F.lit(int(share_ppm_threshold)))
+            & (F.col("n_tokens") >= F.lit(int(min_tokens)))
+        ).alias("stuffed"),
+    )

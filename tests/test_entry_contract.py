@@ -98,6 +98,7 @@ NON_CRAWL = [
     "canonical_consistency", "event_dedup", "tile_neardup",
     "containment", "editdist", "unicode_hygiene", "main_content",
     "session_params", "outlink_stats", "breadcrumbs",
+    "embedding_hygiene", "keyword_stuffing",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
