@@ -4759,6 +4759,71 @@ def q_keyword_stuffing(spark, sf_dir):
     return keyword_stuffing(docs)
 
 
+def q_content_length(spark, sf_dir):
+    """Declared-vs-actual length audit (kernels/httpmeta.
+    content_length_audit): real 50+(i%100)-byte bodies; the header is
+    absent on i%6==1, over-declares by 10 on i%5==0 (truncated),
+    under-declares by 5 on i%7==2 (overlong), exact otherwise.  Spark
+    measures REAL octet lengths; the oracle derives them from the same
+    construction."""
+    from linkkchecker_net_spark.kernels.httpmeta import content_length_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    a = 50 + i % 100
+    d = (
+        F.when(i % 6 == 1, F.lit(None).cast("long"))
+        .when(i % 5 == 0, a + 10)
+        .when(i % 7 == 2, a - 5)
+        .otherwise(a)
+    )
+    headers = F.when(
+        d.isNotNull(),
+        F.concat(F.lit("Content-Length: "), d.cast("string"),
+                 F.lit("\r\nContent-Type: text/html")),
+    ).otherwise(F.lit("Content-Type: text/html"))
+    responses = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://cl.test/p"), i.cast("string")).alias("url"),
+        headers.alias("headers"),
+        F.encode(F.repeat(F.lit("x"), a.cast("int")), "UTF-8").alias(
+            "body"
+        ),
+    )
+    return content_length_audit(responses)
+
+
+def q_redirect_edges(spark, sf_dir):
+    """Per-edge redirect lint (kernels/httpmeta.redirect_edge_audit).
+    Arms by i%8: 301 https-upgrade (same authority+path, scheme flip) /
+    302, 303, 307, 308 same-host hops / a 200 (not_redirect) / a 301
+    with NO Location (missing_location) / a 302 cross-host."""
+    from linkkchecker_net_spark.kernels.httpmeta import redirect_edge_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    h = (i % 5).cast("string")
+    url = F.concat(F.lit("http://r"), h, F.lit(".test/p"), s)
+    status = (
+        F.when(i % 8 == 0, 301).when(i % 8 == 1, 302).when(i % 8 == 2, 303)
+        .when(i % 8 == 3, 307).when(i % 8 == 4, 308).when(i % 8 == 5, 200)
+        .when(i % 8 == 6, 301).otherwise(302)
+    ).cast("int")
+    location = (
+        F.when(i % 8 == 0, F.concat(F.lit("https://r"), h,
+                                    F.lit(".test/p"), s))
+        .when(
+            (i % 8 >= 1) & (i % 8 <= 4),
+            F.concat(F.lit("http://r"), h, F.lit(".test/q"), s),
+        )
+        .when(i % 8 == 7, F.concat(F.lit("http://other.test/x"), s))
+    )
+    responses = _docs(spark, sf_dir).select(
+        url.alias("url"), status.alias("status"), location.alias("location")
+    )
+    return redirect_edge_audit(responses)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4924,6 +4989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breadcrumbs": q_breadcrumbs,
         "embedding_hygiene": q_embedding_hygiene,
         "keyword_stuffing": q_keyword_stuffing,
+        "content_length": q_content_length,
+        "redirect_edges": q_redirect_edges,
     }
 
 
@@ -9035,6 +9102,55 @@ FROM bt JOIN bh ON bt.url = bh.url
                    max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                        THEN n_chars END) AS p90_chars
             FROM r GROUP BY 1
+        """,
+        # actual lengths derived from the same construction Spark encodes
+        "content_length": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i, 50 + i % 100 AS a,
+                     CASE WHEN i % 6 = 1 THEN NULL
+                          WHEN i % 5 = 0 THEN 50 + i % 100 + 10
+                          WHEN i % 7 = 2 THEN 50 + i % 100 - 5
+                          ELSE 50 + i % 100 END::BIGINT AS d
+              FROM d0)
+            SELECT 'http://cl.test/p' || i AS url,
+                   d AS declared_len, a::BIGINT AS actual_len,
+                   (d IS NOT NULL AND a < d) AS truncated,
+                   (d IS NOT NULL AND a > d) AS overlong,
+                   CASE WHEN d IS NULL THEN 'undeclared'
+                        WHEN a < d THEN 'truncated'
+                        WHEN a > d THEN 'overlong'
+                        ELSE 'match' END AS verdict
+            FROM f
+        """,
+        # arithmetic arm derivation of the redirect-edge ladder
+        "redirect_edges": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i,
+                     'http://r' || (i % 5) || '.test/p' || i AS url,
+                     CAST(CASE i % 8 WHEN 0 THEN 301 WHEN 1 THEN 302
+                          WHEN 2 THEN 303 WHEN 3 THEN 307 WHEN 4 THEN 308
+                          WHEN 5 THEN 200 WHEN 6 THEN 301
+                          ELSE 302 END AS INT) AS status,
+                     CASE WHEN i % 8 = 0
+                            THEN 'https://r' || (i % 5) || '.test/p' || i
+                          WHEN i % 8 BETWEEN 1 AND 4
+                            THEN 'http://r' || (i % 5) || '.test/q' || i
+                          WHEN i % 8 = 7
+                            THEN 'http://other.test/x' || i END AS location
+              FROM d0)
+            SELECT url, status, location,
+                   (status IN (301, 308)) AS permanent,
+                   (status IN (307, 308)) AS method_preserving,
+                   (i % 8 = 0) AS https_upgrade,
+                   (i % 8 = 7) AS cross_host,
+                   CASE WHEN status = 200 THEN 'not_redirect'
+                        WHEN location IS NULL THEN 'missing_location'
+                        WHEN i % 8 = 0 THEN 'https_upgrade'
+                        WHEN status IN (301, 308) THEN 'permanent'
+                        ELSE 'temporary' END AS verdict
+            FROM f
         """,
         # same corruption arms + finite-component norm arithmetic
         "embedding_hygiene": """

@@ -259,3 +259,102 @@ def cookie_audit(responses: DataFrame) -> DataFrame:
         "samesite_none_insecure",
         F.coalesce("samesite_none_insecure", F.lit(False)),
     )
+
+
+_CONTENT_LENGTH_PAT = r"(?im)^content-length:[ \t]*(\d+)"
+
+
+def content_length_audit(responses: DataFrame) -> DataFrame:
+    """Declared-vs-actual body length — the truncation/over-read QA
+    every fetch pipeline needs (a connection dropped mid-body yields a
+    2xx row whose payload silently lies; downstream parse/decode then
+    blames the wrong stage).  responses: (url, headers, body binary) →
+    (url, declared_len, actual_len, truncated, overlong, verdict ∈
+    undeclared / match / truncated / overlong).
+
+    Map-only codegen: one header regex + octet_length; a NULL body
+    counts as 0 octets (the fetch stored nothing).
+    """
+    declared = F.nullif(
+        F.regexp_extract("headers", _CONTENT_LENGTH_PAT, 1), F.lit("")
+    ).cast("long")
+    actual = F.coalesce(F.octet_length("body"), F.lit(0)).cast("long")
+    rows = responses.select(
+        "url", declared.alias("declared_len"), actual.alias("actual_len")
+    )
+    verdict = (
+        F.when(F.col("declared_len").isNull(), "undeclared")
+        .when(F.col("actual_len") < F.col("declared_len"), "truncated")
+        .when(F.col("actual_len") > F.col("declared_len"), "overlong")
+        .otherwise("match")
+    )
+    return rows.select(
+        "url",
+        "declared_len",
+        "actual_len",
+        (
+            F.col("declared_len").isNotNull()
+            & (F.col("actual_len") < F.col("declared_len"))
+        ).alias("truncated"),
+        (
+            F.col("declared_len").isNotNull()
+            & (F.col("actual_len") > F.col("declared_len"))
+        ).alias("overlong"),
+        verdict.alias("verdict"),
+    )
+
+
+def redirect_edge_audit(responses: DataFrame) -> DataFrame:
+    """Per-edge redirect lint: (url, status, location) → (url, status,
+    location, permanent, method_preserving, https_upgrade, cross_host,
+    verdict).  301/308 are permanent (link-maintenance should rewrite
+    the source; 308 also preserves the method), 302/303/307 temporary
+    (307 method-preserving, 303 forces GET); ``https_upgrade`` marks
+    the canonical scheme-upgrade edge (same authority+path+query, http
+    → https) that mixed-content/HSTS remediation looks for; non-3xx
+    rows keep verdict 'not_redirect'.  The chain view is
+    pipeline/graph.resolve_redirects; this is the single-hop policy
+    audit feeding it.
+
+    Map-only codegen — string surgery on two columns, no shuffle.
+    """
+    st = F.col("status")
+    is_redirect = st.isin(301, 302, 303, 307, 308)
+    permanent = st.isin(301, 308)
+    method_preserving = st.isin(307, 308)
+    rest = lambda u: F.regexp_replace(u, r"(?i)^https?://", "")  # noqa: E731
+    https_upgrade = (
+        F.col("location").isNotNull()
+        & F.col("url").rlike(r"(?i)^http://")
+        & F.col("location").rlike(r"(?i)^https://")
+        & (rest(F.col("url")) == rest(F.col("location")))
+    )
+    host = lambda u: F.lower(  # noqa: E731
+        F.regexp_extract(u, r"(?i)^https?://([^/]+)", 1)
+    )
+    cross_host = (
+        F.col("location").isNotNull()
+        & F.col("location").rlike(r"(?i)^https?://")
+        & (host(F.col("url")) != host(F.col("location")))
+    )
+    verdict = (
+        F.when(~is_redirect, "not_redirect")
+        .when(F.col("location").isNull(), "missing_location")
+        .when(https_upgrade, "https_upgrade")
+        .when(permanent, "permanent")
+        .otherwise("temporary")
+    )
+    return responses.select(
+        "url",
+        st.alias("status"),
+        "location",
+        (is_redirect & permanent).alias("permanent"),
+        (is_redirect & method_preserving).alias("method_preserving"),
+        F.coalesce(is_redirect & https_upgrade, F.lit(False)).alias(
+            "https_upgrade"
+        ),
+        F.coalesce(is_redirect & cross_host, F.lit(False)).alias(
+            "cross_host"
+        ),
+        verdict.alias("verdict"),
+    )

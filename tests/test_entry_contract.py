@@ -98,7 +98,8 @@ NON_CRAWL = [
     "canonical_consistency", "event_dedup", "tile_neardup",
     "containment", "editdist", "unicode_hygiene", "main_content",
     "session_params", "outlink_stats", "breadcrumbs",
-    "embedding_hygiene", "keyword_stuffing",
+    "embedding_hygiene", "keyword_stuffing", "content_length",
+    "redirect_edges",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
