@@ -1046,3 +1046,48 @@ def test_breadcrumb_trails_parse(spark):
         ("u", 0): (1, 1, "Home", "http://h/", 2),
         ("u", 1): (1, 2, "Sub", "http://h/s", 2),
     }
+
+
+def test_content_length_audit_verdicts(spark):
+    from linkkchecker_net_spark.kernels.httpmeta import content_length_audit
+
+    rows = [
+        ("a", "Content-Length: 5\r\nX: 1", b"hello"),
+        ("b", "content-length: 10", b"hell"),       # truncated, ci name
+        ("c", "Content-Length: 2", b"hello"),       # overlong
+        ("d", "X-Other: 1", b"hi"),                 # undeclared
+        ("e", "Content-Length: 3", None),           # null body = 0 octets
+    ]
+    df = spark.createDataFrame(rows, "url string, headers string, body binary")
+    got = {r["url"]: (r["declared_len"], r["actual_len"], r["verdict"])
+           for r in content_length_audit(df).collect()}
+    assert got == {
+        "a": (5, 5, "match"),
+        "b": (10, 4, "truncated"),
+        "c": (2, 5, "overlong"),
+        "d": (None, 2, "undeclared"),
+        "e": (3, 0, "truncated"),
+    }
+
+
+def test_redirect_edge_audit_ladder(spark):
+    from linkkchecker_net_spark.kernels.httpmeta import redirect_edge_audit
+
+    rows = [
+        ("http://h.test/p", 301, "https://h.test/p"),     # upgrade
+        ("http://h.test/p2", 308, "http://h.test/q"),     # permanent
+        ("http://h.test/p3", 307, "http://x.test/q"),     # temp cross-host
+        ("http://h.test/p4", 302, None),                  # missing location
+        ("http://h.test/p5", 200, None),                  # not a redirect
+    ]
+    df = spark.createDataFrame(rows, "url string, status int, location string")
+    got = {r["url"]: (r["verdict"], r["permanent"], r["method_preserving"],
+                      r["https_upgrade"], r["cross_host"])
+           for r in redirect_edge_audit(df).collect()}
+    assert got == {
+        "http://h.test/p": ("https_upgrade", True, False, True, False),
+        "http://h.test/p2": ("permanent", True, True, False, False),
+        "http://h.test/p3": ("temporary", False, True, False, True),
+        "http://h.test/p4": ("missing_location", False, False, False, False),
+        "http://h.test/p5": ("not_redirect", False, False, False, False),
+    }
