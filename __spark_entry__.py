@@ -4824,6 +4824,18 @@ def q_redirect_edges(spark, sf_dir):
     return redirect_edge_audit(responses)
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split (pipeline/curation.
+    dataset_split) at 3%/2% so both minority splits are populated at
+    every SF — content-hash buckets replayed bit-identically by both
+    engines."""
+    from linkkchecker_net_spark.pipeline.curation import dataset_split
+
+    _prep(spark)
+    return dataset_split(_docs(spark, sf_dir), val_ppm=30_000,
+                         test_ppm=20_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -4991,6 +5003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_stuffing": q_keyword_stuffing,
         "content_length": q_content_length,
         "redirect_edges": q_redirect_edges,
+        "dataset_split": q_dataset_split,
     }
 
 
@@ -9102,6 +9115,19 @@ FROM bt JOIN bh ON bt.url = bh.url
                    max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                        THEN n_chars END) AS p90_chars
             FROM r GROUP BY 1
+        """,
+        # same md5-bucket arithmetic (unsigned 32-bit, both engines)
+        "dataset_split": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 1000000 AS bucket
+              FROM documents)
+            SELECT doc_id, lang, bucket,
+                   CASE WHEN bucket < 30000 THEN 'val'
+                        WHEN bucket < 50000 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM b
         """,
         # actual lengths derived from the same construction Spark encodes
         "content_length": """

@@ -706,3 +706,39 @@ def length_quantiles(
             ),
         )
     )
+
+
+def dataset_split(
+    docs: DataFrame,
+    val_ppm: int = 10_000,
+    test_ppm: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the release step after
+    curation: split membership must be a PURE FUNCTION of content
+    identity (never row order or partitioning), so re-running the
+    pipeline, adding a shard, or re-partitioning can never leak a val
+    doc into train.  bucket = (first 8 md5 hex digits of the doc id)
+    mod 1e6 — the same engine-portable content hash shard_assign uses
+    (unsigned 32-bit, no sign games); bucket < val_ppm → val,
+    < val+test → test, else train.
+
+    Output per doc: (doc_id, lang, bucket, split) — lang rides along
+    because split-balance reports stratify on it (the companion
+    aggregate is one groupBy away and dataset_card covers the rest).
+
+    Scale: map-only codegen, zero shuffles — the assignment rides any
+    existing scan, and because the hash is content-keyed the same doc
+    lands in the same split on every machine, every run, every SF.  In
+    production the key is the doc's content fingerprint (text.
+    fingerprint), so exact dups can never straddle a split either.
+    """
+    hex8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    bucket = F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(1_000_000))
+    split = (
+        F.when(bucket < val_ppm, "val")
+        .when(bucket < val_ppm + test_ppm, "test")
+        .otherwise("train")
+    )
+    return docs.select(
+        "doc_id", "lang", bucket.alias("bucket"), split.alias("split")
+    )
