@@ -4836,6 +4836,36 @@ def q_dataset_split(spark, sf_dir):
                          test_ppm=20_000)
 
 
+def q_split_balance(spark, sf_dir):
+    """Split-balance QA (pipeline/curation.split_balance) over the same
+    30k/20k-ppm dataset_split — per (split, lang) share vs corpus share
+    in integer ppm."""
+    from linkkchecker_net_spark.pipeline.curation import split_balance
+
+    _prep(spark)
+    return split_balance(_docs(spark, sf_dir), val_ppm=30_000,
+                         test_ppm=20_000)
+
+
+def q_allcaps(spark, sf_dir):
+    """ALL-CAPS shouting detector (pipeline/text.allcaps_spam): the
+    corpus fully upper-cased on i%6==0 (shouting) and salted with two
+    acronym tokens on i%6==3 (low share, not flagged) — both engines
+    replay the same token filters and integer arithmetic."""
+    from linkkchecker_net_spark.pipeline.text import allcaps_spam
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(i % 6 == 0, F.upper(F.col("text")))
+        .when(i % 6 == 3, F.concat(F.col("text"), F.lit(" NASA IBM")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return allcaps_spam(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5004,6 +5034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_length": q_content_length,
         "redirect_edges": q_redirect_edges,
         "dataset_split": q_dataset_split,
+        "split_balance": q_split_balance,
+        "allcaps": q_allcaps,
     }
 
 
@@ -9115,6 +9147,67 @@ FROM bt JOIN bh ON bt.url = bh.url
                    max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                        THEN n_chars END) AS p90_chars
             FROM r GROUP BY 1
+        """,
+        # same md5 buckets + per-split/per-lang share arithmetic
+        "split_balance": """
+            WITH b AS (
+              SELECT lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 1000000 AS bucket
+              FROM documents),
+            a AS (
+              SELECT lang,
+                     CASE WHEN bucket < 30000 THEN 'val'
+                          WHEN bucket < 50000 THEN 'test'
+                          ELSE 'train' END AS split
+              FROM b),
+            per AS (SELECT split, lang, COUNT(*) AS n_docs
+                    FROM a GROUP BY 1, 2),
+            st AS (SELECT split, SUM(n_docs) AS split_n
+                   FROM per GROUP BY 1),
+            lt AS (SELECT lang, SUM(n_docs) AS lang_n FROM per GROUP BY 1),
+            cn AS (SELECT SUM(n_docs) AS corpus_n FROM per),
+            j AS (
+              SELECT per.split, per.lang, per.n_docs,
+                     CAST(floor(per.n_docs * 1000000.0 / st.split_n)
+                       AS BIGINT) AS share_ppm,
+                     CAST(floor(lt.lang_n * 1000000.0 / cn.corpus_n)
+                       AS BIGINT) AS corpus_ppm
+              FROM per JOIN st USING (split) JOIN lt USING (lang), cn)
+            SELECT split, lang, n_docs, share_ppm, corpus_ppm,
+                   share_ppm - corpus_ppm AS skew_ppm
+            FROM j
+        """,
+        # same salting, token filters and integer arithmetic
+        "allcaps": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 6 = 0 THEN upper(text)
+                          WHEN doc_id % 6 = 3 THEN text || ' NASA IBM'
+                          ELSE text END AS text
+              FROM documents),
+            t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                       x -> regexp_matches(x, '[A-Za-z].*[A-Za-z]'))
+                       AS alpha
+              FROM d),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(alpha) AS INT) AS n_alpha_tokens,
+                     CAST(len(list_filter(alpha,
+                       x -> regexp_matches(x, '^[^a-z]*$')
+                            AND regexp_matches(x, '[A-Z]'))) AS INT)
+                       AS n_caps
+              FROM t)
+            SELECT doc_id, n_alpha_tokens, n_caps,
+                   CASE WHEN n_alpha_tokens > 0
+                        THEN CAST(floor(n_caps * 1000000.0
+                             / n_alpha_tokens) AS BIGINT) END AS caps_ppm,
+                   (coalesce(floor(n_caps * 1000000.0 / n_alpha_tokens)
+                      >= 300000, false)
+                    AND n_alpha_tokens >= 5) AS shouting
+            FROM c
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

@@ -742,3 +742,43 @@ def dataset_split(
     return docs.select(
         "doc_id", "lang", bucket.alias("bucket"), split.alias("split")
     )
+
+
+def split_balance(
+    docs: DataFrame, val_ppm: int = 10_000, test_ppm: int = 10_000
+) -> DataFrame:
+    """QA over :func:`dataset_split`: per (split, lang) — doc count and
+    the lang's share WITHIN its split in ppm, against the lang's share
+    of the whole corpus — the balance check that catches a content-hash
+    split accidentally correlating with language (it cannot here by
+    construction, but the report is what PROVES it per release).
+
+    Output: (split, lang, n_docs, share_ppm, corpus_ppm, skew_ppm =
+    share − corpus, all floor-divided integers).
+
+    Scale: dataset_split is map-only; this adds two skinny partial
+    aggregations (split×lang, lang) and one broadcast join — nothing
+    data-sized moves.
+    """
+    assigned = dataset_split(docs, val_ppm=val_ppm, test_ppm=test_ppm)
+    per = assigned.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    split_tot = per.groupBy("split").agg(F.sum("n_docs").alias("split_n"))
+    lang_tot = per.groupBy("lang").agg(F.sum("n_docs").alias("lang_n"))
+    corpus_n = per.agg(F.sum("n_docs").alias("corpus_n"))
+    j = (
+        per.join(F.broadcast(split_tot), "split")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(corpus_n))
+    )
+    share = (F.col("n_docs") * 1_000_000 / F.col("split_n")).cast("long")
+    corpus = (F.col("lang_n") * 1_000_000 / F.col("corpus_n")).cast("long")
+    return j.select(
+        "split",
+        "lang",
+        "n_docs",
+        share.alias("share_ppm"),
+        corpus.alias("corpus_ppm"),
+        (share - corpus).alias("skew_ppm"),
+    )

@@ -646,3 +646,39 @@ def keyword_stuffing(
             & (F.col("n_tokens") >= F.lit(int(min_tokens)))
         ).alias("stuffed"),
     )
+
+
+def allcaps_spam(
+    docs: DataFrame, caps_ppm_threshold: int = 300_000, min_tokens: int = 5
+) -> DataFrame:
+    """ALL-CAPS shouting detector: the share of a doc's multi-letter
+    tokens written fully upper-case — the clickbait/spam headline
+    signal quality classifiers weight heavily (legit prose caps a few
+    percent of tokens: acronyms; listing spam caps most of them).
+    Single-letter tokens are excluded (the pronoun 'I', initials) and
+    tokens with no letters at all (numbers, punctuation) don't enter
+    either count.  Output: (doc_id, n_alpha_tokens, n_caps,
+    caps_ppm, shouting) with the flag gated on min_tokens.
+
+    Map-only codegen: one split + two array filters, no shuffle.
+    """
+    toks = F.split(F.col("text"), " ")
+    alpha = F.filter(
+        toks, lambda t: t.rlike("[A-Za-z].*[A-Za-z]")
+    )  # >= 2 letters
+    caps = F.filter(alpha, lambda t: t.rlike("^[^a-z]*$") & t.rlike("[A-Z]"))
+    n_alpha = F.size(alpha)
+    n_caps = F.size(caps)
+    ppm = F.when(
+        n_alpha > 0, (n_caps * 1_000_000 / n_alpha).cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        n_alpha.alias("n_alpha_tokens"),
+        n_caps.alias("n_caps"),
+        ppm.alias("caps_ppm"),
+        (
+            F.coalesce(ppm >= F.lit(int(caps_ppm_threshold)), F.lit(False))
+            & (n_alpha >= F.lit(int(min_tokens)))
+        ).alias("shouting"),
+    )

@@ -461,3 +461,46 @@ def test_main_content_tie_and_density(spark):
         "b": (2, 40, "qq", "thin"),   # tie -> earliest block
         "c": (0, 0, None, "no_content"),
     }
+
+
+def test_dataset_split_and_balance_determinism(spark):
+    from linkkchecker_net_spark.pipeline.curation import (
+        dataset_split,
+        split_balance,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    a = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    # repartitioning must not move any doc between splits
+    b = {r["doc_id"]: r["split"]
+         for r in dataset_split(docs.repartition(7)).collect()}
+    assert a == b
+    bal = split_balance(docs)
+    rows = bal.collect()
+    # shares within each split sum to ~1e6 (floor rounding)
+    from collections import defaultdict
+    per = defaultdict(int)
+    for r in rows:
+        per[r["split"]] += r["share_ppm"]
+    assert all(999_990 <= v <= 1_000_000 for v in per.values()), per
+
+
+def test_allcaps_spam_filters(spark):
+    from linkkchecker_net_spark.pipeline.text import allcaps_spam
+
+    docs = spark.createDataFrame(
+        [(1, "BUY NOW CHEAP PILLS HERE tail"),
+         (2, "the NASA report and I went home 123"),
+         (3, "HI")],  # below min_tokens
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_alpha_tokens"], r["n_caps"], r["shouting"])
+           for r in allcaps_spam(docs).collect()}
+    assert got == {
+        1: (6, 5, True),
+        2: (6, 1, False),   # 'I' and '123' excluded from alpha
+        3: (1, 1, False),
+    }

@@ -99,7 +99,7 @@ NON_CRAWL = [
     "containment", "editdist", "unicode_hygiene", "main_content",
     "session_params", "outlink_stats", "breadcrumbs",
     "embedding_hygiene", "keyword_stuffing", "content_length",
-    "redirect_edges", "dataset_split",
+    "redirect_edges", "dataset_split", "split_balance", "allcaps",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
