@@ -4866,6 +4866,77 @@ def q_allcaps(spark, sf_dir):
     return allcaps_spam(docs)
 
 
+_GOPHER_BULLETS = (
+    "\n- alpha\n- beta\n- gamma\n- delta\n- epsilon"
+    "\n- zeta\n- eta\n- theta\n- iota\n- kappa"
+)
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Full Gopher quality battery (pipeline/text.gopher_quality, Rae et
+    al. 2021 §A1.1).  The corpus is salted so every rule fires both
+    ways: i%11==0 docs replaced with a 4-word stub (word-count fail),
+    i%2==0 gain ' and one that of' (stop-word pass; others hold only
+    'the' and fail), i%7==0 gain 12 '#' symbols (symbol-ratio fail at
+    <120 words), i%5==0 gain 10 bullet lines (10/11 lines >= 90%:
+    bullet fail), i%6==2 gain 2 ellipsis-terminated lines of 3 (>= 30%:
+    ellipsis fail).  Both engines replay the same construction and the
+    same exact cross-multiplied integer rules."""
+    from linkkchecker_net_spark.pipeline.text import gopher_quality
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    t0 = F.when(i % 11 == 0, F.lit("tiny doc of and that")).otherwise(
+        F.col("text")
+    )
+    t = F.concat(
+        t0,
+        F.when(i % 2 == 0, F.lit(" and one that of")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(" ############")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit(_GOPHER_BULLETS)).otherwise(F.lit("")),
+        F.when(i % 6 == 2, F.lit("\nto be continued...\nwait…")).otherwise(
+            F.lit("")
+        ),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return gopher_quality(docs)
+
+
+def q_lexical_diversity(spark, sf_dir):
+    """Type-token ratio + hapax share (pipeline/text.lexical_diversity)
+    over the raw corpus — the ~30-word synthetic vocabulary gives every
+    doc natural repeats, so n_types < n_tokens and hapax counts vary.
+    Both engines lowercase, split on whitespace runs, drop empties, and
+    floor the ppm ratios."""
+    from linkkchecker_net_spark.pipeline.text import lexical_diversity
+
+    _prep(spark)
+    return lexical_diversity(_docs(spark, sf_dir))
+
+
+def q_char_composition(spark, sf_dir):
+    """Character-class composition gate (pipeline/text.char_composition):
+    i%4==0 docs gain a 13-digit run (digit_run fires), i%3==1 gain 20
+    two-digit numeric words; digit_ppm_max is lowered to 50k so the
+    numeric_heavy verdict splits the corpus.  All shares are exact
+    floor-ppm integers in both engines."""
+    from linkkchecker_net_spark.pipeline.text import char_composition
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    t = F.concat(
+        F.col("text"),
+        F.when(i % 4 == 0, F.lit(" 1234567890123")).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 1,
+            F.lit(" 99 88 77 66 55 44 33 22 11 00"
+                  " 99 88 77 66 55 44 33 22 11 00"),
+        ).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return char_composition(docs, digit_ppm_max=50_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5036,6 +5107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "split_balance": q_split_balance,
         "allcaps": q_allcaps,
+        "gopher_quality": q_gopher_quality,
+        "lexical_diversity": q_lexical_diversity,
+        "char_composition": q_char_composition,
     }
 
 
@@ -9207,6 +9281,158 @@ FROM bt JOIN bh ON bt.url = bh.url
                    (coalesce(floor(n_caps * 1000000.0 / n_alpha_tokens)
                       >= 300000, false)
                     AND n_alpha_tokens >= 5) AS shouting
+            FROM c
+        """,
+        # same salting construction + exact cross-multiplied integer rules
+        "gopher_quality": """
+            WITH d AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 11 = 0 THEN 'tiny doc of and that'
+                           ELSE text END)
+                     || (CASE WHEN doc_id % 2 = 0 THEN ' and one that of'
+                              ELSE '' END)
+                     || (CASE WHEN doc_id % 7 = 0 THEN ' ############'
+                              ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 0 THEN
+                           chr(10) || '- alpha' || chr(10) || '- beta'
+                           || chr(10) || '- gamma' || chr(10) || '- delta'
+                           || chr(10) || '- epsilon' || chr(10) || '- zeta'
+                           || chr(10) || '- eta' || chr(10) || '- theta'
+                           || chr(10) || '- iota' || chr(10) || '- kappa'
+                           ELSE '' END)
+                     || (CASE WHEN doc_id % 6 = 2 THEN
+                           chr(10) || 'to be continued...'
+                           || chr(10) || 'wait…'
+                           ELSE '' END) AS text
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS toks,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> x <> '') AS lines,
+                     text
+              FROM d),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS INT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(toks,
+                       x -> len(x))), 0) AS INT) AS sum_word_chars,
+                     CAST(len(regexp_extract_all(text, '#'))
+                          + len(regexp_extract_all(text, '\\.\\.\\.'))
+                          + len(regexp_extract_all(text, '…')) AS INT)
+                       AS symbol_cnt,
+                     CAST(len(lines) AS INT) AS n_lines,
+                     CAST(len(list_filter(lines, x ->
+                       regexp_matches(ltrim(x), '^[-*•]'))) AS INT)
+                       AS bullet_lines,
+                     CAST(len(list_filter(lines, x ->
+                       regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS INT)
+                       AS ellipsis_lines,
+                     CAST(len(list_filter(toks, x ->
+                       regexp_matches(x, '[A-Za-z]'))) AS INT)
+                       AS alpha_words,
+                     CAST((CASE WHEN len(list_filter(toks,
+                             x -> lower(x) = 'the')) > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN len(list_filter(toks,
+                             x -> lower(x) = 'be')) > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN len(list_filter(toks,
+                             x -> lower(x) = 'to')) > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN len(list_filter(toks,
+                             x -> lower(x) = 'of')) > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN len(list_filter(toks,
+                             x -> lower(x) = 'and')) > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN len(list_filter(toks,
+                             x -> lower(x) = 'that')) > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN len(list_filter(toks,
+                             x -> lower(x) = 'have')) > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN len(list_filter(toks,
+                             x -> lower(x) = 'with')) > 0 THEN 1 ELSE 0 END)
+                       AS INT) AS stop_hits
+              FROM s)
+            SELECT doc_id, n_words, sum_word_chars, symbol_cnt, n_lines,
+                   bullet_lines, ellipsis_lines, alpha_words, stop_hits,
+                   (n_words >= 50 AND n_words <= 100000) AS words_pass,
+                   (sum_word_chars >= 3 * n_words
+                    AND sum_word_chars <= 10 * n_words) AS mean_len_pass,
+                   (symbol_cnt * 10 <= n_words) AS symbol_pass,
+                   (bullet_lines * 10 < n_lines * 9) AS bullet_pass,
+                   (ellipsis_lines * 10 < n_lines * 3) AS ellipsis_pass,
+                   (alpha_words * 5 >= n_words * 4) AS alpha_pass,
+                   (stop_hits >= 2) AS stop_pass,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (sum_word_chars >= 3 * n_words
+                         AND sum_word_chars <= 10 * n_words)
+                    AND (symbol_cnt * 10 <= n_words)
+                    AND (bullet_lines * 10 < n_lines * 9)
+                    AND (ellipsis_lines * 10 < n_lines * 3)
+                    AND (alpha_words * 5 >= n_words * 4)
+                    AND (stop_hits >= 2)) AS gopher_pass
+            FROM c
+        """,
+        # same lowercase/whitespace tokenization + unnest counting
+        "lexical_diversity": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split_regex(text, '\\s+'), x -> lower(x)),
+                       x -> x <> '') AS toks
+              FROM documents),
+            n AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM t),
+            e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            g AS (SELECT doc_id, tok, count(*) AS cnt
+                  FROM e GROUP BY doc_id, tok),
+            p AS (SELECT doc_id, count(*) AS n_types,
+                         sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+                  FROM g GROUP BY doc_id)
+            SELECT n.doc_id, n.n_tokens,
+                   CAST(coalesce(p.n_types, 0) AS BIGINT) AS n_types,
+                   CAST(coalesce(p.n_hapax, 0) AS BIGINT) AS n_hapax,
+                   CASE WHEN n.n_tokens > 0 THEN
+                     CAST(floor(coalesce(p.n_types, 0) * 1000000.0
+                                / n.n_tokens) AS BIGINT) END AS ttr_ppm,
+                   CASE WHEN n.n_tokens > 0 THEN
+                     CAST(floor(coalesce(p.n_hapax, 0) * 1000000.0
+                                / n.n_tokens) AS BIGINT) END AS hapax_ppm
+            FROM n LEFT JOIN p USING (doc_id)
+        """,
+        # same digit-salting + explicit-range classes (no backrefs: RE2)
+        "char_composition": """
+            WITH d AS (
+              SELECT doc_id,
+                     text
+                     || (CASE WHEN doc_id % 4 = 0 THEN ' 1234567890123'
+                              ELSE '' END)
+                     || (CASE WHEN doc_id % 3 = 1 THEN
+                           ' 99 88 77 66 55 44 33 22 11 00'
+                           || ' 99 88 77 66 55 44 33 22 11 00'
+                           ELSE '' END) AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(text) AS INT) AS n_chars,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INT)
+                       AS n_letters,
+                     CAST(len(regexp_extract_all(text, '[0-9]')) AS INT)
+                       AS n_digits,
+                     CAST(len(regexp_extract_all(text, ' ')) AS INT)
+                       AS n_spaces,
+                     CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT)
+                       AS n_punct,
+                     regexp_matches(text, '[0-9]{10,}') AS digit_run
+              FROM d)
+            SELECT doc_id, n_chars, n_letters, n_digits,
+                   CASE WHEN n_chars > 0 THEN CAST(floor(n_letters
+                     * 1000000.0 / n_chars) AS BIGINT) END AS letter_ppm,
+                   CASE WHEN n_chars > 0 THEN CAST(floor(n_digits
+                     * 1000000.0 / n_chars) AS BIGINT) END AS digit_ppm,
+                   CASE WHEN n_chars > 0 THEN CAST(floor(n_spaces
+                     * 1000000.0 / n_chars) AS BIGINT) END AS space_ppm,
+                   CASE WHEN n_chars > 0 THEN CAST(floor(n_punct
+                     * 1000000.0 / n_chars) AS BIGINT) END AS punct_ppm,
+                   digit_run,
+                   coalesce(floor(n_digits * 1000000.0 / n_chars)
+                            >= 50000, false) AS numeric_heavy
             FROM c
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)

@@ -682,3 +682,197 @@ def allcaps_spam(
             & (n_alpha >= F.lit(int(min_tokens)))
         ).alias("shouting"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+) -> DataFrame:
+    """Full Gopher quality-rule battery (Rae et al. 2021 §A1.1) — the
+    length/symbol/bullet/stopword sibling of :func:`repetition_stats`:
+
+    1. word count in [min_words, max_words]
+    2. mean word length in [min_mean_len, max_mean_len] chars
+    3. symbol-to-word ratio ('#' chars + '...'/'…' occurrences) <= 0.1
+    4. < 90% of lines start with a bullet ('-', '*', '•')
+    5. < 30% of lines end with an ellipsis
+    6. >= 80% of words contain at least one alphabetic character
+    7. >= 2 distinct Gopher stop words present (the/be/to/of/and/
+       that/have/with)
+
+    Every rule is evaluated in exact integer arithmetic (cross-
+    multiplied rationals, never floats), so the DuckDB oracle replays
+    it bit-identically.  Words tokenize on runs of whitespace (empties
+    dropped); lines split on '\\n' (empties dropped).
+
+    Scale: map-only whole-stage codegen — splits, array filters and
+    integer folds per row; zero shuffles, rides any upstream
+    partitioning at 100 TB.
+    """
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda l: l != "")
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    sum_word_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    hash_cnt = F.regexp_count(F.col("text"), F.lit("#"))
+    ell_cnt = F.regexp_count(F.col("text"), F.lit(r"\.\.\.")) + F.regexp_count(
+        F.col("text"), F.lit("…")
+    )
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"),
+        )
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        [
+            # closure factory keeps the lambda strictly unary (PySpark
+            # inspects higher-order-function arity)
+            F.exists(toks, (lambda w: lambda t: F.lower(t) == w)(w)).cast(
+                "int"
+            )
+            for w in GOPHER_STOPWORDS
+        ],
+        F.lit(0),
+    )
+    words_pass = (n_words >= min_words) & (n_words <= max_words)
+    # min <= sum/n <= max  <=>  sum >= min*n AND sum <= max*n
+    mean_len_pass = (sum_word_chars >= min_mean_len * n_words) & (
+        sum_word_chars <= max_mean_len * n_words
+    )
+    symbol_pass = (hash_cnt + ell_cnt) * 10 <= n_words
+    bullet_pass = bullet_lines * 10 < n_lines * 9
+    ellipsis_pass = ellipsis_lines * 10 < n_lines * 3
+    alpha_pass = alpha_words * 5 >= n_words * 4
+    stop_pass = stop_hits >= 2
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_word_chars.alias("sum_word_chars"),
+        (hash_cnt + ell_cnt).alias("symbol_cnt"),
+        n_lines.alias("n_lines"),
+        bullet_lines.alias("bullet_lines"),
+        ellipsis_lines.alias("ellipsis_lines"),
+        alpha_words.alias("alpha_words"),
+        stop_hits.alias("stop_hits"),
+        words_pass.alias("words_pass"),
+        mean_len_pass.alias("mean_len_pass"),
+        symbol_pass.alias("symbol_pass"),
+        bullet_pass.alias("bullet_pass"),
+        ellipsis_pass.alias("ellipsis_pass"),
+        alpha_pass.alias("alpha_pass"),
+        stop_pass.alias("stop_pass"),
+        (
+            words_pass
+            & mean_len_pass
+            & symbol_pass
+            & bullet_pass
+            & ellipsis_pass
+            & alpha_pass
+            & stop_pass
+        ).alias("gopher_pass"),
+    )
+
+
+def lexical_diversity(docs: DataFrame) -> DataFrame:
+    """Type-token ratio + hapax-legomena share — the lexical-diversity
+    quality signals (low TTR = template/spam text; high hapax share at
+    long length = gibberish).  Tokens are lowercased whitespace words.
+
+    Output: (doc_id, n_tokens, n_types, n_hapax, ttr_ppm, hapax_ppm)
+    with the ratios as exact floor-ppm integers.
+
+    Scale: explode → per-(doc, token) count → per-doc aggregate.  The
+    (doc_id, token) partial aggregation combines map-side, so shuffle
+    volume is the per-doc VOCABULARY (types), not the token stream;
+    keys are (doc_id, token) — high cardinality, no skew.
+    """
+    toks = F.filter(
+        F.transform(F.split(F.col("text"), r"\s+"), F.lower),
+        lambda t: t != "",
+    )
+    base = docs.select("doc_id", F.size(toks).alias("n_tokens"),
+                       toks.alias("_toks"))
+    per_tok = (
+        base.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_types"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(
+                    F.coalesce("n_types", F.lit(0)) * 1_000_000
+                    / F.col("n_tokens")
+                ),
+            ).alias("ttr_ppm"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(
+                    F.coalesce("n_hapax", F.lit(0)) * 1_000_000
+                    / F.col("n_tokens")
+                ),
+            ).alias("hapax_ppm"),
+        )
+    )
+
+
+def char_composition(
+    docs: DataFrame, digit_ppm_max: int = 300_000, run_len: int = 10
+) -> DataFrame:
+    """Character-class composition gate: per-doc letter/digit/space/
+    punctuation shares in exact floor-ppm integers, plus a long-digit-
+    run flag (>= run_len consecutive digits — serial-number/price-table
+    pages) and the numeric-heavy verdict (digit share above
+    digit_ppm_max — the C4/MassiveText "mostly numbers" drop rule).
+
+    No backreference regexes (the oracle's RE2 engine lacks them); all
+    classes are explicit ranges both engines support.
+
+    Scale: map-only codegen (four regexp_count + one rlike per row),
+    zero shuffles.
+    """
+    n_chars = F.length("text")
+    letters = F.regexp_count(F.col("text"), F.lit("[A-Za-z]"))
+    digits = F.regexp_count(F.col("text"), F.lit("[0-9]"))
+    spaces = F.regexp_count(F.col("text"), F.lit(" "))
+    punct = F.regexp_count(F.col("text"), F.lit("[.,;:!?]"))
+    ppm = lambda c: F.when(n_chars > 0, F.floor(c * 1_000_000 / n_chars))  # noqa: E731
+    digit_ppm = ppm(digits)
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        letters.alias("n_letters"),
+        digits.alias("n_digits"),
+        ppm(letters).alias("letter_ppm"),
+        digit_ppm.alias("digit_ppm"),
+        ppm(spaces).alias("space_ppm"),
+        ppm(punct).alias("punct_ppm"),
+        F.col("text").rlike("[0-9]{%d,}" % int(run_len)).alias("digit_run"),
+        (
+            F.coalesce(digit_ppm >= F.lit(int(digit_ppm_max)), F.lit(False))
+        ).alias("numeric_heavy"),
+    )

@@ -100,6 +100,7 @@ NON_CRAWL = [
     "session_params", "outlink_stats", "breadcrumbs",
     "embedding_hygiene", "keyword_stuffing", "content_length",
     "redirect_edges", "dataset_split", "split_balance", "allcaps",
+    "gopher_quality", "lexical_diversity", "char_composition",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

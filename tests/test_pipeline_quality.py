@@ -134,3 +134,66 @@ def test_kmeans_separates_blobs_and_is_deterministic(spark):
     b_clusters = {out1[i] for i in range(20, 40)}
     assert len(a_clusters) == 1 and len(b_clusters) == 1
     assert a_clusters != b_clusters  # blobs perfectly separated
+
+
+def test_gopher_quality_rules_exact(spark):
+    from linkkchecker_net_spark.pipeline.text import gopher_quality
+
+    fifty = " ".join(["the of and that word%d" % i for i in range(10)])
+    rows = [
+        # 50 words, mean len in range, 4 stop words -> all rules pass
+        (0, fifty),
+        # word-count fail (4 words) but stop words present
+        (1, "the of and that"),
+        # symbol fail: 50 words + 6 hashes (6*10 > 50)
+        (2, fifty + " # # # # # #"),
+        # bullet fail: 1 text line + 10 bullet lines = 10/11 >= 90%
+        (3, fifty + "".join("\n- b%d" % i for i in range(10))),
+        # ellipsis fail: 2 of 3 lines end with ...
+        (4, fifty + "\nwait...\nmore..."),
+        # mean-length fail: 50 long words (>10 chars each)
+        (5, " ".join(["the of and that"] + ["verylongword%04d" % i
+                                            for i in range(46)])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert out[0]["gopher_pass"] is True
+    assert out[0]["n_words"] == 50 and out[0]["stop_hits"] == 4
+    assert out[1]["words_pass"] is False and out[1]["stop_pass"] is True
+    assert out[2]["symbol_pass"] is False and out[2]["symbol_cnt"] == 6
+    assert out[3]["bullet_pass"] is False and out[3]["bullet_lines"] == 10
+    assert out[4]["ellipsis_pass"] is False and out[4]["ellipsis_lines"] == 2
+    assert out[5]["mean_len_pass"] is False
+
+
+def test_lexical_diversity_exact(spark):
+    from linkkchecker_net_spark.pipeline.text import lexical_diversity
+
+    rows = [
+        (0, "a a b"),            # 3 tokens, 2 types, 1 hapax (b)
+        (1, "X x y"),            # lowercased: 3 tokens, 2 types, 1 hapax
+        (2, "u v w"),            # all hapax
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lexical_diversity(docs).collect()}
+    assert (out[0]["n_tokens"], out[0]["n_types"], out[0]["n_hapax"]) == (3, 2, 1)
+    assert out[0]["ttr_ppm"] == 666666 and out[0]["hapax_ppm"] == 333333
+    assert (out[1]["n_types"], out[1]["n_hapax"]) == (2, 1)
+    assert out[2]["ttr_ppm"] == 1000000
+
+
+def test_char_composition_exact(spark):
+    from linkkchecker_net_spark.pipeline.text import char_composition
+
+    rows = [
+        (0, "ab 12"),              # 5 chars: 2 letters, 2 digits, 1 space
+        (1, "x" + "7" * 10),       # digit run fires
+        (2, "letters only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in char_composition(docs, digit_ppm_max=300_000).collect()}
+    assert out[0]["letter_ppm"] == 400000 and out[0]["digit_ppm"] == 400000
+    assert out[0]["numeric_heavy"] is True
+    assert out[1]["digit_run"] is True
+    assert out[2]["digit_run"] is False and out[2]["n_digits"] == 0
