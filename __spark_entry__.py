@@ -4937,6 +4937,43 @@ def q_char_composition(spark, sf_dir):
     return char_composition(docs, digit_ppm_max=50_000)
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail tertile bucketing (pipeline/ranking.
+    ppl_buckets) per lang over the corpus-unigram LM — cutoffs are
+    exact nearest-rank tertiles of the 6-dp ppl, applied by value."""
+    from linkkchecker_net_spark.pipeline.ranking import ppl_buckets
+
+    _prep(spark)
+    return ppl_buckets(_docs(spark, sf_dir))
+
+
+def q_length_outliers(spark, sf_dir):
+    """Robust per-lang length outliers (pipeline/curation.
+    length_outliers): exact nearest-rank median + MAD, integer robust-z
+    in ppm, 3.5-sigma flag."""
+    from linkkchecker_net_spark.pipeline.curation import length_outliers
+
+    _prep(spark)
+    return length_outliers(_docs(spark, sf_dir))
+
+
+def q_cluster_size_stats(spark, sf_dir):
+    """Duplicate-cluster size histogram (pipeline/dedup.
+    cluster_size_stats) over the same MinHash-LSH component assignment
+    the dedup_clusters query oracles."""
+    from linkkchecker_net_spark.pipeline.dedup import (
+        cluster_size_stats,
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    _prep(spark)
+    docs = _docs(spark, sf_dir)
+    return cluster_size_stats(
+        dedup_clusters(docs, minhash_lsh_pairs(docs, threshold=0.8))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5110,6 +5147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "lexical_diversity": q_lexical_diversity,
         "char_composition": q_char_composition,
+        "ppl_buckets": q_ppl_buckets,
+        "length_outliers": q_length_outliers,
+        "cluster_size_stats": q_cluster_size_stats,
     }
 
 
@@ -9434,6 +9474,98 @@ FROM bt JOIN bh ON bt.url = bh.url
                    coalesce(floor(n_digits * 1000000.0 / n_chars)
                             >= 50000, false) AS numeric_heavy
             FROM c
+        """,
+        # same unigram LM + nearest-rank tertile cutoffs applied by value
+        "ppl_buckets": """
+            WITH toks AS (
+              SELECT doc_id, t.tok AS token
+              FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            lm AS (
+              SELECT token, CAST(count(*) AS DOUBLE) AS cnt
+              FROM toks GROUP BY 1
+            ),
+            tot AS (SELECT sum(cnt) AS total FROM lm),
+            logp AS (SELECT token, ln(cnt / tot.total) AS logp FROM lm, tot),
+            ppl AS (
+              SELECT toks.doc_id, exp(-avg(logp.logp)) AS p
+              FROM toks JOIN logp USING (token)
+              GROUP BY 1
+            ),
+            r AS (
+              SELECT d.doc_id, d.lang, round(p.p, 6) AS ppl
+              FROM documents d LEFT JOIN ppl p USING (doc_id)
+            ),
+            nn AS (
+              SELECT lang, ppl,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY ppl, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM r WHERE ppl IS NOT NULL
+            ),
+            cut AS (
+              SELECT lang,
+                     max(CASE WHEN rk = CAST(ceil(n / 3.0) AS BIGINT)
+                              THEN ppl END) AS c1,
+                     max(CASE WHEN rk = CAST(ceil(2.0 * n / 3.0) AS BIGINT)
+                              THEN ppl END) AS c2
+              FROM nn GROUP BY lang
+            )
+            SELECT r.doc_id, r.lang, r.ppl,
+                   CASE WHEN r.ppl IS NULL THEN NULL
+                        WHEN r.ppl <= c.c1 THEN 'head'
+                        WHEN r.ppl <= c.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM r LEFT JOIN cut c USING (lang)
+        """,
+        # same nearest-rank median + MAD integer arithmetic
+        "length_outliers": """
+            WITH r1 AS (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents),
+            med AS (
+              SELECT lang, n_chars AS med_chars FROM r1
+              WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)),
+            dev AS (
+              SELECT d.doc_id, d.lang, d.n_chars, m.med_chars,
+                     abs(d.n_chars - m.med_chars) AS dv
+              FROM documents d JOIN med m USING (lang)),
+            r2 AS (
+              SELECT lang, dv,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY dv, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM dev),
+            mad AS (
+              SELECT lang, dv AS mad_chars FROM r2
+              WHERE rk = CAST(ceil(n / 2.0) AS BIGINT))
+            SELECT dev.doc_id, dev.lang, dev.n_chars, dev.med_chars,
+                   mad.mad_chars,
+                   CAST(floor(dev.dv * 1000000.0
+                        / greatest(mad.mad_chars, 1)) AS BIGINT)
+                     AS robust_z_ppm,
+                   floor(dev.dv * 1000000.0 / greatest(mad.mad_chars, 1))
+                     >= 3500000 AS outlier
+            FROM dev JOIN mad USING (lang)
+        """,
+        # same component assignment, rolled up to a size histogram
+        "cluster_size_stats": "WITH RECURSIVE " + _CLUSTER_CTES + """,
+            clusters AS (
+              SELECT src AS doc_id, min(dst) AS cluster_id
+              FROM reach GROUP BY 1
+            ),
+            sizes AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM clusters GROUP BY 1
+            )
+            SELECT cluster_size, count(*) AS n_clusters,
+                   sum(cluster_size) AS n_docs,
+                   sum(cluster_size - 1) AS n_dropped
+            FROM sizes GROUP BY cluster_size
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

@@ -821,3 +821,33 @@ def editdist_verify(
         rel.alias("rel_ppm"),
         (dist * 1_000_000 <= F.lit(int(max_rel_ppm)) * mlen).alias("dup"),
     )
+
+
+def cluster_size_stats(clusters: DataFrame) -> DataFrame:
+    """Duplicate-cluster size histogram — the rollup a dedup run reports
+    before committing a retention pass: for every distinct cluster size,
+    how many clusters have that size, how many documents they hold, and
+    how many of those documents a keep-one-representative pass would
+    drop ((size - 1) per cluster).
+
+    Input: the (doc_id, cluster_id) assignment from
+    :func:`dedup_clusters` (singletons included).  Output:
+    (cluster_size, n_clusters, n_docs, n_dropped) — one row per
+    distinct size, corpus-wide dedup ratio = sum(n_dropped) /
+    sum(n_docs).
+
+    Scale: two map-side-combined aggregations (cluster_id, then size);
+    output is histogram-sized (distinct sizes ~ O(log N)), never a
+    per-doc table.
+    """
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            F.sum(F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+    )

@@ -282,3 +282,62 @@ def bigram_ppl(
             ).alias("keep"),
         )
     )
+
+
+def ppl_buckets(docs: DataFrame, round_dp: int = 6) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3): per language, split the corpus into perplexity tertiles under
+    the LM — `head` (lowest-ppl third, closest to the in-domain
+    distribution), `middle`, `tail` (the bucket CCNet drops or
+    down-samples).  LM = the same corpus-unigram stand-in as
+    :func:`unigram_ppl` (swap point: external KenLM logprobs).
+
+    Cutoffs are the EXACT nearest-rank tertiles of the `round_dp`-rounded
+    ppl (rank ceil(n/3) and ceil(2n/3) per lang, ties broken by doc_id,
+    cutoff applied by VALUE so engine-side rank jitter between equal
+    values cannot move a bucket).  Token-less docs carry ppl/bucket NULL.
+
+    Output: (doc_id, lang, ppl, bucket).
+
+    Scale: scoring is the unigram_ppl plan (vocab-sized LM join); the
+    cutoff pass windows over lang — a handful of hot groups, so at
+    10^10 docs swap the exact rank for approx_percentile per lang (the
+    exact form IS the correctness baseline the approximation is judged
+    against).
+    """
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(unigram_ppl(docs, round_dp=round_dp).select("doc_id", "ppl"),
+              "doc_id", "left")
+    )
+    nn = scored.filter(F.col("ppl").isNotNull())
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    n = Window.partitionBy("lang")
+    ranked = nn.select(
+        "lang", "ppl",
+        F.row_number().over(w).alias("_rk"),
+        F.count("*").over(n).alias("_n"),
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("_rk") == F.ceil(F.col("_n") / 3.0), F.col("ppl"))
+        ).alias("_c1"),
+        F.max(
+            F.when(
+                F.col("_rk") == F.ceil(2.0 * F.col("_n") / 3.0), F.col("ppl")
+            )
+        ).alias("_c2"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "ppl",
+            F.when(F.col("ppl").isNull(), F.lit(None).cast("string"))
+            .when(F.col("ppl") <= F.col("_c1"), F.lit("head"))
+            .when(F.col("ppl") <= F.col("_c2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

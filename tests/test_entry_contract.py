@@ -101,6 +101,7 @@ NON_CRAWL = [
     "embedding_hygiene", "keyword_stuffing", "content_length",
     "redirect_edges", "dataset_split", "split_balance", "allcaps",
     "gopher_quality", "lexical_diversity", "char_composition",
+    "ppl_buckets", "length_outliers", "cluster_size_stats",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

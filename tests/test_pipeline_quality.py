@@ -197,3 +197,46 @@ def test_char_composition_exact(spark):
     assert out[0]["numeric_heavy"] is True
     assert out[1]["digit_run"] is True
     assert out[2]["digit_run"] is False and out[2]["n_digits"] == 0
+
+
+def test_length_outliers_exact(spark):
+    from linkkchecker_net_spark.pipeline.curation import length_outliers
+
+    # lang 'en': lengths 10,10,10,10,1000 -> med 10 (rank ceil(5/2)=3),
+    # devs 0,0,0,0,990 -> mad 0 -> clamped to 1 -> z(1000) = 990e6
+    rows = [(i, "en", 10) for i in range(4)] + [(4, "en", 1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = {r["doc_id"]: r for r in length_outliers(docs).collect()}
+    assert out[0]["med_chars"] == 10 and out[0]["mad_chars"] == 0
+    assert out[0]["robust_z_ppm"] == 0 and out[0]["outlier"] is False
+    assert out[4]["robust_z_ppm"] == 990_000_000 and out[4]["outlier"] is True
+
+
+def test_cluster_size_stats_exact(spark):
+    from linkkchecker_net_spark.pipeline.dedup import cluster_size_stats
+
+    # clusters: {0,1,2} -> size 3; {5,6} -> size 2; {9} -> size 1
+    rows = [(0, 0), (1, 0), (2, 0), (5, 5), (6, 5), (9, 9)]
+    cl = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = {r["cluster_size"]: r for r in cluster_size_stats(cl).collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_dropped"] == 2
+    assert out[2]["n_docs"] == 2 and out[2]["n_dropped"] == 1
+    assert out[1]["n_clusters"] == 1 and out[1]["n_dropped"] == 0
+
+
+def test_ppl_buckets_tertiles(spark):
+    from linkkchecker_net_spark.pipeline.ranking import ppl_buckets
+
+    # 6 docs, one lang: 2 docs per tertile by construction — rare tokens
+    # raise ppl.  Exact values don't matter; the bucket ORDER does: the
+    # two lowest-ppl docs are head, next two middle, last two tail.
+    rows = [
+        (0, "a a a a", "en"), (1, "a a a a", "en"),
+        (2, "a a b b", "en"), (3, "a a b b", "en"),
+        (4, "c d e f", "en"), (5, "g h i j", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in ppl_buckets(docs).collect()}
+    assert out[0]["bucket"] == "head" and out[1]["bucket"] == "head"
+    assert out[2]["bucket"] == "middle" and out[3]["bucket"] == "middle"
+    assert out[4]["bucket"] == "tail" and out[5]["bucket"] == "tail"
