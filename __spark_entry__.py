@@ -4974,6 +4974,122 @@ def q_cluster_size_stats(spark, sf_dir):
     )
 
 
+def q_script_mix(spark, sf_dir):
+    """Unicode script-composition + homograph audit (pipeline/text.
+    script_mix).  Salts: i%3==0 gains Cyrillic words, i%5==4 Greek,
+    i%11==7 Han, and i%7==2 a 'pаypal' token whose second letter is
+    U+0430 CYRILLIC SMALL A — the mixed-script confusable the detector
+    exists for.  Each engine uses its native Unicode-script regex class
+    (Java IsLatin / RE2 Latin) — identical semantics."""
+    from linkkchecker_net_spark.pipeline.text import script_mix
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    t = F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, F.lit(" привет мир")).otherwise(F.lit("")),
+        F.when(i % 5 == 4, F.lit(" ελληνικά")).otherwise(F.lit("")),
+        F.when(i % 7 == 2, F.lit(" pаypal")).otherwise(F.lit("")),
+        F.when(i % 11 == 7, F.lit(" 中文漢字")).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return script_mix(docs)
+
+
+def q_amp_audit(spark, sf_dir):
+    """AMP pairing audit (reports/seo.amp_audit).  Canonical pages for
+    every i declare rel=amphtml on i%2==0; the AMP twin exists only for
+    i%4==0 (else amp_missing), lacks the amp attribute on i%8==4
+    (amp_not_amp), omits the canonical backlink on i%20==12
+    (amp_orphan / backlink-mismatch path) and points it at the wrong
+    URL on i%16==8.  The amp attribute itself alternates between the
+    bare word (i%12==0) and the ⚡ form.  The Spark side runs the real
+    tag harvest + url-keyed pairing join; the oracle derives the same
+    verdict ladder arithmetically."""
+    from linkkchecker_net_spark.reports.seo import amp_audit
+
+    _prep(spark)
+    base = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("i"))
+    i = F.col("i")
+    s = i.cast("string")
+    h = F.concat(F.lit("http://h"), (i % 5).cast("string"), F.lit(".test"))
+    cu = F.concat(h, F.lit("/p"), s)
+    au = F.concat(h, F.lit("/amp/p"), s)
+    canon_body = F.concat(
+        F.lit('<html lang="en"><head>'),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit('<link rel="amphtml" href="'), au, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 != 1,
+            F.concat(F.lit('<link rel="canonical" href="'), cu, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body>"),
+    )
+    html_open = (
+        F.when(i % 8 == 4, F.lit('<html lang="en">'))
+        .when(i % 12 == 0, F.lit('<html amp lang="en">'))
+        .otherwise(F.lit('<html ⚡ lang="en">'))
+    )
+    backlink = (
+        F.when(i % 20 == 12, F.lit(""))
+        .when(
+            i % 16 == 8,
+            F.concat(F.lit('<link rel="canonical" href="'), h,
+                     F.lit('/other">')),
+        )
+        .otherwise(
+            F.concat(F.lit('<link rel="canonical" href="'), cu, F.lit('">'))
+        )
+    )
+    amp_body = F.concat(
+        html_open, F.lit("<head>"), backlink, F.lit("</head><body>a</body>")
+    )
+    canon_pages = base.select(cu.alias("url"), canon_body.alias("body"))
+    amp_pages = base.filter(i % 4 == 0).select(
+        au.alias("url"), amp_body.alias("body")
+    )
+    return amp_audit(canon_pages.unionByName(amp_pages))
+
+
+def q_microdata(spark, sf_dir):
+    """WHATWG microdata inventory (kernels/microdata.microdata_stats).
+    i%2==0 pages carry a schema.org/Product scope (itemtype value holds
+    a second space-separated token the first-token rule must trim) with
+    name+image props; i%3==0 pages add an example.com scope with a
+    duplicate 'name' prop (distinct-count check); every page carries an
+    'itemscopes' decoy attribute the word-boundary grammar must skip."""
+    from linkkchecker_net_spark.kernels.microdata import microdata_stats
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    body = F.concat(
+        F.lit('<div itemscopes data-x="1">decoy</div>'),
+        F.when(
+            i % 2 == 0,
+            F.lit(
+                '<div itemscope itemtype="https://schema.org/Product extra">'
+                '<span itemprop="name">N</span>'
+                '<span itemprop="image">I</span></div>'
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0,
+            F.lit(
+                '<section itemscope itemtype="http://example.com/T">'
+                '<b itemprop="name">x</b></section>'
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://m.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return microdata_stats(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5150,6 +5266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "length_outliers": q_length_outliers,
         "cluster_size_stats": q_cluster_size_stats,
+        "script_mix": q_script_mix,
+        "amp_audit": q_amp_audit,
+        "microdata": q_microdata,
     }
 
 
@@ -9566,6 +9685,105 @@ FROM bt JOIN bh ON bt.url = bh.url
                    sum(cluster_size) AS n_docs,
                    sum(cluster_size - 1) AS n_dropped
             FROM sizes GROUP BY cluster_size
+        """,
+        # same salting; RE2 spells the script classes \\p{Latin} etc.
+        "script_mix": """
+            WITH d AS (
+              SELECT doc_id,
+                     text
+                     || (CASE WHEN doc_id % 3 = 0 THEN ' привет мир'
+                              ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 4 THEN ' ελληνικά'
+                              ELSE '' END)
+                     || (CASE WHEN doc_id % 7 = 2 THEN ' pаypal'
+                              ELSE '' END)
+                     || (CASE WHEN doc_id % 11 = 7 THEN ' 中文漢字'
+                              ELSE '' END) AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\\p{Latin}'))
+                          AS INT) AS n_latin,
+                     CAST(len(regexp_extract_all(text, '\\p{Cyrillic}'))
+                          AS INT) AS n_cyrillic,
+                     CAST(len(regexp_extract_all(text, '\\p{Greek}'))
+                          AS INT) AS n_greek,
+                     CAST(len(regexp_extract_all(text, '\\p{Han}'))
+                          AS INT) AS n_han,
+                     CAST(len(list_filter(
+                       string_split_regex(text, '\\s+'),
+                       x -> x <> ''
+                            AND regexp_matches(x, '\\p{Latin}')
+                            AND regexp_matches(x, '\\p{Cyrillic}')))
+                       AS INT) AS mixed_tokens
+              FROM d)
+            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han,
+                   mixed_tokens,
+                   CASE WHEN greatest(n_latin, n_cyrillic, n_greek,
+                                      n_han) = 0 THEN 'none'
+                        WHEN n_latin = greatest(n_latin, n_cyrillic,
+                                    n_greek, n_han) THEN 'latin'
+                        WHEN n_cyrillic = greatest(n_latin, n_cyrillic,
+                                    n_greek, n_han) THEN 'cyrillic'
+                        WHEN n_greek = greatest(n_latin, n_cyrillic,
+                                    n_greek, n_han) THEN 'greek'
+                        ELSE 'han' END AS dominant_script,
+                   (mixed_tokens > 0) AS confusable
+            FROM c
+        """,
+        # arithmetic arm of the AMP pairing ladder
+        "amp_audit": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            base AS (
+              SELECT i,
+                     'http://h' || (i % 5) || '.test' AS h,
+                     'http://h' || (i % 5) || '.test/p' || i AS cu,
+                     'http://h' || (i % 5) || '.test/amp/p' || i AS au
+              FROM d0),
+            canon AS (
+              SELECT cu AS url, false AS is_amp,
+                     CASE WHEN i % 2 = 0 THEN au END AS amphtml_href,
+                     CASE WHEN i % 3 <> 1 THEN cu END AS canonical_href,
+                     CASE WHEN i % 2 <> 0 THEN 'plain'
+                          WHEN i % 4 <> 0 THEN 'amp_missing'
+                          WHEN i % 8 = 4 THEN 'amp_not_amp'
+                          WHEN i % 20 = 12 OR i % 16 = 8
+                            THEN 'amp_backlink_mismatch'
+                          ELSE 'paired' END AS verdict
+              FROM base),
+            amp AS (
+              SELECT au AS url, (i % 8 <> 4) AS is_amp,
+                     CAST(NULL AS VARCHAR) AS amphtml_href,
+                     CASE WHEN i % 20 = 12 THEN NULL
+                          WHEN i % 16 = 8 THEN h || '/other'
+                          ELSE cu END AS canonical_href,
+                     CASE WHEN i % 8 = 4 THEN 'plain'
+                          WHEN i % 20 = 12 THEN 'amp_orphan'
+                          ELSE 'amp_with_canonical' END AS verdict
+              FROM base WHERE i % 4 = 0)
+            SELECT * FROM canon UNION ALL SELECT * FROM amp
+        """,
+        # arithmetic arm of the microdata inventory
+        "microdata": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents)
+            SELECT 'http://m.test/p' || i AS url,
+                   CAST((CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS INT)
+                     AS n_itemscope,
+                   CAST((CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS INT)
+                     AS n_itemtype,
+                   CASE WHEN i % 2 = 0 THEN 'https://schema.org/Product'
+                        WHEN i % 3 = 0 THEN 'http://example.com/T'
+                        END AS first_itemtype,
+                   CAST(2 * (CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS INT)
+                     AS n_itemprop,
+                   CAST(CASE WHEN i % 2 = 0 THEN 2
+                             WHEN i % 3 = 0 THEN 1
+                             ELSE 0 END AS INT) AS n_distinct_props,
+                   (i % 2 = 0) AS has_schema_org
+            FROM d0
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

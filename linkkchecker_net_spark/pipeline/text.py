@@ -876,3 +876,51 @@ def char_composition(
             F.coalesce(digit_ppm >= F.lit(int(digit_ppm_max)), F.lit(False))
         ).alias("numeric_heavy"),
     )
+
+
+def script_mix(docs: DataFrame) -> DataFrame:
+    """Unicode script-composition audit + homograph detector: per-doc
+    character counts for the four most spoof-relevant scripts (Latin,
+    Cyrillic, Greek, Han), the number of MIXED-SCRIPT tokens (a token
+    carrying both Latin and Cyrillic letters — the classic IDN/phishing
+    confusable signature, e.g. 'pаypal' with U+0430), the dominant
+    script (deterministic tie order latin > cyrillic > greek > han,
+    'none' when no scripted chars), and the confusable flag.
+
+    Script classes use each engine's native Unicode-script regex
+    (Java `\\p{IsCyrillic}` / RE2 `\\p{Cyrillic}`) — the class
+    SEMANTICS match even though the spellings differ.
+
+    Scale: map-only codegen (four regexp_count + one array filter),
+    zero shuffles.
+    """
+    t = F.col("text")
+    latin = F.regexp_count(t, F.lit(r"\p{IsLatin}"))
+    cyr = F.regexp_count(t, F.lit(r"\p{IsCyrillic}"))
+    greek = F.regexp_count(t, F.lit(r"\p{IsGreek}"))
+    han = F.regexp_count(t, F.lit(r"\p{IsHan}"))
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    mixed = F.size(
+        F.filter(
+            toks,
+            lambda x: x.rlike(r"\p{IsLatin}") & x.rlike(r"\p{IsCyrillic}"),
+        )
+    )
+    top = F.greatest(latin, cyr, greek, han)
+    dominant = (
+        F.when(top == 0, F.lit("none"))
+        .when(latin == top, F.lit("latin"))
+        .when(cyr == top, F.lit("cyrillic"))
+        .when(greek == top, F.lit("greek"))
+        .otherwise(F.lit("han"))
+    )
+    return docs.select(
+        "doc_id",
+        latin.alias("n_latin"),
+        cyr.alias("n_cyrillic"),
+        greek.alias("n_greek"),
+        han.alias("n_han"),
+        mixed.alias("mixed_tokens"),
+        dominant.alias("dominant_script"),
+        (mixed > 0).alias("confusable"),
+    )

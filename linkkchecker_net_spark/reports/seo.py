@@ -391,3 +391,86 @@ def outlink_stats(pages: DataFrame) -> DataFrame:
             (F.col("n_external") * 1_000_000 / http_total).cast("long"),
         ).alias("external_ppm"),
     )
+
+
+_HTML_TAG_PAT = r"(?i)<html\b[^>]*>"
+_AMPHTML_LINK_PAT = r"(?i)<link\b[^>]*>"
+
+
+def amp_audit(pages: DataFrame) -> DataFrame:
+    """pages: (url, body) → AMP pairing audit, one row per page:
+    (url, is_amp, amphtml_href, canonical_href, verdict).
+
+    AMP detection follows the AMP HTML spec: the document's FIRST
+    <html> open tag carries a bare ``amp`` or ``⚡`` attribute
+    (word-boundary match — ``ampx``/"amp-custom" don't count).  The
+    pairing contract the audit lints: a canonical page declares
+    <link rel=amphtml href=…>, the AMP page declares <link
+    rel=canonical …> back.  Verdicts:
+
+    - non-AMP pages: ``plain`` (no amphtml link), ``paired`` (target
+      fetched, is AMP, backlink returns here), ``amp_missing`` (link
+      target not in the crawl), ``amp_not_amp`` (target fetched but
+      carries no amp attribute), ``amp_backlink_mismatch`` (target's
+      canonical points elsewhere or is absent).
+    - AMP pages: ``amp_with_canonical`` / ``amp_orphan`` (no
+      rel=canonical back-pointer — indexers will treat it as a dup).
+
+    Scale: one map-only harvest pass, then a single url-keyed left
+    self-join (amphtml_href → url) to recover the target's amp flag +
+    backlink — same shape as the parent-recovery join in the epoch
+    loop; AQE handles the hot-host side.
+    """
+    links = F.regexp_extract_all("body", F.lit(_AMPHTML_LINK_PAT), 0)
+
+    def _first_rel_href(rel: str):
+        # closure factory: a default-arg lambda would be read by PySpark
+        # as the two-arg (element, index) filter form
+        pred = (
+            lambda r: lambda t: F.lower(
+                F.regexp_extract(t, r'(?i)\brel="([^"]*)"', 1)
+            )
+            == r
+        )(rel)
+        tags = F.filter(links, pred)
+        return F.nullif(
+            F.trim(
+                F.regexp_extract(
+                    F.when(F.size(tags) > 0, F.element_at(tags, 1)),
+                    r'(?i)\bhref="([^"]*)"',
+                    1,
+                )
+            ),
+            F.lit(""),
+        )
+
+    html_tag = F.regexp_extract("body", _HTML_TAG_PAT, 0)
+    is_amp = html_tag.rlike(r"(?i)<html\b[^>]*\s(amp|⚡)(\s|>|=)")
+    harvested = pages.select(
+        "url",
+        is_amp.alias("is_amp"),
+        _first_rel_href("amphtml").alias("amphtml_href"),
+        _first_rel_href("canonical").alias("canonical_href"),
+    )
+    target = harvested.select(
+        F.col("url").alias("_t_url"),
+        F.col("is_amp").alias("_t_amp"),
+        F.col("canonical_href").alias("_t_canonical"),
+    )
+    joined = harvested.join(
+        target, harvested["amphtml_href"] == target["_t_url"], "left"
+    )
+    verdict = (
+        F.when(F.col("is_amp") & F.col("canonical_href").isNotNull(),
+               F.lit("amp_with_canonical"))
+        .when(F.col("is_amp"), F.lit("amp_orphan"))
+        .when(F.col("amphtml_href").isNull(), F.lit("plain"))
+        .when(F.col("_t_url").isNull(), F.lit("amp_missing"))
+        .when(~F.col("_t_amp"), F.lit("amp_not_amp"))
+        .when(F.col("_t_canonical") == F.col("url"), F.lit("paired"))
+        .otherwise(F.lit("amp_backlink_mismatch"))
+    )
+    return joined.select(
+        "url", "is_amp", "amphtml_href", "canonical_href",
+        verdict.alias("verdict"),
+    )

@@ -102,6 +102,7 @@ NON_CRAWL = [
     "redirect_edges", "dataset_split", "split_balance", "allcaps",
     "gopher_quality", "lexical_diversity", "char_composition",
     "ppl_buckets", "length_outliers", "cluster_size_stats",
+    "script_mix", "amp_audit", "microdata",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

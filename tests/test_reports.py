@@ -370,3 +370,75 @@ def test_outlink_stats_buckets(spark):
         "u1": (4, 2, 1, 1, 333_333),
         "u2": (0, 0, 0, 0, None),
     }
+
+
+def test_amp_audit_grammar_and_pairing(spark):
+    from linkkchecker_net_spark.reports.seo import amp_audit
+
+    pages = [
+        # canonical page paired with a real AMP twin
+        ("http://s.test/a",
+         '<html><head><link rel="amphtml" href="http://s.test/a.amp">'
+         "</head>"),
+        ("http://s.test/a.amp",
+         '<html ⚡ lang="en"><head>'
+         '<link rel="canonical" href="http://s.test/a"></head>'),
+        # amp-custom / ampx attributes must NOT read as AMP
+        ("http://s.test/b",
+         '<html amp-custom><head><link rel="amphtml" '
+         'href="http://s.test/b.amp"></head>'),
+        ("http://s.test/b.amp", "<html ampx><head></head>"),
+        # bare word form + orphan (no backlink)
+        ("http://s.test/c.amp", "<html amp><head></head>"),
+        # amphtml link to a page never fetched
+        ("http://s.test/d",
+         '<html><head><link rel="amphtml" href="http://s.test/gone">'
+         "</head>"),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    out = {r["url"]: r for r in amp_audit(df).collect()}
+    assert out["http://s.test/a"]["verdict"] == "paired"
+    assert out["http://s.test/a.amp"]["verdict"] == "amp_with_canonical"
+    assert out["http://s.test/b"]["is_amp"] is False  # amp-custom != amp
+    assert out["http://s.test/b.amp"]["is_amp"] is False  # ampx != amp
+    assert out["http://s.test/b"]["verdict"] == "amp_not_amp"
+    assert out["http://s.test/c.amp"]["verdict"] == "amp_orphan"
+    assert out["http://s.test/d"]["verdict"] == "amp_missing"
+
+
+def test_microdata_stats_grammar(spark):
+    from linkkchecker_net_spark.kernels.microdata import microdata_stats
+
+    pages = [
+        # decoy attr + one scope whose itemtype holds two tokens
+        ("u1",
+         '<div itemscopes x="1"></div>'
+         '<div itemscope itemtype=" https://schema.org/Recipe extra ">'
+         '<i itemprop="name">a</i><i itemprop="name">b</i></div>'),
+        ("u2", "<p>no microdata</p>"),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    out = {r["url"]: r for r in microdata_stats(df).collect()}
+    assert out["u1"]["n_itemscope"] == 1
+    assert out["u1"]["first_itemtype"] == "https://schema.org/Recipe"
+    assert out["u1"]["n_itemprop"] == 2 and out["u1"]["n_distinct_props"] == 1
+    assert out["u1"]["has_schema_org"] is True
+    assert out["u2"]["n_itemscope"] == 0
+    assert out["u2"]["first_itemtype"] is None
+
+
+def test_script_mix_confusables(spark):
+    from linkkchecker_net_spark.pipeline.text import script_mix
+
+    rows = [
+        (0, "plain ascii words"),
+        (1, "pаypal login"),          # Cyrillic U+0430 inside a Latin token
+        (2, "привет мир"),
+        (3, "1234 !!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_mix(docs).collect()}
+    assert out[0]["confusable"] is False and out[0]["dominant_script"] == "latin"
+    assert out[1]["mixed_tokens"] == 1 and out[1]["confusable"] is True
+    assert out[2]["dominant_script"] == "cyrillic" and out[2]["n_latin"] == 0
+    assert out[3]["dominant_script"] == "none"
