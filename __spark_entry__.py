@@ -5090,6 +5090,41 @@ def q_microdata(spark, sf_dir):
     return microdata_stats(pages)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (pipeline/similarity.pq_ann): 4
+    subspaces x 8 codes over the 64-dim embeddings, ADC with 50
+    candidates, exact integer-L2 rerank to top-10.  Codebooks are the
+    quantized sub-vectors of vec_id 0-7 (the deterministic trained-
+    codebook stand-in); every distance is the bit-identical integer
+    L2^2 of floor(x*1000) components, so the oracle replays the whole
+    encode->ADC->rerank chain exactly."""
+    from linkkchecker_net_spark.pipeline.similarity import pq_ann
+
+    _prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return pq_ann(emb, queries_df, m=4, n_codes=8, k=10, ncand=50)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (pipeline/similarity.
+    hard_negatives): top-10 highest-integer-dot corpus vectors whose
+    label differs from the query's, for query vec_id 0-4."""
+    from linkkchecker_net_spark.pipeline.similarity import hard_negatives
+
+    _prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("q_label"),
+    )
+    return hard_negatives(emb, queries_df, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5269,6 +5304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": q_script_mix,
         "amp_audit": q_amp_audit,
         "microdata": q_microdata,
+        "ann_pq": q_ann_pq,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -9784,6 +9821,100 @@ FROM bt JOIN bh ON bt.url = bh.url
                              ELSE 0 END AS INT) AS n_distinct_props,
                    (i % 2 = 0) AS has_schema_org
             FROM d0
+        """,
+        # bit-identical integer PQ: encode -> ADC -> exact rerank
+        "ann_pq": """
+            WITH flatq AS (
+              SELECT vec_id, g.i - 1 AS pos,
+                     CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000)
+                          AS BIGINT) AS v
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)
+            ),
+            sub AS (
+              SELECT vec_id, CAST(pos // 16 AS INT) AS j, pos % 16 AS off, v
+              FROM flatq
+            ),
+            cb AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS c, vec_id
+              FROM embeddings WHERE vec_id < 8
+            ),
+            cbf AS (
+              SELECT cb.c, s.j, s.off, s.v AS cv
+              FROM cb JOIN sub s USING (vec_id)
+            ),
+            encd AS (
+              SELECT s.vec_id, s.j, c.c,
+                     sum((s.v - c.cv) * (s.v - c.cv)) AS d
+              FROM sub s JOIN cbf c ON c.j = s.j AND c.off = s.off
+              GROUP BY 1, 2, 3
+            ),
+            codes AS (
+              SELECT vec_id, j, c AS code FROM (
+                SELECT vec_id, j, c,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d, c) AS rn
+                FROM encd) WHERE rn = 1
+            ),
+            dtab AS (
+              SELECT vec_id AS query_id, j, c AS code, d
+              FROM encd WHERE vec_id < 5
+            ),
+            approx AS (
+              SELECT t.query_id, c.vec_id, sum(t.d) AS adc_score
+              FROM codes c JOIN dtab t ON t.j = c.j AND t.code = c.code
+              WHERE c.vec_id <> t.query_id
+              GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT query_id, vec_id, adc_score FROM (
+                SELECT query_id, vec_id, adc_score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adc_score, vec_id) AS rn
+                FROM approx) WHERE rn <= 50
+            ),
+            exact AS (
+              SELECT cand.query_id, cand.vec_id, cand.adc_score,
+                     sum((qf.v - vf.v) * (qf.v - vf.v)) AS score
+              FROM cand
+              JOIN flatq qf ON qf.vec_id = cand.query_id
+              JOIN flatq vf ON vf.vec_id = cand.vec_id
+                           AND vf.pos = qf.pos
+              GROUP BY 1, 2, 3
+            )
+            SELECT query_id, vec_id, adc_score, score, rank FROM (
+              SELECT query_id, vec_id, adc_score, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score, vec_id) AS INT) AS rank
+              FROM exact) WHERE rank <= 10
+        """,
+        # same integer dot + different-label anti-filter
+        "hard_negatives": """
+            WITH flatq AS (
+              SELECT vec_id, g.i - 1 AS pos,
+                     CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000)
+                          AS BIGINT) AS v
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)
+            ),
+            dots AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     sum(q.v * e.v) AS score
+              FROM flatq q
+              JOIN flatq e ON e.pos = q.pos AND e.vec_id <> q.vec_id
+              WHERE q.vec_id < 5
+              GROUP BY 1, 2
+            )
+            SELECT query_id, vec_id, score, rank FROM (
+              SELECT d.query_id, d.vec_id, d.score,
+                     CAST(row_number() OVER (PARTITION BY d.query_id
+                          ORDER BY d.score DESC, d.vec_id) AS INT) AS rank
+              FROM dots d
+              JOIN embeddings ql ON ql.vec_id = d.query_id
+              JOIN embeddings el ON el.vec_id = d.vec_id
+              WHERE el.label <> ql.label)
+            WHERE rank <= 10
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

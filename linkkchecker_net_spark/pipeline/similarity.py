@@ -504,3 +504,220 @@ def embedding_hygiene(
             & (norm <= F.lit(float(high)))
         ).alias("ok"),
     )
+
+
+def pq_ann(
+    emb: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    k: int = 10,
+    ncand: int = 50,
+    scale: int = 1000,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou/Douze/Schmid TPAMI 2011 — the
+    FAISS IndexPQ shape; fifth scale path beside brute force /
+    hyperplane LSH / IVF / SQ8): split the D dims into `m` subspaces,
+    encode every corpus vector as m one-byte codes (nearest sub-
+    codebook centroid per subspace), answer queries by Asymmetric
+    Distance Computation — a per-query (m × n_codes) distance table
+    joined against the codes, NEVER the full vectors — then exact-
+    rerank the `ncand` best ADC candidates.
+
+    All arithmetic is the bit-identical integer L2² of floor(x·scale)
+    quantized components (same contract as ivf_ann/sq8_ann), so the
+    DuckDB oracle replays it exactly; ties break to the lower centroid
+    index / vec_id everywhere.  `codebooks` defaults to the sub-vectors
+    of the `n_codes` smallest vec_ids — the deterministic stand-in for
+    trained codebooks (production swaps in per-subspace
+    pipeline/cluster.kmeans output; encode/ADC/rerank are unchanged).
+
+    Returns (query_id, vec_id, adc_score, score, rank): `adc_score`
+    the integer ADC L2² approximation, `score` the exact integer L2²
+    after rerank, rank 1..k by (score, vec_id).
+
+    Scale shape: encoding is MAP-ONLY codegen (m·n_codes unrolled
+    integer distances against literals — the m×n_codes×(D/m) codebook
+    is metadata, collected once); the stored index is m longs per
+    vector (the 10^10-vector memory story: 8 bytes·m vs 4·D);
+    the ADC table is |queries|·m·n_codes rows → broadcast; the
+    candidate cut is a query-partitioned window; only `ncand` rows per
+    query ever touch full vectors again.
+    """
+    dim = len(emb.select("embedding").first()["embedding"])
+    dsub = dim // m
+    assert dsub * m == dim, "m must divide the embedding dim"
+
+    def quant(c):
+        return F.transform(
+            c,
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+                "long"
+            ),
+        )
+
+    corpus = emb.select("vec_id", quant(F.col("embedding")).alias("qv"))
+    if codebooks is None:
+        rows = (
+            corpus.filter(F.col("vec_id") < n_codes)
+            .orderBy("vec_id")
+            .collect()
+        )
+        codebooks = [
+            [list(r["qv"])[j * dsub : (j + 1) * dsub] for r in rows]
+            for j in range(m)
+        ]
+
+    def sub(col, j):
+        return F.slice(col, j * dsub + 1, dsub)
+
+    def l2_lit(col, cvec):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in cvec])
+        return F.aggregate(
+            F.zip_with(col, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def code_col(col, j):
+        best_d, best_c = l2_lit(sub(col, j), codebooks[j][0]), F.lit(0)
+        for c in range(1, n_codes):
+            d = l2_lit(sub(col, j), codebooks[j][c])
+            better = d < best_d
+            best_c = F.when(better, F.lit(c)).otherwise(best_c)
+            best_d = F.when(better, d).otherwise(best_d)
+        return best_c
+
+    codes = corpus.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), code_col(F.col("qv"), j).alias("code")
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("jc"),
+    ).select("vec_id", F.col("jc.j").alias("j"), F.col("jc.code").alias("code"))
+
+    q = queries.select("query_id", quant(F.col("q_embedding")).alias("q_qv"))
+    dtab = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.lit(c).alias("code"),
+                        l2_lit(sub(F.col("q_qv"), j), codebooks[j][c]).alias(
+                            "d"
+                        ),
+                    )
+                    for j in range(m)
+                    for c in range(n_codes)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "query_id",
+        F.col("e.j").alias("j"),
+        F.col("e.code").alias("code"),
+        F.col("e.d").alias("d"),
+    )
+    approx = (
+        codes.join(F.broadcast(dtab), ["j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_score"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_score"), F.asc("vec_id")
+    )
+    cand = (
+        approx.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= ncand)
+        .drop("_rn")
+    )
+    exact = (
+        cand.join(q, "query_id")
+        .join(corpus, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "adc_score",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_qv"), F.col("qv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("score"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_score", "score", "rank")
+    )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the k
+    most-similar corpus vectors carrying a DIFFERENT label — the
+    standard batch-construction step for training embedding models
+    (the negatives that are hard precisely because the encoder scores
+    them close).  Similarity is the bit-identical integer inner product
+    of floor(x·scale) quantized vectors (same contract as ivf_ann).
+
+    queries: (query_id, q_embedding, q_label).  Returns
+    (query_id, vec_id, score, rank), rank 1..k by (score desc, vec_id).
+
+    Scale: this exact form scores the full corpus per query (the
+    correctness baseline); at 10^10 vectors swap the scoring join for
+    any of the ANN paths (LSH buckets / IVF probes / PQ ADC) and keep
+    the label anti-filter + rerank window unchanged.
+    """
+
+    def quant(c):
+        return F.transform(
+            c,
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+                "long"
+            ),
+        )
+
+    corpus = emb.select("vec_id", "label", quant(F.col("embedding")).alias("qv"))
+    q = queries.select(
+        "query_id", F.col("q_label"), quant(F.col("q_embedding")).alias("q_qv")
+    )
+    scored = (
+        q.crossJoin(corpus)
+        .filter(
+            (F.col("label") != F.col("q_label"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("q_qv"), F.col("qv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )

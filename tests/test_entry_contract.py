@@ -103,6 +103,7 @@ NON_CRAWL = [
     "gopher_quality", "lexical_diversity", "char_composition",
     "ppl_buckets", "length_outliers", "cluster_size_stats",
     "script_mix", "amp_audit", "microdata",
+    "ann_pq", "hard_negatives",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -187,3 +187,60 @@ def test_sq8_recall_at_tight_rerank(spark, emb):
     t = {(r["query_id"], r["vec_id"]) for r in tight.collect()}
     l = {(r["query_id"], r["vec_id"]) for r in loose.collect()}
     assert len(t & l) / len(l) >= 0.8
+
+
+def test_pq_ann_structure_and_recall(spark):
+    """PQ ADC candidates must contain the true nearest neighbours often
+    enough that the exact rerank reproduces brute-force top-1 for most
+    queries on a separable corpus (two well-separated gaussian-ish
+    blobs made deterministic)."""
+    from linkkchecker_net_spark.pipeline.similarity import pq_ann
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(40):
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [base + ((i * 7 + d) % 11) * 0.01
+                         for d in range(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    out = pq_ann(emb, qs, m=4, n_codes=4, k=5, ncand=20)
+    rowsb = out.collect()
+    by_q = {}
+    for r in rowsb:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))  # contiguous ranks
+        # exact rerank ordering: score ascending with rank
+        rs2 = sorted(rs, key=lambda r: r["rank"])
+        scores = [r["score"] for r in rs2]
+        assert scores == sorted(scores)
+        # same-blob vectors (same parity) must dominate the top ranks
+        top = rs2[0]
+        assert top["vec_id"] % 2 == q % 2
+        assert all(r["vec_id"] != q for r in rs)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from linkkchecker_net_spark.pipeline.similarity import hard_negatives
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(i % 3), 1.0], i % 2) for i in range(12)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("q_label"),
+    )
+    out = hard_negatives(emb, qs, k=4).collect()
+    labels = {i: lab for i, _, lab in rows}
+    for r in out:
+        assert labels[r["vec_id"]] != labels[r["query_id"]]
+        assert r["vec_id"] != r["query_id"]
