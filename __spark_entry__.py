@@ -5125,6 +5125,60 @@ def q_hard_negatives(spark, sf_dir):
     return hard_negatives(emb, queries_df, k=10)
 
 
+def q_host_concentration(spark, sf_dir):
+    """Corpus host-concentration audit (pipeline/reputation.
+    host_concentration): hosts derived as h(i*i mod 37) — quadratic
+    residues give deterministically uneven host masses — with exact
+    integer Gini/share/cumulative-share ppm."""
+    from linkkchecker_net_spark.pipeline.reputation import host_concentration
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), ((i * i) % 37).cast("string")).alias("host")
+    )
+    return host_concentration(pages, top_k=5)
+
+
+def q_fetch_fairness(spark, sf_dir):
+    """Jain's fairness index over per-host fetch counts (pipeline/
+    reputation.fetch_fairness) on the same quadratic-residue host
+    skew — one-row integer-ppm verdict."""
+    from linkkchecker_net_spark.pipeline.reputation import fetch_fairness
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    fetches = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), ((i * i) % 37).cast("string")).alias("host")
+    )
+    return fetch_fairness(fetches)
+
+
+def q_degree_hist(spark, sf_dir):
+    """Link-graph degree histogram (pipeline/graph.degree_hist) over a
+    deterministic synthetic graph: a ring edge per node, a stride-3
+    edge on even nodes, and a p0 hub fan-out on i%10==1 — in-degrees
+    pile up under mod-400 wrap-around, out-degrees split 1/2/hub.
+    Buckets are the integer bit length of deg-1 (no float log)."""
+    from linkkchecker_net_spark.pipeline.graph import degree_hist
+
+    _prep(spark)
+    base = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("i"))
+    i = F.col("i")
+
+    def p(c):
+        return F.concat(F.lit("p"), c.cast("string"))
+
+    e1 = base.select(p(i).alias("src"), p((i + 1) % 400).alias("dst"))
+    e2 = base.filter(i % 2 == 0).select(
+        p(i).alias("src"), p((i * 3 + 1) % 400).alias("dst")
+    )
+    e3 = base.filter(i % 10 == 1).select(
+        F.lit("p0").alias("src"), p(i).alias("dst")
+    )
+    return degree_hist(e1.unionByName(e2).unionByName(e3))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5306,6 +5360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microdata": q_microdata,
         "ann_pq": q_ann_pq,
         "hard_negatives": q_hard_negatives,
+        "host_concentration": q_host_concentration,
+        "fetch_fairness": q_fetch_fairness,
+        "degree_hist": q_degree_hist,
     }
 
 
@@ -9915,6 +9972,73 @@ FROM bt JOIN bh ON bt.url = bh.url
               JOIN embeddings el ON el.vec_id = d.vec_id
               WHERE el.label <> ql.label)
             WHERE rank <= 10
+        """,
+        # same quadratic-residue hosts + integer Gini rank formulation
+        "host_concentration": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            h AS (SELECT 'h' || ((i * i) % 37) AS host FROM d0),
+            c AS (SELECT host, count(*) AS n_docs FROM h GROUP BY 1),
+            r AS (
+              SELECT host, n_docs,
+                     row_number() OVER (ORDER BY n_docs, host) AS i_asc,
+                     row_number() OVER (ORDER BY n_docs DESC, host) AS ri,
+                     sum(n_docs) OVER (ORDER BY n_docs DESC, host
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM c),
+            t AS (
+              SELECT sum(n_docs) AS tot, count(*) AS n,
+                     sum(i_asc * n_docs) AS iwx
+              FROM r)
+            SELECT r.host, r.n_docs,
+                   CAST(floor(r.n_docs * 1000000.0 / t.tot) AS BIGINT)
+                     AS share_ppm,
+                   CAST(floor(r.cum * 1000000.0 / t.tot) AS BIGINT)
+                     AS cum_share_ppm,
+                   (r.ri <= 5) AS in_top_k,
+                   CAST(floor((2 * t.iwx - (t.n + 1) * t.tot) * 1000000.0
+                        / (t.n * t.tot)) AS BIGINT) AS gini_ppm
+            FROM r, t
+        """,
+        # same host skew; Jain = (Σx)² / (n·Σx²) in floor ppm
+        "fetch_fairness": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            h AS (SELECT 'h' || ((i * i) % 37) AS host FROM d0),
+            c AS (SELECT host, count(*) AS x FROM h GROUP BY 1)
+            SELECT count(*) AS n_hosts, sum(x) AS n_fetches,
+                   CAST(floor(sum(x) * sum(x) * 1000000.0
+                        / (count(*) * sum(x * x))) AS BIGINT) AS jain_ppm,
+                   CAST(floor(max(x) * 1000000.0 / sum(x)) AS BIGINT)
+                     AS max_host_share_ppm
+            FROM c
+        """,
+        # same synthetic graph; bucket = bit length of deg-1
+        "degree_hist": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            e AS (
+              SELECT 'p' || i AS src, 'p' || ((i + 1) % 400) AS dst FROM d0
+              UNION ALL
+              SELECT 'p' || i, 'p' || ((i * 3 + 1) % 400) FROM d0
+              WHERE i % 2 = 0
+              UNION ALL
+              SELECT 'p0', 'p' || i FROM d0 WHERE i % 10 = 1
+            ),
+            outd AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+            ind AS (SELECT dst AS node, count(*) AS deg FROM e GROUP BY 1),
+            b AS (
+              SELECT 'out' AS direction,
+                     CAST(CASE WHEN deg <= 1 THEN 0
+                          ELSE length(bin(deg - 1)) END AS INT) AS bucket
+              FROM outd
+              UNION ALL
+              SELECT 'in',
+                     CAST(CASE WHEN deg <= 1 THEN 0
+                          ELSE length(bin(deg - 1)) END AS INT)
+              FROM ind
+            )
+            SELECT direction, bucket,
+                   CAST(1::BIGINT << bucket AS BIGINT) AS bucket_hi,
+                   count(*) AS n_nodes
+            FROM b GROUP BY direction, bucket
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

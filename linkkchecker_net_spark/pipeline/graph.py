@@ -685,3 +685,58 @@ def reciprocal_links(
             & (F.col("n_out") >= F.lit(int(min_out)))
         ).alias("farm_suspect"),
     )
+
+
+def degree_hist(edges: DataFrame) -> DataFrame:
+    """Link-graph degree-distribution histogram (the power-law
+    diagnostic every web-graph paper opens with): per direction
+    ('in'/'out'), log2 degree buckets — bucket b holds nodes with
+    degree in (2^(b-1), 2^b], i.e. bucket_hi = the smallest power of
+    two >= degree — with node counts.  Bucket boundaries come from the
+    integer bit length of deg-1 (no float log anywhere), identical on
+    any engine.
+
+    Input: (src, dst) one row per edge.  Output:
+    (direction, bucket, bucket_hi, n_nodes).
+
+    Scale: two partial-aggregated groupBys (node -> degree, then
+    bucket -> count); output is O(log max_degree) rows per direction.
+    The degree aggregation is the only real shuffle and its keys are
+    nodes — hot pages (10^6 in-links) are ONE row after the map-side
+    combine, so no skew survives to the reducer.
+    """
+
+    def _bucketed(col_name: str, direction: str):
+        deg = (
+            edges.groupBy(F.col(col_name).alias("node"))
+            .agg(F.count("*").alias("deg"))
+        )
+        # smallest power of two >= deg via the bit length of deg-1:
+        # bucket = ceil(log2(deg)) computed as length(bin(deg-1)) for
+        # deg > 1 (deg=1 -> bucket 0), bucket_hi = 1 << bucket — pure
+        # integer/string ops, no float log
+        bucket = (
+            F.when(F.col("deg") <= 1, F.lit(0))
+            .otherwise(F.length(F.bin(F.col("deg") - 1)))
+            .cast("int")
+        )
+        return (
+            deg.select(
+                F.lit(direction).alias("direction"),
+                bucket.alias("bucket"),
+            )
+            .groupBy("direction", "bucket")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(
+                "direction",
+                "bucket",
+                # python-side F.shiftleft only takes a literal shift;
+                # the SQL form accepts a column
+                F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias(
+                    "bucket_hi"
+                ),
+                "n_nodes",
+            )
+        )
+
+    return _bucketed("src", "out").unionByName(_bucketed("dst", "in"))

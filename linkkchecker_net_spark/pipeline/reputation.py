@@ -22,7 +22,7 @@ unchanged, the ppm becomes an estimate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PPM = 1_000_000
@@ -67,4 +67,97 @@ def host_reputation(pages: DataFrame) -> DataFrame:
             - F.expr(f"({PPM} * (n_pages - n_distinct) div n_pages) div 500")
             - F.expr(f"({PPM} * n_broken div n_pages) div 1000")
         ).alias("reputation"),
+    )
+
+
+def host_concentration(pages: DataFrame, top_k: int = 5) -> DataFrame:
+    """Corpus host-concentration audit — the dataset-card diversity
+    block: per-host document counts with corpus share, cumulative share
+    in descending-count order, top-k membership, and the corpus Gini
+    coefficient — all exact integer ppm (the Gini via the rank
+    formulation G = (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx) over counts
+    sorted ascending, floor-ppm'd; no float sums anywhere).
+
+    A pretraining corpus where three hosts carry half the documents
+    needs per-domain caps (pipeline/curation.domain_cap) before any
+    quality filter matters — this is the audit that says so.
+
+    Input: (host) one row per document/page.  Output: one row per host
+    (host, n_docs, share_ppm, cum_share_ppm, in_top_k, gini_ppm) —
+    gini_ppm repeated per row (corpus scalar).
+
+    Scale: one host-keyed count (partial-agg), then windows over the
+    HOST TABLE (≤ 10^7 rows at web scale, not the doc stream); the
+    corpus scalars ride a 1-row broadcast cross join.
+    """
+    counts = pages.groupBy("host").agg(F.count("*").alias("n_docs"))
+    asc = Window.orderBy(F.asc("n_docs"), F.asc("host"))
+    desc = Window.orderBy(F.desc("n_docs"), F.asc("host")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = counts.select(
+        "host", "n_docs",
+        F.row_number().over(asc).alias("_i"),
+        F.row_number().over(
+            Window.orderBy(F.desc("n_docs"), F.asc("host"))
+        ).alias("_ri"),
+        F.sum("n_docs").over(desc).alias("_cum"),
+    )
+    tot = rk.agg(
+        F.sum("n_docs").alias("_tot"),
+        F.count("*").alias("_n"),
+        F.sum(F.col("_i") * F.col("n_docs")).alias("_iwx"),
+    )
+    return (
+        rk.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "n_docs",
+            F.floor(F.col("n_docs") * 1_000_000 / F.col("_tot")).alias(
+                "share_ppm"
+            ),
+            F.floor(F.col("_cum") * 1_000_000 / F.col("_tot")).alias(
+                "cum_share_ppm"
+            ),
+            (F.col("_ri") <= F.lit(int(top_k))).alias("in_top_k"),
+            F.floor(
+                (2 * F.col("_iwx") - (F.col("_n") + 1) * F.col("_tot"))
+                * 1_000_000
+                / (F.col("_n") * F.col("_tot"))
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+def fetch_fairness(fetches: DataFrame) -> DataFrame:
+    """Jain's fairness index over per-host fetch counts — the
+    politeness-scheduler health metric: J = (Σx)² / (n·Σx²), 1.0 when
+    every host gets equal service, → 1/n when one host hogs the
+    crawl.  Reported in exact floor-ppm integers (numerator and
+    denominator are integer sums, no float path).
+
+    Input: (host) one row per fetch.  Output: ONE row
+    (n_hosts, n_fetches, jain_ppm, max_host_share_ppm).
+
+    Scale: host-keyed count (partial-agg) then a single-row aggregate
+    of the host table — the same two-level rollup shape as
+    host_reputation; nothing doc-stream-sized crosses a shuffle twice.
+    """
+    counts = fetches.groupBy("host").agg(F.count("*").alias("x"))
+    agg = counts.agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("x").alias("n_fetches"),
+        F.sum(F.col("x") * F.col("x")).alias("_sq"),
+        F.max("x").alias("_mx"),
+    )
+    return agg.select(
+        "n_hosts",
+        "n_fetches",
+        F.floor(
+            F.col("n_fetches") * F.col("n_fetches") * 1_000_000
+            / (F.col("n_hosts") * F.col("_sq"))
+        ).alias("jain_ppm"),
+        F.floor(F.col("_mx") * 1_000_000 / F.col("n_fetches")).alias(
+            "max_host_share_ppm"
+        ),
     )

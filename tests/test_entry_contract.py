@@ -104,6 +104,7 @@ NON_CRAWL = [
     "ppl_buckets", "length_outliers", "cluster_size_stats",
     "script_mix", "amp_audit", "microdata",
     "ann_pq", "hard_negatives",
+    "host_concentration", "fetch_fairness", "degree_hist",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -422,3 +422,49 @@ def test_anchor_spam_min_anchors_gate(spark):
     # lowering the volume gate flips it
     out2 = _spam(spark, rows, min_anchors=2)
     assert out2["http://t.test/"]["spam"]
+
+
+def test_degree_hist_buckets_exact(spark):
+    from linkkchecker_net_spark.pipeline.graph import degree_hist
+
+    # out-degrees: a->3 edges (bucket 2, hi 4), b->1 (bucket 0, hi 1)
+    # in-degrees: x<-2 (bucket 1, hi 2), y<-1, z<-1 (bucket 0 x2)
+    edges = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {(r["direction"], r["bucket"]): r for r in degree_hist(df).collect()}
+    assert out[("out", 2)]["bucket_hi"] == 4
+    assert out[("out", 2)]["n_nodes"] == 1
+    assert out[("out", 0)]["n_nodes"] == 1
+    assert out[("in", 1)]["bucket_hi"] == 2 and out[("in", 1)]["n_nodes"] == 1
+    assert out[("in", 0)]["n_nodes"] == 2
+
+
+def test_host_concentration_gini_bounds(spark):
+    from linkkchecker_net_spark.pipeline.reputation import (
+        fetch_fairness,
+        host_concentration,
+    )
+
+    # perfectly equal: gini 0, jain 1.0
+    eq = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",)], "host string"
+    )
+    rows = host_concentration(eq, top_k=1).collect()
+    assert all(r["gini_ppm"] == 0 for r in rows)
+    fair = fetch_fairness(eq).collect()[0]
+    assert fair["jain_ppm"] == 1_000_000
+    assert fair["max_host_share_ppm"] == 500_000
+    # total skew: one host holds everything but one doc
+    sk = spark.createDataFrame(
+        [("a",)] * 9 + [("b",)], "host string"
+    )
+    srow = {r["host"]: r for r in host_concentration(sk, top_k=1).collect()}
+    assert srow["a"]["in_top_k"] is True and srow["b"]["in_top_k"] is False
+    assert srow["a"]["share_ppm"] == 900_000
+    assert srow["a"]["cum_share_ppm"] == 900_000
+    assert srow["b"]["cum_share_ppm"] == 1_000_000
+    # gini = (2*(1*1+2*9) - 3*10) / (2*10) = 8/20 = 0.4
+    assert srow["a"]["gini_ppm"] == 400_000
+    sfair = fetch_fairness(sk).collect()[0]
+    # jain = 100 / (2*82) = 0.6097...
+    assert sfair["jain_ppm"] == 609_756
