@@ -5179,6 +5179,51 @@ def q_degree_hist(spark, sf_dir):
     return degree_hist(e1.unionByName(e2).unionByName(e3))
 
 
+def q_freshness_audit(spark, sf_dir):
+    """RFC 9111 freshness estimation (pipeline/recrawl.freshness_audit).
+    Headers are derived arithmetically: Date ladder 1.7e9 + 13i,
+    Last-Modified present on i%3!=0 (2.2.2 heuristic arm), max-age on
+    i%4==0 (explicit arm), Age on i%5==2; now pinned to 1_700_100_000.
+    Both engines replay the same integer lifetime/age arithmetic."""
+    from linkkchecker_net_spark.pipeline.recrawl import freshness_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    responses = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://f.test/p"), i.cast("string")).alias("url"),
+        (F.lit(1_700_000_000) + i * 13).alias("date_epoch"),
+        F.when(
+            i % 3 != 0,
+            F.lit(1_700_000_000) + i * 13 - ((i % 20) + 1) * 100_000,
+        ).alias("last_modified_epoch"),
+        F.when(i % 4 == 0, (i % 7) * 30_000).alias("max_age"),
+        F.when(i % 5 == 2, i % 60).alias("age"),
+    )
+    return freshness_audit(responses, now_epoch=1_700_100_000)
+
+
+def q_burst_detect(spark, sf_dir):
+    """Traffic-burst anomaly detection (pipeline/recrawl.burst_detect)
+    over the events table: hourly buckets per event_type, trailing-3
+    RANGE window, integer cross-multiplied 3x-mean flag."""
+    from linkkchecker_net_spark.pipeline.recrawl import burst_detect
+
+    _prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return burst_detect(ev, bucket_sec=3600, trailing=3, factor=3,
+                        min_count=5)
+
+
+def q_ring_rebalance(spark, sf_dir):
+    """Consistent-hash ring rebalancing plan (pipeline/curation.
+    ring_rebalance): 4 -> 5 shards, 8 vnodes each, md5-ring ownership;
+    the (old, new) cell rollup shows only ~1/5 of docs moving."""
+    from linkkchecker_net_spark.pipeline.curation import ring_rebalance
+
+    _prep(spark)
+    return ring_rebalance(_docs(spark, sf_dir), n_old=4, n_new=5, vnodes=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5363,6 +5408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_concentration": q_host_concentration,
         "fetch_fairness": q_fetch_fairness,
         "degree_hist": q_degree_hist,
+        "freshness_audit": q_freshness_audit,
+        "burst_detect": q_burst_detect,
+        "ring_rebalance": q_ring_rebalance,
     }
 
 
@@ -10039,6 +10087,96 @@ FROM bt JOIN bh ON bt.url = bh.url
                    CAST(1::BIGINT << bucket AS BIGINT) AS bucket_hi,
                    count(*) AS n_nodes
             FROM b GROUP BY direction, bucket
+        """,
+        # same integer RFC 9111 age/lifetime arithmetic
+        "freshness_audit": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT 'http://f.test/p' || i AS url,
+                     1700000000 + i * 13 AS date_epoch,
+                     CASE WHEN i % 3 <> 0 THEN
+                       1700000000 + i * 13 - ((i % 20) + 1) * 100000
+                     END AS lm,
+                     CASE WHEN i % 4 = 0 THEN (i % 7) * 30000 END AS max_age,
+                     CASE WHEN i % 5 = 2 THEN i % 60 END AS age
+              FROM d0),
+            c AS (
+              SELECT url,
+                     1700100000 - date_epoch + coalesce(age, 0)
+                       AS current_age,
+                     CASE WHEN max_age IS NOT NULL THEN max_age
+                          ELSE CAST(floor((date_epoch - lm) * 100000.0
+                               / 1000000) AS BIGINT) END AS lifetime,
+                     (max_age IS NULL AND lm IS NOT NULL) AS heuristic_used
+              FROM f)
+            SELECT url, CAST(current_age AS BIGINT) AS current_age,
+                   CAST(lifetime AS BIGINT) AS lifetime, heuristic_used,
+                   CASE WHEN lifetime IS NULL THEN 'no_estimate'
+                        WHEN current_age < lifetime THEN 'fresh'
+                        ELSE 'stale' END AS verdict
+            FROM c
+        """,
+        # same hourly buckets + trailing-3 RANGE window arithmetic
+        "burst_detect": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                       AS bucket
+              FROM events),
+            c AS (SELECT event_type, bucket, count(*) AS n_events
+                  FROM b GROUP BY 1, 2),
+            w AS (
+              SELECT event_type, bucket, n_events,
+                     coalesce(sum(n_events) OVER (PARTITION BY event_type
+                       ORDER BY bucket RANGE BETWEEN 3 PRECEDING
+                       AND 1 PRECEDING), 0) AS prev_sum,
+                     CAST(count(n_events) OVER (PARTITION BY event_type
+                       ORDER BY bucket RANGE BETWEEN 3 PRECEDING
+                       AND 1 PRECEDING) AS INT) AS n_prev
+              FROM c)
+            SELECT event_type, bucket, n_events, prev_sum, n_prev,
+                   CASE WHEN prev_sum > 0 THEN
+                     CAST(floor(n_events * n_prev * 1000000.0 / prev_sum)
+                          AS BIGINT) END AS ratio_ppm,
+                   (n_prev = 3 AND n_events * n_prev >= 3 * prev_sum
+                    AND n_events >= 5) AS burst
+            FROM w
+        """,
+        # same md5 ring positions + clockwise-successor ownership
+        "ring_rebalance": """
+            WITH d AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       AS h
+              FROM documents),
+            vn AS (
+              SELECT s.shard, v.v,
+                     ('0x' || substr(md5('s' || s.shard || '#' || v.v),
+                      1, 8))::BIGINT AS pos
+              FROM (SELECT unnest(range(0, 5)) AS shard) s,
+                   (SELECT unnest(range(0, 8)) AS v) v),
+            cand_old AS (
+              SELECT d.doc_id, vn.shard,
+                     row_number() OVER (PARTITION BY d.doc_id ORDER BY
+                       ((vn.pos - d.h) % 4294967296 + 4294967296)
+                         % 4294967296, vn.pos, vn.shard) AS rn
+              FROM d, vn WHERE vn.shard < 4),
+            own_old AS (
+              SELECT doc_id, CAST(shard AS INT) AS old_shard
+              FROM cand_old WHERE rn = 1),
+            cand_new AS (
+              SELECT d.doc_id, vn.shard,
+                     row_number() OVER (PARTITION BY d.doc_id ORDER BY
+                       ((vn.pos - d.h) % 4294967296 + 4294967296)
+                         % 4294967296, vn.pos, vn.shard) AS rn
+              FROM d, vn),
+            own_new AS (
+              SELECT doc_id, CAST(shard AS INT) AS new_shard
+              FROM cand_new WHERE rn = 1)
+            SELECT old_shard, new_shard, count(*) AS n_docs,
+                   (old_shard <> new_shard) AS moved
+            FROM own_old JOIN own_new USING (doc_id)
+            GROUP BY old_shard, new_shard
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

@@ -851,3 +851,89 @@ def length_outliers(
             (z >= F.lit(int(z_ppm_threshold))).alias("outlier"),
         )
     )
+
+
+def ring_rebalance(
+    docs: DataFrame,
+    n_old: int = 4,
+    n_new: int = 5,
+    vnodes: int = 8,
+) -> DataFrame:
+    """Consistent-hash ring rebalancing plan (Karger et al. 1997 — the
+    sibling of mod-N :func:`shard_assign`, which moves nearly EVERY key
+    when n changes): docs and shard virtual nodes hash onto a 2^32
+    ring (first 8 md5 hex digits — the repo's engine-agnostic uniform),
+    each doc belongs to the clockwise-nearest vnode, and the plan
+    reports, for the n_old → n_new resize, how many docs each
+    (old_shard, new_shard) cell holds — the off-diagonal mass is
+    exactly the data that must move (≈ 1/n_new of the corpus, vs
+    ≈ 1-1/n_new for mod-N).
+
+    Output: (old_shard, new_shard, n_docs, moved).
+
+    Scale: the vnode table is (n_new · vnodes) rows — broadcast both
+    ways; per-doc owner selection is a broadcast join + min_by ring
+    distance (map-side, no doc-stream shuffle); the rollup groupBy has
+    n_old·n_new keys.
+    """
+    M = 1 << 32
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    spark = docs.sparkSession
+    vn = spark.range(int(n_new)).select(
+        F.col("id").cast("int").alias("shard"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(vnodes) - 1))
+        ).alias("v"),
+    )
+    vpos = vn.select(
+        "shard",
+        "v",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("s"), F.col("shard").cast("string"),
+                        F.lit("#"), F.col("v").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("pos"),
+    )
+
+    def owner(n_shards: int, alias: str):
+        cand = docs.select("doc_id", h.alias("_h")).join(
+            F.broadcast(vpos.filter(F.col("shard") < n_shards)), how="cross"
+        )
+        dist = F.pmod(F.col("pos") - F.col("_h"), F.lit(M))
+        return (
+            cand.groupBy("doc_id")
+            .agg(
+                F.min_by(
+                    F.struct("shard", "pos"),
+                    F.struct(dist, F.col("pos"), F.col("shard")),
+                ).alias("_o")
+            )
+            .select("doc_id", F.col("_o.shard").alias(alias))
+        )
+
+    old = owner(n_old, "old_shard")
+    new = owner(n_new, "new_shard")
+    return (
+        old.join(new, "doc_id")
+        .groupBy("old_shard", "new_shard")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "old_shard",
+            "new_shard",
+            "n_docs",
+            (F.col("old_shard") != F.col("new_shard")).alias("moved"),
+        )
+    )

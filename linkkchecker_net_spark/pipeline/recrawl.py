@@ -310,3 +310,111 @@ def crawl_delay_audit(
         "n_violations",
         (F.col("n_violations") == 0).alias("compliant"),
     )
+
+
+def freshness_audit(
+    responses: DataFrame, now_epoch: int, heuristic_ppm: int = 100_000
+) -> DataFrame:
+    """RFC 9111 freshness estimation — the cache-side twin of
+    :func:`revalidation_plan`: for responses WITHOUT explicit
+    freshness (no max-age), apply the §4.2.2 heuristic lifetime
+    = 10% of (Date - Last-Modified); with max-age, use it directly.
+
+    current_age = (now - date_epoch) + Age  (the §4.2.3 estimate with
+    zero transit correction — deterministic without clocks).  Verdicts:
+    ``fresh`` (current_age < lifetime), ``stale``, ``no_estimate``
+    (neither max-age nor Last-Modified — must revalidate).  The 10% is
+    `heuristic_ppm` in integer ppm so the lifetime stays exact:
+    lifetime = floor((date - last_modified) * ppm / 10^6).
+
+    Input: (url, date_epoch, last_modified_epoch?, max_age?, age?).
+    Output adds (current_age, lifetime, heuristic_used, verdict).
+
+    Scale: map-only integer codegen, zero shuffles.
+    """
+    cur = (
+        F.lit(int(now_epoch))
+        - F.col("date_epoch")
+        + F.coalesce(F.col("age"), F.lit(0))
+    )
+    heur = F.floor(
+        (F.col("date_epoch") - F.col("last_modified_epoch"))
+        * F.lit(int(heuristic_ppm))
+        / 1_000_000
+    )
+    lifetime = F.when(
+        F.col("max_age").isNotNull(), F.col("max_age").cast("long")
+    ).otherwise(heur)
+    heuristic_used = F.col("max_age").isNull() & F.col(
+        "last_modified_epoch"
+    ).isNotNull()
+    verdict = (
+        F.when(lifetime.isNull(), F.lit("no_estimate"))
+        .when(cur < lifetime, F.lit("fresh"))
+        .otherwise(F.lit("stale"))
+    )
+    return responses.select(
+        "url",
+        cur.cast("long").alias("current_age"),
+        lifetime.cast("long").alias("lifetime"),
+        heuristic_used.alias("heuristic_used"),
+        verdict.alias("verdict"),
+    )
+
+
+def burst_detect(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    trailing: int = 3,
+    factor: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Traffic-burst anomaly detection over the event stream — the
+    crawl-ops alarm for error spikes / hot-host stampedes: bucket
+    events into `bucket_sec` windows per event_type, compare each
+    bucket's count against the mean of the `trailing` PRECEDING
+    buckets (a RANGE window over bucket indices, so empty buckets gap
+    correctly rather than sliding over them), and flag
+    cnt ≥ factor · trailing-mean — evaluated as the exact integer
+    cross-product cnt · n_prev ≥ factor · prev_sum, full-history
+    buckets only (n_prev = trailing), with a `min_count` floor so a
+    2-events-vs-0.3-mean bucket doesn't page anyone.
+
+    Output: (event_type, bucket, n_events, prev_sum, n_prev,
+    ratio_ppm, burst).
+
+    Scale: one (type, bucket) partial-aggregated count, then a range
+    window over the BUCKET table (per type, ~seconds-per-epoch/
+    bucket_sec rows) — never the raw event stream.
+    """
+    # integer micros (sessions.py contract: TIMESTAMP_NTZ + UTC session
+    # tz makes unix_micros agree bit-exactly with DuckDB's epoch_us)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = F.floor(us / F.lit(int(bucket_sec) * 1_000_000)).cast("long")
+    counts = events.select(
+        "event_type", b.alias("bucket")
+    ).groupBy("event_type", "bucket").agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rangeBetween(-int(trailing), -1)
+    )
+    prev_sum = F.coalesce(F.sum("n_events").over(w), F.lit(0))
+    n_prev = F.count("n_events").over(w)
+    ratio = F.when(
+        prev_sum > 0,
+        F.floor(F.col("n_events") * n_prev * 1_000_000 / prev_sum),
+    )
+    return counts.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        prev_sum.alias("prev_sum"),
+        n_prev.cast("int").alias("n_prev"),
+        ratio.alias("ratio_ppm"),
+        (
+            (n_prev == F.lit(int(trailing)))
+            & (F.col("n_events") * n_prev >= F.lit(int(factor)) * prev_sum)
+            & (F.col("n_events") >= F.lit(int(min_count)))
+        ).alias("burst"),
+    )

@@ -504,3 +504,67 @@ def test_allcaps_spam_filters(spark):
         2: (6, 1, False),   # 'I' and '123' excluded from alpha
         3: (1, 1, False),
     }
+
+
+def test_ring_rebalance_moves_about_one_in_n(spark):
+    """Consistent hashing's whole point: resizing 4 -> 5 shards moves
+    FAR less than the ~80% a mod-N reshard would."""
+    from linkkchecker_net_spark.pipeline.curation import ring_rebalance
+
+    docs = spark.range(400).select(F.col("id").alias("doc_id"))
+    cells = ring_rebalance(docs, n_old=4, n_new=5, vnodes=8).collect()
+    total = sum(c["n_docs"] for c in cells)
+    moved = sum(c["n_docs"] for c in cells if c["moved"])
+    assert total == 400
+    # every doc that moved must move TO the new shard (4) — a doc can
+    # never change owner between two old shards when vnodes only get added
+    assert all(c["new_shard"] == 4 for c in cells if c["moved"])
+    assert 0 < moved < total * 0.5  # far below mod-N's ~80%
+
+
+def test_freshness_audit_verdicts(spark):
+    from linkkchecker_net_spark.pipeline.recrawl import freshness_audit
+
+    rows = [
+        # max-age 100, age 50 at now=1000, date=920 -> current 130 -> stale
+        ("a", 920, None, 100, 50),
+        # heuristic: date-lm = 2000 -> lifetime 200; current 80 -> fresh
+        ("b", 920, -1080, None, None),
+        # nothing -> no_estimate
+        ("c", 920, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, date_epoch long, last_modified_epoch long, "
+        "max_age long, age long",
+    )
+    out = {r["url"]: r for r in freshness_audit(df, now_epoch=1000).collect()}
+    assert out["a"]["verdict"] == "stale" and out["a"]["current_age"] == 130
+    assert out["b"]["verdict"] == "fresh" and out["b"]["lifetime"] == 200
+    assert out["b"]["heuristic_used"] is True
+    assert out["c"]["verdict"] == "no_estimate"
+
+
+def test_burst_detect_range_window_gaps(spark):
+    """Empty buckets must count as gaps (RANGE, not ROWS): a burst right
+    after a quiet gap sees only the buckets actually within range."""
+    import datetime as dt
+
+    from linkkchecker_net_spark.pipeline.recrawl import burst_detect
+
+    def t(hour, n):
+        base = dt.datetime(2024, 1, 1)
+        return [(base + dt.timedelta(hours=hour, seconds=s), "err")
+                for s in range(n)]
+
+    rows = t(0, 2) + t(1, 2) + t(2, 2) + t(3, 18) + t(7, 18)
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r["bucket"] % 100: r for r in burst_detect(
+        df, bucket_sec=3600, trailing=3, factor=3, min_count=5).collect()}
+    h0 = min(out)
+    # hour 3: prev_sum 6 over 3 full buckets, 18 >= 3*6 -> burst
+    assert out[h0 + 3]["burst"] is True
+    assert out[h0 + 3]["prev_sum"] == 6 and out[h0 + 3]["n_prev"] == 3
+    # hour 7: hours 4-6 are EMPTY -> n_prev 0 -> no full window -> no burst
+    assert out[h0 + 7]["n_prev"] == 0
+    assert out[h0 + 7]["burst"] is False

@@ -105,6 +105,7 @@ NON_CRAWL = [
     "script_mix", "amp_audit", "microdata",
     "ann_pq", "hard_negatives",
     "host_concentration", "fetch_fairness", "degree_hist",
+    "freshness_audit", "burst_detect", "ring_rebalance",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
