@@ -5224,6 +5224,77 @@ def q_ring_rebalance(spark, sf_dir):
     return ring_rebalance(_docs(spark, sf_dir), n_old=4, n_new=5, vnodes=8)
 
 
+def q_pixel_verify(spark, sf_dir):
+    """Decode-verify stage over candidate twin pairs (pipeline/
+    multimodal.pixel_verify on synth_twin_corpus): exact twins
+    (i%4==0), lossy-codec twins (i%4==1 — bucket-center recon noise
+    must pass the 2% MAE gate), distinct stripes otherwise (fail).
+    Spark decodes real containers; the oracle prices every pixel of
+    both sides arithmetically through the same codec formulas."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        pixel_verify,
+        synth_twin_corpus,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return pixel_verify(synth_twin_corpus(spark, ids), mae_ppm_max=20_000)
+
+
+def q_etag_stability(spark, sf_dir):
+    """ETag stability audit (kernels/httpmeta.etag_stability): five
+    arithmetic arms — stable / rotating etag / stale etag (content
+    moved under a frozen validator) / honest change / missing etag."""
+    from linkkchecker_net_spark.kernels.httpmeta import etag_stability
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    url = F.concat(F.lit("http://e.test/p"), s)
+    old = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        F.when(i % 5 != 4, F.concat(F.lit('"v'), s, F.lit('"'))).alias(
+            "etag"
+        ),
+        F.concat(F.lit("d"), s).alias("digest"),
+    )
+    new = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        F.when(
+            (i % 5 == 1) | (i % 5 == 3),
+            F.concat(F.lit('"w'), s, F.lit('"')),
+        )
+        .otherwise(F.concat(F.lit('"v'), s, F.lit('"')))
+        .alias("etag"),
+        F.when(
+            (i % 5 == 2) | (i % 5 == 3), F.concat(F.lit("e"), s)
+        )
+        .otherwise(F.concat(F.lit("d"), s))
+        .alias("digest"),
+    )
+    return etag_stability(old, new)
+
+
+def q_vary_audit(spark, sf_dir):
+    """Vary header audit (kernels/httpmeta.vary_audit): Accept-Encoding
+    / messy-whitespace UA pair / '*' / Cookie+Accept-Language / absent
+    arms; tokens trim+lowercase, star and cookie kill shared
+    cacheability."""
+    from linkkchecker_net_spark.kernels.httpmeta import vary_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    responses = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://v.test/p"), i.cast("string")).alias("url"),
+        F.when(i % 5 == 0, F.lit("Accept-Encoding"))
+        .when(i % 5 == 1, F.lit(" accept-encoding , User-Agent"))
+        .when(i % 5 == 2, F.lit("*"))
+        .when(i % 5 == 3, F.lit("Cookie, Accept-Language"))
+        .alias("vary"),
+    )
+    return vary_audit(responses)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5411,6 +5482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_audit": q_freshness_audit,
         "burst_detect": q_burst_detect,
         "ring_rebalance": q_ring_rebalance,
+        "pixel_verify": q_pixel_verify,
+        "etag_stability": q_etag_stability,
+        "vary_audit": q_vary_audit,
     }
 
 
@@ -10177,6 +10251,83 @@ FROM bt JOIN bh ON bt.url = bh.url
                    (old_shard <> new_shard) AS moved
             FROM own_old JOIN own_new USING (doc_id)
             GROUP BY old_shard, new_shard
+        """,
+        # every pixel of both sides priced through the codec formulas
+        "pixel_verify": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            dims AS (
+              SELECT i, 8 + (i % 5) * 4 AS w, 6 + (i % 7) * 2 AS h
+              FROM d0),
+            rws AS (
+              SELECT i, w, h, r.r AS r
+              FROM dims, unnest(range(h)) AS r(r)),
+            px AS (
+              SELECT i, w, h,
+                     (i * 37 + r * 5) % 251 AS a0,
+                     (i * 53 + r * 7) % 251 AS a1,
+                     (i * 71 + r * 11) % 251 AS a2,
+                     ((i + 13) * 37 + r * 5) % 251 AS b0,
+                     ((i + 13) * 53 + r * 7) % 251 AS b1,
+                     ((i + 13) * 71 + r * 11) % 251 AS b2
+              FROM rws),
+            diffs AS (
+              SELECT i, w, h,
+                     CASE WHEN i % 4 = 0 THEN 0
+                          WHEN i % 4 = 1 THEN
+                            abs(a0 - ((a0 // 4) * 4 + 2))
+                            + abs(a1 - ((a1 // 4) * 4 + 2))
+                            + abs(a2 - ((a2 // 4) * 4 + 2))
+                          ELSE abs(a0 - b0) + abs(a1 - b1) + abs(a2 - b2)
+                     END AS rowdiff
+              FROM px),
+            s AS (
+              SELECT i, max(w) * max(h) AS n_px,
+                     sum(rowdiff * w) AS sad
+              FROM diffs GROUP BY i)
+            SELECT 'pair_' || lpad(i::VARCHAR, 6, '0') AS pair_id,
+                   CAST(n_px AS BIGINT) AS n_px,
+                   CAST(sad AS BIGINT) AS sad,
+                   CAST(floor(sad * 1000000.0 / (n_px * 3 * 255))
+                        AS BIGINT) AS mae_ppm,
+                   (floor(sad * 1000000.0 / (n_px * 3 * 255)) <= 20000)
+                     AS dup
+            FROM s
+        """,
+        # same five-arm validator/digest derivation
+        "etag_stability": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i, 'http://e.test/p' || i AS url,
+                     CASE WHEN i % 5 <> 4 THEN '"v' || i || '"' END AS eo,
+                     'd' || i AS dgo,
+                     CASE WHEN i % 5 IN (1, 3) THEN '"w' || i || '"'
+                          ELSE '"v' || i || '"' END AS en,
+                     CASE WHEN i % 5 IN (2, 3) THEN 'e' || i
+                          ELSE 'd' || i END AS dgn
+              FROM d0)
+            SELECT url,
+                   CASE WHEN eo IS NOT NULL AND en IS NOT NULL
+                        THEN eo <> en END AS etag_changed,
+                   (dgo <> dgn) AS digest_changed,
+                   CASE WHEN eo IS NULL OR en IS NULL THEN 'no_etag'
+                        WHEN eo = en AND dgo = dgn THEN 'stable'
+                        WHEN eo <> en AND dgo = dgn THEN 'etag_rotates'
+                        WHEN eo = en AND dgo <> dgn THEN 'stale_etag'
+                        ELSE 'changed' END AS verdict
+            FROM f
+        """,
+        # same token trim+lowercase arithmetic
+        "vary_audit": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents)
+            SELECT 'http://v.test/p' || i AS url,
+                   CAST(CASE i % 5 WHEN 0 THEN 1 WHEN 1 THEN 2
+                        WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 0 END AS INT)
+                     AS n_vary_tokens,
+                   (i % 5 = 2) AS vary_star,
+                   (i % 5 = 1) AS varies_user_agent,
+                   (i % 5 = 3) AS varies_cookie,
+                   (i % 5 NOT IN (2, 3)) AS shared_cacheable
+            FROM d0
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

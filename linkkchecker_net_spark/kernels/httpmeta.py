@@ -358,3 +358,87 @@ def redirect_edge_audit(responses: DataFrame) -> DataFrame:
         ),
         verdict.alias("verdict"),
     )
+
+
+def etag_stability(old: DataFrame, new: DataFrame) -> DataFrame:
+    """ETag stability audit across two crawl snapshots — the
+    revalidation-trust lint: join per url and classify
+    (RFC 9110 §8.8.3 semantics, strong compare on the literal ETag):
+
+    - ``stable``       — etag and content digest both unchanged
+    - ``etag_rotates`` — digest unchanged but etag changed (rotating /
+      deploy-stamped etags: every conditional GET transfers the full
+      body for nothing — the bytes-saved ledger of warc_revisit
+      evaporates)
+    - ``stale_etag``   — etag unchanged but digest CHANGED (the
+      dangerous arm: caches revalidate 304 against stale content)
+    - ``changed``      — both moved (honest change)
+    - ``no_etag``      — either side lacks an ETag
+
+    Inputs: (url, etag?, digest) each.  Output: (url, etag_changed,
+    digest_changed, verdict).
+
+    Scale: one url-keyed equi-join (both sides crawl-snapshot-sized,
+    co-partitionable by url), map-only classification after it.
+    """
+    o = old.select(
+        "url", F.col("etag").alias("_eo"), F.col("digest").alias("_do")
+    )
+    n = new.select(
+        "url", F.col("etag").alias("_en"), F.col("digest").alias("_dn")
+    )
+    j = o.join(n, "url")
+    etag_changed = F.col("_eo") != F.col("_en")
+    digest_changed = F.col("_do") != F.col("_dn")
+    verdict = (
+        F.when(
+            F.col("_eo").isNull() | F.col("_en").isNull(), F.lit("no_etag")
+        )
+        .when(~etag_changed & ~digest_changed, F.lit("stable"))
+        .when(etag_changed & ~digest_changed, F.lit("etag_rotates"))
+        .when(~etag_changed & digest_changed, F.lit("stale_etag"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "url",
+        F.when(
+            F.col("_eo").isNotNull() & F.col("_en").isNotNull(), etag_changed
+        ).alias("etag_changed"),
+        digest_changed.alias("digest_changed"),
+        verdict.alias("verdict"),
+    )
+
+
+def vary_audit(responses: DataFrame) -> DataFrame:
+    """Vary header audit (RFC 9111 §4.1) — the shared-cache
+    fragmentation lint: tokenize the comma-separated field-name list
+    (trim + lowercase), and flag the two practical poisons: ``*``
+    (response never matches a stored response — effectively
+    uncacheable) and per-user axes (user-agent explodes the cache key
+    across browser builds; cookie makes every user a cache miss).
+
+    Input: (url, vary?).  Output: (url, n_vary_tokens, vary_star,
+    varies_user_agent, varies_cookie, shared_cacheable).
+
+    Scale: map-only codegen (one split + array ops), zero shuffles.
+    """
+    toks = F.when(
+        F.col("vary").isNotNull(),
+        F.filter(
+            F.transform(
+                F.split(F.col("vary"), ","), lambda t: F.lower(F.trim(t))
+            ),
+            lambda t: t != "",
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    star = F.array_contains(toks, "*")
+    ua = F.array_contains(toks, "user-agent")
+    cookie = F.array_contains(toks, "cookie")
+    return responses.select(
+        "url",
+        F.size(toks).alias("n_vary_tokens"),
+        star.alias("vary_star"),
+        ua.alias("varies_user_agent"),
+        cookie.alias("varies_cookie"),
+        (~star & ~cookie).alias("shared_cacheable"),
+    )

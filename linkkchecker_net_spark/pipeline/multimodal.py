@@ -1763,3 +1763,103 @@ def tile_neardup(corpus: DataFrame, min_shared: int = 2) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
+
+
+def synth_twin_corpus(spark, ids_df: DataFrame) -> DataFrame:
+    """Candidate-pair corpus for the decode-verify stage: per id i, a
+    REFERENCE image (the channel-distinct stripe array of
+    synth_rgbstripe_corpus, lossless 'gif' container) and a CANDIDATE:
+    the identical array lossless on i%4==0 (exact twin), the same
+    array through the LOSSY codec on i%4==1 (codec-noise twin —
+    recon at bucket centers, error deterministic per pixel), and the
+    stripe array of i+13 otherwise (true non-dup, same dims).  Every
+    pixel of both sides is pure arithmetic for the oracle.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"pair_id": [], "bytes_a": [], "fmt_a": [],
+                   "bytes_b": [], "fmt_b": [], "w": [], "h": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                w, h = 8 + (i % 5) * 4, 6 + (i % 7) * 2
+
+                def stripes(j):
+                    r = np.arange(h)
+                    chans = [
+                        ((j * 37 + r * 5) % 251).astype(np.uint8),
+                        ((j * 53 + r * 7) % 251).astype(np.uint8),
+                        ((j * 71 + r * 11) % 251).astype(np.uint8),
+                    ]
+                    return np.stack(
+                        [np.repeat(c[:, None], w, axis=1) for c in chans],
+                        axis=2,
+                    )
+
+                a = stripes(i)
+                if i % 4 == 0:
+                    b, fmt_b = a, "gif"
+                elif i % 4 == 1:
+                    b, fmt_b = a, "jpeg"
+                else:
+                    b, fmt_b = stripes(i + 13), "gif"
+                out["pair_id"].append(f"pair_{i:06d}")
+                out["bytes_a"].append(imaging.encode_image(a, "gif"))
+                out["fmt_a"].append("gif")
+                out["bytes_b"].append(imaging.encode_image(b, fmt_b))
+                out["fmt_b"].append(fmt_b)
+                out["w"].append(w)
+                out["h"].append(h)
+            if out["pair_id"]:
+                yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(
+        gen,
+        "pair_id string, bytes_a binary, fmt_a string, "
+        "bytes_b binary, fmt_b string, w int, h int",
+    )
+
+
+def pixel_verify(pairs: DataFrame, mae_ppm_max: int = 20_000) -> DataFrame:
+    """Decode-verify stage for image near-dup candidate pairs — the
+    exactness backstop AFTER hash blocking (phash/dhash/tile buckets
+    propose, pixels dispose): decode both sides, compute the integer
+    sum of absolute per-channel differences, and accept pairs whose
+    mean absolute error is within `mae_ppm_max` of full scale
+    (255·3·n_px denominator, floor ppm) — codec noise passes (the
+    lossy stand-in's bucket-center recon errs ≤ 2/channel ≈ 3.9k ppm),
+    distinct content fails.
+
+    Input: (pair_id, bytes_a, fmt_a, bytes_b, fmt_b, w, h).  Output:
+    (pair_id, n_px, sad, mae_ppm, dup).
+
+    Scale: one Arrow-batched mapInPandas decode pass, bytes dead at
+    the stage boundary (scalars out) — the same shape as
+    image_meta/validate_images; pair candidates arrive pre-blocked so
+    the decode cost is O(candidates), never O(N²).
+    """
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"pair_id": [], "n_px": [], "sad": [], "mae_ppm": [],
+                   "dup": []}
+            for _, row in pdf.iterrows():
+                a = imaging.decode_image(bytes(row["bytes_a"]), row["fmt_a"])
+                b = imaging.decode_image(bytes(row["bytes_b"]), row["fmt_b"])
+                sad = int(
+                    np.abs(a.astype(np.int32) - b.astype(np.int32)).sum()
+                )
+                n_px = int(a.shape[0] * a.shape[1])
+                mae_ppm = sad * 1_000_000 // (n_px * 3 * 255)
+                out["pair_id"].append(row["pair_id"])
+                out["n_px"].append(n_px)
+                out["sad"].append(sad)
+                out["mae_ppm"].append(mae_ppm)
+                out["dup"].append(mae_ppm <= int(mae_ppm_max))
+            if out["pair_id"]:
+                yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(
+        verify,
+        "pair_id string, n_px long, sad long, mae_ppm long, dup boolean",
+    )

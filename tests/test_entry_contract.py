@@ -106,6 +106,7 @@ NON_CRAWL = [
     "ann_pq", "hard_negatives",
     "host_concentration", "fetch_fairness", "degree_hist",
     "freshness_audit", "burst_detect", "ring_rebalance",
+    "pixel_verify", "etag_stability", "vary_audit",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

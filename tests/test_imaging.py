@@ -237,3 +237,36 @@ def test_tile_neardup_crop_robustness(spark):
     got = {(r["id_a"], r["id_b"]): r["n_shared"]
            for r in tile_neardup(corpus, min_shared=2).collect()}
     assert got == {("A", "B"): 3}
+
+
+def test_pixel_verify_codec_noise_vs_distinct(spark):
+    """Exact twins SAD 0; lossy twins pass the MAE gate with nonzero
+    SAD; distinct stripes fail — and the lossy SAD matches the codec's
+    bucket-center error formula exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        pixel_verify,
+        synth_twin_corpus,
+    )
+
+    ids = spark.range(12).select(F.col("id").cast("long").alias("id"))
+    out = {r["pair_id"]: r for r in pixel_verify(
+        synth_twin_corpus(spark, ids)).collect()}
+    assert len(out) == 12
+    for i in range(12):
+        r = out[f"pair_{i:06d}"]
+        w, h = 8 + (i % 5) * 4, 6 + (i % 7) * 2
+        assert r["n_px"] == w * h
+        if i % 4 == 0:
+            assert r["sad"] == 0 and r["dup"] is True
+        elif i % 4 == 1:
+            rr = np.arange(h)
+            sad = 0
+            for mul, step in ((37, 5), (53, 7), (71, 11)):
+                v = (i * mul + rr * step) % 251
+                sad += int(np.abs(v - ((v // 4) * 4 + 2)).sum()) * w
+            assert r["sad"] == sad and r["dup"] is True
+        else:
+            assert r["dup"] is False and r["mae_ppm"] > 20000
