@@ -5295,6 +5295,76 @@ def q_vary_audit(spark, sf_dir):
     return vary_audit(responses)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplicate-mass matrix (pipeline/curation.
+    source_overlap): i%4==0 docs collapse onto 'shared <i%50>' texts,
+    so the same digest recurs across sources; both engines md5 the
+    same bytes and count distinct shared digests per unordered pair."""
+    from linkkchecker_net_spark.pipeline.curation import source_overlap
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            i % 4 == 0,
+            F.concat(F.lit("shared "), (i % 50).cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    return source_overlap(docs)
+
+
+def q_split_divergence(spark, sf_dir):
+    """Token-distribution KL between splits (pipeline/curation.
+    split_divergence) on the same md5 ppm buckets dataset_split
+    oracles — add-1 smoothing over the joint vocab, rounded 6dp."""
+    from linkkchecker_net_spark.pipeline.curation import split_divergence
+
+    _prep(spark)
+    return split_divergence(
+        _docs(spark, sf_dir), val_ppm=30_000, test_ppm=20_000
+    )
+
+
+def q_open_redirect(spark, sf_dir):
+    """Open-redirect lint (reports/security.open_redirect_audit):
+    plain + percent-encoded (uppercase) embedded-URL params on
+    i%3==0 / i%5==1, an innocent ref= decoy and an href-less anchor
+    on every page."""
+    from linkkchecker_net_spark.reports.security import open_redirect_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    body = F.concat(
+        F.lit('<a name="top"><a href="/ok'), s, F.lit('">x</a>'),
+        F.lit('<a href="http://ext.test/p'), s, F.lit('">y</a>'),
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit('<a href="/out?url=https://evil.test/'), s,
+                F.lit('">z</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 1,
+            F.concat(
+                F.lit('<a href="/r?target=HTTPS%3A%2F%2Fevil2.test%2F'), s,
+                F.lit('">w</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="/page?id=42&ref=homepage">d</a>'),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://o.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return open_redirect_audit(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5485,6 +5555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_verify": q_pixel_verify,
         "etag_stability": q_etag_stability,
         "vary_audit": q_vary_audit,
+        "source_overlap": q_source_overlap,
+        "split_divergence": q_split_divergence,
+        "open_redirect": q_open_redirect,
     }
 
 
@@ -10327,6 +10400,89 @@ FROM bt JOIN bh ON bt.url = bh.url
                    (i % 5 = 1) AS varies_user_agent,
                    (i % 5 = 3) AS varies_cookie,
                    (i % 5 NOT IN (2, 3)) AS shared_cacheable
+            FROM d0
+        """,
+        # same shared-text salting; md5 digests agree byte-for-byte
+        "source_overlap": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN 'shared ' || (doc_id % 50)
+                          ELSE text END AS text
+              FROM documents),
+            sd AS (
+              SELECT DISTINCT source, md5(text) AS digest FROM d)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared_digests
+            FROM sd a JOIN sd b USING (digest)
+            WHERE a.source < b.source
+            GROUP BY 1, 2
+        """,
+        # same md5 split buckets + add-1 smoothed joint-vocab KL
+        "split_divergence": """
+            WITH b AS (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 1000000 AS bucket
+              FROM documents),
+            s AS (
+              SELECT CASE WHEN bucket < 30000 THEN 'val'
+                          WHEN bucket < 50000 THEN 'test'
+                          ELSE 'train' END AS split, text
+              FROM b),
+            t AS (
+              SELECT split, tk.tok AS token
+              FROM s, unnest(string_split(text, ' ')) AS tk(tok)
+              WHERE tk.tok <> ''),
+            c AS (SELECT split, token, count(*) AS c
+                  FROM t GROUP BY 1, 2),
+            vocab AS (SELECT DISTINCT token FROM c),
+            vs AS (SELECT count(*) AS v FROM vocab),
+            trtot AS (SELECT sum(c) AS tot FROM c WHERE split = 'train'),
+            trd AS (
+              SELECT v.token,
+                     (coalesce(c.c, 0) + 1) / (trtot.tot + vs.v) AS p
+              FROM vocab v
+              LEFT JOIN (SELECT token, c FROM c WHERE split = 'train') c
+                USING (token), trtot, vs),
+            vtot AS (SELECT sum(c) AS tot FROM c WHERE split = 'val'),
+            vkl AS (
+              SELECT 'val' AS split, CAST(vtot.tot AS BIGINT) AS n_tokens,
+                     round(sum(trd.p * ln(trd.p /
+                       ((coalesce(c.c, 0) + 1) / (vtot.tot + vs.v)))), 6)
+                       AS kl_vs_train
+              FROM trd
+              LEFT JOIN (SELECT token, c FROM c WHERE split = 'val') c
+                USING (token), vtot, vs
+              GROUP BY vtot.tot),
+            ttot AS (SELECT sum(c) AS tot FROM c WHERE split = 'test'),
+            tkl AS (
+              SELECT 'test' AS split, CAST(ttot.tot AS BIGINT) AS n_tokens,
+                     round(sum(trd.p * ln(trd.p /
+                       ((coalesce(c.c, 0) + 1) / (ttot.tot + vs.v)))), 6)
+                       AS kl_vs_train
+              FROM trd
+              LEFT JOIN (SELECT token, c FROM c WHERE split = 'test') c
+                USING (token), ttot, vs
+              GROUP BY ttot.tot)
+            SELECT * FROM vkl UNION ALL SELECT * FROM tkl
+        """,
+        # arithmetic arm of the embedded-URL lint
+        "open_redirect": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents)
+            SELECT 'http://o.test/p' || i AS url,
+                   CAST(3 + (CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 5 = 1 THEN 1 ELSE 0 END) AS INT)
+                     AS n_links,
+                   CAST((CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 5 = 1 THEN 1 ELSE 0 END) AS INT)
+                     AS n_embedded_url_links,
+                   CASE WHEN i % 3 = 0
+                          THEN '/out?url=https://evil.test/' || i
+                        WHEN i % 5 = 1
+                          THEN '/r?target=HTTPS%3A%2F%2Fevil2.test%2F' || i
+                        END AS first_offender,
+                   (i % 3 = 0 OR i % 5 = 1) AS open_redirect_suspect
             FROM d0
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)

@@ -937,3 +937,121 @@ def ring_rebalance(
             (F.col("old_shard") != F.col("new_shard")).alias("moved"),
         )
     )
+
+
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """Cross-source duplicate-mass matrix — the dataset-lineage audit
+    run before mixing sources (Common Crawl vs curated dumps overlap
+    heavily; double-counted mass silently re-weights the mixture
+    domain_mix planned): for every unordered source pair, how many
+    distinct content digests appear in BOTH.
+
+    Input: (doc_id, text, source).  Output: (source_a, source_b,
+    n_shared_digests) with source_a < source_b.
+
+    Scale: distinct (source, digest) first (partial-agg, collapses
+    per-source duplicates), then a digest-keyed self-join — an
+    inverted-index join exactly like jaccard_pairs' shingle join,
+    never a source × source cross; hot digests (boilerplate shared by
+    every source) are bounded by n_sources²/2 pairs per digest.
+    """
+    sd = (
+        docs.select("source", F.md5(F.col("text")).alias("digest"))
+        .distinct()
+    )
+    a = sd.select(F.col("source").alias("source_a"), "digest")
+    b = sd.select(F.col("source").alias("source_b"), "digest")
+    return (
+        a.join(b, "digest")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_digests"))
+    )
+
+
+def split_divergence(
+    docs: DataFrame,
+    val_ppm: int = 10_000,
+    test_ppm: int = 10_000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distribution-shift QA between dataset splits — the token-level
+    sibling of :func:`split_balance`: KL(train ‖ split) over add-1-
+    smoothed unigram distributions on the JOINT vocabulary, for
+    split ∈ {val, test}.  A random content-hash split should sit near
+    zero; a topically skewed one lights up — the pre-training sanity
+    check that the held-out perplexity will mean anything.
+
+    Split assignment replays :func:`dataset_split`'s md5 ppm buckets,
+    so the QA is a pure function of content identity.  Output:
+    (split, n_tokens, kl_vs_train) with the KL rounded to `round_dp`
+    (the same float-determinism contract as unigram_ppl: vocabulary-
+    sized sums, rounded on output).
+
+    Scale: token stream collapses to (split, token) counts map-side
+    (vocab-sized shuffle); the KL is a join + aggregate over the
+    VOCAB × 3 table.
+    """
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    split = (
+        F.when(bucket < val_ppm, F.lit("val"))
+        .when(bucket < val_ppm + test_ppm, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    toks = docs.select(
+        split.alias("split"),
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    cnt = toks.groupBy("split", "token").agg(F.count("*").alias("c"))
+    vocab = cnt.select("token").distinct()
+    vsize = vocab.count()  # scalar: joint vocabulary size
+
+    def dist(split_name: str, prefix: str):
+        tot = cnt.filter(F.col("split") == split_name).agg(
+            F.sum("c").alias(f"{prefix}_tot")
+        )
+        return (
+            vocab.join(
+                cnt.filter(F.col("split") == split_name).select(
+                    "token", F.col("c").alias(f"{prefix}_c")
+                ),
+                "token",
+                "left",
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "token",
+                (
+                    (F.coalesce(F.col(f"{prefix}_c"), F.lit(0)) + 1)
+                    / (F.col(f"{prefix}_tot") + F.lit(vsize))
+                ).alias(f"{prefix}_p"),
+                F.col(f"{prefix}_tot"),
+            )
+        )
+
+    p = dist("train", "p")
+    out = []
+    for s in ("val", "test"):
+        qd = dist(s, "q")
+        kl = (
+            p.join(qd, "token")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("p_p") * F.log(F.col("p_p") / F.col("q_p"))
+                    ),
+                    round_dp,
+                ).alias("kl_vs_train"),
+                F.max("q_tot").alias("n_tokens"),
+            )
+            .select(F.lit(s).alias("split"), "n_tokens", "kl_vs_train")
+        )
+        out.append(kl)
+    return out[0].unionByName(out[1])

@@ -444,3 +444,42 @@ def hsts_audit(responses: DataFrame) -> DataFrame:
             F.lit(False),
         ).alias("preload_eligible"),
     )
+
+
+_OR_A_TAG = r"(?i)<a\b[^>]*>"
+_OR_HREF = r'(?i)\bhref="([^"]*)"'
+# a query parameter whose VALUE starts with an absolute http(s) URL,
+# plain or percent-encoded — the open-redirect smell
+_OR_EMBEDDED = r"(?i)[?&][^=&#]*=(https?://|https?%3a%2f%2f)"
+
+
+def open_redirect_audit(pages: DataFrame) -> DataFrame:
+    """Open-redirect lint: anchors whose href carries another absolute
+    URL inside a query-parameter value (``/out?url=https://...``, also
+    the percent-encoded form) — the redirector pattern phishing
+    campaigns ride; security scanners (and Google's lizard-brain
+    devaluation of redirector domains) both flag it.
+
+    Per page: total anchors, anchors with an embedded-URL parameter,
+    the FIRST offending href, and the flag.  Pure harvest — whether a
+    given endpoint actually redirects is the crawler's fetch-stage
+    business; this surfaces the candidates.
+
+    Scale: map-only codegen (one tag harvest + one array filter),
+    zero shuffles.
+    """
+    tags = F.regexp_extract_all("body", F.lit(_OR_A_TAG), 0)
+    hrefs = F.filter(
+        F.transform(tags, lambda t: F.regexp_extract(t, _OR_HREF, 1)),
+        lambda h: h != "",
+    )
+    offending = F.filter(hrefs, lambda h: h.rlike(_OR_EMBEDDED))
+    return pages.select(
+        "url",
+        F.size(hrefs).alias("n_links"),
+        F.size(offending).alias("n_embedded_url_links"),
+        F.when(
+            F.size(offending) > 0, F.element_at(offending, 1)
+        ).alias("first_offender"),
+        (F.size(offending) > 0).alias("open_redirect_suspect"),
+    )

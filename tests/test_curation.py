@@ -568,3 +568,36 @@ def test_burst_detect_range_window_gaps(spark):
     # hour 7: hours 4-6 are EMPTY -> n_prev 0 -> no full window -> no burst
     assert out[h0 + 7]["n_prev"] == 0
     assert out[h0 + 7]["burst"] is False
+
+
+def test_source_overlap_counts_distinct_digests(spark):
+    from linkkchecker_net_spark.pipeline.curation import source_overlap
+
+    rows = [
+        (0, "same text", "a"), (1, "same text", "b"),  # shared a-b
+        (2, "same text", "a"),   # duplicate within a: still ONE digest
+        (3, "other", "a"), (4, "other", "c"),          # shared a-c
+        (5, "only b", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["n_shared_digests"]
+           for r in source_overlap(docs).collect()}
+    assert out == {("a", "b"): 1, ("a", "c"): 1}
+
+
+def test_open_redirect_grammar(spark):
+    from linkkchecker_net_spark.reports.security import open_redirect_audit
+
+    pages = [
+        ("u1", '<a href="/out?url=https://evil.test/x">z</a>'
+               '<a href="/fine?ref=home">d</a>'),
+        ("u2", '<a href="/r?next=HTTP%3A%2F%2Fe.test">w</a>'),
+        ("u3", '<a href="https://ok.test/page">direct absolute is fine</a>'),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    out = {r["url"]: r for r in open_redirect_audit(df).collect()}
+    assert out["u1"]["open_redirect_suspect"] is True
+    assert out["u1"]["first_offender"] == "/out?url=https://evil.test/x"
+    assert out["u1"]["n_links"] == 2 and out["u1"]["n_embedded_url_links"] == 1
+    assert out["u2"]["open_redirect_suspect"] is True  # encoded, uppercase
+    assert out["u3"]["open_redirect_suspect"] is False

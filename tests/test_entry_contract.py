@@ -107,6 +107,7 @@ NON_CRAWL = [
     "host_concentration", "fetch_fairness", "degree_hist",
     "freshness_audit", "burst_detect", "ring_rebalance",
     "pixel_verify", "etag_stability", "vary_audit",
+    "source_overlap", "split_divergence", "open_redirect",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
