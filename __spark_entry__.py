@@ -4259,6 +4259,62 @@ _ROBOTS_RULES = [
 ]
 
 
+_ROBOTS_MATCH_SQL = """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            urls AS (
+              SELECT 'r' || (i % 4) AS host,
+                     CASE i % 8
+                       WHEN 0 THEN '/private/x' || i
+                       WHEN 1 THEN '/private/pub/y' || i
+                       WHEN 2 THEN '/data/' || i || '.json'
+                       WHEN 3 THEN '/data/' || i || '.jsonx'
+                       WHEN 4 THEN '/tmp' || i
+                       WHEN 5 THEN '/public/' || i
+                       WHEN 6 THEN '/a/' || (i % 3) || '/c'
+                       ELSE '/dup/z' || i END AS path
+              FROM d0),
+            rules(host, rtype, rpath) AS (VALUES
+              ('r0', 'disallow', '/private/'),
+              ('r0', 'allow', '/private/pub/'),
+              ('r0', 'disallow', '/*.json$'),
+              ('r0', 'disallow', '/tmp*'),
+              ('r0', 'allow', '/dup/'),
+              ('r0', 'disallow', '/dup/'),
+              ('r1', 'disallow', '/'),
+              ('r1', 'allow', '/public/'),
+              ('r3', 'disallow', '/a/*/c$'),
+              ('r3', 'disallow', '')),
+            rx AS (
+              SELECT host, rtype, rpath,
+                     '^' || replace(regexp_replace(
+                         CASE WHEN rpath LIKE '%$'
+                              THEN substr(rpath, 1, length(rpath) - 1)
+                              ELSE rpath END,
+                         '([.^$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'),
+                       '*', '.*')
+                       || CASE WHEN rpath LIKE '%$' THEN '$' ELSE '' END
+                       AS rex
+              FROM rules WHERE rpath <> ''),
+            m AS (
+              SELECT u.host, u.path, r.rtype, r.rpath,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY u.host, u.path
+                       ORDER BY length(r.rpath) DESC,
+                                (r.rtype = 'allow') DESC,
+                                r.rpath DESC) AS rn
+              FROM (SELECT DISTINCT host, path FROM urls) u
+              JOIN rx r ON r.host = u.host
+              WHERE regexp_matches(u.path, r.rex)),
+            w AS (SELECT host, path, rtype, rpath FROM m WHERE rn = 1)
+            SELECT u.host, u.path,
+                   CASE WHEN w.rtype IS NULL THEN true
+                        ELSE w.rtype = 'allow' END AS allowed,
+                   w.rtype AS rule_type, w.rpath AS rule_path
+            FROM urls u
+            LEFT JOIN w ON w.host = u.host AND w.path = u.path
+"""
+
+
 def q_robots_match(spark, sf_dir):
     """RFC 9309 wildcard rule matching (kernels/robotsparse.
     robots_match): a fixed 4-host rule dimension exercising '*'
@@ -5365,6 +5421,117 @@ def q_open_redirect(spark, sf_dir):
     return open_redirect_audit(pages)
 
 
+def q_robots_coverage(spark, sf_dir):
+    """Per-host robots coverage rollup (kernels/robotsparse.
+    robots_coverage) over the q_robots_match rule dimension and URL
+    arms — blocked share per host through the full RFC 9309 matcher."""
+    from linkkchecker_net_spark.kernels.robotsparse import robots_coverage
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    path = (
+        F.when(i % 8 == 0, F.concat(F.lit("/private/x"), s))
+        .when(i % 8 == 1, F.concat(F.lit("/private/pub/y"), s))
+        .when(i % 8 == 2, F.concat(F.lit("/data/"), s, F.lit(".json")))
+        .when(i % 8 == 3, F.concat(F.lit("/data/"), s, F.lit(".jsonx")))
+        .when(i % 8 == 4, F.concat(F.lit("/tmp"), s))
+        .when(i % 8 == 5, F.concat(F.lit("/public/"), s))
+        .when(i % 8 == 6, F.concat(F.lit("/a/"), (i % 3).cast("string"),
+                                   F.lit("/c")))
+        .otherwise(F.concat(F.lit("/dup/z"), s))
+    )
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (i % 4).cast("string")).alias("host"),
+        path.alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, rule_type string, path string"
+    )
+    return robots_coverage(urls, rules)
+
+
+def q_render_blocking(spark, sf_dir):
+    """Render-blocking resource audit (reports/perf.
+    render_blocking_audit): blocking src scripts on i%2==0; defer /
+    async / type=module escapes on i%3==0, i%4==1, i%5==2; an inline
+    head script (no src — uncounted) and a post-</head> body script
+    (out of scope) on every page; stylesheet on i%3!=1."""
+    from linkkchecker_net_spark.reports.perf import render_blocking_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    head = F.concat(
+        F.lit("<html><head><script>var x=1</script>"),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit('<script src="/app'), s, F.lit('.js"></script>')),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0, F.lit('<script src="/d.js" defer></script>')
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 1, F.lit('<script async src="/a.js"></script>')
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 2,
+            F.lit('<script type="module" src="/m.js"></script>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 != 1, F.lit('<link rel="stylesheet" href="/s.css">')
+        ).otherwise(F.lit("")),
+    )
+    body = F.concat(
+        head,
+        F.lit('</head><body><script src="/late.js"></script></body>'),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://rb.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return render_blocking_audit(pages)
+
+
+def q_preconnect(spark, sf_dir):
+    """Preconnect hygiene audit (reports/perf.preconnect_audit):
+    declared cdn(i%3) preconnect on i%2==0 + fonts dns-prefetch on
+    i%5==0; used origins cdn(i%4) always and a case-mangled img host
+    on i%3==1; relative refs never count.  The declared∩used overlap
+    is the i%3==i%4 coincidence both engines derive."""
+    from linkkchecker_net_spark.reports.perf import preconnect_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    body = F.concat(
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit('<link rel="preconnect" href="https://cdn'),
+                (i % 3).cast("string"), F.lit('.test/">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.lit('<link rel="dns-prefetch" href="https://fonts.test">'),
+        ).otherwise(F.lit("")),
+        F.concat(
+            F.lit('<script src="https://cdn'), (i % 4).cast("string"),
+            F.lit('.test/app.js"></script>'),
+        ),
+        F.lit('<img src="/local.png">'),
+        F.when(
+            i % 3 == 1, F.lit('<img src="HTTPS://Img.Test/x.png">')
+        ).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://pc.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return preconnect_audit(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5558,6 +5725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "split_divergence": q_split_divergence,
         "open_redirect": q_open_redirect,
+        "robots_coverage": q_robots_coverage,
+        "render_blocking": q_render_blocking,
+        "preconnect": q_preconnect,
     }
 
 
@@ -10485,6 +10655,43 @@ FROM bt JOIN bh ON bt.url = bh.url
                    (i % 3 = 0 OR i % 5 = 1) AS open_redirect_suspect
             FROM d0
         """,
+        # arithmetic arm of the head-blocking ladder
+        "render_blocking": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents)
+            SELECT 'http://rb.test/p' || i AS url,
+                   CAST((CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 4 = 1 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 5 = 2 THEN 1 ELSE 0 END) AS INT)
+                     AS n_head_scripts,
+                   CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS INT)
+                     AS n_blocking_scripts,
+                   CAST(CASE WHEN i % 3 <> 1 THEN 1 ELSE 0 END AS INT)
+                     AS n_blocking_styles,
+                   (i % 2 = 0 OR i % 3 <> 1) AS render_blocking
+            FROM d0
+        """,
+        # arithmetic arm of the declared/used origin sets
+        "preconnect": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i,
+                     (CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END)
+                       AS n_preconnect,
+                     1 + (CASE WHEN i % 3 = 1 THEN 1 ELSE 0 END)
+                       AS n_used,
+                     CASE WHEN i % 2 = 0 AND (i % 3) = (i % 4)
+                          THEN 1 ELSE 0 END AS n_hit
+              FROM d0)
+            SELECT 'http://pc.test/p' || i AS url,
+                   CAST(n_preconnect AS INT) AS n_preconnect,
+                   CAST(n_used AS INT) AS n_third_party_origins,
+                   CAST(n_hit AS INT) AS n_preconnect_used,
+                   CAST(n_preconnect - n_hit AS INT) AS n_preconnect_unused,
+                   CAST(n_used - n_hit AS INT) AS n_unconnected_origins
+            FROM f
+        """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """
             WITH b AS (
@@ -10956,59 +11163,15 @@ FROM bt JOIN bh ON bt.url = bh.url
             FROM f
         """,
         # same regex construction + longest-match/allow-wins precedence
-        "robots_match": """
-            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
-            urls AS (
-              SELECT 'r' || (i % 4) AS host,
-                     CASE i % 8
-                       WHEN 0 THEN '/private/x' || i
-                       WHEN 1 THEN '/private/pub/y' || i
-                       WHEN 2 THEN '/data/' || i || '.json'
-                       WHEN 3 THEN '/data/' || i || '.jsonx'
-                       WHEN 4 THEN '/tmp' || i
-                       WHEN 5 THEN '/public/' || i
-                       WHEN 6 THEN '/a/' || (i % 3) || '/c'
-                       ELSE '/dup/z' || i END AS path
-              FROM d0),
-            rules(host, rtype, rpath) AS (VALUES
-              ('r0', 'disallow', '/private/'),
-              ('r0', 'allow', '/private/pub/'),
-              ('r0', 'disallow', '/*.json$'),
-              ('r0', 'disallow', '/tmp*'),
-              ('r0', 'allow', '/dup/'),
-              ('r0', 'disallow', '/dup/'),
-              ('r1', 'disallow', '/'),
-              ('r1', 'allow', '/public/'),
-              ('r3', 'disallow', '/a/*/c$'),
-              ('r3', 'disallow', '')),
-            rx AS (
-              SELECT host, rtype, rpath,
-                     '^' || replace(regexp_replace(
-                         CASE WHEN rpath LIKE '%$'
-                              THEN substr(rpath, 1, length(rpath) - 1)
-                              ELSE rpath END,
-                         '([.^$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'),
-                       '*', '.*')
-                       || CASE WHEN rpath LIKE '%$' THEN '$' ELSE '' END
-                       AS rex
-              FROM rules WHERE rpath <> ''),
-            m AS (
-              SELECT u.host, u.path, r.rtype, r.rpath,
-                     ROW_NUMBER() OVER (
-                       PARTITION BY u.host, u.path
-                       ORDER BY length(r.rpath) DESC,
-                                (r.rtype = 'allow') DESC,
-                                r.rpath DESC) AS rn
-              FROM (SELECT DISTINCT host, path FROM urls) u
-              JOIN rx r ON r.host = u.host
-              WHERE regexp_matches(u.path, r.rex)),
-            w AS (SELECT host, path, rtype, rpath FROM m WHERE rn = 1)
-            SELECT u.host, u.path,
-                   CASE WHEN w.rtype IS NULL THEN true
-                        ELSE w.rtype = 'allow' END AS allowed,
-                   w.rtype AS rule_type, w.rpath AS rule_path
-            FROM urls u
-            LEFT JOIN w ON w.host = u.host AND w.path = u.path
+        "robots_match": _ROBOTS_MATCH_SQL,
+        # the same matcher SQL, rolled up per host
+        "robots_coverage": """
+            WITH rmatch AS (""" + _ROBOTS_MATCH_SQL + """)
+            SELECT host, count(*) AS n_urls,
+                   sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS n_blocked,
+                   CAST(floor(sum(CASE WHEN allowed THEN 0 ELSE 1 END)
+                        * 1000000.0 / count(*)) AS BIGINT) AS blocked_ppm
+            FROM rmatch GROUP BY host
         """,
         # arithmetic arm derivation; only the RESOLUTION grammar is the
         # shared contract (Spark additionally proves the HTML harvest)

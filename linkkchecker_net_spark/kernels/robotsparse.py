@@ -330,3 +330,37 @@ def rule_match_expr(path_col, pattern_col):
         is_wildcard_rule_expr(pattern_col),
         F.regexp_like(path_col, pattern_regex_expr(pattern_col)),
     ).otherwise(F.startswith(path_col, pattern_col))
+
+
+def robots_coverage(
+    urls: DataFrame, rules: DataFrame, broadcast_rules: bool = True
+) -> DataFrame:
+    """Per-host robots coverage rollup over the full RFC 9309 matcher —
+    the crawl-planning number robots_match's per-URL verdicts roll up
+    to: how much of each host's known URL space is disallowed.  A host
+    blocking 90% of its frontier wants its budget reassigned
+    (pipeline/recrawl.budget_alloc consumes exactly this kind of
+    signal), and a sudden coverage jump after a robots refetch is the
+    classic accidental-Disallow-slash incident.
+
+    Output: (host, n_urls, n_blocked, blocked_ppm).
+
+    Scale: robots_match's broadcast-rules join + one host-keyed
+    partial-aggregated rollup.
+    """
+    m = robots_match(urls, rules, broadcast_rules=broadcast_rules)
+    return (
+        m.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum((~F.col("allowed")).cast("long")).alias("n_blocked"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "n_blocked",
+            F.floor(F.col("n_blocked") * 1_000_000 / F.col("n_urls")).alias(
+                "blocked_ppm"
+            ),
+        )
+    )

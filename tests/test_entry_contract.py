@@ -108,6 +108,7 @@ NON_CRAWL = [
     "freshness_audit", "burst_detect", "ring_rebalance",
     "pixel_verify", "etag_stability", "vary_audit",
     "source_overlap", "split_divergence", "open_redirect",
+    "robots_coverage", "render_blocking", "preconnect",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -442,3 +442,42 @@ def test_script_mix_confusables(spark):
     assert out[1]["mixed_tokens"] == 1 and out[1]["confusable"] is True
     assert out[2]["dominant_script"] == "cyrillic" and out[2]["n_latin"] == 0
     assert out[3]["dominant_script"] == "none"
+
+
+def test_render_blocking_head_scope(spark):
+    from linkkchecker_net_spark.reports.perf import render_blocking_audit
+
+    pages = [
+        ("u1",
+         '<html><head><script src="/a.js"></script>'
+         '<script src="/b.js" defer></script>'
+         '<script>inline()</script>'
+         '<link rel="stylesheet" href="/s.css">'
+         '</head><body><script src="/late.js"></script></body>'),
+        ("u2", "<html><head></head><body></body>"),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    out = {r["url"]: r for r in render_blocking_audit(df).collect()}
+    assert out["u1"]["n_head_scripts"] == 2       # inline + body excluded
+    assert out["u1"]["n_blocking_scripts"] == 1   # defer escapes
+    assert out["u1"]["n_blocking_styles"] == 1
+    assert out["u2"]["render_blocking"] is False
+
+
+def test_preconnect_audit_sets(spark):
+    from linkkchecker_net_spark.reports.perf import preconnect_audit
+
+    pages = [
+        ("u1",
+         '<link rel="preconnect" href="https://cdn.test/">'
+         '<link rel="preconnect" href="https://unused.test">'
+         '<script src="https://cdn.test/app.js"></script>'
+         '<img src="HTTPS://Img.Test/x.png"><img src="/rel.png">'),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    r = preconnect_audit(df).collect()[0]
+    assert r["n_preconnect"] == 2
+    assert r["n_third_party_origins"] == 2        # cdn + img (lowercased)
+    assert r["n_preconnect_used"] == 1            # cdn matched despite '/'
+    assert r["n_preconnect_unused"] == 1
+    assert r["n_unconnected_origins"] == 1        # img.test undeclared
