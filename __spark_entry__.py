@@ -5532,6 +5532,62 @@ def q_preconnect(spark, sf_dir):
     return preconnect_audit(pages)
 
 
+def q_sentence_dup(spark, sf_dir):
+    """Cross-doc sentence duplication share (pipeline/text.
+    sentence_dup): every doc carries a universal footer sentence
+    (always dup), an i%9-group opener and an i%5-group phrase on even
+    ids (dup within groups), and a unique tail (never dup).  Both
+    engines split on the same marker-replace boundary rule."""
+    from linkkchecker_net_spark.pipeline.text import sentence_dup
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    t = F.concat(
+        F.lit("Sentence one about topic "), (i % 9).cast("string"),
+        F.lit(". Common footer all rights reserved. "),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("Shared phrase number "), (i % 5).cast("string"),
+                     F.lit(". ")),
+        ).otherwise(F.lit("")),
+        F.lit("Unique tail sentence "), i.cast("string"), F.lit("."),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return sentence_dup(docs)
+
+
+def q_length_bucket(spark, sf_dir):
+    """Power-of-two length bucketing + padding-waste ledger (pipeline/
+    text.length_bucket) with the cap at 64 tokens so the longest docs
+    truncate into the top bucket."""
+    from linkkchecker_net_spark.pipeline.text import length_bucket
+
+    _prep(spark)
+    return length_bucket(_docs(spark, sf_dir), max_bucket_hi=64)
+
+
+def q_sitemap_generate(spark, sf_dir):
+    """Sitemap sink (kernels/sitemapparse.sitemap_generate): three
+    hosts, 40-URL chunks, an &-carrying query arm on i%7==0 the XML
+    escape must handle; chunking is deterministic under the
+    lexicographic within-host order."""
+    from linkkchecker_net_spark.kernels.sitemapparse import sitemap_generate
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("g"), (i % 3).cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("http://g"), (i % 3).cast("string"), F.lit(".test/p"),
+            i.cast("string"),
+            F.when(i % 7 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return sitemap_generate(urls, max_per_file=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5728,6 +5784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_coverage": q_robots_coverage,
         "render_blocking": q_render_blocking,
         "preconnect": q_preconnect,
+        "sentence_dup": q_sentence_dup,
+        "length_bucket": q_length_bucket,
+        "sitemap_generate": q_sitemap_generate,
     }
 
 
@@ -10691,6 +10750,91 @@ FROM bt JOIN bh ON bt.url = bh.url
                    CAST(n_preconnect - n_hit AS INT) AS n_preconnect_unused,
                    CAST(n_used - n_hit AS INT) AS n_unconnected_origins
             FROM f
+        """,
+        # same marker-replace sentence boundary (no lookbehind: RE2)
+        "sentence_dup": """
+            WITH d AS (
+              SELECT doc_id,
+                     'Sentence one about topic ' || (doc_id % 9)
+                     || '. Common footer all rights reserved. '
+                     || (CASE WHEN doc_id % 2 = 0 THEN
+                          'Shared phrase number ' || (doc_id % 5) || '. '
+                         ELSE '' END)
+                     || 'Unique tail sentence ' || doc_id || '.' AS text
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split(regexp_replace(text,
+                         '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+                       x -> trim(x)),
+                       x -> len(x) >= 10) AS sents
+              FROM d),
+            e AS (
+              SELECT doc_id, md5(s2.sent) AS digest
+              FROM s, unnest(s.sents) AS s2(sent)),
+            dfc AS (
+              SELECT digest, count(*) AS n_docs_with
+              FROM (SELECT DISTINCT doc_id, digest FROM e) GROUP BY 1),
+            p AS (
+              SELECT e.doc_id, count(*) AS n_sentences,
+                     sum(CASE WHEN dfc.n_docs_with >= 2 THEN 1 ELSE 0 END)
+                       AS n_dup
+              FROM e JOIN dfc USING (digest) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_sentences, 0) AS BIGINT)
+                     AS n_sentences,
+                   CAST(coalesce(p.n_dup, 0) AS BIGINT)
+                     AS n_dup_sentences,
+                   CASE WHEN coalesce(p.n_sentences, 0) > 0 THEN
+                     CAST(floor(coalesce(p.n_dup, 0) * 1000000.0
+                          / p.n_sentences) AS BIGINT) END AS dup_ppm
+            FROM d LEFT JOIN p USING (doc_id)
+        """,
+        # same bit-length bucket + cap arithmetic
+        "length_bucket": """
+            WITH t AS (
+              SELECT CAST(len(list_filter(
+                string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+                AS n
+              FROM documents),
+            b AS (
+              SELECT n,
+                     least((1::BIGINT << (CASE WHEN n <= 1 THEN 0
+                       ELSE length(bin(n - 1)) END)), 64) AS bucket_hi,
+                     least(n, 64) AS eff
+              FROM t)
+            SELECT CAST(bucket_hi AS BIGINT) AS bucket_hi,
+                   count(*) AS n_docs,
+                   CAST(sum(eff) AS BIGINT) AS sum_tokens,
+                   CAST(sum(bucket_hi - eff) AS BIGINT) AS padded_tokens,
+                   CAST(floor(sum(bucket_hi - eff) * 1000000.0
+                        / (bucket_hi * count(*))) AS BIGINT) AS waste_ppm
+            FROM b GROUP BY bucket_hi
+        """,
+        # same lexicographic chunking + XML escaping
+        "sitemap_generate": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            u AS (
+              SELECT 'g' || (i % 3) || '.test' AS host,
+                     'http://g' || (i % 3) || '.test/p' || i
+                     || (CASE WHEN i % 7 = 0 THEN '?a=1&b=2'
+                         ELSE '' END) AS url
+              FROM d0),
+            r AS (
+              SELECT host, url,
+                     CAST(floor((row_number() OVER (PARTITION BY host
+                       ORDER BY url) - 1) / 40.0) AS INT) AS chunk,
+                     '<url><loc>' || replace(replace(replace(url,
+                       '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                     || '</loc></url>' AS entry
+              FROM u)
+            SELECT host, chunk, count(*) AS n_urls,
+                   '<?xml version="1.0" encoding="UTF-8"?><urlset '
+                   || 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                   || string_agg(entry, '' ORDER BY url)
+                   || '</urlset>' AS xml
+            FROM r GROUP BY host, chunk
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

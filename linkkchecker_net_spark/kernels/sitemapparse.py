@@ -292,3 +292,72 @@ def changefreq_hint_expr(changefreq):
     for k, v in CHANGEFREQ_SEC.items():
         expr = expr.when(c == k, F.lit(v))
     return expr.otherwise(F.lit(CHANGEFREQ_SEC["daily"]))
+
+
+def sitemap_generate(
+    urls: DataFrame, max_per_file: int = 50_000
+) -> DataFrame:
+    """The sink-side inverse of the sitemap parsers: emit
+    spec-conformant sitemap XML (sitemaps.org 0.9) per host, chunked
+    at the protocol's per-file URL limit (50k; parameterized for
+    tests).  URLs sort lexicographically within host (deterministic
+    chunking under any partitioning); &, < and > are XML-escaped in
+    <loc> as the spec requires.
+
+    urls: (host, url).  Output: (host, chunk, n_urls, xml).
+
+    Scale: one host-keyed rank window (the usual hot-host caveat —
+    a 10^8-URL host streams one task's disk sort; two-phase salting
+    applies), then a (host, chunk) groupBy whose string aggregation
+    is bounded at max_per_file locs per row.
+    """
+    from pyspark.sql import Window
+
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("url"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    ranked = urls.select(
+        "host",
+        "url",
+        F.floor(
+            (F.row_number().over(w) - F.lit(1)) / F.lit(int(max_per_file))
+        )
+        .cast("int")
+        .alias("chunk"),
+        F.concat(F.lit("<url><loc>"), esc, F.lit("</loc></url>")).alias(
+            "entry"
+        ),
+    )
+    return (
+        ranked.groupBy("host", "chunk")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("url", "entry"))),
+                    lambda s: s["entry"],
+                ),
+                "",
+            ).alias("_body"),
+        )
+        .select(
+            "host",
+            "chunk",
+            "n_urls",
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?><urlset '
+                    'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.col("_body"),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )

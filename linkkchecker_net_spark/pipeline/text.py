@@ -924,3 +924,114 @@ def script_mix(docs: DataFrame) -> DataFrame:
         dominant.alias("dominant_script"),
         (mixed > 0).alias("confusable"),
     )
+
+
+def sentence_dup(docs: DataFrame, min_len: int = 10) -> DataFrame:
+    """Cross-document sentence-level duplication share — the C4/Lee-2022
+    signal between paragraph_dedup (coarser) and dup_span (finer):
+    split each doc into sentences (terminal .!? followed by space, a
+    deliberately simple engine-portable splitter), drop sentences
+    shorter than `min_len` chars, digest, and report per doc how many
+    of its sentences also occur in at least one OTHER document —
+    boilerplate ("All rights reserved.") lights up, original prose
+    stays dark.
+
+    Output: (doc_id, n_sentences, n_dup_sentences, dup_ppm).
+
+    Scale: explode → (digest)-keyed count with map-side partial agg
+    (the digest table is sentence-vocabulary-sized); the per-doc
+    rollup joins back on digest — hot boilerplate digests are single
+    rows after the combine.  Anchored on the full doc set.
+    """
+    # delimiter-preserving split WITHOUT lookbehind (RE2, the oracle's
+    # engine, has none): mark each boundary with \x01, then split on it
+    marked = F.regexp_replace(F.col("text"), r"([.!?])\s+", "$1\x01")
+    sents = F.filter(
+        F.transform(F.split(marked, "\x01"), lambda s: F.trim(s)),
+        lambda s: F.length(s) >= int(min_len),
+    )
+    base = docs.select("doc_id", F.explode(sents).alias("sent")).select(
+        "doc_id", F.md5(F.col("sent")).alias("digest")
+    )
+    # how many DISTINCT docs carry each digest
+    df_counts = (
+        base.distinct()
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_docs_with"))
+    )
+    per_doc = (
+        base.join(df_counts, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum((F.col("n_docs_with") >= 2).cast("long")).alias(
+                "n_dup_sentences"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sentences", F.lit(0)).alias("n_sentences"),
+            F.coalesce("n_dup_sentences", F.lit(0)).alias(
+                "n_dup_sentences"
+            ),
+            F.when(
+                F.coalesce("n_sentences", F.lit(0)) > 0,
+                F.floor(
+                    F.coalesce("n_dup_sentences", F.lit(0))
+                    * 1_000_000
+                    / F.col("n_sentences")
+                ),
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+def length_bucket(docs: DataFrame, max_bucket_hi: int = 4096) -> DataFrame:
+    """Power-of-two length bucketing for batched inference/training —
+    the text sibling of aspect_bucket: assign each doc to the smallest
+    power-of-two token budget that holds it (bit length of n-1, the
+    same float-free rule as degree_hist), cap at `max_bucket_hi`
+    (overlong docs truncate there), and report per bucket the doc
+    count plus the exact padding waste a pad-to-bucket batcher pays:
+    waste_ppm = floor((Σ(bucket_hi - n_tokens)) · 10^6 / Σ bucket_hi).
+
+    Output: (bucket_hi, n_docs, sum_tokens, padded_tokens, waste_ppm).
+
+    Scale: map-only bucket assignment, one bucket-keyed groupBy
+    (O(log max) distinct keys — partial agg collapses map-side).
+    """
+    n = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    raw_hi = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), "
+        "CASE WHEN _n <= 1 THEN 0 ELSE length(bin(_n - 1)) END)"
+    )
+    b = docs.select(n.alias("_n")).select(
+        "_n",
+        F.least(raw_hi, F.lit(int(max_bucket_hi))).alias("bucket_hi"),
+        F.least(F.col("_n"), F.lit(int(max_bucket_hi))).alias("_eff"),
+    )
+    return (
+        b.groupBy("bucket_hi")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_eff").alias("sum_tokens"),
+            F.sum(F.col("bucket_hi") - F.col("_eff")).alias(
+                "padded_tokens"
+            ),
+        )
+        .select(
+            "bucket_hi",
+            "n_docs",
+            "sum_tokens",
+            "padded_tokens",
+            F.floor(
+                F.col("padded_tokens")
+                * 1_000_000
+                / (F.col("bucket_hi") * F.col("n_docs"))
+            ).alias("waste_ppm"),
+        )
+    )

@@ -109,6 +109,7 @@ NON_CRAWL = [
     "pixel_verify", "etag_stability", "vary_audit",
     "source_overlap", "split_divergence", "open_redirect",
     "robots_coverage", "render_blocking", "preconnect",
+    "sentence_dup", "length_bucket", "sitemap_generate",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -1091,3 +1091,51 @@ def test_redirect_edge_audit_ladder(spark):
         "http://h.test/p4": ("missing_location", False, False, False, False),
         "http://h.test/p5": ("not_redirect", False, False, False, False),
     }
+
+
+def test_sitemap_generate_roundtrip(spark):
+    """The generated XML must parse back through this repo's own
+    sitemap parser — sink and source agree on the spec."""
+    from pyspark.sql import functions as F
+
+    from linkkchecker_net_spark.kernels.sitemapparse import (
+        sitemap_generate,
+    )
+
+    urls = spark.createDataFrame(
+        [("h.test", "http://h.test/a?x=1&y=2"),
+         ("h.test", "http://h.test/b"),
+         ("h.test", "http://h.test/c"),
+         ("i.test", "http://i.test/only")],
+        "host string, url string",
+    )
+    out = sitemap_generate(urls, max_per_file=2).collect()
+    by_key = {(r["host"], r["chunk"]): r for r in out}
+    assert by_key[("h.test", 0)]["n_urls"] == 2
+    assert by_key[("h.test", 1)]["n_urls"] == 1
+    assert by_key[("i.test", 0)]["n_urls"] == 1
+    xml0 = by_key[("h.test", 0)]["xml"]
+    assert "&amp;" in xml0 and "&y=2" not in xml0  # escaped
+    # round-trip through the stdlib parser with the sitemap namespace
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+    locs = [e.text for e in ET.fromstring(xml0).iter(f"{ns}loc")]
+    assert locs == ["http://h.test/a?x=1&y=2", "http://h.test/b"]
+
+
+def test_length_bucket_waste_exact(spark):
+    from linkkchecker_net_spark.pipeline.text import length_bucket
+
+    rows = [
+        (0, "a b c"),            # 3 tokens -> bucket 4, waste 1
+        (1, "a b c d"),          # 4 tokens -> bucket 4, waste 0
+        (2, " ".join(["t"] * 100)),  # 100 -> capped at 64, eff 64
+        (3, "x"),                # 1 -> bucket 1, waste 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket_hi"]: r for r in length_bucket(docs, 64).collect()}
+    assert out[4]["n_docs"] == 2 and out[4]["padded_tokens"] == 1
+    assert out[4]["waste_ppm"] == 125_000  # 1 / 8
+    assert out[64]["sum_tokens"] == 64 and out[64]["padded_tokens"] == 0
+    assert out[1]["n_docs"] == 1
