@@ -5588,6 +5588,98 @@ def q_sitemap_generate(spark, sf_dir):
     return sitemap_generate(urls, max_per_file=40)
 
 
+def q_tech_fingerprint(spark, sf_dir):
+    """Platform fingerprinting (reports/seo.tech_fingerprint): declared
+    generator in both attribute orders (WordPress/SiteBuilder on
+    i%5==0 by i%10, Drupal reversed-order on i%5==1), wp-content and
+    shopify-CDN content fingerprints without a generator tag, and a
+    bare arm; version = first dotted-number token."""
+    from linkkchecker_net_spark.reports.seo import tech_fingerprint
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    body = (
+        F.when(
+            i % 5 == 0,
+            F.when(
+                i % 10 == 0,
+                F.lit('<meta name="generator" content="SiteBuilder Pro 2.1">'),
+            ).otherwise(
+                F.lit('<meta name="generator" content="WordPress 6.4.2">')
+            ),
+        )
+        .when(
+            i % 5 == 1,
+            F.lit('<meta content="Drupal 10.1" name="generator">'),
+        )
+        .when(
+            i % 5 == 2,
+            F.lit('<link href="/wp-content/themes/a/style.css">'),
+        )
+        .when(
+            i % 5 == 3,
+            F.lit('<script src="https://cdn.shopify.com/s/files/1/a.js">'
+                  "</script>"),
+        )
+        .otherwise(F.lit("<p>plain</p>"))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://t.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return tech_fingerprint(pages)
+
+
+def q_lazy_loading(spark, sf_dir):
+    """Image lazy-loading audit (reports/seo.lazy_loading_audit): the
+    FIRST image is lazy on i%3==0 (the LCP anti-pattern), a second is
+    lazy on i%2==1, a third never; i%9==4 pages carry no images."""
+    from linkkchecker_net_spark.reports.seo import lazy_loading_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    first = F.when(
+        i % 3 == 0, F.lit('<img src="/hero.png" loading="lazy">')
+    ).otherwise(F.lit('<img src="/hero.png">'))
+    second = F.when(
+        i % 2 == 1, F.lit('<img loading="lazy" src="/a.png">')
+    ).otherwise(F.lit('<img src="/a.png">'))
+    body = F.when(i % 9 == 4, F.lit("<p>no images</p>")).otherwise(
+        F.concat(first, second, F.lit('<img src="/b.png">'))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://lz.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return lazy_loading_audit(pages)
+
+
+def q_price_extract(spark, sf_dir):
+    """Price harvest (reports/seo.price_extract): $19.99 always, €5
+    (no cents) on i%2==0, £1234.50 on i%3==0, '$ 7.25' spaced form on
+    i%7==1; symbol-less '100.00' and '$abc' decoys never match."""
+    from linkkchecker_net_spark.reports.seo import price_extract
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    body = F.concat(
+        F.lit("Price: $19.99 and 100.00 plain and $abc. "),
+        F.when(i % 2 == 0, F.lit("Sale €5 today. ")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("Bundle £1234.50! ")).otherwise(F.lit("")),
+        F.when(i % 7 == 1, F.lit("Spaced $ 7.25 form.")).otherwise(
+            F.lit("")
+        ),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://pr.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return price_extract(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5787,6 +5879,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_dup": q_sentence_dup,
         "length_bucket": q_length_bucket,
         "sitemap_generate": q_sitemap_generate,
+        "tech_fingerprint": q_tech_fingerprint,
+        "lazy_loading": q_lazy_loading,
+        "price_extract": q_price_extract,
     }
 
 
@@ -10835,6 +10930,65 @@ FROM bt JOIN bh ON bt.url = bh.url
                    || string_agg(entry, '' ORDER BY url)
                    || '</urlset>' AS xml
             FROM r GROUP BY host, chunk
+        """,
+        # arithmetic arm of the fingerprint ladder
+        "tech_fingerprint": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents)
+            SELECT 'http://t.test/p' || i AS url,
+                   CASE WHEN i % 5 = 0 AND i % 10 = 0
+                          THEN 'SiteBuilder Pro 2.1'
+                        WHEN i % 5 = 0 THEN 'WordPress 6.4.2'
+                        WHEN i % 5 = 1 THEN 'Drupal 10.1' END AS generator,
+                   CASE WHEN i % 5 = 0 AND i % 10 = 0
+                          THEN 'other_declared'
+                        WHEN i % 5 = 0 THEN 'wordpress'
+                        WHEN i % 5 = 1 THEN 'drupal'
+                        WHEN i % 5 = 2 THEN 'wordpress'
+                        WHEN i % 5 = 3 THEN 'shopify'
+                        ELSE 'unknown' END AS platform,
+                   CASE WHEN i % 5 = 0 AND i % 10 = 0 THEN '2.1'
+                        WHEN i % 5 = 0 THEN '6.4.2'
+                        WHEN i % 5 = 1 THEN '10.1' END AS version
+            FROM d0
+        """,
+        # arithmetic arm of the lazy-image ladder
+        "lazy_loading": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i,
+                     CASE WHEN i % 9 = 4 THEN 0 ELSE 3 END AS n_imgs,
+                     CASE WHEN i % 9 = 4 THEN 0 ELSE
+                       (CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN i % 2 = 1 THEN 1 ELSE 0 END)
+                     END AS n_lazy
+              FROM d0)
+            SELECT 'http://lz.test/p' || i AS url,
+                   CAST(n_imgs AS INT) AS n_imgs,
+                   CAST(n_lazy AS INT) AS n_lazy,
+                   CASE WHEN n_imgs > 0 THEN (i % 3 = 0) END
+                     AS first_img_lazy,
+                   CASE WHEN n_imgs > 0 THEN
+                     CAST(floor(n_lazy * 1000000.0 / n_imgs) AS BIGINT)
+                   END AS lazy_ppm
+            FROM f
+        """,
+        # arithmetic arm of the price arms in integer cents
+        "price_extract": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i,
+                     list_filter([
+                       1999,
+                       CASE WHEN i % 2 = 0 THEN 500 END,
+                       CASE WHEN i % 3 = 0 THEN 123450 END,
+                       CASE WHEN i % 7 = 1 THEN 725 END
+                     ], x -> x IS NOT NULL) AS cents
+              FROM d0)
+            SELECT 'http://pr.test/p' || i AS url,
+                   CAST(len(cents) AS INT) AS n_prices,
+                   CAST(list_min(cents) AS BIGINT) AS min_cents,
+                   CAST(list_max(cents) AS BIGINT) AS max_cents
+            FROM f
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

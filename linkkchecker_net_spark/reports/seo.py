@@ -474,3 +474,121 @@ def amp_audit(pages: DataFrame) -> DataFrame:
         "url", "is_amp", "amphtml_href", "canonical_href",
         verdict.alias("verdict"),
     )
+
+
+_GENERATOR_PAT = (
+    r'(?i)<meta\b[^>]*\bname="generator"[^>]*\bcontent="([^"]*)"'
+)
+
+
+def tech_fingerprint(pages: DataFrame) -> DataFrame:
+    """Wappalyzer-style platform fingerprinting, the crawl-inventory
+    classifier: the <meta name=generator> declaration (first match,
+    name-before-content attribute order; the reverse order rides the
+    second alternation), plus two content fingerprints that survive
+    generator-tag stripping — wp-content/ asset paths (WordPress) and
+    cdn.shopify.com references (Shopify).  Output: (url, generator,
+    platform, version) with platform from the fingerprint ladder
+    (declared generator ≻ asset fingerprints ≻ 'unknown') and version
+    = the first dotted-number token of the generator string.
+
+    Scale: map-only codegen (two regexp extracts + two rlikes),
+    zero shuffles.
+    """
+    gen_a = F.regexp_extract("body", _GENERATOR_PAT, 1)
+    gen_b = F.regexp_extract(
+        "body",
+        r'(?i)<meta\b[^>]*\bcontent="([^"]*)"[^>]*\bname="generator"',
+        1,
+    )
+    generator = F.nullif(
+        F.when(gen_a != "", gen_a).otherwise(gen_b), F.lit("")
+    )
+    wp = F.col("body").rlike(r"(?i)/wp-content/")
+    shopify = F.col("body").rlike(r"(?i)\bcdn\.shopify\.com\b")
+    platform = (
+        F.when(
+            generator.rlike(r"(?i)^wordpress"), F.lit("wordpress")
+        )
+        .when(generator.rlike(r"(?i)^drupal"), F.lit("drupal"))
+        .when(generator.rlike(r"(?i)^joomla"), F.lit("joomla"))
+        .when(generator.rlike(r"(?i)^hugo"), F.lit("hugo"))
+        .when(generator.isNotNull(), F.lit("other_declared"))
+        .when(wp, F.lit("wordpress"))
+        .when(shopify, F.lit("shopify"))
+        .otherwise(F.lit("unknown"))
+    )
+    version = F.nullif(
+        F.regexp_extract(
+            F.coalesce(generator, F.lit("")), r"([0-9]+(?:\.[0-9]+)+)", 1
+        ),
+        F.lit(""),
+    )
+    return pages.select(
+        "url",
+        generator.alias("generator"),
+        platform.alias("platform"),
+        version.alias("version"),
+    )
+
+
+def lazy_loading_audit(pages: DataFrame) -> DataFrame:
+    """Image lazy-loading audit — the LCP anti-pattern lint: per page,
+    total <img> tags, how many carry loading="lazy", and whether the
+    FIRST image (the likely Largest-Contentful-Paint candidate) is
+    lazy — lazy-loading your hero image delays LCP by a full network
+    round trip, the single most common Core-Web-Vitals footgun.
+
+    Output: (url, n_imgs, n_lazy, first_img_lazy, lazy_ppm).
+
+    Scale: map-only codegen (one tag harvest + array filter),
+    zero shuffles.
+    """
+    imgs = F.regexp_extract_all("body", F.lit(_IMG_TAG_PAT), 0)
+    lazy = F.filter(imgs, lambda t: t.rlike(r'(?i)\bloading="lazy"'))
+    first_lazy = F.when(
+        F.size(imgs) > 0,
+        F.element_at(imgs, 1).rlike(r'(?i)\bloading="lazy"'),
+    )
+    return pages.select(
+        "url",
+        F.size(imgs).alias("n_imgs"),
+        F.size(lazy).alias("n_lazy"),
+        first_lazy.alias("first_img_lazy"),
+        F.when(
+            F.size(imgs) > 0,
+            F.floor(F.size(lazy) * 1_000_000 / F.size(imgs)),
+        ).alias("lazy_ppm"),
+    )
+
+
+_PRICE_PAT = r"[$€£][ ]?([0-9]{1,7})(\.([0-9]{2}))?"
+
+
+def price_extract(pages: DataFrame) -> DataFrame:
+    """Price harvest for e-commerce crawl analytics: currency-prefixed
+    amounts ($ € £, optional single space, up to 7 integer digits,
+    optional 2-digit cents) extracted to exact integer cents — the
+    product-datasheet signal feeding price-tracking and
+    structured-data cross-checks (jsonld/microdata offers).
+
+    Output: (url, n_prices, min_cents, max_cents) — NULLs when no
+    price matches.
+
+    Scale: map-only codegen (one regexp_extract_all + integer array
+    fold), zero shuffles.
+    """
+    whole = F.regexp_extract_all("body", F.lit(_PRICE_PAT), 1)
+    cents_part = F.regexp_extract_all("body", F.lit(_PRICE_PAT), 3)
+    cents = F.zip_with(
+        whole,
+        cents_part,
+        lambda d, c: d.cast("long") * 100
+        + F.when(c == "", F.lit(0)).otherwise(c.cast("long")),
+    )
+    return pages.select(
+        "url",
+        F.size(cents).alias("n_prices"),
+        F.array_min(cents).alias("min_cents"),
+        F.array_max(cents).alias("max_cents"),
+    )

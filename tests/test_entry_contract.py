@@ -110,6 +110,7 @@ NON_CRAWL = [
     "source_overlap", "split_divergence", "open_redirect",
     "robots_coverage", "render_blocking", "preconnect",
     "sentence_dup", "length_bucket", "sitemap_generate",
+    "tech_fingerprint", "lazy_loading", "price_extract",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

@@ -481,3 +481,37 @@ def test_preconnect_audit_sets(spark):
     assert r["n_preconnect_used"] == 1            # cdn matched despite '/'
     assert r["n_preconnect_unused"] == 1
     assert r["n_unconnected_origins"] == 1        # img.test undeclared
+
+
+def test_tech_fingerprint_orders_and_fallbacks(spark):
+    from linkkchecker_net_spark.reports.seo import tech_fingerprint
+
+    pages = [
+        ("u1", '<meta name="generator" content="WordPress 6.4.2">'),
+        ("u2", '<meta content="Drupal 10.1" name="generator">'),
+        ("u3", '<link href="/wp-content/x.css">'),  # fingerprint only
+        ("u4", '<meta name="generator" content="Hugo 0.121.0">'),
+        ("u5", "<p>nothing</p>"),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    out = {r["url"]: r for r in tech_fingerprint(df).collect()}
+    assert out["u1"]["platform"] == "wordpress"
+    assert out["u1"]["version"] == "6.4.2"
+    assert out["u2"]["platform"] == "drupal"      # reversed attr order
+    assert out["u3"]["platform"] == "wordpress" and out["u3"]["generator"] is None
+    assert out["u4"]["platform"] == "hugo" and out["u4"]["version"] == "0.121.0"
+    assert out["u5"]["platform"] == "unknown"
+
+
+def test_price_extract_cents(spark):
+    from linkkchecker_net_spark.reports.seo import price_extract
+
+    pages = [
+        ("u1", "now $19.99 was €25 or £3.50, not 100.00 nor $x"),
+        ("u2", "free!"),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    out = {r["url"]: r for r in price_extract(df).collect()}
+    assert out["u1"]["n_prices"] == 3
+    assert out["u1"]["min_cents"] == 350 and out["u1"]["max_cents"] == 2500
+    assert out["u2"]["n_prices"] == 0 and out["u2"]["min_cents"] is None
