@@ -5680,6 +5680,115 @@ def q_price_extract(spark, sf_dir):
     return price_extract(pages)
 
 
+def q_preload_audit(spark, sf_dir):
+    """Preload hygiene (reports/perf.preload_audit): good font preload
+    (crossorigin) on i%2==0, font missing crossorigin on i%3==0,
+    as-less preload on i%4==1, style preload on i%5==2, modulepreload
+    on i%6==3, a stylesheet decoy always."""
+    from linkkchecker_net_spark.reports.perf import preload_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    body = F.concat(
+        F.lit('<link rel="stylesheet" href="/s.css">'),
+        F.when(
+            i % 2 == 0,
+            F.lit('<link rel="preload" href="/f.woff2" as="font" '
+                  "crossorigin>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0,
+            F.lit('<link rel="preload" href="/f2.woff2" as="font">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 1, F.lit('<link rel="preload" href="/x.js">')
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 2,
+            F.lit('<link rel="preload" as="style" href="/s2.css">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 6 == 3, F.lit('<link rel="modulepreload" href="/m.js">')
+        ).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://pl.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return preload_audit(pages)
+
+
+def q_price_consistency(spark, sf_dir):
+    """JSON-LD vs visible price cross-check (reports/seo.
+    price_consistency): visible band [€5?, $19.99] (absent on i%9==5),
+    declared Offer price rotating through in-band / low / high / bare-
+    integer arms on i%4, no structured block on i%3==1."""
+    from linkkchecker_net_spark.reports.seo import price_consistency
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    ld_price = (
+        F.when(i % 4 == 0, F.lit("19.99"))
+        .when(i % 4 == 1, F.lit("5.00"))
+        .when(i % 4 == 2, F.lit("99.00"))
+        .otherwise(F.lit("7"))
+    )
+    ld = F.when(
+        i % 3 != 1,
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Offer","price":"'),
+            ld_price,
+            F.lit('"}</script>'),
+        ),
+    ).otherwise(F.lit(""))
+    visible = F.when(i % 9 == 5, F.lit("no prices here")).otherwise(
+        F.concat(
+            F.lit("now $19.99 "),
+            F.when(i % 2 == 0, F.lit("was €5 ")).otherwise(F.lit("")),
+        )
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://pcx.test/p"), s).alias("url"),
+        F.concat(ld, visible).alias("body"),
+    )
+    return price_consistency(pages)
+
+
+def q_partition_advisor(spark, sf_dir):
+    """Partitioning advisor (pipeline/curation.partition_advisor) over
+    real table stats (documents byte mass = sum n_chars; embeddings /
+    events at fixed row widths), with a 4 KiB target so the clamp and
+    skew arms exercise at test scale."""
+    from linkkchecker_net_spark.pipeline.curation import partition_advisor
+
+    _prep(spark)
+    docs = _docs(spark, sf_dir).agg(
+        F.lit("documents").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("est_bytes"),
+    )
+    emb = _emb(spark, sf_dir).agg(
+        F.lit("embeddings").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") * 260).cast("long").alias("est_bytes"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+        F.lit("events").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") * 100).cast("long").alias("est_bytes"),
+    )
+    stats = docs.unionByName(emb).unionByName(ev)
+    return partition_advisor(
+        stats,
+        target_partition_bytes=4096,
+        broadcast_bytes=300_000,
+        skew_rows_per_partition=20,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5882,6 +5991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tech_fingerprint": q_tech_fingerprint,
         "lazy_loading": q_lazy_loading,
         "price_extract": q_price_extract,
+        "preload_audit": q_preload_audit,
+        "price_consistency": q_price_consistency,
+        "partition_advisor": q_partition_advisor,
     }
 
 
@@ -10989,6 +11101,76 @@ FROM bt JOIN bh ON bt.url = bh.url
                    CAST(list_min(cents) AS BIGINT) AS min_cents,
                    CAST(list_max(cents) AS BIGINT) AS max_cents
             FROM f
+        """,
+        # arithmetic arm of the preload ladder
+        "preload_audit": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents)
+            SELECT 'http://pl.test/p' || i AS url,
+                   CAST((CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 4 = 1 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 5 = 2 THEN 1 ELSE 0 END) AS INT)
+                     AS n_preload,
+                   CAST(CASE WHEN i % 4 = 1 THEN 1 ELSE 0 END AS INT)
+                     AS n_preload_no_as,
+                   CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS INT)
+                     AS n_font_no_crossorigin,
+                   CAST(CASE WHEN i % 6 = 3 THEN 1 ELSE 0 END AS INT)
+                     AS n_modulepreload,
+                   (i % 4 <> 1 AND i % 3 <> 0) AS preload_ok
+            FROM d0
+        """,
+        # arithmetic arm of the structured-vs-visible price bands
+        "price_consistency": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i,
+                     CASE WHEN i % 3 = 1 THEN NULL
+                          WHEN i % 4 = 0 THEN 1999
+                          WHEN i % 4 = 1 THEN 500
+                          WHEN i % 4 = 2 THEN 9900
+                          ELSE 700 END AS ld_cents,
+                     CASE WHEN i % 9 = 5 THEN NULL
+                          WHEN i % 2 = 0 THEN 500
+                          ELSE 1999 END AS mn,
+                     CASE WHEN i % 9 = 5 THEN NULL
+                          ELSE 1999 END AS mx
+              FROM d0)
+            SELECT 'http://pcx.test/p' || i AS url,
+                   CAST(ld_cents AS BIGINT) AS ld_cents,
+                   CAST(mn AS BIGINT) AS min_cents,
+                   CAST(mx AS BIGINT) AS max_cents,
+                   CASE WHEN ld_cents IS NULL THEN 'no_structured'
+                        WHEN mn IS NULL THEN 'no_visible'
+                        WHEN ld_cents >= mn AND ld_cents <= mx
+                          THEN 'match'
+                        ELSE 'mismatch' END AS verdict
+            FROM f
+        """,
+        # same table stats + exact ceil-div/clamp arithmetic
+        "partition_advisor": """
+            WITH s AS (
+              SELECT 'documents' AS table_name,
+                     count(*)::BIGINT AS n_rows,
+                     sum(n_chars)::BIGINT AS est_bytes FROM documents
+              UNION ALL
+              SELECT 'embeddings', count(*)::BIGINT,
+                     (count(*) * 260)::BIGINT FROM embeddings
+              UNION ALL
+              SELECT 'events', count(*)::BIGINT,
+                     (count(*) * 100)::BIGINT FROM events),
+            r AS (
+              SELECT table_name, n_rows, est_bytes,
+                     greatest(least((est_bytes + 4095) // 4096, 20000),
+                              32) AS rec
+              FROM s)
+            SELECT table_name, n_rows, est_bytes,
+                   CAST(rec AS BIGINT) AS rec_partitions,
+                   CAST((n_rows + rec - 1) // rec AS BIGINT)
+                     AS rows_per_partition,
+                   (est_bytes <= 300000) AS broadcastable,
+                   ((n_rows + rec - 1) // rec > 20) AS skew_risk
+            FROM r
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

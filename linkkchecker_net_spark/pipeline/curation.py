@@ -1055,3 +1055,56 @@ def split_divergence(
         )
         out.append(kl)
     return out[0].unionByName(out[1])
+
+
+def partition_advisor(
+    stats: DataFrame,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    min_partitions: int = 32,
+    max_partitions: int = 20_000,
+    broadcast_bytes: int = 10 * 1024 * 1024,
+    skew_rows_per_partition: int = 50_000_000,
+) -> DataFrame:
+    """Partitioning advisor — the 100 TB tuning arithmetic this repo's
+    scale notes apply, as an operator over table stats: for each table
+    (name, n_rows, est_bytes) recommend the shuffle-partition count
+    (ceil(bytes / target) clamped to [min, max] — the
+    spark.sql.shuffle.partitions / files.maxPartitionBytes knob pair),
+    whether the table fits a broadcast join (est_bytes <= the
+    autoBroadcastJoinThreshold-shaped budget), rows per partition at
+    the recommendation, and a skew-risk flag when even the clamped
+    partition count leaves partitions beyond the row budget.
+
+    All ceil/clamp arithmetic is exact (ceil-div computed as
+    (x - pmod(x, d)) / d on a numerator that is a multiple of d — no
+    lossy rounding anywhere), so the plan is bit-identical on any
+    engine.
+
+    Output: (table_name, n_rows, est_bytes, rec_partitions,
+    rows_per_partition, broadcastable, skew_risk).
+
+    Scale: input is one row per TABLE — metadata-sized by definition.
+    """
+    b = F.col("est_bytes")
+    # ceil-div via x - pmod(x, d) (exact integer arithmetic end to end;
+    # pmod/minus never leave the long domain, unlike `/` which would
+    # round-trip through double)
+    tpb = F.lit(int(target_partition_bytes)).cast("long")
+    x1 = b + tpb - 1
+    raw = (x1 - F.pmod(x1, tpb)) / tpb  # exact: numerator is a multiple
+    raw = raw.cast("long")
+    rec = F.greatest(
+        F.least(raw, F.lit(int(max_partitions)).cast("long")),
+        F.lit(int(min_partitions)).cast("long"),
+    )
+    x2 = F.col("n_rows") + rec - 1
+    rpp = ((x2 - F.pmod(x2, rec)) / rec).cast("long")
+    return stats.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        rec.cast("long").alias("rec_partitions"),
+        rpp.cast("long").alias("rows_per_partition"),
+        (b <= F.lit(int(broadcast_bytes))).alias("broadcastable"),
+        (rpp > F.lit(int(skew_rows_per_partition))).alias("skew_risk"),
+    )

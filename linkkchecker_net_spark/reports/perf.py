@@ -127,3 +127,44 @@ def preconnect_audit(pages: DataFrame) -> DataFrame:
             "n_unconnected_origins"
         ),
     )
+
+
+def preload_audit(pages: DataFrame) -> DataFrame:
+    """Preload hygiene (the <link rel=preload> spec lints browsers
+    warn about): a preload without ``as=`` is ignored entirely; a font
+    preload without ``crossorigin`` double-fetches (fonts are CORS
+    requests even same-origin); modulepreload is counted separately.
+
+    Output: (url, n_preload, n_preload_no_as, n_font_no_crossorigin,
+    n_modulepreload, preload_ok).
+
+    Scale: map-only codegen (one tag harvest + array filters),
+    zero shuffles.
+    """
+    links = F.regexp_extract_all("body", F.lit(_LINK_TAG), 0)
+
+    def rel_is(value):
+        return lambda t: (
+            F.lower(F.regexp_extract(t, r'(?i)\brel="([^"]*)"', 1)) == value
+        )
+
+    pre = F.filter(links, rel_is("preload"))
+    no_as = F.filter(
+        pre, lambda t: F.regexp_extract(t, r'(?i)\bas="([^"]*)"', 1) == ""
+    )
+    font_no_co = F.filter(
+        pre,
+        lambda t: (
+            F.lower(F.regexp_extract(t, r'(?i)\bas="([^"]*)"', 1)) == "font"
+        )
+        & ~t.rlike(r"(?i)\scrossorigin(\s|>|=)"),
+    )
+    modpre = F.filter(links, rel_is("modulepreload"))
+    return pages.select(
+        "url",
+        F.size(pre).alias("n_preload"),
+        F.size(no_as).alias("n_preload_no_as"),
+        F.size(font_no_co).alias("n_font_no_crossorigin"),
+        F.size(modpre).alias("n_modulepreload"),
+        ((F.size(no_as) + F.size(font_no_co)) == 0).alias("preload_ok"),
+    )

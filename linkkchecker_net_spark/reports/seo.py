@@ -592,3 +592,53 @@ def price_extract(pages: DataFrame) -> DataFrame:
         F.array_min(cents).alias("min_cents"),
         F.array_max(cents).alias("max_cents"),
     )
+
+
+_LDJSON_BLOCK_PAT = (
+    r'(?is)<script\b[^>]*type="application/ld\+json"[^>]*>(.*?)</script>'
+)
+_LD_PRICE_PAT = r'"price"\s*:\s*"?([0-9]+)(\.([0-9]{2}))?'
+
+
+def price_consistency(pages: DataFrame) -> DataFrame:
+    """Structured-vs-visible price cross-check: the first ``price`` key
+    inside the page's first JSON-LD block (schema.org Offer shape)
+    against the visible currency-prefixed prices
+    (:func:`price_extract`), both in exact integer cents.  A declared
+    offer price outside the page's visible [min, max] band is the
+    classic stale-markup signal merchants ship after a repricing.
+
+    Output: (url, ld_cents, min_cents, max_cents, verdict ∈
+    no_structured / no_visible / match / mismatch).
+
+    Scale: map-only codegen — two harvests over the same body, no
+    joins (price_extract's columns are recomputed inline).
+    """
+    block = F.regexp_extract("body", _LDJSON_BLOCK_PAT, 1)
+    whole = F.regexp_extract(block, _LD_PRICE_PAT, 1)
+    frac = F.regexp_extract(block, _LD_PRICE_PAT, 3)
+    ld_cents = F.when(
+        whole != "",
+        whole.cast("long") * 100
+        + F.when(frac == "", F.lit(0)).otherwise(frac.cast("long")),
+    )
+    visible = F.zip_with(
+        F.regexp_extract_all("body", F.lit(_PRICE_PAT), 1),
+        F.regexp_extract_all("body", F.lit(_PRICE_PAT), 3),
+        lambda d, c: d.cast("long") * 100
+        + F.when(c == "", F.lit(0)).otherwise(c.cast("long")),
+    )
+    mn, mx = F.array_min(visible), F.array_max(visible)
+    verdict = (
+        F.when(ld_cents.isNull(), F.lit("no_structured"))
+        .when(mn.isNull(), F.lit("no_visible"))
+        .when((ld_cents >= mn) & (ld_cents <= mx), F.lit("match"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return pages.select(
+        "url",
+        ld_cents.alias("ld_cents"),
+        mn.alias("min_cents"),
+        mx.alias("max_cents"),
+        verdict.alias("verdict"),
+    )

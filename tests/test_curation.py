@@ -601,3 +601,29 @@ def test_open_redirect_grammar(spark):
     assert out["u1"]["n_links"] == 2 and out["u1"]["n_embedded_url_links"] == 1
     assert out["u2"]["open_redirect_suspect"] is True  # encoded, uppercase
     assert out["u3"]["open_redirect_suspect"] is False
+
+
+def test_partition_advisor_exact_cliffs(spark):
+    from linkkchecker_net_spark.pipeline.curation import partition_advisor
+
+    rows = [
+        # 1 byte -> raw 1 -> clamped up to min 32
+        ("tiny", 10, 1),
+        # exactly 10 partitions of 128MiB -> clamped to 32
+        ("mid", 1000, 10 * 128 * 1024 * 1024),
+        # huge: raw beyond max -> clamped to 20000; skew flag fires
+        ("huge", 10**13, 10**15),
+        # broadcastable boundary: exactly at the threshold
+        ("bcast", 100, 10 * 1024 * 1024),
+    ]
+    stats = spark.createDataFrame(
+        rows, "table_name string, n_rows long, est_bytes long"
+    )
+    out = {r["table_name"]: r for r in partition_advisor(stats).collect()}
+    assert out["tiny"]["rec_partitions"] == 32
+    assert out["mid"]["rec_partitions"] == 32
+    assert out["huge"]["rec_partitions"] == 20000
+    assert out["huge"]["rows_per_partition"] == 10**13 // 20000
+    assert out["huge"]["skew_risk"] is True
+    assert out["bcast"]["broadcastable"] is True
+    assert out["huge"]["broadcastable"] is False

@@ -111,6 +111,7 @@ NON_CRAWL = [
     "robots_coverage", "render_blocking", "preconnect",
     "sentence_dup", "length_bucket", "sitemap_generate",
     "tech_fingerprint", "lazy_loading", "price_extract",
+    "preload_audit", "price_consistency", "partition_advisor",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
