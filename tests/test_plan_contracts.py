@@ -466,3 +466,66 @@ def test_reciprocal_links_semi_join_no_cartesian(spark):
     p = _plan(reciprocal_links(edges))
     assert "LeftSemi" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_session_r4_map_only_audits_carry_zero_exchanges(spark):
+    """Every map-only operator added in this session must compile to a
+    zero-exchange, zero-Python plan — one scan, codegen projections."""
+    from linkkchecker_net_spark.kernels.httpmeta import vary_audit
+    from linkkchecker_net_spark.kernels.microdata import microdata_stats
+    from linkkchecker_net_spark.pipeline.text import (
+        char_composition,
+        gopher_quality,
+        script_mix,
+    )
+    from linkkchecker_net_spark.reports.perf import (
+        preload_audit,
+        render_blocking_audit,
+    )
+    from linkkchecker_net_spark.reports.security import open_redirect_audit
+    from linkkchecker_net_spark.reports.seo import (
+        lazy_loading_audit,
+        price_consistency,
+        price_extract,
+        tech_fingerprint,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("http://x/"), F.col("doc_id")).alias("url"),
+        F.col("text").alias("body"),
+    )
+    resp = pages.select("url", F.col("body").alias("vary"))
+    plans = {
+        "gopher": _plan(gopher_quality(docs)),
+        "charcomp": _plan(char_composition(docs)),
+        "scriptmix": _plan(script_mix(docs)),
+        "vary": _plan(vary_audit(resp)),
+        "microdata": _plan(microdata_stats(pages)),
+        "openredirect": _plan(open_redirect_audit(pages)),
+        "renderblock": _plan(render_blocking_audit(pages)),
+        "preload": _plan(preload_audit(pages)),
+        "techfp": _plan(tech_fingerprint(pages)),
+        "lazy": _plan(lazy_loading_audit(pages)),
+        "price": _plan(price_extract(pages)),
+        "priceconsist": _plan(price_consistency(pages)),
+    }
+    for name, p in plans.items():
+        assert "Exchange" not in p, (name, p)
+        assert "BatchEvalPython" not in p, (name, p)
+        assert "ArrowEvalPython" not in p, (name, p)
+
+
+def test_session_r4_rollups_partial_aggregate(spark):
+    """The session's aggregation ops must partial-aggregate map-side
+    (two HashAggregate levels around one Exchange per groupBy layer)."""
+    from linkkchecker_net_spark.pipeline.dedup import cluster_size_stats
+    from linkkchecker_net_spark.pipeline.text import length_bucket
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(length_bucket(docs))
+    assert p.count("Exchange") == 1, p
+    assert "partial" in p.lower(), p
+    cl = docs.select("doc_id", (F.col("doc_id") % 7).alias("cluster_id"))
+    p2 = _plan(cluster_size_stats(cl))
+    assert p2.count("Exchange") == 2, p2  # cluster_id agg + size agg
