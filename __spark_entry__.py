@@ -5789,6 +5789,48 @@ def q_partition_advisor(spark, sf_dir):
     )
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training shuffle (pipeline/curation.
+    epoch_shuffle): epoch 3 over 8 md5 shards — both engines derive
+    the same md5(doc_id ':' epoch) order keys and shard ranks."""
+    from linkkchecker_net_spark.pipeline.curation import epoch_shuffle
+
+    _prep(spark)
+    return epoch_shuffle(_docs(spark, sf_dir), epoch=3, n_shards=8)
+
+
+def q_caption_dup(spark, sf_dir):
+    """Caption-duplication QA (pipeline/multimodal.caption_dup): three
+    spellings of the boilerplate caption (cased / multi-space / upper)
+    collapse under normalization into one >=0.1%-share group; the rest
+    are unique."""
+    from linkkchecker_net_spark.pipeline.multimodal import caption_dup
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    caption = (
+        F.when(i % 5 == 0, F.lit("Stock Photo"))
+        .when(i % 7 == 1, F.lit("  Stock   PHOTO "))
+        .when(i % 3 == 2, F.lit("STOCK PHOTO"))
+        .otherwise(F.concat(F.lit("unique caption "), i.cast("string")))
+    )
+    corpus = _docs(spark, sf_dir).select(caption.alias("caption"))
+    return caption_dup(corpus)
+
+
+_TEMPORAL_CUTOFF_US = 1_704_153_600_000_000  # 2024-01-02T00:00:00Z
+
+
+def q_temporal_split(spark, sf_dir):
+    """Temporal split + entity-leakage audit (pipeline/curation.
+    temporal_split) at a mid-corpus cutoff over the events table."""
+    from linkkchecker_net_spark.pipeline.curation import temporal_split
+
+    _prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal_split(ev, cutoff_us=_TEMPORAL_CUTOFF_US)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -5994,6 +6036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preload_audit": q_preload_audit,
         "price_consistency": q_price_consistency,
         "partition_advisor": q_partition_advisor,
+        "epoch_shuffle": q_epoch_shuffle,
+        "caption_dup": q_caption_dup,
+        "temporal_split": q_temporal_split,
     }
 
 
@@ -11171,6 +11216,60 @@ FROM bt JOIN bh ON bt.url = bh.url
                    (est_bytes <= 300000) AS broadcastable,
                    ((n_rows + rec - 1) // rec > 20) AS skew_risk
             FROM r
+        """,
+        # same md5(':epoch') order keys + shard ranks
+        "epoch_shuffle": """
+            WITH a AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 8 AS shard_id,
+                     md5(doc_id::VARCHAR || ':' || 3) AS k
+              FROM documents)
+            SELECT doc_id, shard_id, 3 AS epoch,
+                   CAST(row_number() OVER (PARTITION BY shard_id
+                        ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+            FROM a
+        """,
+        # same normalization + share arithmetic
+        "caption_dup": """
+            WITH c0 AS (
+              SELECT CASE WHEN doc_id % 5 = 0 THEN 'Stock Photo'
+                          WHEN doc_id % 7 = 1 THEN '  Stock   PHOTO '
+                          WHEN doc_id % 3 = 2 THEN 'STOCK PHOTO'
+                          ELSE 'unique caption ' || doc_id END AS caption
+              FROM documents),
+            n AS (
+              SELECT trim(regexp_replace(lower(caption), '\\s+', ' ',
+                          'g')) AS caption_norm
+              FROM c0),
+            c AS (SELECT caption_norm, count(*) AS n_images
+                  FROM n GROUP BY 1),
+            t AS (SELECT sum(n_images) AS tot FROM c)
+            SELECT caption_norm, n_images,
+                   CAST(floor(n_images * 1000000.0 / t.tot) AS BIGINT)
+                     AS share_ppm,
+                   (floor(n_images * 1000000.0 / t.tot) >= 1000)
+                     AS boilerplate
+            FROM c, t
+        """,
+        # same cutoff + per-user leakage arithmetic
+        "temporal_split": """
+            WITH u AS (
+              SELECT user_id,
+                     sum(CASE WHEN epoch_us(ts) < 1704153600000000
+                              THEN 1 ELSE 0 END) AS tr,
+                     sum(CASE WHEN epoch_us(ts) >= 1704153600000000
+                              THEN 1 ELSE 0 END) AS te
+              FROM events GROUP BY 1)
+            SELECT CAST(sum(tr) AS BIGINT) AS n_train,
+                   CAST(sum(te) AS BIGINT) AS n_test,
+                   count(*) AS n_users,
+                   CAST(sum(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_leaky_users,
+                   CAST(floor(sum(CASE WHEN tr > 0 AND te > 0
+                        THEN 1 ELSE 0 END) * 1000000.0 / count(*))
+                        AS BIGINT) AS leaky_ppm
+            FROM u
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

@@ -1108,3 +1108,83 @@ def partition_advisor(
         (b <= F.lit(int(broadcast_bytes))).alias("broadcastable"),
         (rpp > F.lit(int(skew_rows_per_partition))).alias("skew_risk"),
     )
+
+
+def epoch_shuffle(docs: DataFrame, epoch: int, n_shards: int = 16) -> DataFrame:
+    """Deterministic per-epoch training shuffle — the dataloader-side
+    twin of :func:`shard_assign`: within each shard, order the docs by
+    md5(doc_id ':' epoch), so every epoch visits a different but fully
+    reproducible permutation (same corpus + epoch ⇒ same order on any
+    engine, any partitioning — the property that makes a 1000-node
+    training job resumable mid-epoch).
+
+    Output: (doc_id, shard_id, epoch, pos) with pos = 0-based rank
+    inside the shard's epoch order.
+
+    Scale: the shard key is the usual md5 mod; the rank is a window
+    per shard — n_shards parallel sorts of corpus/n_shards rows each
+    (pick n_shards ≥ cluster cores so no sort exceeds one task's
+    budget; the two-phase salted rank applies beyond that).
+    """
+    hex8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    shard = F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(int(n_shards)))
+    key = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.lit(int(epoch)).cast("string"),
+        )
+    )
+    w = Window.partitionBy("shard_id").orderBy("_k", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard_id"), key.alias("_k"))
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select(
+            "doc_id",
+            "shard_id",
+            F.lit(int(epoch)).alias("epoch"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+    )
+
+
+def temporal_split(
+    events: DataFrame, cutoff_us: int
+) -> DataFrame:
+    """Temporal train/test split QA — the time-series sibling of
+    :func:`dataset_split`: events strictly before `cutoff_us` (epoch
+    micros) are train, the rest test, and the audit surfaces ENTITY
+    LEAKAGE — users with activity on both sides of the cutoff, the
+    population for which a naive per-event split leaks test-period
+    behavior into training features.
+
+    Output: ONE row — (n_train, n_test, n_users, n_leaky_users,
+    leaky_ppm).
+
+    Scale: one user-keyed aggregate (min/max ts partial-aggregate
+    map-side) + a single-row rollup of the user table.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = (
+        events.select(F.col("user_id"), us.alias("_us"))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("_us") < cutoff_us).cast("long")).alias("_tr"),
+            F.sum((F.col("_us") >= cutoff_us).cast("long")).alias("_te"),
+        )
+    )
+    return per_user.agg(
+        F.sum("_tr").alias("n_train"),
+        F.sum("_te").alias("n_test"),
+        F.count("*").alias("n_users"),
+        F.sum(((F.col("_tr") > 0) & (F.col("_te") > 0)).cast("long")).alias(
+            "n_leaky_users"
+        ),
+    ).select(
+        "n_train",
+        "n_test",
+        "n_users",
+        "n_leaky_users",
+        F.floor(
+            F.col("n_leaky_users") * 1_000_000 / F.col("n_users")
+        ).alias("leaky_ppm"),
+    )

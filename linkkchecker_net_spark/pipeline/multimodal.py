@@ -1863,3 +1863,35 @@ def pixel_verify(pairs: DataFrame, mae_ppm_max: int = 20_000) -> DataFrame:
         verify,
         "pair_id string, n_px long, sad long, mae_ppm long, dup boolean",
     )
+
+
+def caption_dup(corpus: DataFrame) -> DataFrame:
+    """Caption-duplication QA over the north-rule image+caption table —
+    the text-side LAION hygiene check (a handful of boilerplate
+    captions ("image", "photo", product-feed templates) cover a huge
+    share of alt-text corpora and poison contrastive training): per
+    distinct normalized caption (lowercased, whitespace collapsed),
+    how many images carry it, plus its corpus share and the
+    is_boilerplate verdict at >= 0.1% share.
+
+    Output: (caption_norm, n_images, share_ppm, boilerplate).
+
+    Scale: one caption-keyed count (partial-agg — the hot boilerplate
+    caption is ONE row per map task) + a 1-row total broadcast.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("caption")), r"\s+", " ")
+    )
+    counts = (
+        corpus.select(norm.alias("caption_norm"))
+        .groupBy("caption_norm")
+        .agg(F.count("*").alias("n_images"))
+    )
+    tot = counts.agg(F.sum("n_images").alias("_tot"))
+    share = F.floor(F.col("n_images") * 1_000_000 / F.col("_tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "caption_norm",
+        "n_images",
+        share.alias("share_ppm"),
+        (share >= 1000).alias("boilerplate"),
+    )

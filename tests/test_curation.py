@@ -627,3 +627,46 @@ def test_partition_advisor_exact_cliffs(spark):
     assert out["huge"]["skew_risk"] is True
     assert out["bcast"]["broadcastable"] is True
     assert out["huge"]["broadcastable"] is False
+
+
+def test_epoch_shuffle_determinism_and_epoch_variation(spark):
+    from linkkchecker_net_spark.pipeline.curation import epoch_shuffle
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = {(r["doc_id"]): (r["shard_id"], r["pos"])
+         for r in epoch_shuffle(docs, epoch=1, n_shards=4).collect()}
+    b = {(r["doc_id"]): (r["shard_id"], r["pos"])
+         for r in epoch_shuffle(docs, epoch=1, n_shards=4)
+         .repartition(13).collect()}
+    assert a == b  # partitioning-independent
+    c = {(r["doc_id"]): (r["shard_id"], r["pos"])
+         for r in epoch_shuffle(docs, epoch=2, n_shards=4).collect()}
+    # same shards (epoch doesn't move docs between shards)...
+    assert all(a[d][0] == c[d][0] for d in a)
+    # ...but a different within-shard order
+    assert any(a[d][1] != c[d][1] for d in a)
+    # positions are a 0-based dense permutation within each shard
+    by_shard = {}
+    for d, (s, p) in a.items():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_temporal_split_leakage(spark):
+    import datetime as dt
+
+    from linkkchecker_net_spark.pipeline.curation import temporal_split
+
+    base = dt.datetime(2024, 1, 1)
+    cutoff = int((base + dt.timedelta(days=1)).timestamp()) * 1_000_000
+
+    rows = [
+        (1, base),                                # train only
+        (2, base + dt.timedelta(days=2)),         # test only
+        (3, base), (3, base + dt.timedelta(days=2)),  # leaky
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    r = temporal_split(ev, cutoff_us=cutoff).collect()[0]
+    assert (r["n_train"], r["n_test"], r["n_users"]) == (2, 2, 3)
+    assert r["n_leaky_users"] == 1 and r["leaky_ppm"] == 333_333

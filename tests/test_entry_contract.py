@@ -112,6 +112,7 @@ NON_CRAWL = [
     "sentence_dup", "length_bucket", "sitemap_generate",
     "tech_fingerprint", "lazy_loading", "price_extract",
     "preload_audit", "price_consistency", "partition_advisor",
+    "epoch_shuffle", "caption_dup", "temporal_split",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",
