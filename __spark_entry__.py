@@ -5831,6 +5831,94 @@ def q_temporal_split(spark, sf_dir):
     return temporal_split(ev, cutoff_us=_TEMPORAL_CUTOFF_US)
 
 
+def q_dom_depth(spark, sf_dir):
+    """DOM nesting-depth fold (kernels/markup.dom_depth): depth ladder
+    1+i%7 of nested divs under <html>, a void <img> and self-closing
+    <br/> (flat), one closing div dropped on i%13==5 (unclosed)."""
+    from linkkchecker_net_spark.kernels.markup import dom_depth
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    d = (1 + i % 7).cast("int")
+    drop = F.when(i % 13 == 5, F.lit(1)).otherwise(F.lit(0))
+    body = F.concat(
+        F.lit("<html>"),
+        F.repeat(F.lit("<div>"), d),
+        F.lit('x<img src="a"><br/>'),
+        F.repeat(F.lit("</div>"), d - drop),
+        F.lit("</html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://dd.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return dom_depth(pages)
+
+
+def q_page_weight(spark, sf_dir):
+    """Page-weight byte classes (kernels/markup.page_weight): fixed-
+    length comment/script/style blocks on i%2==0 / i%3==0 / i%5==1
+    plus a <p> text payload whose length varies with the id digits —
+    every byte priced arithmetically by the oracle."""
+    from linkkchecker_net_spark.kernels.markup import page_weight
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    body = F.concat(
+        F.when(i % 2 == 0, F.lit("<!--xx-->")).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0,
+            F.lit('<script src="/a.js">var x=1;</script>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 1, F.lit("<style>.a{color:red}</style>")
+        ).otherwise(F.lit("")),
+        F.lit("<p>hello world number "), s, F.lit("</p>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://pw.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return page_weight(pages)
+
+
+def q_tracker_audit(spark, sf_dir):
+    """Tracking audit (reports/security.tracker_audit): local 1x1
+    pixel on i%2==0, GTM script on i%3==0, a GA image that is both
+    pixel and tracker ref on i%5==2, plus a normal image and an inline
+    script decoy on every page."""
+    from linkkchecker_net_spark.reports.security import tracker_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    body = F.concat(
+        F.lit('<img src="/normal.jpg" width="100" height="50">'
+              "<script>inline()</script>"),
+        F.when(
+            i % 2 == 0,
+            F.lit('<img src="/px.gif" width="1" height="1">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0,
+            F.lit('<script src="https://www.googletagmanager.com/gtm.js">'
+                  "</script>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 2,
+            F.lit('<img src="https://google-analytics.com/collect?v=1" '
+                  'width="1" height="1">'),
+        ).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://tr.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return tracker_audit(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -6039,6 +6127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "caption_dup": q_caption_dup,
         "temporal_split": q_temporal_split,
+        "dom_depth": q_dom_depth,
+        "page_weight": q_page_weight,
+        "tracker_audit": q_tracker_audit,
     }
 
 
@@ -11270,6 +11361,53 @@ FROM bt JOIN bh ON bt.url = bh.url
                         THEN 1 ELSE 0 END) * 1000000.0 / count(*))
                         AS BIGINT) AS leaky_ppm
             FROM u
+        """,
+        # arithmetic arm of the depth fold
+        "dom_depth": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i, 1 + i % 7 AS d,
+                     CASE WHEN i % 13 = 5 THEN 1 ELSE 0 END AS dropd
+              FROM d0)
+            SELECT 'http://dd.test/p' || i AS url,
+                   CAST(4 + 2 * d - dropd AS INT) AS n_tags,
+                   CAST(1 + d AS INT) AS max_depth,
+                   (dropd = 1) AS unclosed
+            FROM f
+        """,
+        # every byte class priced arithmetically (fixed block lengths)
+        "page_weight": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i,
+                     CASE WHEN i % 2 = 0 THEN 9 ELSE 0 END AS cb,
+                     CASE WHEN i % 3 = 0 THEN 37 ELSE 0 END AS sb,
+                     CASE WHEN i % 5 = 1 THEN 28 ELSE 0 END AS yb,
+                     19 + length(i::VARCHAR) AS tb
+              FROM d0)
+            SELECT 'http://pw.test/p' || i AS url,
+                   CAST(cb + sb + yb + 7 + tb AS INT) AS total_bytes,
+                   CAST(sb AS INT) AS script_bytes,
+                   CAST(yb AS INT) AS style_bytes,
+                   CAST(cb AS INT) AS comment_bytes,
+                   CAST(7 AS INT) AS markup_bytes,
+                   CAST(tb AS INT) AS text_bytes,
+                   CAST(floor(tb * 1000000.0 / (cb + sb + yb + 7 + tb))
+                        AS BIGINT) AS text_ppm
+            FROM f
+        """,
+        # arithmetic arm of the pixel/tracker arms
+        "tracker_audit": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents)
+            SELECT 'http://tr.test/p' || i AS url,
+                   CAST((CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 5 = 2 THEN 1 ELSE 0 END) AS INT)
+                     AS n_pixels,
+                   CAST((CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN i % 5 = 2 THEN 1 ELSE 0 END) AS INT)
+                     AS n_tracker_refs,
+                   (i % 2 = 0 OR i % 3 = 0 OR i % 5 = 2) AS has_tracking
+            FROM d0
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

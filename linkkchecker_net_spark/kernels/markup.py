@@ -1,0 +1,128 @@
+"""Markup-structure metrics: DOM nesting depth, page-weight breakdown.
+
+Quality/complexity signals over the raw HTML that don't need a DOM tree:
+a single codegen fold over the tag stream gives nesting depth (deep DOM =
+div-soup templates, a render-performance and boilerplate signal), and
+byte-class accounting splits the page weight into script/style/comment/
+markup/text (the storage-planning and text-density numbers a crawl
+reports per host).
+
+Reference analog: none (the C# engine parses links only); part of the
+from-scratch 100 TB-pipeline surface.  Everything is whole-stage-codegen
+regexp + higher-order array folds — no Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TAG_PAT = r"(?i)</?[a-z][a-z0-9]*[^>]*>"
+# HTML void elements never close; a trailing '/>' marks self-closing
+_VOID_RE = (
+    r"(?i)^<(area|base|br|col|embed|hr|img|input|link|meta|param|"
+    r"source|track|wbr)\b"
+)
+_SCRIPT_BLOCK = r"(?is)<script\b[^>]*>.*?</script>"
+_STYLE_BLOCK = r"(?is)<style\b[^>]*>.*?</style>"
+_COMMENT_BLOCK = r"(?s)<!--.*?-->"
+
+
+def dom_depth(pages: DataFrame) -> DataFrame:
+    """pages: (url, body) → (url, n_tags, max_depth, unclosed).
+
+    Nesting depth via ONE codegen fold over the tag stream: open tags
+    push (+1), close tags pop (-1), void elements and self-closing
+    tags are flat (0).  ``max_depth`` is the deepest point reached;
+    ``unclosed`` fires when the walk doesn't return to depth 0
+    (truncated/malformed markup — the fetch-truncation smell
+    content_length audits from the header side).
+
+    Scale: map-only — regexp_extract_all + one aggregate() fold with a
+    two-field struct accumulator, zero shuffles, O(tags) per row.
+    """
+    tags = F.regexp_extract_all("body", F.lit(_TAG_PAT), 0)
+    delta = F.transform(
+        tags,
+        lambda t: F.when(t.startswith("</"), F.lit(-1))
+        .when(t.rlike(_VOID_RE) | t.endswith("/>"), F.lit(0))
+        .otherwise(F.lit(1)),
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("cur"), F.lit(0).alias("mx")
+    )
+    folded = F.aggregate(
+        delta,
+        acc0,
+        lambda acc, d: F.struct(
+            (acc["cur"] + d).alias("cur"),
+            F.greatest(acc["mx"], acc["cur"] + d).alias("mx"),
+        ),
+    )
+    return pages.select(
+        "url",
+        F.size(tags).alias("n_tags"),
+        folded["mx"].alias("max_depth"),
+        (folded["cur"] != 0).alias("unclosed"),
+    )
+
+
+def page_weight(pages: DataFrame) -> DataFrame:
+    """pages: (url, body) → byte-class breakdown:
+    (url, total_bytes, script_bytes, style_bytes, comment_bytes,
+    markup_bytes, text_bytes, text_ppm).
+
+    ``script/style/comment_bytes`` are the summed lengths of their
+    whole blocks (tags included); ``markup_bytes`` the remaining tag
+    octets; ``text_bytes`` what's left — the numerator of the
+    text-density number (`text_ppm`, floor) a host-level rollup uses
+    to spot template-heavy sites before wasting fetch budget on them.
+
+    Lengths are Spark `length()` = UTF-16-agnostic character counts on
+    both engines (the synthetic corpus is ASCII; for production byte
+    accounting swap in octet_length).
+
+    Scale: map-only codegen — three block harvests + one tag harvest,
+    each folded to a length sum; zero shuffles.
+    """
+
+    def blk_len(pat):
+        return F.aggregate(
+            F.transform(
+                F.regexp_extract_all("body", F.lit(pat), 0), F.length
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+
+    total = F.length("body")
+    script_b = blk_len(_SCRIPT_BLOCK)
+    style_b = blk_len(_STYLE_BLOCK)
+    comment_b = blk_len(_COMMENT_BLOCK)
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("body", _SCRIPT_BLOCK, ""), _STYLE_BLOCK, ""
+        ),
+        _COMMENT_BLOCK,
+        "",
+    )
+    markup_b = F.aggregate(
+        F.transform(
+            F.regexp_extract_all(stripped, F.lit(_TAG_PAT), 0), F.length
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    text_b = total - script_b - style_b - comment_b - markup_b
+    return pages.select(
+        "url",
+        total.alias("total_bytes"),
+        script_b.alias("script_bytes"),
+        style_b.alias("style_bytes"),
+        comment_b.alias("comment_bytes"),
+        markup_b.alias("markup_bytes"),
+        text_b.alias("text_bytes"),
+        F.when(
+            total > 0, F.floor(text_b * 1_000_000 / total)
+        ).alias("text_ppm"),
+    )

@@ -483,3 +483,42 @@ def open_redirect_audit(pages: DataFrame) -> DataFrame:
         ).alias("first_offender"),
         (F.size(offending) > 0).alias("open_redirect_suspect"),
     )
+
+
+_TRACKER_HOST_RE = (
+    r"(?i)//(www\.)?(googletagmanager\.com|google-analytics\.com|"
+    r"connect\.facebook\.net|analytics\.[a-z0-9.-]+)"
+)
+
+
+def tracker_audit(pages: DataFrame) -> DataFrame:
+    """Tracking-technology audit — the privacy inventory a crawl
+    publishes per host: 1×1 tracking pixels (<img> with width="1" and
+    height="1" — the beacon idiom), and script/img references to the
+    classic tracker origins (GTM, GA, Facebook connect, analytics.*
+    subdomains).
+
+    Output: (url, n_pixels, n_tracker_refs, has_tracking).
+
+    Scale: map-only codegen (two tag harvests + filters), zero
+    shuffles.
+    """
+    imgs = F.regexp_extract_all("body", F.lit(r"(?i)<img\b[^>]*>"), 0)
+    pixels = F.filter(
+        imgs,
+        lambda t: t.rlike(r'(?i)\bwidth="1"') & t.rlike(r'(?i)\bheight="1"'),
+    )
+    refs = F.concat(
+        F.transform(
+            F.regexp_extract_all("body", F.lit(r"(?i)<script\b[^>]*>"), 0),
+            lambda t: F.regexp_extract(t, r'(?i)\bsrc="([^"]*)"', 1),
+        ),
+        F.transform(imgs, lambda t: F.regexp_extract(t, r'(?i)\bsrc="([^"]*)"', 1)),
+    )
+    trackers = F.filter(refs, lambda h: h.rlike(_TRACKER_HOST_RE))
+    return pages.select(
+        "url",
+        F.size(pixels).alias("n_pixels"),
+        F.size(trackers).alias("n_tracker_refs"),
+        ((F.size(pixels) + F.size(trackers)) > 0).alias("has_tracking"),
+    )

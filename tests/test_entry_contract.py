@@ -113,6 +113,7 @@ NON_CRAWL = [
     "tech_fingerprint", "lazy_loading", "price_extract",
     "preload_audit", "price_consistency", "partition_advisor",
     "epoch_shuffle", "caption_dup", "temporal_split",
+    "dom_depth", "page_weight", "tracker_audit",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

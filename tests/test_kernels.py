@@ -1139,3 +1139,34 @@ def test_length_bucket_waste_exact(spark):
     assert out[4]["waste_ppm"] == 125_000  # 1 / 8
     assert out[64]["sum_tokens"] == 64 and out[64]["padded_tokens"] == 0
     assert out[1]["n_docs"] == 1
+
+
+def test_dom_depth_fold(spark):
+    from linkkchecker_net_spark.kernels.markup import dom_depth
+
+    pages = [
+        ("u1", "<html><div><div>x</div></div></html>"),     # depth 3
+        ("u2", "<html><img src=a><br/></html>"),            # voids flat
+        ("u3", "<html><div>x</html>"),                      # unclosed div
+        ("u4", "plain text no tags"),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    out = {r["url"]: r for r in dom_depth(df).collect()}
+    assert out["u1"]["max_depth"] == 3 and out["u1"]["unclosed"] is False
+    assert out["u2"]["max_depth"] == 1 and out["u2"]["n_tags"] == 4
+    assert out["u3"]["unclosed"] is True
+    assert out["u4"]["n_tags"] == 0 and out["u4"]["max_depth"] == 0
+
+
+def test_page_weight_classes(spark):
+    from linkkchecker_net_spark.kernels.markup import page_weight
+
+    body = "<!--c--><script>x</script><style>y</style><p>hi</p>"
+    df = spark.createDataFrame([("u", body)], "url string, body string")
+    r = page_weight(df).collect()[0]
+    assert r["comment_bytes"] == 8
+    assert r["script_bytes"] == len("<script>x</script>")
+    assert r["style_bytes"] == len("<style>y</style>")
+    assert r["markup_bytes"] == 7          # <p> + </p>
+    assert r["text_bytes"] == 2            # "hi"
+    assert r["total_bytes"] == len(body)
