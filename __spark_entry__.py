@@ -5919,6 +5919,73 @@ def q_tracker_audit(spark, sf_dir):
     return tracker_audit(pages)
 
 
+def q_shingle_novelty(spark, sf_dir):
+    """Per-doc novelty vs a reference corpus (pipeline/dedup.
+    shingle_novelty): reference = every i%10==0 doc; the ~30-word
+    synthetic vocabulary guarantees heavy shingle overlap, so novelty
+    varies across the whole range."""
+    from linkkchecker_net_spark.pipeline.dedup import shingle_novelty
+
+    _prep(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    return shingle_novelty(
+        docs.filter(i % 10 != 0), docs.filter(i % 10 == 0), k=3
+    )
+
+
+def q_utm_params(spark, sf_dir):
+    """Marketing-parameter rollup (pipeline/dust.utm_params): hosts
+    u(i%6); the i%3==0 arm carries utm_source+utm_campaign (hitting
+    only hosts 0 and 3 — 3|6), the i%5==1 arm a case-mangled
+    UTM_Medium on every host class."""
+    from linkkchecker_net_spark.pipeline.dust import utm_params
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    host = F.concat(F.lit("u"), (i % 6).cast("string"), F.lit(".test"))
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/p"), s,
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit("?utm_source=tw&utm_campaign=c"),
+                     (i % 4).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(i % 5 == 1, F.lit("?a=1&UTM_Medium=email")).otherwise(
+            F.lit("")
+        ),
+    )
+    urls = _docs(spark, sf_dir).select(host.alias("host"), url.alias("url"))
+    return utm_params(urls)
+
+
+def q_lang_script_check(spark, sf_dir):
+    """Declared-lang vs dominant-script consistency (pipeline/text.
+    lang_script_check): langs rotate en/ru/el/zh/xx on i%5; i%7==3
+    docs become pure Cyrillic, i%11==4 pure digits (no script)."""
+    from linkkchecker_net_spark.pipeline.text import lang_script_check
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    lang = (
+        F.when(i % 5 == 0, F.lit("en"))
+        .when(i % 5 == 1, F.lit("ru"))
+        .when(i % 5 == 2, F.lit("el"))
+        .when(i % 5 == 3, F.lit("zh"))
+        .otherwise(F.lit("xx"))
+    )
+    text = (
+        F.when(i % 7 == 3, F.lit("привет мир это тест"))
+        .when(i % 11 == 4, F.lit("12345 678 99"))
+        .otherwise(F.col("text"))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", text.alias("text"), lang.alias("lang")
+    )
+    return lang_script_check(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -6130,6 +6197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dom_depth": q_dom_depth,
         "page_weight": q_page_weight,
         "tracker_audit": q_tracker_audit,
+        "shingle_novelty": q_shingle_novelty,
+        "utm_params": q_utm_params,
+        "lang_script_check": q_lang_script_check,
     }
 
 
@@ -11408,6 +11478,90 @@ FROM bt JOIN bh ON bt.url = bh.url
                      AS n_tracker_refs,
                    (i % 2 = 0 OR i % 3 = 0 OR i % 5 = 2) AS has_tracking
             FROM d0
+        """,
+        # same shingle grammar as jaccard_pairs; ref = i%10==0 docs
+        "shingle_novelty": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(ts) - 2, 0)))
+                     AS g(i)),
+            s AS (SELECT DISTINCT doc_id, shingle FROM sh),
+            ref AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 10 = 0),
+            corp AS (SELECT doc_id, shingle FROM s WHERE doc_id % 10 <> 0),
+            h AS (
+              SELECT c.doc_id, count(*) AS n_shingles,
+                     sum(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_known
+              FROM corp c LEFT JOIN ref r USING (shingle) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(h.n_known, 0) AS BIGINT) AS n_known,
+                   CASE WHEN coalesce(h.n_shingles, 0) > 0 THEN
+                     CAST(floor((h.n_shingles - h.n_known) * 1000000.0
+                          / h.n_shingles) AS BIGINT) END AS novelty_ppm
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+            LEFT JOIN h USING (doc_id)
+        """,
+        # same arm construction replayed per host
+        "utm_params": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i, 'u' || (i % 6) || '.test' AS host,
+                     (CASE WHEN i % 3 = 0 OR i % 5 = 1 THEN 1 ELSE 0 END)
+                       AS wu
+              FROM d0),
+            p AS (
+              SELECT f.host, u.par
+              FROM f, unnest(list_concat(
+                CASE WHEN f.i % 3 = 0
+                     THEN ['utm_source', 'utm_campaign']
+                     ELSE []::VARCHAR[] END,
+                CASE WHEN f.i % 5 = 1 THEN ['utm_medium']
+                     ELSE []::VARCHAR[] END)) AS u(par)),
+            g1 AS (
+              SELECT host, count(*) AS n_urls, sum(wu) AS n_with_utm
+              FROM f GROUP BY 1),
+            g2 AS (SELECT host, count(DISTINCT par) AS nd
+                   FROM p GROUP BY 1)
+            SELECT g1.host, g1.n_urls,
+                   CAST(g1.n_with_utm AS BIGINT) AS n_with_utm,
+                   CAST(floor(g1.n_with_utm * 1000000.0 / g1.n_urls)
+                        AS BIGINT) AS utm_ppm,
+                   CAST(coalesce(g2.nd, 0) AS INT) AS n_distinct_params
+            FROM g1 LEFT JOIN g2 USING (host)
+        """,
+        # arithmetic arm of the lang/script ladder
+        "lang_script_check": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i,
+                     CASE WHEN i % 5 = 0 THEN 'en'
+                          WHEN i % 5 = 1 THEN 'ru'
+                          WHEN i % 5 = 2 THEN 'el'
+                          WHEN i % 5 = 3 THEN 'zh'
+                          ELSE 'xx' END AS lang,
+                     CASE WHEN i % 7 = 3 THEN 'cyrillic'
+                          WHEN i % 11 = 4 THEN 'none'
+                          ELSE 'latin' END AS dominant_script
+              FROM d0),
+            e AS (
+              SELECT i, lang, dominant_script,
+                     CASE WHEN lang = 'en' THEN 'latin'
+                          WHEN lang = 'ru' THEN 'cyrillic'
+                          WHEN lang = 'el' THEN 'greek'
+                          WHEN lang = 'zh' THEN 'han' END AS expected_script
+              FROM f)
+            SELECT i AS doc_id, lang, dominant_script, expected_script,
+                   CASE WHEN expected_script IS NULL THEN 'unknown_lang'
+                        WHEN dominant_script = 'none' THEN 'no_script'
+                        WHEN dominant_script = expected_script
+                          THEN 'consistent'
+                        ELSE 'inconsistent' END AS verdict
+            FROM e
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

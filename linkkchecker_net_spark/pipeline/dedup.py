@@ -851,3 +851,49 @@ def cluster_size_stats(clusters: DataFrame) -> DataFrame:
             F.sum(F.col("cluster_size") - 1).alias("n_dropped"),
         )
     )
+
+
+def shingle_novelty(
+    corpus: DataFrame, reference: DataFrame, k: int = 3
+) -> DataFrame:
+    """Per-document novelty against a reference corpus — the inverse of
+    :func:`decontaminate` and the data-freshness metric incremental
+    crawls report: what share of a doc's k-shingles does the reference
+    corpus NOT already contain?  Low-novelty docs are recrawl
+    redundancy; a corpus-wide novelty collapse means the frontier is
+    re-fetching what the archive already holds.
+
+    Output (anchored on the full corpus): (doc_id, n_shingles,
+    n_known, novelty_ppm) — novelty NULL for shingle-less docs.
+
+    Scale: reference → distinct shingles (broadcasts while it fits —
+    same contract as decontaminate's dirty set); corpus shingles
+    left-join it and partial-aggregate per doc.
+    """
+    ref = shingles(reference, k).select("shingle").distinct()
+    cs = shingles(corpus, k)
+    hits = (
+        cs.join(ref.withColumn("_hit", F.lit(1)), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_known"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_known", F.lit(0)).alias("n_known"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.floor(
+                    (F.col("n_shingles") - F.col("n_known"))
+                    * 1_000_000
+                    / F.col("n_shingles")
+                ),
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -261,3 +261,51 @@ def session_params(
             & (F.col("n_occurrences") >= F.lit(int(min_occurrences)))
         ).alias("session_param"),
     )
+
+
+_UTM_PARAM_RE = r"(?i)[?&](utm_[a-z]+)="
+
+
+def utm_params(urls: DataFrame) -> DataFrame:
+    """Marketing-parameter rollup per host — the frontier-hygiene
+    cousin of :func:`session_params`: utm_* query parameters are pure
+    analytics decoration (Google's own canonical advice: strip before
+    dedup), so their per-host density tells the normalizer which hosts
+    need the tracking-strip list applied before the seen-check.
+
+    Input: (host, url).  Output per host: (host, n_urls, n_with_utm,
+    utm_ppm, n_distinct_params) — n_distinct_params = distinct utm_*
+    parameter NAMES observed (lowercased).
+
+    Scale: map-only harvest, then a host-keyed aggregate; the distinct
+    parameter names ride a per-host collect_set of a ≤ dozen-element
+    domain (bounded — utm_ has five canonical params).
+    """
+    pars = F.transform(
+        F.regexp_extract_all("url", F.lit(_UTM_PARAM_RE), 1),
+        F.lower,
+    )
+    rows = urls.select(
+        "host",
+        F.size(pars).alias("_n"),
+        F.array_distinct(pars).alias("_p"),
+    )
+    return (
+        rows.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum((F.col("_n") > 0).cast("long")).alias("n_with_utm"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("_p")))
+            ).alias("n_distinct_params"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "n_with_utm",
+            F.floor(
+                F.col("n_with_utm") * 1_000_000 / F.col("n_urls")
+            ).alias("utm_ppm"),
+            "n_distinct_params",
+        )
+    )

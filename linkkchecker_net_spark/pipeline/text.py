@@ -1035,3 +1035,48 @@ def length_bucket(docs: DataFrame, max_bucket_hi: int = 4096) -> DataFrame:
             ).alias("waste_ppm"),
         )
     )
+
+
+LANG_EXPECTED_SCRIPT = {
+    "en": "latin", "de": "latin", "fr": "latin", "es": "latin",
+    "ru": "cyrillic", "el": "greek", "zh": "han",
+}
+
+
+def lang_script_check(docs: DataFrame) -> DataFrame:
+    """Declared-language vs dominant-script consistency — the cheap
+    spoof/corruption check layered on :func:`script_mix`: a doc tagged
+    lang=ru written entirely in Latin letters is either mislabeled,
+    transliterated, or spam; all three are reasons to route it out of
+    the per-language training mix.
+
+    Input: (doc_id, text, lang).  Output: (doc_id, lang,
+    dominant_script, expected_script, verdict ∈ consistent /
+    inconsistent / unknown_lang / no_script).
+
+    Scale: map-only — script_mix's counting expressions inlined plus a
+    literal lang→script map; zero shuffles.
+    """
+    mixed = script_mix(docs).select("doc_id", "dominant_script")
+    expected = F.lit(None).cast("string")
+    for lang, script in reversed(list(LANG_EXPECTED_SCRIPT.items())):
+        expected = F.when(F.col("lang") == lang, F.lit(script)).otherwise(
+            expected
+        )
+    joined = docs.select("doc_id", "lang").join(mixed, "doc_id")
+    verdict = (
+        F.when(F.col("_exp").isNull(), F.lit("unknown_lang"))
+        .when(F.col("dominant_script") == "none", F.lit("no_script"))
+        .when(F.col("dominant_script") == F.col("_exp"), F.lit("consistent"))
+        .otherwise(F.lit("inconsistent"))
+    )
+    return (
+        joined.withColumn("_exp", expected)
+        .select(
+            "doc_id",
+            "lang",
+            "dominant_script",
+            F.col("_exp").alias("expected_script"),
+            verdict.alias("verdict"),
+        )
+    )

@@ -114,6 +114,7 @@ NON_CRAWL = [
     "preload_audit", "price_consistency", "partition_advisor",
     "epoch_shuffle", "caption_dup", "temporal_split",
     "dom_depth", "page_weight", "tracker_audit",
+    "shingle_novelty", "utm_params", "lang_script_check",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

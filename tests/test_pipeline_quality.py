@@ -240,3 +240,42 @@ def test_ppl_buckets_tertiles(spark):
     assert out[0]["bucket"] == "head" and out[1]["bucket"] == "head"
     assert out[2]["bucket"] == "middle" and out[3]["bucket"] == "middle"
     assert out[4]["bucket"] == "tail" and out[5]["bucket"] == "tail"
+
+
+def test_shingle_novelty_bounds(spark):
+    from linkkchecker_net_spark.pipeline.dedup import shingle_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c d e"),       # fully known -> novelty 0
+            (1, "x y z w v"),       # fully novel -> novelty 1e6
+            (2, "a b c x y z"),     # 4 shingles: abc bcx cxy xyz -> 1 known
+            (3, "a b"),             # too short: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in shingle_novelty(corpus, ref).collect()}
+    assert out[0]["novelty_ppm"] == 0
+    assert out[1]["novelty_ppm"] == 1_000_000
+    assert out[2]["n_shingles"] == 4 and out[2]["n_known"] == 1
+    assert out[2]["novelty_ppm"] == 750_000
+    assert out[3]["n_shingles"] == 0 and out[3]["novelty_ppm"] is None
+
+
+def test_lang_script_check_verdicts(spark):
+    from linkkchecker_net_spark.pipeline.text import lang_script_check
+
+    rows = [
+        (0, "hello world", "en"),
+        (1, "hello world", "ru"),       # latin text, ru declared
+        (2, "привет мир", "ru"),
+        (3, "hello", "tlh"),            # unmapped lang
+        (4, "1234 5678", "en"),         # no script
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["verdict"] for r in lang_script_check(docs).collect()}
+    assert out == {0: "consistent", 1: "inconsistent", 2: "consistent",
+                   3: "unknown_lang", 4: "no_script"}
