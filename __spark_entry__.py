@@ -5986,6 +5986,59 @@ def q_lang_script_check(spark, sf_dir):
     return lang_script_check(docs)
 
 
+def q_robots_generate(spark, sf_dir):
+    """robots.txt sink (kernels/robotsparse.robots_generate): the
+    q_robots_match rule dimension plus a sitemap dim covering a
+    rules-only host (r1/r3), a sitemaps-only host (r2, outer-join arm)
+    and a both host (r0); deterministic (rule_type, path) line order,
+    round-trip pinned by unit test."""
+    from linkkchecker_net_spark.kernels.robotsparse import robots_generate
+
+    _prep(spark)
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, rule_type string, path string"
+    )
+    smaps = spark.createDataFrame(
+        [
+            ("r0", "http://r0.test/sitemap.xml"),
+            ("r2", "http://r2.test/sm1.xml"),
+            ("r2", "http://r2.test/sm2.xml"),
+        ],
+        "host string, loc string",
+    )
+    return robots_generate(rules, smaps)
+
+
+def q_table_extract(spark, sf_dir):
+    """Web-table mining signal (kernels/markup.table_extract): a 3x3
+    data table with th header and numeric td cells on i%2==0, a 2x1
+    layout table on i%3==0 (fails the shape test), no tables
+    otherwise — counts are additive when both appear."""
+    from linkkchecker_net_spark.kernels.markup import table_extract
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    data_tbl = (
+        "<table><tr><th>a</th><th>b</th><th>c</th></tr>"
+        "<tr><td> 1,234 </td><td>x</td><td>-5.6</td></tr>"
+        "<tr><td>7</td><td>8</td><td>y</td></tr></table>"
+    )
+    layout_tbl = (
+        "<table><tr><td>nav</td></tr><tr><td>foot</td></tr></table>"
+    )
+    body = F.concat(
+        F.lit("<p>intro</p>"),
+        F.when(i % 2 == 0, F.lit(data_tbl)).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit(layout_tbl)).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://tb.test/p"), s).alias("url"),
+        body.alias("body"),
+    )
+    return table_extract(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
@@ -6200,6 +6253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": q_shingle_novelty,
         "utm_params": q_utm_params,
         "lang_script_check": q_lang_script_check,
+        "robots_generate": q_robots_generate,
+        "table_extract": q_table_extract,
     }
 
 
@@ -11562,6 +11617,63 @@ FROM bt JOIN bh ON bt.url = bh.url
                           THEN 'consistent'
                         ELSE 'inconsistent' END AS verdict
             FROM e
+        """,
+        # same dimension values + ordered string aggregation
+        "robots_generate": """
+            WITH rules(host, rtype, rpath) AS (VALUES
+              ('r0', 'disallow', '/private/'),
+              ('r0', 'allow', '/private/pub/'),
+              ('r0', 'disallow', '/*.json$'),
+              ('r0', 'disallow', '/tmp*'),
+              ('r0', 'allow', '/dup/'),
+              ('r0', 'disallow', '/dup/'),
+              ('r1', 'disallow', '/'),
+              ('r1', 'allow', '/public/'),
+              ('r3', 'disallow', '/a/*/c$'),
+              ('r3', 'disallow', '')),
+            smaps(host, loc) AS (VALUES
+              ('r0', 'http://r0.test/sitemap.xml'),
+              ('r2', 'http://r2.test/sm1.xml'),
+              ('r2', 'http://r2.test/sm2.xml')),
+            rg AS (
+              SELECT host, count(*) AS n_rules,
+                     string_agg(
+                       (CASE WHEN rtype = 'allow' THEN 'Allow: '
+                             ELSE 'Disallow: ' END) || rpath,
+                       chr(10) ORDER BY rtype, rpath) AS rl
+              FROM rules GROUP BY 1),
+            sg AS (
+              SELECT host, count(*) AS n_sitemaps,
+                     string_agg('Sitemap: ' || loc, chr(10)
+                                ORDER BY loc) AS sl
+              FROM smaps GROUP BY 1)
+            SELECT coalesce(rg.host, sg.host) AS host,
+                   CAST(coalesce(rg.n_rules, 0) AS BIGINT) AS n_rules,
+                   CAST(coalesce(sg.n_sitemaps, 0) AS BIGINT)
+                     AS n_sitemaps,
+                   'User-agent: *' || chr(10) || coalesce(rg.rl, '')
+                   || (CASE WHEN sg.sl IS NOT NULL
+                            THEN chr(10) || sg.sl ELSE '' END)
+                     AS robots_txt
+            FROM rg FULL OUTER JOIN sg ON rg.host = sg.host
+        """,
+        # arithmetic arm of the two table shapes
+        "table_extract": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i,
+                     (CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS dt,
+                     (CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS lt
+              FROM d0)
+            SELECT 'http://tb.test/p' || i AS url,
+                   CAST(dt + lt AS INT) AS n_tables,
+                   CAST(3 * dt + 2 * lt AS INT) AS n_rows,
+                   CAST(9 * dt + 2 * lt AS INT) AS n_cells,
+                   CASE WHEN 9 * dt + 2 * lt > 0 THEN
+                     CAST(floor(4 * dt * 1000000.0 / (9 * dt + 2 * lt))
+                          AS BIGINT) END AS numeric_cell_ppm,
+                   (dt = 1) AS data_table
+            FROM f
         """,
         # same md5-bucket arithmetic (unsigned 32-bit, both engines)
         "dataset_split": """

@@ -126,3 +126,60 @@ def page_weight(pages: DataFrame) -> DataFrame:
             total > 0, F.floor(text_b * 1_000_000 / total)
         ).alias("text_ppm"),
     )
+
+
+_TABLE_BLOCK = r"(?is)<table\b[^>]*>.*?</table>"
+_TR_TAG = r"(?i)<tr\b"
+_CELL_TAG = r"(?i)<t[dh]\b[^>]*>"
+_NUM_CELL = r"(?is)<td\b[^>]*>\s*[+-]?[0-9][0-9,.]*\s*<"
+
+
+def table_extract(pages: DataFrame) -> DataFrame:
+    """WDC/WebTables-style relational-table mining signal: per page,
+    the number of <table> blocks, total rows and cells, the share of
+    data cells whose content is purely numeric (floor ppm), and the
+    ``data_table`` verdict — at least one table with ≥2 rows AND an
+    average of ≥2 cells per row (layout tables and nav grids fail the
+    shape test; price/spec/statistics tables pass and are the rows a
+    table-corpus extraction keeps).
+
+    Output: (url, n_tables, n_rows, n_cells, numeric_cell_ppm,
+    data_table).
+
+    Scale: map-only codegen — one block harvest + per-block counts
+    folded with aggregate(), zero shuffles.
+    """
+    blocks = F.regexp_extract_all("body", F.lit(_TABLE_BLOCK), 0)
+    n_tables = F.size(blocks)
+
+    def fold_count(pat):
+        return F.aggregate(
+            F.transform(
+                blocks, lambda b: F.regexp_count(b, F.lit(pat))
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+
+    n_rows = fold_count(_TR_TAG)
+    n_cells = fold_count(_CELL_TAG)
+    n_numeric = fold_count(_NUM_CELL)
+    ppm = F.when(
+        n_cells > 0, F.floor(n_numeric * 1_000_000 / n_cells)
+    )
+    has_shape = F.exists(
+        blocks,
+        lambda b: (F.regexp_count(b, F.lit(_TR_TAG)) >= 2)
+        & (
+            F.regexp_count(b, F.lit(_CELL_TAG))
+            >= 2 * F.regexp_count(b, F.lit(_TR_TAG))
+        ),
+    )
+    return pages.select(
+        "url",
+        n_tables.alias("n_tables"),
+        n_rows.alias("n_rows"),
+        n_cells.alias("n_cells"),
+        ppm.alias("numeric_cell_ppm"),
+        F.coalesce(has_shape, F.lit(False)).alias("data_table"),
+    )

@@ -364,3 +364,79 @@ def robots_coverage(
             ),
         )
     )
+
+
+def robots_generate(
+    rules: DataFrame, sitemaps: DataFrame | None = None
+) -> DataFrame:
+    """The sink-side inverse of :func:`parse_robots` (mirroring
+    sitemapparse.sitemap_generate): emit an RFC 9309 robots.txt per
+    host from the rules dimension — one `User-agent: *` group with the
+    host's Allow/Disallow lines (sorted by (rule_type, path) for
+    determinism) followed by its group-independent Sitemap directives.
+    Round-trips through this repo's own parser (pinned by unit test).
+
+    rules: (host, rule_type ∈ {allow, disallow}, path);
+    sitemaps: (host, loc) optional.  Output: (host, n_rules,
+    n_sitemaps, robots_txt).
+
+    Scale: per-host groupBys with bounded string aggregation
+    (robots.txt is KBs by construction); one host-keyed outer join to
+    attach the sitemap block.
+    """
+    line = F.concat(
+        F.when(F.col("rule_type") == "allow", F.lit("Allow: "))
+        .otherwise(F.lit("Disallow: ")),
+        F.col("path"),
+    )
+    rgrp = (
+        rules.select("host", "rule_type", "path", line.alias("_l"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_rules"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rule_type", "path", "_l"))
+                    ),
+                    lambda s: s["_l"],
+                ),
+                "\n",
+            ).alias("_rules"),
+        )
+    )
+    if sitemaps is not None:
+        sgrp = (
+            sitemaps.select(
+                "host",
+                F.concat(F.lit("Sitemap: "), F.col("loc")).alias("_s"),
+            )
+            .groupBy("host")
+            .agg(
+                F.count("*").alias("n_sitemaps"),
+                F.array_join(F.array_sort(F.collect_list("_s")), "\n").alias(
+                    "_smaps"
+                ),
+            )
+        )
+        rgrp = rgrp.join(sgrp, "host", "outer")
+    else:
+        rgrp = rgrp.select(
+            "*",
+            F.lit(0).alias("n_sitemaps"),
+            F.lit(None).cast("string").alias("_smaps"),
+        )
+    txt = F.concat(
+        F.lit("User-agent: *\n"),
+        F.coalesce(F.col("_rules"), F.lit("")),
+        F.when(
+            F.col("_smaps").isNotNull(),
+            F.concat(F.lit("\n"), F.col("_smaps")),
+        ).otherwise(F.lit("")),
+    )
+    return rgrp.select(
+        "host",
+        F.coalesce("n_rules", F.lit(0)).cast("long").alias("n_rules"),
+        F.coalesce("n_sitemaps", F.lit(0)).cast("long").alias("n_sitemaps"),
+        txt.alias("robots_txt"),
+    )

@@ -115,6 +115,7 @@ NON_CRAWL = [
     "epoch_shuffle", "caption_dup", "temporal_split",
     "dom_depth", "page_weight", "tracker_audit",
     "shingle_novelty", "utm_params", "lang_script_check",
+    "robots_generate", "table_extract",
 ]
 CRAWL_DEPENDENT = [
     "crawl_results", "crawl_broken", "host_stats", "description_report",

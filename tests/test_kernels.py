@@ -1170,3 +1170,53 @@ def test_page_weight_classes(spark):
     assert r["markup_bytes"] == 7          # <p> + </p>
     assert r["text_bytes"] == 2            # "hi"
     assert r["total_bytes"] == len(body)
+
+
+def test_robots_generate_round_trips_own_parser(spark):
+    """The generated robots.txt must parse back through parse_robots
+    into the same (host, rule_type, path) rows it was built from."""
+    from pyspark.sql import functions as F
+
+    from linkkchecker_net_spark.kernels.robotsparse import (
+        parse_robots,
+        robots_generate,
+    )
+
+    rules = spark.createDataFrame(
+        [("h1", "disallow", "/admin/"), ("h1", "allow", "/admin/pub/"),
+         ("h2", "disallow", "/")],
+        "host string, rule_type string, path string",
+    )
+    smaps = spark.createDataFrame(
+        [("h1", "http://h1.test/sm.xml")], "host string, loc string"
+    )
+    gen = robots_generate(rules, smaps)
+    txts = gen.select("host", F.col("robots_txt").alias("txt"))
+    parsed = {r["host"]: r for r in parse_robots(txts).collect()}
+    # the wildcard group matched; the disallow prefixes round-trip
+    assert parsed["h1"]["matched"] == "wildcard"
+    assert parsed["h1"]["disallow"] == "/admin/"
+    assert parsed["h1"]["n_rules"] == 1   # parse_robots counts disallows
+    assert parsed["h2"]["disallow"] == "/"
+    by_host = {r["host"]: r for r in gen.collect()}
+    assert by_host["h1"]["n_sitemaps"] == 1
+    assert "Sitemap: http://h1.test/sm.xml" in by_host["h1"]["robots_txt"]
+
+
+def test_table_extract_shapes(spark):
+    from linkkchecker_net_spark.kernels.markup import table_extract
+
+    pages = [
+        ("u1",
+         "<table><tr><th>h</th><th>i</th></tr>"
+         "<tr><td>1</td><td>2.5</td></tr></table>"),
+        ("u2", "<table><tr><td>only nav</td></tr></table>"),
+        ("u3", "no tables at all"),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    out = {r["url"]: r for r in table_extract(df).collect()}
+    assert out["u1"]["data_table"] is True
+    assert out["u1"]["n_rows"] == 2 and out["u1"]["n_cells"] == 4
+    assert out["u1"]["numeric_cell_ppm"] == 500_000  # 2 numeric td of 4
+    assert out["u2"]["data_table"] is False
+    assert out["u3"]["n_tables"] == 0
