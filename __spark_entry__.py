@@ -1150,6 +1150,30 @@ def q_bpe_pairs(spark, sf_dir):
     return bpe_pairs(_docs(spark, sf_dir), k=50)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """FULL BPE merge loop, 6 rounds (pipeline/curation.bpe_merges —
+    r4 verdict item 5, Sennrich 2016 §3.2's running example): every doc
+    carries the {low×3, lower×2, newest×4, widest×1} multiset repeated
+    (1 + doc_id%2)×, so every pair count scales by the same corpus
+    factor m = Σ(1 + doc_id%2) and the merge ORDER is invariant in m —
+    the oracle replays the hand-derivable 6-merge sequence priced at
+    m (independently cross-checked against a plain-Python Sennrich
+    implementation in tests/test_curation.py)."""
+    from linkkchecker_net_spark.pipeline.curation import bpe_merges
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    base = (
+        "low low low lower lower newest newest newest newest widest"
+    )
+    text = F.concat(
+        F.lit(base),
+        F.when(i % 2 == 1, F.lit(" " + base)).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return bpe_merges(docs, n_merges=6)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed-unigram importance weights (target = lang='en')."""
     from linkkchecker_net_spark.pipeline.curation import dsir_weights
@@ -1766,6 +1790,44 @@ def q_registrable_domains(spark, sf_dir):
         host.alias("host"),
         registrable_domain_expr(host).alias("registrable_domain"),
     )
+
+
+def q_url_blocklist(spark, sf_dir):
+    """URL/domain blocklist gate (pipeline/blocklist.url_blocklist —
+    C4 §2.2 / RefinedWeb §3.1 first-stage filter, r4 verdict item 4):
+    the q_registrable_domains host arms (co.uk / deep .com / github.io
+    private registry / .org / IPv4 / localhost) with a 4-domain
+    blocklist (incl. an UPPERCASE entry the lowercase match must hit)
+    and two C4-style substring rules ('/casino/' path on i%5==2,
+    'session=' query on i%7==3); domain verdicts outrank URL rules."""
+    from linkkchecker_net_spark.pipeline.blocklist import url_blocklist
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 6
+    g = (i % 7).cast("string")
+    host = (
+        F.when(m == 0, F.concat(F.lit("www.shop"), g, F.lit(".co.uk")))
+        .when(m == 1, F.concat(F.lit("a.b.ex"), g, F.lit(".com")))
+        .when(m == 2, F.concat(F.lit("cdn"), g, F.lit(".github.io")))
+        .when(m == 3, F.concat(F.lit("ex"), g, F.lit(".org")))
+        .when(m == 4, F.concat(F.lit("10.0."), g, F.lit(".1")))
+        .otherwise(F.lit("localhost"))
+    )
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/p"), i.cast("string"),
+        F.when(i % 5 == 2, F.lit("/casino/x")).otherwise(F.lit("")),
+        F.when(i % 7 == 3, F.lit("?session=abc")).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), host.alias("host")
+    )
+    bl = spark.createDataFrame(
+        [("shop3.co.uk",), ("ex5.com",), ("cdn1.github.io",),
+         ("LOCALHOST",)],
+        "domain string",
+    )
+    return url_blocklist(pages, bl, ["casino", "session="])
 
 
 def q_change_rate(spark, sf_dir):
@@ -5568,8 +5630,9 @@ def q_length_bucket(spark, sf_dir):
 
 def q_sitemap_generate(spark, sf_dir):
     """Sitemap sink (kernels/sitemapparse.sitemap_generate): three
-    hosts, 40-URL chunks, an &-carrying query arm on i%7==0 the XML
-    escape must handle; chunking is deterministic under the
+    hosts, 40-URL chunks, an &-carrying query arm on i%7==0 and an
+    '/"-carrying arm on i%11==3 (r4 ADVICE: apos/quot escaping) the
+    XML escape must handle; chunking is deterministic under the
     lexicographic within-host order."""
     from linkkchecker_net_spark.kernels.sitemapparse import sitemap_generate
 
@@ -5583,6 +5646,9 @@ def q_sitemap_generate(spark, sf_dir):
             F.lit("http://g"), (i % 3).cast("string"), F.lit(".test/p"),
             i.cast("string"),
             F.when(i % 7 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+            F.when(i % 11 == 3, F.lit("?t='v'&q=\"w\"")).otherwise(
+                F.lit("")
+            ),
         ).alias("url"),
     )
     return sitemap_generate(urls, max_per_file=40)
@@ -5593,7 +5659,9 @@ def q_tech_fingerprint(spark, sf_dir):
     generator in both attribute orders (WordPress/SiteBuilder on
     i%5==0 by i%10, Drupal reversed-order on i%5==1), wp-content and
     shopify-CDN content fingerprints without a generator tag, and a
-    bare arm; version = first dotted-number token."""
+    bare arm carrying a data-name="generator" DECOY the anchored
+    attribute grammar must ignore (r4 ADVICE: \\b held between '-'
+    and 'n'); version = first dotted-number token."""
     from linkkchecker_net_spark.reports.seo import tech_fingerprint
 
     _prep(spark)
@@ -5622,7 +5690,10 @@ def q_tech_fingerprint(spark, sf_dir):
             F.lit('<script src="https://cdn.shopify.com/s/files/1/a.js">'
                   "</script>"),
         )
-        .otherwise(F.lit("<p>plain</p>"))
+        .otherwise(
+            F.lit('<meta data-name="generator" content="Decoy 9.9">'
+                  "<p>plain</p>")
+        )
     )
     pages = _docs(spark, sf_dir).select(
         F.concat(F.lit("http://t.test/p"), s).alias("url"),
@@ -5659,7 +5730,8 @@ def q_lazy_loading(spark, sf_dir):
 def q_price_extract(spark, sf_dir):
     """Price harvest (reports/seo.price_extract): $19.99 always, €5
     (no cents) on i%2==0, £1234.50 on i%3==0, '$ 7.25' spaced form on
-    i%7==1; symbol-less '100.00' and '$abc' decoys never match."""
+    i%7==1, comma-grouped '$1,299.00' on i%5==3 (r4 ADVICE: thousands
+    separators); symbol-less '100.00' and '$abc' decoys never match."""
     from linkkchecker_net_spark.reports.seo import price_extract
 
     _prep(spark)
@@ -5670,6 +5742,9 @@ def q_price_extract(spark, sf_dir):
         F.when(i % 2 == 0, F.lit("Sale €5 today. ")).otherwise(F.lit("")),
         F.when(i % 3 == 0, F.lit("Bundle £1234.50! ")).otherwise(F.lit("")),
         F.when(i % 7 == 1, F.lit("Spaced $ 7.25 form.")).otherwise(
+            F.lit("")
+        ),
+        F.when(i % 5 == 3, F.lit(" Deal $1,299.00 now.")).otherwise(
             F.lit("")
         ),
     )
@@ -6039,7 +6114,70 @@ def q_table_extract(spark, sf_dir):
     return table_extract(pages)
 
 
+# Driver-window rotation (r4 verdict item 1c): the correctness driver samples
+# the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
+# reference-crawl block, leaving ~160 operators verified only by the local
+# pytest replica of the gate.  _DRIVER_PRIORITY lists ann_ivf (red in r04 on
+# an oracle-side HUGEINT cast, fixed this round — must re-verify) followed by
+# every query that has never appeared in a CORRECTNESS_r0{1..4}.json, in
+# registration order; queries() returns those first so the driver's window
+# finally lands on fresh operators.  Names not in the built dict are ignored,
+# so the list is safe across refactors.
+_DRIVER_PRIORITY = [
+    "ann_ivf", "url_blocklist", "bpe_merges", "langid_model", "quality_model",
+    "substring_dedup",
+    "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
+    "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
+    "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
+    "hits", "anchor_texts", "anchor_spam", "robots_sitemaps",
+    "resolve_redirects", "url_traps", "url_normalize", "dust_rules",
+    "mirror_hosts", "soft404", "registrable_domains", "change_rate",
+    "meta_robots", "nofollow_links", "rel_canonical", "c4_lines",
+    "paragraph_dedup", "cdc_dedup", "sitemap_meta", "budget_alloc",
+    "image_borders", "charset_sniff", "cache_policy", "revalidation_plan",
+    "retry_after", "pagination_chains", "image_sharpness", "hreflang",
+    "meta_audit", "srcset", "inline_images", "feed_links", "link_header",
+    "resize_images", "caption_pairs", "image_histogram", "jsonld_images",
+    "mixed_content", "warc_manifest", "image_dhash", "host_reputation",
+    "host_linkgraph", "quality_keep", "clip_align", "hll_users",
+    "cms_tokens", "ann_sq8", "fragment_audit", "sitemap_images",
+    "meta_refresh", "sri_audit", "cdx_index", "color_palette",
+    "favicon_pick", "host_templates", "cookie_audit", "feed_discovery",
+    "csp_parse", "referrer_policy", "blank_target", "sitemap_index",
+    "domain_mix", "semantic_decontaminate", "content_language",
+    "title_audit", "heading_audit", "alt_audit", "colorfulness",
+    "base_href", "contrast", "picture_sources", "reciprocal_links",
+    "warc_revisit", "social_meta", "hsts", "dataset_card",
+    "length_quantiles", "robots_match", "crawl_delay_audit",
+    "sitemap_robots_conflict", "canonical_consistency", "event_dedup",
+    "tile_neardup", "containment", "editdist", "unicode_hygiene",
+    "main_content", "session_params", "outlink_stats", "breadcrumbs",
+    "embedding_hygiene", "keyword_stuffing", "content_length",
+    "redirect_edges", "dataset_split", "split_balance", "allcaps",
+    "gopher_quality", "lexical_diversity", "char_composition",
+    "ppl_buckets", "length_outliers", "cluster_size_stats", "script_mix",
+    "amp_audit", "microdata", "ann_pq", "hard_negatives",
+    "host_concentration", "fetch_fairness", "degree_hist",
+    "freshness_audit", "burst_detect", "ring_rebalance", "pixel_verify",
+    "etag_stability", "vary_audit", "source_overlap", "split_divergence",
+    "open_redirect", "robots_coverage", "render_blocking", "preconnect",
+    "sentence_dup", "length_bucket", "sitemap_generate",
+    "tech_fingerprint", "lazy_loading", "price_extract", "preload_audit",
+    "price_consistency", "partition_advisor", "epoch_shuffle",
+    "caption_dup", "temporal_split", "dom_depth", "page_weight",
+    "tracker_audit", "shingle_novelty", "utm_params", "lang_script_check",
+    "robots_generate", "table_extract",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_base()
+    ordered = {n: base[n] for n in _DRIVER_PRIORITY if n in base}
+    ordered.update({n: f for n, f in base.items() if n not in ordered})
+    return ordered
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_results": q_crawl_results,
         "crawl_broken": q_crawl_broken,
@@ -6103,6 +6241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ppl": q_unigram_ppl,
         "bigram_ppl": q_bigram_ppl,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_merges": q_bpe_merges,
         "dsir_weights": q_dsir_weights,
         "event_stats": q_event_stats,
         "dup_span": q_dup_span,
@@ -6123,6 +6262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "soft404": q_soft404,
         "registrable_domains": q_registrable_domains,
+        "url_blocklist": q_url_blocklist,
         "change_rate": q_change_rate,
         "meta_robots": q_meta_robots,
         "nofollow_links": q_nofollow_links,
@@ -7169,7 +7309,8 @@ FROM bt JOIN bh ON bt.url = bh.url
               WHERE c.vec_id <> p.query_id
             ),
             pair AS (
-              SELECT ca.query_id, ca.vec_id, SUM(fq.v * fc.v) AS score
+              SELECT ca.query_id, ca.vec_id,
+                     CAST(SUM(fq.v * fc.v) AS BIGINT) AS score
               FROM cand ca
               JOIN flatq fq ON fq.vec_id = ca.query_id
               JOIN flatq fc ON fc.vec_id = ca.vec_id AND fc.ord = fq.ord
@@ -7448,6 +7589,26 @@ FROM bt JOIN bh ON bt.url = bh.url
             SELECT w1, w2, CAST(sum(freq) AS BIGINT) AS cnt
             FROM pairs GROUP BY 1, 2
             ORDER BY cnt DESC, w1, w2 LIMIT 50""",
+        # construction replay: the fixture multiset makes every pair
+        # count m× a hand-derivable constant (merge order invariant in
+        # m), so the oracle prices the 6-merge Sennrich sequence at
+        # m = Σ(1 + doc_id%2); the sequence itself is independently
+        # cross-checked against plain-Python BPE in tests/test_curation
+        "bpe_merges": """
+            WITH n AS (
+              SELECT CAST(sum(1 + doc_id % 2) AS BIGINT) AS m
+              FROM documents
+            )
+            SELECT CAST(r AS INT) AS merge_rank, w1, w2,
+                   CAST(k * m AS BIGINT) AS cnt
+            FROM n, (VALUES
+              (1, 'w', 'e', 6),
+              (2, 'l', 'o', 5),
+              (3, 's', 't', 5),
+              (4, 'st', '</w>', 5),
+              (5, 'e', 'we', 4),
+              (6, 'ewe', 'st</w>', 4)) AS v(r, w1, w2, k)
+        """,
         "dsir_weights": """
             WITH feats AS (
               SELECT doc_id, lang,
@@ -7804,6 +7965,44 @@ FROM bt JOIN bh ON bt.url = bh.url
               END AS registrable_domain
             FROM l
         """,
+        # arm-arithmetic replay of the registrable-domain + rule gates
+        "url_blocklist": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (SELECT i, i % 6 AS m, (i % 7)::VARCHAR AS g FROM d0),
+            h AS (
+              SELECT i, m, g,
+                CASE WHEN m = 0 THEN 'www.shop' || g || '.co.uk'
+                     WHEN m = 1 THEN 'a.b.ex' || g || '.com'
+                     WHEN m = 2 THEN 'cdn' || g || '.github.io'
+                     WHEN m = 3 THEN 'ex' || g || '.org'
+                     WHEN m = 4 THEN '10.0.' || g || '.1'
+                     ELSE 'localhost' END AS host,
+                CASE WHEN m = 0 THEN 'shop' || g || '.co.uk'
+                     WHEN m = 1 THEN 'ex' || g || '.com'
+                     WHEN m = 2 THEN 'cdn' || g || '.github.io'
+                     WHEN m = 3 THEN 'ex' || g || '.org'
+                     WHEN m = 4 THEN '10.0.' || g || '.1'
+                     ELSE 'localhost' END AS rd
+              FROM f),
+            u AS (
+              SELECT i, host, rd,
+                'http://' || host || '/p' || i
+                  || (CASE WHEN i % 5 = 2 THEN '/casino/x' ELSE '' END)
+                  || (CASE WHEN i % 7 = 3 THEN '?session=abc'
+                      ELSE '' END) AS url,
+                rd IN ('shop3.co.uk', 'ex5.com', 'cdn1.github.io',
+                       'localhost') AS bd,
+                CASE WHEN i % 5 = 2 THEN 'casino'
+                     WHEN i % 7 = 3 THEN 'session=' END AS mr
+              FROM h)
+            SELECT url, host, rd AS registrable_domain,
+                   bd AS blocked_domain, mr AS matched_rule,
+                   (NOT bd) AND mr IS NULL AS keep,
+                   CASE WHEN bd THEN 'blocked_domain'
+                        WHEN mr IS NOT NULL THEN 'blocked_url' END
+                     AS reason
+            FROM u
+        """,
         "change_rate": """
             WITH snaps AS (
               SELECT 'http://rc.test/p/' || doc_id AS url,
@@ -8035,9 +8234,9 @@ FROM bt JOIN bh ON bt.url = bh.url
               FROM hs
             )
             SELECT host, n_urls, weight,
-                   least(greatest(CAST(5 AS BIGINT),
+                   CAST(least(greatest(CAST(5 AS BIGINT),
                                   (1000 * weight) // SUM(weight) OVER ()),
-                         CAST(200 AS BIGINT), n_urls) AS alloc
+                         CAST(200 AS BIGINT), n_urls) AS BIGINT) AS alloc
             FROM w
         """,
         # structural oracle (Spark decodes real pixels): border widths and
@@ -8300,11 +8499,11 @@ FROM bt JOIN bh ON bt.url = bh.url
             ),
             alt_rows AS (
               SELECT url, 'alt' AS source, idx,
-                     regexp_extract(tag, '(?i)\\bsrc="([^"]*)"', 1)
+                     regexp_extract(tag, '(?i)(?:^|[\\s"])src="([^"]*)"', 1)
                        AS img_url,
-                     CASE WHEN regexp_matches(tag, '(?i)\\balt="')
+                     CASE WHEN regexp_matches(tag, '(?i)(?:^|[\\s"])alt="')
                           THEN regexp_extract(tag,
-                                 '(?i)\\balt="([^"]*)"', 1) END AS raw_cap
+                                 '(?i)(?:^|[\\s"])alt="([^"]*)"', 1) END AS raw_cap
               FROM timg
             ),
             ogt AS (
@@ -8326,7 +8525,7 @@ FROM bt JOIN bh ON bt.url = bh.url
             ),
             og_rows AS (
               SELECT ogi.url, 'og' AS source, idx,
-                     regexp_extract(tag, '(?i)\\bcontent="([^"]*)"', 1)
+                     regexp_extract(tag, '(?i)(?:^|[\\s"])content="([^"]*)"', 1)
                        AS img_url,
                      ogt.og_title AS raw_cap
               FROM ogi JOIN ogt ON ogi.url = ogt.url
@@ -8488,7 +8687,7 @@ FROM bt JOIN bh ON bt.url = bh.url
                        '(?i)<(?:script|iframe)\\b[^>]*\\bsrc='
                        || '"(http://[^"]*)"', 1)
                      || regexp_extract_all(body,
-                       '(?i)<link\\b[^>]*\\bhref="(http://[^"]*)"', 1)
+                       '(?i)<link\\b[^>]*(?:^|[\\s"])href="(http://[^"]*)"', 1)
                        AS act
               FROM pages),
             base AS (
@@ -9173,7 +9372,8 @@ FROM bt JOIN bh ON bt.url = bh.url
                 FROM cand) WHERE arank <= 30
             ),
             exact AS (
-              SELECT s.query_id, s.vec_id, SUM(a.q * b.q) AS score
+              SELECT s.query_id, s.vec_id,
+                     CAST(SUM(a.q * b.q) AS BIGINT) AS score
               FROM surv s
               JOIN codes a ON a.vec_id = s.query_id
               JOIN codes b ON b.vec_id = s.vec_id AND b.ord = a.ord
@@ -9213,13 +9413,13 @@ FROM bt JOIN bh ON bt.url = bh.url
               SELECT DISTINCT url AS target_url, a AS fragment FROM (
                 SELECT url,
                        unnest(regexp_extract_all(body,
-                                '(?i)\\bid="([^"]*)"', 1)
+                                '(?i)(?:^|[\\s"])id="([^"]*)"', 1)
                               || regexp_extract_all(body,
-                                '(?i)<a\\b[^>]*\\bname="([^"]*)"', 1)) AS a
+                                '(?i)<a\\b[^>]*(?:^|[\\s"])name="([^"]*)"', 1)) AS a
                 FROM pages)),
             frags AS (
               SELECT url, unnest(regexp_extract_all(body,
-                       '(?i)<a\\b[^>]*\\bhref="([^"]*#[^"]*)"', 1)) AS ref
+                       '(?i)<a\\b[^>]*(?:^|[\\s"])href="([^"]*#[^"]*)"', 1)) AS ref
               FROM pages),
             links AS (
               SELECT url,
@@ -9373,19 +9573,19 @@ FROM bt JOIN bh ON bt.url = bh.url
                      CASE WHEN lower(substr(tag, 1, 7)) = '<script'
                           THEN 'script'
                           WHEN regexp_matches(tag,
-                            '(?i)\\brel="stylesheet"')
+                            '(?i)(?:^|[\\s"])rel="stylesheet"')
                           THEN 'stylesheet' END AS kind
               FROM tags),
             r AS (
               SELECT url, host, kind,
                      NULLIF(CASE WHEN kind = 'script'
                                  THEN regexp_extract(tag,
-                                   '(?i)\\bsrc="([^"]*)"', 1)
+                                   '(?i)(?:^|[\\s"])src="([^"]*)"', 1)
                                  ELSE regexp_extract(tag,
-                                   '(?i)\\bhref="([^"]*)"', 1) END, '')
+                                   '(?i)(?:^|[\\s"])href="([^"]*)"', 1) END, '')
                        AS ref,
                      NULLIF(regexp_extract(tag,
-                       '(?i)\\bintegrity="([^"]*)"', 1), '') AS integrity
+                       '(?i)(?:^|[\\s"])integrity="([^"]*)"', 1), '') AS integrity
               FROM k WHERE kind IS NOT NULL),
             f AS (
               SELECT url, kind, ref, integrity, host,
@@ -9542,11 +9742,11 @@ FROM bt JOIN bh ON bt.url = bh.url
             attrs AS (
               SELECT host,
                      lower(regexp_extract(tag,
-                       '(?i)\\brel="([^"]*)"', 1)) AS rel,
+                       '(?i)(?:^|[\\s"])rel="([^"]*)"', 1)) AS rel,
                      NULLIF(regexp_extract(tag,
-                       '(?i)\\bhref="([^"]*)"', 1), '') AS href0,
+                       '(?i)(?:^|[\\s"])href="([^"]*)"', 1), '') AS href0,
                      NULLIF(regexp_extract(tag,
-                       '(?i)\\bsizes="([^"]*)"', 1), '') AS sizes
+                       '(?i)(?:^|[\\s"])sizes="([^"]*)"', 1), '') AS sizes
               FROM tags),
             cand AS (
               SELECT DISTINCT host,
@@ -9727,13 +9927,13 @@ FROM bt JOIN bh ON bt.url = bh.url
             attrs AS (
               SELECT url, host,
                      lower(regexp_extract(tag,
-                       '(?i)\\brel="([^"]*)"', 1)) AS rel,
+                       '(?i)(?:^|[\\s"])rel="([^"]*)"', 1)) AS rel,
                      lower(regexp_extract(tag,
-                       '(?i)\\btype="([^"]*)"', 1)) AS typ,
+                       '(?i)(?:^|[\\s"])type="([^"]*)"', 1)) AS typ,
                      NULLIF(regexp_extract(tag,
-                       '(?i)\\bhref="([^"]*)"', 1), '') AS href,
+                       '(?i)(?:^|[\\s"])href="([^"]*)"', 1), '') AS href,
                      NULLIF(regexp_extract(tag,
-                       '(?i)\\btitle="([^"]*)"', 1), '') AS title
+                       '(?i)(?:^|[\\s"])title="([^"]*)"', 1), '') AS title
               FROM tags),
             feeds AS (
               SELECT url,
@@ -9863,15 +10063,15 @@ FROM bt JOIN bh ON bt.url = bh.url
                   list_transform(
                     list_filter(
                       regexp_extract_all(body, '(?i)<meta\\b[^>]*>', 0),
-                      t -> regexp_matches(t, '(?i)\\bname="referrer"')),
+                      t -> regexp_matches(t, '(?i)(?:^|[\\s"])name="referrer"')),
                     t -> CASE lower(trim(regexp_extract(t,
-                           '(?i)\\bcontent="([^"]*)"', 1)))
+                           '(?i)(?:^|[\\s"])content="([^"]*)"', 1)))
                          WHEN 'never' THEN 'no-referrer'
                          WHEN 'always' THEN 'unsafe-url'
                          WHEN 'origin-when-crossorigin'
                            THEN 'origin-when-cross-origin'
                          ELSE lower(trim(regexp_extract(t,
-                           '(?i)\\bcontent="([^"]*)"', 1))) END),
+                           '(?i)(?:^|[\\s"])content="([^"]*)"', 1))) END),
                   c -> c IN ('no-referrer','no-referrer-when-downgrade',
                              'same-origin','origin','strict-origin',
                              'origin-when-cross-origin',
@@ -9947,14 +10147,14 @@ FROM bt JOIN bh ON bt.url = bh.url
               FROM pages),
             blank AS (
               SELECT url,
-                     regexp_extract(tag, '(?i)\\bhref="([^"]*)"', 1)
+                     regexp_extract(tag, '(?i)(?:^|[\\s"])href="([^"]*)"', 1)
                        AS href,
                      string_split_regex(lower(regexp_extract(tag,
-                       '(?i)\\brel="([^"]*)"', 1)), '\\s+') AS rel_toks
+                       '(?i)(?:^|[\\s"])rel="([^"]*)"', 1)), '\\s+') AS rel_toks
               FROM tags
               WHERE lower(regexp_extract(tag,
-                      '(?i)\\btarget="([^"]*)"', 1)) = '_blank'
-                AND regexp_extract(tag, '(?i)\\bhref="([^"]*)"', 1)
+                      '(?i)(?:^|[\\s"])target="([^"]*)"', 1)) = '_blank'
+                AND regexp_extract(tag, '(?i)(?:^|[\\s"])href="([^"]*)"', 1)
                       <> ''),
             flags AS (
               SELECT url, href,
@@ -10157,9 +10357,9 @@ FROM bt JOIN bh ON bt.url = bh.url
             c AS (
               SELECT url, len(tags) AS n_imgs,
                      len(list_filter(tags, t -> regexp_extract(t,
-                       '(?i)\\balt="([^"]*)"', 1) <> '')) AS n_with_alt,
+                       '(?i)(?:^|[\\s"])alt="([^"]*)"', 1) <> '')) AS n_with_alt,
                      len(list_filter(tags, t -> regexp_matches(t,
-                       '(?i)\\balt=""'))) AS n_empty_alt
+                       '(?i)(?:^|[\\s"])alt=""'))) AS n_empty_alt
               FROM tg)
             SELECT url, n_imgs, n_with_alt, n_empty_alt,
                    CASE WHEN n_imgs > 0
@@ -10668,8 +10868,8 @@ FROM bt JOIN bh ON bt.url = bh.url
               FROM clusters GROUP BY 1
             )
             SELECT cluster_size, count(*) AS n_clusters,
-                   sum(cluster_size) AS n_docs,
-                   sum(cluster_size - 1) AS n_dropped
+                   CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+                   CAST(sum(cluster_size - 1) AS BIGINT) AS n_dropped
             FROM sizes GROUP BY cluster_size
         """,
         # same salting; RE2 spells the script classes \\p{Latin} etc.
@@ -10811,7 +11011,8 @@ FROM bt JOIN bh ON bt.url = bh.url
               FROM encd WHERE vec_id < 5
             ),
             approx AS (
-              SELECT t.query_id, c.vec_id, sum(t.d) AS adc_score
+              SELECT t.query_id, c.vec_id,
+                     CAST(sum(t.d) AS BIGINT) AS adc_score
               FROM codes c JOIN dtab t ON t.j = c.j AND t.code = c.code
               WHERE c.vec_id <> t.query_id
               GROUP BY 1, 2
@@ -10825,7 +11026,8 @@ FROM bt JOIN bh ON bt.url = bh.url
             ),
             exact AS (
               SELECT cand.query_id, cand.vec_id, cand.adc_score,
-                     sum((qf.v - vf.v) * (qf.v - vf.v)) AS score
+                     CAST(sum((qf.v - vf.v) * (qf.v - vf.v)) AS BIGINT)
+                       AS score
               FROM cand
               JOIN flatq qf ON qf.vec_id = cand.query_id
               JOIN flatq vf ON vf.vec_id = cand.vec_id
@@ -10849,7 +11051,7 @@ FROM bt JOIN bh ON bt.url = bh.url
             ),
             dots AS (
               SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                     sum(q.v * e.v) AS score
+                     CAST(sum(q.v * e.v) AS BIGINT) AS score
               FROM flatq q
               JOIN flatq e ON e.pos = q.pos AND e.vec_id <> q.vec_id
               WHERE q.vec_id < 5
@@ -10896,7 +11098,8 @@ FROM bt JOIN bh ON bt.url = bh.url
             WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
             h AS (SELECT 'h' || ((i * i) % 37) AS host FROM d0),
             c AS (SELECT host, count(*) AS x FROM h GROUP BY 1)
-            SELECT count(*) AS n_hosts, sum(x) AS n_fetches,
+            SELECT count(*) AS n_hosts,
+                   CAST(sum(x) AS BIGINT) AS n_fetches,
                    CAST(floor(sum(x) * sum(x) * 1000000.0
                         / (count(*) * sum(x * x))) AS BIGINT) AS jain_ppm,
                    CAST(floor(max(x) * 1000000.0 / sum(x)) AS BIGINT)
@@ -10971,9 +11174,9 @@ FROM bt JOIN bh ON bt.url = bh.url
                   FROM b GROUP BY 1, 2),
             w AS (
               SELECT event_type, bucket, n_events,
-                     coalesce(sum(n_events) OVER (PARTITION BY event_type
+                     CAST(coalesce(sum(n_events) OVER (PARTITION BY event_type
                        ORDER BY bucket RANGE BETWEEN 3 PRECEDING
-                       AND 1 PRECEDING), 0) AS prev_sum,
+                       AND 1 PRECEDING), 0) AS BIGINT) AS prev_sum,
                      CAST(count(n_events) OVER (PARTITION BY event_type
                        ORDER BY bucket RANGE BETWEEN 3 PRECEDING
                        AND 1 PRECEDING) AS INT) AS n_prev
@@ -11287,14 +11490,18 @@ FROM bt JOIN bh ON bt.url = bh.url
               SELECT 'g' || (i % 3) || '.test' AS host,
                      'http://g' || (i % 3) || '.test/p' || i
                      || (CASE WHEN i % 7 = 0 THEN '?a=1&b=2'
+                         ELSE '' END)
+                     || (CASE WHEN i % 11 = 3 THEN '?t=''v''&q="w"'
                          ELSE '' END) AS url
               FROM d0),
             r AS (
               SELECT host, url,
                      CAST(floor((row_number() OVER (PARTITION BY host
                        ORDER BY url) - 1) / 40.0) AS INT) AS chunk,
-                     '<url><loc>' || replace(replace(replace(url,
-                       '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                     '<url><loc>' || replace(replace(replace(replace(
+                       replace(url,
+                       '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                       '''', '&apos;'), '"', '&quot;')
                      || '</loc></url>' AS entry
               FROM u)
             SELECT host, chunk, count(*) AS n_urls,
@@ -11354,7 +11561,8 @@ FROM bt JOIN bh ON bt.url = bh.url
                        1999,
                        CASE WHEN i % 2 = 0 THEN 500 END,
                        CASE WHEN i % 3 = 0 THEN 123450 END,
-                       CASE WHEN i % 7 = 1 THEN 725 END
+                       CASE WHEN i % 7 = 1 THEN 725 END,
+                       CASE WHEN i % 5 = 3 THEN 129900 END
                      ], x -> x IS NOT NULL) AS cents
               FROM d0)
             SELECT 'http://pr.test/p' || i AS url,
@@ -12151,7 +12359,8 @@ FROM bt JOIN bh ON bt.url = bh.url
         "robots_coverage": """
             WITH rmatch AS (""" + _ROBOTS_MATCH_SQL + """)
             SELECT host, count(*) AS n_urls,
-                   sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS n_blocked,
+                   CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_blocked,
                    CAST(floor(sum(CASE WHEN allowed THEN 0 ELSE 1 END)
                         * 1000000.0 / count(*)) AS BIGINT) AS blocked_ppm
             FROM rmatch GROUP BY host
@@ -12493,7 +12702,7 @@ _CONTENT_LANGUAGE_SQL = (
     ext AS (
       SELECT i AS doc_id, text,
              nullif(string_split(lower(trim(regexp_extract(body,
-               '(?i)<html\\b[^>]*\\blang="([^"]*)"', 1))), '-')[1], '')
+               '(?i)<html\\b[^>]*(?:^|[\\s"])lang="([^"]*)"', 1))), '-')[1], '')
                AS attr_lang,
              nullif(string_split(lower(trim(string_split(regexp_extract(
                headers, '(?im)^content-language:[ \\t]*([^\\r\\n]*)', 1),

@@ -332,43 +332,15 @@ def run_validation(spark, corpus_path: str) -> dict:
 
 
 def run_queries(spark) -> dict:
+    """Time EVERY registered query (r4 verdict item 2: the old hand-list
+    covered 110 of 214, so per-query regressions in the rest were
+    invisible).  Sorted order keeps the timing file diffable round-over-
+    round regardless of the driver-window rotation in queries()."""
     import __spark_entry__ as entrymod
 
-    names = [
-        "jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs", "embed_neardup",
-        "ann_topk", "ann_lsh_recall", "lang_id", "token_count", "quality_score",
-        "fingerprint", "dedup_exact", "dedup_clusters", "event_stats", "image_meta",
-        "image_neardup", "multimodal_neardup", "decontaminate",
-        "stratified_sample", "shard_assign", "vocab_topk",
-        "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
-        "redact_pii", "weighted_sample", "semantic_dedup", "bm25", "tfidf_topk",
-        "unigram_ppl", "bigram_ppl", "bpe_pairs", "dsir_weights",
-        "image_clusters", "image_quality_gate", "image_dedup_keep",
-        "image_search", "aspect_bucket", "image_shard_pack",
-        "curation_funnel", "image_funnel", "ann_ivf",
-        "dup_span", "domain_cap", "sessionize", "parse_robots", "pagerank",
-        "anchor_texts", "trustrank", "hits",
-        "clip_align", "hll_users", "cms_tokens", "ann_sq8",
-        "robots_sitemaps",
-        "resolve_redirects", "url_traps", "host_linkgraph", "quality_keep",
-        "url_normalize", "dust_rules", "mirror_hosts", "soft404",
-        "registrable_domains", "change_rate",
-        "meta_robots", "nofollow_links", "rel_canonical",
-        "c4_lines", "paragraph_dedup", "sitemap_meta", "budget_alloc",
-        "image_borders", "charset_sniff", "cache_policy", "warc_manifest",
-        "image_dhash", "host_reputation", "revalidation_plan", "retry_after",
-        "pagination_chains", "image_sharpness", "hreflang", "meta_audit",
-        "anchor_spam", "cdc_dedup", "srcset", "inline_images",
-        "feed_links", "link_header", "resize_images", "caption_pairs",
-        "image_histogram", "jsonld_images", "mixed_content",
-        "fragment_audit", "sitemap_images", "meta_refresh", "sri_audit",
-        "cdx_index", "color_palette", "favicon_pick", "host_templates",
-        "cookie_audit", "feed_discovery", "csp_parse", "referrer_policy",
-        "blank_target",
-    ]
     out = {}
     qs = entrymod.queries()
-    for name in names:
+    for name in sorted(qs):
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).count()
         out[name] = round(time.monotonic() - t0, 3)
@@ -941,6 +913,56 @@ def main() -> None:
         headline = crawl["urls_per_sec"]
         headline_src = "bfs_ramp_unpinned"
         headline_gated = bool(crawl.get("gate_pass"))
+
+    # r4 verdict item 2: BENCH_r04.json came back `parsed: null` — the
+    # final JSON line (110-query timing dict + the full scaling ledger)
+    # outgrew the driver's tail capture.  The full detail now lands in
+    # BENCH/queries_r{N}.json and the printed line stays compact: the
+    # headline, the eff pair, per-level rates + gates, and the two
+    # macro-job timings under "queries".
+    round_n = os.environ.get("SPARK_GRAFT_ROUND", "5")
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        f"queries_r{round_n}.json",
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(
+                {"sf": SF_DIR, "query_sec": queries, "scaling_full": scaling},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError:
+        detail_path = None
+
+    compact_scaling = None
+    if scaling is not None:
+        compact_scaling = {
+            k: scaling.get(k)
+            for k in (
+                "cores_low", "cores_high", "crawl_eff", "validate_eff",
+                "fetch_validate_eff", "crawl_eff_paired",
+                "validate_eff_paired", "cores_head", "crawl_eff_head_vs_low",
+            )
+        }
+        compact_scaling["levels"] = {
+            str(c): {
+                "crawl_urls_per_sec": lv["crawl"]["urls_per_sec"],
+                "validate_images_per_sec": lv["validate"]["images_per_sec"],
+                "gate_pass": bool(
+                    lv["crawl"].get("gate_pass")
+                    and lv["validate"].get("gate_pass")
+                ),
+            }
+            for c, lv in scaling["levels"].items()
+        }
+        if scaling.get("cluster"):
+            compact_scaling["cluster_crawl_eff"] = scaling["cluster"].get(
+                "crawl_eff"
+            )
     print(
         json.dumps(
             {
@@ -953,7 +975,11 @@ def main() -> None:
                 "queries": {
                     f"crawl_bfs_{PAGES}": crawl["elapsed_sec"],
                     f"validate_{IMAGES}_images": val["elapsed_sec"],
-                    **queries,
+                },
+                "query_battery": {
+                    "n": len(queries),
+                    "total_sec": round(sum(queries.values()), 2),
+                    "detail_file": detail_path,
                 },
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "pages": PAGES,
@@ -962,7 +988,7 @@ def main() -> None:
                 "bfs_urls_per_sec": crawl["urls_per_sec"],
                 "images_validated_per_sec": val["images_per_sec"],
                 "cores": CPUS,
-                "scaling": scaling,
+                "scaling": compact_scaling,
             }
         )
     )

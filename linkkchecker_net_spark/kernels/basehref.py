@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 _BASE_TAG_PAT = r"(?i)<base\b[^>]*>"
 _A_TAG_PAT = r"(?i)<a\b[^>]*>"
-_HREF_PAT = r'(?i)\bhref="([^"]*)"'
+_HREF_PAT = r'(?i)(?:^|[\s"])href="([^"]*)"'
 
 
 def _dir_of(u):

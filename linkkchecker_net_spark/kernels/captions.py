@@ -34,12 +34,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 IMG_TAG_PAT = r"(?i)<img\b[^>]*>"
-_SRC_PAT = r'(?i)\bsrc="([^"]*)"'
-_ALT_PAT = r'(?i)\balt="([^"]*)"'
-_HAS_ALT_PAT = r'(?i)\balt="'
+_SRC_PAT = r'(?i)(?:^|[\s"])src="([^"]*)"'
+_ALT_PAT = r'(?i)(?:^|[\s"])alt="([^"]*)"'
+_HAS_ALT_PAT = r'(?i)(?:^|[\s"])alt="'
 OG_IMAGE_TAG_PAT = r'(?i)<meta\b[^>]*property="og:image"[^>]*>'
 _OG_TITLE_PAT = r'(?i)<meta\b[^>]*property="og:title"[^>]*content="([^"]*)"'
-_CONTENT_PAT = r'(?i)\bcontent="([^"]*)"'
+_CONTENT_PAT = r'(?i)(?:^|[\s"])content="([^"]*)"'
 
 # caption quality gate (LAION-style): non-trivial length, >= 2 words
 CAP_MIN_LEN = 5

@@ -135,10 +135,10 @@ def feed_items_udf(body: pd.Series) -> pd.Series:
 from pyspark.sql import DataFrame, Window
 
 _LINK_TAG_PAT = r"(?i)<link\b[^>]*>"
-_REL_PAT = r'(?i)\brel="([^"]*)"'
-_TYPE_PAT = r'(?i)\btype="([^"]*)"'
-_HREF_PAT = r'(?i)\bhref="([^"]*)"'
-_TITLE_PAT = r'(?i)\btitle="([^"]*)"'
+_REL_PAT = r'(?i)(?:^|[\s"])rel="([^"]*)"'
+_TYPE_PAT = r'(?i)(?:^|[\s"])type="([^"]*)"'
+_HREF_PAT = r'(?i)(?:^|[\s"])href="([^"]*)"'
+_TITLE_PAT = r'(?i)(?:^|[\s"])title="([^"]*)"'
 FEED_TYPES = {
     "application/rss+xml": "rss",
     "application/atom+xml": "atom",

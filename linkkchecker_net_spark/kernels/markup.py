@@ -72,40 +72,32 @@ def page_weight(pages: DataFrame) -> DataFrame:
     (url, total_bytes, script_bytes, style_bytes, comment_bytes,
     markup_bytes, text_bytes, text_ppm).
 
-    ``script/style/comment_bytes`` are the summed lengths of their
-    whole blocks (tags included); ``markup_bytes`` the remaining tag
-    octets; ``text_bytes`` what's left — the numerator of the
-    text-density number (`text_ppm`, floor) a host-level rollup uses
-    to spot template-heavy sites before wasting fetch budget on them.
+    ``script/style/comment_bytes`` are the lengths removed by
+    *successive* stripping (script first, then style, then comments on
+    what remains), so the classes PARTITION the page: an HTML comment
+    inside a ``<script>`` block (the classic ``<script><!-- ... //-->
+    </script>`` idiom) or a commented-out script counts exactly once
+    (r4 ADVICE — the old independent-harvest version double-subtracted
+    overlaps and could drive ``text_bytes`` negative).  ``markup_bytes``
+    is the remaining tag octets; ``text_bytes`` what's left (clamped at
+    0 as a belt-and-braces guard) — the numerator of the text-density
+    number (`text_ppm`, floor) a host-level rollup uses to spot
+    template-heavy sites before wasting fetch budget on them.
 
     Lengths are Spark `length()` = UTF-16-agnostic character counts on
     both engines (the synthetic corpus is ASCII; for production byte
     accounting swap in octet_length).
 
-    Scale: map-only codegen — three block harvests + one tag harvest,
-    each folded to a length sum; zero shuffles.
+    Scale: map-only codegen — a chain of three strips + one tag
+    harvest folded to a length sum; zero shuffles.
     """
-
-    def blk_len(pat):
-        return F.aggregate(
-            F.transform(
-                F.regexp_extract_all("body", F.lit(pat), 0), F.length
-            ),
-            F.lit(0),
-            lambda a, x: a + x,
-        )
-
     total = F.length("body")
-    script_b = blk_len(_SCRIPT_BLOCK)
-    style_b = blk_len(_STYLE_BLOCK)
-    comment_b = blk_len(_COMMENT_BLOCK)
-    stripped = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("body", _SCRIPT_BLOCK, ""), _STYLE_BLOCK, ""
-        ),
-        _COMMENT_BLOCK,
-        "",
-    )
+    no_script = F.regexp_replace("body", _SCRIPT_BLOCK, "")
+    no_ss = F.regexp_replace(no_script, _STYLE_BLOCK, "")
+    stripped = F.regexp_replace(no_ss, _COMMENT_BLOCK, "")
+    script_b = total - F.length(no_script)
+    style_b = F.length(no_script) - F.length(no_ss)
+    comment_b = F.length(no_ss) - F.length(stripped)
     markup_b = F.aggregate(
         F.transform(
             F.regexp_extract_all(stripped, F.lit(_TAG_PAT), 0), F.length
@@ -113,7 +105,9 @@ def page_weight(pages: DataFrame) -> DataFrame:
         F.lit(0),
         lambda a, x: a + x,
     )
-    text_b = total - script_b - style_b - comment_b - markup_b
+    text_b = F.greatest(
+        F.lit(0), total - script_b - style_b - comment_b - markup_b
+    )
     return pages.select(
         "url",
         total.alias("total_bytes"),

@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 
 # any open tag carrying the bare itemscope attribute
 _ITEMSCOPE_TAG = r"(?i)<[a-z][^>]*\sitemscope(\s|>|=)"
-_ITEMTYPE_ATTR = r'(?i)\bitemtype="([^"]*)"'
-_ITEMPROP_ATTR = r'(?i)\bitemprop="([^"]*)"'
+_ITEMTYPE_ATTR = r'(?i)(?:^|[\s"])itemtype="([^"]*)"'
+_ITEMPROP_ATTR = r'(?i)(?:^|[\s"])itemprop="([^"]*)"'
 
 
 def microdata_stats(pages: DataFrame, max_props: int = 32) -> DataFrame:

@@ -301,8 +301,10 @@ def sitemap_generate(
     spec-conformant sitemap XML (sitemaps.org 0.9) per host, chunked
     at the protocol's per-file URL limit (50k; parameterized for
     tests).  URLs sort lexicographically within host (deterministic
-    chunking under any partitioning); &, < and > are XML-escaped in
-    <loc> as the spec requires.
+    chunking under any partitioning); all five spec entities — &, <,
+    >, ' (&apos;) and " (&quot;) — are XML-escaped in <loc> as
+    sitemaps.org 0.9 requires (r4 ADVICE: the last two were missing;
+    order matters — & first so the later entities aren't re-escaped).
 
     urls: (host, url).  Output: (host, chunk, n_urls, xml).
 
@@ -313,15 +315,15 @@ def sitemap_generate(
     """
     from pyspark.sql import Window
 
-    esc = F.replace(
-        F.replace(
-            F.replace(F.col("url"), F.lit("&"), F.lit("&amp;")),
-            F.lit("<"),
-            F.lit("&lt;"),
-        ),
-        F.lit(">"),
-        F.lit("&gt;"),
-    )
+    esc = F.col("url")
+    for raw, ent in (
+        ("&", "&amp;"),   # must run first
+        ("<", "&lt;"),
+        (">", "&gt;"),
+        ("'", "&apos;"),
+        ('"', "&quot;"),
+    ):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
     w = Window.partitionBy("host").orderBy("url")
     ranked = urls.select(
         "host",

@@ -145,7 +145,7 @@ def srcset_candidates(
 
 _PICTURE_PAT = r"(?is)<picture\b.*?</picture>"
 _SOURCE_TAG_PAT = r"(?i)<source\b[^>]*>"
-_TYPE_PAT = r'(?i)\btype="([^"]*)"'
+_TYPE_PAT = r'(?i)(?:^|[\s"])type="([^"]*)"'
 
 # formats the crawling client advertises (avif deliberately absent so
 # the fallback ladder is exercised)
@@ -184,7 +184,7 @@ def picture_sources(pages: DataFrame) -> DataFrame:
     )
     source_url = F.split(first_candidate, r"\s+")[0]
     img_src = F.nullif(
-        F.regexp_extract("block", r'(?i)<img\b[^>]*\bsrc="([^"]*)"', 1),
+        F.regexp_extract("block", r'(?i)<img\b[^>]*(?:^|[\s"])src="([^"]*)"', 1),
         F.lit(""),
     )
     chosen_url = F.coalesce(source_url, img_src)

@@ -514,9 +514,14 @@ def image_funnel(
     )
 
 
-def resize_images(corpus: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """Nearest-neighbor resize (pure numpy — the 'real' branch of the
-    multimodal transform pattern); emits re-encoded lossless bytes."""
+def nn_thumbnails(corpus: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Nearest-neighbor thumbnail (pure numpy — the 'real' branch of the
+    multimodal transform pattern); emits re-encoded lossless bytes.
+
+    Renamed from ``resize_images`` (r4 verdict item 3): the module's second
+    ``resize_images`` (area-average, oracled) silently shadowed this one.
+    ``tests/test_no_shadowed_defs.py`` now pins the whole package against the
+    duplicate-top-level-def class of bug."""
 
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -442,7 +442,7 @@ def host_templates(
 
 # -- declared-vs-detected content language ----------------------------------
 
-_HTML_LANG_PAT = r'(?i)<html\b[^>]*\blang="([^"]*)"'
+_HTML_LANG_PAT = r'(?i)<html\b[^>]*(?:^|[\s"])lang="([^"]*)"'
 _CONTENT_LANGUAGE_PAT = r"(?im)^content-language:[ \t]*([^\r\n]*)"
 
 

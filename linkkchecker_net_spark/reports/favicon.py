@@ -33,9 +33,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 LINK_TAG_PAT = r"(?i)<link\b[^>]*>"
-REL_ATTR_PAT = r'(?i)\brel="([^"]*)"'
-HREF_ATTR_PAT = r'(?i)\bhref="([^"]*)"'
-SIZES_ATTR_PAT = r'(?i)\bsizes="([^"]*)"'
+REL_ATTR_PAT = r'(?i)(?:^|[\s"])rel="([^"]*)"'
+HREF_ATTR_PAT = r'(?i)(?:^|[\s"])href="([^"]*)"'
+SIZES_ATTR_PAT = r'(?i)(?:^|[\s"])sizes="([^"]*)"'
 ICON_RELS = ("icon", "shortcut icon", "apple-touch-icon")
 ANY_SIZE = 1_000_000
 

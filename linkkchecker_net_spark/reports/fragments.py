@@ -31,10 +31,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # any tag's id= attribute, plus the HTML4 legacy <a name=...> anchor
-ID_PAT = r'(?i)\bid="([^"]*)"'
-NAME_PAT = r'(?i)<a\b[^>]*\bname="([^"]*)"'
+ID_PAT = r'(?i)(?:^|[\s"])id="([^"]*)"'
+NAME_PAT = r'(?i)<a\b[^>]*(?:^|[\s"])name="([^"]*)"'
 # hrefs that carry a fragment (the only links this audit concerns)
-FRAG_HREF_PAT = r'(?i)<a\b[^>]*\bhref="([^"]*#[^"]*)"'
+FRAG_HREF_PAT = r'(?i)<a\b[^>]*(?:^|[\s"])href="([^"]*#[^"]*)"'
 
 
 def fragment_audit(pages: DataFrame) -> DataFrame:

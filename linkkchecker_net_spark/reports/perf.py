@@ -17,8 +17,8 @@ from pyspark.sql import functions as F
 _HEAD_PAT = r"(?is)^(.*?)</head>"
 _SCRIPT_TAG = r"(?i)<script\b[^>]*>"
 _LINK_TAG = r"(?i)<link\b[^>]*>"
-_SRC_ATTR = r'(?i)\bsrc="([^"]*)"'
-_HREF_ATTR = r'(?i)\bhref="([^"]*)"'
+_SRC_ATTR = r'(?i)(?:^|[\s"])src="([^"]*)"'
+_HREF_ATTR = r'(?i)(?:^|[\s"])href="([^"]*)"'
 _ORIGIN_PAT = r"(?i)^(https?://[^/\"]+)"
 
 
@@ -45,12 +45,12 @@ def render_blocking_audit(pages: DataFrame) -> DataFrame:
     blocking_scripts = F.filter(
         src_scripts,
         lambda t: ~t.rlike(r"(?i)\s(defer|async)(\s|>|=)")
-        & ~t.rlike(r'(?i)\btype="module"'),
+        & ~t.rlike(r'(?i)(?:^|[\s"])type="module"'),
     )
     links = F.regexp_extract_all(head, F.lit(_LINK_TAG), 0)
     styles = F.filter(
         links,
-        lambda t: F.lower(F.regexp_extract(t, r'(?i)\brel="([^"]*)"', 1))
+        lambda t: F.lower(F.regexp_extract(t, r'(?i)(?:^|[\s"])rel="([^"]*)"', 1))
         == "stylesheet",
     )
     return pages.select(
@@ -87,7 +87,7 @@ def preconnect_audit(pages: DataFrame) -> DataFrame:
     links = F.regexp_extract_all("body", F.lit(_LINK_TAG), 0)
     pre_tags = F.filter(
         links,
-        lambda t: F.lower(F.regexp_extract(t, r'(?i)\brel="([^"]*)"', 1))
+        lambda t: F.lower(F.regexp_extract(t, r'(?i)(?:^|[\s"])rel="([^"]*)"', 1))
         .isin("preconnect", "dns-prefetch"),
     )
     # _origin's regex stops at the first '/', so a trailing-slash href
@@ -105,7 +105,7 @@ def preconnect_audit(pages: DataFrame) -> DataFrame:
     imgs = F.regexp_extract_all("body", F.lit(r"(?i)<img\b[^>]*>"), 0)
     other_links = F.filter(
         links,
-        lambda t: ~F.lower(F.regexp_extract(t, r'(?i)\brel="([^"]*)"', 1))
+        lambda t: ~F.lower(F.regexp_extract(t, r'(?i)(?:^|[\s"])rel="([^"]*)"', 1))
         .isin("preconnect", "dns-prefetch"),
     )
     refs = F.concat(
@@ -145,17 +145,17 @@ def preload_audit(pages: DataFrame) -> DataFrame:
 
     def rel_is(value):
         return lambda t: (
-            F.lower(F.regexp_extract(t, r'(?i)\brel="([^"]*)"', 1)) == value
+            F.lower(F.regexp_extract(t, r'(?i)(?:^|[\s"])rel="([^"]*)"', 1)) == value
         )
 
     pre = F.filter(links, rel_is("preload"))
     no_as = F.filter(
-        pre, lambda t: F.regexp_extract(t, r'(?i)\bas="([^"]*)"', 1) == ""
+        pre, lambda t: F.regexp_extract(t, r'(?i)(?:^|[\s"])as="([^"]*)"', 1) == ""
     )
     font_no_co = F.filter(
         pre,
         lambda t: (
-            F.lower(F.regexp_extract(t, r'(?i)\bas="([^"]*)"', 1)) == "font"
+            F.lower(F.regexp_extract(t, r'(?i)(?:^|[\s"])as="([^"]*)"', 1)) == "font"
         )
         & ~t.rlike(r"(?i)\scrossorigin(\s|>|=)"),
     )

@@ -33,9 +33,9 @@ from pyspark.sql import functions as F
 # W3C mixed-content tag families.  Anchored http:// in the capture so
 # https/relative refs never enter the exploded stream (pushdown by
 # construction — the join input is only the at-risk refs).
-PASSIVE_PAT = r'(?i)<(?:img|video|audio|source)\b[^>]*\bsrc="(http://[^"]*)"'
-ACTIVE_SRC_PAT = r'(?i)<(?:script|iframe)\b[^>]*\bsrc="(http://[^"]*)"'
-ACTIVE_HREF_PAT = r'(?i)<link\b[^>]*\bhref="(http://[^"]*)"'
+PASSIVE_PAT = r'(?i)<(?:img|video|audio|source)\b[^>]*(?:^|[\s"])src="(http://[^"]*)"'
+ACTIVE_SRC_PAT = r'(?i)<(?:script|iframe)\b[^>]*(?:^|[\s"])src="(http://[^"]*)"'
+ACTIVE_HREF_PAT = r'(?i)<link\b[^>]*(?:^|[\s"])href="(http://[^"]*)"'
 
 
 def mixed_content_audit(pages: DataFrame) -> DataFrame:
@@ -101,10 +101,10 @@ def mixed_content_audit(pages: DataFrame) -> DataFrame:
 
 SCRIPT_TAG_PAT = r"(?i)<script\b[^>]*>"
 LINK_TAG_PAT = r"(?i)<link\b[^>]*>"
-SRC_ATTR_PAT = r'(?i)\bsrc="([^"]*)"'
-HREF_ATTR_PAT = r'(?i)\bhref="([^"]*)"'
-INTEGRITY_ATTR_PAT = r'(?i)\bintegrity="([^"]*)"'
-REL_STYLESHEET_PAT = r'(?i)\brel="stylesheet"'
+SRC_ATTR_PAT = r'(?i)(?:^|[\s"])src="([^"]*)"'
+HREF_ATTR_PAT = r'(?i)(?:^|[\s"])href="([^"]*)"'
+INTEGRITY_ATTR_PAT = r'(?i)(?:^|[\s"])integrity="([^"]*)"'
+REL_STYLESHEET_PAT = r'(?i)(?:^|[\s"])rel="stylesheet"'
 SRI_ALGO_PAT = r"^(sha256|sha384|sha512)-"
 REF_HOST_PAT = r"^https?://([^/]+)"
 
@@ -211,8 +211,8 @@ CSP_HEADER_PAT = r"(?im)^content-security-policy:[ \t]*([^\r\n]*)"
 
 REFERRER_HEADER_PAT = r"(?im)^referrer-policy:[ \t]*([^\r\n]*)"
 META_TAG_PAT = r"(?i)<meta\b[^>]*>"
-META_NAME_REFERRER_PAT = r'(?i)\bname="referrer"'
-CONTENT_ATTR_PAT = r'(?i)\bcontent="([^"]*)"'
+META_NAME_REFERRER_PAT = r'(?i)(?:^|[\s"])name="referrer"'
+CONTENT_ATTR_PAT = r'(?i)(?:^|[\s"])content="([^"]*)"'
 
 VALID_REFERRER_POLICIES = [
     "no-referrer",
@@ -353,8 +353,8 @@ def csp_parse(responses: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 A_TAG_PAT = r"(?i)<a\b[^>]*>"
-TARGET_ATTR_PAT = r'(?i)\btarget="([^"]*)"'
-REL_ATTR_PAT = r'(?i)\brel="([^"]*)"'
+TARGET_ATTR_PAT = r'(?i)(?:^|[\s"])target="([^"]*)"'
+REL_ATTR_PAT = r'(?i)(?:^|[\s"])rel="([^"]*)"'
 ABS_HTTP_PAT = r"(?i)^https?://"
 
 
@@ -447,7 +447,7 @@ def hsts_audit(responses: DataFrame) -> DataFrame:
 
 
 _OR_A_TAG = r"(?i)<a\b[^>]*>"
-_OR_HREF = r'(?i)\bhref="([^"]*)"'
+_OR_HREF = r'(?i)(?:^|[\s"])href="([^"]*)"'
 # a query parameter whose VALUE starts with an absolute http(s) URL,
 # plain or percent-encoded — the open-redirect smell
 _OR_EMBEDDED = r"(?i)[?&][^=&#]*=(https?://|https?%3a%2f%2f)"
@@ -506,14 +506,14 @@ def tracker_audit(pages: DataFrame) -> DataFrame:
     imgs = F.regexp_extract_all("body", F.lit(r"(?i)<img\b[^>]*>"), 0)
     pixels = F.filter(
         imgs,
-        lambda t: t.rlike(r'(?i)\bwidth="1"') & t.rlike(r'(?i)\bheight="1"'),
+        lambda t: t.rlike(r'(?i)(?:^|[\s"])width="1"') & t.rlike(r'(?i)(?:^|[\s"])height="1"'),
     )
     refs = F.concat(
         F.transform(
             F.regexp_extract_all("body", F.lit(r"(?i)<script\b[^>]*>"), 0),
-            lambda t: F.regexp_extract(t, r'(?i)\bsrc="([^"]*)"', 1),
+            lambda t: F.regexp_extract(t, r'(?i)(?:^|[\s"])src="([^"]*)"', 1),
         ),
-        F.transform(imgs, lambda t: F.regexp_extract(t, r'(?i)\bsrc="([^"]*)"', 1)),
+        F.transform(imgs, lambda t: F.regexp_extract(t, r'(?i)(?:^|[\s"])src="([^"]*)"', 1)),
     )
     trackers = F.filter(refs, lambda h: h.rlike(_TRACKER_HOST_RE))
     return pages.select(

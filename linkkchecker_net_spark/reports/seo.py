@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 _TITLE_PAT = r"(?is)<title\b[^>]*>(.*?)</title>"
 _HEADING_PAT = r"(?i)<h([1-6])\b"
 _IMG_TAG_PAT = r"(?i)<img\b[^>]*>"
-_ALT_ATTR_PAT = r'(?i)\balt="([^"]*)"'
+_ALT_ATTR_PAT = r'(?i)(?:^|[\s"])alt="([^"]*)"'
 
 TITLE_MAX = 60
 TITLE_MIN = 10
@@ -181,7 +181,7 @@ def alt_audit(pages: DataFrame) -> DataFrame:
 
 
 _META_TAG_PAT = r"(?i)<meta\b[^>]*>"
-_CONTENT_PAT = r'(?i)\bcontent="([^"]*)"'
+_CONTENT_PAT = r'(?i)(?:^|[\s"])content="([^"]*)"'
 
 
 def _first_meta_content(metas, key: str):
@@ -191,7 +191,7 @@ def _first_meta_content(metas, key: str):
     hit = F.filter(
         metas,
         lambda t: t.rlike(
-            rf'(?i)\b(?:property|name)="{key}"'
+            rf'(?i)(?:^|[\s"])(?:property|name)="{key}"'
         ),
     )
     return F.nullif(
@@ -256,14 +256,14 @@ def canonical_consistency(pages: DataFrame) -> DataFrame:
     """
     links = F.regexp_extract_all("body", F.lit(_CANONICAL_LINK_PAT), 0)
     canon_tags = F.filter(
-        links, lambda t: F.lower(F.regexp_extract(t, r'(?i)\brel="([^"]*)"', 1))
+        links, lambda t: F.lower(F.regexp_extract(t, r'(?i)(?:^|[\s"])rel="([^"]*)"', 1))
         == "canonical"
     )
     canonical = F.nullif(
         F.trim(
             F.regexp_extract(
                 F.when(F.size(canon_tags) > 0, F.element_at(canon_tags, 1)),
-                r'(?i)\bhref="([^"]*)"',
+                r'(?i)(?:^|[\s"])href="([^"]*)"',
                 1,
             )
         ),
@@ -273,7 +273,7 @@ def canonical_consistency(pages: DataFrame) -> DataFrame:
     og_url = F.when(
         F.size(
             F.filter(
-                metas, lambda t: t.rlike(r'(?i)\b(?:property|name)="og:url"')
+                metas, lambda t: t.rlike(r'(?i)(?:^|[\s"])(?:property|name)="og:url"')
             )
         )
         > 0,
@@ -284,7 +284,7 @@ def canonical_consistency(pages: DataFrame) -> DataFrame:
                         F.filter(
                             metas,
                             lambda t: t.rlike(
-                                r'(?i)\b(?:property|name)="og:url"'
+                                r'(?i)(?:^|[\s"])(?:property|name)="og:url"'
                             ),
                         ),
                         1,
@@ -315,8 +315,8 @@ def canonical_consistency(pages: DataFrame) -> DataFrame:
 
 
 _A_TAG_PAT = r"(?i)<a\b[^>]*>"
-_HREF_ATTR_PAT = r'(?i)\bhref="([^"]*)"'
-_REL_ATTR_PAT = r'(?i)\brel="([^"]*)"'
+_HREF_ATTR_PAT = r'(?i)(?:^|[\s"])href="([^"]*)"'
+_REL_ATTR_PAT = r'(?i)(?:^|[\s"])rel="([^"]*)"'
 
 
 def outlink_stats(pages: DataFrame) -> DataFrame:
@@ -428,7 +428,7 @@ def amp_audit(pages: DataFrame) -> DataFrame:
         # as the two-arg (element, index) filter form
         pred = (
             lambda r: lambda t: F.lower(
-                F.regexp_extract(t, r'(?i)\brel="([^"]*)"', 1)
+                F.regexp_extract(t, r'(?i)(?:^|[\s"])rel="([^"]*)"', 1)
             )
             == r
         )(rel)
@@ -437,7 +437,7 @@ def amp_audit(pages: DataFrame) -> DataFrame:
             F.trim(
                 F.regexp_extract(
                     F.when(F.size(tags) > 0, F.element_at(tags, 1)),
-                    r'(?i)\bhref="([^"]*)"',
+                    r'(?i)(?:^|[\s"])href="([^"]*)"',
                     1,
                 )
             ),
@@ -477,7 +477,7 @@ def amp_audit(pages: DataFrame) -> DataFrame:
 
 
 _GENERATOR_PAT = (
-    r'(?i)<meta\b[^>]*\bname="generator"[^>]*\bcontent="([^"]*)"'
+    r'(?i)<meta\b[^>]*(?:^|[\s"])name="generator"[^>]*(?:^|[\s"])content="([^"]*)"'
 )
 
 
@@ -498,7 +498,7 @@ def tech_fingerprint(pages: DataFrame) -> DataFrame:
     gen_a = F.regexp_extract("body", _GENERATOR_PAT, 1)
     gen_b = F.regexp_extract(
         "body",
-        r'(?i)<meta\b[^>]*\bcontent="([^"]*)"[^>]*\bname="generator"',
+        r'(?i)<meta\b[^>]*(?:^|[\s"])content="([^"]*)"[^>]*(?:^|[\s"])name="generator"',
         1,
     )
     generator = F.nullif(
@@ -545,10 +545,10 @@ def lazy_loading_audit(pages: DataFrame) -> DataFrame:
     zero shuffles.
     """
     imgs = F.regexp_extract_all("body", F.lit(_IMG_TAG_PAT), 0)
-    lazy = F.filter(imgs, lambda t: t.rlike(r'(?i)\bloading="lazy"'))
+    lazy = F.filter(imgs, lambda t: t.rlike(r'(?i)(?:^|[\s"])loading="lazy"'))
     first_lazy = F.when(
         F.size(imgs) > 0,
-        F.element_at(imgs, 1).rlike(r'(?i)\bloading="lazy"'),
+        F.element_at(imgs, 1).rlike(r'(?i)(?:^|[\s"])loading="lazy"'),
     )
     return pages.select(
         "url",
@@ -562,15 +562,18 @@ def lazy_loading_audit(pages: DataFrame) -> DataFrame:
     )
 
 
-_PRICE_PAT = r"[$€£][ ]?([0-9]{1,7})(\.([0-9]{2}))?"
+_PRICE_PAT = r"[$€£][ ]?([0-9]{1,3}(?:,[0-9]{3})+|[0-9]{1,7})(\.([0-9]{2}))?"
 
 
 def price_extract(pages: DataFrame) -> DataFrame:
     """Price harvest for e-commerce crawl analytics: currency-prefixed
-    amounts ($ € £, optional single space, up to 7 integer digits,
-    optional 2-digit cents) extracted to exact integer cents — the
-    product-datasheet signal feeding price-tracking and
-    structured-data cross-checks (jsonld/microdata offers).
+    amounts ($ € £, optional single space, comma-grouped thousands
+    ('$1,299.00' — the common US e-commerce format, r4 ADVICE) or up
+    to 7 plain integer digits, optional 2-digit cents) extracted to
+    exact integer cents — the product-datasheet signal feeding
+    price-tracking and structured-data cross-checks (jsonld/microdata
+    offers).  Commas are stripped before the cast, so '$1,299.00'
+    yields 129900 cents (the old grammar silently matched '$1' → 100).
 
     Output: (url, n_prices, min_cents, max_cents) — NULLs when no
     price matches.
@@ -583,7 +586,7 @@ def price_extract(pages: DataFrame) -> DataFrame:
     cents = F.zip_with(
         whole,
         cents_part,
-        lambda d, c: d.cast("long") * 100
+        lambda d, c: F.replace(d, F.lit(","), F.lit("")).cast("long") * 100
         + F.when(c == "", F.lit(0)).otherwise(c.cast("long")),
     )
     return pages.select(
@@ -625,7 +628,7 @@ def price_consistency(pages: DataFrame) -> DataFrame:
     visible = F.zip_with(
         F.regexp_extract_all("body", F.lit(_PRICE_PAT), 1),
         F.regexp_extract_all("body", F.lit(_PRICE_PAT), 3),
-        lambda d, c: d.cast("long") * 100
+        lambda d, c: F.replace(d, F.lit(","), F.lit("")).cast("long") * 100
         + F.when(c == "", F.lit(0)).otherwise(c.cast("long")),
     )
     mn, mx = F.array_min(visible), F.array_max(visible)

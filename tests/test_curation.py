@@ -670,3 +670,115 @@ def test_temporal_split_leakage(spark):
     r = temporal_split(ev, cutoff_us=cutoff).collect()[0]
     assert (r["n_train"], r["n_test"], r["n_users"]) == (2, 2, 3)
     assert r["n_leaky_users"] == 1 and r["leaky_ppm"] == 333_333
+
+
+def test_url_blocklist_gate_and_funnel_composition(spark):
+    """r4 verdict item 4: the C4/RefinedWeb first-stage URL filter.
+    Domain verdicts outrank substring rules; the keep column composes
+    with curation_funnel as the upstream gate (a doc dropped by either
+    gate is dropped by the composition, reason attributes to the FIRST
+    failing stage — blocklist runs before content ever loads)."""
+    from linkkchecker_net_spark.pipeline.blocklist import url_blocklist
+    from linkkchecker_net_spark.pipeline.curation import curation_funnel
+
+    pages = spark.createDataFrame(
+        [
+            ("d0", "http://a.bad.example.com/x", "a.bad.example.com"),
+            ("d1", "http://ok.test/casino/slots", "ok.test"),
+            ("d2", "http://ok.test/page?sessionid=9", "ok.test"),
+            ("d3", "http://fine.test/article", "fine.test"),
+            ("d4", "http://sub.bad.example.com/casino", "sub.bad.example.com"),
+        ],
+        "doc_id string, url string, host string",
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    out = {
+        r["url"]: r
+        for r in url_blocklist(
+            pages, bl, ["casino", "sessionid="]
+        ).collect()
+    }
+    # both subdomains fall with the registrable domain
+    assert out["http://a.bad.example.com/x"]["reason"] == "blocked_domain"
+    assert out["http://sub.bad.example.com/casino"]["reason"] == "blocked_domain"
+    # ...and domain wins over the also-matching substring rule
+    assert out["http://sub.bad.example.com/casino"]["matched_rule"] == "casino"
+    assert out["http://ok.test/casino/slots"]["reason"] == "blocked_url"
+    assert out["http://ok.test/page?sessionid=9"]["matched_rule"] == "sessionid="
+    assert out["http://fine.test/article"]["keep"] is True
+
+    # funnel composition: blocklist keep gates which docs reach the
+    # content funnel; d3 is the only URL-clean doc
+    docs = spark.createDataFrame(
+        [("d3", "the quick brown fox jumps over the lazy dog and then "
+                "the fox naps while the dog watches the quiet yard "
+                "with one open eye")],
+        "doc_id string, text string",
+    )
+    gate = url_blocklist(pages, bl, ["casino", "sessionid="]).join(
+        pages.select("doc_id", "url"), "url"
+    )
+    survivors = gate.filter("keep").select("doc_id").join(docs, "doc_id")
+    funnel = curation_funnel(survivors).collect()
+    assert [r["doc_id"] for r in funnel] == ["d3"]
+
+
+def _py_bpe(word_freqs, n_merges):
+    """Plain-Python Sennrich reference: greedy left-to-right
+    non-overlapping merges, ties (cnt desc, w1 asc, w2 asc)."""
+    vocab = {}
+    for w, f in word_freqs.items():
+        k = tuple(list(w) + ["</w>"])
+        vocab[k] = vocab.get(k, 0) + f
+    merges = []
+    for r in range(1, n_merges + 1):
+        pc = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + f
+        if not pc:
+            break
+        (w1, w2), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, w1, w2, cnt))
+        nxt = {}
+        for syms, f in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == w1 and x == w2:
+                    out[-1] = w1 + w2
+                else:
+                    out.append(x)
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + f
+        vocab = nxt
+    return merges
+
+
+def test_bpe_merges_matches_python_reference(spark):
+    """r4 verdict item 5: the FULL merge loop (not just iteration 1)
+    equals a plain-Python Sennrich implementation on an irregular
+    corpus, including the overlapping-run case ('aaaa' must merge to
+    [aa, aa], never [aaa, a]) and tie-breaking."""
+    from linkkchecker_net_spark.pipeline.curation import bpe_merges
+
+    freqs = {"low": 3, "lower": 2, "newest": 4, "widest": 1, "aaaa": 2}
+    rows = []
+    did = 0
+    for w, f in freqs.items():
+        for _ in range(f):
+            rows.append((did, w))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["w1"], r["w2"], r["cnt"])
+        for r in bpe_merges(docs, n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    want = _py_bpe(freqs, 8)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+    # the overlap rule actually fired: (a,a) was merged at some round,
+    # and a later round merged (aa,aa), not (aaa,a)
+    pairs = {(w1, w2) for _, w1, w2, _ in got}
+    assert ("a", "a") in pairs and ("aaa", "a") not in pairs

@@ -42,12 +42,32 @@ def _norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
+# Physical-dtype guard: the driver's value hash canonicalizes through
+# pandas/Arrow, where every signed int ≤64 bits unifies — but a DuckDB
+# HUGEINT (int128, what SUM(BIGINT) returns) or unsigned 64-bit column
+# changes the pandas representation and diverges even when every value is
+# equal.  That was exactly the r4 ann_ivf red (rows_match and schema_match
+# green, hash red).  compare_query therefore rejects any oracle column whose
+# physical type can't round-trip the driver's canonicalization.
+_DRIVER_UNSAFE_DUCK_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT"}
+
+
 def compare_query(spark, duck, name):
     qfn = entrymod.queries()[name]
     sdf = qfn(spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     sql = entrymod.oracle_sql()[name]
+    rel = duck.sql(sql)
+    bad_types = {
+        c: str(t)
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) in _DRIVER_UNSAFE_DUCK_TYPES
+    }
+    assert not bad_types, (
+        f"{name}: oracle emits driver-unsafe physical dtypes (the driver "
+        f"hash diverges even on equal values — CAST to BIGINT): {bad_types}"
+    )
     res = duck.execute(sql)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
@@ -70,14 +90,14 @@ NON_CRAWL = [
     "decontaminate", "stratified_sample", "shard_assign", "vocab_topk",
     "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
     "redact_pii", "weighted_sample", "semantic_dedup", "bm25", "tfidf_topk",
-    "unigram_ppl", "bigram_ppl", "bpe_pairs", "dsir_weights",
+    "unigram_ppl", "bigram_ppl", "bpe_pairs", "bpe_merges", "dsir_weights",
     "image_clusters", "image_quality_gate", "image_dedup_keep", "image_search",
     "aspect_bucket", "image_shard_pack", "curation_funnel", "image_funnel",
     "ann_ivf", "dup_span", "domain_cap", "sessionize", "parse_robots",
     "clip_align", "hll_users", "cms_tokens", "ann_sq8", "robots_sitemaps",
     "resolve_redirects", "url_traps", "host_linkgraph", "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
-    "registrable_domains", "change_rate",
+    "registrable_domains", "url_blocklist", "change_rate",
     "meta_robots", "nofollow_links", "rel_canonical",
     "c4_lines", "paragraph_dedup", "cdc_dedup", "sitemap_meta", "budget_alloc",
     "image_borders", "charset_sniff", "cache_policy", "warc_manifest",

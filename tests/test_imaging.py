@@ -270,3 +270,33 @@ def test_pixel_verify_codec_noise_vs_distinct(spark):
             assert r["sad"] == sad and r["dup"] is True
         else:
             assert r["dup"] is False and r["mae_ppm"] > 20000
+
+
+# ------------------------------------------------------------ nn_thumbnails
+def test_nn_thumbnails_matches_numpy_index_math(spark):
+    """The nearest-neighbor thumb (un-shadowed in r5 — was dead code behind
+    the area-average resize_images) equals direct numpy fancy-indexing on
+    the decoded source, per image, bit-for-bit after lossless round-trip."""
+    import pandas as pd
+    from linkkchecker_net_spark.pipeline.multimodal import nn_thumbnails
+
+    rows = []
+    rng_vals = [(7, 11), (12, 9), (30, 5)]
+    for i, (w, h) in enumerate(rng_vals):
+        arr = ((np.arange(h * w * 3).reshape(h, w, 3) * (i * 31 + 7)) % 251
+               ).astype(np.uint8)
+        rows.append({"image_id": f"im{i}", "bytes": imaging.encode_image(arr, "png"),
+                     "fmt": "png", "_arr": arr})
+    corpus = spark.createDataFrame(
+        pd.DataFrame([{k: v for k, v in r.items() if k != "_arr"} for r in rows])
+    )
+    out = {r["image_id"]: bytes(r["thumb"])
+           for r in nn_thumbnails(corpus, out_w=4, out_h=3).collect()}
+    assert len(out) == 3
+    for i, r in enumerate(rows):
+        arr = r["_arr"]
+        ys = (np.arange(3) * arr.shape[0] // 3).clip(0, arr.shape[0] - 1)
+        xs = (np.arange(4) * arr.shape[1] // 4).clip(0, arr.shape[1] - 1)
+        want = arr[ys][:, xs]
+        got = imaging.decode_image(out[f"im{i}"], "png")
+        assert np.array_equal(got, want)

@@ -1106,7 +1106,7 @@ def test_sitemap_generate_roundtrip(spark):
         [("h.test", "http://h.test/a?x=1&y=2"),
          ("h.test", "http://h.test/b"),
          ("h.test", "http://h.test/c"),
-         ("i.test", "http://i.test/only")],
+         ("i.test", "http://i.test/only?t='v'&q=\"w\"")],
         "host string, url string",
     )
     out = sitemap_generate(urls, max_per_file=2).collect()
@@ -1116,12 +1116,18 @@ def test_sitemap_generate_roundtrip(spark):
     assert by_key[("i.test", 0)]["n_urls"] == 1
     xml0 = by_key[("h.test", 0)]["xml"]
     assert "&amp;" in xml0 and "&y=2" not in xml0  # escaped
+    # r4 ADVICE: ' and " must emit as &apos;/&quot; (all five entities)
+    xml_i = by_key[("i.test", 0)]["xml"]
+    assert "&apos;v&apos;" in xml_i and "&quot;w&quot;" in xml_i
+    assert "'v'" not in xml_i and '"w"' not in xml_i.split(">", 1)[1]
     # round-trip through the stdlib parser with the sitemap namespace
     import xml.etree.ElementTree as ET
 
     ns = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
     locs = [e.text for e in ET.fromstring(xml0).iter(f"{ns}loc")]
     assert locs == ["http://h.test/a?x=1&y=2", "http://h.test/b"]
+    locs_i = [e.text for e in ET.fromstring(xml_i).iter(f"{ns}loc")]
+    assert locs_i == ["http://i.test/only?t='v'&q=\"w\""]
 
 
 def test_length_bucket_waste_exact(spark):
@@ -1170,6 +1176,34 @@ def test_page_weight_classes(spark):
     assert r["markup_bytes"] == 7          # <p> + </p>
     assert r["text_bytes"] == 2            # "hi"
     assert r["total_bytes"] == len(body)
+
+
+def test_page_weight_comment_inside_script_counts_once(spark):
+    """r4 ADVICE: the <script><!-- ... //--></script> idiom must count in
+    script_bytes ONLY — successive stripping makes the classes partition
+    the page, so text_bytes stays exact (and never negative)."""
+    from linkkchecker_net_spark.kernels.markup import page_weight
+
+    script = "<script><!-- var x=1; //--></script>"
+    body = script + "<p>ok</p>"
+    df = spark.createDataFrame([("u", body)], "url string, body string")
+    r = page_weight(df).collect()[0]
+    assert r["script_bytes"] == len(script)
+    assert r["comment_bytes"] == 0          # swallowed by the script strip
+    assert r["markup_bytes"] == 7
+    assert r["text_bytes"] == 2             # "ok"
+    parts = (r["script_bytes"] + r["style_bytes"] + r["comment_bytes"]
+             + r["markup_bytes"] + r["text_bytes"])
+    assert parts == r["total_bytes"] == len(body)
+
+    # commented-out script: the comment strip takes the whole block
+    body2 = "<!--<script>dead()</script>--><p>hi</p>"
+    r2 = page_weight(
+        spark.createDataFrame([("u", body2)], "url string, body string")
+    ).collect()[0]
+    assert r2["script_bytes"] == len("<script>dead()</script>")
+    assert r2["comment_bytes"] == len("<!----> ") - 1  # the comment shell
+    assert r2["text_bytes"] == 2 and r2["text_bytes"] >= 0
 
 
 def test_robots_generate_round_trips_own_parser(spark):

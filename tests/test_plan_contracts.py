@@ -529,3 +529,68 @@ def test_session_r4_rollups_partial_aggregate(spark):
     cl = docs.select("doc_id", (F.col("doc_id") % 7).alias("cluster_id"))
     p2 = _plan(cluster_size_stats(cl))
     assert p2.count("Exchange") == 2, p2  # cluster_id agg + size agg
+
+
+def test_split_divergence_composes_lazily(spark):
+    """r4 ADVICE: constructing split_divergence must NOT run a Spark job
+    (the old version called vocab.count() eagerly, triggering a full
+    token scan before the caller ever executed the result).  The joint
+    vocab size now rides the plan as a 1-row broadcast aggregate."""
+    from linkkchecker_net_spark.pipeline.curation import split_divergence
+
+    docs = spark.createDataFrame(
+        [(str(i), f"tok{i % 7} tok{i % 3} x") for i in range(40)],
+        "doc_id string, text string",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out = split_divergence(docs)          # construction: zero jobs
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, f"construction ran jobs: {sorted(after - before)}"
+    rows = {r["split"]: r for r in out.collect()}   # execution still works
+    assert set(rows) == {"val", "test"}
+
+
+def test_host_concentration_windows_sit_on_host_table(spark):
+    """r4 verdict item 7: host_concentration's Gini ranks/cumsums run in
+    ONE partition by design — acceptable ONLY because their input is the
+    host-aggregated table (docstring-bounded ≤10^7 rows at web scale),
+    never the document stream.  This pins that shape: the single-partition
+    exchange must sit ABOVE a partial-aggregated host count, so a refactor
+    that windows the raw pages fails here.  (The range-partition + offset
+    pattern W2 uses is the upgrade path if host cardinality ever grows.)"""
+    from linkkchecker_net_spark.pipeline.reputation import host_concentration
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "concat('h', doc_id % 31) AS host"
+    )
+    p = _plan(host_concentration(docs))
+    assert "Exchange SinglePartition" in p, p
+    # the host count partial-aggregates BEFORE anything goes single-partition
+    pre = p.split("Exchange SinglePartition", 1)[1]
+    assert "partial_count" in pre, p
+    # exactly one single-partition funnel feeds both window directions
+    assert p.count("Exchange SinglePartition") <= 2, p
+
+
+def test_url_blocklist_broadcasts_and_never_shuffles_pages(spark):
+    """The blocklist gate is the cheapest filter per dropped byte ONLY
+    if the page stream stays map-side: the domain list must broadcast
+    (no shuffle of pages) and the substring scan must be codegen (no
+    Python, no exchange)."""
+    from linkkchecker_net_spark.pipeline.blocklist import url_blocklist
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "concat('http://h', doc_id % 13, '.test/p', doc_id) AS url",
+        "concat('h', doc_id % 13, '.test') AS host",
+    )
+    bl = spark.createDataFrame([("h1.test",), ("h2.test",)], "domain string")
+    p = _plan(url_blocklist(docs, bl, ["casino", "session="]))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "Python" not in p, p  # rules scan is a codegen array filter
+    # the ONLY exchange allowed is the blocklist-side distinct, which
+    # lives UNDER the BroadcastExchange (build side); the probe/page
+    # subtree above it must be exchange-free
+    probe_side = p.split("BroadcastExchange", 1)[0]
+    assert "Exchange hashpartitioning" not in probe_side, p

@@ -492,6 +492,9 @@ def test_tech_fingerprint_orders_and_fallbacks(spark):
         ("u3", '<link href="/wp-content/x.css">'),  # fingerprint only
         ("u4", '<meta name="generator" content="Hugo 0.121.0">'),
         ("u5", "<p>nothing</p>"),
+        # r4 ADVICE: \b held between '-' and 'n', so data-name="generator"
+        # mis-fingerprinted; the anchored grammar must ignore the decoy
+        ("u6", '<meta data-name="generator" content="Decoy 9.9">'),
     ]
     df = spark.createDataFrame(pages, "url string, body string")
     out = {r["url"]: r for r in tech_fingerprint(df).collect()}
@@ -501,6 +504,7 @@ def test_tech_fingerprint_orders_and_fallbacks(spark):
     assert out["u3"]["platform"] == "wordpress" and out["u3"]["generator"] is None
     assert out["u4"]["platform"] == "hugo" and out["u4"]["version"] == "0.121.0"
     assert out["u5"]["platform"] == "unknown"
+    assert out["u6"]["platform"] == "unknown" and out["u6"]["generator"] is None
 
 
 def test_price_extract_cents(spark):
@@ -509,9 +513,14 @@ def test_price_extract_cents(spark):
     pages = [
         ("u1", "now $19.99 was €25 or £3.50, not 100.00 nor $x"),
         ("u2", "free!"),
+        ("u3", "sale $1,299.00 from $12,500 (was $1,299,950.75)"),
     ]
     df = spark.createDataFrame(pages, "url string, body string")
     out = {r["url"]: r for r in price_extract(df).collect()}
     assert out["u1"]["n_prices"] == 3
     assert out["u1"]["min_cents"] == 350 and out["u1"]["max_cents"] == 2500
     assert out["u2"]["n_prices"] == 0 and out["u2"]["min_cents"] is None
+    # r4 ADVICE: comma-grouped thousands parse whole, not as '$1' → 100
+    assert out["u3"]["n_prices"] == 3
+    assert out["u3"]["min_cents"] == 129_900
+    assert out["u3"]["max_cents"] == 129_995_075
