@@ -1174,6 +1174,29 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(docs, n_merges=6)
 
 
+def q_quality_model(spark, sf_dir):
+    """fastText-style hashed-linear quality gate (pipeline/model.
+    hashed_linear_classify — r4 verdict item 6): unigram+bigram md5
+    buckets (B=512) × the deterministic integer weight table
+    (synth_linear_weights: w(c,b) = ((b·(2c+3)+c) % 17) − 8), classes
+    (keep, drop), pred = argmax with first-class tie-break; runs on the
+    real documents.text corpus so every arm (margin 0 ties included)
+    fires at sf0.001."""
+    from linkkchecker_net_spark.pipeline.model import (
+        hashed_linear_classify,
+        synth_linear_weights,
+    )
+
+    _prep(spark)
+    w = synth_linear_weights(spark, 512, ("keep", "drop"))
+    return hashed_linear_classify(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        w,
+        n_buckets=512,
+        classes=("keep", "drop"),
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed-unigram importance weights (target = lang='en')."""
     from linkkchecker_net_spark.pipeline.curation import dsir_weights
@@ -6242,6 +6265,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_ppl": q_bigram_ppl,
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
+        "quality_model": q_quality_model,
         "dsir_weights": q_dsir_weights,
         "event_stats": q_event_stats,
         "dup_span": q_dup_span,
@@ -7608,6 +7632,43 @@ FROM bt JOIN bh ON bt.url = bh.url
               (4, 'st', '</w>', 5),
               (5, 'e', 'we', 4),
               (6, 'ewe', 'st</w>', 4)) AS v(r, w1, w2, k)
+        """,
+        # same md5-bucket idiom as dsir_weights; the synthetic weight
+        # table is pure bucket arithmetic so the oracle inlines it
+        "quality_model": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(list_concat(ts,
+                CASE WHEN len(ts) >= 2 THEN
+                  list_transform(range(1, len(ts)),
+                                 i -> ts[i] || ' ' || ts[i + 1])
+                ELSE []::VARCHAR[] END)) AS g
+              FROM toks),
+            b AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(g), 1, 8))::BIGINT % 512)
+                       AS bkt
+              FROM grams),
+            s AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_feats,
+                     CAST(sum((bkt * 3) % 17 - 8) AS BIGINT)
+                       AS score_keep,
+                     CAST(sum((bkt * 5 + 1) % 17 - 8) AS BIGINT)
+                       AS score_drop
+              FROM b GROUP BY 1)
+            SELECT doc_id, n_feats, score_keep, score_drop,
+                   CASE WHEN score_keep >= score_drop THEN 'keep'
+                        ELSE 'drop' END AS pred,
+                   CAST(greatest(score_keep, score_drop)
+                        - least(score_keep, score_drop) AS BIGINT)
+                     AS margin,
+                   score_keep >= score_drop AS keep
+            FROM s
         """,
         "dsir_weights": """
             WITH feats AS (

@@ -279,3 +279,50 @@ def test_lang_script_check_verdicts(spark):
     out = {r["doc_id"]: r["verdict"] for r in lang_script_check(docs).collect()}
     assert out == {0: "consistent", 1: "inconsistent", 2: "consistent",
                    3: "unknown_lang", 4: "no_script"}
+
+
+def test_hashed_linear_classify_hand_values(spark):
+    """r4 verdict item 6: the fastText-style serving path — hand-check
+    scores on a 1-token doc (unigram only, no bigram), a 2-token doc
+    (2 unigrams + 1 bigram), and the deterministic tie-break (margin 0
+    ⇒ pred = first class)."""
+    import hashlib
+
+    from linkkchecker_net_spark.pipeline.model import (
+        hash_bucket,
+        hashed_linear_classify,
+        synth_linear_weights,
+    )
+
+    B = 64
+
+    def bkt(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    def w(ci, b):
+        return (b * (2 * ci + 3) + ci) % 17 - 8
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "alpha beta")],
+        "doc_id long, text string",
+    )
+    weights = synth_linear_weights(spark, B, ("keep", "drop"))
+    out = {
+        r["doc_id"]: r
+        for r in hashed_linear_classify(
+            docs, weights, n_buckets=B, classes=("keep", "drop")
+        ).collect()
+    }
+    b_a = bkt("alpha")
+    assert out[0]["n_feats"] == 1
+    assert out[0]["score_keep"] == w(0, b_a)
+    assert out[0]["score_drop"] == w(1, b_a)
+    gs = [bkt("alpha"), bkt("beta"), bkt("alpha beta")]
+    assert out[1]["n_feats"] == 3
+    assert out[1]["score_keep"] == sum(w(0, b) for b in gs)
+    assert out[1]["score_drop"] == sum(w(1, b) for b in gs)
+    for r in out.values():
+        best = max(r["score_keep"], r["score_drop"])
+        want_pred = "keep" if r["score_keep"] == best else "drop"
+        assert r["pred"] == want_pred and r["keep"] == (want_pred == "keep")
+        assert r["margin"] == abs(r["score_keep"] - r["score_drop"])

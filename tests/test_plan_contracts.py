@@ -594,3 +594,24 @@ def test_url_blocklist_broadcasts_and_never_shuffles_pages(spark):
     # subtree above it must be exchange-free
     probe_side = p.split("BroadcastExchange", 1)[0]
     assert "Exchange hashpartitioning" not in probe_side, p
+
+
+def test_hashed_linear_model_broadcasts_weights_no_python(spark):
+    """The model gate must serve like fastText at 100 TB: weight table
+    broadcast (never a shuffled join of the gram stream against it),
+    gram hashing pure codegen (no Python), per-(doc,bucket) counts
+    partial-aggregated map-side."""
+    from linkkchecker_net_spark.pipeline.model import (
+        hashed_linear_classify,
+        synth_linear_weights,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    w = synth_linear_weights(spark, 512, ("keep", "drop"))
+    p = _plan(hashed_linear_classify(docs, w, 512))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "Python" not in p, p
+    assert "partial_count" in p or "partial_sum" in p, p
