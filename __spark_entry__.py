@@ -1174,6 +1174,33 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(docs, n_merges=6)
 
 
+def q_substring_dedup(spark, sf_dir):
+    """ANY-length exact-substring duplicate spans (pipeline/dedup.
+    substring_dedup_spans — Lee 2022 ExactSubstr, r4 verdict stretch
+    item 8): 60-char real-text prefixes with a 45-char boilerplate
+    footer planted on i%3==0 (cross-doc spans) and a self-repeating
+    'echo echo' arm on i%7==2 (within-doc spans); L=20.  The oracle
+    replays the WHOLE algorithm (stride-1 L-grams → dup filter → run
+    merge) in SQL on the same input — no arithmetic shortcut."""
+    from linkkchecker_net_spark.pipeline.dedup import substring_dedup_spans
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    text = F.concat(
+        F.substring(F.col("text"), 1, 60),
+        F.when(
+            i % 3 == 0,
+            F.lit(" xx-shared-boilerplate-footer-common-string-xx"),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 7 == 2,
+            F.lit(" echo echo echo echo echo echo echo"),
+        ).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return substring_dedup_spans(docs, min_len=20)
+
+
 def q_quality_model(spark, sf_dir):
     """fastText-style hashed-linear quality gate (pipeline/model.
     hashed_linear_classify — r4 verdict item 6): unigram+bigram md5
@@ -6266,6 +6293,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
         "quality_model": q_quality_model,
+        "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
         "event_stats": q_event_stats,
         "dup_span": q_dup_span,
@@ -7632,6 +7660,44 @@ FROM bt JOIN bh ON bt.url = bh.url
               (4, 'st', '</w>', 5),
               (5, 'e', 'we', 4),
               (6, 'ewe', 'st</w>', 4)) AS v(r, w1, w2, k)
+        """,
+        # FULL algorithm replay (no arithmetic shortcut): stride-1
+        # 20-grams -> global dup filter -> per-doc run merge, same
+        # window logic as the Spark operator
+        "substring_dedup": """
+            WITH src AS (
+              SELECT doc_id,
+                     substr(text, 1, 60)
+                     || (CASE WHEN doc_id % 3 = 0 THEN
+                           ' xx-shared-boilerplate-footer-common-string-xx'
+                         ELSE '' END)
+                     || (CASE WHEN doc_id % 7 = 2 THEN
+                           ' echo echo echo echo echo echo echo'
+                         ELSE '' END) AS text
+              FROM documents),
+            gt AS (
+              SELECT doc_id, t.i AS pos, substr(text, t.i, 20) AS g
+              FROM src,
+                   unnest(generate_series(
+                     1, greatest(length(text) - 19, 0))) AS t(i)),
+            d AS (SELECT g FROM gt GROUP BY g HAVING count(*) > 1),
+            p AS (SELECT doc_id, pos FROM gt WHERE g IN (SELECT g FROM d)),
+            r AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER (PARTITION BY doc_id
+                            ORDER BY pos) = pos - 1 THEN 0
+                          ELSE 1 END AS nr
+              FROM p),
+            r2 AS (
+              SELECT doc_id, pos,
+                     sum(nr) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS run
+              FROM r)
+            SELECT doc_id,
+                   CAST(min(pos) AS INT) AS span_start,
+                   CAST(max(pos) - min(pos) + 20 AS INT) AS span_len,
+                   CAST(count(*) AS INT) AS n_grams
+            FROM r2 GROUP BY doc_id, run
         """,
         # same md5-bucket idiom as dsir_weights; the synthetic weight
         # table is pure bucket arithmetic so the oracle inlines it

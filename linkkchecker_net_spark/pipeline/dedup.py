@@ -897,3 +897,93 @@ def shingle_novelty(
             ).alias("novelty_ppm"),
         )
     )
+
+
+def substring_dedup_spans(
+    docs: DataFrame,
+    min_len: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_key: bool = False,
+) -> DataFrame:
+    """ANY-length exact-substring duplicate spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §4.1
+    ExactSubstr) — the full-strength sibling of the fixed-k
+    :func:`dup_span_fraction`: per document, every MAXIMAL character
+    span of length ≥ ``min_len`` whose every ``min_len``-gram occurs
+    more than once in the corpus (cross-doc or self-repeat), i.e. the
+    spans ExactSubstr cuts out before training.
+
+    The suffix-array identity that makes this distributable: a
+    duplicated substring of length ≥ L exists iff each of its L-gram
+    windows is duplicated, and the MAXIMAL duplicated spans are exactly
+    the maximal runs of consecutive duplicated L-gram start positions
+    [p0..p1] → span [p0, p1 + L − 1].  So instead of one global suffix
+    sort (Lee's single-machine construction), the corpus streams
+    through a stride-1 L-gram inverted index — the same shuffle shape
+    as every other dedup operator here.
+
+    Output: (doc_id, span_start, span_len, n_grams) — span_start
+    1-based, one row per maximal duplicated span, plus nothing for
+    clean docs (compose with a left join to flag).
+
+    Plan / 100 TB notes: (1) the gram table is |corpus| rows × stride 1
+    — the heavy but honest cost (Lee's suffix array is the same O(N)
+    rows sorted globally); the gram COUNT partial-aggregates map-side,
+    so hot boilerplate grams collapse before the shuffle.  (2) the
+    duplicated-gram semi join is skew-safe: the build side is one row
+    per distinct duplicated gram.  (3) ``hash_key=True`` shuffles
+    xxhash64(gram) (8 bytes) instead of the L-char gram — the
+    production setting at 10^10 docs (a 64-bit collision adds a
+    spurious duplicated position ~never; pinned equivalent to the
+    exact path in tests).  (4) the run-merge window partitions by
+    doc_id — per-doc-sized partitions, never global.
+    """
+    text = F.col(text_col)
+    L = int(min_len)
+    n_pos = F.length(text) - F.lit(L - 1)
+    pos = F.explode(
+        F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+            F.array().cast("array<int>")
+        )
+    ).alias("pos")
+    gram = F.substring(text, F.col("pos"), L)
+    key = F.xxhash64(gram) if hash_key else gram
+    grams = docs.select(F.col(id_col).alias("doc_id"), text, pos).select(
+        "doc_id", "pos", key.alias("g")
+    )
+    dup_keys = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("g")
+    )
+    dup_pos = grams.join(dup_keys, "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup_pos.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w) == F.col("pos") - 1, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("_new_run"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.sum("_new_run").over(w).alias("_run"),
+    )
+    return (
+        runs.groupBy("doc_id", "_run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(L)).alias("span_len"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_len").cast("int").alias("span_len"),
+            F.col("n_grams").cast("int").alias("n_grams"),
+        )
+    )

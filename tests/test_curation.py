@@ -782,3 +782,66 @@ def test_bpe_merges_matches_python_reference(spark):
     # and a later round merged (aa,aa), not (aaa,a)
     pairs = {(w1, w2) for _, w1, w2, _ in got}
     assert ("a", "a") in pairs and ("aaa", "a") not in pairs
+
+
+def _py_substring_spans(texts, L):
+    """Reference ExactSubstr span finder: stride-1 L-grams, global
+    dup filter, per-doc maximal run merge."""
+    from collections import Counter
+
+    grams = Counter()
+    pos = {}
+    for did, t in texts.items():
+        ps = []
+        for i in range(len(t) - L + 1):
+            g = t[i:i + L]
+            grams[g] += 1
+            ps.append((i + 1, g))
+        pos[did] = ps
+    out = set()
+    for did, ps in pos.items():
+        dup = [p for p, g in ps if grams[g] > 1]
+        run = []
+        for p in dup:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    out.add((did, run[0], run[-1] - run[0] + L, len(run)))
+                run = [p]
+        if run:
+            out.add((did, run[0], run[-1] - run[0] + L, len(run)))
+    return out
+
+
+def test_substring_dedup_spans_matches_reference_and_hash_path(spark):
+    """r4 verdict stretch item 8 (Lee 2022 ExactSubstr): maximal
+    any-length duplicated spans — cross-doc shared segment, within-doc
+    self-repeat, clean doc absent; the xxhash64 shuffle-key path is
+    span-identical to the exact-gram path."""
+    from linkkchecker_net_spark.pipeline.dedup import substring_dedup_spans
+
+    texts = {
+        0: "PREFIXUNIQ1 SHAREDSEGMENT0123456789 TAILUNIQ1",
+        1: "xxSHAREDSEGMENT0123456789yy&DIFFERENT-REST!",
+        2: "zzzzzzzzzzzzzzzz",          # 16 z's: one self-dup span
+        3: "perfectly clean unique doc",  # no spans
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    want = _py_substring_spans(texts, 8)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"], r["n_grams"])
+        for r in substring_dedup_spans(docs, min_len=8).collect()
+    }
+    assert got == want, f"\ngot:  {sorted(got)}\nwant: {sorted(want)}"
+    assert not any(d == 3 for d, *_ in got)          # clean doc absent
+    assert (2, 1, 16, 9) in got                      # the z-run span
+    got_hashed = {
+        (r["doc_id"], r["span_start"], r["span_len"], r["n_grams"])
+        for r in substring_dedup_spans(
+            docs, min_len=8, hash_key=True
+        ).collect()
+    }
+    assert got_hashed == got

@@ -84,7 +84,8 @@ NON_CRAWL = [
     "politeness_topk", "seen_dedup", "sitemap_locs", "sitemap_report",
     "used_images_paths", "validate_images",
     "dedup_exact", "dedup_fingerprint", "jaccard_pairs", "minhash_lsh_pairs",
-    "dedup_clusters", "simhash", "simhash_pairs", "image_meta", "image_neardup",
+    "dedup_clusters", "substring_dedup", "simhash", "simhash_pairs",
+    "image_meta", "image_neardup",
     "embed_neardup", "ann_topk", "ann_lsh_recall", "lang_id", "token_count",
     "quality_score", "fingerprint", "event_stats", "multimodal_neardup",
     "decontaminate", "stratified_sample", "shard_assign", "vocab_topk",

@@ -615,3 +615,22 @@ def test_hashed_linear_model_broadcasts_weights_no_python(spark):
     assert "SortMergeJoin" not in p, p
     assert "Python" not in p, p
     assert "partial_count" in p or "partial_sum" in p, p
+
+
+def test_substring_dedup_window_is_per_doc_and_gram_count_partial(spark):
+    """ExactSubstr at 100 TB: the run-merge window must partition by
+    doc_id (per-doc partitions, never a global sort) and the gram count
+    must partial-aggregate map-side (hot boilerplate grams collapse
+    before the shuffle)."""
+    import re
+
+    from linkkchecker_net_spark.pipeline.dedup import substring_dedup_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = _plan(substring_dedup_spans(docs, min_len=20, hash_key=True))
+    assert "partial_count" in p, p
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
+        assert "doc_id" in m.group(1), p
+    assert "Exchange SinglePartition" not in p, p
