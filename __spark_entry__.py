@@ -1201,6 +1201,32 @@ def q_substring_dedup(spark, sf_dir):
     return substring_dedup_spans(docs, min_len=20)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE application (pipeline/curation.bpe_encode_stats): encode the
+    bpe_merges fixture corpus with the 6 learned merges — per-word
+    symbol counts are then fixed (low→3, lower→4, newest→2, widest→5),
+    so the oracle prices every doc's stats from its repetition factor
+    rep = 1 + doc_id%2 (n_words 10·rep, n_chars 49·rep, n_symbols
+    30·rep, 300 symbols/100 words)."""
+    from linkkchecker_net_spark.pipeline.curation import bpe_encode_stats
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    base = (
+        "low low low lower lower newest newest newest newest widest"
+    )
+    text = F.concat(
+        F.lit(base),
+        F.when(i % 2 == 1, F.lit(" " + base)).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    merges = [
+        ("w", "e"), ("l", "o"), ("s", "t"),
+        ("st", "</w>"), ("e", "we"), ("ewe", "st</w>"),
+    ]
+    return bpe_encode_stats(docs, merges)
+
+
 def q_quality_model(spark, sf_dir):
     """fastText-style hashed-linear quality gate (pipeline/model.
     hashed_linear_classify — r4 verdict item 6): unigram+bigram md5
@@ -1221,6 +1247,27 @@ def q_quality_model(spark, sf_dir):
         w,
         n_buckets=512,
         classes=("keep", "drop"),
+    )
+
+
+def q_langid_model(spark, sf_dir):
+    """3-class hashed-linear lang-id (pipeline/model.
+    hashed_linear_classify over (en, de, fr)): the MULTI-class arms —
+    argmax with class-order tie-break and top1−top2 margin — that the
+    2-class quality_model can't fire; B=256, same deterministic
+    integer weight arithmetic."""
+    from linkkchecker_net_spark.pipeline.model import (
+        hashed_linear_classify,
+        synth_linear_weights,
+    )
+
+    _prep(spark)
+    w = synth_linear_weights(spark, 256, ("en", "de", "fr"))
+    return hashed_linear_classify(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        w,
+        n_buckets=256,
+        classes=("en", "de", "fr"),
     )
 
 
@@ -6174,8 +6221,8 @@ def q_table_extract(spark, sf_dir):
 # finally lands on fresh operators.  Names not in the built dict are ignored,
 # so the list is safe across refactors.
 _DRIVER_PRIORITY = [
-    "ann_ivf", "url_blocklist", "bpe_merges", "langid_model", "quality_model",
-    "substring_dedup",
+    "ann_ivf", "url_blocklist", "bpe_merges", "bpe_encode", "langid_model",
+    "quality_model", "substring_dedup",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -6292,7 +6339,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_ppl": q_bigram_ppl,
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "quality_model": q_quality_model,
+        "langid_model": q_langid_model,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
         "event_stats": q_event_stats,
@@ -7661,6 +7710,16 @@ FROM bt JOIN bh ON bt.url = bh.url
               (5, 'e', 'we', 4),
               (6, 'ewe', 'st</w>', 4)) AS v(r, w1, w2, k)
         """,
+        # construction replay: per-word symbol counts after the 6
+        # merges are fixed (low 3, lower 4, newest 2, widest 5)
+        "bpe_encode": """
+            SELECT doc_id,
+                   CAST(10 * (1 + doc_id % 2) AS BIGINT) AS n_words,
+                   CAST(49 * (1 + doc_id % 2) AS BIGINT) AS n_chars,
+                   CAST(30 * (1 + doc_id % 2) AS BIGINT) AS n_symbols,
+                   CAST(300 AS BIGINT) AS symbols_per_100_words
+            FROM documents
+        """,
         # FULL algorithm replay (no arithmetic shortcut): stride-1
         # 20-grams -> global dup filter -> per-doc run merge, same
         # window logic as the Spark operator
@@ -7698,6 +7757,49 @@ FROM bt JOIN bh ON bt.url = bh.url
                    CAST(max(pos) - min(pos) + 20 AS INT) AS span_len,
                    CAST(count(*) AS INT) AS n_grams
             FROM r2 GROUP BY doc_id, run
+        """,
+        # 3-class twin of quality_model: w(c,b) = (b(2c+3)+c)%17-8 for
+        # c ∈ {en:0, de:1, fr:2}; tie-break = class-list order; margin
+        # = top1 − top2 (= max − (sum − max − min), tie-exact)
+        "langid_model": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(list_concat(ts,
+                CASE WHEN len(ts) >= 2 THEN
+                  list_transform(range(1, len(ts)),
+                                 i -> ts[i] || ' ' || ts[i + 1])
+                ELSE []::VARCHAR[] END)) AS g
+              FROM toks),
+            b AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(g), 1, 8))::BIGINT % 256)
+                       AS bkt
+              FROM grams),
+            s AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_feats,
+                     CAST(sum((bkt * 3) % 17 - 8) AS BIGINT) AS score_en,
+                     CAST(sum((bkt * 5 + 1) % 17 - 8) AS BIGINT)
+                       AS score_de,
+                     CAST(sum((bkt * 7 + 2) % 17 - 8) AS BIGINT)
+                       AS score_fr
+              FROM b GROUP BY 1),
+            v AS (
+              SELECT *, greatest(score_en, score_de, score_fr) AS mx,
+                     least(score_en, score_de, score_fr) AS mn
+              FROM s)
+            SELECT doc_id, n_feats, score_en, score_de, score_fr,
+                   CASE WHEN score_en = mx THEN 'en'
+                        WHEN score_de = mx THEN 'de'
+                        ELSE 'fr' END AS pred,
+                   CAST(mx - (score_en + score_de + score_fr - mx - mn)
+                        AS BIGINT) AS margin,
+                   score_en = mx AS keep
+            FROM v
         """,
         # same md5-bucket idiom as dsir_weights; the synthetic weight
         # table is pure bucket arithmetic so the oracle inlines it

@@ -376,6 +376,82 @@ def bpe_merges(docs: DataFrame, n_merges: int = 6) -> DataFrame:
     )
 
 
+def bpe_encode_stats(
+    docs: DataFrame, merges: "list[tuple[str, str]]"
+) -> DataFrame:
+    """Apply a learned BPE merge table (the :func:`bpe_merges` output,
+    or any trained tokenizer's ordered merge list) and report per-doc
+    tokenization stats: (doc_id, n_words, n_chars, n_symbols,
+    symbols_per_100_words) — the serving half of the BPE story, and
+    the number (tokens per doc) every packing/budget operator upstream
+    (`pack_sequences`, `length_quantiles`) actually wants from a real
+    tokenizer instead of the whitespace proxy.
+
+    Merges apply IN TRAINED ORDER, each with the same left-to-right
+    non-overlapping fold as training (see :func:`bpe_merges`) — order
+    is what makes BPE deterministic.
+
+    Scale: the corpus collapses to the DISTINCT-word vocab first, each
+    vocab word is encoded ONCE (the merge folds chain into one codegen
+    expression — fine for the tens-of-merges tests; a production 30k-
+    merge tokenizer swaps this stage for an Arrow mapInPandas with a
+    compiled encoder, same surrounding plan), then the word stream
+    joins the encoded vocab on the word (shuffle keyed by word — hot
+    words are one vocab row, skew-free) and partial-aggregates per
+    doc.  Two shuffles total, corpus never re-scanned per merge.
+    """
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    vocab = words.select("w").distinct()
+    def _merge_fold(prev, w1, w2):
+        joined = w1 + w2
+
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(w1))
+                & (x == F.lit(w2)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(joined)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.aggregate(prev, F.array().cast("array<string>"), step)
+
+    syms = F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>")))
+    for w1, w2 in merges:
+        syms = _merge_fold(syms, w1, w2)
+    enc = vocab.select(
+        "w",
+        F.length("w").alias("_chars"),
+        (F.size(syms)).alias("_n_syms"),
+    )
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_chars").alias("n_chars"),
+            F.sum("_n_syms").alias("n_symbols"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_symbols").cast("long").alias("n_symbols"),
+            F.floor(
+                F.col("n_symbols") * 100 / F.col("n_words")
+            ).alias("symbols_per_100_words"),
+        )
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     n_buckets: int = 4096,

@@ -845,3 +845,57 @@ def test_substring_dedup_spans_matches_reference_and_hash_path(spark):
         ).collect()
     }
     assert got_hashed == got
+
+
+def test_bpe_train_then_encode_roundtrip(spark):
+    """Train on a corpus with bpe_merges, apply with bpe_encode_stats:
+    symbol counts must equal the python-reference encoder's, and more
+    merges can only shrink (or hold) n_symbols."""
+    from linkkchecker_net_spark.pipeline.curation import (
+        bpe_encode_stats,
+        bpe_merges,
+    )
+
+    freqs = {"banana": 3, "bandana": 2, "ban": 4}
+    rows, did = [], 0
+    for w, f in freqs.items():
+        for _ in range(f):
+            rows.append((did, w + " " + w))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    learned = [
+        (r["w1"], r["w2"])
+        for r in bpe_merges(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    assert len(learned) == 4
+
+    def enc_len(word, merges):
+        syms = list(word) + ["</w>"]
+        for w1, w2 in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == w1 and x == w2:
+                    out[-1] = w1 + w2
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode_stats(docs, learned).collect()
+    }
+    did = 0
+    for w, f in freqs.items():
+        want = 2 * enc_len(w, learned)
+        for _ in range(f):
+            r = out[did]
+            assert r["n_symbols"] == want and r["n_words"] == 2
+            assert r["n_chars"] == 2 * len(w)
+            did += 1
+    # monotone: 4 merges never produce more symbols than 2
+    out2 = {
+        r["doc_id"]: r["n_symbols"]
+        for r in bpe_encode_stats(docs, learned[:2]).collect()
+    }
+    assert all(out[d]["n_symbols"] <= out2[d] for d in out)

@@ -91,8 +91,8 @@ NON_CRAWL = [
     "decontaminate", "stratified_sample", "shard_assign", "vocab_topk",
     "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
     "redact_pii", "weighted_sample", "semantic_dedup", "bm25", "tfidf_topk",
-    "unigram_ppl", "bigram_ppl", "bpe_pairs", "bpe_merges",
-    "quality_model", "dsir_weights",
+    "unigram_ppl", "bigram_ppl", "bpe_pairs", "bpe_merges", "bpe_encode",
+    "quality_model", "langid_model", "dsir_weights",
     "image_clusters", "image_quality_gate", "image_dedup_keep", "image_search",
     "aspect_bucket", "image_shard_pack", "curation_funnel", "image_funnel",
     "ann_ivf", "dup_span", "domain_cap", "sessionize", "parse_robots",
