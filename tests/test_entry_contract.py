@@ -96,6 +96,7 @@ NON_CRAWL = [
     "image_clusters", "image_quality_gate", "image_dedup_keep", "image_search",
     "aspect_bucket", "image_shard_pack", "curation_funnel", "image_funnel",
     "ann_ivf", "dup_span", "domain_cap", "sessionize", "parse_robots",
+    "pagerank", "trustrank", "hits", "anchor_texts", "anchor_spam",
     "clip_align", "hll_users", "cms_tokens", "ann_sq8", "robots_sitemaps",
     "resolve_redirects", "url_traps", "host_linkgraph", "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
