@@ -1927,6 +1927,38 @@ def q_url_blocklist(spark, sf_dir):
     return url_blocklist(pages, bl, ["casino", "session="])
 
 
+def q_url_score(spark, sf_dir):
+    """Soft URL scoring (pipeline/blocklist.url_score — RefinedWeb
+    §3.1.2 shape): bad-word arm '/free-casino-download' on i%3==0
+    (2 hits), 30-digit path on i%6==2 (digit-heavy), 140-x path on
+    i%9==5 (too long), subdomain depth 'a.b.' on i%5==1 and 'www.' on
+    i%4==0 (www must NOT count); the oracle replays the construction
+    and the full integer scoring in SQL."""
+    from linkkchecker_net_spark.pipeline.blocklist import url_score
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    host = F.concat(
+        F.when(i % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(i % 5 == 1, F.lit("a.b.")).otherwise(F.lit("")),
+        F.lit("ex"), (i % 7).cast("string"), F.lit(".test"),
+    )
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/p"), i.cast("string"),
+        F.when(i % 3 == 0, F.lit("/free-casino-download")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            i % 6 == 2, F.lit("/123456789012345678901234567890")
+        ).otherwise(F.lit("")),
+        F.when(i % 9 == 5, F.lit("/" + "x" * 140)).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), host.alias("host")
+    )
+    return url_score(pages)
+
+
 def q_change_rate(spark, sf_dir):
     """Per-URL change-rate estimation (pipeline/recrawl.change_rate):
     6 daily snapshots per URL whose content flips every (1 + doc_id%4)
@@ -6221,8 +6253,8 @@ def q_table_extract(spark, sf_dir):
 # finally lands on fresh operators.  Names not in the built dict are ignored,
 # so the list is safe across refactors.
 _DRIVER_PRIORITY = [
-    "ann_ivf", "url_blocklist", "bpe_merges", "bpe_encode", "langid_model",
-    "quality_model", "substring_dedup",
+    "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
+    "langid_model", "quality_model", "substring_dedup",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -6364,6 +6396,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": q_soft404,
         "registrable_domains": q_registrable_domains,
         "url_blocklist": q_url_blocklist,
+        "url_score": q_url_score,
         "change_rate": q_change_rate,
         "meta_robots": q_meta_robots,
         "nofollow_links": q_nofollow_links,
@@ -8193,6 +8226,60 @@ FROM bt JOIN bh ON bt.url = bh.url
                 ELSE host
               END AS registrable_domain
             FROM l
+        """,
+        # full construction + scoring replay (contains/label/digit
+        # signals recomputed in SQL on the same constructed URL)
+        "url_score": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT i,
+                (CASE WHEN i % 4 = 0 THEN 'www.' ELSE '' END)
+                || (CASE WHEN i % 5 = 1 THEN 'a.b.' ELSE '' END)
+                || 'ex' || (i % 7) || '.test' AS host
+              FROM d0),
+            u AS (
+              SELECT i, host,
+                'http://' || host || '/p' || i
+                || (CASE WHEN i % 3 = 0 THEN '/free-casino-download'
+                    ELSE '' END)
+                || (CASE WHEN i % 6 = 2
+                    THEN '/123456789012345678901234567890' ELSE '' END)
+                || (CASE WHEN i % 9 = 5 THEN '/' || repeat('x', 140)
+                    ELSE '' END) AS url
+              FROM f),
+            s AS (
+              SELECT url, host,
+                (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(lower(url), 'porn') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(lower(url), 'xxx') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(lower(url), 'viagra') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(lower(url), 'loan') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(lower(url), 'bet') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(lower(url), 'download') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(lower(url), 'torrent') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(lower(url), 'crack') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(lower(url), 'warez') THEN 1 ELSE 0 END)
+                  AS n_bad,
+                greatest(len(string_split(lower(host), '.')) - 2
+                  - (CASE WHEN string_split(lower(host), '.')[1] = 'www'
+                     THEN 1 ELSE 0 END), 0) AS n_sub,
+                length(regexp_replace(url, '[^0-9]', '', 'g')) AS n_dig,
+                length(url) AS ulen
+              FROM u)
+            SELECT url, host,
+                   CAST(n_bad AS INT) AS n_badwords,
+                   CAST(n_sub AS INT) AS n_subdomains,
+                   CAST(CASE WHEN ulen > 0
+                        THEN floor(n_dig * 1000000.0 / ulen)
+                        ELSE 0 END AS BIGINT) AS digit_ppm,
+                   CAST(ulen AS INT) AS url_len,
+                   CAST(n_bad * 100 + n_sub * 25
+                        + (CASE WHEN ulen > 0 AND
+                             floor(n_dig * 1000000.0 / ulen) >= 200000
+                           THEN 50 ELSE 0 END)
+                        + (CASE WHEN ulen > 128 THEN 50 ELSE 0 END)
+                     AS INT) AS score_centi
+            FROM s
         """,
         # arm-arithmetic replay of the registrable-domain + rule gates
         "url_blocklist": """

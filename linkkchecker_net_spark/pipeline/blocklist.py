@@ -40,6 +40,75 @@ from pyspark.sql import functions as F
 from linkkchecker_net_spark.kernels.domains import registrable_domain_expr
 
 
+DEFAULT_URL_BADWORDS = (
+    "casino", "porn", "xxx", "viagra", "loan", "bet",
+    "download", "torrent", "crack", "warez",
+)
+
+
+def url_score(
+    pages: DataFrame,
+    badwords: "Sequence[str]" = DEFAULT_URL_BADWORDS,
+) -> DataFrame:
+    """RefinedWeb §3.1.2-style SOFT URL scoring — the scored sibling of
+    the hard :func:`url_blocklist` gate: instead of a binary verdict,
+    each URL gets an integer penalty built from the signals the
+    RefinedWeb authors describe (bad-word hits in the URL, excessive
+    subdomain depth, digit-heavy paths, extreme length), so a curation
+    pipeline can THRESHOLD or SAMPLE by score rather than drop on one
+    rule.  All integer arithmetic (ppm/centi units) — exactly
+    replayable on the oracle.
+
+    Signals and weights (centi-points, larger = worse):
+      * bad-word substring hits: 100 each (`n_badwords`);
+      * subdomain depth beyond host.tld: 25 per extra label
+        (`n_subdomains` — www does not count);
+      * digit share of the URL ≥ 20%: 50 (`digit_heavy`);
+      * URL length > 128: 50 (`too_long`).
+
+    Output: (url, host, n_badwords, n_subdomains, digit_ppm,
+    url_len, score_centi) — score_centi = the weighted sum.
+
+    Scale: pure map-only codegen (substring counts, label split,
+    regexp digit count) — zero shuffles, zero Python; composes with
+    `url_blocklist` and `quality_keep` as another keep-signal column.
+    """
+    url_lc = F.lower(F.col("url"))
+    n_bad = sum(
+        [
+            F.when(F.contains(url_lc, F.lit(w)), 1).otherwise(0)
+            for w in badwords
+        ],
+        F.lit(0),
+    )
+    labels = F.split(F.lower(F.col("host")), r"\.")
+    extra = F.size(labels) - F.lit(2)
+    www = F.when(F.element_at(labels, 1) == "www", 1).otherwise(0)
+    n_sub = F.greatest(extra - www, F.lit(0))
+    n_digits = F.length(F.regexp_replace("url", r"[^0-9]", ""))
+    url_len = F.length("url")
+    digit_ppm = F.when(
+        url_len > 0, F.floor(n_digits * 1_000_000 / url_len)
+    ).otherwise(F.lit(0))
+    digit_heavy = digit_ppm >= 200_000
+    too_long = url_len > 128
+    score = (
+        n_bad * 100
+        + n_sub * 25
+        + F.when(digit_heavy, 50).otherwise(0)
+        + F.when(too_long, 50).otherwise(0)
+    )
+    return pages.select(
+        "url",
+        "host",
+        n_bad.cast("int").alias("n_badwords"),
+        n_sub.cast("int").alias("n_subdomains"),
+        digit_ppm.cast("long").alias("digit_ppm"),
+        url_len.cast("int").alias("url_len"),
+        score.cast("int").alias("score_centi"),
+    )
+
+
 def url_blocklist(
     pages: DataFrame,
     blocked_domains: DataFrame | None = None,

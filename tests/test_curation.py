@@ -899,3 +899,30 @@ def test_bpe_train_then_encode_roundtrip(spark):
         for r in bpe_encode_stats(docs, learned[:2]).collect()
     }
     assert all(out[d]["n_symbols"] <= out2[d] for d in out)
+
+
+def test_url_score_signals_hand_values(spark):
+    """RefinedWeb-style soft scorer: each signal hand-checked, www not
+    counted as a subdomain, clean URL scores 0."""
+    from linkkchecker_net_spark.pipeline.blocklist import url_score
+
+    pages = spark.createDataFrame(
+        [
+            ("http://ex.test/a", "ex.test"),
+            ("http://www.ex.test/free-casino-bet", "www.ex.test"),
+            ("http://a.b.c.ex.test/p", "a.b.c.ex.test"),
+            ("http://ex.test/1234567890123456", "ex.test"),
+            ("http://ex.test/" + "y" * 140, "ex.test"),
+        ],
+        "url string, host string",
+    )
+    out = {r["url"]: r for r in url_score(pages).collect()}
+    assert out["http://ex.test/a"]["score_centi"] == 0
+    r = out["http://www.ex.test/free-casino-bet"]
+    assert r["n_badwords"] == 2 and r["n_subdomains"] == 0
+    assert r["score_centi"] == 200
+    assert out["http://a.b.c.ex.test/p"]["n_subdomains"] == 3
+    assert out["http://a.b.c.ex.test/p"]["score_centi"] == 75
+    r = out["http://ex.test/1234567890123456"]
+    assert r["digit_ppm"] >= 200_000 and r["score_centi"] == 50
+    assert out["http://ex.test/" + "y" * 140]["score_centi"] == 50

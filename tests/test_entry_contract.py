@@ -100,7 +100,7 @@ NON_CRAWL = [
     "clip_align", "hll_users", "cms_tokens", "ann_sq8", "robots_sitemaps",
     "resolve_redirects", "url_traps", "host_linkgraph", "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
-    "registrable_domains", "url_blocklist", "change_rate",
+    "registrable_domains", "url_blocklist", "url_score", "change_rate",
     "meta_robots", "nofollow_links", "rel_canonical",
     "c4_lines", "paragraph_dedup", "cdc_dedup", "sitemap_meta", "budget_alloc",
     "image_borders", "charset_sniff", "cache_policy", "warc_manifest",
