@@ -1927,6 +1927,102 @@ def q_url_blocklist(spark, sf_dir):
     return url_blocklist(pages, bl, ["casino", "session="])
 
 
+def q_shard_skew(spark, sf_dir):
+    """Shard-balance QA (pipeline/curation.shard_skew_audit): the
+    shard_assign manifest (md5-mod-16 content addressing) rolled to
+    floor-ppm shares + signed char deviation vs the uniform 62,500 ppm
+    expectation; tolerance tightened to 20,000 ppm so both verdict
+    arms fire on the md5 spread at sf0.001."""
+    from linkkchecker_net_spark.pipeline.curation import shard_skew_audit
+
+    _prep(spark)
+    return shard_skew_audit(
+        _docs(spark, sf_dir), n_shards=16, tolerance_ppm=20_000
+    )
+
+
+def q_idn_audit(spark, sf_dir):
+    """IDN homograph host audit (reports/security.idn_audit): arms per
+    i%5 — plain ascii, xn-- punycode label, Latin+Cyrillic 'pаypal'
+    spoof (U+0430), single-script non-ascii 'café' (unicode, NOT
+    mixed), Latin+Greek 'alphα' — every verdict fires; script classes
+    spelled per-engine (Java IsX vs RE2 X, the script_mix idiom)."""
+    from linkkchecker_net_spark.reports.security import idn_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    g = (i % 7).cast("string")
+    m = i % 5
+    host = (
+        F.when(m == 0, F.concat(F.lit("ex"), g, F.lit(".test")))
+        .when(m == 1, F.concat(F.lit("xn--e"), g, F.lit("-abc.test")))
+        .when(m == 2, F.concat(F.lit("pаypal"), g, F.lit(".test")))
+        .when(m == 3, F.concat(F.lit("café"), g, F.lit(".test")))
+        .otherwise(F.concat(F.lit("alphα"), g, F.lit(".test")))
+    )
+    return idn_audit(
+        _docs(spark, sf_dir).select("doc_id", host.alias("host"))
+        .select("host")
+    )
+
+
+def q_robots_delta(spark, sf_dir):
+    """Robots policy diff (kernels/robotsparse.robots_delta): v1 = 140
+    arm-derived rules + a gone-host row; v2 drops i%11==3 (removed),
+    adds disallow '/new' on i%13==5 (tighten) and allow '/opn' on
+    i%17==2 (open), plus a new-host row — every verdict arm fires;
+    the oracle replays the construction and the full-outer diff."""
+    from linkkchecker_net_spark.kernels.robotsparse import robots_delta
+
+    _prep(spark)
+    d = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("i"))
+        .filter(F.col("i") < 140)
+    )
+    host = F.concat(F.lit("h"), (F.col("i") % 7).cast("string"))
+    rtype = F.when(F.col("i") % 3 == 0, F.lit("allow")).otherwise(
+        F.lit("disallow")
+    )
+    path = F.concat(F.lit("/p"), (F.col("i") % 20).cast("string"))
+    schema = "host string, rule_type string, path string"
+    base = d.select(
+        host.alias("host"), rtype.alias("rule_type"), path.alias("path")
+    )
+    v1 = base.unionByName(
+        spark.createDataFrame([("hgone", "allow", "/y")], schema)
+    )
+    v2 = (
+        d.filter(F.col("i") % 11 != 3)
+        .select(
+            host.alias("host"), rtype.alias("rule_type"),
+            path.alias("path"),
+        )
+        .unionByName(
+            d.filter(F.col("i") % 13 == 5).select(
+                host.alias("host"),
+                F.lit("disallow").alias("rule_type"),
+                F.concat(
+                    F.lit("/new"), F.col("i").cast("string")
+                ).alias("path"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("i") % 17 == 2).select(
+                host.alias("host"),
+                F.lit("allow").alias("rule_type"),
+                F.concat(
+                    F.lit("/opn"), F.col("i").cast("string")
+                ).alias("path"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame([("hnew", "disallow", "/x")], schema)
+        )
+    )
+    return robots_delta(v1, v2)
+
+
 def q_url_score(spark, sf_dir):
     """Soft URL scoring (pipeline/blocklist.url_score — RefinedWeb
     §3.1.2 shape): bad-word arm '/free-casino-download' on i%3==0
@@ -6254,7 +6350,8 @@ def q_table_extract(spark, sf_dir):
 # so the list is safe across refactors.
 _DRIVER_PRIORITY = [
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
-    "langid_model", "quality_model", "substring_dedup",
+    "langid_model", "quality_model", "substring_dedup", "robots_delta",
+    "idn_audit", "shard_skew",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -6397,6 +6494,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domains": q_registrable_domains,
         "url_blocklist": q_url_blocklist,
         "url_score": q_url_score,
+        "robots_delta": q_robots_delta,
+        "idn_audit": q_idn_audit,
+        "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
         "meta_robots": q_meta_robots,
         "nofollow_links": q_nofollow_links,
@@ -8226,6 +8326,126 @@ FROM bt JOIN bh ON bt.url = bh.url
                 ELSE host
               END AS registrable_domain
             FROM l
+        """,
+        # the shard_assign md5 idiom rolled up with a 1-row total
+        "shard_skew": """
+            WITH per AS (
+              SELECT shard_id, COUNT(*) AS n_docs,
+                     CAST(SUM(length(text)) AS BIGINT) AS n_chars
+              FROM (
+                SELECT doc_id, text,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                         ::BIGINT % 16 AS shard_id
+                FROM documents)
+              GROUP BY 1),
+            t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                         CAST(sum(n_chars) AS BIGINT) AS tc
+                  FROM per)
+            SELECT shard_id,
+                   CAST(n_docs AS BIGINT) AS n_docs, n_chars,
+                   CAST(floor(n_docs * 1000000.0 / td) AS BIGINT)
+                     AS docs_share_ppm,
+                   CAST(floor(n_chars * 1000000.0 / tc) AS BIGINT)
+                     AS chars_share_ppm,
+                   CAST(floor(n_chars * 1000000.0 / tc) - 62500
+                        AS BIGINT) AS char_dev_ppm,
+                   abs(floor(n_chars * 1000000.0 / tc) - 62500)
+                     <= 20000 AS balanced
+            FROM per, t
+        """,
+        # construction replay with per-label RE2 script classes (the
+        # script_mix per-engine-spelling idiom)
+        "idn_audit": """
+            WITH d0 AS (SELECT doc_id::BIGINT AS i FROM documents),
+            h AS (
+              SELECT CASE i % 5
+                WHEN 0 THEN 'ex' || (i % 7) || '.test'
+                WHEN 1 THEN 'xn--e' || (i % 7) || '-abc.test'
+                WHEN 2 THEN 'pаypal' || (i % 7) || '.test'
+                WHEN 3 THEN 'café' || (i % 7) || '.test'
+                ELSE 'alphα' || (i % 7) || '.test'
+              END AS host
+              FROM d0),
+            l AS (
+              SELECT host, string_split(lower(host), '.') AS ls FROM h),
+            c AS (
+              SELECT host, len(ls) AS n_labels,
+                len(list_filter(ls, x -> left(x, 4) = 'xn--'))
+                  AS n_puny,
+                len(list_filter(ls, x ->
+                  regexp_matches(x, '\\p{Latin}') AND
+                  (regexp_matches(x, '\\p{Cyrillic}')
+                   OR regexp_matches(x, '\\p{Greek}'))))
+                  AS n_mixed,
+                regexp_matches(host, '[^\\x00-\\x7f]') AS has_nonascii
+              FROM l)
+            SELECT host, CAST(n_labels AS INT) AS n_labels,
+                   CAST(n_puny AS INT) AS n_puny,
+                   CAST(n_mixed AS INT) AS n_mixed,
+                   has_nonascii,
+                   CASE WHEN n_mixed > 0 THEN 'mixed_script'
+                        WHEN n_puny > 0 THEN 'punycode'
+                        WHEN has_nonascii THEN 'unicode'
+                        ELSE 'ascii' END AS verdict
+            FROM c
+        """,
+        # construction + full-outer-diff replay (UNION = distinct on
+        # both sides, matching the operator's .distinct())
+        "robots_delta": """
+            WITH d AS (
+              SELECT doc_id::BIGINT AS i FROM documents
+              WHERE doc_id < 140),
+            base AS (
+              SELECT 'h' || (i % 7) AS host,
+                     CASE WHEN i % 3 = 0 THEN 'allow'
+                          ELSE 'disallow' END AS rule_type,
+                     '/p' || (i % 20) AS path, i
+              FROM d),
+            v1 AS (
+              SELECT DISTINCT host, rule_type, path FROM base
+              UNION SELECT 'hgone', 'allow', '/y'),
+            v2 AS (
+              SELECT DISTINCT host, rule_type, path FROM base
+              WHERE i % 11 <> 3
+              UNION SELECT 'h' || (i % 7), 'disallow', '/new' || i
+                    FROM d WHERE i % 13 = 5
+              UNION SELECT 'h' || (i % 7), 'allow', '/opn' || i
+                    FROM d WHERE i % 17 = 2
+              UNION SELECT 'hnew', 'disallow', '/x'),
+            j AS (
+              SELECT coalesce(a.host, b.host) AS host,
+                     coalesce(a.rule_type, b.rule_type) AS rule_type,
+                     a.host IS NOT NULL AS in1,
+                     b.host IS NOT NULL AS in2
+              FROM v1 a FULL OUTER JOIN v2 b
+                ON a.host = b.host AND a.rule_type = b.rule_type
+               AND a.path = b.path),
+            g AS (
+              SELECT host,
+                CAST(sum(CASE WHEN in2 AND NOT in1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_added,
+                CAST(sum(CASE WHEN in1 AND NOT in2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_removed,
+                CAST(sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_unchanged,
+                max(CASE WHEN (in2 AND NOT in1 AND rule_type = 'allow')
+                         OR (in1 AND NOT in2 AND rule_type = 'disallow')
+                    THEN 1 ELSE 0 END) AS op,
+                max(CASE WHEN (in2 AND NOT in1
+                               AND rule_type = 'disallow')
+                         OR (in1 AND NOT in2 AND rule_type = 'allow')
+                    THEN 1 ELSE 0 END) AS ti,
+                max(CASE WHEN in1 THEN 1 ELSE 0 END) AS any1,
+                max(CASE WHEN in2 THEN 1 ELSE 0 END) AS any2
+              FROM j GROUP BY 1)
+            SELECT host, n_added, n_removed, n_unchanged,
+                   CASE WHEN any1 = 0 THEN 'new_host'
+                        WHEN any2 = 0 THEN 'gone_host'
+                        WHEN op = 1 AND ti = 1 THEN 'mixed'
+                        WHEN op = 1 THEN 'opened'
+                        WHEN ti = 1 THEN 'tightened'
+                        ELSE 'unchanged' END AS verdict
+            FROM g
         """,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)

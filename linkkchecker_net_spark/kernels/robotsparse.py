@@ -440,3 +440,81 @@ def robots_generate(
         F.coalesce("n_sitemaps", F.lit(0)).cast("long").alias("n_sitemaps"),
         txt.alias("robots_txt"),
     )
+
+
+def robots_delta(rules_v1: DataFrame, rules_v2: DataFrame) -> DataFrame:
+    """Policy diff between two robots.txt snapshots — the crawl-ops
+    companion to :func:`parse_robots`/`crawl_diff`: a recrawl scheduler
+    must notice when a host opens or tightens its policy (tightened ⇒
+    purge newly-disallowed frontier entries; opened ⇒ new crawl space).
+    The reference re-reads robots per run and keeps no history
+    (`Engine.cs` init path); at 10^10-URL scale the delta IS the event
+    stream.
+
+    Inputs: (host, rule_type ∈ {allow, disallow}, path) per snapshot —
+    the :func:`parse_robots` output shape.  Output one row per host
+    present in either snapshot: (host, n_added, n_removed, n_unchanged,
+    verdict ∈ unchanged / opened / tightened / mixed / new_host /
+    gone_host).  opened = only allow-rules added and/or disallow-rules
+    removed; tightened = the converse; mixed = both directions moved.
+
+    Scale: two host-keyed partial-agg'd outer joins on the full rule
+    key (host, rule_type, path) — rule tables are metadata-sized
+    relative to the corpus (≤ tens of rules/host); no windows.
+    """
+    key = ["host", "rule_type", "path"]
+    v1 = rules_v1.select(*key).distinct()
+    v2 = rules_v2.select(*key).distinct()
+    j = v1.withColumn("_in1", F.lit(1)).join(
+        v2.withColumn("_in2", F.lit(1)), key, "full_outer"
+    )
+    opened_move = (
+        (F.col("_in2").isNotNull() & F.col("_in1").isNull()
+         & (F.col("rule_type") == "allow"))
+        | (F.col("_in1").isNotNull() & F.col("_in2").isNull()
+           & (F.col("rule_type") == "disallow"))
+    )
+    tightened_move = (
+        (F.col("_in2").isNotNull() & F.col("_in1").isNull()
+         & (F.col("rule_type") == "disallow"))
+        | (F.col("_in1").isNotNull() & F.col("_in2").isNull()
+           & (F.col("rule_type") == "allow"))
+    )
+    per_host = j.groupBy("host").agg(
+        F.sum(
+            F.when(F.col("_in2").isNotNull() & F.col("_in1").isNull(), 1)
+            .otherwise(0)
+        ).alias("n_added"),
+        F.sum(
+            F.when(F.col("_in1").isNotNull() & F.col("_in2").isNull(), 1)
+            .otherwise(0)
+        ).alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("_in1").isNotNull() & F.col("_in2").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_unchanged"),
+        F.max(F.when(opened_move, 1).otherwise(0)).alias("_op"),
+        F.max(F.when(tightened_move, 1).otherwise(0)).alias("_ti"),
+        F.max(F.when(F.col("_in1").isNotNull(), 1).otherwise(0)).alias(
+            "_any1"
+        ),
+        F.max(F.when(F.col("_in2").isNotNull(), 1).otherwise(0)).alias(
+            "_any2"
+        ),
+    )
+    verdict = (
+        F.when(F.col("_any1") == 0, F.lit("new_host"))
+        .when(F.col("_any2") == 0, F.lit("gone_host"))
+        .when((F.col("_op") == 1) & (F.col("_ti") == 1), F.lit("mixed"))
+        .when(F.col("_op") == 1, F.lit("opened"))
+        .when(F.col("_ti") == 1, F.lit("tightened"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return per_host.select(
+        "host",
+        F.col("n_added").cast("long").alias("n_added"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("n_unchanged").cast("long").alias("n_unchanged"),
+        verdict.alias("verdict"),
+    )

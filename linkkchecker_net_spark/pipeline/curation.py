@@ -1358,3 +1358,46 @@ def temporal_split(
             F.col("n_leaky_users") * 1_000_000 / F.col("n_users")
         ).alias("leaky_ppm"),
     )
+
+
+def shard_skew_audit(
+    docs: DataFrame, n_shards: int = 16, tolerance_ppm: int = 200_000
+) -> DataFrame:
+    """Shard-balance QA over :func:`shard_assign`'s manifest — the
+    check a training job runs BEFORE reading shards: per shard, its
+    doc/char share in floor-ppm, the signed deviation from the uniform
+    expectation (1e6 / n_shards), and a ``balanced`` verdict
+    (|char-share deviation| ≤ tolerance_ppm — chars, not docs, because
+    stragglers are byte-bound).  An imbalanced shard at 100 TB is a
+    straggler epoch; the fix (re-shard with a different n or key salt)
+    is cheap ONLY if noticed before training starts.
+
+    Output: (shard_id, n_docs, n_chars, docs_share_ppm,
+    chars_share_ppm, char_dev_ppm, balanced).
+
+    Scale: shard_assign's n_shards-row manifest cross-joined with a
+    1-row broadcast total — everything after the manifest is
+    metadata-sized.
+    """
+    per = shard_assign(docs, n_shards).select(
+        "shard_id", "n_docs", "n_chars"
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_chars").alias("_tc")
+    )
+    expect = 1_000_000 // int(n_shards)
+    docs_ppm = F.floor(F.col("n_docs") * 1_000_000 / F.col("_td"))
+    chars_ppm = F.floor(F.col("n_chars") * 1_000_000 / F.col("_tc"))
+    dev = chars_ppm - F.lit(expect)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard_id",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            docs_ppm.cast("long").alias("docs_share_ppm"),
+            chars_ppm.cast("long").alias("chars_share_ppm"),
+            dev.cast("long").alias("char_dev_ppm"),
+            (F.abs(dev) <= F.lit(int(tolerance_ppm))).alias("balanced"),
+        )
+    )

@@ -522,3 +522,51 @@ def tracker_audit(pages: DataFrame) -> DataFrame:
         F.size(trackers).alias("n_tracker_refs"),
         ((F.size(pixels) + F.size(trackers)) > 0).alias("has_tracking"),
     )
+
+
+def idn_audit(hosts: DataFrame) -> DataFrame:
+    """IDN / homograph-attack host audit — the hostname-level sibling of
+    the body-level mixed-script check (`pipeline/text.script_mix`): a
+    crawler deciding trust per host (and a corpus builder deciding
+    keep/drop per domain) needs to see (a) Punycode labels (xn--) that
+    hide non-ASCII identity, and (b) labels mixing Latin with Cyrillic
+    or Greek letters — the classic paypаl.com spoof (Unicode TR39
+    restriction-level idea, reduced to the two script pairs that carry
+    virtually all real-world homograph abuse).
+
+    hosts: (host).  Output: (host, n_labels, n_puny, n_mixed,
+    has_nonascii, verdict ∈ ascii / punycode / unicode / mixed_script)
+    — mixed_script dominates punycode dominates plain unicode.
+
+    Scale: map-only codegen (label split + per-label regexp counts),
+    zero shuffles; composes with host_reputation / url_blocklist as
+    another keep-signal column.
+    """
+    labels = F.split(F.lower(F.col("host")), r"\.")
+    n_puny = F.size(
+        F.filter(labels, lambda x: x.startswith("xn--"))
+    )
+    mixed = F.size(
+        F.filter(
+            labels,
+            lambda x: (
+                x.rlike(r"\p{IsLatin}")
+                & (x.rlike(r"\p{IsCyrillic}") | x.rlike(r"\p{IsGreek}"))
+            ),
+        )
+    )
+    nonascii = F.col("host").rlike(r"[^\x00-\x7f]")
+    verdict = (
+        F.when(mixed > 0, F.lit("mixed_script"))
+        .when(n_puny > 0, F.lit("punycode"))
+        .when(nonascii, F.lit("unicode"))
+        .otherwise(F.lit("ascii"))
+    )
+    return hosts.select(
+        "host",
+        F.size(labels).cast("int").alias("n_labels"),
+        n_puny.cast("int").alias("n_puny"),
+        mixed.cast("int").alias("n_mixed"),
+        nonascii.alias("has_nonascii"),
+        verdict.alias("verdict"),
+    )

@@ -926,3 +926,30 @@ def test_url_score_signals_hand_values(spark):
     r = out["http://ex.test/1234567890123456"]
     assert r["digit_ppm"] >= 200_000 and r["score_centi"] == 50
     assert out["http://ex.test/" + "y" * 140]["score_centi"] == 50
+
+
+def test_shard_skew_audit_shares_and_invariants(spark, docs):
+    from linkkchecker_net_spark.pipeline.curation import shard_skew_audit
+
+    out = shard_skew_audit(docs, n_shards=4, tolerance_ppm=200_000).collect()
+    total_chars = sum(
+        len(r["text"]) for r in docs.select("text").collect()
+    )
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert sum(r["n_chars"] for r in out) == total_chars
+    for r in out:
+        # floor-ppm share recomputed by hand
+        assert r["chars_share_ppm"] == r["n_chars"] * 1_000_000 // total_chars
+        assert r["char_dev_ppm"] == r["chars_share_ppm"] - 250_000
+        assert r["balanced"] == (abs(r["char_dev_ppm"]) <= 200_000)
+    # floor-ppm shares can sum at most to 1e6
+    assert sum(r["chars_share_ppm"] for r in out) <= 1_000_000
+
+
+def test_shard_skew_audit_flags_imbalance(spark, docs):
+    """With a tolerance of 0 ppm on an uneven md5 spread, at least one
+    shard must read unbalanced (both verdict arms fire)."""
+    from linkkchecker_net_spark.pipeline.curation import shard_skew_audit
+
+    out = shard_skew_audit(docs, n_shards=4, tolerance_ppm=0).collect()
+    assert any(not r["balanced"] for r in out)

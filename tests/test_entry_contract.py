@@ -88,7 +88,8 @@ NON_CRAWL = [
     "image_meta", "image_neardup",
     "embed_neardup", "ann_topk", "ann_lsh_recall", "lang_id", "token_count",
     "quality_score", "fingerprint", "event_stats", "multimodal_neardup",
-    "decontaminate", "stratified_sample", "shard_assign", "vocab_topk",
+    "decontaminate", "stratified_sample", "shard_assign", "shard_skew",
+    "vocab_topk",
     "repetition_stats", "pii_stats", "pack_sequences", "winnow", "kmeans",
     "redact_pii", "weighted_sample", "semantic_dedup", "bm25", "tfidf_topk",
     "unigram_ppl", "bigram_ppl", "bpe_pairs", "bpe_merges", "bpe_encode",
@@ -100,7 +101,8 @@ NON_CRAWL = [
     "clip_align", "hll_users", "cms_tokens", "ann_sq8", "robots_sitemaps",
     "resolve_redirects", "url_traps", "host_linkgraph", "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
-    "registrable_domains", "url_blocklist", "url_score", "change_rate",
+    "registrable_domains", "url_blocklist", "url_score", "robots_delta",
+    "idn_audit", "change_rate",
     "meta_robots", "nofollow_links", "rel_canonical",
     "c4_lines", "paragraph_dedup", "cdc_dedup", "sitemap_meta", "budget_alloc",
     "image_borders", "charset_sniff", "cache_policy", "warc_manifest",

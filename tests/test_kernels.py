@@ -1254,3 +1254,58 @@ def test_table_extract_shapes(spark):
     assert out["u1"]["numeric_cell_ppm"] == 500_000  # 2 numeric td of 4
     assert out["u2"]["data_table"] is False
     assert out["u3"]["n_tables"] == 0
+
+
+def test_robots_delta_verdict_arms(spark):
+    """Every verdict arm on a hand-built snapshot pair: h-open gains an
+    allow, h-tight gains a disallow AND loses an allow (both moves
+    tighten), h-mixed moves both directions, h-same is untouched,
+    h-gone only in v1, h-new only in v2."""
+    from linkkchecker_net_spark.kernels.robotsparse import robots_delta
+
+    schema = "host string, rule_type string, path string"
+    v1 = spark.createDataFrame(
+        [
+            ("h-open", "disallow", "/a"),
+            ("h-tight", "allow", "/pub"), ("h-tight", "disallow", "/x"),
+            ("h-mixed", "allow", "/keep"),
+            ("h-same", "allow", "/k"),
+            ("h-gone", "disallow", "/z"),
+        ],
+        schema,
+    )
+    v2 = spark.createDataFrame(
+        [
+            ("h-open", "disallow", "/a"), ("h-open", "allow", "/a/pub"),
+            ("h-tight", "disallow", "/x"), ("h-tight", "disallow", "/y"),
+            ("h-mixed", "allow", "/new"),
+            ("h-same", "allow", "/k"),
+            ("h-new", "disallow", "/w"),
+        ],
+        schema,
+    )
+    out = {r["host"]: r for r in robots_delta(v1, v2).collect()}
+    assert out["h-open"]["verdict"] == "opened"
+    assert out["h-open"]["n_added"] == 1 and out["h-open"]["n_unchanged"] == 1
+    assert out["h-tight"]["verdict"] == "tightened"
+    assert out["h-tight"]["n_added"] == 1 and out["h-tight"]["n_removed"] == 1
+    assert out["h-mixed"]["verdict"] == "mixed"
+    assert out["h-same"]["verdict"] == "unchanged"
+    assert out["h-gone"]["verdict"] == "gone_host"
+    assert out["h-new"]["verdict"] == "new_host"
+    assert out["h-new"]["n_added"] == 1 and out["h-new"]["n_removed"] == 0
+
+
+def test_robots_delta_dedups_rule_rows(spark):
+    """Duplicate rule rows within one snapshot must not inflate counts
+    (the operator distincts on the full rule key)."""
+    from linkkchecker_net_spark.kernels.robotsparse import robots_delta
+
+    schema = "host string, rule_type string, path string"
+    v1 = spark.createDataFrame(
+        [("h", "disallow", "/a"), ("h", "disallow", "/a")], schema
+    )
+    v2 = spark.createDataFrame([("h", "disallow", "/a")], schema)
+    row = robots_delta(v1, v2).collect()[0]
+    assert row["n_unchanged"] == 1 and row["n_removed"] == 0
+    assert row["verdict"] == "unchanged"

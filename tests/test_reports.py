@@ -524,3 +524,32 @@ def test_price_extract_cents(spark):
     assert out["u3"]["n_prices"] == 3
     assert out["u3"]["min_cents"] == 129_900
     assert out["u3"]["max_cents"] == 129_995_075
+
+
+def test_idn_audit_verdict_ladder(spark):
+    """mixed_script dominates punycode dominates plain unicode; the
+    Cyrillic-a paypal spoof and a Greek-alpha tail both count as mixed;
+    café is single-script non-ascii (unicode, NOT mixed)."""
+    from linkkchecker_net_spark.reports.security import idn_audit
+
+    rows = [
+        ("example.test",),
+        ("xn--e1-abc.sub.test",),
+        ("pаypal.test",),      # Cyrillic U+0430 inside Latin label
+        ("café.test",),        # single-script Latin + accent
+        ("alphα.test",),       # Latin + Greek alpha
+        ("xn--x.pаy.test",),   # punycode AND mixed -> mixed wins
+    ]
+    hosts = spark.createDataFrame(rows, "host string")
+    out = {r["host"]: r for r in idn_audit(hosts).collect()}
+    assert out["example.test"]["verdict"] == "ascii"
+    assert out["example.test"]["n_labels"] == 2
+    assert out["xn--e1-abc.sub.test"]["verdict"] == "punycode"
+    assert out["xn--e1-abc.sub.test"]["n_puny"] == 1
+    assert out["pаypal.test"]["verdict"] == "mixed_script"
+    assert out["pаypal.test"]["n_mixed"] == 1
+    assert out["café.test"]["verdict"] == "unicode"
+    assert out["café.test"]["n_mixed"] == 0
+    assert out["alphα.test"]["verdict"] == "mixed_script"
+    assert out["xn--x.pаy.test"]["verdict"] == "mixed_script"
+    assert out["xn--x.pаy.test"]["n_puny"] == 1
