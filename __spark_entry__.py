@@ -6339,6 +6339,89 @@ def q_table_extract(spark, sf_dir):
     return table_extract(pages)
 
 
+
+
+def q_caption_quality(spark, sf_dir):
+    """LAION-style caption gate (kernels/captions.caption_quality):
+    arms per i%7 — too_short 'hi', too_long 250·'y', placeholder
+    'IMG_1234.jpg', url 'buy now at www.shop<g>.test', digits
+    'code 1234567890', no_stopword Spanish-ish tokens, and the good
+    'a scenic view of the mountains <g>' — the full reason ladder
+    fires; token split [^a-z]+ spelled identically in both engines."""
+    from linkkchecker_net_spark.kernels.captions import caption_quality
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    g = (i % 11).cast("string")
+    m = i % 7
+    caption = (
+        F.when(m == 0, F.lit("hi"))
+        .when(m == 1, F.concat(F.lit("y" * 240), F.lit("y" * 10), g))
+        .when(m == 2, F.lit("IMG_1234.jpg"))
+        .when(m == 3, F.concat(F.lit("buy now at www.shop"), g, F.lit(".test")))
+        .when(m == 4, F.lit("code 1234567890"))
+        .when(m == 5, F.lit("paisaje bonito lugar"))
+        .otherwise(F.concat(F.lit("a scenic view of the mountains "), g))
+    )
+    return caption_quality(
+        _docs(spark, sf_dir).select(caption.alias("caption"))
+    )
+
+
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer-fit audit (pipeline/curation.bpe_fertility): lang
+    'cov' docs are n copies of 'low' (fully merged to one symbol by
+    the 3-merge chain, fertility 100), lang 'unc' docs n copies of
+    'zq' (no merge applies, char fallback, fertility 300), n = 2+i%3;
+    threshold 250 fires fragmenting on exactly the 'unc' row."""
+    from linkkchecker_net_spark.pipeline.curation import bpe_fertility
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    n = (F.lit(2) + (i % 3)).cast("int")
+    word = F.when(i % 2 == 0, F.lit("low")).otherwise(F.lit("zq"))
+    lang = F.when(i % 2 == 0, F.lit("cov")).otherwise(F.lit("unc"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.array_repeat(word, n)).alias("text"),
+        lang.alias("lang"),
+    )
+    merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
+    return bpe_fertility(docs, merges, threshold_centi=250)
+
+
+def q_domain_dup_rate(spark, sf_dir):
+    """Boilerplate-farm triage (pipeline/dedup.domain_dup_rate):
+    farm.test carries one constant text (dup_ppm ~994k, farm), 
+    mixed.test cycles 100 texts (~401k, below the 500k bar), uniq.test
+    is all-unique (0); every other doc sits on a www. subdomain so the
+    eTLD+1 collapse is load-bearing."""
+    from linkkchecker_net_spark.pipeline.dedup import domain_dup_rate
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 3
+    dom = (
+        F.when(m == 0, F.lit("farm.test"))
+        .when(m == 1, F.lit("mixed.test"))
+        .otherwise(F.lit("uniq.test"))
+    )
+    host = F.when(i % 2 == 0, F.concat(F.lit("www."), dom)).otherwise(dom)
+    text = (
+        F.when(m == 0, F.lit("boilerplate page"))
+        .when(m == 1, F.concat(F.lit("m"), (i % 100).cast("string")))
+        .otherwise(F.concat(F.lit("u"), i.cast("string")))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://"), host, F.lit("/p"), i.cast("string")).alias("url"),
+        text.alias("text"),
+    )
+    return domain_dup_rate(pages)
+
+
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -6351,7 +6434,8 @@ def q_table_extract(spark, sf_dir):
 _DRIVER_PRIORITY = [
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
-    "idn_audit", "shard_skew",
+    "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
+    "domain_dup_rate",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -6495,6 +6579,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "url_score": q_url_score,
         "robots_delta": q_robots_delta,
+        "caption_quality": q_caption_quality,
+        "bpe_fertility": q_bpe_fertility,
+        "domain_dup_rate": q_domain_dup_rate,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -8445,6 +8532,109 @@ FROM bt JOIN bh ON bt.url = bh.url
                         WHEN op = 1 THEN 'opened'
                         WHEN ti = 1 THEN 'tightened'
                         ELSE 'unchanged' END AS verdict
+            FROM g
+        """,
+        # construction replay; signals recomputed with the same RE2-safe
+        # grammars (placeholder/url) and the [^a-z]+ token split
+        "caption_quality": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents),
+            capt AS (
+              SELECT CASE i % 7
+                WHEN 0 THEN 'hi'
+                WHEN 1 THEN repeat('y', 250) || (i % 11)
+                WHEN 2 THEN 'IMG_1234.jpg'
+                WHEN 3 THEN 'buy now at www.shop' || (i % 11) || '.test'
+                WHEN 4 THEN 'code 1234567890'
+                WHEN 5 THEN 'paisaje bonito lugar'
+                ELSE 'a scenic view of the mountains ' || (i % 11)
+              END AS caption
+              FROM d),
+            s AS (
+              SELECT caption,
+                len(caption) AS cap_len,
+                CASE WHEN trim(caption) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(caption),
+                                                    '\\s+')) END
+                  AS n_words,
+                floor(len(regexp_replace(caption, '[^0-9]', '', 'g'))
+                      * 1000000.0 / greatest(len(caption), 1))
+                  AS digit_ppm,
+                regexp_matches(caption, '(?i)(?:https?://|www\\.)')
+                  AS has_url,
+                regexp_matches(caption,
+                  '(?i)^(?:image|img|photo|picture|untitled|screenshot'
+                  || '|dsc|logo|icon|banner|thumbnail)[-_ ]?[0-9]*'
+                  || '(?:\\.(?:jpe?g|png|gif|webp))?$') AS placeholder,
+                len(list_filter(
+                  list_filter(str_split_regex(lower(caption),
+                                              '[^a-z]+'),
+                              t -> t <> ''),
+                  t -> list_contains(
+                    ['a','the','of','and','with','in','on','is'], t)))
+                  > 0 AS stopword_hit
+              FROM capt),
+            v AS (
+              SELECT *,
+                CASE WHEN cap_len < 5 THEN 'too_short'
+                     WHEN cap_len > 200 THEN 'too_long'
+                     WHEN placeholder THEN 'placeholder'
+                     WHEN has_url THEN 'url'
+                     WHEN digit_ppm > 300000 THEN 'digits'
+                     WHEN NOT stopword_hit THEN 'no_stopword'
+                     ELSE 'ok' END AS reason
+              FROM s)
+            SELECT caption, CAST(cap_len AS INT) AS cap_len,
+                   CAST(n_words AS INT) AS n_words,
+                   CAST(digit_ppm AS BIGINT) AS digit_ppm,
+                   has_url, placeholder, stopword_hit, reason,
+                   reason = 'ok' AS keep
+            FROM v
+        """,
+        # fixture-arm arithmetic (the bpe_encode idiom): 'low' folds to
+        # one symbol under the 3-merge chain, 'zq' stays char-level
+        "bpe_fertility": """
+            WITH d AS (SELECT doc_id::BIGINT AS i,
+                              2 + doc_id % 3 AS n
+                       FROM documents),
+            per AS (
+              SELECT CASE WHEN i % 2 = 0 THEN 'cov' ELSE 'unc' END
+                       AS lang,
+                     n,
+                     CASE WHEN i % 2 = 0 THEN 3 * n ELSE 2 * n END AS c,
+                     CASE WHEN i % 2 = 0 THEN n ELSE 3 * n END AS s
+              FROM d)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS n_words,
+                   CAST(sum(c) AS BIGINT) AS n_chars,
+                   CAST(sum(s) AS BIGINT) AS n_symbols,
+                   CAST(floor(sum(s) * 100.0 / sum(n)) AS BIGINT)
+                     AS fertility_centi,
+                   CAST(floor(sum(c) * 100.0 / sum(s)) AS BIGINT)
+                     AS compression_centi,
+                   floor(sum(s) * 100.0 / sum(n)) >= 250 AS fragmenting
+            FROM per GROUP BY 1
+        """,
+        # construction replay; the www. subdomains collapse into the
+        # bare eTLD+1 exactly as registrable_domain_expr pools them
+        "domain_dup_rate": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents),
+            rows_ AS (
+              SELECT CASE i % 3 WHEN 0 THEN 'farm.test'
+                                WHEN 1 THEN 'mixed.test'
+                                ELSE 'uniq.test' END AS domain,
+                     CASE i % 3 WHEN 0 THEN 'boilerplate page'
+                                WHEN 1 THEN 'm' || (i % 100)
+                                ELSE 'u' || i END AS text
+              FROM d),
+            g AS (
+              SELECT domain, count(*) AS nd,
+                     count(DISTINCT md5(text)) AS nu
+              FROM rows_ GROUP BY 1)
+            SELECT domain, CAST(nd AS BIGINT) AS n_docs,
+                   CAST(nu AS BIGINT) AS n_unique,
+                   CAST(floor((nd - nu) * 1000000.0 / nd) AS BIGINT)
+                     AS dup_ppm,
+                   floor((nd - nu) * 1000000.0 / nd) >= 500000 AS farm
             FROM g
         """,
         # full construction + scoring replay (contains/label/digit

@@ -147,3 +147,83 @@ def caption_pairs(
             F.lit(False),
         ).alias("caption_ok"),
     )
+
+
+# LAION-style caption-quality gate thresholds / grammars.  The
+# placeholder grammar catches filename-ish and stock-template captions
+# ("IMG_1234.jpg", "photo 7", "untitled") — RE2-safe (no lookaround) so
+# the DuckDB oracle replays it verbatim.
+CAPQ_MIN_LEN = 5
+CAPQ_MAX_LEN = 200
+CAPQ_DIGIT_PPM_MAX = 300_000
+CAPQ_STOPWORDS = ("a", "the", "of", "and", "with", "in", "on", "is")
+_CAPQ_PLACEHOLDER_PAT = (
+    r"(?i)^(?:image|img|photo|picture|untitled|screenshot|dsc|logo|"
+    r"icon|banner|thumbnail)[-_ ]?[0-9]*"
+    r"(?:\.(?:jpe?g|png|gif|webp))?$"
+)
+_CAPQ_URL_PAT = r"(?i)(?:https?://|www\.)"
+
+
+def caption_quality(corpus: DataFrame, cap_col: str = "caption") -> DataFrame:
+    """LAION-style caption keep/drop gate over the north-rule
+    image+caption table — the per-row sibling of the corpus-level
+    :func:`~linkkchecker_net_spark.pipeline.multimodal.caption_dup`
+    boilerplate check.  Contrastive training wants captions that are
+    actual descriptions: not filename placeholders, not URL/SEO spam,
+    not number soup, long enough to carry signal, and (for an
+    English-target corpus) showing at least one English function word
+    — the cheap language proxy, same spirit as the stopword `lang_id`.
+
+    Signals per caption: length, word count, digit share (floor-ppm of
+    characters), URL-ish substring, whole-caption placeholder match,
+    stopword hit.  ``reason`` is a first-match ladder — too_short /
+    too_long / placeholder / url / digits / no_stopword / ok — and
+    ``keep`` is reason == 'ok', so downstream funnels get both the
+    verdict and WHY (the funnel-stage accounting `curation_funnel`
+    wants).
+
+    Output: (caption, cap_len, n_words, digit_ppm, has_url,
+    placeholder, stopword_hit, reason, keep).
+
+    Scale: map-only codegen (regexp counts + split), zero shuffles;
+    composes with `image_quality_gate` (pixel side) and `caption_dup`
+    (corpus side) into the full LAION filter.
+    """
+    cap = F.col(cap_col)
+    cap_len = F.length(cap)
+    n_words = F.when(F.trim(cap) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(cap), r"\s+"))
+    )
+    n_digits = F.length(F.regexp_replace(cap, r"[^0-9]", ""))
+    digit_ppm = F.floor(
+        n_digits * 1_000_000 / F.greatest(cap_len, F.lit(1))
+    )
+    has_url = cap.rlike(_CAPQ_URL_PAT)
+    placeholder = cap.rlike(_CAPQ_PLACEHOLDER_PAT)
+    toks = F.filter(
+        F.split(F.lower(cap), r"[^a-z]+"), lambda t: t != ""
+    )
+    stopword_hit = F.arrays_overlap(
+        toks, F.array(*[F.lit(w) for w in CAPQ_STOPWORDS])
+    )
+    reason = (
+        F.when(cap_len < CAPQ_MIN_LEN, F.lit("too_short"))
+        .when(cap_len > CAPQ_MAX_LEN, F.lit("too_long"))
+        .when(placeholder, F.lit("placeholder"))
+        .when(has_url, F.lit("url"))
+        .when(digit_ppm > CAPQ_DIGIT_PPM_MAX, F.lit("digits"))
+        .when(~stopword_hit, F.lit("no_stopword"))
+        .otherwise(F.lit("ok"))
+    )
+    return corpus.select(
+        cap.alias("caption"),
+        cap_len.cast("int").alias("cap_len"),
+        n_words.cast("int").alias("n_words"),
+        digit_ppm.cast("long").alias("digit_ppm"),
+        has_url.alias("has_url"),
+        placeholder.alias("placeholder"),
+        stopword_hit.alias("stopword_hit"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )

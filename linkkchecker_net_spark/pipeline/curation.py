@@ -1401,3 +1401,50 @@ def shard_skew_audit(
             (F.abs(dev) <= F.lit(int(tolerance_ppm))).alias("balanced"),
         )
     )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges: "list[tuple[str, str]]",
+    lang_col: str = "lang",
+    threshold_centi: int = 250,
+) -> DataFrame:
+    """Tokenizer-fit audit: per-language BPE fertility over a trained
+    merge table — the metric that exposes tokenizer bias (a tokenizer
+    trained on English fragments under-represented languages into
+    character soup, inflating their effective sequence length and
+    training cost; fertility = symbols per word is the standard
+    measure).  Composes :func:`bpe_encode_stats` (per-doc symbol
+    counts, vocab encoded once) with a language-keyed rollup.
+
+    Output one row per language: (lang, n_docs, n_words, n_chars,
+    n_symbols, fertility_centi = floor(100·Σsymbols/Σwords),
+    compression_centi = floor(100·Σchars/Σsymbols), fragmenting =
+    fertility_centi ≥ threshold_centi).
+
+    Scale: bpe_encode_stats' two shuffles plus one doc_id-keyed join
+    back to the lang column and a |langs|-row partial agg — nothing
+    new touches the corpus text twice.
+    """
+    per_doc = bpe_encode_stats(docs, merges)
+    joined = per_doc.join(
+        docs.select("doc_id", F.col(lang_col).alias("lang")), "doc_id"
+    )
+    agg = joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_symbols").alias("n_symbols"),
+    )
+    fertility = F.floor(F.col("n_symbols") * 100 / F.col("n_words"))
+    compression = F.floor(F.col("n_chars") * 100 / F.col("n_symbols"))
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_symbols").cast("long").alias("n_symbols"),
+        fertility.cast("long").alias("fertility_centi"),
+        compression.cast("long").alias("compression_centi"),
+        (fertility >= F.lit(int(threshold_centi))).alias("fragmenting"),
+    )

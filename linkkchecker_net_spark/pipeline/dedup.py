@@ -987,3 +987,55 @@ def substring_dedup_spans(
             F.col("n_grams").cast("int").alias("n_grams"),
         )
     )
+
+
+def domain_dup_rate(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    farm_ppm: int = 500_000,
+) -> DataFrame:
+    """Duplication rate per registrable domain — the triage view that
+    turns document-level exact dedup (:func:`dedup_exact`) into a
+    crawl-policy signal: a domain where most pages carry identical
+    content is a boilerplate/mirror farm, and the right fix at 10^10
+    URLs is to down-budget the DOMAIN (compose with `budget_alloc` /
+    `domain_cap`), not to keep fetching and discarding page by page.
+
+    Per eTLD+1 (`kernels/domains.registrable_domain_expr`, so
+    www./cdn. subdomains pool): n_docs, n_unique (distinct md5 of the
+    text), dup_ppm = floor((n_docs − n_unique)·1e6/n_docs), and a
+    ``farm`` verdict at dup_ppm ≥ farm_ppm.
+
+    Scale: one domain+digest-keyed partial agg then a domain-keyed
+    rollup — the hot farm digest collapses map-side; no windows, no
+    joins.
+    """
+    from ..kernels.domains import registrable_domain_expr
+
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    )
+    dom = registrable_domain_expr(host)
+    per_digest = (
+        pages.select(
+            dom.alias("domain"), F.md5(F.col(text_col)).alias("_digest")
+        )
+        .groupBy("domain", "_digest")
+        .agg(F.count("*").alias("_n"))
+    )
+    agg = per_digest.groupBy("domain").agg(
+        F.sum("_n").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+    )
+    dup_ppm = F.floor(
+        (F.col("n_docs") - F.col("n_unique")) * 1_000_000
+        / F.col("n_docs")
+    )
+    return agg.select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        dup_ppm.cast("long").alias("dup_ppm"),
+        (dup_ppm >= F.lit(int(farm_ppm))).alias("farm"),
+    )

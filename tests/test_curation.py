@@ -953,3 +953,26 @@ def test_shard_skew_audit_flags_imbalance(spark, docs):
 
     out = shard_skew_audit(docs, n_shards=4, tolerance_ppm=0).collect()
     assert any(not r["balanced"] for r in out)
+
+
+def test_bpe_fertility_hand_values(spark):
+    """'low' collapses to one symbol under the full merge chain
+    (fertility 100); 'zq' falls back to chars+</w> (fertility 300);
+    only the uncovered language reads fragmenting at the 250 bar."""
+    from linkkchecker_net_spark.pipeline.curation import bpe_fertility
+
+    rows = [
+        (0, "low low low", "cov"),
+        (1, "low low", "cov"),
+        (2, "zq zq", "unc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
+    out = {r["lang"]: r for r in bpe_fertility(docs, merges, threshold_centi=250).collect()}
+    cov, unc = out["cov"], out["unc"]
+    assert cov["n_docs"] == 2 and cov["n_words"] == 5
+    assert cov["n_symbols"] == 5 and cov["fertility_centi"] == 100
+    assert cov["compression_centi"] == 300 and not cov["fragmenting"]
+    assert unc["n_words"] == 2 and unc["n_symbols"] == 6
+    assert unc["fertility_centi"] == 300 and unc["fragmenting"]
+    assert unc["compression_centi"] == 66  # floor(4*100/6)

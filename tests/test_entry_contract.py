@@ -102,7 +102,8 @@ NON_CRAWL = [
     "resolve_redirects", "url_traps", "host_linkgraph", "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
     "registrable_domains", "url_blocklist", "url_score", "robots_delta",
-    "idn_audit", "change_rate",
+    "idn_audit", "caption_quality", "bpe_fertility", "domain_dup_rate",
+    "change_rate",
     "meta_robots", "nofollow_links", "rel_canonical",
     "c4_lines", "paragraph_dedup", "cdc_dedup", "sitemap_meta", "budget_alloc",
     "image_borders", "charset_sniff", "cache_policy", "warc_manifest",

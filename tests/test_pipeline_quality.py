@@ -326,3 +326,68 @@ def test_hashed_linear_classify_hand_values(spark):
         want_pred = "keep" if r["score_keep"] == best else "drop"
         assert r["pred"] == want_pred and r["keep"] == (want_pred == "keep")
         assert r["margin"] == abs(r["score_keep"] - r["score_drop"])
+
+
+def test_caption_quality_reason_ladder(spark):
+    from linkkchecker_net_spark.kernels.captions import caption_quality
+
+    rows = [
+        ("hi",),
+        ("y" * 201,),
+        ("IMG_1234.jpg",),
+        ("Photo 7",),
+        ("buy now at www.shop.test",),
+        ("see https://ex.test/page for info",),
+        ("code 1234567890",),
+        ("paisaje bonito lugar",),
+        ("a scenic view of the mountains",),
+    ]
+    corpus = spark.createDataFrame(rows, "caption string")
+    out = {r["caption"]: r for r in caption_quality(corpus).collect()}
+    assert out["hi"]["reason"] == "too_short"
+    assert out["y" * 201]["reason"] == "too_long"
+    assert out["IMG_1234.jpg"]["reason"] == "placeholder"
+    assert out["Photo 7"]["reason"] == "placeholder"
+    assert out["buy now at www.shop.test"]["reason"] == "url"
+    assert out["see https://ex.test/page for info"]["reason"] == "url"
+    r = out["code 1234567890"]
+    assert r["reason"] == "digits" and r["digit_ppm"] == 666_666
+    assert out["paisaje bonito lugar"]["reason"] == "no_stopword"
+    good = out["a scenic view of the mountains"]
+    assert good["reason"] == "ok" and good["keep"] and good["n_words"] == 6
+    assert sum(1 for r in out.values() if r["keep"]) == 1
+
+
+def test_caption_quality_placeholder_needs_whole_match(spark):
+    """A real sentence mentioning 'photo' must NOT gate as placeholder;
+    the grammar anchors on the whole caption."""
+    from linkkchecker_net_spark.kernels.captions import caption_quality
+
+    corpus = spark.createDataFrame(
+        [("a photo of the old harbor at dawn",)], "caption string"
+    )
+    r = caption_quality(corpus).collect()[0]
+    assert r["placeholder"] is False and r["reason"] == "ok"
+
+
+def test_domain_dup_rate_pools_subdomains(spark):
+    """www./cdn. hosts pool into one eTLD+1 row; the farm verdict fires
+    only where duplicate share crosses the bar."""
+    from linkkchecker_net_spark.pipeline.dedup import domain_dup_rate
+
+    rows = [
+        ("http://www.farm.test/a", "same"),
+        ("http://farm.test/b", "same"),
+        ("http://cdn.farm.test/c", "same"),
+        ("http://farm.test/d", "other"),
+        ("http://uniq.test/a", "x1"),
+        ("http://www.uniq.test/b", "x2"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    out = {r["domain"]: r for r in domain_dup_rate(pages).collect()}
+    assert set(out) == {"farm.test", "uniq.test"}
+    farm = out["farm.test"]
+    assert farm["n_docs"] == 4 and farm["n_unique"] == 2
+    assert farm["dup_ppm"] == 500_000 and farm["farm"] is True
+    uniq = out["uniq.test"]
+    assert uniq["n_docs"] == 2 and uniq["dup_ppm"] == 0 and not uniq["farm"]
