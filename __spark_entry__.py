@@ -6422,6 +6422,62 @@ def q_domain_dup_rate(spark, sf_dir):
 
 
 
+def q_zipf_spectrum(spark, sf_dir):
+    """Token frequency spectrum (pipeline/text.zipf_spectrum) over the
+    REAL documents.text stream — full-replay oracle (split, count,
+    bit-length log2 bucket, broadcast-total shares), no fixture arms:
+    the sf0.001 corpus itself populates hapax through head buckets."""
+    from linkkchecker_net_spark.pipeline.text import zipf_spectrum
+
+    _prep(spark)
+    return zipf_spectrum(_docs(spark, sf_dir))
+
+
+def q_tld_risk(spark, sf_dir):
+    """TLD risk mix (kernels/domains.tld_risk): arms per i%6 — .com,
+    risky .xyz, risky .tk, .org, an IPv4 literal (pools under 'ipv4'),
+    risky .zip — both risky arms and the ipv4 pool fire."""
+    from linkkchecker_net_spark.kernels.domains import tld_risk
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    g = (i % 9).cast("string")
+    m = i % 6
+    host = (
+        F.when(m == 0, F.concat(F.lit("ex"), g, F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("spam"), g, F.lit(".xyz")))
+        .when(m == 2, F.concat(F.lit("free"), g, F.lit(".tk")))
+        .when(m == 3, F.concat(F.lit("site"), g, F.lit(".org")))
+        .when(m == 4, F.concat(F.lit("10.0."), (i % 3).cast("string"), F.lit(".1")))
+        .otherwise(F.concat(F.lit("shop"), g, F.lit(".zip")))
+    )
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://"), host, F.lit("/p"), i.cast("string")).alias("url")
+    )
+    return tld_risk(urls)
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """PMI collocations (pipeline/ranking.pmi_collocations): four text
+    arms built from the {new york, city hall, stock market} phrase
+    pool so every bigram clears min_count and the PMI ladder is
+    non-trivial; ln forced double + round(6) on both engines."""
+    from linkkchecker_net_spark.pipeline.ranking import pmi_collocations
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 4
+    text = (
+        F.when(m == 0, F.lit("new york new york stock"))
+        .when(m == 1, F.lit("new york city hall"))
+        .when(m == 2, F.lit("stock market stock market"))
+        .otherwise(F.lit("city hall city hall news"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return pmi_collocations(docs, k=50, min_count=2)
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -6435,7 +6491,7 @@ _DRIVER_PRIORITY = [
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
-    "domain_dup_rate",
+    "domain_dup_rate", "zipf_spectrum", "tld_risk", "pmi_collocations",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -6582,6 +6638,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_quality": q_caption_quality,
         "bpe_fertility": q_bpe_fertility,
         "domain_dup_rate": q_domain_dup_rate,
+        "zipf_spectrum": q_zipf_spectrum,
+        "tld_risk": q_tld_risk,
+        "pmi_collocations": q_pmi_collocations,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -8636,6 +8695,96 @@ FROM bt JOIN bh ON bt.url = bh.url
                      AS dup_ppm,
                    floor((nd - nu) * 1000000.0 / nd) >= 500000 AS farm
             FROM g
+        """,
+        # FULL replay on the real text stream: split, vocab counts,
+        # bit-length log2 bucket, broadcast-total shares
+        "zipf_spectrum": """
+            WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            c AS (
+              SELECT token, count(*) AS cnt FROM toks
+              WHERE token <> '' GROUP BY 1),
+            b AS (
+              SELECT CASE WHEN cnt <= 1 THEN 0
+                          ELSE length(bin(cnt - 1)) END AS bucket, cnt
+              FROM c),
+            per AS (
+              SELECT bucket, count(*) AS n_tokens, sum(cnt) AS n_occ
+              FROM b GROUP BY 1),
+            t AS (SELECT sum(n_tokens) AS tt, sum(n_occ) AS tto FROM per)
+            SELECT CAST(bucket AS INT) AS bucket,
+                   CAST(1::BIGINT << bucket AS BIGINT) AS freq_hi,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_occ AS BIGINT) AS n_occ,
+                   CAST(floor(n_tokens * 1000000.0 / tt) AS BIGINT)
+                     AS token_share_ppm,
+                   CAST(floor(n_occ * 1000000.0 / tto) AS BIGINT)
+                     AS occ_share_ppm
+            FROM per, t
+        """,
+        # construction replay; risky membership replicated inline
+        "tld_risk": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents),
+            h AS (
+              SELECT CASE i % 6
+                WHEN 0 THEN 'com'
+                WHEN 1 THEN 'xyz'
+                WHEN 2 THEN 'tk'
+                WHEN 3 THEN 'org'
+                WHEN 4 THEN 'ipv4'
+                ELSE 'zip'
+              END AS tld
+              FROM d),
+            g AS (SELECT tld, count(*) AS n FROM h GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM g)
+            SELECT tld, CAST(n AS BIGINT) AS n_urls,
+                   CAST(floor(n * 1000000.0 / tot) AS BIGINT)
+                     AS share_ppm,
+                   tld IN ('xyz', 'tk', 'zip') AS risky
+            FROM g, t
+        """,
+        # full replay: unigram + bigram vocab counts, double-forced
+        # PMI, round(6) both sides (the pagerank determinism rule)
+        "pmi_collocations": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents),
+            txt AS (
+              SELECT CASE i % 4
+                WHEN 0 THEN 'new york new york stock'
+                WHEN 1 THEN 'new york city hall'
+                WHEN 2 THEN 'stock market stock market'
+                ELSE 'city hall city hall news'
+              END AS text
+              FROM d),
+            toks AS (
+              SELECT list_filter(string_split(text, ' '),
+                                 t -> t <> '') AS ts
+              FROM txt),
+            uc AS (
+              SELECT w, count(*) AS c_uni
+              FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+            bca AS (
+              SELECT split_part(g, ' ', 1) AS w1,
+                     split_part(g, ' ', 2) AS w2,
+                     count(*) AS c_bigram
+              FROM (
+                SELECT unnest(list_transform(range(1, len(ts)),
+                         j -> ts[j] || ' ' || ts[j + 1])) AS g
+                FROM toks WHERE len(ts) >= 2)
+              GROUP BY 1, 2),
+            bc AS (SELECT * FROM bca WHERE c_bigram >= 2),
+            nu AS (SELECT CAST(sum(c_uni) AS DOUBLE) AS nuv FROM uc),
+            -- stream total BEFORE the min_count prune, like the operator
+            nb AS (SELECT CAST(sum(c_bigram) AS DOUBLE) AS nbv FROM bca)
+            SELECT w1, w2, CAST(c_bigram AS BIGINT) AS c_bigram,
+                   CAST(a.c_uni AS BIGINT) AS c_w1,
+                   CAST(b2.c_uni AS BIGINT) AS c_w2,
+                   round(ln((c_bigram / nbv)
+                            / ((a.c_uni / nuv) * (b2.c_uni / nuv))), 6)
+                     AS pmi
+            FROM bc JOIN uc a ON bc.w1 = a.w
+                    JOIN uc b2 ON bc.w2 = b2.w, nu, nb
+            ORDER BY pmi DESC, w1, w2 LIMIT 50
         """,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)

@@ -74,3 +74,52 @@ def registrable_domain_expr(host_col) -> Column:
         .when(n >= 2, last2)
         .otherwise(host)
     )
+
+
+# spam-heavy TLDs (public abuse-ranking staples — Spamhaus/SURBL "most
+# abused TLD" lists' stable members): a URL here isn't auto-dropped, it
+# just prices into url_score/host_reputation as one more keep-signal
+RISKY_TLDS = (
+    "tk", "ml", "ga", "cf", "gq",
+    "xyz", "top", "icu", "work", "click", "link", "loan", "zip",
+    "country", "stream", "download", "racing", "win", "bid",
+)
+
+
+def tld_risk(urls, url_col: str = "url"):
+    """TLD distribution + abuse-risk flag over a URL table — the
+    cheapest corpus-mix / crawl-policy diagnostic there is: a frontier
+    whose .xyz/.tk share is exploding is being led into spam space,
+    and a training corpus skewed to risky TLDs inherits their content.
+
+    Per TLD (last host label, lowercased; IPv4 literals pool under
+    'ipv4'): n_urls, share_ppm, risky (compile-in RISKY_TLDS set —
+    swapping in a fuller abuse list is a data change).
+
+    Output: (tld, n_urls, share_ppm, risky).
+
+    Scale: map-only extraction → |TLDs|-row partial agg + 1-row
+    broadcast total; composes with `registrable_domains`, `url_score`,
+    `host_reputation` as a keep-signal.
+    """
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/:]+)", 1)
+    )
+    labels = F.split(host, r"\.")
+    tld = F.when(host.rlike(_IPV4), F.lit("ipv4")).otherwise(
+        F.element_at(labels, -1)
+    )
+    counts = (
+        urls.select(tld.alias("tld"))
+        .groupBy("tld")
+        .agg(F.count("*").alias("n_urls"))
+    )
+    tot = counts.agg(F.sum("n_urls").alias("_t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "tld",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.floor(F.col("n_urls") * 1_000_000 / F.col("_t"))
+        .cast("long")
+        .alias("share_ppm"),
+        F.col("tld").isin(*RISKY_TLDS).alias("risky"),
+    )

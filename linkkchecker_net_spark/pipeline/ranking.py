@@ -341,3 +341,94 @@ def ppl_buckets(docs: DataFrame, round_dp: int = 6) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic phrase-mining primitive (Church & Hanks 1990; the
+    word2vec-phrases preprocessing step): PMI(v,w) =
+    ln( (c_vw / N_b) / ((c_v / N_u) · (c_w / N_u)) ), with c_vw the
+    corpus bigram count, c_v/c_w unigram counts, N_b/N_u the stream
+    totals.  min_count kills the hapax-pair PMI explosion (a
+    once-seen pair of once-seen words maxes the score — textbook
+    failure mode), exactly the published heuristic.
+
+    Output top-k by (pmi desc, w1, w2): (w1, w2, c_bigram, c_w1,
+    c_w2, pmi) with pmi rounded to round_dp (forced double, the
+    pagerank determinism discipline).
+
+    Scale: bigram + unigram streams partial-aggregate to their vocabs
+    (hot pairs collapse map-side); scoring is two word-keyed
+    vocab-vocab joins (skew-free — the hot word is ONE row on the
+    build side) + 1-row broadcast totals; the top-k is
+    orderBy().limit(k) = TakeOrderedAndProject (the vocab_topk
+    lesson — never a global single-partition window).
+    """
+    arr = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = docs.select(arr.alias("a"))
+    uni = (
+        toks.select(F.explode("a").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    bigrams_all = (
+        toks.select(
+            F.when(
+                F.size("a") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(a) - 2), "
+                    "i -> struct(a[i] AS w1, a[i+1] AS w2))"
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            .alias("bg")
+        )
+        .select(F.explode("bg").alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bigram"))
+    )
+    # the stream total is taken BEFORE min_count prunes the reported
+    # pairs — probabilities must not depend on the reporting threshold
+    n_uni = uni.agg(F.sum("c_uni").cast("double").alias("_nu"))
+    n_bi = bigrams_all.agg(F.sum("c_bigram").cast("double").alias("_nb"))
+    bigrams = bigrams_all.filter(F.col("c_bigram") >= int(min_count))
+    scored = (
+        bigrams.join(
+            uni.select(F.col("w").alias("w1"), F.col("c_uni").alias("c_w1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c_uni").alias("c_w2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_bigram").cast("double") / F.col("_nb"))
+            / (
+                (F.col("c_w1").cast("double") / F.col("_nu"))
+                * (F.col("c_w2").cast("double") / F.col("_nu"))
+            )
+        ),
+        round_dp,
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            F.col("c_bigram").cast("long").alias("c_bigram"),
+            F.col("c_w1").cast("long").alias("c_w1"),
+            F.col("c_w2").cast("long").alias("c_w2"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(int(k))
+    )

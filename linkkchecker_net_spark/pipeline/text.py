@@ -1080,3 +1080,66 @@ def lang_script_check(docs: DataFrame) -> DataFrame:
             verdict.alias("verdict"),
         )
     )
+
+
+def zipf_spectrum(docs: DataFrame) -> DataFrame:
+    """Token frequency spectrum in log2 buckets — the corpus-level
+    Zipf diagnostic (every clean natural-language corpus shows the
+    same ski-slope: a huge hapax band and a thin head).  The hapax
+    band's TOKEN share is the working signal: OCR noise, mojibake, and
+    id-soup all inflate distinct once-seen tokens, so a hapax
+    token-share far above the natural ~40-60% band flags a corrupted
+    shard before any model sees it (compose with `unicode_hygiene` /
+    `charset_sniff` to find out why).
+
+    Bucket b holds tokens with corpus frequency in (2^(b-1), 2^b]
+    (bucket 0 = hapax), computed via the integer bit-length of cnt-1 —
+    the `degree_hist` idiom, no float log, identical on any engine.
+
+    Output per bucket: (bucket, freq_hi, n_tokens, n_occ,
+    token_share_ppm, occ_share_ppm) — token share over the distinct
+    vocab, occurrence share over the token stream.
+
+    Scale: explode → token-keyed partial agg (hot tokens collapse
+    map-side) → O(log max_freq)-row bucket agg + a 1-row broadcast
+    total; same plan family as `degree_hist`.
+    """
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bucket = (
+        F.when(F.col("cnt") <= 1, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("cnt") - 1)))
+        .cast("int")
+    )
+    per_bucket = (
+        counts.select(bucket.alias("bucket"), "cnt")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("n_occ"),
+        )
+    )
+    tot = per_bucket.agg(
+        F.sum("n_tokens").alias("_tt"), F.sum("n_occ").alias("_to")
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            # python-side F.shiftleft only takes a literal shift;
+            # spell the column-shift in SQL (the degree_hist idiom)
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("freq_hi"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.floor(F.col("n_tokens") * 1_000_000 / F.col("_tt"))
+            .cast("long")
+            .alias("token_share_ppm"),
+            F.floor(F.col("n_occ") * 1_000_000 / F.col("_to"))
+            .cast("long")
+            .alias("occ_share_ppm"),
+        )
+    )

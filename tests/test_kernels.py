@@ -1309,3 +1309,26 @@ def test_robots_delta_dedups_rule_rows(spark):
     row = robots_delta(v1, v2).collect()[0]
     assert row["n_unchanged"] == 1 and row["n_removed"] == 0
     assert row["verdict"] == "unchanged"
+
+
+def test_tld_risk_pools_and_flags(spark):
+    """Ports are stripped from the authority, IPv4 literals pool under
+    'ipv4', and only list TLDs read risky."""
+    from linkkchecker_net_spark.kernels.domains import tld_risk
+
+    urls = spark.createDataFrame(
+        [
+            ("http://ex.com/x",),
+            ("http://Ex.COM:8080/y",),
+            ("http://spam.xyz/z",),
+            ("http://10.0.0.1/w",),
+            ("https://a.b.co.uk/v",),
+        ],
+        "url string",
+    )
+    out = {r["tld"]: r for r in tld_risk(urls).collect()}
+    assert out["com"]["n_urls"] == 2 and out["com"]["risky"] is False
+    assert out["xyz"]["n_urls"] == 1 and out["xyz"]["risky"] is True
+    assert out["ipv4"]["n_urls"] == 1 and out["ipv4"]["risky"] is False
+    assert out["uk"]["n_urls"] == 1
+    assert out["com"]["share_ppm"] == 400_000

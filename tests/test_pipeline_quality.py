@@ -391,3 +391,21 @@ def test_domain_dup_rate_pools_subdomains(spark):
     assert farm["dup_ppm"] == 500_000 and farm["farm"] is True
     uniq = out["uniq.test"]
     assert uniq["n_docs"] == 2 and uniq["dup_ppm"] == 0 and not uniq["farm"]
+
+
+def test_zipf_spectrum_hand_buckets(spark):
+    """a×4 → bucket 2 (hi 4), b×2 → bucket 1 (hi 2), c×1 → hapax
+    bucket 0; shares recomputed by hand over 3 tokens / 7 occurrences."""
+    from linkkchecker_net_spark.pipeline.text import zipf_spectrum
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a b"), (1, "b c"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: r for r in zipf_spectrum(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["freq_hi"] == 1 and out[0]["n_tokens"] == 1
+    assert out[1]["freq_hi"] == 2 and out[1]["n_occ"] == 2
+    assert out[2]["freq_hi"] == 4 and out[2]["n_occ"] == 4
+    assert out[0]["token_share_ppm"] == 333_333
+    assert out[2]["occ_share_ppm"] == 571_428  # floor(4e6/7)

@@ -168,3 +168,24 @@ def test_bigram_ppl_hand_computed(spark):
     assert out[1]["ppl"] == pytest.approx(round(p1, 6), abs=1e-6)
     assert out[2]["ppl"] == pytest.approx(round(p2, 6), abs=1e-6)
     assert out[2]["keep"] == (round(p2, 9) <= 5.0)
+
+
+def test_pmi_collocations_hand_values(spark):
+    """'new york' appears twice as a pair with unigrams 2/2 over a
+    6-token, 3-bigram stream: pmi = ln((2/3)/((2/6)^2)) = ln(6);
+    the stream total counts the hapax (stock, jump) pair even though
+    min_count prunes it from the report."""
+    import math
+
+    from linkkchecker_net_spark.pipeline.ranking import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(0, "new york"), (1, "new york"), (2, "stock jump")],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, k=10, min_count=2).collect()
+    assert len(out) == 1  # (stock, jump) is a hapax pair -> filtered
+    r = out[0]
+    assert (r["w1"], r["w2"]) == ("new", "york")
+    assert r["c_bigram"] == 2 and r["c_w1"] == 2 and r["c_w2"] == 2
+    assert r["pmi"] == round(math.log((2 / 3) / ((2 / 6) * (2 / 6))), 6)
