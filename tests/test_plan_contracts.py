@@ -634,3 +634,66 @@ def test_substring_dedup_window_is_per_doc_and_gram_count_partial(spark):
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
         assert "doc_id" in m.group(1), p
     assert "Exchange SinglePartition" not in p, p
+
+
+def test_session_r5_map_only_ops_carry_zero_exchanges(spark):
+    """Round-5 map-only operators (caption gate, IDN host audit)
+    compile to zero-exchange, zero-Python plans."""
+    from linkkchecker_net_spark.kernels.captions import caption_quality
+    from linkkchecker_net_spark.reports.security import idn_audit
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plans = {
+        "caption_quality": _plan(
+            caption_quality(docs.select(F.col("text").alias("caption")))
+        ),
+        "idn_audit": _plan(
+            idn_audit(
+                docs.select(
+                    F.concat(F.lit("h"), F.col("doc_id")).alias("host")
+                )
+            )
+        ),
+    }
+    for name, p in plans.items():
+        assert "Exchange" not in p, (name, p)
+        assert "BatchEvalPython" not in p, (name, p)
+        assert "ArrowEvalPython" not in p, (name, p)
+
+
+def test_session_r5_rollups_broadcast_their_totals(spark):
+    """Round-5 share-of-total rollups (tld_risk, zipf_spectrum,
+    domain_dup_rate, shard-skew) must broadcast the 1-row total into
+    the per-group frame — never shuffle the group table against it —
+    and partial-aggregate map-side."""
+    from linkkchecker_net_spark.kernels.domains import tld_risk
+    from linkkchecker_net_spark.pipeline.dedup import domain_dup_rate
+    from linkkchecker_net_spark.pipeline.text import zipf_spectrum
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    urls = docs.select(
+        F.concat(F.lit("http://h"), F.col("doc_id"), F.lit(".test/p"))
+        .alias("url")
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 5), F.lit(".test/p"))
+        .alias("url"),
+        "text",
+    )
+    for name, df in {
+        "tld_risk": tld_risk(urls),
+        "zipf_spectrum": zipf_spectrum(docs),
+    }.items():
+        p = _plan(df)
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, (
+            name, p,
+        )
+        assert "partial" in p.lower(), (name, p)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            name, p,
+        )
+    # domain_dup_rate carries no share-of-total: two partial-agg'd
+    # groupBy layers (domain+digest, then domain), zero Python
+    p = _plan(domain_dup_rate(pages))
+    assert "partial" in p.lower(), p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
