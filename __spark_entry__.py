@@ -6478,6 +6478,56 @@ def q_pmi_collocations(spark, sf_dir):
 
 
 
+def q_char_coverage(spark, sf_dir):
+    """Character-coverage table (pipeline/text.char_coverage) over the
+    REAL documents.text stream — full-replay oracle (per-char counts
+    via substr series, (cnt desc, ch) rank window, cross-multiplied
+    covered bit at the SentencePiece 0.9995 default)."""
+    from linkkchecker_net_spark.pipeline.text import char_coverage
+
+    _prep(spark)
+    return char_coverage(_docs(spark, sf_dir))
+
+
+def q_readability(spark, sf_dir):
+    """Flesch-Kincaid gate (pipeline/text.readability) on the real
+    corpus — full replay (whitespace words, [.!?]+ sentence runs,
+    vowel-group syllables, double-forced grade, round-6 verdict)."""
+    from linkkchecker_net_spark.pipeline.text import readability
+
+    _prep(spark)
+    return readability(_docs(spark, sf_dir))
+
+
+def q_compression_audit(spark, sf_dir):
+    """Transfer-compression QA (kernels/httpmeta.compression_audit):
+    arms per i%6 — gzip'd html, identity html (THE flag), image/png
+    (not compressible), 'br, gzip' chain (first token wins),
+    small text/plain (under min_bytes), headerless (NULL ct);
+    arithmetic-arm oracle, regex details pinned by the unit test."""
+    from linkkchecker_net_spark.kernels.httpmeta import compression_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 6
+    headers = (
+        F.when(m == 0, F.lit("Content-Type: text/html\r\nContent-Encoding: gzip\r\n"))
+        .when(m == 1, F.lit("Content-Type: text/html\r\nServer: x\r\n"))
+        .when(m == 2, F.lit("Content-Type: image/png\r\n"))
+        .when(m == 3, F.lit("Content-Type: application/json\r\nContent-Encoding: br, gzip\r\n"))
+        .when(m == 4, F.lit("Content-Type: text/plain\r\n"))
+        .otherwise(F.lit("Server: y\r\n"))
+    )
+    body = F.when(m == 4, F.lit("y" * 10)).otherwise(F.lit("x" * 2000))
+    resp = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://c.test/p"), i.cast("string")).alias("url"),
+        headers.alias("headers"),
+        body.cast("binary").alias("body"),
+    )
+    return compression_audit(resp)
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -6492,6 +6542,7 @@ _DRIVER_PRIORITY = [
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
     "domain_dup_rate", "zipf_spectrum", "tld_risk", "pmi_collocations",
+    "char_coverage", "readability", "compression_audit",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -6641,6 +6692,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_spectrum": q_zipf_spectrum,
         "tld_risk": q_tld_risk,
         "pmi_collocations": q_pmi_collocations,
+        "char_coverage": q_char_coverage,
+        "readability": q_readability,
+        "compression_audit": q_compression_audit,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -8785,6 +8839,89 @@ FROM bt JOIN bh ON bt.url = bh.url
             FROM bc JOIN uc a ON bc.w1 = a.w
                     JOIN uc b2 ON bc.w2 = b2.w, nu, nb
             ORDER BY pmi DESC, w1, w2 LIMIT 50
+        """,
+        # FULL replay on the real text: per-char counts (substr
+        # series), (cnt desc, ch) rank window, cross-multiplied cover
+        "char_coverage": """
+            WITH chars AS (
+              SELECT substr(text, t.i, 1) AS ch
+              FROM documents,
+                   unnest(generate_series(1, length(text))) AS t(i)),
+            c AS (SELECT ch, count(*) AS cnt FROM chars
+                  WHERE ch <> '' GROUP BY 1),
+            tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c),
+            r AS (
+              SELECT ch, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, ch) AS rnk,
+                     CAST(sum(cnt) OVER (ORDER BY cnt DESC, ch
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM c)
+            SELECT CAST(rnk AS INT) AS rank, ch,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   CAST(floor(cnt * 1000000.0 / tot) AS BIGINT)
+                     AS share_ppm,
+                   CAST(floor(cum * 1000000.0 / tot) AS BIGINT)
+                     AS cum_ppm,
+                   (cum - cnt) * 1000000 < 999500 * tot AS covered
+            FROM r, tt
+        """,
+        # FULL replay: whitespace words, [.!?]+ runs, vowel-group
+        # syllables (min 1/word), double-forced FK grade, round(6)
+        "readability": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS ws,
+                     greatest(1, len(regexp_extract_all(text,
+                                                        '[.!?]+')))
+                       AS ns
+              FROM documents),
+            s AS (
+              SELECT doc_id, len(ws) AS nw, ns,
+                     list_sum(list_transform(ws, x -> greatest(1,
+                       len(regexp_extract_all(lower(x),
+                                              '[aeiouy]+'))))) AS syl
+              FROM w),
+            g AS (
+              SELECT doc_id, nw, ns, syl,
+                     CASE WHEN nw > 0 THEN
+                       round(0.39 * (nw::DOUBLE / ns::DOUBLE)
+                             + 11.8 * (syl::DOUBLE / nw::DOUBLE)
+                             - 15.59, 6)
+                     END AS grade
+              FROM s)
+            SELECT doc_id,
+                   CASE WHEN nw > 0 THEN CAST(nw AS BIGINT) END
+                     AS n_words,
+                   CASE WHEN nw > 0 THEN CAST(ns AS BIGINT) END
+                     AS n_sentences,
+                   CASE WHEN nw > 0 THEN CAST(syl AS BIGINT) END
+                     AS n_syllables,
+                   grade AS fk_grade,
+                   CASE WHEN nw = 0 THEN 'empty'
+                        WHEN grade <= 5.0 THEN 'easy'
+                        WHEN grade <= 10.0 THEN 'standard'
+                        ELSE 'difficult' END AS verdict
+            FROM g
+        """,
+        # arithmetic arms (construction is per-arm constant; the header
+        # grammar itself is pinned by the unit test)
+        "compression_audit": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents)
+            SELECT 'http://c.test/p' || i AS url,
+                   CASE i % 6 WHEN 0 THEN 'gzip' WHEN 3 THEN 'br'
+                        ELSE 'identity' END AS encoding,
+                   CASE i % 6 WHEN 0 THEN 'text/html'
+                        WHEN 1 THEN 'text/html'
+                        WHEN 2 THEN 'image/png'
+                        WHEN 3 THEN 'application/json'
+                        WHEN 4 THEN 'text/plain'
+                        ELSE NULL END AS content_type,
+                   i % 6 IN (0, 1, 3, 4) AS compressible,
+                   CAST(CASE WHEN i % 6 = 4 THEN 10 ELSE 2000 END
+                        AS BIGINT) AS n_bytes,
+                   i % 6 = 1 AS uncompressed_compressible
+            FROM d
         """,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)

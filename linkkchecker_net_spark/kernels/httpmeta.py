@@ -442,3 +442,64 @@ def vary_audit(responses: DataFrame) -> DataFrame:
         cookie.alias("varies_cookie"),
         (~star & ~cookie).alias("shared_cacheable"),
     )
+
+
+_CONTENT_ENCODING_PAT = r"(?im)^content-encoding:[ \t]*([^\r\n]*)"
+_CT_HEADER_PAT = r"(?im)^content-type:[ \t]*([^\r\n;]*)"
+_COMPRESSIBLE_CT_PAT = (
+    r"^(?:text/|application/(?:json|javascript|xml|xhtml\+xml|rss\+xml"
+    r"|atom\+xml|x-ndjson))"
+)
+
+
+def compression_audit(
+    responses: DataFrame, min_bytes: int = 1024
+) -> DataFrame:
+    """Transfer-compression QA — at crawl scale, bandwidth is the
+    budget: a host serving multi-KB text/HTML/JSON without
+    Content-Encoding costs the fetcher (and the host) gzip-sized
+    multiples of transfer for nothing, and a frontier that knows this
+    can deprioritize or flag the host (composes with `budget_alloc` /
+    `host_reputation`).
+
+    responses: (url, headers, body binary).  Per row: encoding (first
+    Content-Encoding token, lowercased; 'identity' when absent),
+    content_type (media type only), compressible (text/* and the
+    usual application/* text formats), n_bytes (stored octets), and
+    uncompressed_compressible — compressible ∧ identity ∧ n_bytes ≥
+    min_bytes, the actionable flag.
+
+    Map-only codegen: two header regexes + octet_length, zero
+    shuffles.
+    """
+    raw_enc = F.nullif(
+        F.trim(F.regexp_extract("headers", _CONTENT_ENCODING_PAT, 1)),
+        F.lit(""),
+    )
+    # first token of a multi-coding chain ("gzip, br" -> gzip)
+    enc = F.coalesce(
+        F.lower(F.trim(F.split_part(raw_enc, F.lit(","), F.lit(1)))),
+        F.lit("identity"),
+    )
+    ct = F.lower(
+        F.nullif(
+            F.trim(F.regexp_extract("headers", _CT_HEADER_PAT, 1)),
+            F.lit(""),
+        )
+    )
+    compressible = F.coalesce(
+        ct.rlike(_COMPRESSIBLE_CT_PAT), F.lit(False)
+    )
+    n_bytes = F.coalesce(F.octet_length("body"), F.lit(0)).cast("long")
+    return responses.select(
+        "url",
+        enc.alias("encoding"),
+        ct.alias("content_type"),
+        compressible.alias("compressible"),
+        n_bytes.alias("n_bytes"),
+        (
+            compressible
+            & (enc == "identity")
+            & (n_bytes >= F.lit(int(min_bytes)))
+        ).alias("uncompressed_compressible"),
+    )

@@ -5,7 +5,7 @@ twin for the DuckDB oracle."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # language stopword marker lists — a deliberately simple, fully
@@ -1142,4 +1142,117 @@ def zipf_spectrum(docs: DataFrame) -> DataFrame:
             .cast("long")
             .alias("occ_share_ppm"),
         )
+    )
+
+
+def char_coverage(docs: DataFrame, cover_ppm: int = 999_500) -> DataFrame:
+    """Character-coverage table — the statistic behind SentencePiece's
+    ``character_coverage`` knob (Kudo & Richardson 2018 default
+    0.9995): rank every character by corpus frequency and mark the
+    prefix that covers ``cover_ppm`` of the character stream.  Chars
+    outside the covered set are what a tokenizer maps to <unk>/bytes;
+    a corpus whose tail explodes (CJK mixed into a Latin corpus,
+    emoji floods, mojibake) shows up here before tokenizer training
+    wastes a run.
+
+    Output per character, ordered by (cnt desc, ch): (rank, ch, cnt,
+    share_ppm, cum_ppm, covered) — ``covered`` uses the cross-
+    multiplied integer compare (prefix BEFORE this char still under
+    cover_ppm ⇒ this char is needed), so the boundary char is in.
+
+    Scale: char stream partial-aggregates to the alphabet (hot chars
+    collapse map-side); the rank/cumsum window runs on the ALPHABET
+    table — bounded by distinct Unicode chars in the corpus (≤ ~150k
+    rows even for full CJK), the documented single-partition-window
+    exception (host_concentration precedent), three orders smaller.
+    """
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("ch"))
+    tot = counts.agg(F.sum("cnt").alias("_t"))
+    ranked = counts.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(w).alias("rank"),
+        "ch",
+        "cnt",
+        F.col("_t").alias("_t"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+    )
+    return ranked.select(
+        "rank",
+        "ch",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.floor(F.col("cnt") * 1_000_000 / F.col("_t"))
+        .cast("long")
+        .alias("share_ppm"),
+        F.floor(F.col("_cum") * 1_000_000 / F.col("_t"))
+        .cast("long")
+        .alias("cum_ppm"),
+        (
+            (F.col("_cum") - F.col("cnt")) * 1_000_000
+            < F.lit(int(cover_ppm)) * F.col("_t")
+        ).alias("covered"),
+    )
+
+
+def readability(docs: DataFrame, round_dp: int = 6) -> DataFrame:
+    """Flesch-Kincaid grade-level gate — the classic readability
+    score, used as a cheap fluency/quality axis next to `ppl_buckets`
+    (number-soup and keyword-stuffed pages score absurdly high or
+    low; natural prose lands mid-band).  Syllables use the standard
+    vowel-group heuristic (runs of [aeiouy] per lowercased word, min
+    1) — deterministic and engine-replayable, unlike dictionary
+    syllabification.
+
+    FK grade = 0.39·(words/sentences) + 11.8·(syllables/word) −
+    15.59, with sentences = max(1, count of [.!?]+ runs).  Docs with
+    no words get NULL metrics and verdict 'empty'; otherwise verdict
+    ∈ easy (≤5) / standard (≤10) / difficult, compared on the
+    round_dp-rounded value so the bucket edge is engine-exact.
+
+    Scale: map-only codegen (split + higher-order fold), zero
+    shuffles.
+    """
+    arr = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    n_words = F.size(arr)
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))),
+    )
+    syl = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(
+                F.regexp_extract_all(F.lower(w), F.lit(r"[aeiouy]+"), F.lit(0))
+            ),
+        ),
+    )
+    grade = F.round(
+        F.lit(0.39) * (n_words.cast("double") / n_sent.cast("double"))
+        + F.lit(11.8) * (syl.cast("double") / n_words.cast("double"))
+        - F.lit(15.59),
+        round_dp,
+    )
+    has_words = n_words > 0
+    verdict = (
+        F.when(~has_words, F.lit("empty"))
+        .when(grade <= 5.0, F.lit("easy"))
+        .when(grade <= 10.0, F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+    )
+    return docs.select(
+        "doc_id",
+        F.when(has_words, n_words).cast("long").alias("n_words"),
+        F.when(has_words, n_sent).cast("long").alias("n_sentences"),
+        F.when(has_words, syl).cast("long").alias("n_syllables"),
+        F.when(has_words, grade).alias("fk_grade"),
+        verdict.alias("verdict"),
     )

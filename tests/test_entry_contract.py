@@ -104,6 +104,7 @@ NON_CRAWL = [
     "registrable_domains", "url_blocklist", "url_score", "robots_delta",
     "idn_audit", "caption_quality", "bpe_fertility", "domain_dup_rate",
     "zipf_spectrum", "tld_risk", "pmi_collocations",
+    "char_coverage", "readability", "compression_audit",
     "change_rate",
     "meta_robots", "nofollow_links", "rel_canonical",
     "c4_lines", "paragraph_dedup", "cdc_dedup", "sitemap_meta", "budget_alloc",

@@ -1332,3 +1332,34 @@ def test_tld_risk_pools_and_flags(spark):
     assert out["ipv4"]["n_urls"] == 1 and out["ipv4"]["risky"] is False
     assert out["uk"]["n_urls"] == 1
     assert out["com"]["share_ppm"] == 400_000
+
+
+def test_compression_audit_grammar(spark):
+    """Header grammar details the arithmetic oracle can't see: the
+    first token of a multi-coding chain wins, casing/whitespace
+    normalize, a Content-Encoding in the middle of the blob still
+    matches line-anchored, and missing headers coalesce."""
+    from linkkchecker_net_spark.kernels.httpmeta import compression_audit
+
+    rows = [
+        ("u1", "HTTP/1.1 200 OK\r\nContent-Type: TEXT/HTML; charset=utf-8\r\n"
+               "CONTENT-ENCODING:  GZIP , br\r\n", b"x" * 2000),
+        ("u2", "Content-Type: application/json\r\n", b"y" * 2000),
+        ("u3", "Content-Type: application/json\r\n", b"s" * 100),
+        ("u4", "X-Content-Encoding: gzip\r\n", b"z" * 2000),
+        ("u5", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, headers string, body binary"
+    )
+    out = {r["url"]: r for r in compression_audit(df, min_bytes=1024).collect()}
+    assert out["u1"]["encoding"] == "gzip"
+    assert out["u1"]["content_type"] == "text/html"
+    assert out["u1"]["compressible"] and not out["u1"]["uncompressed_compressible"]
+    assert out["u2"]["encoding"] == "identity"
+    assert out["u2"]["uncompressed_compressible"] is True
+    assert out["u3"]["uncompressed_compressible"] is False  # under min_bytes
+    # X-Content-Encoding is NOT Content-Encoding (line anchor)
+    assert out["u4"]["encoding"] == "identity"
+    assert out["u4"]["compressible"] is False
+    assert out["u5"]["encoding"] == "identity" and out["u5"]["n_bytes"] == 0

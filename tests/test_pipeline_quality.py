@@ -409,3 +409,47 @@ def test_zipf_spectrum_hand_buckets(spark):
     assert out[2]["freq_hi"] == 4 and out[2]["n_occ"] == 4
     assert out[0]["token_share_ppm"] == 333_333
     assert out[2]["occ_share_ppm"] == 571_428  # floor(4e6/7)
+
+
+def test_char_coverage_rank_and_cover(spark):
+    """'aaab bc' stream: a×3, space×1... hand corpus 'aaabbc':
+    a=3,b=2,c=1 → ranks 1..3, cum 3/5/6; at cover_ppm=800000 the
+    prefix before c already holds 833333 ppm so c is NOT covered."""
+    from linkkchecker_net_spark.pipeline.text import char_coverage
+
+    docs = spark.createDataFrame(
+        [(0, "aaab"), (1, "bc")], "doc_id long, text string"
+    )
+    out = {r["ch"]: r for r in char_coverage(docs, cover_ppm=800_000).collect()}
+    assert out["a"]["rank"] == 1 and out["a"]["cnt"] == 3
+    assert out["b"]["rank"] == 2 and out["c"]["rank"] == 3
+    assert out["a"]["share_ppm"] == 500_000
+    assert out["b"]["cum_ppm"] == 833_333 and out["c"]["cum_ppm"] == 1_000_000
+    assert out["a"]["covered"] and out["b"]["covered"]
+    # prefix before c = 5/6 = 833333 ppm >= 800000 -> c not needed
+    assert out["c"]["covered"] is False
+
+
+def test_readability_hand_grades(spark):
+    """'The cat sat. It ran.' — 5 words, 2 sentences, 5 one-syllable
+    words: FK = 0.39*2.5 + 11.8*1 - 15.59 = -2.815 → easy; the empty
+    doc gets NULL metrics and verdict 'empty'."""
+    from linkkchecker_net_spark.pipeline.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The cat sat. It ran."),
+            (1, ""),
+            (2, "Incomprehensibility necessitates extraordinarily "
+                "multisyllabic verbalization constructions"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability(docs).collect()}
+    r0 = out[0]
+    assert r0["n_words"] == 5 and r0["n_sentences"] == 2
+    assert r0["n_syllables"] == 5
+    assert r0["fk_grade"] == round(0.39 * (5 / 2) + 11.8 * 1 - 15.59, 6)
+    assert r0["verdict"] == "easy"
+    assert out[1]["n_words"] is None and out[1]["verdict"] == "empty"
+    assert out[2]["verdict"] == "difficult"
