@@ -6528,6 +6528,58 @@ def q_compression_audit(spark, sf_dir):
 
 
 
+def q_format_sniff(spark, sf_dir):
+    """Magic-byte sniff vs declared fmt (pipeline/multimodal.
+    format_sniff) over the synth corpus: declared fmt LIES on i%5==0
+    (cycle-shifted), bytes replaced with a junk container on i%7==3 —
+    match / mismatch / unknown all fire; n_bytes dropped from the
+    oracle view (zlib payload sizes aren't SQL-priceable)."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        format_sniff,
+        synth_corpus,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select(
+        F.col("doc_id").alias("id")
+    )
+    corpus = synth_corpus(spark, ids)
+    i = F.regexp_extract("image_id", r"img_(\d+)", 1).cast("long")
+    cyc = ["png", "jpeg", "gif"]
+    shifted = (
+        F.when((i + 1) % 3 == 0, F.lit(cyc[0]))
+        .when((i + 1) % 3 == 1, F.lit(cyc[1]))
+        .otherwise(F.lit(cyc[2]))
+    )
+    doctored = corpus.select(
+        "image_id",
+        F.when(i % 7 == 3, F.lit(b"JUNKDATA")).otherwise(
+            F.col("bytes")
+        ).alias("bytes"),
+        F.when(i % 5 == 0, shifted).otherwise(F.col("fmt")).alias("fmt"),
+    )
+    return format_sniff(doctored).select(
+        "image_id", "declared", "sniffed", "verdict"
+    )
+
+
+def q_image_entropy(spark, sf_dir):
+    """4-bin luminance entropy gate (pipeline/multimodal.image_entropy)
+    over the row-gradient corpus: the oracle prices the bins exactly as
+    image_histogram's does, then reproduces the fixed-order double
+    entropy fold; truncated payloads (i%9==4) stay ok=false with NULL
+    entropy and low_entropy=true."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        image_entropy,
+        synth_rowgrad_corpus,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return image_entropy(synth_rowgrad_corpus(spark, ids))
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -6543,6 +6595,7 @@ _DRIVER_PRIORITY = [
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
     "domain_dup_rate", "zipf_spectrum", "tld_risk", "pmi_collocations",
     "char_coverage", "readability", "compression_audit",
+    "format_sniff", "image_entropy",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -6695,6 +6748,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_coverage": q_char_coverage,
         "readability": q_readability,
         "compression_audit": q_compression_audit,
+        "format_sniff": q_format_sniff,
+        "image_entropy": q_image_entropy,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -8922,6 +8977,77 @@ FROM bt JOIN bh ON bt.url = bh.url
                         AS BIGINT) AS n_bytes,
                    i % 6 = 1 AS uncompressed_compressible
             FROM d
+        """,
+        # arithmetic arms: sniffed follows the i%3 codec cycle unless
+        # the junk arm hits; declared follows the i%5 lie
+        "format_sniff": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents
+                       WHERE doc_id < 150),
+            a AS (
+              SELECT i,
+                     'img_' || lpad(i::VARCHAR, 6, '0') AS image_id,
+                     CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                          ELSE 'gif' END AS base,
+                     CASE (i + 1) % 3 WHEN 0 THEN 'png'
+                          WHEN 1 THEN 'jpeg' ELSE 'gif' END AS shifted
+              FROM d),
+            v AS (
+              SELECT image_id,
+                     CASE WHEN i % 5 = 0 THEN shifted ELSE base END
+                       AS declared,
+                     CASE WHEN i % 7 = 3 THEN 'unknown' ELSE base END
+                       AS sniffed
+              FROM a)
+            SELECT image_id, declared, sniffed,
+                   CASE WHEN sniffed = 'unknown' THEN 'unknown'
+                        WHEN sniffed = declared THEN 'match'
+                        ELSE 'mismatch' END AS verdict
+            FROM v
+        """,
+        # image_histogram's bin pricing + the fixed b0->b3 double
+        # entropy fold (0-bins add 0.0, negation last, round 6)
+        "image_entropy": """
+            WITH d AS (SELECT doc_id AS i, 8 + (doc_id % 5) * 4 AS w,
+                              6 + (doc_id % 7) * 2 AS h
+                       FROM documents),
+            vals AS (
+              SELECT i, w,
+                     CASE WHEN i % 3 = 1
+                          THEN ((i*37 + r) % 251) // 4 * 4 + 2
+                          ELSE (i*37 + r) % 251 END AS u
+              FROM d, unnest(generate_series(0, h - 1)) AS g(r)
+            ),
+            agg AS (
+              SELECT i,
+                     CAST(SUM(CASE WHEN u < 64 THEN 3*w
+                              ELSE 0 END) AS BIGINT) AS b0,
+                     CAST(SUM(CASE WHEN u >= 64 AND u < 128 THEN 3*w
+                              ELSE 0 END) AS BIGINT) AS b1,
+                     CAST(SUM(CASE WHEN u >= 128 AND u < 192 THEN 3*w
+                              ELSE 0 END) AS BIGINT) AS b2,
+                     CAST(SUM(CASE WHEN u >= 192 THEN 3*w
+                              ELSE 0 END) AS BIGINT) AS b3
+              FROM vals GROUP BY i
+            ),
+            e AS (
+              SELECT d.i, round(-(
+                  CASE WHEN b0 > 0 THEN (b0 / CAST(3*d.w*d.h AS DOUBLE))
+                       * ln(b0 / CAST(3*d.w*d.h AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN b1 > 0 THEN (b1 / CAST(3*d.w*d.h AS DOUBLE))
+                       * ln(b1 / CAST(3*d.w*d.h AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN b2 > 0 THEN (b2 / CAST(3*d.w*d.h AS DOUBLE))
+                       * ln(b2 / CAST(3*d.w*d.h AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN b3 > 0 THEN (b3 / CAST(3*d.w*d.h AS DOUBLE))
+                       * ln(b3 / CAST(3*d.w*d.h AS DOUBLE)) ELSE 0.0 END
+              ), 6) AS ent
+              FROM d JOIN agg ON d.i = agg.i)
+            SELECT 'img_' || lpad(e.i::VARCHAR, 6, '0') AS image_id,
+                   e.i % 9 <> 4 AS ok,
+                   CASE WHEN e.i % 9 = 4 THEN NULL ELSE ent END
+                     AS entropy,
+                   CASE WHEN e.i % 9 = 4 THEN TRUE
+                        ELSE ent <= 1.0 END AS low_entropy
+            FROM e
         """,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)

@@ -1900,3 +1900,140 @@ def caption_dup(corpus: DataFrame) -> DataFrame:
         share.alias("share_ppm"),
         (share >= 1000).alias("boilerplate"),
     )
+
+
+# magic-byte grammar: real web signatures plus this sandbox's stand-in
+# codec containers (imaging.py: QIMG = the lossy 'jpeg' stand-in, QLS0 =
+# the lossless 'gif' stand-in) — production adds rows, not code
+_MAGIC8 = {
+    "89504E470D0A1A0A": "png",  # real PNG signature
+}
+_MAGIC6 = {
+    "474946383761": "gif",  # GIF87a
+    "474946383961": "gif",  # GIF89a
+}
+_MAGIC4 = {
+    "51494D47": "jpeg",  # QIMG (sandbox lossy stand-in)
+    "514C5330": "gif",   # QLS0 (sandbox lossless stand-in)
+}
+_MAGIC3 = {
+    "FFD8FF": "jpeg",  # real JPEG SOI
+}
+
+
+def format_sniff(corpus: DataFrame) -> DataFrame:
+    """Magic-byte format sniff vs the declared ``fmt`` column — the
+    image-table twin of `charset_sniff`: at crawl scale the declared
+    format LIES (mislabelled uploads, content-type copy-paste, s3 keys
+    renamed in flight), and a decoder dispatched on the lie either
+    errors late or, worse, decodes garbage.  Sniffing 8 leading bytes
+    JVM-side costs nothing and routes the row before any Arrow decode
+    batch is paid for.
+
+    Per row: (image_id, declared, sniffed, n_bytes, verdict ∈ match /
+    mismatch / unknown).  The grammar covers the real PNG/JPEG/GIF
+    signatures AND this sandbox's stand-in containers, WebP-style
+    RIFF excluded until a codec exists.
+
+    Scale: map-only codegen (hex-prefix ladder on a substring of the
+    binary column — the bytes themselves never leave the scan), zero
+    Python, zero shuffles; composes with `image_funnel` as the first
+    gate.
+    """
+    hex8 = F.upper(F.hex(F.expr("substring(bytes, 1, 8)")))
+    sniffed = F.lit("unknown")
+    for pref, f_ in reversed(list(_MAGIC3.items())):
+        sniffed = F.when(
+            hex8.startswith(pref), F.lit(f_)
+        ).otherwise(sniffed)
+    for pref, f_ in reversed(list(_MAGIC4.items())):
+        sniffed = F.when(
+            hex8.startswith(pref), F.lit(f_)
+        ).otherwise(sniffed)
+    for pref, f_ in reversed(list(_MAGIC6.items())):
+        sniffed = F.when(
+            hex8.startswith(pref), F.lit(f_)
+        ).otherwise(sniffed)
+    for pref, f_ in reversed(list(_MAGIC8.items())):
+        sniffed = F.when(
+            hex8.startswith(pref), F.lit(f_)
+        ).otherwise(sniffed)
+    sniffed = F.when(F.col("bytes").isNull(), F.lit("unknown")).otherwise(
+        sniffed
+    )
+    declared = F.lower(F.col("fmt"))
+    verdict = (
+        F.when(sniffed == "unknown", F.lit("unknown"))
+        .when(sniffed == declared, F.lit("match"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return corpus.select(
+        "image_id",
+        declared.alias("declared"),
+        sniffed.alias("sniffed"),
+        F.coalesce(F.octet_length("bytes"), F.lit(0))
+        .cast("long")
+        .alias("n_bytes"),
+        verdict.alias("verdict"),
+    )
+
+
+ENTROPY_SCHEMA = (
+    "image_id string, ok boolean, entropy double, low_entropy boolean"
+)
+ENTROPY_FLAT_MAX = 1.0  # nats; ln(4) = 1.386 is the 4-bin maximum
+
+
+def image_entropy(corpus: DataFrame) -> DataFrame:
+    """Decode → Shannon entropy of the 4-bin luminance histogram (nats,
+    round-6) + a low-entropy gate — the blank/flat-image filter
+    (single-color placeholders, tracking pixels blown up to banner
+    size, solid-background product shots) that LAION-style pipelines
+    run before paying embedding inference.  4 bins match
+    `image_histogram`, so the two gates share one mental model; max
+    possible entropy is ln(4) ≈ 1.386.
+
+    Per row: (image_id, ok, entropy, low_entropy = rounded entropy ≤
+    ENTROPY_FLAT_MAX); undecodable rows keep ok=false, NULL entropy,
+    low_entropy=true (a corrupt payload never passes).
+
+    Scale: one mapInPandas Arrow pass, map-only, zero shuffles; bytes
+    die at the stage boundary (the image_histogram plan shape).
+    The entropy sum runs in fixed b0→b3 order so the oracle's DOUBLE
+    arithmetic reproduces it bit-exactly.
+    """
+    import math
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "ok": [], "entropy": [],
+                   "low_entropy": []}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                out["image_id"].append(iid)
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    out["ok"].append(False)
+                    out["entropy"].append(None)
+                    out["low_entropy"].append(True)
+                    continue
+                flat = arr.reshape(-1)
+                bins = np.bincount(flat // 64, minlength=4)
+                total = float(flat.size)
+                h = 0.0
+                for b in bins[:4]:
+                    if int(b) > 0:
+                        p = int(b) / total
+                        h = h + p * math.log(p)
+                ent = round(-h, 6)
+                out["ok"].append(True)
+                out["entropy"].append(ent)
+                out["low_entropy"].append(ent <= ENTROPY_FLAT_MAX)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        dec, ENTROPY_SCHEMA
+    )

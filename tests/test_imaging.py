@@ -300,3 +300,70 @@ def test_nn_thumbnails_matches_numpy_index_math(spark):
         want = arr[ys][:, xs]
         got = imaging.decode_image(out[f"im{i}"], "png")
         assert np.array_equal(got, want)
+
+
+def test_format_sniff_magic_ladder(spark):
+    """Real PNG/JPEG-SOI/GIF87a signatures and the sandbox QIMG/QLS0
+    containers all classify; declared lies read mismatch; junk reads
+    unknown regardless of declaration."""
+    import numpy as np
+
+    from linkkchecker_net_spark.pipeline.multimodal import format_sniff
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    png = imaging.encode_image(arr, "png")
+    qimg = imaging.encode_image(arr, "jpeg")
+    qls = imaging.encode_image(arr, "gif")
+    rows = [
+        ("i1", bytearray(png), "png"),
+        ("i2", bytearray(qimg), "jpeg"),
+        ("i3", bytearray(qls), "gif"),
+        ("i4", bytearray(png), "jpeg"),            # declared lies
+        ("i5", bytearray(b"\xff\xd8\xff\xe0rest"), "jpeg"),  # real SOI
+        ("i6", bytearray(b"GIF87a......"), "gif"),
+        ("i7", bytearray(b"JUNKDATA"), "png"),
+        ("i8", None, "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    out = {r["image_id"]: r for r in format_sniff(df).collect()}
+    assert out["i1"]["sniffed"] == "png" and out["i1"]["verdict"] == "match"
+    assert out["i2"]["sniffed"] == "jpeg" and out["i2"]["verdict"] == "match"
+    assert out["i3"]["sniffed"] == "gif" and out["i3"]["verdict"] == "match"
+    assert out["i4"]["verdict"] == "mismatch"
+    assert out["i5"]["sniffed"] == "jpeg" and out["i5"]["verdict"] == "match"
+    assert out["i6"]["sniffed"] == "gif"
+    assert out["i7"]["verdict"] == "unknown"
+    assert out["i8"]["sniffed"] == "unknown" and out["i8"]["n_bytes"] == 0
+
+
+def test_image_entropy_flat_vs_spread(spark):
+    """A constant image concentrates one bin (entropy 0, low); a
+    4-value image spread evenly over the 4 bins hits ln(4); truncated
+    payloads stay ok=false / low_entropy=true."""
+    import math
+
+    import numpy as np
+
+    from linkkchecker_net_spark.pipeline.multimodal import image_entropy
+
+    flat = np.full((4, 4, 3), 10, dtype=np.uint8)
+    spread = np.zeros((4, 4, 3), dtype=np.uint8)
+    spread[0], spread[1], spread[2], spread[3] = 0, 70, 140, 210
+    rows = [
+        ("flat", bytearray(imaging.encode_image(flat, "png")), "png"),
+        ("spread", bytearray(imaging.encode_image(spread, "png")), "png"),
+        ("trunc", bytearray(imaging.encode_image(flat, "png"))[:6], "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    out = {r["image_id"]: r for r in image_entropy(df).collect()}
+    assert out["flat"]["entropy"] == 0.0 and out["flat"]["low_entropy"]
+    assert out["spread"]["entropy"] == round(
+        -4 * (0.25 * math.log(0.25)), 6
+    )
+    assert out["spread"]["low_entropy"] is False
+    assert out["trunc"]["ok"] is False and out["trunc"]["entropy"] is None
+    assert out["trunc"]["low_entropy"] is True
