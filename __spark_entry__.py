@@ -6580,6 +6580,60 @@ def q_image_entropy(spark, sf_dir):
 
 
 
+def q_bitext_candidates(spark, sf_dir):
+    """ParaCrawl-style URL bitext mining (pipeline/bitext.
+    bitext_candidates): hosts h0-h4, shared base path /p<k> published
+    under /en, /fr, /de arms plus a no-lang arm (excluded) and a
+    /nosuch 6-letter decoy segment (not a lang code) — groups collect
+    1-3 languages so both is_bitext arms fire."""
+    from linkkchecker_net_spark.pipeline.bitext import bitext_candidates
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 4
+    k = (i % 17).cast("string")
+    seg = (
+        F.when(m == 0, F.lit("/en"))
+        .when(m == 1, F.lit("/fr"))
+        .when(m == 2, F.lit("/de"))
+        .otherwise(F.lit("/nosuch"))
+    )
+    urls = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://h"), (i % 5).cast("string"), F.lit(".test"),
+            seg, F.lit("/p"), k,
+        ).alias("url")
+    )
+    return bitext_candidates(urls)
+
+
+def q_url_lang_mismatch(spark, sf_dir):
+    """URL-vs-content language gate (pipeline/bitext.url_lang_mismatch)
+    on the REAL documents.text (pred_lang = the lang_id scoring
+    verbatim) under constructed URLs: /en, /de, and a no-lang /x arm —
+    mismatch fires exactly where the text scores a different marker
+    language than the path declares."""
+    from linkkchecker_net_spark.pipeline.bitext import url_lang_mismatch
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 3
+    seg = (
+        F.when(m == 0, F.lit("/en"))
+        .when(m == 1, F.lit("/de"))
+        .otherwise(F.lit("/x7"))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://h"), (i % 7).cast("string"), F.lit(".test"),
+            seg, F.lit("/q"), i.cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return url_lang_mismatch(pages)
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -6596,6 +6650,7 @@ _DRIVER_PRIORITY = [
     "domain_dup_rate", "zipf_spectrum", "tld_risk", "pmi_collocations",
     "char_coverage", "readability", "compression_audit",
     "format_sniff", "image_entropy",
+    "bitext_candidates", "url_lang_mismatch",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -6750,6 +6805,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_audit": q_compression_audit,
         "format_sniff": q_format_sniff,
         "image_entropy": q_image_entropy,
+        "bitext_candidates": q_bitext_candidates,
+        "url_lang_mismatch": q_url_lang_mismatch,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -9049,6 +9106,29 @@ FROM bt JOIN bh ON bt.url = bh.url
                         ELSE ent <= 1.0 END AS low_entropy
             FROM e
         """,
+        # construction replay: grammar (2-letter first segment in the
+        # code set, strip, '' -> '/'), group, sorted lang set
+        "bitext_candidates": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents),
+            u AS (
+              SELECT 'h' || (i % 5) || '.test' AS host,
+                     CASE i % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+                          WHEN 2 THEN 'de' END AS lang,
+                     '/p' || (i % 17) AS path_key
+              FROM d),
+            t AS (SELECT * FROM u WHERE lang IS NOT NULL),
+            g AS (
+              SELECT host, path_key,
+                     CAST(count(*) AS BIGINT) AS n_variants,
+                     list_sort(list(DISTINCT lang)) AS ls
+              FROM t GROUP BY 1, 2)
+            SELECT host, path_key, n_variants,
+                   CAST(len(ls) AS INT) AS n_langs,
+                   array_to_string(ls, ',') AS langs,
+                   len(ls) >= 2 AS is_bitext
+            FROM g
+        """,
+        "url_lang_mismatch": _URL_LANG_MISMATCH_SQL,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)
         "url_score": """
@@ -13811,6 +13891,27 @@ _LANG_ID_SQL = (
         f"WHEN s_{lang} = {_best} AND {_best} > 0 THEN '{lang}'" for lang in _LANG_SCORES
     )
     + " ELSE 'und' END AS pred_lang FROM s"
+)
+
+# url_lang_mismatch: the q_url_lang_mismatch URL construction + the
+# lang_id stopword scoring verbatim (same _score_exprs), mismatch only
+# when the path declares a lang and the text scores a different one
+_URL_LANG_MISMATCH_SQL = (
+    "WITH s AS (SELECT doc_id, "
+    + ", ".join(f"({expr}) AS s_{lang}" for lang, expr in _score_exprs.items())
+    + " FROM documents), v AS (SELECT doc_id, CASE "
+    + " ".join(
+        f"WHEN s_{lang} = {_best} AND {_best} > 0 THEN '{lang}'"
+        for lang in _LANG_SCORES
+    )
+    + " ELSE 'und' END AS pred_lang,"
+    + " CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' END AS url_lang,"
+    + " 'http://h' || (doc_id % 7) || '.test' ||"
+    + " CASE doc_id % 3 WHEN 0 THEN '/en' WHEN 1 THEN '/de'"
+    + " ELSE '/x7' END || '/q' || doc_id AS url FROM s)"
+    + " SELECT url, url_lang, pred_lang,"
+    + " coalesce(url_lang IS NOT NULL AND pred_lang <> 'und'"
+    + " AND pred_lang <> url_lang, FALSE) AS mismatch FROM v"
 )
 
 # content_language: same page/header synthesis as q_content_language,

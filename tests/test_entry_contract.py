@@ -105,7 +105,8 @@ NON_CRAWL = [
     "idn_audit", "caption_quality", "bpe_fertility", "domain_dup_rate",
     "zipf_spectrum", "tld_risk", "pmi_collocations",
     "char_coverage", "readability", "compression_audit",
-    "format_sniff", "image_entropy",
+    "format_sniff", "image_entropy", "bitext_candidates",
+    "url_lang_mismatch",
     "change_rate",
     "meta_robots", "nofollow_links", "rel_canonical",
     "c4_lines", "paragraph_dedup", "cdc_dedup", "sitemap_meta", "budget_alloc",

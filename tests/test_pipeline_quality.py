@@ -453,3 +453,54 @@ def test_readability_hand_grades(spark):
     assert r0["verdict"] == "easy"
     assert out[1]["n_words"] is None and out[1]["verdict"] == "empty"
     assert out[2]["verdict"] == "difficult"
+
+
+def test_bitext_candidates_grouping(spark):
+    """/en and /fr variants of one path group as a bitext pair; a bare
+    /en root normalizes to path_key '/'; /tv is not a language code;
+    query strings don't leak into the path key."""
+    from linkkchecker_net_spark.pipeline.bitext import bitext_candidates
+
+    urls = spark.createDataFrame(
+        [
+            ("http://a.test/en/about",),
+            ("http://a.test/fr/about",),
+            ("http://a.test/en/about?utm=1",),
+            ("http://a.test/tv/about",),     # not a lang code
+            ("http://b.test/en",),           # bare lang root
+            ("http://b.test/de/",),
+        ],
+        "url string",
+    )
+    out = {(r["host"], r["path_key"]): r
+           for r in bitext_candidates(urls).collect()}
+    pair = out[("a.test", "/about")]
+    assert pair["n_variants"] == 3 and pair["n_langs"] == 2
+    assert pair["langs"] == "en,fr" and pair["is_bitext"]
+    root = out[("b.test", "/")]
+    assert root["langs"] == "de,en" and root["is_bitext"]
+    assert ("a.test", "/tv/about") not in out  # untagged rows excluded
+
+
+def test_url_lang_mismatch_arms(spark):
+    from linkkchecker_net_spark.pipeline.bitext import url_lang_mismatch
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.test/en/x", "der die und ist das"),   # en URL, de text
+            ("http://a.test/de/x", "der die und ist das"),   # consistent
+            ("http://a.test/en/y", "qqq zzz"),               # und -> no flag
+            ("http://a.test/plain", "the a of and is"),      # no URL lang
+            ("http://a.test/ru/z", "the a of and is"),       # ru URL, en text
+        ],
+        "url string, text string",
+    )
+    out = {r["url"]: r for r in url_lang_mismatch(pages).collect()}
+    r = out["http://a.test/en/x"]
+    assert r["url_lang"] == "en" and r["pred_lang"] == "de" and r["mismatch"]
+    assert out["http://a.test/de/x"]["mismatch"] is False
+    assert out["http://a.test/en/y"]["pred_lang"] == "und"
+    assert out["http://a.test/en/y"]["mismatch"] is False
+    assert out["http://a.test/plain"]["url_lang"] is None
+    assert out["http://a.test/plain"]["mismatch"] is False
+    assert out["http://a.test/ru/z"]["mismatch"] is True
