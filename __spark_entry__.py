@@ -6634,6 +6634,53 @@ def q_url_lang_mismatch(spark, sf_dir):
 
 
 
+def q_host_components(spark, sf_dir):
+    """Host-graph weakly-connected components (pipeline/graph.
+    host_components, large-star/small-star labels): an 11-host chain
+    (c0-c10), a 6-host RING (cycle safety), and 25 disjoint 2-host
+    pairs (s<k>-t<k>) — sizes 11 / 6 / 2 all fire; the oracle replays
+    the construction and a recursive-CTE reachability min-label."""
+    from linkkchecker_net_spark.pipeline.graph import host_components
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 3
+    src_h = (
+        F.when(m == 0, F.concat(F.lit("c"), (i % 10).cast("string")))
+        .when(m == 1, F.concat(F.lit("r"), (i % 6).cast("string")))
+        .otherwise(F.concat(F.lit("s"), (i % 25).cast("string")))
+    )
+    dst_h = (
+        F.when(m == 0, F.concat(F.lit("c"), (i % 10 + 1).cast("string")))
+        .when(m == 1, F.concat(F.lit("r"), ((i % 6 + 1) % 6).cast("string")))
+        .otherwise(F.concat(F.lit("t"), (i % 25).cast("string")))
+    )
+    edges = _docs(spark, sf_dir).select(
+        src_h.alias("src_host"), dst_h.alias("dst_host")
+    )
+    return host_components(edges)
+
+
+def q_phash_hamming_hist(spark, sf_dir):
+    """Blocked phash Hamming histogram (pipeline/multimodal.
+    phash_hamming_hist): synthetic phash = (i%5)<<48 | (i%16) — five
+    16-bit-prefix blocks, low-nibble xor distances 0-4 — the full
+    popcount histogram is integer-exact in both engines."""
+    from linkkchecker_net_spark.pipeline.multimodal import phash_hamming_hist
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    corpus = _docs(spark, sf_dir).select(
+        F.concat(F.lit("img"), i.cast("string")).alias("image_id"),
+        (
+            F.expr("shiftleft(CAST(doc_id % 5 AS BIGINT), 48)")
+            .bitwiseOR(i % 16)
+        ).alias("phash"),
+    )
+    return phash_hamming_hist(corpus, block_bits=16)
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -6651,6 +6698,7 @@ _DRIVER_PRIORITY = [
     "char_coverage", "readability", "compression_audit",
     "format_sniff", "image_entropy",
     "bitext_candidates", "url_lang_mismatch",
+    "host_components", "phash_hamming_hist",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -6807,6 +6855,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_entropy": q_image_entropy,
         "bitext_candidates": q_bitext_candidates,
         "url_lang_mismatch": q_url_lang_mismatch,
+        "host_components": q_host_components,
+        "phash_hamming_hist": q_phash_hamming_hist,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -9129,6 +9179,54 @@ FROM bt JOIN bh ON bt.url = bh.url
             FROM g
         """,
         "url_lang_mismatch": _URL_LANG_MISMATCH_SQL,
+        # construction replay + recursive-CTE reachability min label
+        # (the dedup_clusters idiom on host strings)
+        "host_components": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id::BIGINT AS i FROM documents),
+            e0 AS (
+              SELECT CASE i % 3
+                       WHEN 0 THEN 'c' || (i % 10)
+                       WHEN 1 THEN 'r' || (i % 6)
+                       ELSE 's' || (i % 25) END AS src,
+                     CASE i % 3
+                       WHEN 0 THEN 'c' || (i % 10 + 1)
+                       WHEN 1 THEN 'r' || ((i % 6 + 1) % 6)
+                       ELSE 't' || (i % 25) END AS dst
+              FROM d),
+            e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+            sym AS (SELECT src, dst FROM e1
+                    UNION SELECT dst, src FROM e1),
+            reach(src, dst) AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT r.src, s.dst FROM reach r
+              JOIN sym s ON s.src = r.dst),
+            lab AS (
+              SELECT src AS host, least(src, min(dst)) AS component
+              FROM reach GROUP BY src),
+            sz AS (SELECT component, CAST(count(*) AS BIGINT)
+                     AS component_size
+                   FROM lab GROUP BY 1)
+            SELECT host, lab.component, component_size
+            FROM lab JOIN sz ON lab.component = sz.component
+        """,
+        # construction replay: five 16-bit-prefix blocks, low-nibble
+        # xor popcounts
+        "phash_hamming_hist": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents),
+            p AS (
+              SELECT 'img' || i AS id,
+                     ((i % 5) << 48) | (i % 16) AS ph,
+                     i % 5 AS blk
+              FROM d),
+            pairs AS (
+              SELECT bit_count(xor(a.ph, b.ph)) AS dist
+              FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)
+            SELECT CAST(dist AS INT) AS dist,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY 1
+        """,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)
         "url_score": """

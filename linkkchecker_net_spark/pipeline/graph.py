@@ -740,3 +740,59 @@ def degree_hist(edges: DataFrame) -> DataFrame:
         )
 
     return _bucketed("src", "out").unionByName(_bucketed("dst", "in"))
+
+
+def host_components(
+    edges: DataFrame, src_col: str = "src_host", dst_col: str = "dst_host"
+) -> DataFrame:
+    """Weakly-connected components of the host link graph — the
+    site-family detector: mirror farms, white-label template networks
+    and link rings all surface as multi-host components, and crawl
+    policy (budget, trust, dedup) should price the FAMILY, not each
+    host (composes with `mirror_hosts`, which catches only pairwise
+    mirrors, and `host_reputation`).
+
+    Output per host appearing in the edge list: (host, component =
+    lexicographic min host reachable, component_size).
+
+    Scale: symmetrized distinct edge list into
+    :func:`~linkkchecker_net_spark.pipeline.dedup._star_labels` —
+    large-star/small-star alternation, O(log n) rounds on ANY graph
+    shape including the chain/ring farms this operator exists to find
+    (min-label propagation would need diameter-many rounds exactly
+    there); the size rollup is one label-keyed partial agg.
+    """
+    from .dedup import _star_labels
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # _star_labels omits component minima (stars point AT them) — anchor
+    # on the full node set and coalesce centers to themselves, the
+    # dedup_clusters consumption pattern
+    nodes = sym.select(F.col("src").alias("host")).distinct()
+    star = _star_labels(sym).select(
+        F.col("doc_id").alias("host"), F.col("label").alias("component")
+    )
+    labels = (
+        nodes.join(star, "host", "left")
+        .select(
+            "host",
+            F.coalesce("component", F.col("host")).alias("component"),
+        )
+    )
+    sizes = labels.groupBy("component").agg(
+        F.count("*").alias("component_size")
+    )
+    return labels.join(sizes, "component").select(
+        "host",
+        "component",
+        F.col("component_size").cast("long").alias("component_size"),
+    )

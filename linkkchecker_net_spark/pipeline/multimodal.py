@@ -2037,3 +2037,46 @@ def image_entropy(corpus: DataFrame) -> DataFrame:
     return corpus.select("image_id", "bytes", "fmt").mapInPandas(
         dec, ENTROPY_SCHEMA
     )
+
+
+def phash_hamming_hist(corpus: DataFrame, block_bits: int = 16) -> DataFrame:
+    """Hamming-distance histogram over the BLOCKED phash candidate
+    pairs — the threshold-tuning companion to `image_neardup`: before
+    committing to "distance ≤ k is a duplicate", look at the actual
+    distance distribution of the candidate set (a clean corpus shows a
+    bimodal split — a near-zero dup spike and a ~32-centered random
+    mass; the valley is the right k).
+
+    Pairs are formed ONLY within a top-``block_bits`` phash-prefix
+    block (the image_neardup chunking idea in its simplest form), so
+    this is the distribution of what blocking actually surfaces, not
+    all O(N²) pairs — which is the set the threshold applies to.
+
+    Output: (dist, n_pairs), dist = popcount(ph_a XOR ph_b) ∈ [0, 64].
+
+    Scale: one block-keyed self-join (block population is the
+    operative bound, exactly as in the neardup path) + a ≤65-row
+    partial agg; no windows.
+    """
+    ph = corpus.select(
+        F.col("image_id").alias("id"),
+        F.col("phash").cast("long").alias("ph"),
+        F.shiftrightunsigned(
+            F.col("phash").cast("long"), 64 - int(block_bits)
+        ).alias("blk"),
+    )
+    a, b = ph.alias("a"), ph.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    dist = F.bit_count(
+        F.col("a.ph").bitwiseXOR(F.col("b.ph"))
+    ).cast("int")
+    return (
+        pairs.select(dist.alias("dist"))
+        .groupBy("dist")
+        .agg(F.count("*").alias("n_pairs"))
+        .select("dist", F.col("n_pairs").cast("long").alias("n_pairs"))
+    )

@@ -468,3 +468,28 @@ def test_host_concentration_gini_bounds(spark):
     sfair = fetch_fairness(sk).collect()[0]
     # jain = 100 / (2*82) = 0.6097...
     assert sfair["jain_ppm"] == 609_756
+
+
+def test_host_components_chain_ring_pair(spark):
+    """A 4-host chain, a 3-host ring (cycle safety), and an isolated
+    pair — every host appears (centers included), labels are the
+    lexicographic component minimum, sizes are exact."""
+    from linkkchecker_net_spark.pipeline.graph import host_components
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),          # chain
+            ("r1", "r2"), ("r2", "r3"), ("r3", "r1"),    # ring
+            ("x", "y"), ("y", "x"),                      # pair, both dirs
+            ("z", "z"),                                  # self-loop only
+        ],
+        "src_host string, dst_host string",
+    )
+    out = {r["host"]: r for r in host_components(edges).collect()}
+    assert {h for h in out} == {"a", "b", "c", "d", "r1", "r2", "r3", "x", "y"}
+    assert all(out[h]["component"] == "a" for h in "abcd")
+    assert out["a"]["component_size"] == 4
+    assert all(out[h]["component"] == "r1" for h in ("r1", "r2", "r3"))
+    assert out["r1"]["component_size"] == 3
+    assert out["x"]["component"] == "x" and out["x"]["component_size"] == 2
+    assert "z" not in out  # self-loops carry no component information

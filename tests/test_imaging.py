@@ -367,3 +367,19 @@ def test_image_entropy_flat_vs_spread(spark):
     assert out["spread"]["low_entropy"] is False
     assert out["trunc"]["ok"] is False and out["trunc"]["entropy"] is None
     assert out["trunc"]["low_entropy"] is True
+
+
+def test_phash_hamming_hist_blocks_and_popcounts(spark):
+    """Pairs form only within a shared 16-bit prefix; distances are
+    exact popcounts of the xor; cross-block pairs never appear."""
+    from linkkchecker_net_spark.pipeline.multimodal import phash_hamming_hist
+
+    rows = [
+        ("a", (1 << 48) | 0b0000),
+        ("b", (1 << 48) | 0b0011),   # dist(a,b)=2
+        ("c", (1 << 48) | 0b0001),   # dist(a,c)=1, dist(b,c)=1
+        ("d", (2 << 48) | 0b0000),   # different block: no pairs with a/b/c
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    out = {r["dist"]: r["n_pairs"] for r in phash_hamming_hist(df).collect()}
+    assert out == {1: 2, 2: 1}
