@@ -6681,6 +6681,64 @@ def q_phash_hamming_hist(spark, sf_dir):
 
 
 
+def q_host_latency(spark, sf_dir):
+    """Per-host latency quantiles (pipeline/recrawl.host_latency):
+    hosts h0-h6, latency (i*i*31 + i) % 1000 ms — nearest-rank p50/95/
+    99 via the (n*q+99) div 100 integer rank, suggestion clamp and the
+    slow_host verdict (threshold 900 so both arms fire)."""
+    from linkkchecker_net_spark.pipeline.recrawl import host_latency
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    fetches = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (i % 7).cast("string")).alias("host"),
+        ((i * i * 31 + i) % 1000).alias("latency_ms"),
+    )
+    return host_latency(fetches, slow_p95_ms=900)
+
+
+def q_sitemap_delta(spark, sf_dir):
+    """Sitemap inventory diff (kernels/sitemapparse.sitemap_delta):
+    v1 = per-arm locs + a gone-host; v2 drops i%11==3, adds /new locs
+    on i%13==5 and a new-host row — grew/shrank/churned/unchanged/
+    new_host/gone_host all fire; oracle replays construction + the
+    full-outer diff."""
+    from linkkchecker_net_spark.kernels.sitemapparse import sitemap_delta
+
+    _prep(spark)
+    d = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("i"))
+        .filter(F.col("i") < 160)
+    )
+    host = F.concat(F.lit("m"), (F.col("i") % 8).cast("string"))
+    loc = F.concat(
+        F.lit("http://m"), (F.col("i") % 8).cast("string"),
+        F.lit(".test/p"), (F.col("i") % 23).cast("string"),
+    )
+    schema = "host string, loc string"
+    v1 = d.select(host.alias("host"), loc.alias("loc")).unionByName(
+        spark.createDataFrame([("mgone", "http://mgone.test/x")], schema)
+    )
+    v2 = (
+        d.filter(F.col("i") % 11 != 3)
+        .select(host.alias("host"), loc.alias("loc"))
+        .unionByName(
+            d.filter(F.col("i") % 13 == 5).select(
+                host.alias("host"),
+                F.concat(
+                    F.lit("http://new/"), F.col("i").cast("string")
+                ).alias("loc"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame([("mnew", "http://mnew.test/y")], schema)
+        )
+    )
+    return sitemap_delta(v1, v2)
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -6699,6 +6757,7 @@ _DRIVER_PRIORITY = [
     "format_sniff", "image_entropy",
     "bitext_candidates", "url_lang_mismatch",
     "host_components", "phash_hamming_hist",
+    "host_latency", "sitemap_delta",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -6857,6 +6916,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_lang_mismatch": q_url_lang_mismatch,
         "host_components": q_host_components,
         "phash_hamming_hist": q_phash_hamming_hist,
+        "host_latency": q_host_latency,
+        "sitemap_delta": q_sitemap_delta,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -9226,6 +9287,85 @@ FROM bt JOIN bh ON bt.url = bh.url
             SELECT CAST(dist AS INT) AS dist,
                    CAST(count(*) AS BIGINT) AS n_pairs
             FROM pairs GROUP BY 1
+        """,
+        # construction replay: nearest-rank via row_number + the same
+        # (n*q+99) div 100 integer rank formula
+        "host_latency": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents),
+            f AS (
+              SELECT 'h' || (i % 7) AS host,
+                     (i * i * 31 + i) % 1000 AS lat
+              FROM d),
+            r AS (
+              SELECT host, lat,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY lat) AS rn,
+                     count(*) OVER (PARTITION BY host) AS n
+              FROM f),
+            a AS (
+              SELECT host, max(n) AS n_fetches,
+                     max(CASE WHEN rn = (n * 50 + 99) // 100
+                         THEN lat END) AS p50,
+                     max(CASE WHEN rn = (n * 95 + 99) // 100
+                         THEN lat END) AS p95,
+                     max(CASE WHEN rn = (n * 99 + 99) // 100
+                         THEN lat END) AS p99
+              FROM r GROUP BY 1)
+            SELECT host, CAST(n_fetches AS BIGINT) AS n_fetches,
+                   CAST(p50 AS BIGINT) AS p50_ms,
+                   CAST(p95 AS BIGINT) AS p95_ms,
+                   CAST(p99 AS BIGINT) AS p99_ms,
+                   CAST(least(10000, greatest(100, p95 * 2)) AS BIGINT)
+                     AS suggested_delay_ms,
+                   p95 >= 900 AS slow_host
+            FROM a
+        """,
+        # construction + full-outer-diff replay (UNION = distinct,
+        # matching the operator's .distinct())
+        "sitemap_delta": """
+            WITH d AS (
+              SELECT doc_id::BIGINT AS i FROM documents
+              WHERE doc_id < 160),
+            v1 AS (
+              SELECT DISTINCT 'm' || (i % 8) AS host,
+                     'http://m' || (i % 8) || '.test/p' || (i % 23)
+                       AS loc
+              FROM d
+              UNION SELECT 'mgone', 'http://mgone.test/x'),
+            v2 AS (
+              SELECT DISTINCT 'm' || (i % 8) AS host,
+                     'http://m' || (i % 8) || '.test/p' || (i % 23)
+                       AS loc
+              FROM d WHERE i % 11 <> 3
+              UNION SELECT 'm' || (i % 8), 'http://new/' || i
+                    FROM d WHERE i % 13 = 5
+              UNION SELECT 'mnew', 'http://mnew.test/y'),
+            j AS (
+              SELECT coalesce(a.host, b.host) AS host,
+                     a.host IS NOT NULL AS in1,
+                     b.host IS NOT NULL AS in2
+              FROM v1 a FULL OUTER JOIN v2 b
+                ON a.host = b.host AND a.loc = b.loc),
+            g AS (
+              SELECT host,
+                CAST(sum(CASE WHEN in2 AND NOT in1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_added,
+                CAST(sum(CASE WHEN in1 AND NOT in2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_removed,
+                CAST(sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_unchanged,
+                max(CASE WHEN in1 THEN 1 ELSE 0 END) AS any1,
+                max(CASE WHEN in2 THEN 1 ELSE 0 END) AS any2
+              FROM j GROUP BY 1)
+            SELECT host, n_added, n_removed, n_unchanged,
+                   CASE WHEN any1 = 0 THEN 'new_host'
+                        WHEN any2 = 0 THEN 'gone_host'
+                        WHEN n_added > 0 AND n_removed > 0
+                          THEN 'churned'
+                        WHEN n_added > 0 THEN 'grew'
+                        WHEN n_removed > 0 THEN 'shrank'
+                        ELSE 'unchanged' END AS verdict
+            FROM g
         """,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)

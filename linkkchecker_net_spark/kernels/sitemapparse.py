@@ -363,3 +363,62 @@ def sitemap_generate(
             ).alias("xml"),
         )
     )
+
+
+def sitemap_delta(locs_v1: DataFrame, locs_v2: DataFrame) -> DataFrame:
+    """URL-inventory diff between two sitemap snapshots — the sitemap
+    sibling of :func:`~linkkchecker_net_spark.kernels.robotsparse.
+    robots_delta`: a recrawl scheduler treats newly listed locs as
+    fresh crawl work and delisted locs as removal candidates, and at
+    10^10-URL scale the DIFF is the event stream (re-reading whole
+    sitemaps per epoch is the naive O(inventory) loop the reference's
+    single-site scan can afford and a web-scale crawler cannot).
+
+    Inputs: (host, loc) per snapshot.  Output per host in either:
+    (host, n_added, n_removed, n_unchanged, verdict ∈ unchanged /
+    grew / shrank / churned / new_host / gone_host).
+
+    Scale: one full-outer join on the (host, loc) key + a host-keyed
+    partial agg — both sides collapse to distinct rows first, no
+    windows.
+    """
+    key = ["host", "loc"]
+    v1 = locs_v1.select(*key).distinct()
+    v2 = locs_v2.select(*key).distinct()
+    j = v1.withColumn("_in1", F.lit(1)).join(
+        v2.withColumn("_in2", F.lit(1)), key, "full_outer"
+    )
+    added = F.col("_in2").isNotNull() & F.col("_in1").isNull()
+    removed = F.col("_in1").isNotNull() & F.col("_in2").isNull()
+    per_host = j.groupBy("host").agg(
+        F.sum(F.when(added, 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(removed, 1).otherwise(0)).alias("n_removed"),
+        F.sum(
+            F.when(F.col("_in1").isNotNull() & F.col("_in2").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_unchanged"),
+        F.max(F.when(F.col("_in1").isNotNull(), 1).otherwise(0)).alias(
+            "_any1"
+        ),
+        F.max(F.when(F.col("_in2").isNotNull(), 1).otherwise(0)).alias(
+            "_any2"
+        ),
+    )
+    verdict = (
+        F.when(F.col("_any1") == 0, F.lit("new_host"))
+        .when(F.col("_any2") == 0, F.lit("gone_host"))
+        .when(
+            (F.col("n_added") > 0) & (F.col("n_removed") > 0),
+            F.lit("churned"),
+        )
+        .when(F.col("n_added") > 0, F.lit("grew"))
+        .when(F.col("n_removed") > 0, F.lit("shrank"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return per_host.select(
+        "host",
+        F.col("n_added").cast("long").alias("n_added"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("n_unchanged").cast("long").alias("n_unchanged"),
+        verdict.alias("verdict"),
+    )

@@ -418,3 +418,62 @@ def burst_detect(
             & (F.col("n_events") >= F.lit(int(min_count)))
         ).alias("burst"),
     )
+
+
+def host_latency(
+    fetches: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    slow_p95_ms: int = 2000,
+) -> DataFrame:
+    """Exact per-host fetch-latency quantiles + an adaptive politeness
+    suggestion — the measurement loop behind polite crawling done
+    right: a fixed crawl-delay over-throttles fast CDNs and hammers
+    slow origins; real schedulers derive the delay from what the host
+    actually serves (p95), which is exactly what this emits for
+    `budget_alloc` / the engine's per-host min-gap pacing to consume.
+
+    Quantiles are NEAREST-RANK (rank ⌈q·n/100⌉ in the sorted
+    latencies, computed as (n·q+99) div 100 — integer-exact on any
+    engine; the value at a rank is well-defined under ties, so no
+    tie-break column is needed).  suggested_delay_ms = clamp(2·p95,
+    100, 10000); slow_host = p95 ≥ slow_p95_ms.
+
+    Output: (host, n_fetches, p50_ms, p95_ms, p99_ms,
+    suggested_delay_ms, slow_host).
+
+    Scale: one window PARTITIONED BY host (the frontier's own
+    bucketing key — never a global sort) + a host-keyed conditional
+    agg; one shuffle total.
+    """
+    lat = F.col(latency_col).cast("long")
+    w = Window.partitionBy(host_col).orderBy(lat)
+    ranked = fetches.select(
+        F.col(host_col).alias("host"),
+        lat.alias("_lat"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(host_col)).alias("_n"),
+    )
+
+    def pick(q: int):
+        target = F.floor((F.col("_n") * q + 99) / 100)
+        return F.max(F.when(F.col("_rn") == target, F.col("_lat")))
+
+    agg = ranked.groupBy("host").agg(
+        F.max("_n").alias("n_fetches"),
+        pick(50).alias("p50_ms"),
+        pick(95).alias("p95_ms"),
+        pick(99).alias("p99_ms"),
+    )
+    suggest = F.least(
+        F.lit(10_000), F.greatest(F.lit(100), F.col("p95_ms") * 2)
+    )
+    return agg.select(
+        "host",
+        F.col("n_fetches").cast("long").alias("n_fetches"),
+        F.col("p50_ms").cast("long").alias("p50_ms"),
+        F.col("p95_ms").cast("long").alias("p95_ms"),
+        F.col("p99_ms").cast("long").alias("p99_ms"),
+        suggest.cast("long").alias("suggested_delay_ms"),
+        (F.col("p95_ms") >= F.lit(int(slow_p95_ms))).alias("slow_host"),
+    )

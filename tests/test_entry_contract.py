@@ -99,8 +99,8 @@ NON_CRAWL = [
     "ann_ivf", "dup_span", "domain_cap", "sessionize", "parse_robots",
     "pagerank", "trustrank", "hits", "anchor_texts", "anchor_spam",
     "clip_align", "hll_users", "cms_tokens", "ann_sq8", "robots_sitemaps",
-    "resolve_redirects", "url_traps", "host_linkgraph", "host_components", "phash_hamming_hist",
-    "quality_keep",
+    "resolve_redirects", "url_traps", "host_linkgraph", "host_components", "phash_hamming_hist", "host_latency",
+    "sitemap_delta", "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
     "registrable_domains", "url_blocklist", "url_score", "robots_delta",
     "idn_audit", "caption_quality", "bpe_fertility", "domain_dup_rate",

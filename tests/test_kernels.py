@@ -1363,3 +1363,26 @@ def test_compression_audit_grammar(spark):
     assert out["u4"]["encoding"] == "identity"
     assert out["u4"]["compressible"] is False
     assert out["u5"]["encoding"] == "identity" and out["u5"]["n_bytes"] == 0
+
+
+def test_sitemap_delta_verdict_arms(spark):
+    from linkkchecker_net_spark.kernels.sitemapparse import sitemap_delta
+
+    schema = "host string, loc string"
+    v1 = spark.createDataFrame(
+        [("g", "u1"), ("s", "u1"), ("s", "u2"), ("ch", "u1"),
+         ("same", "u1"), ("gone", "u9")],
+        schema,
+    )
+    v2 = spark.createDataFrame(
+        [("g", "u1"), ("g", "u2"), ("s", "u1"), ("ch", "u2"),
+         ("same", "u1"), ("new", "u0")],
+        schema,
+    )
+    out = {r["host"]: r for r in sitemap_delta(v1, v2).collect()}
+    assert out["g"]["verdict"] == "grew" and out["g"]["n_added"] == 1
+    assert out["s"]["verdict"] == "shrank" and out["s"]["n_removed"] == 1
+    assert out["ch"]["verdict"] == "churned"
+    assert out["same"]["verdict"] == "unchanged"
+    assert out["gone"]["verdict"] == "gone_host"
+    assert out["new"]["verdict"] == "new_host"

@@ -82,3 +82,25 @@ def test_trap_hosts_plan_is_two_partial_aggregates(spark):
     plan = trap_hosts(df)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_host_latency_nearest_rank_hand_values(spark):
+    """10 latencies 100..1000 on one host: p50 = 5th value (500),
+    p95 = 10th (1000), p99 = 10th; a single-fetch host returns its one
+    value everywhere; ties at the rank boundary stay well-defined."""
+    from linkkchecker_net_spark.pipeline.recrawl import host_latency
+
+    rows = [("a", (k + 1) * 100) for k in range(10)] + [
+        ("b", 42),
+        ("c", 7), ("c", 7), ("c", 7),
+    ]
+    df = spark.createDataFrame(rows, "host string, latency_ms long")
+    out = {r["host"]: r for r in host_latency(df, slow_p95_ms=900).collect()}
+    a = out["a"]
+    assert a["n_fetches"] == 10 and a["p50_ms"] == 500
+    assert a["p95_ms"] == 1000 and a["p99_ms"] == 1000
+    assert a["suggested_delay_ms"] == 2000 and a["slow_host"]
+    b = out["b"]
+    assert b["p50_ms"] == b["p95_ms"] == b["p99_ms"] == 42
+    assert b["suggested_delay_ms"] == 100 and not b["slow_host"]
+    assert out["c"]["p50_ms"] == 7 and out["c"]["n_fetches"] == 3
