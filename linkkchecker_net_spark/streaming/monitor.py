@@ -101,3 +101,73 @@ def run_event_stats_once(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def rate_alert(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    threshold: int = 5,
+) -> DataFrame:
+    """Sliding-window per-key event-rate alert, BATCH twin — the
+    crawl-ops shape is a per-host fetch-rate breaker (a host suddenly
+    serving 10× its baseline is a trap or a misbehaving scheduler;
+    the breaker must see it within a slide, not a tumble).  Sliding
+    windows (window, slide) are the §2.8 machinery tumbling windows
+    can't express: each event lands in window/slide overlapping
+    windows, all epoch-aligned exactly as Spark's `F.window` defines
+    them, which is what the oracle replays with integer microsecond
+    arithmetic.
+
+    Output: (window_start_us, key, n, alert = n ≥ threshold) —
+    window_start_us as unix micros so the driver compare stays
+    dtype-exact cross-engine.
+
+    Scale: one (window, key)-keyed partial agg; the window explosion
+    is bounded by window/slide (here 2×).
+    """
+    w = F.window(F.col("ts").cast("timestamp"), window, slide)
+    return (
+        events.groupBy(w.alias("w"), F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "key",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n") >= F.lit(int(threshold))).alias("alert"),
+        )
+    )
+
+
+def rate_alert_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    threshold: int = 5,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`rate_alert`: watermarked
+    sliding-window counts; late rows beyond the watermark drop.  The
+    batch==stream equality across a micro-batch split is pinned in
+    tests (the sessionize/dedup twin discipline).
+
+    The cast happens BEFORE withWatermark and the window groups the
+    watermarked column itself — windowing a fresh cast expression
+    detaches the watermark and append mode rejects the plan."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "key",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n") >= F.lit(int(threshold))).alias("alert"),
+        )
+    )
