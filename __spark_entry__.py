@@ -6753,6 +6753,21 @@ def q_rate_alert(spark, sf_dir):
 
 
 
+def q_pca_top(spark, sf_dir):
+    """Top principal component (pipeline/similarity.pca_top_component)
+    of the REAL embeddings table: distributed mean + centered second
+    moment in forced DOUBLE, 8 driver-side power iterations with fixed
+    summation order; the oracle unrolls the identical iterations as
+    SQL CTEs (see _pca_sql)."""
+    from linkkchecker_net_spark.pipeline.similarity import pca_top_component
+
+    _prep(spark)
+    return pca_top_component(
+        _emb(spark, sf_dir).select("vec_id", "embedding")
+    )
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -6771,7 +6786,7 @@ _DRIVER_PRIORITY = [
     "format_sniff", "image_entropy",
     "bitext_candidates", "url_lang_mismatch",
     "host_components", "phash_hamming_hist",
-    "host_latency", "sitemap_delta", "rate_alert",
+    "host_latency", "sitemap_delta", "rate_alert", "pca_top",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -6933,6 +6948,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_latency": q_host_latency,
         "sitemap_delta": q_sitemap_delta,
         "rate_alert": q_rate_alert,
+        "pca_top": q_pca_top,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -9255,6 +9271,7 @@ FROM bt JOIN bh ON bt.url = bh.url
             FROM g
         """,
         "url_lang_mismatch": _URL_LANG_MISMATCH_SQL,
+        "pca_top": _pca_sql(),
         # construction replay + recursive-CTE reachability min label
         # (the dedup_clusters idiom on host strings)
         "host_components": """
@@ -14183,6 +14200,51 @@ _URL_LANG_MISMATCH_SQL = (
     + " coalesce(url_lang IS NOT NULL AND pred_lang <> 'und'"
     + " AND pred_lang <> url_lang, FALSE) AS mismatch FROM v"
 )
+
+def _pca_sql(dim: int = 64, iters: int = 8) -> str:
+    """Unrolled power-iteration replay of pca_top_component: identical
+    v0 (1/sqrt(D)), per-iteration normalize, abs-max sign rule, and
+    var_explained = v'Cv / trace(C); the only engine divergence is
+    sub-1e-13 double summation-order noise, absorbed by round(6)."""
+    its = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        its.append(
+            f"w{k} AS MATERIALIZED (SELECT c.i AS i, sum(c.c * {prev}.val) AS w"
+            f" FROM cov c JOIN {prev} ON c.j = {prev}.i GROUP BY 1),"
+            f" n{k} AS (SELECT sqrt(sum(w * w)) AS nm FROM w{k}),"
+            f" v{k} AS MATERIALIZED (SELECT i, w / nm AS val FROM w{k}, n{k})"
+        )
+        prev = f"v{k}"
+    return (
+        "WITH e AS MATERIALIZED (SELECT vec_id, g.i AS i,"
+        " CAST(embedding[g.i + 1] AS DOUBLE) AS v"
+        f" FROM embeddings, unnest(generate_series(0, {dim - 1})) AS g(i)),"
+        " mean AS MATERIALIZED (SELECT i, avg(v) AS m FROM e GROUP BY 1),"
+        " m2 AS MATERIALIZED (SELECT a.i AS i, b.i AS j,"
+        " sum(a.v * b.v) / count(*) AS m2"
+        " FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),"
+        " cov AS MATERIALIZED (SELECT m2.i, m2.j, m2.m2 - ma.m * mb.m AS c"
+        " FROM m2 JOIN mean ma ON m2.i = ma.i"
+        " JOIN mean mb ON m2.j = mb.i),"
+        f" v0 AS (SELECT g.i AS i, 1.0 / sqrt({dim}) AS val"
+        f" FROM unnest(generate_series(0, {dim - 1})) AS g(i)), "
+        + ", ".join(its)
+        + f", s AS (SELECT CASE WHEN (SELECT val FROM {prev}"
+        f" ORDER BY abs(val) DESC, i ASC LIMIT 1) < 0"
+        " THEN -1.0 ELSE 1.0 END AS sgn),"
+        f" wl AS (SELECT c.i AS i, sum(c.c * {prev}.val) AS w"
+        f" FROM cov c JOIN {prev} ON c.j = {prev}.i GROUP BY 1),"
+        f" lam AS (SELECT sum({prev}.val * wl.w) AS l"
+        f" FROM {prev} JOIN wl ON {prev}.i = wl.i),"
+        " tr AS (SELECT sum(c) AS t FROM cov WHERE i = j)"
+        f" SELECT CAST({prev}.i AS INT) AS dim,"
+        " round(mean.m, 6) AS mean,"
+        f" round(s.sgn * {prev}.val, 6) AS pc1,"
+        " round(lam.l / tr.t, 6) AS var_explained"
+        f" FROM {prev} JOIN mean ON {prev}.i = mean.i, s, lam, tr"
+    )
+
 
 # content_language: same page/header synthesis as q_content_language,
 # same BCP 47 primary-subtag normalization, same stopword lang-id scoring

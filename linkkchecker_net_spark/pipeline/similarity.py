@@ -721,3 +721,103 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+def pca_top_component(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    dim: "int | None" = None,
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal component of an embedding corpus by power
+    iteration — the preprocessing primitive behind IVF/OPQ rotation,
+    embedding whitening, and the classic all-but-the-top hygiene fix
+    (Mu & Viswanath 2018: the corpus' dominant direction is usually
+    frequency noise; projecting it out improves retrieval).  Emits
+    per-dimension rows: (dim, mean, pc1, var_explained).
+
+    Distributed part (the only data-sized work): mean vector and the
+    centered second-moment matrix C = E[xxᵀ] − μμᵀ, computed WITHOUT a
+    self-join — a nested transform explodes each row into its D²
+    (i, j, x_i·x_j) products (pure codegen) and one (i, j)-keyed
+    partial agg collapses them map-side, so the exchange carries
+    ≤ partitions·D² rows at any corpus size.  All products run in
+    DOUBLE (floats are cast first — float32 multiply would diverge
+    from the oracle).
+
+    Driver part (metadata-sized, the kmeans-centroid precedent): the
+    D×D matrix collects and ``iters`` power iterations run in plain
+    Python with FIXED summation order (j ascending, then i
+    ascending), v₀ = 1/√D (exact in binary for D=64); the sign is
+    normalized so the largest-|entry| coordinate (first index on
+    ties) is positive, and var_explained = vᵀCv / trace(C).  Rounding
+    to 6 dp happens once at the end — the pagerank determinism
+    discipline; double noise from engine-different partial-sum orders
+    sits ~1e-13, far under the 5e-7 rounding boundary.
+    """
+    if dim is None:
+        dim = int(vectors.select(F.size(vec_col).alias("d")).first()["d"])
+    x = F.col(vec_col)
+    prods = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(x, i + 1).cast("double")
+                        * F.element_at(x, j + 1).cast("double")
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    m2 = (
+        vectors.select(F.explode(prods).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s"), F.count("*").alias("n"))
+        .select("i", "j", (F.col("s") / F.col("n")).alias("m2"))
+    )
+    means = (
+        vectors.select(
+            F.posexplode(x).alias("i", "v")
+        )
+        .select("i", F.col("v").cast("double").alias("v"))
+        .groupBy("i")
+        .agg(F.avg("v").alias("m"))
+    )
+    mrows = {int(r["i"]): float(r["m"]) for r in means.collect()}
+    C = [[0.0] * dim for _ in range(dim)]
+    for r in m2.collect():
+        i, j = int(r["i"]), int(r["j"])
+        C[i][j] = float(r["m2"]) - mrows[i] * mrows[j]
+    import math
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(int(iters)):
+        w = [0.0] * dim
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc += C[i][j] * v[j]
+            w[i] = acc
+        norm = math.sqrt(sum(wi * wi for wi in w))
+        v = [wi / norm for wi in w]
+    mx = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[mx] < 0:
+        v = [-vi for vi in v]
+    w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    lam = sum(v[i] * w[i] for i in range(dim))
+    trace = sum(C[i][i] for i in range(dim))
+    var_explained = round(lam / trace, 6)
+    spark = vectors.sparkSession
+    rows = [
+        (i, round(mrows[i], 6), round(v[i], 6), var_explained)
+        for i in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, mean double, pc1 double, var_explained double"
+    )

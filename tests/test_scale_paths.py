@@ -770,3 +770,35 @@ def test_ivf_ann_full_probe_equals_bruteforce(spark):
     }
     assert partial  # non-empty
     assert len(partial) <= len(want)
+
+
+def test_pca_top_component_rank1_exact(spark):
+    """Points on the (3,4) line: C is rank-1, the power iteration hits
+    the fixed point (0.6, 0.8) after one step, var_explained is
+    exactly 1.0, and the declared means match."""
+    from linkkchecker_net_spark.pipeline.similarity import pca_top_component
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [3.0, 4.0]),
+        (2, [6.0, 8.0]),
+        (3, [-3.0, -4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in pca_top_component(df).collect()}
+    assert out[0]["mean"] == 1.5 and out[1]["mean"] == 2.0
+    assert out[0]["pc1"] == 0.6 and out[1]["pc1"] == 0.8
+    assert out[0]["var_explained"] == 1.0
+
+
+def test_pca_top_component_negative_entry_kept(spark):
+    """Anti-correlated dims: pc1 keeps a negative first entry when the
+    max-|entry| coordinate is already positive (sign rule anchors on
+    the largest magnitude, not on entry 0)."""
+    from linkkchecker_net_spark.pipeline.similarity import pca_top_component
+
+    rows = [(0, [1.0, -2.0]), (1, [-1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in pca_top_component(df).collect()}
+    assert out[0]["pc1"] == -0.447214 and out[1]["pc1"] == 0.894427
+    assert out[0]["var_explained"] == 1.0
