@@ -6768,6 +6768,115 @@ def q_pca_top(spark, sf_dir):
 
 
 
+def q_oov_rate(spark, sf_dir):
+    """OOV gate (pipeline/ranking.oov_rate) against the corpus' own
+    top-40 vocabulary on the REAL documents.text — full replay oracle
+    (top-k with (cnt desc, token) tie-break, left-join tag, floor-ppm,
+    200k threshold); with k=40 the multilingual sf corpus fires both
+    high_oov arms."""
+    from linkkchecker_net_spark.pipeline.ranking import oov_rate
+
+    _prep(spark)
+    return oov_rate(_docs(spark, sf_dir), k=40)
+
+
+def q_politeness_gap(spark, sf_dir):
+    """Delay-authority reconciliation (pipeline/recrawl.politeness_gap):
+    robots side declares arms {1000, 50, missing} ms, latency side
+    suggests {200, missing} — robots/latency/agree/robots_only/
+    latency_only all fire and the effective delay floors at 100."""
+    from linkkchecker_net_spark.pipeline.recrawl import politeness_gap
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("g"), (i % 40).cast("string"))
+    hosts = _docs(spark, sf_dir).filter(i < 40).select(host.alias("host"))
+    m = F.col("hn") % 4
+    hn = F.regexp_extract("host", r"g(\d+)", 1).cast("long")
+    base = hosts.select("host", hn.alias("hn"))
+    robots = base.filter(F.col("hn") % 5 != 3).select(
+        "host",
+        F.when(m == 0, F.lit(1000))
+        .when(m == 1, F.lit(50))
+        .when(m == 2, F.lit(200))
+        .otherwise(F.lit(10))
+        .alias("crawl_delay_ms"),
+    )
+    lat = base.filter(F.col("hn") % 7 != 2).select(
+        "host",
+        F.when(F.col("hn") % 3 == 0, F.lit(200))
+        .otherwise(F.lit(400))
+        .alias("suggested_delay_ms"),
+    )
+    return politeness_gap(robots, lat)
+
+
+
+def q_ann_recall_report(spark, sf_dir):
+    """Cross-regime ANN recall scorecard (pipeline/similarity.
+    ann_recall_report): IVF / SQ8 / PQ top-10 lists vs the exact
+    cosine top-10 on the first 5 query vectors; per-method floors sit
+    under the measured deterministic recalls, and the oracle (the
+    lsh_recall idiom) replays the exact side and asserts every floor
+    boolean TRUE — a silent recall collapse in any regime goes
+    hash-red."""
+    from linkkchecker_net_spark.pipeline.similarity import ann_recall_report
+
+    _prep(spark)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return ann_recall_report(emb, queries, k=10)
+
+
+
+def q_viewport_audit(spark, sf_dir):
+    """Mobile-viewport lint (reports/seo.viewport_audit): arms per i%5
+    — device-width ok, user-scalable=no, fixed 980px width, reversed
+    attribute order (content before name), and no viewport at all;
+    a name="viewporty" decoy must NOT match."""
+    from linkkchecker_net_spark.reports.seo import viewport_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 5
+    body = (
+        F.when(m == 0, F.lit('<meta name="viewport" content="width=device-width, initial-scale=1">'))
+        .when(m == 1, F.lit('<meta name="viewport" content="width=device-width, user-scalable=no">'))
+        .when(m == 2, F.lit('<meta name="viewport" content="width=980">'))
+        .when(m == 3, F.lit('<meta content="width=device-width" name="viewport">'))
+        .otherwise(F.lit('<meta name="viewporty" content="width=device-width"><p>x</p>'))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://v.test/p"), i.cast("string")).alias("url"),
+        body.alias("body"),
+    )
+    return viewport_audit(pages)
+
+
+def q_bidi_audit(spark, sf_dir):
+    """Trojan-Source bidi audit (reports/security.bidi_audit) on the
+    REAL documents.text (clean arm) plus constructed arms: i%7==1
+    appends a balanced RLO...PDF pair, i%11==4 appends a lone RLO
+    (unbalanced) — all three verdicts fire; the oracle replays the
+    same character-class counts."""
+    from linkkchecker_net_spark.reports.security import bidi_audit
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    text = F.concat(
+        F.col("text"),
+        F.when(i % 7 == 1, F.lit("\u202eevil\u202c")).otherwise(F.lit("")),
+        F.when(i % 11 == 4, F.lit("\u202eunclosed")).otherwise(F.lit("")),
+    )
+    return bidi_audit(
+        _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    )
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -6786,7 +6895,7 @@ _DRIVER_PRIORITY = [
     "format_sniff", "image_entropy",
     "bitext_candidates", "url_lang_mismatch",
     "host_components", "phash_hamming_hist",
-    "host_latency", "sitemap_delta", "rate_alert", "pca_top",
+    "host_latency", "sitemap_delta", "rate_alert", "pca_top", "oov_rate", "politeness_gap", "ann_recall_report", "viewport_audit", "bidi_audit",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -6949,6 +7058,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_delta": q_sitemap_delta,
         "rate_alert": q_rate_alert,
         "pca_top": q_pca_top,
+        "oov_rate": q_oov_rate,
+        "politeness_gap": q_politeness_gap,
+        "ann_recall_report": q_ann_recall_report,
+        "viewport_audit": q_viewport_audit,
+        "bidi_audit": q_bidi_audit,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -9415,6 +9529,170 @@ FROM bt JOIN bh ON bt.url = bh.url
                    user_id AS key, CAST(n AS BIGINT) AS n,
                    n >= 3 AS alert
             FROM g
+        """,
+        # FULL replay: self-referential top-k vocab (cnt desc, token),
+        # left-join tag, floor-ppm, full-doc anchor
+        "oov_rate": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            w2 AS (SELECT doc_id, w FROM w WHERE w <> ''),
+            v AS (
+              SELECT w FROM (
+                SELECT w, count(*) AS cnt FROM w2 GROUP BY 1
+                ORDER BY cnt DESC, w LIMIT 40)),
+            per AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN w2.w IN (SELECT w FROM v)
+                         THEN 0 ELSE 1 END) AS n_oov
+              FROM w2 GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_oov AS BIGINT) AS n_oov,
+                   CAST(floor(n_oov * 1000000.0 / n_tokens) AS BIGINT)
+                     AS oov_ppm,
+                   coalesce(floor(n_oov * 1000000.0 / n_tokens)
+                            > 200000, FALSE) AS high_oov
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        # construction replay of both authority tables + the
+        # max/floor/source ladder
+        "politeness_gap": """
+            WITH d AS (SELECT doc_id::BIGINT AS hn FROM documents
+                       WHERE doc_id < 40),
+            r AS (
+              SELECT 'g' || hn AS host,
+                     CASE hn % 4 WHEN 0 THEN 1000 WHEN 1 THEN 50
+                          WHEN 2 THEN 200 ELSE 10 END AS rd
+              FROM d WHERE hn % 5 <> 3),
+            s AS (
+              SELECT 'g' || hn AS host,
+                     CASE WHEN hn % 3 = 0 THEN 200 ELSE 400 END AS sd
+              FROM d WHERE hn % 7 <> 2),
+            j AS (
+              SELECT coalesce(r.host, s.host) AS host, rd, sd
+              FROM r FULL OUTER JOIN s ON r.host = s.host)
+            SELECT host, CAST(rd AS BIGINT) AS robots_delay_ms,
+                   CAST(sd AS BIGINT) AS suggested_delay_ms,
+                   CAST(greatest(coalesce(rd, 0), coalesce(sd, 0), 100)
+                        AS BIGINT) AS effective_delay_ms,
+                   CASE WHEN rd IS NULL THEN 'latency_only'
+                        WHEN sd IS NULL THEN 'robots_only'
+                        WHEN rd > sd THEN 'robots'
+                        WHEN sd > rd THEN 'latency'
+                        ELSE 'agree' END AS source
+            FROM j
+        """,
+        # the lsh_recall idiom: exact-side replay + floors asserted
+        # TRUE for each method arm
+        "ann_recall_report": """
+            WITH flat AS (
+              SELECT vec_id, CAST(embedding[g.i] AS DOUBLE) AS v,
+                     g.i AS ord
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)),
+            norms AS (
+              SELECT vec_id, sqrt(sum(v * v)) AS nrm
+              FROM flat GROUP BY 1),
+            dots AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     sum(q.v * e.v) AS dot
+              FROM flat q JOIN flat e
+                ON q.ord = e.ord AND e.vec_id <> q.vec_id
+              WHERE q.vec_id < 5
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT dots.query_id, dots.vec_id,
+                     row_number() OVER (
+                       PARTITION BY dots.query_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 9) DESC,
+                                dots.vec_id) AS rank
+              FROM dots
+              JOIN norms na ON na.vec_id = dots.query_id
+              JOIN norms nb ON nb.vec_id = dots.vec_id),
+            ex AS (
+              SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+              FROM ranked WHERE rank <= 10 GROUP BY 1)
+            SELECT m.method, ex.query_id, ex.n_exact,
+                   TRUE AS recall_floor_met
+            FROM ex, (VALUES ('ivf'), ('sq8'), ('pq')) AS m(method)
+        """,
+        # construction replay with the same two attribute-order
+        # grammars and the anchored name= class
+        "viewport_audit": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents),
+            b AS (
+              SELECT i, 'http://v.test/p' || i AS url,
+                CASE i % 5
+                  WHEN 0 THEN '<meta name="viewport" content="width=device-width, initial-scale=1">'
+                  WHEN 1 THEN '<meta name="viewport" content="width=device-width, user-scalable=no">'
+                  WHEN 2 THEN '<meta name="viewport" content="width=980">'
+                  WHEN 3 THEN '<meta content="width=device-width" name="viewport">'
+                  ELSE '<meta name="viewporty" content="width=device-width"><p>x</p>'
+                END AS body
+              FROM d),
+            c AS (
+              SELECT url,
+                coalesce(
+                  nullif(regexp_extract(body,
+                    '(?i)<meta[^>]*[\\s"]name="viewport"[^>]*[\\s"]content="([^"]*)"',
+                    1), ''),
+                  nullif(regexp_extract(body,
+                    '(?i)<meta[^>]*[\\s"]content="([^"]*)"[^>]*[\\s"]name="viewport"',
+                    1), '')) AS content
+              FROM b),
+            s AS (
+              SELECT url, content IS NOT NULL AS has_viewport,
+                coalesce(contains(lower(content),
+                                  'width=device-width'), FALSE)
+                  AS device_width,
+                coalesce(
+                  regexp_matches(lower(content),
+                    'user-scalable\\s*=\\s*(no|0)')
+                  OR regexp_matches(lower(content),
+                    'maximum-scale\\s*=\\s*1(\\.0*)?(\\s*,|$)'), FALSE)
+                  AS no_zoom,
+                coalesce(regexp_matches(lower(content),
+                                        'width\\s*=\\s*[0-9]+'), FALSE)
+                  AS fixed_width
+              FROM c)
+            SELECT url, has_viewport, device_width, no_zoom, fixed_width,
+                   CASE WHEN NOT has_viewport THEN 'missing'
+                        WHEN fixed_width AND NOT device_width
+                          THEN 'fixed_width'
+                        WHEN no_zoom THEN 'no_zoom'
+                        ELSE 'ok' END AS verdict
+            FROM s
+        """,
+        # same construction + character-class counts (literal bidi
+        # controls in both grammars)
+        "bidi_audit": """
+            WITH d AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 7 = 1
+                     THEN chr(8238) || 'evil' || chr(8236)
+                     ELSE '' END ||
+                CASE WHEN doc_id % 11 = 4
+                     THEN chr(8238) || 'unclosed' ELSE '' END AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                len(t) - len(regexp_replace(t,
+                  '[' || chr(8234) || chr(8235) || chr(8237)
+                      || chr(8238) || chr(8294) || chr(8295)
+                      || chr(8296) || ']', '', 'g')) AS n_open,
+                len(t) - len(regexp_replace(t,
+                  '[' || chr(8236) || chr(8297) || ']', '', 'g'))
+                  AS n_close
+              FROM d)
+            SELECT doc_id, CAST(n_open AS INT) AS n_openers,
+                   CAST(n_close AS INT) AS n_closers,
+                   n_open + n_close > 0 AS has_bidi,
+                   n_open <> n_close AS unbalanced,
+                   CASE WHEN n_open + n_close = 0 THEN 'clean'
+                        WHEN n_open <> n_close THEN 'unbalanced'
+                        ELSE 'bidi_present' END AS verdict
+            FROM c
         """,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)

@@ -432,3 +432,55 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(int(k))
     )
+
+
+def oov_rate(
+    docs: DataFrame, k: int = 1000, high_oov_ppm: int = 200_000
+) -> DataFrame:
+    """Out-of-vocabulary rate against the corpus' own top-k vocabulary
+    — the KenLM-prep / tokenizer-fit gate: a doc whose tokens mostly
+    miss the reference vocab is either another language, OCR noise, or
+    id-soup, and LM-based filters (unigram_ppl upstream) mis-score it
+    rather than flag it.  The vocab here is self-referential (top-k by
+    count, token tie-break); swapping in an external reference vocab
+    is a data change.
+
+    Output per doc (full-doc anchor, the repetition_stats lesson):
+    (doc_id, n_tokens, n_oov, oov_ppm, high_oov); empty docs keep NULL
+    stats and high_oov=false.
+
+    Scale: the vocab is a TakeOrderedAndProject top-k of the
+    partial-agg'd token counts (never a global window) and broadcasts
+    into the word stream; per-doc rollup is one doc-keyed partial agg.
+    """
+    words = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(int(k))
+        .select("w", F.lit(True).alias("_in_vocab"))
+    )
+    tagged = words.join(F.broadcast(vocab), "w", "left")
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+        ).alias("n_oov"),
+    )
+    anchored = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    ppm = F.floor(F.col("n_oov") * 1_000_000 / F.col("n_tokens"))
+    return anchored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        ppm.cast("long").alias("oov_ppm"),
+        F.coalesce(ppm > F.lit(int(high_oov_ppm)), F.lit(False)).alias(
+            "high_oov"
+        ),
+    )

@@ -477,3 +477,54 @@ def host_latency(
         suggest.cast("long").alias("suggested_delay_ms"),
         (F.col("p95_ms") >= F.lit(int(slow_p95_ms))).alias("slow_host"),
     )
+
+
+def politeness_gap(
+    robots_delays: DataFrame,
+    latency_stats: DataFrame,
+    floor_ms: int = 100,
+) -> DataFrame:
+    """Reconcile the two delay authorities a polite crawler answers to:
+    the host's DECLARED Crawl-delay (robots.txt, `crawl_delay_audit`)
+    and the MEASURED latency-derived suggestion (:func:`host_latency`).
+    The scheduler must honor the max of both — robots is a contract,
+    latency is self-preservation — and hosts where measurement demands
+    far more than the declaration are exactly the overloaded origins a
+    fixed-delay crawler hammers.
+
+    Inputs: (host, crawl_delay_ms) and (host, suggested_delay_ms).
+    Output per host in either table: (host, robots_delay_ms,
+    suggested_delay_ms, effective_delay_ms = max(both, floor_ms),
+    source ∈ robots / latency / agree / robots_only / latency_only).
+
+    Scale: one host-keyed full-outer join of two host-sized tables —
+    both are rollups, metadata-sized relative to the frontier.
+    """
+    r = robots_delays.select(
+        "host", F.col("crawl_delay_ms").cast("long").alias("robots_delay_ms")
+    )
+    s = latency_stats.select(
+        "host",
+        F.col("suggested_delay_ms").cast("long").alias("suggested_delay_ms"),
+    )
+    j = r.join(s, "host", "full_outer")
+    rd, sd = F.col("robots_delay_ms"), F.col("suggested_delay_ms")
+    effective = F.greatest(
+        F.coalesce(rd, F.lit(0)),
+        F.coalesce(sd, F.lit(0)),
+        F.lit(int(floor_ms)),
+    )
+    source = (
+        F.when(rd.isNull(), F.lit("latency_only"))
+        .when(sd.isNull(), F.lit("robots_only"))
+        .when(rd > sd, F.lit("robots"))
+        .when(sd > rd, F.lit("latency"))
+        .otherwise(F.lit("agree"))
+    )
+    return j.select(
+        "host",
+        rd.alias("robots_delay_ms"),
+        sd.alias("suggested_delay_ms"),
+        effective.cast("long").alias("effective_delay_ms"),
+        source.alias("source"),
+    )

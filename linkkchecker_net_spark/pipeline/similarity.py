@@ -821,3 +821,59 @@ def pca_top_component(
     return spark.createDataFrame(
         rows, "dim int, mean double, pc1 double, var_explained double"
     )
+
+
+def ann_recall_report(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    floors: "dict[str, float] | None" = None,
+) -> DataFrame:
+    """One recall scorecard across the repo's sublinear ANN regimes —
+    the eval harness that answers "which index do I deploy": IVF, SQ8
+    and PQ top-k lists are each intersected with the exact cosine
+    top-k (the same reference `lsh_recall` uses), per query.  Every
+    path is seed-free and integer-quantized, so the measured recall is
+    a deterministic arithmetic fact; like `lsh_recall`, the raw
+    neighbor lists stay non-oracled and the ORACLE asserts the
+    per-method floor booleans plus the exact-side counts (a silent
+    recall collapse in any regime breaks the value hash).
+
+    Output: (method, query_id, n_exact, recall_floor_met), one row per
+    method × query.
+
+    Scale: the exact reference is the labeled O(N·Q) baseline — at
+    10^10 vectors swap it for a held-out ground-truth table (the
+    standard ANN-benchmarks protocol); the three approximate arms are
+    the production paths unchanged.
+    """
+    if floors is None:
+        floors = {"ivf": 0.5, "sq8": 0.8, "pq": 0.2}
+    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
+        "query_id", "vec_id"
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    arms = {
+        "ivf": ivf_ann(emb, queries, k=k).select("query_id", "vec_id"),
+        "sq8": sq8_ann(emb, queries, k=k).select("query_id", "vec_id"),
+        "pq": pq_ann(emb, queries, k=k).select("query_id", "vec_id"),
+    }
+    out = None
+    for name, approx in arms.items():
+        hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        n_hit = hits.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        rep = n_exact.join(n_hit, "query_id", "left").select(
+            F.lit(name).alias("method"),
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+                >= F.lit(float(floors[name]))
+            ).alias("recall_floor_met"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out

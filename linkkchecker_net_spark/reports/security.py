@@ -570,3 +570,50 @@ def idn_audit(hosts: DataFrame) -> DataFrame:
         nonascii.alias("has_nonascii"),
         verdict.alias("verdict"),
     )
+
+
+# bidi control characters (Trojan Source, CVE-2021-42574 shape):
+# embeddings/overrides open with LRE/RLE/LRO/RLO and close with PDF;
+# isolates open with LRI/RLI/FSI and close with PDI
+_BIDI_OPENERS = "‪‫‭‮⁦⁧⁨"
+_BIDI_CLOSERS = "‬⁩"
+
+
+def bidi_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bidirectional-control-character audit — the Trojan Source vector
+    (Boucher & Anderson 2021): RLO/LRE embeddings reorder what a READER
+    sees without changing what a parser consumes, so spoofed URLs,
+    reversed filenames and disguised code all ride on these controls.
+    A corpus builder wants them counted (and unbalanced runs flagged —
+    an opener without its PDF/PDI poisons all following text), and a
+    crawler scoring trust per page treats presence as a signal next to
+    `idn_audit`'s homograph check.
+
+    Output: (doc_id, n_openers, n_closers, has_bidi, unbalanced,
+    verdict ∈ clean / bidi_present / unbalanced).
+
+    Scale: map-only codegen (two character-class counts), zero
+    shuffles.
+    """
+    t = F.col(text_col)
+    n_open = F.length(t) - F.length(
+        F.regexp_replace(t, f"[{_BIDI_OPENERS}]", "")
+    )
+    n_close = F.length(t) - F.length(
+        F.regexp_replace(t, f"[{_BIDI_CLOSERS}]", "")
+    )
+    has_bidi = (n_open + n_close) > 0
+    unbalanced = n_open != n_close
+    verdict = (
+        F.when(~has_bidi, F.lit("clean"))
+        .when(unbalanced, F.lit("unbalanced"))
+        .otherwise(F.lit("bidi_present"))
+    )
+    return docs.select(
+        "doc_id",
+        n_open.cast("int").alias("n_openers"),
+        n_close.cast("int").alias("n_closers"),
+        has_bidi.alias("has_bidi"),
+        unbalanced.alias("unbalanced"),
+        verdict.alias("verdict"),
+    )

@@ -645,3 +645,65 @@ def price_consistency(pages: DataFrame) -> DataFrame:
         mx.alias("max_cents"),
         verdict.alias("verdict"),
     )
+
+
+_VIEWPORT_TAG_PAT = (
+    r'(?i)<meta\b[^>]*(?:^|[\s"])name="viewport"[^>]*'
+    r'(?:^|[\s"])content="([^"]*)"'
+)
+_VIEWPORT_TAG_PAT_REV = (
+    r'(?i)<meta\b[^>]*(?:^|[\s"])content="([^"]*)"[^>]*'
+    r'(?:^|[\s"])name="viewport"'
+)
+
+
+def viewport_audit(pages: DataFrame) -> DataFrame:
+    """Mobile-viewport lint — the mobile-friendliness gate search
+    consoles lead with: a page without a viewport meta renders
+    desktop-scaled on phones, `user-scalable=no` / `maximum-scale=1`
+    block pinch-zoom (a WCAG 1.4.4 failure), and a fixed pixel width
+    defeats responsive layout.  Attribute order is free in HTML, so
+    the grammar matches both (name, content) orders — the
+    tech_fingerprint idiom, with the anchored `name=` class (never
+    \\b, the data-name decoy lesson).
+
+    pages: (url, body) → (url, has_viewport, device_width,
+    no_zoom, fixed_width, verdict ∈ missing / fixed_width / no_zoom /
+    ok).
+
+    Scale: map-only codegen, zero shuffles; slots into the SEO audit
+    battery beside `amp_audit` / `canonical_consistency`.
+    """
+    content = F.coalesce(
+        F.nullif(F.regexp_extract("body", _VIEWPORT_TAG_PAT, 1), F.lit("")),
+        F.nullif(
+            F.regexp_extract("body", _VIEWPORT_TAG_PAT_REV, 1), F.lit("")
+        ),
+    )
+    has_vp = content.isNotNull()
+    lc = F.lower(content)
+    device_width = F.coalesce(
+        lc.contains("width=device-width"), F.lit(False)
+    )
+    no_zoom = F.coalesce(
+        lc.rlike(r"user-scalable\s*=\s*(no|0)")
+        | lc.rlike(r"maximum-scale\s*=\s*1(\.0*)?(\s*,|$)"),
+        F.lit(False),
+    )
+    fixed_width = F.coalesce(
+        lc.rlike(r"width\s*=\s*[0-9]+"), F.lit(False)
+    )
+    verdict = (
+        F.when(~has_vp, F.lit("missing"))
+        .when(fixed_width & ~device_width, F.lit("fixed_width"))
+        .when(no_zoom, F.lit("no_zoom"))
+        .otherwise(F.lit("ok"))
+    )
+    return pages.select(
+        "url",
+        has_vp.alias("has_viewport"),
+        device_width.alias("device_width"),
+        no_zoom.alias("no_zoom"),
+        fixed_width.alias("fixed_width"),
+        verdict.alias("verdict"),
+    )

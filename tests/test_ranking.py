@@ -189,3 +189,25 @@ def test_pmi_collocations_hand_values(spark):
     assert (r["w1"], r["w2"]) == ("new", "york")
     assert r["c_bigram"] == 2 and r["c_w1"] == 2 and r["c_w2"] == 2
     assert r["pmi"] == round(math.log((2 / 3) / ((2 / 6) * (2 / 6))), 6)
+
+
+def test_oov_rate_hand_values(spark):
+    """k=2 vocab = {aa (4x), bb (3x)}; doc 2's 'zz yy' is fully OOV;
+    the empty doc anchors with NULL stats and high_oov false."""
+    from linkkchecker_net_spark.pipeline.ranking import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa aa bb zz"),
+            (1, "aa aa bb bb"),
+            (2, "zz yy"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in oov_rate(docs, k=2).collect()}
+    assert out[0]["n_tokens"] == 4 and out[0]["n_oov"] == 1
+    assert out[0]["oov_ppm"] == 250_000 and out[0]["high_oov"] is True
+    assert out[1]["n_oov"] == 0 and out[1]["high_oov"] is False
+    assert out[2]["oov_ppm"] == 1_000_000 and out[2]["high_oov"]
+    assert out[3]["n_tokens"] is None and out[3]["high_oov"] is False

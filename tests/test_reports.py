@@ -553,3 +553,42 @@ def test_idn_audit_verdict_ladder(spark):
     assert out["alphα.test"]["verdict"] == "mixed_script"
     assert out["xn--x.pаy.test"]["verdict"] == "mixed_script"
     assert out["xn--x.pаy.test"]["n_puny"] == 1
+
+
+def test_viewport_audit_arms(spark):
+    from linkkchecker_net_spark.reports.seo import viewport_audit
+
+    pages = [
+        ("u1", '<meta name="viewport" content="width=device-width, initial-scale=1">'),
+        ("u2", '<meta name="viewport" content="width=device-width, user-scalable=no">'),
+        ("u3", '<meta name="viewport" content="width=980">'),
+        ("u4", '<meta content="width=device-width" name="viewport">'),
+        ("u5", '<meta name="viewporty" content="width=device-width">'),
+        ("u6", '<meta name="viewport" content="width=device-width, maximum-scale=1.0">'),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    out = {r["url"]: r for r in viewport_audit(df).collect()}
+    assert out["u1"]["verdict"] == "ok" and out["u1"]["device_width"]
+    assert out["u2"]["verdict"] == "no_zoom"
+    assert out["u3"]["verdict"] == "fixed_width" and out["u3"]["fixed_width"]
+    assert out["u4"]["verdict"] == "ok"  # reversed attribute order
+    assert out["u5"]["verdict"] == "missing"  # viewporty decoy
+    assert out["u6"]["verdict"] == "no_zoom"  # maximum-scale=1 blocks zoom
+
+
+def test_bidi_audit_trojan_source(spark):
+    from linkkchecker_net_spark.reports.security import bidi_audit
+
+    rows = [
+        (0, "plain ascii"),
+        (1, "a ‮evil‬ b"),       # balanced RLO..PDF
+        (2, "x ‮unclosed"),            # opener, no closer
+        (3, "iso ⁦in⁩ done"),     # balanced LRI..PDI
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bidi_audit(docs).collect()}
+    assert out[0]["verdict"] == "clean" and not out[0]["has_bidi"]
+    assert out[1]["verdict"] == "bidi_present"
+    assert out[1]["n_openers"] == 1 and out[1]["n_closers"] == 1
+    assert out[2]["verdict"] == "unbalanced" and out[2]["unbalanced"]
+    assert out[3]["verdict"] == "bidi_present"

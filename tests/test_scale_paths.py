@@ -802,3 +802,23 @@ def test_pca_top_component_negative_entry_kept(spark):
     out = {r["dim"]: r for r in pca_top_component(df).collect()}
     assert out[0]["pc1"] == -0.447214 and out[1]["pc1"] == 0.894427
     assert out[0]["var_explained"] == 1.0
+
+
+def test_ann_recall_report_floors_and_shape(spark):
+    """Three methods × five queries, n_exact = k everywhere, and every
+    floor boolean true at the measured sf0.001 recalls (ivf ≥ 0.8,
+    sq8 = 1.0, pq ≥ 0.5 against floors 0.5 / 0.8 / 0.2)."""
+    from pyspark.sql import functions as F
+
+    from linkkchecker_net_spark.pipeline.similarity import ann_recall_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    rows = ann_recall_report(emb, queries, k=10).collect()
+    assert len(rows) == 15
+    assert {r["method"] for r in rows} == {"ivf", "sq8", "pq"}
+    assert all(r["n_exact"] == 10 for r in rows)
+    assert all(r["recall_floor_met"] for r in rows)

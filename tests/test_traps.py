@@ -104,3 +104,24 @@ def test_host_latency_nearest_rank_hand_values(spark):
     assert b["p50_ms"] == b["p95_ms"] == b["p99_ms"] == 42
     assert b["suggested_delay_ms"] == 100 and not b["slow_host"]
     assert out["c"]["p50_ms"] == 7 and out["c"]["n_fetches"] == 3
+
+
+def test_politeness_gap_sources_and_floor(spark):
+    from linkkchecker_net_spark.pipeline.recrawl import politeness_gap
+
+    robots = spark.createDataFrame(
+        [("a", 1000), ("b", 50), ("c", 400), ("d", 10)],
+        "host string, crawl_delay_ms long",
+    )
+    lat = spark.createDataFrame(
+        [("a", 200), ("b", 400), ("c", 400), ("e", 30)],
+        "host string, suggested_delay_ms long",
+    )
+    out = {r["host"]: r for r in politeness_gap(robots, lat).collect()}
+    assert out["a"]["source"] == "robots" and out["a"]["effective_delay_ms"] == 1000
+    assert out["b"]["source"] == "latency" and out["b"]["effective_delay_ms"] == 400
+    assert out["c"]["source"] == "agree"
+    assert out["d"]["source"] == "robots_only"
+    assert out["d"]["effective_delay_ms"] == 100  # floor beats 10ms
+    assert out["e"]["source"] == "latency_only"
+    assert out["e"]["effective_delay_ms"] == 100
