@@ -6877,6 +6877,72 @@ def q_bidi_audit(spark, sf_dir):
 
 
 
+def q_mime_sniff(spark, sf_dir):
+    """Body-magic vs Content-Type dispatch check (kernels/httpmeta.
+    mime_sniff): arms per i%7 — html/text match, real PNG magic match,
+    an HTML error page declared image/png (mismatch), '<svg' under
+    text/plain (refinement match), undeclared, an opaque blob
+    (unknown), and an empty body; arithmetic-arm oracle, grammar
+    pinned by the unit test."""
+    from linkkchecker_net_spark.kernels.httpmeta import mime_sniff
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 7
+    headers = (
+        F.when(m == 0, F.lit("Content-Type: text/html\r\n"))
+        .when(m == 1, F.lit("Content-Type: image/png\r\n"))
+        .when(m == 2, F.lit("Content-Type: image/png\r\n"))
+        .when(m == 3, F.lit("Content-Type: text/plain\r\n"))
+        .when(m == 4, F.lit("Server: x\r\n"))
+        .when(m == 5, F.lit("Content-Type: application/octet-stream\r\n"))
+        .otherwise(F.lit("Content-Type: text/html\r\n"))
+    )
+    body = (
+        F.when(m == 0, F.lit(b"<html><p>hi</p></html>"))
+        .when(m == 1, F.lit(b"\x89PNG\r\n\x1a\nrest"))
+        .when(m == 2, F.lit(b"<!doctype html><p>404</p>"))
+        .when(m == 3, F.lit(b"  <svg></svg>"))
+        .when(m == 4, F.lit(b"<p>x</p>"))
+        .when(m == 5, F.lit(b"BLOB####"))
+        .otherwise(F.lit(b""))
+    )
+    resp = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://s.test/p"), i.cast("string")).alias("url"),
+        headers.alias("headers"),
+        body.alias("body"),
+    )
+    return mime_sniff(resp)
+
+
+def q_render_triage(spark, sf_dir):
+    """JS-render routing (kernels/markup.render_triage): arms per i%5
+    — empty #root SPA shell (needs render), full article WITH a
+    non-empty #root div (content already there), a 2-script shell with
+    2 bytes of text (needs render), a noscript apology with short text
+    and zero scripts, and a plain article; the oracle replays the
+    stripping chain and grammars verbatim."""
+    from linkkchecker_net_spark.kernels.markup import render_triage
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 5
+    art = "y" * 300
+    body = (
+        F.when(m == 0, F.lit('<html><head><script src="a.js"></script><script src="b.js"></script></head><body><div id="root"></div></body></html>'))
+        .when(m == 1, F.lit('<html><body><p>' + art + '</p><div id="root">inner</div></body></html>'))
+        .when(m == 2, F.lit('<html><script>a()</script><script>b()</script><body>hi</body></html>'))
+        .when(m == 3, F.lit('<body><noscript>enable js</noscript><p>short text</p></body>'))
+        .otherwise(F.lit('<body><p>' + art + '</p></body>'))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://r.test/p"), i.cast("string")).alias("url"),
+        body.alias("body"),
+    )
+    return render_triage(pages)
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -6896,6 +6962,7 @@ _DRIVER_PRIORITY = [
     "bitext_candidates", "url_lang_mismatch",
     "host_components", "phash_hamming_hist",
     "host_latency", "sitemap_delta", "rate_alert", "pca_top", "oov_rate", "politeness_gap", "ann_recall_report", "viewport_audit", "bidi_audit",
+    "mime_sniff", "render_triage",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -7063,6 +7130,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": q_ann_recall_report,
         "viewport_audit": q_viewport_audit,
         "bidi_audit": q_bidi_audit,
+        "mime_sniff": q_mime_sniff,
+        "render_triage": q_render_triage,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -9693,6 +9762,70 @@ FROM bt JOIN bh ON bt.url = bh.url
                         WHEN n_open <> n_close THEN 'unbalanced'
                         ELSE 'bidi_present' END AS verdict
             FROM c
+        """,
+        # arithmetic arms (body construction is per-arm constant; the
+        # hex ladder itself is pinned by the unit test)
+        "mime_sniff": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents)
+            SELECT 'http://s.test/p' || i AS url,
+                   CASE i % 7 WHEN 0 THEN 'text/html'
+                        WHEN 1 THEN 'image/png'
+                        WHEN 2 THEN 'image/png'
+                        WHEN 3 THEN 'text/plain'
+                        WHEN 4 THEN NULL
+                        WHEN 5 THEN 'application/octet-stream'
+                        ELSE 'text/html' END AS declared,
+                   CASE i % 7 WHEN 0 THEN 'html' WHEN 1 THEN 'png'
+                        WHEN 2 THEN 'html' WHEN 3 THEN 'html'
+                        WHEN 4 THEN 'html' WHEN 5 THEN 'unknown'
+                        ELSE 'empty' END AS sniffed,
+                   CASE i % 7 WHEN 0 THEN 'match' WHEN 1 THEN 'match'
+                        WHEN 2 THEN 'mismatch' WHEN 3 THEN 'match'
+                        WHEN 4 THEN 'undeclared' WHEN 5 THEN 'unknown'
+                        ELSE 'empty' END AS verdict
+            FROM d
+        """,
+        # full replay: successive strip chain, script count, SPA-root
+        # and noscript grammars, the needs_render rule
+        "render_triage": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents),
+            b AS (
+              SELECT i, 'http://r.test/p' || i AS url,
+                CASE i % 5
+                  WHEN 0 THEN '<html><head><script src="a.js"></script><script src="b.js"></script></head><body><div id="root"></div></body></html>'
+                  WHEN 1 THEN '<html><body><p>' || repeat('y', 300) || '</p><div id="root">inner</div></body></html>'
+                  WHEN 2 THEN '<html><script>a()</script><script>b()</script><body>hi</body></html>'
+                  WHEN 3 THEN '<body><noscript>enable js</noscript><p>short text</p></body>'
+                  ELSE '<body><p>' || repeat('y', 300) || '</p></body>'
+                END AS body
+              FROM d),
+            s AS (
+              SELECT url, body,
+                trim(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(body,
+                      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                  '(?s)<[^>]*>', ' ', 'g')) AS txt
+              FROM b),
+            t AS (
+              SELECT url, body,
+                len(regexp_replace(txt, '\\s+', ' ', 'g')) AS text_bytes,
+                len(regexp_extract_all(body, '(?i)<script\\b'))
+                  AS n_scripts,
+                regexp_matches(body,
+                  '(?i)<(div|main)[^>]*\\bid="(root|app)"[^>]*>\\s*</(div|main)>')
+                OR regexp_matches(body,
+                  '(?i)\\bdata-reactroot\\b|\\bng-app\\b') AS spa_root,
+                regexp_matches(body, '(?i)<noscript\\b') AS has_noscript
+              FROM s)
+            SELECT url, CAST(text_bytes AS BIGINT) AS text_bytes,
+                   CAST(n_scripts AS INT) AS n_scripts,
+                   spa_root, has_noscript,
+                   (spa_root AND text_bytes < 200)
+                   OR (text_bytes < 50 AND n_scripts >= 2)
+                     AS needs_render
+            FROM t
         """,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)

@@ -503,3 +503,67 @@ def compression_audit(
             & (n_bytes >= F.lit(int(min_bytes)))
         ).alias("uncompressed_compressible"),
     )
+
+
+def mime_sniff(responses: DataFrame) -> DataFrame:
+    """Declared Content-Type vs body-magic sniff — the response-level
+    sibling of `charset_sniff` (encoding) and the image table's
+    `format_sniff`: servers mislabel constantly (HTML error pages as
+    image/*, binaries as text/html), and dispatching the parse stage
+    on the header alone either wastes a parse or feeds garbage to it.
+    Sniffing is byte-prefix only (the WHATWG mime-sniff spirit,
+    reduced to the signatures a crawler routes on).
+
+    sniffed ∈ html (leading optional-whitespace '<' after BOM strip —
+    any markup), png / jpeg / gif (real signatures), pdf ('%PDF'),
+    gzip (1F8B), unknown.  declared = the media type from the
+    Content-Type header.  verdict: match (sniff agrees or is a
+    refinement, e.g. html vs text/*), mismatch, undeclared, empty.
+
+    Scale: map-only codegen (hex prefix ladder + one header regex),
+    zero shuffles.
+    """
+    ct = F.lower(
+        F.nullif(
+            F.trim(F.regexp_extract("headers", _CT_HEADER_PAT, 1)),
+            F.lit(""),
+        )
+    )
+    hex8 = F.upper(F.hex(F.expr("substring(body, 1, 4)")))
+    body_str = F.expr("substring(CAST(body AS STRING), 1, 64)")
+    sniffed = (
+        F.when(F.coalesce(F.octet_length("body"), F.lit(0)) == 0,
+               F.lit("empty"))
+        .when(hex8.startswith("89504E47"), F.lit("png"))
+        .when(hex8.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(hex8.startswith("47494638"), F.lit("gif"))
+        .when(hex8.startswith("25504446"), F.lit("pdf"))
+        .when(hex8.startswith("1F8B"), F.lit("gzip"))
+        .when(body_str.rlike(r"^\s*<"), F.lit("html"))
+        .otherwise(F.lit("unknown"))
+    )
+    is_texty = ct.startswith("text/") | ct.isin(
+        "application/xhtml+xml", "application/xml"
+    )
+    matches = (
+        F.when(sniffed == "html", F.coalesce(is_texty, F.lit(False)))
+        .when(sniffed == "png", ct == "image/png")
+        .when(sniffed == "jpeg", ct == "image/jpeg")
+        .when(sniffed == "gif", ct == "image/gif")
+        .when(sniffed == "pdf", ct == "application/pdf")
+        .when(sniffed == "gzip", ct.isin("application/gzip", "application/x-gzip"))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    verdict = (
+        F.when(sniffed == "empty", F.lit("empty"))
+        .when(ct.isNull(), F.lit("undeclared"))
+        .when(matches.isNull(), F.lit("unknown"))
+        .when(matches, F.lit("match"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return responses.select(
+        "url",
+        ct.alias("declared"),
+        sniffed.alias("sniffed"),
+        verdict.alias("verdict"),
+    )

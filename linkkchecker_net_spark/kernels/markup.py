@@ -177,3 +177,52 @@ def table_extract(pages: DataFrame) -> DataFrame:
         ppm.alias("numeric_cell_ppm"),
         F.coalesce(has_shape, F.lit(False)).alias("data_table"),
     )
+
+
+def render_triage(pages: DataFrame) -> DataFrame:
+    """Does this page need a JS render to yield content? — the routing
+    decision in front of every render farm: headless browsing costs
+    100-1000× a plain fetch, so a crawler (and a corpus builder
+    deciding whether the HTML text is REAL) must triage.  Signals are
+    the classic SPA shell fingerprint: almost no visible text, heavy
+    script presence, an empty framework mount node (#root/#app/
+    ng-app/data-reactroot), and a <noscript> apology.
+
+    pages: (url, body) → (url, text_bytes, n_scripts, spa_root,
+    has_noscript, needs_render) — needs_render = spa_root ∧
+    text_bytes < 200, OR text_bytes < 50 ∧ n_scripts ≥ 2 (shell with
+    nothing to read).
+
+    text_bytes strips tags/scripts/styles with the page_weight
+    successive-stripping discipline (classes partition the page).
+
+    Scale: map-only codegen grammars, zero shuffles; composes with
+    `budget_alloc` (render budget is a budget) and `main_content`.
+    """
+    body = F.coalesce(F.col("body"), F.lit(""))
+    no_script = F.regexp_replace(
+        body, r"(?is)<script\b[^>]*>.*?</script>", " "
+    )
+    no_style = F.regexp_replace(
+        no_script, r"(?is)<style\b[^>]*>.*?</style>", " "
+    )
+    text_only = F.trim(F.regexp_replace(no_style, r"(?s)<[^>]*>", " "))
+    text_bytes = F.length(F.regexp_replace(text_only, r"\s+", " "))
+    n_scripts = F.size(
+        F.regexp_extract_all(body, F.lit(r"(?i)<script\b"), F.lit(0))
+    )
+    spa_root = body.rlike(
+        r'(?i)<(?:div|main)\b[^>]*\bid="(?:root|app)"[^>]*>\s*</(?:div|main)>'
+    ) | body.rlike(r"(?i)\bdata-reactroot\b|\bng-app\b")
+    has_noscript = body.rlike(r"(?i)<noscript\b")
+    needs = (spa_root & (text_bytes < 200)) | (
+        (text_bytes < 50) & (n_scripts >= 2)
+    )
+    return pages.select(
+        "url",
+        text_bytes.cast("long").alias("text_bytes"),
+        n_scripts.cast("int").alias("n_scripts"),
+        spa_root.alias("spa_root"),
+        has_noscript.alias("has_noscript"),
+        needs.alias("needs_render"),
+    )

@@ -1386,3 +1386,54 @@ def test_sitemap_delta_verdict_arms(spark):
     assert out["same"]["verdict"] == "unchanged"
     assert out["gone"]["verdict"] == "gone_host"
     assert out["new"]["verdict"] == "new_host"
+
+
+def test_mime_sniff_hex_ladder(spark):
+    """The magic ladder the arithmetic oracle can't see: real PNG/JPEG/
+    GIF/PDF/gzip prefixes classify from bytes, BOM-free whitespace-led
+    markup sniffs html, html under text/* is a match (refinement),
+    binary under text/html is a mismatch only when sniffable."""
+    from linkkchecker_net_spark.kernels.httpmeta import mime_sniff
+
+    rows = [
+        ("u1", "Content-Type: image/jpeg\r\n", b"\xff\xd8\xff\xe0.."),
+        ("u2", "Content-Type: application/pdf\r\n", b"%PDF-1.7 ..."),
+        ("u3", "Content-Type: application/gzip\r\n", b"\x1f\x8b\x08rest"),
+        ("u4", "Content-Type: image/gif\r\n", b"GIF89a......"),
+        ("u5", "Content-Type: text/html\r\n", b"\x89PNG\r\n\x1a\nxx"),
+        ("u6", "Content-Type: application/xhtml+xml\r\n", b"\n  <!doctype html>"),
+        ("u7", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, headers string, body binary"
+    )
+    out = {r["url"]: r for r in mime_sniff(df).collect()}
+    assert out["u1"]["sniffed"] == "jpeg" and out["u1"]["verdict"] == "match"
+    assert out["u2"]["sniffed"] == "pdf" and out["u2"]["verdict"] == "match"
+    assert out["u3"]["sniffed"] == "gzip" and out["u3"]["verdict"] == "match"
+    assert out["u4"]["sniffed"] == "gif" and out["u4"]["verdict"] == "match"
+    assert out["u5"]["sniffed"] == "png" and out["u5"]["verdict"] == "mismatch"
+    assert out["u6"]["sniffed"] == "html" and out["u6"]["verdict"] == "match"
+    assert out["u7"]["verdict"] == "empty"
+
+
+def test_render_triage_spa_shapes(spark):
+    from linkkchecker_net_spark.kernels.markup import render_triage
+
+    rows = [
+        ("spa", '<script src="a"></script><script src="b"></script>'
+                '<div id="app">  </div>'),
+        ("react", '<div data-reactroot></div><script>boot()</script>'
+                  '<script>x()</script>'),
+        ("article", "<p>" + "word " * 100 + "</p>"),
+        ("short-noscript", "<noscript>js please</noscript><p>tiny</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, body string")
+    out = {r["url"]: r for r in render_triage(df).collect()}
+    assert out["spa"]["spa_root"] and out["spa"]["needs_render"]
+    assert out["react"]["spa_root"] and out["react"]["needs_render"]
+    art = out["article"]
+    assert not art["spa_root"] and not art["needs_render"]
+    assert art["text_bytes"] == len(("word " * 100).strip())
+    sn = out["short-noscript"]
+    assert sn["has_noscript"] and not sn["needs_render"]  # 0 scripts
