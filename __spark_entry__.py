@@ -6943,6 +6943,52 @@ def q_render_triage(spark, sf_dir):
 
 
 
+def q_host_language_profile(spark, sf_dir):
+    """Per-host language mix (pipeline/reputation.host_language_profile):
+    hosts h0-h8, lang arm i%4 -> en/en/de/fr — dominant en at ~500k ppm
+    everywhere, n_langs 3; the oracle replays the (n desc, lang) pick."""
+    from linkkchecker_net_spark.pipeline.reputation import (
+        host_language_profile,
+    )
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    lang = (
+        F.when(i % 4 <= 1, F.lit("en"))
+        .when(i % 4 == 2, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (i % 9).cast("string")).alias("host"),
+        lang.alias("lang"),
+    )
+    return host_language_profile(pages)
+
+
+def q_host_error_streak(spark, sf_dir):
+    """Dead-host detection (pipeline/recrawl.host_error_streak):
+    per-host fetch index pos = i div 6, errors in (pos%6 in {2,3})
+    pairs everywhere plus a tail outage on host e1 (pos >= 80) — only
+    e1 reads dead at dead_after=3; gaps-and-islands replayed in SQL."""
+    from linkkchecker_net_spark.pipeline.recrawl import host_error_streak
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    h = (i % 6).cast("string")
+    pos = F.floor(i / 6).cast("long")
+    ok = ~(
+        (pos % 6).isin(2, 3)
+        | ((i % 6 == 1) & (pos >= 80))
+    )
+    fetches = _docs(spark, sf_dir).filter(i < 500).select(
+        F.concat(F.lit("e"), h).alias("host"),
+        pos.alias("fetch_seq"),
+        ok.alias("ok"),
+    )
+    return host_error_streak(fetches, dead_after=3)
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -6962,7 +7008,7 @@ _DRIVER_PRIORITY = [
     "bitext_candidates", "url_lang_mismatch",
     "host_components", "phash_hamming_hist",
     "host_latency", "sitemap_delta", "rate_alert", "pca_top", "oov_rate", "politeness_gap", "ann_recall_report", "viewport_audit", "bidi_audit",
-    "mime_sniff", "render_triage",
+    "mime_sniff", "render_triage", "host_language_profile", "host_error_streak",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -7132,6 +7178,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bidi_audit": q_bidi_audit,
         "mime_sniff": q_mime_sniff,
         "render_triage": q_render_triage,
+        "host_language_profile": q_host_language_profile,
+        "host_error_streak": q_host_error_streak,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -9826,6 +9874,77 @@ FROM bt JOIN bh ON bt.url = bh.url
                    OR (text_bytes < 50 AND n_scripts >= 2)
                      AS needs_render
             FROM t
+        """,
+        # construction replay + the same (n desc, lang) window pick
+        "host_language_profile": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents),
+            pg AS (
+              SELECT 'h' || (i % 9) AS host,
+                     CASE WHEN i % 4 <= 1 THEN 'en'
+                          WHEN i % 4 = 2 THEN 'de'
+                          ELSE 'fr' END AS lang
+              FROM d),
+            per AS (SELECT host, lang, count(*) AS n
+                    FROM pg GROUP BY 1, 2),
+            tot AS (SELECT host, CAST(sum(n) AS BIGINT) AS n_pages,
+                           CAST(count(*) AS INT) AS n_langs
+                    FROM per GROUP BY 1),
+            top AS (
+              SELECT host, lang, n,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY n DESC, lang) AS rk
+              FROM per)
+            SELECT t.host, tot.n_pages, tot.n_langs,
+                   t.lang AS dominant_lang,
+                   CAST(floor(t.n * 1000000.0 / tot.n_pages) AS BIGINT)
+                     AS dominant_ppm
+            FROM top t JOIN tot ON t.host = tot.host WHERE t.rk = 1
+        """,
+        # construction replay + the same running-sum gaps-and-islands
+        "host_error_streak": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents
+                       WHERE doc_id < 500),
+            f AS (
+              SELECT 'e' || (i % 6) AS host, i // 6 AS seq,
+                     NOT ((i // 6) % 6 IN (2, 3)
+                          OR (i % 6 = 1 AND i // 6 >= 80)) AS ok
+              FROM d),
+            m AS (
+              SELECT host, seq, ok,
+                     sum(CASE WHEN ok THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY host ORDER BY seq) AS grp
+              FROM f),
+            runs AS (
+              SELECT host, grp, count(*) AS len, max(seq) AS last
+              FROM m WHERE NOT ok GROUP BY 1, 2),
+            base AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+                     CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END)
+                          AS BIGINT) AS n_errors,
+                     max(seq) AS max_seq
+              FROM f GROUP BY 1),
+            mx AS (
+              SELECT host, CAST(max(len) AS BIGINT)
+                       AS max_error_streak
+              FROM runs GROUP BY 1),
+            lastrun AS (
+              SELECT host, len AS last_len, last AS last_last,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY last DESC) AS rk
+              FROM runs),
+            agg AS (
+              SELECT mx.host, mx.max_error_streak,
+                     l.last_len, l.last_last
+              FROM mx JOIN lastrun l
+                ON mx.host = l.host AND l.rk = 1)
+            SELECT b.host, b.n_fetches, b.n_errors,
+                   coalesce(a.max_error_streak, 0) AS max_error_streak,
+                   CAST(CASE WHEN a.last_last = b.max_seq
+                        THEN a.last_len ELSE 0 END AS BIGINT)
+                     AS current_streak,
+                   coalesce(CASE WHEN a.last_last = b.max_seq
+                        THEN a.last_len ELSE 0 END >= 3, FALSE) AS dead
+            FROM base b LEFT JOIN agg a ON b.host = a.host
         """,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)

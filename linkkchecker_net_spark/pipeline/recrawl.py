@@ -528,3 +528,65 @@ def politeness_gap(
         effective.cast("long").alias("effective_delay_ms"),
         source.alias("source"),
     )
+
+
+def host_error_streak(
+    fetches: DataFrame,
+    dead_after: int = 3,
+) -> DataFrame:
+    """Longest consecutive-error run per host — the dead-host detector:
+    one 500 is weather, N in a row is an outage (or a ban), and the
+    scheduler should park the host's frontier partition instead of
+    burning budget.  Classic gaps-and-islands over the per-host fetch
+    history.
+
+    fetches: (host, fetch_seq long — the per-host fetch order, ok
+    boolean).  Output per host: (host, n_fetches, n_errors,
+    max_error_streak, current_streak — the streak touching the LAST
+    fetch, dead = current_streak ≥ dead_after).  ``current`` matters
+    more than ``max``: a host that failed 5 times last week and
+    recovered is alive; one whose last 3 fetches all failed is dead
+    NOW.
+
+    Scale: windows PARTITIONED BY host ordered by fetch_seq (the
+    frontier's own bucketing key) + one host-keyed rollup; one
+    shuffle.
+    """
+    w = Window.partitionBy("host").orderBy("fetch_seq")
+    marked = fetches.select(
+        "host",
+        "fetch_seq",
+        F.col("ok").alias("ok"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        .over(w)
+        .alias("_grp"),
+    )
+    streaks = (
+        marked.filter(~F.col("ok"))
+        .groupBy("host", "_grp")
+        .agg(F.count("*").alias("_len"), F.max("fetch_seq").alias("_last"))
+    )
+    last_seq = fetches.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_errors"),
+        F.max("fetch_seq").alias("_max_seq"),
+    )
+    per_host = streaks.groupBy("host").agg(
+        F.max("_len").alias("max_error_streak"),
+        F.max(F.struct(F.col("_last"), F.col("_len"))).alias("_lastrun"),
+    )
+    joined = last_seq.join(per_host, "host", "left")
+    current = F.when(
+        F.col("_lastrun._last") == F.col("_max_seq"),
+        F.col("_lastrun._len"),
+    ).otherwise(F.lit(0))
+    return joined.select(
+        "host",
+        F.col("n_fetches").cast("long").alias("n_fetches"),
+        F.col("n_errors").cast("long").alias("n_errors"),
+        F.coalesce(F.col("max_error_streak"), F.lit(0))
+        .cast("long")
+        .alias("max_error_streak"),
+        current.cast("long").alias("current_streak"),
+        (current >= F.lit(int(dead_after))).alias("dead"),
+    )

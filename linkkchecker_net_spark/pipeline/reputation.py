@@ -161,3 +161,50 @@ def fetch_fairness(fetches: DataFrame) -> DataFrame:
             "max_host_share_ppm"
         ),
     )
+
+
+def host_language_profile(
+    pages: DataFrame,
+    host_col: str = "host",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host language mix — the targeting view a language-scoped
+    crawl (or a per-language corpus budget) schedules from: most hosts
+    are monolingual, and the ones that aren't are either genuinely
+    multilingual sites (crawl all variants, see `bitext_candidates`)
+    or template farms serving the same chrome under every locale.
+
+    pages: (host, lang) per page (lang from `lang_id` /
+    `content_language`).  Output per host: (host, n_pages, n_langs,
+    dominant_lang, dominant_ppm) — dominant by count with
+    lexicographic tie-break, share in floor-ppm.
+
+    Scale: one (host, lang)-keyed partial agg; the dominant pick is a
+    window over the per-(host, lang) table PARTITIONED BY host —
+    per-host state bounded by |languages|, never the page stream.
+    """
+    per = (
+        pages.select(
+            F.col(host_col).alias("host"), F.col(lang_col).alias("lang")
+        )
+        .groupBy("host", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per.groupBy("host").agg(
+        F.sum("n").alias("n_pages"), F.count("*").alias("n_langs")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n").desc(), F.col("lang")
+    )
+    top = per.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") == 1
+    )
+    return top.join(tot, "host").select(
+        "host",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_langs").cast("int").alias("n_langs"),
+        F.col("lang").alias("dominant_lang"),
+        F.floor(F.col("n") * 1_000_000 / F.col("n_pages"))
+        .cast("long")
+        .alias("dominant_ppm"),
+    )

@@ -592,3 +592,22 @@ def test_bidi_audit_trojan_source(spark):
     assert out[1]["n_openers"] == 1 and out[1]["n_closers"] == 1
     assert out[2]["verdict"] == "unbalanced" and out[2]["unbalanced"]
     assert out[3]["verdict"] == "bidi_present"
+
+
+def test_host_language_profile_dominant_and_ties(spark):
+    from linkkchecker_net_spark.pipeline.reputation import (
+        host_language_profile,
+    )
+
+    rows = [
+        ("h1", "en"), ("h1", "en"), ("h1", "de"),
+        ("h2", "de"), ("h2", "fr"),          # tie -> lexicographic de
+        ("h3", "zh"),
+    ]
+    pages = spark.createDataFrame(rows, "host string, lang string")
+    out = {r["host"]: r for r in host_language_profile(pages).collect()}
+    h1 = out["h1"]
+    assert h1["dominant_lang"] == "en" and h1["dominant_ppm"] == 666_666
+    assert h1["n_pages"] == 3 and h1["n_langs"] == 2
+    assert out["h2"]["dominant_lang"] == "de"  # tie broken by lang asc
+    assert out["h3"]["dominant_ppm"] == 1_000_000

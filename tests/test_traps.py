@@ -125,3 +125,28 @@ def test_politeness_gap_sources_and_floor(spark):
     assert out["d"]["effective_delay_ms"] == 100  # floor beats 10ms
     assert out["e"]["source"] == "latency_only"
     assert out["e"]["effective_delay_ms"] == 100
+
+
+def test_host_error_streak_islands(spark):
+    """Hand history: host A errors at seq 2,3 (streak 2, recovers),
+    then 7,8,9 ending the history (current 3, dead at dead_after=3);
+    host B all ok; host C one mid-history error only."""
+    from linkkchecker_net_spark.pipeline.recrawl import host_error_streak
+
+    rows = []
+    for s in range(10):
+        rows.append(("A", s, s not in (2, 3, 7, 8, 9)))
+    for s in range(5):
+        rows.append(("B", s, True))
+    rows += [("C", 0, True), ("C", 1, False), ("C", 2, True)]
+    df = spark.createDataFrame(rows, "host string, fetch_seq long, ok boolean")
+    out = {r["host"]: r for r in host_error_streak(df, dead_after=3).collect()}
+    a = out["A"]
+    assert a["max_error_streak"] == 3 and a["current_streak"] == 3
+    assert a["n_errors"] == 5 and a["dead"] is True
+    b = out["B"]
+    assert b["max_error_streak"] == 0 and b["current_streak"] == 0
+    assert b["dead"] is False
+    c = out["C"]
+    assert c["max_error_streak"] == 1 and c["current_streak"] == 0
+    assert c["dead"] is False
