@@ -707,3 +707,95 @@ def viewport_audit(pages: DataFrame) -> DataFrame:
         fixed_width.alias("fixed_width"),
         verdict.alias("verdict"),
     )
+
+
+# consent-management-platform fingerprints (script src / global object
+# names, all public): OneTrust, Cookiebot, Quantcast Choice, Didomi,
+# TrustArc
+_CMP_VENDORS = (
+    ("onetrust", r"(?i)cdn\.cookielaw\.org|onetrust"),
+    ("cookiebot", r"(?i)consent\.cookiebot\.com|cookiebot"),
+    ("quantcast", r"(?i)quantcast\.mgr\.consensu\.org|__tcfapi"),
+    ("didomi", r"(?i)sdk\.privacy-center\.org|didomi"),
+    ("trustarc", r"(?i)consent\.trustarc\.com|truste"),
+)
+_CONSENT_TEXT_PAT = (
+    r"(?i)(?:accept all cookies|we use cookies|cookie (?:policy|"
+    r"preferences|settings)|manage consent)"
+)
+
+
+def consent_banner(pages: DataFrame) -> DataFrame:
+    """Cookie-consent banner detection — a corpus-cleaning gate as much
+    as a site audit: consent boilerplate ("We use cookies to improve
+    your experience...") is among the most duplicated English text on
+    the web and pollutes extracted corpora (`main_content` strips
+    chrome but banners often live in the main flow), while the CMP
+    vendor fingerprint feeds `tracker_audit`'s privacy picture.
+
+    pages: (url, body) → (url, n_consent_phrases, cmp_vendor — first
+    match in fingerprint order or NULL, has_banner).
+
+    Scale: map-only codegen (one phrase-count regex + a short vendor
+    ladder), zero shuffles.
+    """
+    n_phrases = F.size(
+        F.regexp_extract_all(
+            F.col("body"), F.lit(_CONSENT_TEXT_PAT), F.lit(0)
+        )
+    )
+    vendor = F.lit(None).cast("string")
+    for name, pat in reversed(_CMP_VENDORS):
+        vendor = F.when(F.col("body").rlike(pat), F.lit(name)).otherwise(
+            vendor
+        )
+    return pages.select(
+        "url",
+        n_phrases.cast("int").alias("n_consent_phrases"),
+        vendor.alias("cmp_vendor"),
+        ((n_phrases > 0) | vendor.isNotNull()).alias("has_banner"),
+    )
+
+
+_PAYWALL_TEXT_PAT = (
+    r"(?i)(?:subscribe to (?:continue|read)|to continue reading|"
+    r"already a subscriber|this (?:article|content) is for "
+    r"subscribers|remaining free articles?)"
+)
+_PAYWALL_VENDOR_PAT = (
+    r"(?i)cdn\.tinypass\.com|piano\.io|cdn\.ampproject\.org/v0/"
+    r"amp-subscriptions|laterpay"
+)
+_PAYWALL_SCHEMA_PAT = r'(?i)"isAccessibleForFree"\s*:\s*(?:"?false"?)'
+
+
+def paywall_detect(pages: DataFrame) -> DataFrame:
+    """Paywall detection — the truncation gate a corpus builder runs
+    before trusting extracted article text: a metered or hard paywall
+    ships a teaser plus boilerplate ("Subscribe to continue reading"),
+    and training on it teaches the model to stop mid-article.  Three
+    independent signals: teaser phrases, paywall-vendor scripts
+    (Piano/Tinypass, amp-subscriptions, LaterPay), and the schema.org
+    ``isAccessibleForFree: false`` declaration (the honest signal —
+    publishers set it FOR crawlers).
+
+    pages: (url, body) → (url, n_phrases, vendor_hit, declared_paid,
+    paywalled = any signal).
+
+    Scale: map-only codegen, zero shuffles; composes with
+    `main_content` (text side) and `quality_keep` (drop policy).
+    """
+    n_phrases = F.size(
+        F.regexp_extract_all(
+            F.col("body"), F.lit(_PAYWALL_TEXT_PAT), F.lit(0)
+        )
+    )
+    vendor_hit = F.col("body").rlike(_PAYWALL_VENDOR_PAT)
+    declared = F.col("body").rlike(_PAYWALL_SCHEMA_PAT)
+    return pages.select(
+        "url",
+        n_phrases.cast("int").alias("n_phrases"),
+        vendor_hit.alias("vendor_hit"),
+        declared.alias("declared_paid"),
+        ((n_phrases > 0) | vendor_hit | declared).alias("paywalled"),
+    )

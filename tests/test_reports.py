@@ -611,3 +611,43 @@ def test_host_language_profile_dominant_and_ties(spark):
     assert h1["n_pages"] == 3 and h1["n_langs"] == 2
     assert out["h2"]["dominant_lang"] == "de"  # tie broken by lang asc
     assert out["h3"]["dominant_ppm"] == 1_000_000
+
+
+def test_consent_banner_vendor_ladder(spark):
+    from linkkchecker_net_spark.reports.seo import consent_banner
+
+    pages = [
+        ("u1", '<script src="https://cdn.cookielaw.org/a.js"></script>'
+               "We use cookies and our Cookie Policy applies."),
+        ("u2", "Click to manage consent or accept all cookies."),
+        ("u3", "Recipes with cookies and milk."),
+        ("u4", '<script src="https://consent.cookiebot.com/u.js"></script>'
+               '<script src="https://cdn.cookielaw.org/x.js"></script>'),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    out = {r["url"]: r for r in consent_banner(df).collect()}
+    u1 = out["u1"]
+    assert u1["cmp_vendor"] == "onetrust" and u1["n_consent_phrases"] == 2
+    assert out["u2"]["n_consent_phrases"] == 2 and out["u2"]["has_banner"]
+    assert out["u2"]["cmp_vendor"] is None
+    assert out["u3"]["has_banner"] is False
+    assert out["u4"]["cmp_vendor"] == "onetrust"  # ladder order wins
+
+
+def test_paywall_detect_signals(spark):
+    from linkkchecker_net_spark.reports.seo import paywall_detect
+
+    pages = [
+        ("u1", "You have 2 remaining free articles this month."),
+        ("u2", '<script src="https://experience.piano.io/xbuilder"></script>'),
+        ("u3", '{"isAccessibleForFree": "False"}'),
+        ("u4", '{"isAccessibleForFree": true}'),
+        ("u5", "an ordinary article about subscriptions pricing"),
+    ]
+    df = spark.createDataFrame(pages, "url string, body string")
+    out = {r["url"]: r for r in paywall_detect(df).collect()}
+    assert out["u1"]["n_phrases"] == 1 and out["u1"]["paywalled"]
+    assert out["u2"]["vendor_hit"] and out["u2"]["paywalled"]
+    assert out["u3"]["declared_paid"] is True
+    assert out["u4"]["declared_paid"] is False and not out["u4"]["paywalled"]
+    assert out["u5"]["paywalled"] is False
