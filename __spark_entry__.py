@@ -7041,6 +7041,28 @@ def q_paywall_detect(spark, sf_dir):
 
 
 
+def q_mojibake_fix(spark, sf_dir):
+    """ftfy-lite repair (pipeline/text.mojibake_fix) on the REAL
+    documents.text salted with double-encoding arms: ' Caf\u00c3\u00a9'
+    on i%4==1, a cp1252 apostrophe trigraph on i%6==2, a mangled nbsp
+    on i%9==5; the oracle (_mojibake_sql) replays the EXACT sequential
+    replace chain with stepwise counts."""
+    from linkkchecker_net_spark.pipeline.text import mojibake_fix
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    text = F.concat(
+        F.col("text"),
+        F.when(i % 4 == 1, F.lit(" Caf\u00c3\u00a9")).otherwise(F.lit("")),
+        F.when(i % 6 == 2, F.lit("\u00e2\u20ac\u2122")).otherwise(F.lit("")),
+        F.when(i % 9 == 5, F.lit("\u00c2\u00a0")).otherwise(F.lit("")),
+    )
+    return mojibake_fix(
+        _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    )
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -7061,7 +7083,7 @@ _DRIVER_PRIORITY = [
     "host_components", "phash_hamming_hist",
     "host_latency", "sitemap_delta", "rate_alert", "pca_top", "oov_rate", "politeness_gap", "ann_recall_report", "viewport_audit", "bidi_audit",
     "mime_sniff", "render_triage", "host_language_profile", "host_error_streak",
-    "consent_banner", "paywall_detect",
+    "consent_banner", "paywall_detect" "mojibake_fix",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -7235,6 +7257,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_error_streak": q_host_error_streak,
         "consent_banner": q_consent_banner,
         "paywall_detect": q_paywall_detect,
+        "mojibake_fix": q_mojibake_fix,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -9557,6 +9580,7 @@ FROM bt JOIN bh ON bt.url = bh.url
             FROM g
         """,
         "url_lang_mismatch": _URL_LANG_MISMATCH_SQL,
+        "mojibake_fix": _mojibake_sql(),
         "pca_top": _pca_sql(),
         # construction replay + recursive-CTE reachability min label
         # (the dedup_clusters idiom on host strings)
@@ -14902,6 +14926,39 @@ def _pca_sql(dim: int = 64, iters: int = 8) -> str:
         f" round(s.sgn * {prev}.val, 6) AS pc1,"
         " round(lam.l / tr.t, 6) AS var_explained"
         f" FROM {prev} JOIN mean ON {prev}.i = mean.i, s, lam, tr"
+    )
+
+
+def _mojibake_sql() -> str:
+    """Sequential replay of mojibake_fix: one CTE step per pair, the
+    same replace order and stepwise length-delta counts (simultaneous
+    counting would diverge on pathological overlap inputs — the
+    en-dash trigraph ends in a left-double-quote char)."""
+    from linkkchecker_net_spark.pipeline.text import MOJIBAKE_PAIRS
+
+    def lit(s: str) -> str:
+        return " || ".join(f"chr({ord(c)})" for c in s)
+
+    salt = (
+        "text || CASE WHEN doc_id % 4 = 1 THEN ' Caf' || chr(195) || "
+        "chr(169) ELSE '' END || CASE WHEN doc_id % 6 = 2 THEN "
+        "chr(226) || chr(8364) || chr(8482) ELSE '' END || "
+        "CASE WHEN doc_id % 9 = 5 THEN chr(194) || chr(160) "
+        "ELSE '' END"
+    )
+    steps = [f"s0 AS (SELECT doc_id, {salt} AS t, 0 AS n FROM documents)"]
+    for k, (bad, good) in enumerate(MOJIBAKE_PAIRS, start=1):
+        shrink = len(bad) - len(good)
+        steps.append(
+            f"s{k} AS (SELECT doc_id, replace(t, {lit(bad)}, {lit(good)})"
+            f" AS t, n + (len(t) - len(replace(t, {lit(bad)},"
+            f" {lit(good)}))) // {shrink} AS n FROM s{k - 1})"
+        )
+    last = f"s{len(MOJIBAKE_PAIRS)}"
+    return (
+        "WITH " + ", ".join(steps)
+        + f" SELECT doc_id, CAST(n AS INT) AS n_fixed, t AS fixed_text,"
+        f" n > 0 AS had_mojibake FROM {last}"
     )
 
 

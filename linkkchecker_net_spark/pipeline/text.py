@@ -1256,3 +1256,65 @@ def readability(docs: DataFrame, round_dp: int = 6) -> DataFrame:
         F.when(has_words, grade).alias("fk_grade"),
         verdict.alias("verdict"),
     )
+
+
+# the classic UTF-8-bytes-read-as-cp1252 double-encoding digraphs (the
+# ftfy core cases).  2-byte sources (Latin letters) become 2-char
+# digraphs; 3-byte sources (punctuation) become 3-char trigraphs whose
+# middle char is U+20AC (0x80 in cp1252) — e.g. the right single quote
+# U+2019 (E2 80 99) renders as "\u00e2\u20ac\u2122".
+MOJIBAKE_PAIRS = (
+    ("\u00c3\u00a9", "\u00e9"),  # e-acute
+    ("\u00c3\u00a8", "\u00e8"),  # e-grave
+    ("\u00c3\u00a0", "\u00e0"),  # a-grave
+    ("\u00c3\u00a4", "\u00e4"),  # a-umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # o-umlaut
+    ("\u00c3\u00bc", "\u00fc"),  # u-umlaut
+    ("\u00c3\u00b1", "\u00f1"),  # n-tilde
+    ("\u00c3\u00a7", "\u00e7"),  # c-cedilla
+    ("\u00e2\u20ac\u2122", "\u2019"),  # right single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # right double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # en dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # ellipsis
+    ("\u00c2\u00a0", "\u00a0"),  # nbsp
+)
+
+
+def mojibake_fix(docs: DataFrame) -> DataFrame:
+    """ftfy-lite mojibake repair — UTF-8 bytes decoded as cp1252
+    ("\u00c3\u00a9" where "\u00e9" belongs, "\u00e2\u20ac\u2122"
+    for an apostrophe) is the single most common text corruption in
+    web corpora, survives every downstream tokenizer, and is
+    mechanically reversible for the high-frequency digraphs.  This is
+    the deterministic replace-chain core of the fix (the ftfy
+    heuristic engine is the production swap-in); `zipf_spectrum`'s
+    hapax band and `unicode_hygiene` find the shards that need it.
+
+    Output: (doc_id, n_fixed — total digraph replacements, fixed_text,
+    had_mojibake).  The count accumulates per pair from the length
+    delta divided by that pair's shrink (left sides are mutually
+    disjoint, so sequential replaces never create or destroy each
+    other's sites — the en-dash trigraph DOES contain a left-double-
+    quote char, but as its 3rd char, never forming the quote's own
+    \u00e2-led trigraph).
+
+    Scale: map-only codegen replace chain, zero shuffles; the pair
+    table is compile-in (extending it is a data change).
+    """
+    t = F.col("text")
+    fixed = t
+    n_fixed = F.lit(0)
+    for bad, good in MOJIBAKE_PAIRS:
+        shrink = len(bad) - len(good)
+        nxt = F.replace(fixed, F.lit(bad), F.lit(good))
+        n_fixed = n_fixed + (
+            (F.length(fixed) - F.length(nxt)) / F.lit(shrink)
+        ).cast("int")
+        fixed = nxt
+    return docs.select(
+        "doc_id",
+        n_fixed.cast("int").alias("n_fixed"),
+        fixed.alias("fixed_text"),
+        (n_fixed > 0).alias("had_mojibake"),
+    )

@@ -504,3 +504,25 @@ def test_url_lang_mismatch_arms(spark):
     assert out["http://a.test/plain"]["url_lang"] is None
     assert out["http://a.test/plain"]["mismatch"] is False
     assert out["http://a.test/ru/z"]["mismatch"] is True
+
+
+def test_mojibake_fix_digraphs(spark):
+    """cp1252 double-encoding repairs: Latin digraphs, the apostrophe
+    trigraph, the WHATWG 0x9D fallback quote, and the nbsp mangle; a
+    clean doc stays untouched with n_fixed 0."""
+    from linkkchecker_net_spark.pipeline.text import mojibake_fix
+
+    rows = [
+        (0, "Caf\u00c3\u00a9 cr\u00c3\u00a8me"),
+        (1, "it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d"),
+        (2, "plain text"),
+        (3, "a\u00c2\u00a0b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in mojibake_fix(docs).collect()}
+    assert out[0]["fixed_text"] == "Caf\u00e9 cr\u00e8me"
+    assert out[0]["n_fixed"] == 2 and out[0]["had_mojibake"]
+    assert out[1]["fixed_text"] == "it\u2019s \u201cquoted\u201d"
+    assert out[1]["n_fixed"] == 3
+    assert out[2]["n_fixed"] == 0 and not out[2]["had_mojibake"]
+    assert out[3]["fixed_text"] == "a\u00a0b" and out[3]["n_fixed"] == 1
