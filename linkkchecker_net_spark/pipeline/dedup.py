@@ -1039,3 +1039,39 @@ def domain_dup_rate(
         dup_ppm.cast("long").alias("dup_ppm"),
         (dup_ppm >= F.lit(int(farm_ppm))).alias("farm"),
     )
+
+
+def cluster_keep(
+    docs: DataFrame, clusters: DataFrame, quality_col: str = "n_chars"
+) -> DataFrame:
+    """Representative selection over TEXT near-dup clusters — the
+    retention decision that completes the text-dedup story (pairs →
+    `dedup_clusters` → keep set), mirroring the image side's
+    `image_dedup_keep`: keep exactly one document per cluster, the
+    highest-quality member (default: longest text), ties broken by
+    smallest doc_id.  Near-dup text clusters keep their LONGEST member
+    because truncation/boilerplate-stripping variants are the common
+    intra-cluster difference and the longest copy dominates the
+    others' content.
+
+    docs: (doc_id, <quality_col>); clusters: (doc_id, cluster_id) —
+    the `dedup_clusters` output.  Returns (doc_id, cluster_id, keep).
+
+    Scale: one doc_id-keyed join + a window PARTITIONED BY cluster_id
+    — near-dup clusters are near-cliques (a handful of rows each), no
+    skew reaches the window.
+    """
+    joined = clusters.join(
+        docs.select("doc_id", F.col(quality_col).alias("_q")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("_rk") == 1).alias("keep"),
+        )
+    )

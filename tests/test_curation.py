@@ -976,3 +976,20 @@ def test_bpe_fertility_hand_values(spark):
     assert unc["n_words"] == 2 and unc["n_symbols"] == 6
     assert unc["fertility_centi"] == 300 and unc["fragmenting"]
     assert unc["compression_centi"] == 66  # floor(4*100/6)
+
+
+def test_cluster_keep_longest_wins(spark):
+    """Cluster {1,2,3}: doc 2 is longest -> kept; singleton 9 keeps
+    itself; equal-length tie inside cluster {5,6} goes to doc 5."""
+    from linkkchecker_net_spark.pipeline.dedup import cluster_keep
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (9, 5), (5, 7), (6, 7)],
+        "doc_id long, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    out = {r["doc_id"]: r["keep"] for r in cluster_keep(docs, clusters).collect()}
+    assert out == {1: False, 2: True, 3: False, 9: True, 5: True, 6: False}
