@@ -7084,6 +7084,25 @@ def q_cluster_keep(spark, sf_dir):
 
 
 
+def q_simhash_hamming_hist(spark, sf_dir):
+    """Text twin of phash_hamming_hist: the SimHash Hamming-distance
+    histogram over 16-bit-prefix-blocked candidate pairs — the
+    threshold-tuning view for simhash_pairs, REUSING
+    pipeline/multimodal.phash_hamming_hist verbatim on the renamed
+    (doc_id, simhash) columns; the oracle extends the simhash replay
+    with the same block join + popcount rollup."""
+    from linkkchecker_net_spark.pipeline.dedup import simhash
+    from linkkchecker_net_spark.pipeline.multimodal import phash_hamming_hist
+
+    _prep(spark)
+    sh = simhash(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.col("simhash").alias("phash"),
+    )
+    return phash_hamming_hist(sh, block_bits=16)
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -7104,7 +7123,7 @@ _DRIVER_PRIORITY = [
     "host_components", "phash_hamming_hist",
     "host_latency", "sitemap_delta", "rate_alert", "pca_top", "oov_rate", "politeness_gap", "ann_recall_report", "viewport_audit", "bidi_audit",
     "mime_sniff", "render_triage", "host_language_profile", "host_error_streak",
-    "consent_banner", "paywall_detect" "mojibake_fix", "cluster_keep",
+    "consent_banner", "paywall_detect" "mojibake_fix", "cluster_keep", "simhash_hamming_hist",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -7280,6 +7299,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paywall_detect": q_paywall_detect,
         "mojibake_fix": q_mojibake_fix,
         "cluster_keep": q_cluster_keep,
+        "simhash_hamming_hist": q_simhash_hamming_hist,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -10161,6 +10181,39 @@ FROM bt JOIN bh ON bt.url = bh.url
                        ORDER BY length(d.text) DESC, cl.doc_id) AS rk
               FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
             SELECT doc_id, cluster_id, rk = 1 AS keep FROM q
+        """,
+        # the simhash replay + 16-bit-prefix block join + popcount
+        # rollup (string doc ids to match the Spark-side rename)
+        "simhash_hamming_hist": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents),
+            th AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+              FROM toks),
+            votes AS (
+              SELECT doc_id, b.b AS b,
+                     SUM(CASE WHEN (h >> b.b) & 1 = 1
+                         THEN 1 ELSE -1 END) AS v
+              FROM th, (SELECT unnest(generate_series(0, 59)) AS b) b
+              GROUP BY 1, 2),
+            sh AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                         ELSE 0 END)::BIGINT AS simhash
+              FROM votes GROUP BY doc_id),
+            base AS (
+              SELECT doc_id::VARCHAR AS id, simhash,
+                     simhash >> 48 AS blk
+              FROM sh),
+            pairs AS (
+              SELECT bit_count(xor(a.simhash, b.simhash)) AS dist
+              FROM base a JOIN base b
+                ON a.blk = b.blk AND a.id < b.id)
+            SELECT CAST(dist AS INT) AS dist,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY 1
         """,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)
