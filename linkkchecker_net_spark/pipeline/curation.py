@@ -1448,3 +1448,41 @@ def bpe_fertility(
         compression.cast("long").alias("compression_centi"),
         (fertility >= F.lit(int(threshold_centi))).alias("fragmenting"),
     )
+
+
+def packing_efficiency(
+    docs: DataFrame, seq_len: int = 2048, n_shards: int = 16
+) -> DataFrame:
+    """Fill-rate QA over the :func:`pack_sequences` manifest — the
+    check that answers "how much of every training batch is real
+    data": chunks are cut at fixed seq_len boundaries of each shard's
+    concatenated token stream, so chunks are full except at the tail
+    (n_chunks counts chunks with a STARTING doc — the manifest's own
+    rule — so a final doc's spill past the last started chunk can push
+    fill over 1e6 ppm; the signed waste column carries it).  A low
+    fill rate means seq_len is mis-sized
+    for the doc-length distribution (compose with `length_quantiles`);
+    imbalance across shards is `shard_skew`'s department.
+
+    Output per shard: (shard_id, n_chunks, n_tokens, capacity,
+    fill_ppm, waste_tokens).
+
+    Scale: the manifest is already chunk-sized; this adds one
+    shard-keyed partial agg over it.
+    """
+    manifest = pack_sequences(docs, seq_len=seq_len, n_shards=n_shards)
+    agg = manifest.groupBy("shard_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    capacity = F.col("n_chunks") * F.lit(int(seq_len))
+    return agg.select(
+        "shard_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        capacity.cast("long").alias("capacity"),
+        F.floor(F.col("n_tokens") * 1_000_000 / capacity)
+        .cast("long")
+        .alias("fill_ppm"),
+        (capacity - F.col("n_tokens")).cast("long").alias("waste_tokens"),
+    )

@@ -590,3 +590,60 @@ def host_error_streak(
         current.cast("long").alias("current_streak"),
         (current >= F.lit(int(dead_after))).alias("dead"),
     )
+
+
+def frontier_prefix_stats(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Shared-prefix compressibility of the per-host URL set — the
+    frontier-storage sizing estimate: a 10^10-URL frontier stored raw
+    is ~0.5-1 TB of strings, but URLs within a host share long
+    prefixes, and front-coding (store each sorted URL as its LCP with
+    the previous one + the suffix) recovers most of it.  This measures
+    exactly that: per host, the total bytes and the bytes a
+    front-coded layout saves.
+
+    Output per host: (host, n_urls, total_chars, lcp_chars,
+    savings_ppm = floor(lcp·1e6/total)).
+
+    LCP uses the prefix property (prefixes of a sorted pair match on
+    a contiguous 1..k range), so counting ALL matching prefix lengths
+    IS the LCP — an O(L²)-char codegen fold that a production build
+    would swap for a byte-compare loop in an Arrow UDF; the
+    surrounding plan (host-partitioned sort window + host rollup) is
+    the real shape either way.
+    """
+    url = F.col(url_col)
+    w = Window.partitionBy("host").orderBy("u")
+    base = urls.select(
+        F.lower(
+            F.regexp_extract(url, r"^[a-z]+://([^/:]+)", 1)
+        ).alias("host"),
+        url.alias("u"),
+    )
+    prev = F.lag("u").over(w)
+    lcp = F.when(prev.isNull(), F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.length(prev), F.length(F.col("u"))),
+                ),
+                lambda i: prev.substr(F.lit(1), i)
+                == F.col("u").substr(F.lit(1), i),
+            )
+        )
+    )
+    ranked = base.select("host", "u", lcp.alias("_lcp"))
+    agg = ranked.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.length("u")).alias("total_chars"),
+        F.sum("_lcp").alias("lcp_chars"),
+    )
+    return agg.select(
+        "host",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("lcp_chars").cast("long").alias("lcp_chars"),
+        F.floor(F.col("lcp_chars") * 1_000_000 / F.col("total_chars"))
+        .cast("long")
+        .alias("savings_ppm"),
+    )

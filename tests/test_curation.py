@@ -993,3 +993,22 @@ def test_cluster_keep_longest_wins(spark):
     )
     out = {r["doc_id"]: r["keep"] for r in cluster_keep(docs, clusters).collect()}
     assert out == {1: False, 2: True, 3: False, 9: True, 5: True, 6: False}
+
+
+def test_packing_efficiency_tail_spill(spark):
+    """One shard-less corpus check via n_shards=1: 3 docs of 10/10/25
+    tokens at seq_len=16 — doc3 starts in chunk 1 (offset 20) and
+    spills into chunk 2, which has no starter: n_chunks=2, capacity
+    32, tokens 45, signed waste -13, fill > 1e6."""
+    from linkkchecker_net_spark.pipeline.curation import packing_efficiency
+
+    docs = spark.createDataFrame(
+        [(0, "w " * 9 + "w"), (1, "w " * 9 + "w"), (2, "w " * 24 + "w")],
+        "doc_id long, text string",
+    )
+    out = packing_efficiency(docs, seq_len=16, n_shards=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_chunks"] == 2 and r["n_tokens"] == 45
+    assert r["capacity"] == 32 and r["waste_tokens"] == -13
+    assert r["fill_ppm"] == 1_406_250

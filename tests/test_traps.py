@@ -150,3 +150,28 @@ def test_host_error_streak_islands(spark):
     c = out["C"]
     assert c["max_error_streak"] == 1 and c["current_streak"] == 0
     assert c["dead"] is False
+
+
+def test_frontier_prefix_stats_lcp(spark):
+    """Sorted front-coding: /a/page1, /a/page2 share 'http://h.test/a/page'
+    (20 chars); a lone host saves nothing; savings_ppm is the floor-ppm
+    of summed LCPs over summed lengths."""
+    from linkkchecker_net_spark.pipeline.recrawl import frontier_prefix_stats
+
+    urls = spark.createDataFrame(
+        [
+            ("http://h.test/a/page1",),
+            ("http://h.test/a/page2",),
+            ("http://h.test/b/x",),
+            ("http://solo.test/only",),
+        ],
+        "url string",
+    )
+    out = {r["host"]: r for r in frontier_prefix_stats(urls).collect()}
+    h = out["h.test"]
+    # sorted: /a/page1, /a/page2 (lcp 20), /b/x (lcp 14: 'http://h.test/')
+    assert h["n_urls"] == 3 and h["lcp_chars"] == 20 + 14
+    assert h["total_chars"] == 21 + 21 + 17
+    assert h["savings_ppm"] == (34 * 1_000_000) // 59
+    s = out["solo.test"]
+    assert s["lcp_chars"] == 0 and s["savings_ppm"] == 0
