@@ -7133,6 +7133,45 @@ def q_frontier_prefix_stats(spark, sf_dir):
 
 
 
+def q_canonical_chains(spark, sf_dir):
+    """Chained-canonical resolution (reports/seo.canonical_chains on
+    the pointer-doubling resolver): c<i> -> c<i-1> edges for i%4 != 0
+    give chains of hops 1-3 ending at the c<4k> terminals, plus an
+    x1/x2 canonical 2-cycle — chain_problem fires on hops >= 2 and on
+    the loop; oracle walks the same edges recursively with the
+    functional-graph bound."""
+    from linkkchecker_net_spark.reports.seo import canonical_chains
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    d = _docs(spark, sf_dir).select(i.alias("i")).filter(F.col("i") < 120)
+    edges = d.filter(F.col("i") % 4 != 0).select(
+        F.concat(F.lit("c"), F.col("i").cast("string")).alias("src"),
+        F.concat(F.lit("c"), (F.col("i") - 1).cast("string")).alias("dst"),
+    ).unionByName(
+        spark.createDataFrame(
+            [("x1", "x2"), ("x2", "x1")], "src string, dst string"
+        )
+    )
+    return canonical_chains(edges)
+
+
+def q_bloom_advisor(spark, sf_dir):
+    """Seen-filter sizing (engine/filters.bloom_advisor) for the
+    document URL set at the 1000-ppm false-positive target — the
+    Bloom-1970 optimum replayed arithmetically (bits/key, hash count,
+    MiB at n keys)."""
+    from linkkchecker_net_spark.engine.filters import bloom_advisor
+
+    _prep(spark)
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://b.test/p"), F.col("doc_id").cast("string"))
+        .alias("url")
+    )
+    return bloom_advisor(urls, target_fp_ppm=1000)
+
+
+
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
 # reference-crawl block, leaving ~160 operators verified only by the local
@@ -7154,7 +7193,8 @@ _DRIVER_PRIORITY = [
     "host_latency", "sitemap_delta", "rate_alert", "pca_top", "oov_rate", "politeness_gap", "ann_recall_report", "viewport_audit", "bidi_audit",
     "mime_sniff", "render_triage", "host_language_profile", "host_error_streak",
     "consent_banner", "paywall_detect" "mojibake_fix", "cluster_keep", "simhash_hamming_hist",
-    "packing_efficiency", "frontier_prefix_stats",
+    "packing_efficiency", "frontier_prefix_stats", "canonical_chains",
+    "bloom_advisor",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
     "bigram_ppl", "bpe_pairs", "dsir_weights", "dup_span", "domain_cap",
     "sessionize", "parse_robots", "crawl_diff", "pagerank", "trustrank",
@@ -7333,6 +7373,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_hist": q_simhash_hamming_hist,
         "packing_efficiency": q_packing_efficiency,
         "frontier_prefix_stats": q_frontier_prefix_stats,
+        "canonical_chains": q_canonical_chains,
+        "bloom_advisor": q_bloom_advisor,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -10313,6 +10355,47 @@ FROM bt JOIN bh ON bt.url = bh.url
                    CAST(floor(sum(lcp) * 1000000.0 / sum(len(u)))
                         AS BIGINT) AS savings_ppm
             FROM c GROUP BY 1
+        """,
+        # construction replay + bounded recursive walk (the
+        # resolve_redirects loop-classification idiom)
+        "canonical_chains": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id::BIGINT AS i FROM documents
+              WHERE doc_id < 120),
+            ce AS (
+              SELECT 'c' || i AS src, 'c' || (i - 1) AS dst
+              FROM d WHERE i % 4 <> 0
+              UNION ALL SELECT 'x1', 'x2'
+              UNION ALL SELECT 'x2', 'x1'),
+            rc AS (SELECT COUNT(*)::BIGINT AS k FROM ce),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, 1::BIGINT FROM ce
+              UNION ALL
+              SELECT w.src, r.dst, w.hops + 1
+              FROM walk w JOIN ce r ON r.src = w.cur CROSS JOIN rc
+              WHERE w.hops < rc.k + 1),
+            resolved AS (
+              SELECT w.src, w.cur, w.hops FROM walk w
+              WHERE w.cur NOT IN (SELECT src FROM ce))
+            SELECT e.src AS url, res.cur AS final_url,
+                   res.hops AS hops,
+                   CASE WHEN res.src IS NULL THEN 'loop'
+                        ELSE 'resolved' END AS terminal,
+                   res.src IS NULL
+                   OR coalesce(res.hops, 0) >= 2 AS chain_problem
+            FROM ce e LEFT JOIN resolved res ON res.src = e.src
+        """,
+        # the Bloom-1970 optimum replayed in SQL doubles
+        "bloom_advisor": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_urls
+                       FROM documents),
+            c AS (SELECT -ln(0.001) / (ln(2) * ln(2)) AS bpk FROM n)
+            SELECT n.n_urls, CAST(1000 AS BIGINT) AS target_fp_ppm,
+                   round(c.bpk, 6) AS bits_per_key,
+                   CAST(round(c.bpk * ln(2)) AS INT) AS n_hashes,
+                   round(n.n_urls * c.bpk / (8.0 * 1024 * 1024), 6)
+                     AS total_mib
+            FROM n, c
         """,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)

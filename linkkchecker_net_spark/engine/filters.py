@@ -435,3 +435,42 @@ def load_partitioned_filters(out_dir: str) -> dict[int, CuckooFilter]:
             with open(os.path.join(out_dir, name), "rb") as f:
                 out[p] = CuckooFilter.from_bytes(f.read())
     return out
+
+
+def bloom_advisor(
+    urls: DataFrame, target_fp_ppm: int = 1000, round_dp: int = 6
+) -> DataFrame:
+    """Seen-filter sizing calculator for the frontier's bloom layer —
+    the design arithmetic this engine's own layered anti-join
+    (`engine/epoch.py` bloom pre-filter) is provisioned by, emitted as
+    a one-row report so capacity review is a query, not a whiteboard:
+    for n keys and a target false-positive rate p, the optimal bloom
+    uses m/n = -ln(p)/ln(2)^2 bits per key and k = (m/n)·ln(2) hash
+    functions (standard Bloom 1970 optimum).
+
+    Output (one row): (n_urls, target_fp_ppm, bits_per_key, n_hashes
+    — the integer round of the optimum, total_mib rounded).
+
+    Scale: one count aggregate; arithmetic is driver-free, expressed
+    over the 1-row aggregate so the operator stays a composable
+    DataFrame.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    p = float(target_fp_ppm) / 1_000_000.0
+    bits_per_key = -math.log(p) / (math.log(2.0) ** 2)
+    k = round(bits_per_key * math.log(2.0))
+    agg = urls.agg(F.count("*").alias("n_urls"))
+    total_mib = F.round(
+        F.col("n_urls") * F.lit(bits_per_key) / F.lit(8.0 * 1024 * 1024),
+        round_dp,
+    )
+    return agg.select(
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.lit(int(target_fp_ppm)).cast("long").alias("target_fp_ppm"),
+        F.lit(round(bits_per_key, round_dp)).alias("bits_per_key"),
+        F.lit(int(k)).cast("int").alias("n_hashes"),
+        total_mib.alias("total_mib"),
+    )

@@ -799,3 +799,36 @@ def paywall_detect(pages: DataFrame) -> DataFrame:
         declared.alias("declared_paid"),
         ((n_phrases > 0) | vendor_hit | declared).alias("paywalled"),
     )
+
+
+def canonical_chains(canonical_edges: DataFrame) -> DataFrame:
+    """Cross-page canonical indirection resolved to its terminal —
+    the SEO failure Google's documentation warns about by name:
+    chained rel=canonical (A→B→C) is treated as unreliable and often
+    ignored wholesale, and a canonical LOOP (A→B→A) discards the
+    signal entirely.  At crawl scale the canonical edges are bulk data
+    exactly like Location redirects, so this REUSES the pointer-
+    doubling resolver (`pipeline/graph.resolve_redirects` — O(log L)
+    shuffle rounds, loop classification included) and adds the SEO
+    verdict: ``chain_problem`` = loop OR ≥2 hops.
+
+    canonical_edges: (src, dst) — one row per page declaring a
+    canonical OTHER than itself.  Output: (url, final_url, hops,
+    terminal, chain_problem).
+
+    Scale: inherited from the resolver — self-joins on the canonical
+    subgraph only, never the corpus.
+    """
+    from ..pipeline.graph import resolve_redirects
+
+    resolved = resolve_redirects(canonical_edges)
+    return resolved.select(
+        "url",
+        "final_url",
+        "hops",
+        "terminal",
+        (
+            (F.col("terminal") == "loop")
+            | (F.coalesce(F.col("hops"), F.lit(0)) >= 2)
+        ).alias("chain_problem"),
+    )

@@ -106,7 +106,8 @@ NON_CRAWL = [
     "host_language_profile", "host_error_streak", "consent_banner",
     "paywall_detect", "mojibake_fix", "cluster_keep",
     "simhash_hamming_hist", "packing_efficiency",
-    "frontier_prefix_stats", "quality_keep",
+    "frontier_prefix_stats", "canonical_chains", "bloom_advisor",
+    "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
     "registrable_domains", "url_blocklist", "url_score", "robots_delta",
     "idn_audit", "caption_quality", "bpe_fertility", "domain_dup_rate",

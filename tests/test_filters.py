@@ -181,3 +181,23 @@ def test_bloom_udf_uses_broadcast(spark):
     out = df.withColumn("maybe", bloom_maybe_udf(bcast)("url_hash"))
     assert out.filter("NOT maybe").count() == 0  # no false negatives
     bcast.destroy()
+
+
+def test_bloom_advisor_formula(spark):
+    """Bloom 1970 optimum at p=1e-3: 14.377588 bits/key (the classic
+    ~14.4), k=10 hashes; MiB scales linearly with n."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from linkkchecker_net_spark.engine.filters import bloom_advisor
+
+    urls = spark.range(1000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url")
+    )
+    r = bloom_advisor(urls, target_fp_ppm=1000).collect()[0]
+    bpk = -math.log(0.001) / (math.log(2.0) ** 2)
+    assert r["n_urls"] == 1000
+    assert r["bits_per_key"] == round(bpk, 6)
+    assert r["n_hashes"] == 10
+    assert r["total_mib"] == round(1000 * bpk / (8 * 1024 * 1024), 6)

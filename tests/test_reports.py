@@ -651,3 +651,21 @@ def test_paywall_detect_signals(spark):
     assert out["u3"]["declared_paid"] is True
     assert out["u4"]["declared_paid"] is False and not out["u4"]["paywalled"]
     assert out["u5"]["paywalled"] is False
+
+
+def test_canonical_chains_hops_and_loop(spark):
+    from linkkchecker_net_spark.reports.seo import canonical_chains
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"),            # chain a->b->c (c terminal)
+         ("p", "q"),                        # single hop
+         ("l1", "l2"), ("l2", "l1")],       # loop
+        "src string, dst string",
+    )
+    out = {r["url"]: r for r in canonical_chains(edges).collect()}
+    assert out["a"]["final_url"] == "c" and out["a"]["hops"] == 2
+    assert out["a"]["chain_problem"] is True
+    assert out["b"]["hops"] == 1 and out["b"]["chain_problem"] is False
+    assert out["p"]["chain_problem"] is False
+    assert out["l1"]["terminal"] == "loop" and out["l1"]["chain_problem"]
+    assert out["l1"]["final_url"] is None
