@@ -7171,6 +7171,67 @@ def q_bloom_advisor(spark, sf_dir):
     return bloom_advisor(urls, target_fp_ppm=1000)
 
 
+def q_cuckoo_advisor(spark, sf_dir):
+    """Cuckoo seen-filter sizing (engine/filters.cuckoo_advisor) for the
+    same URL set and 1000-ppm target as bloom_advisor — Fan-2014
+    fingerprint arithmetic (f = ceil(log2(2b/p)), f/alpha bits/key,
+    pow2 bucket table) plus the Bloom-vs-cuckoo winner verdict."""
+    from linkkchecker_net_spark.engine.filters import cuckoo_advisor
+
+    _prep(spark)
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://b.test/p"), F.col("doc_id").cast("string"))
+        .alias("url")
+    )
+    return cuckoo_advisor(urls, target_fp_ppm=1000)
+
+
+def q_lsh_advisor(spark, sf_dir):
+    """MinHash-LSH banding calculator (pipeline/dedup.lsh_advisor): for
+    a 128-wide signature and 0.8 threshold, enumerate (bands, rows)
+    splits, pick the S-curve midpoint closest to the threshold, and
+    emit the catch probabilities at threshold, threshold-0.2 and
+    threshold+0.1 — the parameter sheet minhash_lsh_pairs' own
+    16x4 configuration was chosen from."""
+    from linkkchecker_net_spark.pipeline.dedup import lsh_advisor
+
+    _prep(spark)
+    return lsh_advisor(_docs(spark, sf_dir), num_hashes=128, threshold=0.8)
+
+
+def q_minhash_recall(spark, sf_dir):
+    """MEASURED LSH recall/precision (pipeline/dedup.
+    minhash_recall_report): md5-derived minhash signatures (16 hashes,
+    8 bands x 2 rows — midpoint 0.35, deliberately recall-heavy so the
+    candidate set outnumbers the true >=0.8 pairs and BOTH report arms
+    are informative) vs the exact shingle-Jaccard ground truth; the
+    whole candidate pass replays in SQL because the hashes are md5, not
+    xxhash64."""
+    from linkkchecker_net_spark.pipeline.dedup import minhash_recall_report
+
+    _prep(spark)
+    return minhash_recall_report(
+        _docs(spark, sf_dir), threshold=0.8, num_hashes=16, bands=8
+    )
+
+
+def q_image_quality_model(spark, sf_dir):
+    """Model-based image gate (pipeline/multimodal.image_model_score)
+    over the row-gradient corpus: integer histogram-ppm + mean-luma
+    features dotted against the broadcast default probe weights;
+    truncated payloads (i%9==4) stay ok=false / NULL score / keep=false.
+    The oracle prices the bins exactly as image_entropy's does, then
+    replays the integer dot product."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        image_model_score,
+        synth_rowgrad_corpus,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return image_model_score(synth_rowgrad_corpus(spark, ids))
+
+
 
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
@@ -7182,6 +7243,7 @@ def q_bloom_advisor(spark, sf_dir):
 # finally lands on fresh operators.  Names not in the built dict are ignored,
 # so the list is safe across refactors.
 _DRIVER_PRIORITY = [
+    "cuckoo_advisor", "lsh_advisor", "minhash_recall", "image_quality_model",
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
@@ -7192,7 +7254,7 @@ _DRIVER_PRIORITY = [
     "host_components", "phash_hamming_hist",
     "host_latency", "sitemap_delta", "rate_alert", "pca_top", "oov_rate", "politeness_gap", "ann_recall_report", "viewport_audit", "bidi_audit",
     "mime_sniff", "render_triage", "host_language_profile", "host_error_streak",
-    "consent_banner", "paywall_detect" "mojibake_fix", "cluster_keep", "simhash_hamming_hist",
+    "consent_banner", "paywall_detect", "mojibake_fix", "cluster_keep", "simhash_hamming_hist",
     "packing_efficiency", "frontier_prefix_stats", "canonical_chains",
     "bloom_advisor",
     "semantic_dedup", "bm25", "tfidf_topk", "unigram_ppl",
@@ -7375,6 +7437,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_prefix_stats": q_frontier_prefix_stats,
         "canonical_chains": q_canonical_chains,
         "bloom_advisor": q_bloom_advisor,
+        "cuckoo_advisor": q_cuckoo_advisor,
+        "lsh_advisor": q_lsh_advisor,
+        "minhash_recall": q_minhash_recall,
+        "image_quality_model": q_image_quality_model,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -10396,6 +10462,162 @@ FROM bt JOIN bh ON bt.url = bh.url
                    round(n.n_urls * c.bpk / (8.0 * 1024 * 1024), 6)
                      AS total_mib
             FROM n, c
+        """,
+        # Fan-2014 cuckoo arithmetic replayed: fingerprint bits from the
+        # 2b/p bound, pow2 bucket table (integer-division floor matches
+        # Spark's double->long cast for positives), Bloom optimum rides
+        # along for the winner CASE
+        "cuckoo_advisor": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_urls
+                       FROM documents),
+            c AS (SELECT CAST(ceil(log2(2*4/0.001)) AS INT) AS f,
+                         CAST(power(2, ceil(log2(
+                             greatest(n_urls, 1) / (0.95 * 4)
+                         ))) AS BIGINT) AS nb
+                  FROM n)
+            SELECT n.n_urls, CAST(1000 AS BIGINT) AS target_fp_ppm,
+                   CAST(4 AS INT) AS bucket_size, c.f AS fp_bits,
+                   round(c.f / 0.95, 6) AS bits_per_key,
+                   c.nb AS n_buckets,
+                   round(c.nb * 4.0 * c.f / (8.0 * 1024 * 1024), 6)
+                     AS provisioned_mib,
+                   round(-ln(0.001) / (ln(2) * ln(2)), 6)
+                     AS bloom_bits_per_key,
+                   CASE WHEN c.f / 0.95 < -ln(0.001) / (ln(2) * ln(2))
+                        THEN 'cuckoo' ELSE 'bloom' END AS winner
+            FROM n, c
+        """,
+        # S-curve enumeration replay; b = 128//r (DuckDB // floor =
+        # Spark double->long truncation for positives); the probe
+        # literals are the Python floats 0.8-0.2 and 0.8+0.1 verbatim so
+        # both engines power() the same double
+        "lsh_advisor": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents),
+            cand AS (SELECT r.r AS r, 128 // r.r AS b
+                     FROM (SELECT unnest(generate_series(1, 128)) AS r) r),
+            sc AS (SELECT r, b, power(1.0 / b, 1.0 / r) AS t_star,
+                          abs(power(1.0 / b, 1.0 / r) - 0.8) AS err
+                   FROM cand),
+            best AS (SELECT * FROM sc
+                     ORDER BY err ASC, b DESC, r ASC LIMIT 1)
+            SELECT n.n_docs, CAST(128 AS INT) AS num_hashes,
+                   CAST(b AS INT) AS bands, CAST(r AS INT) AS rows_per_band,
+                   round(t_star, 6) AS t_star, round(err, 6) AS err,
+                   round(1.0 - power(1.0 - power(0.8, r * 1.0), b * 1.0), 6)
+                     AS p_at_threshold,
+                   round(1.0 - power(1.0 - power(0.6000000000000001,
+                         r * 1.0), b * 1.0), 6) AS p_below,
+                   round(1.0 - power(1.0 - power(0.9000000000000001,
+                         r * 1.0), b * 1.0), 6) AS p_above
+            FROM n, best
+        """,
+        # full LSH replay — md5 minhash (the simhash '0x'||md5 trick with
+        # a j: prefix), per-band string_agg buckets, candidate self-join,
+        # exact-jaccard truth arm, three scalar counts
+        "minhash_recall": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                          FROM documents),
+            sh AS (
+              SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                     AS shingle
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(ts)-2, 0)))
+                     AS g(i)
+            ),
+            s AS (SELECT DISTINCT doc_id, shingle FROM sh),
+            hs AS (
+              SELECT doc_id, j.j AS j,
+                     ('0x' || substr(md5(j.j::VARCHAR || ':' || shingle),
+                      1, 15))::BIGINT AS h
+              FROM s, (SELECT unnest(generate_series(0, 15)) AS j) j
+            ),
+            sig AS (SELECT doc_id, j, min(h) AS mh FROM hs GROUP BY 1, 2),
+            banded AS (
+              SELECT doc_id, j // 2 AS band,
+                     string_agg(mh::VARCHAR, ',' ORDER BY j) AS bucket
+              FROM sig GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+              WHERE a.doc_id < b.doc_id
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+            tp AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            truep AS (
+              SELECT doc_a, doc_b FROM tp
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8
+            ),
+            m AS (SELECT
+              CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+              CAST((SELECT count(*) FROM truep) AS BIGINT) AS n_true_pairs,
+              CAST((SELECT count(*) FROM cand) AS BIGINT)
+                AS n_candidate_pairs,
+              CAST((SELECT count(*) FROM truep t JOIN cand c
+                    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS BIGINT)
+                AS n_caught)
+            SELECT n_docs, n_true_pairs, n_candidate_pairs, n_caught,
+                   round(n_caught /
+                         CAST(greatest(n_true_pairs, 1) AS DOUBLE), 6)
+                     AS recall,
+                   round(n_caught /
+                         CAST(greatest(n_candidate_pairs, 1) AS DOUBLE), 6)
+                     AS precision,
+                   CAST(8 AS INT) AS bands, CAST(2 AS INT) AS rows_per_band
+            FROM m
+        """,
+        # image_entropy's bin pricing (jpeg arm quantized u//4*4+2), then
+        # integer ppm floors and the constant-weight dot product
+        "image_quality_model": """
+            WITH d AS (SELECT doc_id AS i, 8 + (doc_id % 5) * 4 AS w,
+                              6 + (doc_id % 7) * 2 AS h
+                       FROM documents),
+            vals AS (
+              SELECT i, w, h,
+                     CASE WHEN i % 3 = 1
+                          THEN ((i*37 + r) % 251) // 4 * 4 + 2
+                          ELSE (i*37 + r) % 251 END AS u
+              FROM d, unnest(generate_series(0, h - 1)) AS g(r)
+            ),
+            agg AS (
+              SELECT i,
+                     CAST(SUM(CASE WHEN u < 64 THEN 3*w
+                              ELSE 0 END) AS BIGINT) AS b0,
+                     CAST(SUM(CASE WHEN u >= 64 AND u < 128 THEN 3*w
+                              ELSE 0 END) AS BIGINT) AS b1,
+                     CAST(SUM(CASE WHEN u >= 128 AND u < 192 THEN 3*w
+                              ELSE 0 END) AS BIGINT) AS b2,
+                     CAST(SUM(CASE WHEN u >= 192 THEN 3*w
+                              ELSE 0 END) AS BIGINT) AS b3,
+                     CAST(SUM(3*w*u) AS BIGINT) AS psum,
+                     CAST(max(3*w*h) AS BIGINT) AS tot
+              FROM vals GROUP BY i
+            ),
+            f AS (
+              SELECT i,
+                     b0 * 1000000 // tot AS p0, b1 * 1000000 // tot AS p1,
+                     b2 * 1000000 // tot AS p2, b3 * 1000000 // tot AS p3,
+                     psum // tot AS ml
+              FROM agg
+            ),
+            sc AS (
+              SELECT i, CAST(-2*p0 + 1*p1 + 1*p2 + -2*p3 + 400*ml
+                        AS BIGINT) AS score
+              FROM f
+            )
+            SELECT 'img_' || lpad(i::VARCHAR, 6, '0') AS image_id,
+                   i % 9 <> 4 AS ok,
+                   CASE WHEN i % 9 = 4 THEN NULL ELSE score END AS score,
+                   (i % 9 <> 4 AND score >= 0) AS keep
+            FROM sc
         """,
         # full construction + scoring replay (contains/label/digit
         # signals recomputed in SQL on the same constructed URL)

@@ -474,3 +474,74 @@ def bloom_advisor(
         F.lit(int(k)).cast("int").alias("n_hashes"),
         total_mib.alias("total_mib"),
     )
+
+
+def cuckoo_advisor(
+    urls: DataFrame,
+    target_fp_ppm: int = 1000,
+    bucket_size: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Sizing calculator for the frontier's cuckoo seen-filter layer —
+    the companion of `bloom_advisor` for the OTHER filter this engine's
+    north rule names (`CuckooFilter` above, snapshotted per partition by
+    `build_partitioned_filters`).  Fan et al. 2014 ("Cuckoo Filter:
+    Practically Better Than Bloom", CoNEXT) arithmetic: with bucket size
+    b and target false-positive rate p, the fingerprint needs
+    f = ceil(log2(2b/p)) bits; at b=4 the achievable load factor is
+    alpha ~= 0.95, so the amortized cost is f/alpha bits per key.  The
+    table's bucket count must round UP to a power of two (partial-key
+    displacement XORs the fingerprint hash into the index space), so the
+    provisioned size carries pow2 slack the bits/key figure hides — both
+    are emitted.  The Bloom optimum at the same p rides along with a
+    winner verdict: the cuckoo wins once f/alpha < 1.44*log2(1/p),
+    i.e. for any target below ~3% FP — which is why the seen-set's
+    exact layer here is cuckoo (deletability matters too: frontier
+    compaction can retract entries, a Bloom cannot).
+
+    Output (one row): (n_urls, target_fp_ppm, bucket_size, fp_bits,
+    bits_per_key, n_buckets, provisioned_mib, bloom_bits_per_key,
+    winner).
+
+    Scale: one count aggregate; all remaining arithmetic rides the
+    1-row aggregate so the operator composes as a DataFrame (the
+    `bloom_advisor` shape).
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    p = float(target_fp_ppm) / 1_000_000.0
+    alpha = 0.95
+    f_bits = math.ceil(math.log2(2.0 * bucket_size / p))
+    bits_per_key = round(f_bits / alpha, round_dp)
+    bloom_bpk = round(-math.log(p) / (math.log(2.0) ** 2), round_dp)
+    agg = urls.agg(F.count("*").alias("n_urls"))
+    n_buckets = F.pow(
+        F.lit(2.0),
+        F.ceil(
+            F.log2(
+                F.greatest(F.col("n_urls"), F.lit(1))
+                / F.lit(alpha * bucket_size)
+            )
+        ),
+    ).cast("long")
+    return agg.select(
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.lit(int(target_fp_ppm)).cast("long").alias("target_fp_ppm"),
+        F.lit(int(bucket_size)).cast("int").alias("bucket_size"),
+        F.lit(int(f_bits)).cast("int").alias("fp_bits"),
+        F.lit(bits_per_key).alias("bits_per_key"),
+        n_buckets.alias("n_buckets"),
+        F.round(
+            n_buckets
+            * F.lit(float(bucket_size))
+            * F.lit(float(f_bits))
+            / F.lit(8.0 * 1024 * 1024),
+            round_dp,
+        ).alias("provisioned_mib"),
+        F.lit(bloom_bpk).alias("bloom_bits_per_key"),
+        F.lit(
+            "cuckoo" if bits_per_key < bloom_bpk else "bloom"
+        ).alias("winner"),
+    )

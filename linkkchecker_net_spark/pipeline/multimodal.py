@@ -2080,3 +2080,122 @@ def phash_hamming_hist(corpus: DataFrame, block_bits: int = 16) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .select("dist", F.col("n_pairs").cast("long").alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# model-based image quality scorer (linear probe serving shape)
+# --------------------------------------------------------------------------
+
+IMG_MODEL_SCHEMA = (
+    "image_id string, ok boolean, ppm0 long, ppm1 long, ppm2 long, "
+    "ppm3 long, mean_luma long"
+)
+
+# default linear probe: penalize extreme-dark/extreme-bright mass, reward
+# midtone mass and brightness — a stand-in for a trained aesthetic /
+# NSFW-safety probe; integer weights so the score replays exactly
+IMG_MODEL_WEIGHTS = {
+    "ppm0": -2,
+    "ppm1": 1,
+    "ppm2": 1,
+    "ppm3": -2,
+    "mean_luma": 400,
+}
+
+
+def image_model_score(
+    corpus: DataFrame,
+    weights: dict[str, int] | None = None,
+    keep_min: int = 0,
+) -> DataFrame:
+    """Model-based image keep/drop gate in the SERVING shape a 100 TB
+    image pipeline uses for aesthetic / safety filters (LAION's
+    aesthetic predictor, DataComp's CLIP-score gates): a feature pass
+    over decoded pixels, then a dot product against a broadcast weight
+    table — swap the feature UDF for an embedding model and the weight
+    table for trained coefficients and the plan is unchanged.  This is
+    the image twin of `quality_model` (pipeline/curation.py).
+
+    Features (all integers, so the score replays exactly on the oracle
+    side): ppm0..ppm3 = 4-bin luminance-histogram mass in parts-per-
+    million (floor), mean_luma = floor mean pixel value.  Score =
+    sum(weight_f * value_f) over the broadcast weight table; keep fires
+    on decodable AND score >= keep_min.  Undecodable rows keep
+    ok=false, NULL score, keep=false — a corrupt payload never passes.
+
+    Scale: one mapInPandas Arrow decode pass (bytes die at the stage
+    boundary), a 5-row broadcast join, and a per-image partial agg on
+    the already-decoded feature rows — map-side combinable, no skew
+    (keys are unique image_ids).
+    """
+    w = dict(IMG_MODEL_WEIGHTS if weights is None else weights)
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "image_id": [], "ok": [], "ppm0": [], "ppm1": [],
+                "ppm2": [], "ppm3": [], "mean_luma": [],
+            }
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                out["image_id"].append(iid)
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    out["ok"].append(False)
+                    for c in ("ppm0", "ppm1", "ppm2", "ppm3", "mean_luma"):
+                        out[c].append(None)
+                    continue
+                flat = arr.reshape(-1).astype(np.int64)
+                bins = np.bincount(flat // 64, minlength=4)
+                total = int(flat.size)
+                out["ok"].append(True)
+                for bi in range(4):
+                    out[f"ppm{bi}"].append(
+                        int(bins[bi]) * 1_000_000 // total
+                    )
+                out["mean_luma"].append(int(flat.sum()) // total)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    feats = corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        dec, IMG_MODEL_SCHEMA
+    )
+    spark = corpus.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(w.items())],
+        "feature string, weight long",
+    )
+    long_feats = feats.filter(F.col("ok")).select(
+        "image_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in sorted(w)]),
+                F.array(*[F.col(c) for c in sorted(w)]),
+            )
+        ).alias("feature", "value"),
+    )
+    scores = (
+        long_feats.join(F.broadcast(wdf), "feature")
+        .groupBy("image_id")
+        .agg(
+            F.sum(F.col("weight") * F.col("value"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    return (
+        feats.select("image_id", "ok")
+        .join(scores, "image_id", "left")
+        .select(
+            "image_id",
+            "ok",
+            "score",
+            (
+                F.col("ok")
+                & (F.coalesce(F.col("score"), F.lit(keep_min - 1))
+                   >= F.lit(int(keep_min)))
+            ).alias("keep"),
+        )
+    )

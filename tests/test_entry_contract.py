@@ -107,6 +107,8 @@ NON_CRAWL = [
     "paywall_detect", "mojibake_fix", "cluster_keep",
     "simhash_hamming_hist", "packing_efficiency",
     "frontier_prefix_stats", "canonical_chains", "bloom_advisor",
+    "cuckoo_advisor", "lsh_advisor", "minhash_recall",
+    "image_quality_model",
     "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
     "registrable_domains", "url_blocklist", "url_score", "robots_delta",
@@ -173,6 +175,17 @@ def test_crawl_query(spark, duck, name):
 def test_zero_rows_only_queries():
     """Every queries() entry has a DuckDB oracle (VERDICT r2 item 7)."""
     assert set(entrymod.queries()) == set(entrymod.oracle_sql())
+
+
+def test_gate_covers_every_query():
+    """Every registered query is in exactly one of the two gate lists —
+    a new operator can't silently skip the local oracle gate."""
+    listed = set(NON_CRAWL) | set(CRAWL_DEPENDENT)
+    missing = set(entrymod.queries()) - listed
+    assert not missing, f"queries missing from the gate lists: {missing}"
+    stale = listed - set(entrymod.queries())
+    assert not stale, f"gate lists name unregistered queries: {stale}"
+    assert not (set(NON_CRAWL) & set(CRAWL_DEPENDENT))
 
 
 def test_entry_smoke(spark):

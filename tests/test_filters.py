@@ -201,3 +201,26 @@ def test_bloom_advisor_formula(spark):
     assert r["bits_per_key"] == round(bpk, 6)
     assert r["n_hashes"] == 10
     assert r["total_mib"] == round(1000 * bpk / (8 * 1024 * 1024), 6)
+
+
+def test_cuckoo_advisor_formula(spark):
+    """Fan-2014 arithmetic at p=0.001, b=4, n=100: f=ceil(log2(8000))=13,
+    bits/key=13/0.95, bucket table rounds 100/3.8 up to 32 (pow2), and
+    the cuckoo beats the Bloom optimum (14.38 bits/key) at this target."""
+    from pyspark.sql import functions as F
+
+    from linkkchecker_net_spark.engine.filters import cuckoo_advisor
+
+    urls = spark.range(100).select(
+        F.concat(F.lit("http://h.test/"), F.col("id")).alias("url")
+    )
+    r = cuckoo_advisor(urls, target_fp_ppm=1000).collect()[0]
+    assert r["n_urls"] == 100
+    assert r["fp_bits"] == 13
+    assert r["bits_per_key"] == round(13 / 0.95, 6)
+    assert r["n_buckets"] == 32
+    assert r["provisioned_mib"] == round(32 * 4 * 13 / (8.0 * 1024 * 1024), 6)
+    assert r["bloom_bits_per_key"] == round(
+        -__import__("math").log(0.001) / (__import__("math").log(2) ** 2), 6
+    )
+    assert r["winner"] == "cuckoo"

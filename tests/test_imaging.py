@@ -383,3 +383,30 @@ def test_phash_hamming_hist_blocks_and_popcounts(spark):
     df = spark.createDataFrame(rows, "image_id string, phash long")
     out = {r["dist"]: r["n_pairs"] for r in phash_hamming_hist(df).collect()}
     assert out == {1: 2, 2: 1}
+
+
+def test_image_model_score_hand_values(spark):
+    """Constant-10 image: all mass in bin0 -> score = -2*10^6 + 400*10
+    (drop); constant-140: bin2 -> +10^6 + 400*140 (keep); truncated
+    payload stays ok=false / NULL score / keep=false."""
+    import numpy as np
+
+    from linkkchecker_net_spark.pipeline.multimodal import image_model_score
+
+    dark = np.full((4, 4, 3), 10, dtype=np.uint8)
+    mid = np.full((4, 4, 3), 140, dtype=np.uint8)
+    rows = [
+        ("dark", bytearray(imaging.encode_image(dark, "png")), "png"),
+        ("mid", bytearray(imaging.encode_image(mid, "png")), "png"),
+        ("trunc", bytearray(imaging.encode_image(dark, "png"))[:6], "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    out = {r["image_id"]: r for r in image_model_score(df).collect()}
+    assert out["dark"]["score"] == -2 * 1_000_000 + 400 * 10
+    assert out["dark"]["keep"] is False
+    assert out["mid"]["score"] == 1_000_000 + 400 * 140
+    assert out["mid"]["keep"] is True
+    assert out["trunc"]["ok"] is False
+    assert out["trunc"]["score"] is None and out["trunc"]["keep"] is False

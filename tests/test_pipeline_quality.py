@@ -526,3 +526,45 @@ def test_mojibake_fix_digraphs(spark):
     assert out[1]["n_fixed"] == 3
     assert out[2]["n_fixed"] == 0 and not out[2]["had_mojibake"]
     assert out[3]["fixed_text"] == "a\u00a0b" and out[3]["n_fixed"] == 1
+
+
+def test_lsh_advisor_picks_scurve_midpoint(spark):
+    """12-hash signature at threshold 0.5: r=2/b=6 has midpoint
+    (1/6)^(1/2)=0.408 — the closest of all splits; catch probabilities
+    replay 1-(1-t^r)^b exactly."""
+    from linkkchecker_net_spark.pipeline.dedup import lsh_advisor
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    r = lsh_advisor(docs, num_hashes=12, threshold=0.5).collect()[0]
+    assert r["n_docs"] == 2
+    assert (r["bands"], r["rows_per_band"]) == (6, 2)
+    assert r["t_star"] == round((1 / 6) ** 0.5, 6)
+    assert r["p_at_threshold"] == round(1 - (1 - 0.5**2) ** 6, 6)
+    assert r["p_above"] > r["p_at_threshold"] > r["p_below"]
+
+
+def test_minhash_recall_report_catches_identical_pair(spark):
+    """Two identical docs share every band bucket (recall 1); the
+    disjoint third doc never becomes a candidate, so precision is 1 and
+    the candidate count is exactly the true pair."""
+    from linkkchecker_net_spark.pipeline.dedup import minhash_recall_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    r = minhash_recall_report(
+        docs, threshold=0.8, num_hashes=8, bands=4
+    ).collect()[0]
+    assert r["n_docs"] == 3
+    assert r["n_true_pairs"] == 1
+    assert r["n_caught"] == 1
+    assert r["n_candidate_pairs"] == 1
+    assert r["recall"] == 1.0 and r["precision"] == 1.0
+    assert (r["bands"], r["rows_per_band"]) == (4, 2)
