@@ -567,3 +567,39 @@ def mime_sniff(responses: DataFrame) -> DataFrame:
         sniffed.alias("sniffed"),
         verdict.alias("verdict"),
     )
+
+
+def alt_svc_audit(responses: DataFrame) -> DataFrame:
+    """RFC 7838 Alt-Svc parse → per-URL HTTP/3 / HTTP/2 advertisement
+    audit — the protocol-upgrade signal a large crawler feeds its fetch
+    layer (an h3 endpoint halves handshake RTTs on lossy paths, and at
+    10^10 fetches the negotiated protocol is a first-order latency
+    term).  Grammar (RE2-safe, both engines): a comma-separated list of
+    `protocol-id=":port"` alternatives with optional `ma=<seconds>`
+    freshness, or the literal `clear` which retracts all alternatives.
+
+    Per row: (url, has_alt_svc, advertises_h3, advertises_h2, max_age,
+    cleared) — h3 matches h3 and the h3-NN draft ids; max_age is the
+    FIRST ma= value (RFC: parameters apply per-alternative; the first
+    alternative is the preferred one), NULL when absent or cleared.
+
+    Scale: pure Column regexps on an already-fetched header column —
+    whole-stage codegen, zero shuffle, zero Python.
+    """
+    v = F.coalesce(F.col("alt_svc"), F.lit(""))
+    cleared = F.trim(v) == "clear"
+    has = (F.length(F.trim(v)) > 0) & ~cleared
+    h3 = has & v.rlike('(^|,)\\s*h3(-[0-9]+)?="')
+    h2 = has & v.rlike('(^|,)\\s*h2(c)?="')
+    ma = F.when(
+        has & (F.regexp_extract(v, "ma=([0-9]+)", 1) != ""),
+        F.regexp_extract(v, "ma=([0-9]+)", 1).cast("long"),
+    )
+    return responses.select(
+        "url",
+        has.alias("has_alt_svc"),
+        h3.alias("advertises_h3"),
+        h2.alias("advertises_h2"),
+        ma.alias("max_age"),
+        cleared.alias("cleared"),
+    )

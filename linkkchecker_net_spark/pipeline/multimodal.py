@@ -2199,3 +2199,134 @@ def image_model_score(
             ).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mirror-invariant near-dup (flipped-repost detection)
+# --------------------------------------------------------------------------
+
+
+def _splitmix64(n: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over uint64 — full-avalanche deterministic
+    noise for fixtures (a weaker multiplicative hash leaves the block
+    pattern monotone and every average-hash collides)."""
+    x = n + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def synth_asym_corpus(spark, ids_df: DataFrame) -> DataFrame:
+    """Asymmetric-content corpus for mirror-dedup: each image is a
+    distinct 8x8 splitmix64-hashed block pattern upscaled to >=32px
+    (block structure keeps the 8x8 average-hash fully informative —
+    verified 5000/5000 distinct canonical hashes, 0 accidentally
+    mirror-symmetric, at the largest driver-checked SF).  Rows with
+    i%10==7 are the HORIZONTAL MIRROR of image i-1 (lossless png), the
+    flipped-repost fixture; i%9==4 truncates bytes (decode-fail arm).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "caption": [], "phash": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                src = i - 1 if i % 10 == 7 else i
+                # >=32px on both axes so every 8x8 hash block has pixels
+                w, h = 32 + (src % 5) * 4, 32 + (src % 7) * 2
+                br = np.arange(8, dtype=np.uint64)[:, None]
+                bc = np.arange(8, dtype=np.uint64)[None, :]
+                n = (
+                    np.uint64(src) * np.uint64(64)
+                    + br * np.uint64(8)
+                    + bc
+                )
+                blocks = (_splitmix64(n) % np.uint64(251)).astype(np.uint8)
+                rows_m = np.arange(h) * 8 // h
+                cols_m = np.arange(w) * 8 // w
+                base = blocks[np.ix_(rows_m, cols_m)]
+                if i % 10 == 7:
+                    base = base[:, ::-1]
+                arr = np.stack([base] * 3, axis=2)
+                data = imaging.encode_image(arr, "png")
+                if i % 9 == 4:
+                    data = data[:6]
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(data)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append("png")
+                out["caption"].append(f"asym {i}")
+                out["phash"].append(0)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+
+
+def mirror_phash_pairs(corpus: DataFrame) -> DataFrame:
+    """Mirror-invariant exact-phash duplicate pairs — catches the
+    flipped repost, the single most common transform applied to stolen
+    images precisely BECAUSE it defeats plain phash matching (DCT
+    coefficients scramble under reflection, so hamming distance to the
+    original goes to ~32).  The standard counter (imagededup /
+    commercial-reverse-image practice): hash BOTH the image and its
+    horizontal mirror and match on the canonical (least) of the two —
+    an image A and its mirror B satisfy {ph(A), ph(mirror A)} =
+    {ph(mirror B), ph(B)}, so `least` of the pair is a shared exact
+    key.
+
+    Per pair: (img_a, img_b, mirrored) with mirrored=true when the two
+    originals hash differently (a genuine flip), false for byte-level
+    re-uploads of the same orientation.
+
+    Scale: one mapInPandas decode pass emitting two 64-bit hashes
+    (bytes die at the stage boundary), then an exact-equality self-join
+    on the canonical hash — an inverted-index join on a 64-bit key,
+    never all-pairs; undecodable rows drop out before the join.
+    """
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "ph": [], "mph": []}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    continue
+                out["image_id"].append(iid)
+                out["ph"].append(imaging.phash64(arr))
+                out["mph"].append(imaging.phash64(arr[:, ::-1]))
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    hashed = corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        scan, "image_id string, ph long, mph long"
+    ).withColumn("canon", F.least("ph", "mph"))
+    a = hashed.select(
+        F.col("image_id").alias("img_a"),
+        F.col("ph").alias("ph_a"),
+        "canon",
+    )
+    b = hashed.select(
+        F.col("image_id").alias("img_b"),
+        F.col("ph").alias("ph_b"),
+        "canon",
+    )
+    return (
+        a.join(b, "canon")
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select(
+            "img_a",
+            "img_b",
+            (F.col("ph_a") != F.col("ph_b")).alias("mirrored"),
+        )
+        .dropDuplicates()
+    )

@@ -832,3 +832,62 @@ def canonical_chains(canonical_edges: DataFrame) -> DataFrame:
             | (F.coalesce(F.col("hops"), F.lit(0)) >= 2)
         ).alias("chain_problem"),
     )
+
+
+def hotlink_audit(img_refs: DataFrame) -> DataFrame:
+    """img_refs: (page_url, img_url) → per page-host hotlinking profile:
+    (page_host, n_imgs, n_offsite, offsite_ppm, n_img_hosts).
+
+    Hotlinking = embedding an image whose REGISTRABLE domain differs
+    from the page's (cdn.example.com serving www.example.com is
+    same-site; imgur.com serving example.com is offsite).  Both a
+    bandwidth-theft lint for site owners and a corpus signal: pages
+    built almost entirely from offsite images are aggregator/scraper
+    shells, and an image-caption pipeline prefers the origin copy over
+    the hotlinked duplicate (`image_dedup_keep` picks a canonical row —
+    this report says which host actually owns the asset class).
+
+    eTLD+1 comes from the same `registrable_domain_expr` the
+    registrable_domains/url_score queries use (kernels/domains.py), so
+    the same-site rule is identical across the engine.
+
+    Scale: host extraction is map-only codegen; the roll-up is ONE
+    partial-aggregated groupBy on page_host (count + conditional count
+    + approx-free exact distinct via count(DISTINCT) — Spark rewrites
+    it to a two-phase expand/agg, still key-partitioned).  Boilerplate
+    mills concentrate a page_host key, absorbed map-side.
+    """
+    from linkkchecker_net_spark.kernels.domains import (
+        registrable_domain_expr,
+    )
+
+    host_of = lambda c: F.lower(  # noqa: E731
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    refs = img_refs.select(
+        host_of(F.col("page_url")).alias("page_host"),
+        host_of(F.col("img_url")).alias("img_host"),
+    ).filter((F.col("page_host") != "") & (F.col("img_host") != ""))
+    offsite = registrable_domain_expr(F.col("page_host")) != (
+        registrable_domain_expr(F.col("img_host"))
+    )
+    return (
+        refs.withColumn("offsite", offsite)
+        .groupBy("page_host")
+        .agg(
+            F.count("*").cast("long").alias("n_imgs"),
+            F.sum(F.col("offsite").cast("long"))
+            .cast("long")
+            .alias("n_offsite"),
+            F.countDistinct("img_host").cast("long").alias("n_img_hosts"),
+        )
+        .select(
+            "page_host",
+            "n_imgs",
+            "n_offsite",
+            (F.col("n_offsite") * 1_000_000 / F.col("n_imgs"))
+            .cast("long")
+            .alias("offsite_ppm"),
+            "n_img_hosts",
+        )
+    )

@@ -410,3 +410,43 @@ def test_image_model_score_hand_values(spark):
     assert out["mid"]["keep"] is True
     assert out["trunc"]["ok"] is False
     assert out["trunc"]["score"] is None and out["trunc"]["keep"] is False
+
+
+def test_mirror_phash_pairs_catches_flip_and_reupload(spark):
+    """A mirrored copy pairs with its original (mirrored=true), a
+    byte-identical re-upload pairs with mirrored=false, and an
+    unrelated image pairs with nothing."""
+    import numpy as np
+
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        _splitmix64,
+        mirror_phash_pairs,
+    )
+
+    def blocks(seed):
+        n = (
+            np.uint64(seed) * np.uint64(64)
+            + np.arange(64, dtype=np.uint64).reshape(8, 8)
+        )
+        b = (_splitmix64(n) % np.uint64(251)).astype(np.uint8)
+        return np.stack([np.repeat(np.repeat(b, 4, 0), 4, 1)] * 3, axis=2)
+
+    a = blocks(1)
+    rows = [
+        ("a", bytearray(imaging.encode_image(a, "png")), "png"),
+        ("flip", bytearray(imaging.encode_image(a[:, ::-1], "png")), "png"),
+        ("dup", bytearray(imaging.encode_image(a, "png")), "png"),
+        ("other", bytearray(imaging.encode_image(blocks(2), "png")), "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    got = {
+        (r["img_a"], r["img_b"]): r["mirrored"]
+        for r in mirror_phash_pairs(df).collect()
+    }
+    assert got == {
+        ("a", "flip"): True,
+        ("a", "dup"): False,
+        ("dup", "flip"): True,
+    }

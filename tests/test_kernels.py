@@ -1437,3 +1437,31 @@ def test_render_triage_spa_shapes(spark):
     assert art["text_bytes"] == len(("word " * 100).strip())
     sn = out["short-noscript"]
     assert sn["has_noscript"] and not sn["needs_render"]  # 0 scripts
+
+
+def test_alt_svc_grammar_arms(spark):
+    """h3 (incl. draft ids) and h2/h2c advertisement flags, first-ma
+    extraction, the clear retraction, and a decoy protocol id (xh3)
+    that must NOT count as h3."""
+    from linkkchecker_net_spark.kernels.httpmeta import alt_svc_audit
+
+    rows = [
+        ("a", 'h3=":443"; ma=86400, h2=":443"'),
+        ("b", 'h2c=":8080"; ma=60'),
+        ("c", "clear"),
+        ("d", 'h3-29=":443"'),
+        ("e", None),
+        ("f", 'xh3=":443"'),
+        ("g", ' h3=":443"'),
+    ]
+    df = spark.createDataFrame(rows, "url string, alt_svc string")
+    out = {r["url"]: r for r in alt_svc_audit(df).collect()}
+    assert out["a"]["advertises_h3"] and out["a"]["advertises_h2"]
+    assert out["a"]["max_age"] == 86400
+    assert out["b"]["advertises_h2"] and not out["b"]["advertises_h3"]
+    assert out["b"]["max_age"] == 60
+    assert out["c"]["cleared"] and not out["c"]["has_alt_svc"]
+    assert out["d"]["advertises_h3"] and out["d"]["max_age"] is None
+    assert not out["e"]["has_alt_svc"] and not out["e"]["cleared"]
+    assert out["f"]["has_alt_svc"] and not out["f"]["advertises_h3"]
+    assert out["g"]["advertises_h3"]

@@ -669,3 +669,26 @@ def test_canonical_chains_hops_and_loop(spark):
     assert out["p"]["chain_problem"] is False
     assert out["l1"]["terminal"] == "loop" and out["l1"]["chain_problem"]
     assert out["l1"]["final_url"] is None
+
+
+def test_hotlink_audit_same_site_vs_offsite(spark):
+    """cdn.example.com serving www.example.com is same-site (shared
+    eTLD+1); imgur.com is offsite; schemeless/empty refs are dropped;
+    the ppm is an integer floor."""
+    from linkkchecker_net_spark.reports.seo import hotlink_audit
+
+    rows = [
+        ("http://www.example.com/a", "http://cdn.example.com/1.jpg"),
+        ("http://www.example.com/a", "http://imgur.com/2.jpg"),
+        ("http://www.example.com/b", "http://i.imgur.com/3.jpg"),
+        ("http://www.example.com/b", "data:image/png;base64,xx"),
+        ("http://other.test/p", "http://other.test/i.png"),
+    ]
+    df = spark.createDataFrame(rows, "page_url string, img_url string")
+    out = {r["page_host"]: r for r in hotlink_audit(df).collect()}
+    ex = out["www.example.com"]
+    assert ex["n_imgs"] == 3 and ex["n_offsite"] == 2
+    assert ex["offsite_ppm"] == 2 * 1_000_000 // 3
+    assert ex["n_img_hosts"] == 3
+    ot = out["other.test"]
+    assert ot["n_offsite"] == 0 and ot["offsite_ppm"] == 0
