@@ -796,3 +796,78 @@ def host_components(
         "component",
         F.col("component_size").cast("long").alias("component_size"),
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan 2007) over
+    the UNDIRECTED view of the edge set — the cheap community detector
+    for host-graph structure (mirror farms, link rings, template
+    networks) when `host_components` (pure connectivity) is too coarse:
+    LPA splits a weakly-connected blob into densely-linked cores.
+
+    Determinism contract (both engines replay it exactly): labels start
+    as the node's own id; each round every node adopts the label with
+    the highest vote among its neighbors' current labels (parallel
+    edges = weighted votes), ties broken by the SMALLEST label;
+    isolated nodes keep their label.  Synchronous updates, fixed
+    `iterations` rounds — the convergence-free variant whose output is
+    a pure function of the graph, not of visit order (asynchronous LPA
+    is run-order-dependent and cannot be oracled).
+
+    Returns (node_col, community).
+
+    Scale: per round, one groupBy (node, label) vote count (map-side
+    combined — a mill host voting one label collapses early) and one
+    min(struct(-votes, label)) argmax per node — two key-partitioned
+    exchanges, no windows, no self-joins; the undirected edge table is
+    built once and persisted across rounds (the pagerank loop shape).
+    """
+    und = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .repartition("dst")
+        .persist()
+    )
+    pinned = nodes.select(F.col(node_col).alias("id")).persist()
+    labels = pinned.select("id", F.col("id").alias("label"))
+    for _ in range(iterations):
+        votes = (
+            und.join(
+                labels.withColumnRenamed("id", "src").withColumnRenamed(
+                    "label", "nl"
+                ),
+                "src",
+            )
+            .groupBy("dst", "nl")
+            .agg(F.count("*").alias("c"))
+        )
+        winner = votes.groupBy("dst").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("nl").alias("l"))
+            )["l"].alias("new_label")
+        )
+        labels = pinned.join(
+            winner.withColumnRenamed("dst", "id"), "id", "left"
+        ).select(
+            "id",
+            F.coalesce(F.col("new_label"), F.col("id")).alias("label"),
+        )
+    out = labels.select(
+        F.col("id").alias(node_col), F.col("label").alias("community")
+    ).localCheckpoint()
+    und.unpersist()
+    pinned.unpersist()
+    return out

@@ -493,3 +493,24 @@ def test_host_components_chain_ring_pair(spark):
     assert out["r1"]["component_size"] == 3
     assert out["x"]["component"] == "x" and out["x"]["component_size"] == 2
     assert "z" not in out  # self-loops carry no component information
+
+
+def test_label_propagation_two_triangles(spark):
+    """Hand-traced 4-round sync LPA: two triangles joined by one bridge
+    settle to communities 1 and 3 (the trace crosses the bridge once —
+    node 3's label seeds triangle two, then each core re-converges);
+    an isolated node keeps its own label."""
+    from linkkchecker_net_spark.pipeline.graph import label_propagation
+
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,), (12,), (99,)], "id long"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        "src long, dst long",
+    )
+    out = {
+        r["id"]: r["community"]
+        for r in label_propagation(nodes, edges, iterations=4).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3, 99: 99}

@@ -568,3 +568,24 @@ def test_minhash_recall_report_catches_identical_pair(spark):
     assert r["n_candidate_pairs"] == 1
     assert r["recall"] == 1.0 and r["precision"] == 1.0
     assert (r["bands"], r["rows_per_band"]) == (4, 2)
+
+
+def test_incremental_dedup_verdict_arms(spark):
+    """Corpus hit beats batch keep-first; within-batch copies keep the
+    smallest doc_id; unseen digests are new."""
+    from pyspark.sql import functions as F
+
+    from linkkchecker_net_spark.pipeline.dedup import incremental_dedup
+
+    new = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "bb"), (4, "cc")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame([("aa",)], "t string").select(
+        F.md5("t").alias("digest")
+    )
+    out = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup(new, corpus).collect()
+    }
+    assert out == {1: "dup_corpus", 2: "new", 3: "dup_batch", 4: "new"}
