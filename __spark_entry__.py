@@ -7345,6 +7345,21 @@ def q_incremental_dedup(spark, sf_dir):
     return incremental_dedup(docs, corpus)
 
 
+def q_dim_truncation(spark, sf_dir):
+    """Matryoshka truncation recall (pipeline/similarity.
+    dim_truncation_eval): exact top-10 cosine overlap of D/2- and
+    D/4-prefix embeddings vs the full-dimension ground truth over 5
+    probe queries — the storage/bandwidth sizing measurement for the
+    vector column; frac=1 is the tautological 1.0 sanity row."""
+    from linkkchecker_net_spark.pipeline.similarity import (
+        dim_truncation_eval,
+    )
+
+    _prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dim_truncation_eval(emb, k=10, n_queries=5, fracs=(1, 2, 4))
+
+
 
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
@@ -7358,7 +7373,7 @@ def q_incremental_dedup(spark, sf_dir):
 _DRIVER_PRIORITY = [
     "cuckoo_advisor", "lsh_advisor", "minhash_recall", "image_quality_model",
     "alt_svc", "hotlink_audit", "image_flip_dedup",
-    "label_propagation", "incremental_dedup",
+    "label_propagation", "incremental_dedup", "dim_truncation",
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
@@ -7561,6 +7576,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_flip_dedup": q_image_flip_dedup,
         "label_propagation": q_label_propagation,
         "incremental_dedup": q_incremental_dedup,
+        "dim_truncation": q_dim_truncation,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -10783,6 +10799,7 @@ FROM bt JOIN bh ON bt.url = bh.url
               AND (doc_id - 1) % 9 <> 4
         """,
         "label_propagation": _lpa_sql(iters=4, bound=240),
+        "dim_truncation": _dimtrunc_sql(fracs=(1, 2, 4), k=10, nq=5),
         # md5 joins replayed: corpus hit -> dup_corpus, else batch
         # keep-first by min doc_id, else new
         "incremental_dedup": """
@@ -15338,6 +15355,57 @@ FROM bt JOIN bh ON bt.url = bh.url
         # ordering is additionally tested in pytest vs the sequential
         # oracle
     }
+
+
+def _dimtrunc_sql(fracs=(1, 2, 4), k: int = 10, nq: int = 5) -> str:
+    """dim_truncation_eval replayed per truncation fraction: prefix-dim
+    flat explode, integer dot sums, round-9 rank tie-break (the
+    cosine_topk_bruteforce contract), overlap@k vs the frac=1 set."""
+    parts = ["WITH dinfo AS (SELECT CAST(min(len(embedding)) AS INT)"
+             " AS full_d FROM embeddings)"]
+    for f in fracs:
+        parts.append(f""",
+        flat{f} AS (
+          SELECT e.vec_id, CAST(e.embedding[g.i] AS DOUBLE) AS v,
+                 g.i AS ord
+          FROM embeddings e, dinfo,
+               unnest(generate_series(1, dinfo.full_d // {f})) AS g(i)
+        ),
+        nrm{f} AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm
+                   FROM flat{f} GROUP BY 1),
+        dots{f} AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 sum(q.v * c.v) AS dot
+          FROM flat{f} q JOIN flat{f} c ON q.ord = c.ord
+               AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < {nq}
+          GROUP BY 1, 2
+        ),
+        tk{f} AS (
+          SELECT query_id, vec_id FROM (
+            SELECT d.query_id, d.vec_id,
+                   row_number() OVER (
+                     PARTITION BY d.query_id
+                     ORDER BY CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                              ELSE round(d.dot / (nq.nrm * nc.nrm), 9)
+                              END DESC,
+                              d.vec_id ASC) AS rn
+            FROM dots{f} d
+            JOIN nrm{f} nq ON nq.vec_id = d.query_id
+            JOIN nrm{f} nc ON nc.vec_id = d.vec_id
+          ) WHERE rn <= {k}
+        )""")
+    sels = []
+    for f in fracs:
+        sels.append(f"""
+        SELECT CAST({f} AS INT) AS frac,
+               CAST((SELECT full_d // {f} FROM dinfo) AS INT) AS dims,
+               CAST({k} AS INT) AS k, CAST({nq} AS INT) AS n_queries,
+               round((SELECT count(*) FROM tk{f} t
+                      JOIN tk1 o ON o.query_id = t.query_id
+                       AND o.vec_id = t.vec_id) / {float(nq * k)}, 6)
+                 AS recall""")
+    return "".join(parts) + " UNION ALL ".join(sels)
 
 
 def _lpa_sql(iters: int = 4, bound: int = 240) -> str:

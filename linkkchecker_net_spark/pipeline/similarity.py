@@ -877,3 +877,99 @@ def ann_recall_report(
         )
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+def dim_truncation_eval(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 5,
+    fracs: tuple = (1, 2, 4),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati 2022): how much
+    exact top-k cosine recall survives when embeddings are cut to a
+    PREFIX of their dimensions — the sizing decision every 100 TB
+    vector store makes (half the dims = half the storage, the RAM, and
+    the ANN scan bandwidth; MRL-trained models concentrate signal in
+    the prefix precisely so pipelines can truncate).  This is the
+    measurement that says whether YOUR embedding column tolerates it.
+
+    For each f in ``fracs``: truncate every vector to D//f prefix dims,
+    rerank each probe query's neighbors exactly, and score overlap@k
+    against the full-dimension exact top-k.  One row per f:
+    (frac, dims, k, n_queries, recall) — recall = |topk_trunc ∩
+    topk_full| / (n_queries*k); frac=1 is the tautological 1.0 row
+    (harness sanity).
+
+    Ties settle by (round(cos, 9) desc, vec_id) — the
+    cosine_topk_bruteforce contract, reused here so both engines of the
+    gate rank identically (dots are exact integer sums in double).
+
+    Scale: the per-frac rerank is the LABELED O(Q*N) exact baseline
+    (Q = n_queries probes, broadcast side) — the evaluation harness,
+    not the serving path; production reranks only ANN candidates
+    (`ann_ivf`/`ann_pq`), and this report is what licenses them to do
+    it at D//f.
+    """
+    dinfo = emb.agg(
+        F.min(F.size("embedding")).cast("int").alias("full_d")
+    )
+    base = emb.crossJoin(F.broadcast(dinfo))
+
+    def topk_at(frac: int) -> DataFrame:
+        dims = (F.col("full_d") / F.lit(frac)).cast("int")
+        t = base.select(
+            "vec_id", F.slice("embedding", F.lit(1), dims).alias("e")
+        )
+        q = t.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            _norm(F.col("e")).alias("qn"),
+        )
+        c = t.select(
+            "vec_id", F.col("e").alias("ce"), _norm(F.col("e")).alias("cn")
+        )
+        # zero-norm guard: a vector whose truncated prefix is all zeros
+        # has undefined cosine — score it 0 (both engines replay this)
+        denom_c = F.col("qn") * F.col("cn")
+        scored = (
+            q.crossJoin(c)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "cos_r",
+                F.when(denom_c == 0.0, F.lit(0.0)).otherwise(
+                    F.round(
+                        _dot(F.col("qe"), F.col("ce")) / denom_c, 9
+                    )
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_r"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    full = topk_at(1).persist()
+    denom = float(n_queries * k)
+    out = None
+    for f in fracs:
+        hits = (
+            (full if f == 1 else topk_at(f))
+            .join(full, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count("*").alias("n_hit"))
+        )
+        row = hits.crossJoin(F.broadcast(dinfo)).select(
+            F.lit(int(f)).cast("int").alias("frac"),
+            (F.col("full_d") / F.lit(f)).cast("int").alias("dims"),
+            F.lit(int(k)).cast("int").alias("k"),
+            F.lit(int(n_queries)).cast("int").alias("n_queries"),
+            F.round(F.col("n_hit") / F.lit(denom), round_dp).alias(
+                "recall"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

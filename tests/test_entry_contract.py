@@ -109,7 +109,7 @@ NON_CRAWL = [
     "frontier_prefix_stats", "canonical_chains", "bloom_advisor",
     "cuckoo_advisor", "lsh_advisor", "minhash_recall",
     "image_quality_model", "alt_svc", "hotlink_audit", "image_flip_dedup",
-    "label_propagation", "incremental_dedup",
+    "label_propagation", "incremental_dedup", "dim_truncation",
     "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
     "registrable_domains", "url_blocklist", "url_score", "robots_delta",

@@ -822,3 +822,29 @@ def test_ann_recall_report_floors_and_shape(spark):
     assert {r["method"] for r in rows} == {"ivf", "sq8", "pq"}
     assert all(r["n_exact"] == 10 for r in rows)
     assert all(r["recall_floor_met"] for r in rows)
+
+
+def test_dim_truncation_eval_full_dim_row_is_exact(spark):
+    """The frac=1 row is tautologically 1.0; hand-built embeddings where
+    the first half carries all the signal keep recall 1.0 at frac=2,
+    while a tail-heavy corpus degrades below it."""
+    from linkkchecker_net_spark.pipeline.similarity import (
+        dim_truncation_eval,
+    )
+
+    # signal entirely in dims 0-1, noise-free: truncation to half (2
+    # dims) preserves the exact neighbor ranking
+    rows = [
+        (i, [float(i % 7), float((i * 3) % 5), 0.0, 0.0]) for i in range(24)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["frac"]: r
+        for r in dim_truncation_eval(
+            emb, k=3, n_queries=2, fracs=(1, 2)
+        ).collect()
+    }
+    assert out[1]["recall"] == 1.0 and out[1]["dims"] == 4
+    assert out[2]["recall"] == 1.0 and out[2]["dims"] == 2
