@@ -7360,6 +7360,89 @@ def q_dim_truncation(spark, sf_dir):
     return dim_truncation_eval(emb, k=10, n_queries=5, fracs=(1, 2, 4))
 
 
+def q_kcore(spark, sf_dir):
+    """Fixed-round k-core peeling (pipeline/graph.kcore, k=3, 6 rounds)
+    over a 180-node fixture of 15-node blocks: a 5-clique core
+    (survives), two X-nodes holding 2 clique edges + 1 leaf (leaf peels
+    round 1, X follows round 2 — the multi-round cascade), isolated and
+    pair nodes (round 1); the oracle unrolls the same 6 degree/peel
+    rounds."""
+    from linkkchecker_net_spark.pipeline.graph import kcore
+
+    _prep(spark)
+    i = F.col("i")
+    d = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("i"))
+        .filter(i < 180)
+    )
+    r = i % 15
+    a = (i / 15).cast("long") * 15
+    clique = d.filter(r <= 3).select(
+        i.alias("src"),
+        F.explode(F.sequence(r + 1, F.lit(4))).alias("s"),
+        a.alias("a"),
+    ).select("src", (F.col("a") + F.col("s")).alias("dst"))
+    xn = d.filter(r.isin(5, 6))
+    xe = (
+        xn.select(i.alias("src"), a.alias("dst"))
+        .unionByName(xn.select(i.alias("src"), (a + 1).alias("dst")))
+        .unionByName(xn.select(i.alias("src"), (i + 5).alias("dst")))
+    )
+    pair = d.filter(r == 12).select(i.alias("src"), (i + 1).alias("dst"))
+    edges = clique.unionByName(xe).unionByName(pair)
+    return kcore(d.select(i.alias("id")), edges, k=3, rounds=6)
+
+
+def q_favicon_clusters(spark, sf_dir):
+    """Favicon-hash host pivoting (reports/favicon.favicon_clusters):
+    hosts h0..h59 serve md5('icon'||i//3) in groups of three except the
+    i%5==4 arm which serves a unique digest — clusters of size 3, size
+    2 (a group member diverted to unique) and singletons all fire."""
+    from linkkchecker_net_spark.reports.favicon import favicon_clusters
+
+    _prep(spark)
+    i = F.col("i")
+    icons = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("i"))
+        .filter(i < 60)
+        .select(
+            F.concat(F.lit("h"), i.cast("string")).alias("host"),
+            F.when(
+                i % 5 != 4,
+                F.md5(
+                    F.concat(
+                        F.lit("icon"),
+                        (i / 3).cast("long").cast("string"),
+                    )
+                ),
+            )
+            .otherwise(
+                F.md5(F.concat(F.lit("unique"), i.cast("string")))
+            )
+            .alias("icon_digest"),
+        )
+    )
+    return favicon_clusters(icons)
+
+
+def q_embedding_drift(spark, sf_dir):
+    """First-moment embedding drift (pipeline/similarity.
+    embedding_drift) between the even- and odd-vec_id halves of the
+    embeddings table — mean-vector cosine + the top drifting dimension
+    with the round-9 rank contract; the oracle replays the per-dim
+    mean sums in DOUBLE."""
+    from linkkchecker_net_spark.pipeline.similarity import embedding_drift
+
+    _prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
 
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
@@ -7374,6 +7457,7 @@ _DRIVER_PRIORITY = [
     "cuckoo_advisor", "lsh_advisor", "minhash_recall", "image_quality_model",
     "alt_svc", "hotlink_audit", "image_flip_dedup",
     "label_propagation", "incremental_dedup", "dim_truncation",
+    "kcore", "favicon_clusters", "embedding_drift",
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
@@ -7577,6 +7661,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "incremental_dedup": q_incremental_dedup,
         "dim_truncation": q_dim_truncation,
+        "kcore": q_kcore,
+        "favicon_clusters": q_favicon_clusters,
+        "embedding_drift": q_embedding_drift,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -10800,6 +10887,60 @@ FROM bt JOIN bh ON bt.url = bh.url
         """,
         "label_propagation": _lpa_sql(iters=4, bound=240),
         "dim_truncation": _dimtrunc_sql(fracs=(1, 2, 4), k=10, nq=5),
+        "kcore": _kcore_sql(k=3, rounds=6, bound=180),
+        # digest-group replay: md5('icon'||i//3) except the unique arm
+        "favicon_clusters": """
+            WITH ic AS (
+              SELECT 'h' || doc_id AS host,
+                     CASE WHEN doc_id % 5 <> 4
+                          THEN md5('icon' || (doc_id // 3))
+                          ELSE md5('unique' || doc_id) END AS icon_digest
+              FROM documents WHERE doc_id < 60
+            ),
+            pd AS (SELECT icon_digest,
+                          CAST(count(DISTINCT host) AS BIGINT)
+                            AS cluster_size
+                   FROM ic GROUP BY 1)
+            SELECT DISTINCT ic.host, ic.icon_digest, pd.cluster_size,
+                   pd.cluster_size >= 2 AS is_shared
+            FROM ic JOIN pd USING (icon_digest)
+        """,
+        # per-dim mean sums in DOUBLE, mean-vector cosine, round-9
+        # argmax rank over the D-row frame
+        "embedding_drift": """
+            WITH fa AS (
+              SELECT g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)
+              WHERE vec_id % 2 = 0
+            ),
+            fb AS (
+              SELECT g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)
+              WHERE vec_id % 2 = 1
+            ),
+            ma AS (SELECT pos, sum(v) / count(*) AS m_a FROM fa GROUP BY 1),
+            mb AS (SELECT pos, sum(v) / count(*) AS m_b FROM fb GROUP BY 1),
+            j AS (SELECT ma.pos, m_a, m_b FROM ma JOIN mb USING (pos)),
+            dt AS (SELECT sum(m_a * m_b) AS ab,
+                          sqrt(sum(m_a * m_a)) AS na_,
+                          sqrt(sum(m_b * m_b)) AS nb_ FROM j),
+            tp AS (SELECT CAST(pos AS INT) AS top_drift_dim,
+                          round(abs(m_a - m_b), 6) AS top_drift
+                   FROM j
+                   ORDER BY round(abs(m_a - m_b), 9) DESC, pos ASC
+                   LIMIT 1)
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+               WHERE vec_id % 2 = 0) AS n_a,
+              (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+               WHERE vec_id % 2 = 1) AS n_b,
+              CASE WHEN na_ * nb_ = 0 THEN 0.0
+                   ELSE round(ab / (na_ * nb_), 6) END AS mean_cosine,
+              top_drift_dim, top_drift
+            FROM dt, tp
+        """,
         # md5 joins replayed: corpus hit -> dup_corpus, else batch
         # keep-first by min doc_id, else new
         "incremental_dedup": """
@@ -15406,6 +15547,55 @@ def _dimtrunc_sql(fracs=(1, 2, 4), k: int = 10, nq: int = 5) -> str:
                        AND o.vec_id = t.vec_id) / {float(nq * k)}, 6)
                  AS recall""")
     return "".join(parts) + " UNION ALL ".join(sels)
+
+
+def _kcore_sql(k: int = 3, rounds: int = 6, bound: int = 180) -> str:
+    """kcore replayed: the q_kcore fixture edges (5-clique + X-node
+    leaf cascade + pair + isolates per 15-block) rebuilt in SQL, then
+    `rounds` unrolled degree/peel rounds; dropped_round = the CASE
+    ladder over the surviving sets."""
+    parts = [f"""
+        WITH d AS (SELECT doc_id::BIGINT AS i FROM documents
+                   WHERE doc_id < {bound}),
+        e0 AS (
+          SELECT i AS src, (i // 15) * 15 + s.s AS dst
+          FROM d, unnest(generate_series((i % 15) + 1, 4)) AS s(s)
+          WHERE i % 15 <= 3
+          UNION ALL
+          SELECT i, (i // 15) * 15 FROM d WHERE i % 15 IN (5, 6)
+          UNION ALL
+          SELECT i, (i // 15) * 15 + 1 FROM d WHERE i % 15 IN (5, 6)
+          UNION ALL
+          SELECT i, i + 5 FROM d WHERE i % 15 IN (5, 6)
+          UNION ALL
+          SELECT i, i + 1 FROM d WHERE i % 15 = 12
+        ),
+        und AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst, src FROM e0),
+        a0 AS (SELECT i AS id FROM d)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        deg{r} AS (
+          SELECT u.dst AS id, COUNT(*) AS c
+          FROM und u
+          JOIN a{r-1} s ON s.id = u.src
+          JOIN a{r-1} t ON t.id = u.dst
+          GROUP BY 1
+        ),
+        a{r} AS (
+          SELECT a.id FROM a{r-1} a
+          JOIN deg{r} g ON g.id = a.id WHERE g.c >= {k}
+        )""")
+    drop_case = "CASE " + " ".join(
+        f"WHEN d.i NOT IN (SELECT id FROM a{r}) THEN {r}"
+        for r in range(1, rounds + 1)
+    ) + " ELSE NULL END"
+    parts.append(f"""
+        SELECT d.i AS id,
+               d.i IN (SELECT id FROM a{rounds}) AS in_kcore,
+               CAST({drop_case} AS INT) AS dropped_round
+        FROM d""")
+    return "".join(parts)
 
 
 def _lpa_sql(iters: int = 4, bound: int = 240) -> str:

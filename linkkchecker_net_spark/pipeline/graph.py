@@ -871,3 +871,86 @@ def label_propagation(
     und.unpersist()
     pinned.unpersist()
     return out
+
+
+def kcore(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 3,
+    rounds: int = 6,
+) -> DataFrame:
+    """Fixed-round synchronous k-core peeling over the undirected edge
+    view — the density filter for link analysis: a node survives the
+    k-core iff it keeps >= k neighbors AFTER every weaker node is
+    peeled away, which is exactly the property link farms fake with
+    fan-in (high degree) but cannot fake with mutually-dense cores.
+    PageRank finds mass, components find reach, LPA finds vote cores;
+    k-core finds DENSITY.
+
+    Synchronous peeling: each round recomputes degrees over the
+    surviving subgraph and drops every node with degree < k at once;
+    ``rounds`` is FIXED so the output is a pure function of the graph
+    (full peeling needs at most |V| rounds; chains peel one layer per
+    round, so `rounds` bounds the peel depth — callers wanting the
+    exact core raise it; the driver query pins 6 and the oracle unrolls
+    the same 6).  Parallel edges count toward degree, like repeated
+    hrefs.
+
+    Returns (node_col, in_kcore, dropped_round) — dropped_round is the
+    1-based round that peeled the node, NULL for survivors.
+
+    Scale: per round, one count agg keyed by node over the surviving
+    edge set (map-side combined) plus two semi-joins that shrink the
+    edge table — every exchange is key-partitioned, no windows; the
+    undirected edge table is built once and persisted.
+    """
+    und = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .persist()
+    )
+    state = nodes.select(
+        F.col(node_col).alias("id"),
+        F.lit(None).cast("int").alias("dropped_round"),
+    )
+    for r in range(1, rounds + 1):
+        alive = state.filter(F.col("dropped_round").isNull()).select("id")
+        live_edges = und.join(
+            alive.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        deg = live_edges.groupBy("dst").agg(F.count("*").alias("c"))
+        survivors = (
+            alive.join(deg.withColumnRenamed("dst", "id"), "id", "left")
+            .filter(F.coalesce(F.col("c"), F.lit(0)) >= k)
+            .select("id")
+            .withColumn("_s", F.lit(True))
+        )
+        state = (
+            state.join(survivors, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("dropped_round").isNotNull(),
+                    F.col("dropped_round"),
+                )
+                .when(F.col("_s").isNull(), F.lit(r))
+                .alias("dropped_round"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = state.select(
+        F.col("id").alias(node_col),
+        F.col("dropped_round").isNull().alias("in_kcore"),
+        "dropped_round",
+    ).localCheckpoint()
+    und.unpersist()
+    return out

@@ -973,3 +973,76 @@ def dim_truncation_eval(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def embedding_drift(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distribution drift between two embedding populations (train vs
+    validation split, last month's crawl vs this month's, pre- vs
+    post-filter corpus): compare the MEAN vectors — the cheapest
+    first-moment drift check a 100 TB pipeline runs before trusting
+    that a new increment looks like the corpus it joins (the embedding
+    twin of `split_divergence`'s token-distribution check).
+
+    One row: (n_a, n_b, mean_cosine, top_drift_dim, top_drift) —
+    mean_cosine is the cosine between the two mean vectors (1.0 = same
+    direction), top_drift_dim the dimension with the largest absolute
+    mean gap (round-9 tie-break, then smallest dim — the house rank
+    contract), top_drift that gap rounded.
+
+    Scale: each side is ONE posexplode + partial-aggregated (dim) sum —
+    map-side combined, D-sized result; everything downstream rides
+    D-row frames.  No joins touch the corpus twice, no windows over
+    data (the final argmax orders a D-row frame via orderBy().limit(1)
+    = TakeOrderedAndProject).
+    """
+
+    def dim_means(df, side):
+        return (
+            df.select(F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("pos")
+            .agg(
+                (F.sum(F.col("v").cast("double")) / F.count("*")).alias(
+                    f"m_{side}"
+                )
+            )
+        )
+
+    na = side_a.agg(F.count("*").cast("long").alias("n_a"))
+    nb = side_b.agg(F.count("*").cast("long").alias("n_b"))
+    m = dim_means(side_a, "a").join(dim_means(side_b, "b"), "pos")
+    dot = m.agg(
+        F.sum(F.col("m_a") * F.col("m_b")).alias("ab"),
+        F.sqrt(F.sum(F.col("m_a") * F.col("m_a"))).alias("na_"),
+        F.sqrt(F.sum(F.col("m_b") * F.col("m_b"))).alias("nb_"),
+    ).select(
+        F.when(
+            F.col("na_") * F.col("nb_") == 0.0, F.lit(0.0)
+        )
+        .otherwise(
+            F.round(F.col("ab") / (F.col("na_") * F.col("nb_")), round_dp)
+        )
+        .alias("mean_cosine")
+    )
+    top = (
+        m.select(
+            "pos",
+            F.round(F.abs(F.col("m_a") - F.col("m_b")), 9).alias("d9"),
+            F.abs(F.col("m_a") - F.col("m_b")).alias("d"),
+        )
+        .orderBy(F.desc("d9"), F.asc("pos"))
+        .limit(1)
+        .select(
+            F.col("pos").cast("int").alias("top_drift_dim"),
+            F.round("d", round_dp).alias("top_drift"),
+        )
+    )
+    return (
+        na.crossJoin(nb)
+        .crossJoin(dot)
+        .crossJoin(top)
+        .select("n_a", "n_b", "mean_cosine", "top_drift_dim", "top_drift")
+    )

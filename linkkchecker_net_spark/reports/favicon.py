@@ -107,3 +107,38 @@ def favicon_pick(pages: DataFrame) -> DataFrame:
         )
     )
     return ranked.unionByName(fallback)
+
+
+def favicon_clusters(icons: DataFrame) -> DataFrame:
+    """icons: (host, icon_digest) → per host: (host, icon_digest,
+    cluster_size, is_shared) — hosts grouped by the content hash of the
+    favicon they serve.
+
+    Favicon pivoting (the Shodan/censys technique, OWASP favicon-hash
+    fingerprinting): operators of mirror farms, phishing kits and
+    parked-domain networks deploy the same icon byte-for-byte across
+    every storefront, so a shared digest across unrelated registrable
+    domains is one of the cheapest mirror-network signals a crawler
+    gets — it composes with `mirror_hosts` (content-side) and
+    `host_components` (link-side) as the asset-side vote.
+
+    Scale: one partial-aggregated count keyed by icon_digest (distinct
+    hosts per digest) joined back to the skinny (host, digest) table —
+    the `title_audit` duplicate-count shape; a default-icon digest
+    shared by millions of hosts is a hot key only inside the map-side-
+    combined count, never in the join input.
+    """
+    per_digest = icons.groupBy("icon_digest").agg(
+        F.countDistinct("host").cast("long").alias("cluster_size")
+    )
+    return (
+        icons.select("host", "icon_digest")
+        .dropDuplicates()
+        .join(per_digest, "icon_digest")
+        .select(
+            "host",
+            "icon_digest",
+            "cluster_size",
+            (F.col("cluster_size") >= 2).alias("is_shared"),
+        )
+    )

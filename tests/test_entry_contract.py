@@ -110,6 +110,7 @@ NON_CRAWL = [
     "cuckoo_advisor", "lsh_advisor", "minhash_recall",
     "image_quality_model", "alt_svc", "hotlink_audit", "image_flip_dedup",
     "label_propagation", "incremental_dedup", "dim_truncation",
+    "kcore", "favicon_clusters", "embedding_drift",
     "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
     "registrable_domains", "url_blocklist", "url_score", "robots_delta",

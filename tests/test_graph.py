@@ -514,3 +514,35 @@ def test_label_propagation_two_triangles(spark):
         for r in label_propagation(nodes, edges, iterations=4).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3, 99: 99}
+
+
+def test_kcore_cascade_rounds(spark):
+    """Leaf peels round 1, its degree-3 holder follows round 2, the
+    triangle+holder core survives k=2: the multi-round cascade that
+    distinguishes peeling from a one-shot degree filter."""
+    from linkkchecker_net_spark.pipeline.graph import kcore
+
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (5,)], "id long"
+    )
+    # triangle 1-2-3; node 4 hangs off 1 and 2 (deg 3 w/ leaf), leaf 5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 1), (4, 2), (4, 5)],
+        "src long, dst long",
+    )
+    out = {
+        r["id"]: (r["in_kcore"], r["dropped_round"])
+        for r in kcore(nodes, edges, k=3, rounds=4).collect()
+    }
+    # round 1: leaf 5 (deg 1) and triangle corner 3 (deg 2) peel;
+    # round 2: the deg-3 survivors 1, 2, 4 lose their peeled
+    # neighbors and cascade out — no 3-core in this graph
+    assert out[5] == (False, 1) and out[3] == (False, 1)
+    assert out[1] == (False, 2) and out[2] == (False, 2)
+    assert out[4] == (False, 2)
+    # with k=2 the triangle+holder survive
+    out2 = {
+        r["id"]: r["in_kcore"]
+        for r in kcore(nodes, edges, k=2, rounds=4).collect()
+    }
+    assert out2 == {1: True, 2: True, 3: True, 4: True, 5: False}

@@ -692,3 +692,20 @@ def test_hotlink_audit_same_site_vs_offsite(spark):
     assert ex["n_img_hosts"] == 3
     ot = out["other.test"]
     assert ot["n_offsite"] == 0 and ot["offsite_ppm"] == 0
+
+
+def test_favicon_clusters_shared_vs_unique(spark):
+    """Hosts sharing a digest cluster together; a unique digest is a
+    singleton; duplicate (host, digest) rows collapse."""
+    from linkkchecker_net_spark.reports.favicon import favicon_clusters
+
+    rows = [
+        ("a.test", "d1"), ("b.test", "d1"), ("c.test", "d1"),
+        ("d.test", "d2"), ("d.test", "d2"), ("e.test", "d3"),
+    ]
+    df = spark.createDataFrame(rows, "host string, icon_digest string")
+    out = {r["host"]: r for r in favicon_clusters(df).collect()}
+    assert len(out) == 5
+    assert out["a.test"]["cluster_size"] == 3 and out["a.test"]["is_shared"]
+    assert out["d.test"]["cluster_size"] == 1
+    assert out["d.test"]["is_shared"] is False

@@ -848,3 +848,24 @@ def test_dim_truncation_eval_full_dim_row_is_exact(spark):
     }
     assert out[1]["recall"] == 1.0 and out[1]["dims"] == 4
     assert out[2]["recall"] == 1.0 and out[2]["dims"] == 2
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    """Identical populations: cosine 1, zero drift; shifting one dim of
+    side b moves top_drift_dim there with the exact gap."""
+    from linkkchecker_net_spark.pipeline.similarity import embedding_drift
+
+    a = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    same = embedding_drift(a, a).collect()[0]
+    assert same["mean_cosine"] == 1.0 and same["top_drift"] == 0.0
+    b = spark.createDataFrame(
+        [(i, [1.0, 2.0, 8.0]) for i in range(2)],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_drift(a, b).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 2)
+    assert r["top_drift_dim"] == 2 and r["top_drift"] == 5.0
+    assert r["mean_cosine"] < 1.0
