@@ -7443,6 +7443,58 @@ def q_embedding_drift(spark, sf_dir):
     )
 
 
+def q_status_transitions(spark, sf_dir):
+    """Snapshot status-transition matrix (pipeline/recrawl.
+    status_transitions): old snapshot drops i%6==5 (absent→x arms),
+    new drops i%7==6 (x→absent), statuses rotate i%5 (incl. an
+    other-class 999) vs i%4 — every matrix cell the fixture can reach
+    is replayed by the oracle's CASE arms."""
+    from linkkchecker_net_spark.pipeline.recrawl import status_transitions
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(i % 6 != 5).select(
+        F.concat(F.lit("p"), i.cast("string")).alias("url"),
+        F.when(i % 5 == 0, 200).when(i % 5 == 1, 301)
+        .when(i % 5 == 2, 404).when(i % 5 == 3, 503)
+        .otherwise(999).alias("status"),
+    )
+    new = docs.filter(i % 7 != 6).select(
+        F.concat(F.lit("p"), i.cast("string")).alias("url"),
+        F.when(i % 4 == 0, 200).when(i % 4 == 1, 301)
+        .when(i % 4 == 2, 404).otherwise(200).alias("status"),
+    )
+    return status_transitions(old, new)
+
+
+def q_dga_score(spark, sf_dir):
+    """DGA heuristic (kernels/domains.dga_score) over four host arms:
+    a www-prefixed dictionary name (benign), an md5-hex label (fires
+    entropy+length and usually digit share), an all-consonant label
+    (fires the run test), and a short name with one digit (benign);
+    the oracle replays label extraction, the entropy identity, the
+    digit ppm floor and the vowel-split run max."""
+    from linkkchecker_net_spark.kernels.domains import dga_score
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    m = i % 4
+    host = (
+        F.when(m == 0, F.lit("www.examplesite.com"))
+        .when(
+            m == 1,
+            F.concat(
+                F.substring(F.md5(i.cast("string")), 1, 14),
+                F.lit(".net"),
+            ),
+        )
+        .when(m == 2, F.lit("kjhgfdsmnbvcx.org"))
+        .otherwise(F.lit("news7.io"))
+    )
+    return dga_score(_docs(spark, sf_dir).select(host.alias("host")))
+
+
 
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
@@ -7458,6 +7510,7 @@ _DRIVER_PRIORITY = [
     "alt_svc", "hotlink_audit", "image_flip_dedup",
     "label_propagation", "incremental_dedup", "dim_truncation",
     "kcore", "favicon_clusters", "embedding_drift",
+    "status_transitions", "dga_score",
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
@@ -7664,6 +7717,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "favicon_clusters": q_favicon_clusters,
         "embedding_drift": q_embedding_drift,
+        "status_transitions": q_status_transitions,
+        "dga_score": q_dga_score,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -10940,6 +10995,81 @@ FROM bt JOIN bh ON bt.url = bh.url
                    ELSE round(ab / (na_ * nb_), 6) END AS mean_cosine,
               top_drift_dim, top_drift
             FROM dt, tp
+        """,
+        # full-outer class matrix from the same residue arms
+        "status_transitions": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents),
+            o AS (SELECT 'p' || i AS url,
+                         CASE i % 5 WHEN 0 THEN 200 WHEN 1 THEN 301
+                                    WHEN 2 THEN 404 WHEN 3 THEN 503
+                                    ELSE 999 END AS s
+                  FROM d WHERE i % 6 <> 5),
+            n AS (SELECT 'p' || i AS url,
+                         CASE i % 4 WHEN 0 THEN 200 WHEN 1 THEN 301
+                                    WHEN 2 THEN 404 ELSE 200 END AS s
+                  FROM d WHERE i % 7 <> 6),
+            j AS (SELECT o.s AS so, n.s AS sn
+                  FROM o FULL OUTER JOIN n USING (url))
+            SELECT
+              CASE WHEN so >= 200 AND so < 300 THEN '2xx'
+                   WHEN so >= 300 AND so < 400 THEN '3xx'
+                   WHEN so >= 400 AND so < 500 THEN '4xx'
+                   WHEN so >= 500 AND so < 600 THEN '5xx'
+                   WHEN so IS NULL THEN 'absent'
+                   ELSE 'other' END AS from_class,
+              CASE WHEN sn >= 200 AND sn < 300 THEN '2xx'
+                   WHEN sn >= 300 AND sn < 400 THEN '3xx'
+                   WHEN sn >= 400 AND sn < 500 THEN '4xx'
+                   WHEN sn >= 500 AND sn < 600 THEN '5xx'
+                   WHEN sn IS NULL THEN 'absent'
+                   ELSE 'other' END AS to_class,
+              CAST(count(*) AS BIGINT) AS n_urls
+            FROM j GROUP BY 1, 2
+        """,
+        # label per arm, entropy identity log2(tot)-sum(n*log2 n)/tot,
+        # digit ppm floor, vowel-split run max, same verdict ladder
+        "dga_score": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents),
+            h AS (
+              SELECT i,
+                CASE i % 4 WHEN 0 THEN 'www.examplesite.com'
+                           WHEN 1 THEN substr(md5(i::VARCHAR), 1, 14)
+                                       || '.net'
+                           WHEN 2 THEN 'kjhgfdsmnbvcx.org'
+                           ELSE 'news7.io' END AS host,
+                CASE i % 4 WHEN 0 THEN 'examplesite'
+                           WHEN 1 THEN substr(md5(i::VARCHAR), 1, 14)
+                           WHEN 2 THEN 'kjhgfdsmnbvcx'
+                           ELSE 'news7' END AS lab
+              FROM d),
+            chars AS (
+              SELECT i, substr(lab, g.g, 1) AS ch
+              FROM h, unnest(generate_series(1, length(lab))) AS g(g)
+            ),
+            cnt AS (SELECT i, ch, COUNT(*) AS n FROM chars GROUP BY 1, 2),
+            ent AS (
+              SELECT i, round(
+                log2(CAST(SUM(n) AS DOUBLE))
+                - SUM(n * log2(CAST(n AS DOUBLE))) / SUM(n), 6) AS entropy
+              FROM cnt GROUP BY i
+            ),
+            feat AS (
+              SELECT h.host, h.lab AS sld_label, ent.entropy,
+                     length(regexp_replace(h.lab, '[^0-9]', '', 'g'))
+                       * 1000000 // greatest(length(h.lab), 1)
+                       AS digit_ppm,
+                     CAST(coalesce(list_max(list_transform(
+                       regexp_split_to_array(h.lab, '[aeiou0-9-]'),
+                       x -> length(x))), 0) AS INT) AS max_consonant_run,
+                     CAST(length(h.lab) AS INT) AS label_len
+              FROM h JOIN ent ON ent.i = h.i
+            )
+            SELECT host, sld_label, entropy, digit_ppm,
+                   max_consonant_run, label_len,
+                   (entropy >= 3.0 AND label_len >= 12)
+                   OR max_consonant_run >= 6
+                   OR digit_ppm >= 400000 AS is_dga
+            FROM feat
         """,
         # md5 joins replayed: corpus hit -> dup_corpus, else batch
         # keep-first by min doc_id, else new

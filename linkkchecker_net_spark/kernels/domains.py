@@ -123,3 +123,96 @@ def tld_risk(urls, url_col: str = "url"):
         .alias("share_ppm"),
         F.col("tld").isin(*RISKY_TLDS).alias("risky"),
     )
+
+
+DGA_ENTROPY_MIN = 3.0  # bits; english words sit ~2.2-2.9
+DGA_LEN_MIN = 12
+
+
+def dga_score(hosts: DataFrame, host_col: str = "host") -> DataFrame:
+    """Algorithmically-generated-domain (DGA) heuristic over the
+    second-level label — botnet C2, spam and throwaway-phishing infra
+    generate domains (xkqvbz3h7f.com) whose label statistics separate
+    cleanly from human-registered names; a crawler that scores this at
+    frontier time deprioritizes whole campaigns for the cost of a
+    map-only pass.  Signals (each replayed by the oracle):
+
+      * ``entropy`` — Shannon entropy (bits, round-6) of the label's
+        character distribution; randomized labels approach log2(36),
+        English words sit near 2.2-2.9;
+      * ``digit_ppm`` — digit share of the label;
+      * ``max_consonant_run`` — longest run without a vowel/digit
+        (pronounceable names break runs every 1-3 chars);
+      * ``label_len``.
+
+    ``is_dga`` fires on (entropy >= 3.0 AND label_len >= 12) OR
+    max_consonant_run >= 6 OR digit_ppm >= 400000 — thresholds from the
+    published DGA-detection literature's classic feature splits (Yadav
+    2010's entropy test; Schiavoni 2014's pronounceability runs).
+
+    Scale: pure per-row expressions (split/explode only inside a
+    per-label aggregate whose key is the host — map-side combined);
+    no joins, no windows.
+    """
+    label = F.element_at(
+        F.split(registrable_domain_expr(F.col(host_col)), r"\."), 1
+    )
+    base = hosts.select(
+        F.col(host_col).alias("host"), F.lower(label).alias("lab")
+    )
+    chars = base.select(
+        "host",
+        "lab",
+        F.explode(F.split(F.col("lab"), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    dist = (
+        chars.groupBy("host", "lab", "ch")
+        .agg(F.count("*").alias("n"))
+        .groupBy("host", "lab")
+        .agg(
+            F.sum("n").alias("tot"),
+            F.sum(
+                F.col("n")
+                * F.log2(F.col("n").cast("double"))
+            ).alias("nlogn"),
+        )
+        .select(
+            "host",
+            "lab",
+            F.round(
+                F.log2(F.col("tot").cast("double"))
+                - F.col("nlogn") / F.col("tot"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+    digit_ppm = (
+        F.length(F.regexp_replace("lab", "[^0-9]", ""))
+        * F.lit(1_000_000)
+        / F.greatest(F.length("lab"), F.lit(1))
+    ).cast("long")
+    # longest vowel/digit-free run: split on [aeiou0-9-] and take the
+    # max fragment length
+    runs = F.array_max(
+        F.transform(
+            F.split(F.col("lab"), "[aeiou0-9-]"),
+            lambda x: F.length(x),
+        )
+    )
+    feat = base.join(dist, ["host", "lab"]).select(
+        "host",
+        F.col("lab").alias("sld_label"),
+        "entropy",
+        digit_ppm.alias("digit_ppm"),
+        F.coalesce(runs, F.lit(0)).cast("int").alias("max_consonant_run"),
+        F.length("lab").cast("int").alias("label_len"),
+    )
+    return feat.withColumn(
+        "is_dga",
+        (
+            (F.col("entropy") >= DGA_ENTROPY_MIN)
+            & (F.col("label_len") >= DGA_LEN_MIN)
+        )
+        | (F.col("max_consonant_run") >= 6)
+        | (F.col("digit_ppm") >= 400_000),
+    )

@@ -647,3 +647,51 @@ def frontier_prefix_stats(urls: DataFrame, url_col: str = "url") -> DataFrame:
         .cast("long")
         .alias("savings_ppm"),
     )
+
+
+def status_transitions(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    status_col: str = "status",
+) -> DataFrame:
+    """Status-class transition matrix between two crawl snapshots —
+    the recrawl health dashboard in one query: a heavy 2xx→4xx/5xx row
+    means link rot or an outage window, 3xx→2xx means redirects were
+    chased to their terminals, absent→2xx is discovery, 2xx→absent is
+    frontier loss (the rows the reference's one-shot scan can never
+    see, because it has no previous snapshot to diff against).
+
+    Classes: '2xx'/'3xx'/'4xx'/'5xx' from the status floor, 'other'
+    for anything outside 200-599, 'absent' for a URL present in only
+    one snapshot.  Output: (from_class, to_class, n_urls).
+
+    Scale: one full-outer join keyed by URL (both sides bucketed by
+    the same url_hash at 10^10 rows — co-located, like the seen table)
+    into a 36-cell partial-aggregated count matrix; nothing downstream
+    of the join carries more than the two class columns.
+    """
+
+    def cls(c):
+        s = F.col(c)
+        return (
+            F.when((s >= 200) & (s < 300), "2xx")
+            .when((s >= 300) & (s < 400), "3xx")
+            .when((s >= 400) & (s < 500), "4xx")
+            .when((s >= 500) & (s < 600), "5xx")
+            .when(s.isNull(), "absent")
+            .otherwise("other")
+        )
+
+    o = old.select(
+        F.col(url_col).alias("url"), F.col(status_col).alias("_so")
+    )
+    n = new.select(
+        F.col(url_col).alias("url"), F.col(status_col).alias("_sn")
+    )
+    return (
+        o.join(n, "url", "full_outer")
+        .select(cls("_so").alias("from_class"), cls("_sn").alias("to_class"))
+        .groupBy("from_class", "to_class")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )

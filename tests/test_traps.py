@@ -175,3 +175,53 @@ def test_frontier_prefix_stats_lcp(spark):
     assert h["savings_ppm"] == (34 * 1_000_000) // 59
     s = out["solo.test"]
     assert s["lcp_chars"] == 0 and s["savings_ppm"] == 0
+
+
+def test_status_transitions_matrix_arms(spark):
+    """2xx->4xx rot, 3xx->2xx resolution, absent->2xx discovery,
+    2xx->absent loss and the other class all land in the right cells."""
+    from linkkchecker_net_spark.pipeline.recrawl import status_transitions
+
+    old = spark.createDataFrame(
+        [("a", 200), ("b", 301), ("c", 200), ("d", 999)],
+        "url string, status int",
+    )
+    new = spark.createDataFrame(
+        [("a", 404), ("b", 200), ("d", 200), ("e", 200)],
+        "url string, status int",
+    )
+    out = {
+        (r["from_class"], r["to_class"]): r["n_urls"]
+        for r in status_transitions(old, new).collect()
+    }
+    assert out == {
+        ("2xx", "4xx"): 1,
+        ("3xx", "2xx"): 1,
+        ("2xx", "absent"): 1,
+        ("other", "2xx"): 1,
+        ("absent", "2xx"): 1,
+    }
+
+
+def test_dga_score_arms(spark):
+    """Random-looking hex label fires entropy+digits; an all-consonant
+    label fires the run test; dictionary labels with a www prefix or a
+    single digit stay benign."""
+    from linkkchecker_net_spark.kernels.domains import dga_score
+
+    hosts = spark.createDataFrame(
+        [
+            ("www.examplesite.com",),
+            ("a7f3e9c1d508b2.net",),
+            ("kjhgfdsmnbvcx.org",),
+            ("news7.io",),
+        ],
+        "host string",
+    )
+    out = {r["sld_label"]: r for r in dga_score(hosts).collect()}
+    assert out["examplesite"]["is_dga"] is False
+    assert out["a7f3e9c1d508b2"]["is_dga"] is True
+    k = out["kjhgfdsmnbvcx"]
+    assert k["is_dga"] is True and k["max_consonant_run"] == 13
+    n = out["news7"]
+    assert n["is_dga"] is False and n["digit_ppm"] == 1_000_000 // 5
