@@ -7495,6 +7495,36 @@ def q_dga_score(spark, sf_dir):
     return dga_score(_docs(spark, sf_dir).select(host.alias("host")))
 
 
+def q_tile_periodicity(spark, sf_dir):
+    """Sprite/collage detection (pipeline/multimodal.tile_periodicity)
+    over the column-pattern corpus: period-4 tiles (arm 0, fires at 4),
+    md5-noise columns (arm 1, never tiled — and every truncated i%9==4
+    row lands here because 4 mod 9 forces i%3==1), constants (arm 2,
+    degenerate every-period tile, best 2; i=251's zero-mass image
+    exercises the NULL guard).  The oracle prices every column sum and
+    replays the p=2..8 scan."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        synth_periodic_corpus,
+        tile_periodicity,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return tile_periodicity(synth_periodic_corpus(spark, ids))
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps-law vocabulary growth (pipeline/curation.heaps_law): the
+    doc_id%2==0 half vs the full corpus — beta = log(V2/V1)/log(N2/N1)
+    and K = V2/N2^beta replayed in SQL; the synthetic corpus' closed
+    vocabulary makes beta 0 with K = |V|, itself a corpus smell the
+    docstring names."""
+    from linkkchecker_net_spark.pipeline.curation import heaps_law
+
+    _prep(spark)
+    return heaps_law(_docs(spark, sf_dir))
+
+
 
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
@@ -7510,7 +7540,7 @@ _DRIVER_PRIORITY = [
     "alt_svc", "hotlink_audit", "image_flip_dedup",
     "label_propagation", "incremental_dedup", "dim_truncation",
     "kcore", "favicon_clusters", "embedding_drift",
-    "status_transitions", "dga_score",
+    "status_transitions", "dga_score", "tile_periodicity", "heaps_law",
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
@@ -7719,6 +7749,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "status_transitions": q_status_transitions,
         "dga_score": q_dga_score,
+        "tile_periodicity": q_tile_periodicity,
+        "heaps_law": q_heaps_law,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -11070,6 +11102,76 @@ FROM bt JOIN bh ON bt.url = bh.url
                    OR max_consonant_run >= 6
                    OR digit_ppm >= 400000 AS is_dga
             FROM feat
+        """,
+        # column sums priced per (i, c) per arm (md5 noise is
+        # SQL-computable), p=2..8 mismatch scan, min-then-smallest-p
+        "tile_periodicity": """
+            WITH d AS (SELECT doc_id::BIGINT AS i,
+                              24 + (doc_id % 5) * 4 AS w,
+                              4 + (doc_id % 2) * 2 AS h
+                       FROM documents),
+            vals AS (
+              SELECT i, w, h, g.c AS c,
+                CASE i % 3
+                  WHEN 0 THEN (i * 31 + (g.c % 4) * 37) % 251
+                  WHEN 1 THEN ('0x' || substr(
+                       md5(i::VARCHAR || ':' || g.c::VARCHAR), 1, 6)
+                       )::BIGINT % 251
+                  ELSE (i * 13) % 251 END AS v
+              FROM d, unnest(generate_series(0, w - 1)) AS g(c)
+            ),
+            cols AS (SELECT i, c, 3 * h * v AS cs FROM vals),
+            tot AS (SELECT i, CAST(SUM(cs) AS BIGINT) AS total
+                    FROM cols GROUP BY 1),
+            mm AS (
+              SELECT a.i, p.p AS p,
+                     CAST(SUM(abs(a.cs - b.cs)) AS BIGINT) AS m
+              FROM (SELECT unnest(generate_series(2, 8)) AS p) p,
+                   cols a JOIN cols b
+                     ON a.i = b.i AND b.c = a.c - p.p
+              GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT i, p, m FROM (
+                SELECT i, p, m, row_number() OVER (
+                  PARTITION BY i ORDER BY m ASC, p ASC) AS rn
+                FROM mm) WHERE rn = 1
+            )
+            SELECT 'img_' || lpad(d.i::VARCHAR, 6, '0') AS image_id,
+                   d.i % 9 <> 4 AS ok,
+                   CASE WHEN d.i % 9 = 4 OR t.total = 0 THEN NULL
+                        ELSE CAST(b.p AS INT) END AS best_period,
+                   CASE WHEN d.i % 9 = 4 OR t.total = 0 THEN NULL
+                        ELSE b.m * 1000000 // t.total END AS mismatch_ppm,
+                   CASE WHEN d.i % 9 = 4 OR t.total = 0 THEN FALSE
+                        ELSE b.m * 1000000 // t.total <= 10000 END
+                     AS is_tiled
+            FROM d JOIN tot t ON t.i = d.i JOIN best b ON b.i = d.i
+        """,
+        # nested-prefix fit replay: ln ratios over exact token/vocab
+        # counts
+        "heaps_law": """
+            WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+                          AS tok FROM documents),
+            t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            h AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+                         CAST(count(DISTINCT tok) AS BIGINT) AS v1
+                  FROM t WHERE doc_id % 2 = 0),
+            f2 AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+                          CAST(count(DISTINCT tok) AS BIGINT) AS v2
+                   FROM t)
+            SELECT h.n1 AS n_tokens_half, h.v1 AS vocab_half,
+                   f2.n2 AS n_tokens_full, f2.v2 AS vocab_full,
+                   CASE WHEN h.n1 > 0 AND f2.n2 > h.n1 AND h.v1 > 0
+                        THEN round(ln(CAST(f2.v2 AS DOUBLE) / h.v1)
+                             / ln(CAST(f2.n2 AS DOUBLE) / h.n1), 6)
+                   END AS beta,
+                   CASE WHEN h.n1 > 0 AND f2.n2 > h.n1 AND h.v1 > 0
+                        THEN round(f2.v2 / power(CAST(f2.n2 AS DOUBLE),
+                             ln(CAST(f2.v2 AS DOUBLE) / h.v1)
+                             / ln(CAST(f2.n2 AS DOUBLE) / h.n1)), 6)
+                   END AS k_coef
+            FROM h, f2
         """,
         # md5 joins replayed: corpus hit -> dup_corpus, else batch
         # keep-first by min doc_id, else new

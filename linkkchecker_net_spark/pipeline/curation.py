@@ -1486,3 +1486,66 @@ def packing_efficiency(
         .alias("fill_ppm"),
         (capacity - F.col("n_tokens")).cast("long").alias("waste_tokens"),
     )
+
+
+def heaps_law(docs: DataFrame, round_dp: int = 6) -> DataFrame:
+    """Heaps-law vocabulary-growth estimate — V(N) = K * N^beta — fit
+    from two nested corpus prefixes (the doc_id%2==0 half vs the whole
+    corpus; prefix-by-id rather than token order, so the estimate is a
+    pure function of the table).  The exponent is the capacity-planning
+    number for every vocabulary-shaped structure downstream: tokenizer
+    training RAM, vocab_topk shuffle width, CMS sketch sizing — and a
+    beta far off the 0.4-0.6 natural-language band is itself a corpus
+    smell (OCR noise pushes it toward 1, boilerplate mills toward 0;
+    the zipf_spectrum hapax view and this exponent move together).
+
+    One row: (n_tokens_half, vocab_half, n_tokens_full, vocab_full,
+    beta, k_coef) with beta = log(V2/V1)/log(N2/N1) and K = V2/N2^beta
+    (round-6).  Degenerate corpora (either prefix empty or equal
+    sizes) yield NULL beta/K.
+
+    Scale: two passes of split-explode over the text column — exact
+    token counts are one partial-agg count, exact vocab sizes one
+    count(DISTINCT token) each (Spark expands to a two-phase
+    aggregate, still key-partitioned); everything downstream is 1-row
+    arithmetic.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    half = toks.filter(F.col("doc_id") % 2 == 0)
+
+    def stats(t, suffix):
+        return t.agg(
+            F.count("*").cast("long").alias(f"n_tokens_{suffix}"),
+            F.countDistinct("tok").cast("long").alias(f"vocab_{suffix}"),
+        )
+
+    j = stats(half, "half").crossJoin(stats(toks, "full"))
+    n1, v1 = F.col("n_tokens_half"), F.col("vocab_half")
+    n2, v2 = F.col("n_tokens_full"), F.col("vocab_full")
+    ok = (n1 > 0) & (n2 > n1) & (v1 > 0)
+    beta = F.when(
+        ok,
+        F.round(
+            F.log(v2.cast("double") / v1)
+            / F.log(n2.cast("double") / n1),
+            round_dp,
+        ),
+    )
+    k_coef = F.when(
+        ok,
+        F.round(
+            v2
+            / F.pow(
+                n2.cast("double"),
+                F.log(v2.cast("double") / v1)
+                / F.log(n2.cast("double") / n1),
+            ),
+            round_dp,
+        ),
+    )
+    return j.select(
+        "n_tokens_half", "vocab_half", "n_tokens_full", "vocab_full",
+        beta.alias("beta"), k_coef.alias("k_coef"),
+    )

@@ -2330,3 +2330,141 @@ def mirror_phash_pairs(corpus: DataFrame) -> DataFrame:
         )
         .dropDuplicates()
     )
+
+
+# --------------------------------------------------------------------------
+# sprite-sheet / thumbnail-collage detection (column periodicity)
+# --------------------------------------------------------------------------
+
+TILE_PERIOD_MAX_MISMATCH_PPM = 10_000
+
+
+def tile_periodicity(
+    corpus: DataFrame, min_period: int = 2, max_period: int = 8
+) -> DataFrame:
+    """Sprite-sheet / thumbnail-collage detector — LAION-style cleaning
+    drops "images" that are really GRIDS of repeated thumbnails,
+    texture swatches or sprite sheets (they poison near-dup blocking
+    and caption alignment: one grid matches everything its cells
+    match).  A tiled image repeats along x with period p, so its
+    column luminance sums satisfy col[c] ≈ col[c+p]; the detector
+    scans p = min_period..max_period and reports the best period by
+    total absolute mismatch (integer sums — both engines replay the
+    fold exactly).
+
+    Per row: (image_id, ok, best_period, mismatch_ppm, is_tiled) —
+    mismatch_ppm normalizes the best period's mismatch by the total
+    column mass; is_tiled fires when the best period's rounded
+    mismatch is <= 10000 ppm (1%).  Undecodable rows: ok=false, NULL
+    metrics, is_tiled=false.  A constant image is periodic at EVERY p
+    — best_period reports the smallest (documented degenerate case;
+    compose with image_entropy's flat filter).
+
+    Scale: one mapInPandas Arrow decode pass, map-only, bytes die at
+    the stage boundary; the period scan is O(w * max_period) integer
+    work per image.
+    """
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "ok": [], "best_period": [],
+                   "mismatch_ppm": [], "is_tiled": []}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                out["image_id"].append(iid)
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    out["ok"].append(False)
+                    out["best_period"].append(None)
+                    out["mismatch_ppm"].append(None)
+                    out["is_tiled"].append(False)
+                    continue
+                cols = arr.astype(np.int64).sum(axis=(0, 2))
+                w = cols.shape[0]
+                total = int(cols.sum())
+                best_p, best_mm = None, None
+                for p in range(min_period, max_period + 1):
+                    if w <= p:
+                        break
+                    mm = int(np.abs(cols[p:] - cols[:-p]).sum())
+                    if best_mm is None or mm < best_mm:
+                        best_p, best_mm = p, mm
+                if best_p is None or total == 0:
+                    out["ok"].append(True)
+                    out["best_period"].append(None)
+                    out["mismatch_ppm"].append(None)
+                    out["is_tiled"].append(False)
+                    continue
+                ppm = best_mm * 1_000_000 // total
+                out["ok"].append(True)
+                out["best_period"].append(best_p)
+                out["mismatch_ppm"].append(ppm)
+                out["is_tiled"].append(
+                    ppm <= TILE_PERIOD_MAX_MISMATCH_PPM
+                )
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        dec,
+        "image_id string, ok boolean, best_period int, "
+        "mismatch_ppm long, is_tiled boolean",
+    )
+
+
+def synth_periodic_corpus(spark, ids_df: DataFrame) -> DataFrame:
+    """Column-pattern corpus for tile_periodicity: every row and
+    channel identical, so column sums are pure arithmetic in (i, c).
+    Arms by i%3 — 0: period-4 tile pattern ((i*31 + (c%4)*37) % 251);
+    1: aperiodic md5 noise (int(md5(f"{i}:{c}")[:6],16) % 251 — md5 so
+    the ORACLE can price every column); 2: constant (i*13) % 251 (the
+    degenerate every-period case; 0 at i%251==0 exercises the
+    zero-mass guard).  w = 24+(i%5)*4 (always > max_period),
+    h = 4+(i%2)*2; bytes truncate on i%9==4.
+    """
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "caption": [], "phash": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                w, h = 24 + (i % 5) * 4, 4 + (i % 2) * 2
+                arm = i % 3
+                if arm == 0:
+                    v = np.array(
+                        [(i * 31 + (c % 4) * 37) % 251 for c in range(w)]
+                    )
+                elif arm == 1:
+                    v = np.array([
+                        int(
+                            hashlib.md5(f"{i}:{c}".encode()).hexdigest()[:6],
+                            16,
+                        ) % 251
+                        for c in range(w)
+                    ])
+                else:
+                    v = np.full(w, (i * 13) % 251)
+                base = np.repeat(v[None, :].astype(np.uint8), h, axis=0)
+                arr = np.stack([base] * 3, axis=2)
+                data = imaging.encode_image(arr, "png")
+                if i % 9 == 4:
+                    data = data[:6]
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(data)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append("png")
+                out["caption"].append(f"per {i}")
+                out["phash"].append(0)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )

@@ -1012,3 +1012,21 @@ def test_packing_efficiency_tail_spill(spark):
     assert r["n_chunks"] == 2 and r["n_tokens"] == 45
     assert r["capacity"] == 32 and r["waste_tokens"] == -13
     assert r["fill_ppm"] == 1_406_250
+
+
+def test_heaps_law_hand_fit(spark):
+    """Half corpus: 4 tokens / 2 distinct; full: 8 tokens / 4 distinct
+    -> beta = log(2)/log(2) = 1, K = 4/8 = 0.5; a single-doc corpus
+    (half == full sizes impossible) yields NULL fit."""
+    from linkkchecker_net_spark.pipeline.curation import heaps_law
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "c d c d")], "doc_id long, text string"
+    )
+    r = heaps_law(docs).collect()[0]
+    assert (r["n_tokens_half"], r["vocab_half"]) == (4, 2)
+    assert (r["n_tokens_full"], r["vocab_full"]) == (8, 4)
+    assert r["beta"] == 1.0 and r["k_coef"] == 0.5
+    solo = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    r2 = heaps_law(solo).collect()[0]
+    assert r2["beta"] is None and r2["k_coef"] is None

@@ -111,7 +111,7 @@ NON_CRAWL = [
     "image_quality_model", "alt_svc", "hotlink_audit", "image_flip_dedup",
     "label_propagation", "incremental_dedup", "dim_truncation",
     "kcore", "favicon_clusters", "embedding_drift",
-    "status_transitions", "dga_score",
+    "status_transitions", "dga_score", "tile_periodicity", "heaps_law",
     "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
     "registrable_domains", "url_blocklist", "url_score", "robots_delta",

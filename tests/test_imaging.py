@@ -450,3 +450,40 @@ def test_mirror_phash_pairs_catches_flip_and_reupload(spark):
         ("a", "dup"): False,
         ("dup", "flip"): True,
     }
+
+
+def test_tile_periodicity_arms(spark):
+    """A true period-3 pattern fires at 3 with zero mismatch; noise
+    stays untiled; a constant image is the documented degenerate
+    every-period case (best 2); truncation keeps NULLs."""
+    import numpy as np
+
+    from linkkchecker_net_spark.pipeline.multimodal import tile_periodicity
+
+    def img(v):
+        base = np.repeat(np.array(v, dtype=np.uint8)[None, :], 4, axis=0)
+        return bytearray(
+            imaging.encode_image(np.stack([base] * 3, axis=2), "png")
+        )
+
+    tiled = img([10, 200, 60] * 8)          # period 3
+    noise = img([17, 201, 33, 90, 4, 250, 140, 77, 8, 183, 99, 60] * 2)
+    const = img([42] * 24)
+    rows = [
+        ("tiled", tiled, "png"),
+        ("noise", noise, "png"),
+        ("const", const, "png"),
+        ("trunc", img([1] * 24)[:6], "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    out = {r["image_id"]: r for r in tile_periodicity(df).collect()}
+    t = out["tiled"]
+    assert t["best_period"] == 3 and t["mismatch_ppm"] == 0 and t["is_tiled"]
+    assert out["noise"]["is_tiled"] is False
+    c = out["const"]
+    assert c["best_period"] == 2 and c["is_tiled"]
+    assert out["trunc"]["ok"] is False
+    assert out["trunc"]["best_period"] is None
+    assert out["trunc"]["is_tiled"] is False
