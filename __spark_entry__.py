@@ -7525,6 +7525,37 @@ def q_heaps_law(spark, sf_dir):
     return heaps_law(_docs(spark, sf_dir))
 
 
+def q_text_in_image(spark, sf_dir):
+    """Rendered-text overlay heuristic (pipeline/multimodal.
+    text_in_image) over the row-banded corpus: glyph-stripe bands fire
+    (exactly h/3 texty rows), smooth ramps never, md5 noise mostly
+    sits above the texty jump band (its occasional low-count draws
+    flag honestly on BOTH engines — the oracle replays the jump
+    counts, not the verdict labels)."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        synth_textband_corpus,
+        text_in_image,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return text_in_image(synth_textband_corpus(spark, ids))
+
+
+def q_cluster_purity(spark, sf_dir):
+    """Label purity of the deterministic centroid assignment
+    (pipeline/cluster.cluster_purity, k=8, zero Lloyd iterations):
+    clusters vs the embeddings table's label column — synthetic labels
+    are independent of the vectors, so purity sits near 1/|L|, the
+    label-blind-blocking verdict the docstring names; the oracle
+    replays init, rounded squared-L2 argmin and the majority pick."""
+    from linkkchecker_net_spark.pipeline.cluster import cluster_purity
+
+    _prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster_purity(emb, k=8)
+
+
 
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
@@ -7541,6 +7572,7 @@ _DRIVER_PRIORITY = [
     "label_propagation", "incremental_dedup", "dim_truncation",
     "kcore", "favicon_clusters", "embedding_drift",
     "status_transitions", "dga_score", "tile_periodicity", "heaps_law",
+    "text_in_image", "cluster_purity",
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
@@ -7751,6 +7783,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dga_score": q_dga_score,
         "tile_periodicity": q_tile_periodicity,
         "heaps_law": q_heaps_law,
+        "text_in_image": q_text_in_image,
+        "cluster_purity": q_cluster_purity,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -11172,6 +11206,103 @@ FROM bt JOIN bh ON bt.url = bh.url
                              / ln(CAST(f2.n2 AS DOUBLE) / h.n1)), 6)
                    END AS k_coef
             FROM h, f2
+        """,
+        # per-arm jump counts replayed (stripe boundaries, capped ramp,
+        # md5 noise), texty band test, band-row arithmetic
+        "text_in_image": """
+            WITH d AS (SELECT doc_id::BIGINT AS i,
+                              24 + (doc_id % 5) * 4 AS w,
+                              9 + (doc_id % 2) * 3 AS h
+                       FROM documents),
+            sv AS (
+              SELECT i, w, h, g.c AS c,
+                CASE i % 3
+                  WHEN 0 THEN CASE WHEN (g.c // 3) % 2 = 1
+                              THEN 255 ELSE 0 END
+                  WHEN 1 THEN least(g.c * 4 + (i % 50), 250)
+                  ELSE ('0x' || substr(
+                       md5(i::VARCHAR || ':' || g.c::VARCHAR), 1, 6)
+                       )::BIGINT % 251
+                END AS v
+              FROM d, unnest(generate_series(0, w - 1)) AS g(c)
+            ),
+            j AS (
+              SELECT a.i,
+                     CAST(COUNT(CASE WHEN abs(b.v - a.v) >= 64
+                           THEN 1 END) AS BIGINT) AS jumps
+              FROM sv a JOIN sv b ON a.i = b.i AND b.c = a.c + 1
+              GROUP BY 1
+            ),
+            t AS (
+              SELECT d.i, d.w, d.h,
+                CASE WHEN 8 * j.jumps >= d.w
+                      AND 20 * j.jumps <= 9 * d.w THEN 1 ELSE 0 END
+                  AS texty
+              FROM d JOIN j ON j.i = d.i
+            ),
+            r AS (
+              SELECT i, h,
+                CAST(CASE WHEN i % 3 = 0 THEN texty * (h // 3)
+                     ELSE texty * h END AS INT) AS texty_rows
+              FROM t
+            )
+            SELECT 'img_' || lpad(i::VARCHAR, 6, '0') AS image_id,
+                   i % 9 <> 4 AS ok,
+                   CASE WHEN i % 9 = 4 THEN NULL
+                        ELSE texty_rows END AS texty_rows,
+                   CASE WHEN i % 9 = 4 THEN NULL
+                        ELSE CAST(h AS INT) END AS n_rows,
+                   CASE WHEN i % 9 = 4 THEN NULL
+                        ELSE texty_rows * 1000000 // h END AS text_ppm,
+                   CASE WHEN i % 9 = 4 THEN FALSE
+                        ELSE texty_rows * 1000000 // h >= 300000 END
+                     AS has_text
+            FROM r
+        """,
+        # init contract + rounded squared-L2 argmin + majority pick
+        "cluster_purity": """
+            WITH flat AS (
+              SELECT vec_id, g.i - 1 AS pos,
+                     CAST(embedding[g.i] AS DOUBLE) AS v
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)
+            ),
+            init_ids AS (
+              SELECT vec_id,
+                     CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cluster
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            c0 AS (SELECT i.cluster, f.pos, f.v AS cv
+                   FROM init_ids i JOIN flat f USING (vec_id)),
+            dd AS (
+              SELECT f.vec_id, c.cluster,
+                     round(sum((f.v - c.cv) * (f.v - c.cv)), 6) AS d
+              FROM flat f JOIN c0 c ON f.pos = c.pos GROUP BY 1, 2
+            ),
+            asg AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+                FROM dd) WHERE rn = 1
+            ),
+            lab AS (SELECT a.cluster, e.label::VARCHAR AS l
+                    FROM asg a JOIN embeddings e USING (vec_id)),
+            cnt AS (SELECT cluster, l, COUNT(*) AS n
+                    FROM lab GROUP BY 1, 2),
+            tt AS (SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_vecs
+                   FROM cnt GROUP BY 1),
+            mj AS (
+              SELECT cluster, l AS majority_label,
+                     CAST(n AS BIGINT) AS n_majority
+              FROM (SELECT cluster, l, n, row_number() OVER (
+                      PARTITION BY cluster ORDER BY n DESC, l ASC) AS rn
+                    FROM cnt) WHERE rn = 1
+            )
+            SELECT CAST(t.cluster AS INT) AS cluster, t.n_vecs,
+                   m.majority_label, m.n_majority,
+                   m.n_majority * 1000000 // t.n_vecs AS purity_ppm
+            FROM tt t JOIN mj m USING (cluster)
         """,
         # md5 joins replayed: corpus hit -> dup_corpus, else batch
         # keep-first by min doc_id, else new

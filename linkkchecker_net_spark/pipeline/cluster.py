@@ -241,3 +241,72 @@ def semantic_dedup(
             F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def cluster_purity(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label purity of the deterministic nearest-centroid assignment —
+    the standard external clustering metric, run against the corpus'
+    own label column: per cluster, what share of members carry the
+    majority label.  In a curation pipeline this is the check that a
+    semantic-dedup / stratification blocking (kmeans cells) actually
+    respects the taxonomy it is about to sample by — purity near 1/|L|
+    says the blocks are label-blind and semantic_dedup's within-cell
+    keep decisions are mixing categories.
+
+    Centroids are the k-smallest-id vectors (the `lloyd_centroids`
+    init contract, zero iterations — evaluation wants a FIXED, fully
+    replayable assignment, not a trained one); assignment reuses
+    `assign_clusters` (rounded squared-L2, ties to the lowest
+    cluster).  Majority ties break to the smallest label string.
+
+    Per cluster: (cluster, n_vecs, majority_label, n_majority,
+    purity_ppm).
+
+    Scale: one metadata-sized k-row collect (the init contract), a
+    map-only assignment fused over the scan, one id-keyed skinny join
+    to the label column, two partial-aggregated groupBys and a
+    min(struct) argmax — no windows over data, no corpus self-join.
+    """
+    init_rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    if not init_rows:
+        return emb.sparkSession.createDataFrame(
+            [],
+            "cluster int, n_vecs long, majority_label string, "
+            "n_majority long, purity_ppm long",
+        )
+    cents = [list(r[vec_col]) for r in init_rows]
+    asg = assign_clusters(emb, cents, id_col=id_col, vec_col=vec_col)
+    lab = asg.join(
+        emb.select(id_col, F.col(label_col).cast("string").alias("_lab")),
+        id_col
+    )
+    cnt = lab.groupBy("cluster", "_lab").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("cluster").agg(
+        F.sum("n").cast("long").alias("n_vecs")
+    )
+    maj = cnt.groupBy("cluster").agg(
+        F.min(
+            F.struct((-F.col("n")).alias("nn"), F.col("_lab").alias("l"))
+        ).alias("m")
+    ).select(
+        "cluster",
+        F.col("m")["l"].alias("majority_label"),
+        (-F.col("m")["nn"]).cast("long").alias("n_majority"),
+    )
+    return tot.join(maj, "cluster").select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "n_vecs",
+        "majority_label",
+        "n_majority",
+        (F.col("n_majority") * 1_000_000 / F.col("n_vecs"))
+        .cast("long")
+        .alias("purity_ppm"),
+    )

@@ -2468,3 +2468,136 @@ def synth_periodic_corpus(spark, ids_df: DataFrame) -> DataFrame:
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
     )
+
+
+# --------------------------------------------------------------------------
+# rendered-text overlay detection (meme/banner filter)
+# --------------------------------------------------------------------------
+
+TEXT_ROW_MIN_PPM = 300_000
+
+
+def text_in_image(corpus: DataFrame) -> DataFrame:
+    """Rendered-text overlay heuristic — image-caption pipelines drop
+    or down-weight memes, banners and screenshot-of-text images
+    (LAION's "contains text" flag, DataComp's OCR filters) because the
+    rendered words leak into CLIP embeddings and poison the
+    image↔caption alignment signal.  Without an OCR model in the
+    sandbox, the detector uses the strong-edge BAND signature of
+    rendered glyphs: a text row carries MANY high-contrast horizontal
+    transitions — but fewer than noise — so a row is "texty" when its
+    count J of adjacent-column luminance jumps >= 64 satisfies
+    8*J >= w AND 20*J <= 9*w (between 12.5% and 45% of columns;
+    smooth photos sit below, sensor noise above).  The band bounds are
+    the honest stub's tuning knobs; swapping in a real OCR pass keeps
+    the same plan shape.
+
+    Per row: (image_id, ok, texty_rows, n_rows, text_ppm, has_text) —
+    has_text fires at >= 30% texty rows; undecodable rows keep
+    ok=false / NULLs / has_text=false.
+
+    Scale: one mapInPandas Arrow decode pass, map-only, integer
+    arithmetic only (both engines replay the jump counts exactly).
+    """
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "ok": [], "texty_rows": [],
+                   "n_rows": [], "text_ppm": [], "has_text": []}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                out["image_id"].append(iid)
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    out["ok"].append(False)
+                    out["texty_rows"].append(None)
+                    out["n_rows"].append(None)
+                    out["text_ppm"].append(None)
+                    out["has_text"].append(False)
+                    continue
+                g = arr.astype(np.int64).sum(axis=2) // 3  # mean luma
+                h, w = g.shape
+                jumps = (np.abs(np.diff(g, axis=1)) >= 64).sum(axis=1)
+                texty = ((8 * jumps >= w) & (20 * jumps <= 9 * w)).sum()
+                ppm = int(texty) * 1_000_000 // h
+                out["ok"].append(True)
+                out["texty_rows"].append(int(texty))
+                out["n_rows"].append(h)
+                out["text_ppm"].append(ppm)
+                out["has_text"].append(ppm >= TEXT_ROW_MIN_PPM)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        dec,
+        "image_id string, ok boolean, texty_rows int, n_rows int, "
+        "text_ppm long, has_text boolean",
+    )
+
+
+def synth_textband_corpus(spark, ids_df: DataFrame) -> DataFrame:
+    """Row-banded corpus for text_in_image, every pixel arithmetic in
+    (i, r, c) so the oracle replays the jump counts: arms by i%3 —
+    0: a middle-third band of period-3 black/white glyph stripes over
+    a constant background (the meme-caption shape; exactly h/3 texty
+    rows); 1: a smooth +4/column ramp (no jumps >= 64); 2: md5 pixel
+    noise, identical across rows (jumps on ~55% of columns — above the
+    texty band, the sensor-noise decoy).  h = 9 + (i%2)*3,
+    w = 24 + (i%5)*4; bytes truncate on i%9==4.
+    """
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "caption": [], "phash": []}
+            for i in pdf["id"].astype(int):
+                i = int(i)
+                w, h = 24 + (i % 5) * 4, 9 + (i % 2) * 3
+                arm = i % 3
+                if arm == 0:
+                    stripe = np.array(
+                        [255 if (c // 3) % 2 else 0 for c in range(w)],
+                        dtype=np.uint8,
+                    )
+                    bg = np.full(w, (i * 7) % 128, dtype=np.uint8)
+                    rows = [
+                        stripe if h // 3 <= r < 2 * (h // 3) else bg
+                        for r in range(h)
+                    ]
+                    base = np.stack(rows)
+                elif arm == 1:
+                    v = np.minimum(np.arange(w) * 4 + (i % 50), 250)
+                    base = np.repeat(
+                        v[None, :].astype(np.uint8), h, axis=0
+                    )
+                else:
+                    v = np.array([
+                        int(
+                            hashlib.md5(f"{i}:{c}".encode()).hexdigest()[:6],
+                            16,
+                        ) % 251
+                        for c in range(w)
+                    ], dtype=np.uint8)
+                    base = np.repeat(v[None, :], h, axis=0)
+                arr = np.stack([base] * 3, axis=2)
+                data = imaging.encode_image(arr, "png")
+                if i % 9 == 4:
+                    data = data[:6]
+                out["image_id"].append(f"img_{i:06d}")
+                out["bytes"].append(data)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append("png")
+                out["caption"].append(f"band {i}")
+                out["phash"].append(0)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )

@@ -487,3 +487,44 @@ def test_tile_periodicity_arms(spark):
     assert out["trunc"]["ok"] is False
     assert out["trunc"]["best_period"] is None
     assert out["trunc"]["is_tiled"] is False
+
+
+def test_text_in_image_band_arms(spark):
+    """Stripe band rows count as texty (period-3 glyph stripes),
+    constant background rows don't, a smooth ramp never fires, and
+    truncation keeps NULLs."""
+    import numpy as np
+
+    from linkkchecker_net_spark.pipeline.multimodal import text_in_image
+
+    w = 24
+    stripe = np.array(
+        [255 if (c // 3) % 2 else 0 for c in range(w)], dtype=np.uint8
+    )
+    bg = np.full(w, 40, dtype=np.uint8)
+    meme = np.stack([bg, bg, bg, stripe, stripe, stripe, bg, bg, bg])
+    ramp = np.repeat(
+        np.minimum(np.arange(w) * 4, 250)[None, :].astype(np.uint8),
+        9, axis=0,
+    )
+
+    def enc(b):
+        return bytearray(
+            imaging.encode_image(np.stack([b] * 3, axis=2), "png")
+        )
+
+    rows = [
+        ("meme", enc(meme), "png"),
+        ("ramp", enc(ramp), "png"),
+        ("trunc", enc(ramp)[:6], "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    out = {r["image_id"]: r for r in text_in_image(df).collect()}
+    m = out["meme"]
+    assert m["texty_rows"] == 3 and m["n_rows"] == 9
+    assert m["text_ppm"] == 3 * 1_000_000 // 9 and m["has_text"]
+    assert out["ramp"]["texty_rows"] == 0
+    assert out["ramp"]["has_text"] is False
+    assert out["trunc"]["ok"] is False and out["trunc"]["has_text"] is False

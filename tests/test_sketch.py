@@ -244,3 +244,35 @@ def test_hard_negatives_excludes_same_label(spark):
     for r in out:
         assert labels[r["vec_id"]] != labels[r["query_id"]]
         assert r["vec_id"] != r["query_id"]
+
+
+def test_cluster_purity_hand_values(spark):
+    """Vectors split cleanly around two init centroids; labels are pure
+    in cluster 0 and 2:1 in cluster 1; majority ties break to the
+    smallest label string."""
+    from linkkchecker_net_spark.pipeline.cluster import cluster_purity
+
+    rows = [
+        (0, [0.0, 0.0], "a"),
+        (1, [10.0, 10.0], "b"),
+        (2, [0.1, 0.0], "a"),
+        (3, [9.9, 10.0], "b"),
+        (4, [10.0, 9.9], "b"),
+        (5, [0.0, 0.1], "a"),
+        (6, [10.1, 10.0], "c"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {
+        r["cluster"]: r for r in cluster_purity(emb, k=2).collect()
+    }
+    c0, c1 = out[0], out[1]
+    assert (c0["n_vecs"], c0["majority_label"], c0["n_majority"]) == (
+        3, "a", 3,
+    )
+    assert c0["purity_ppm"] == 1_000_000
+    assert (c1["n_vecs"], c1["majority_label"], c1["n_majority"]) == (
+        4, "b", 3,
+    )
+    assert c1["purity_ppm"] == 3_000_000 // 4
