@@ -7556,6 +7556,52 @@ def q_cluster_purity(spark, sf_dir):
     return cluster_purity(emb, k=8)
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF join (pipeline/temporal.asof_join — the brief's named
+    custom-operator class): fetch events (host h{i%5}, ts (i*7)%997)
+    pick up the robots-policy row in force at fetch time from the
+    state stream (i%4==0, ts (i*13)%997, unique per (host, ts) below
+    19,940 docs by the prime-modulus argument in the docstring); the
+    LOCF union-window plan vs the oracle's argmax replay."""
+    from linkkchecker_net_spark.pipeline.temporal import asof_join
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir)
+    events = docs.select(
+        F.concat(F.lit("h"), (i % 5).cast("string")).alias("host"),
+        ((i * 7) % 997).alias("ts"),
+    )
+    states = docs.filter(i % 4 == 0).select(
+        F.concat(F.lit("h"), (i % 5).cast("string")).alias("host"),
+        ((i * 13) % 997).alias("ts"),
+        F.concat(F.lit("v"), i.cast("string")).alias("value"),
+    )
+    return asof_join(events, states)
+
+
+def q_range_join(spark, sf_dir):
+    """RANGE join (pipeline/temporal.range_join — the brief's other
+    named custom-operator class): fetch points vs incident intervals
+    via the bucket-explode equi-join (bucket 64); the oracle is the
+    plain BETWEEN theta join DuckDB can afford at this SF."""
+    from linkkchecker_net_spark.pipeline.temporal import range_join
+
+    _prep(spark)
+    i = F.col("doc_id").cast("long")
+    docs = _docs(spark, sf_dir)
+    points = docs.select(
+        F.col("doc_id").cast("long").alias("pid"),
+        ((i * 7) % 997).alias("ts"),
+    )
+    intervals = docs.filter(i % 6 == 0).select(
+        F.col("doc_id").cast("long").alias("iid"),
+        ((i * 13) % 900).alias("start_ts"),
+        (((i * 13) % 900) + (i % 7) * 20 + 15).alias("end_ts"),
+    )
+    return range_join(points, intervals, bucket=64)
+
+
 
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
@@ -7572,7 +7618,7 @@ _DRIVER_PRIORITY = [
     "label_propagation", "incremental_dedup", "dim_truncation",
     "kcore", "favicon_clusters", "embedding_drift",
     "status_transitions", "dga_score", "tile_periodicity", "heaps_law",
-    "text_in_image", "cluster_purity",
+    "text_in_image", "cluster_purity", "asof_join", "range_join",
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
@@ -7785,6 +7831,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": q_heaps_law,
         "text_in_image": q_text_in_image,
         "cluster_purity": q_cluster_purity,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -11303,6 +11351,40 @@ FROM bt JOIN bh ON bt.url = bh.url
                    m.majority_label, m.n_majority,
                    m.n_majority * 1000000 // t.n_vecs AS purity_ppm
             FROM tt t JOIN mj m USING (cluster)
+        """,
+        # argmax state per distinct (host, t), re-joined to preserve
+        # event multiplicity; equal-ts states are visible (<=)
+        "asof_join": """
+            WITH e AS (SELECT 'h' || (doc_id % 5) AS host,
+                              (doc_id * 7) % 997 AS t
+                       FROM documents),
+            s AS (SELECT 'h' || (doc_id % 5) AS host,
+                         (doc_id * 13) % 997 AS st,
+                         'v' || doc_id AS v
+                  FROM documents WHERE doc_id % 4 = 0),
+            m AS (
+              SELECT e2.host, e2.t, max(s.st) AS state_ts
+              FROM (SELECT DISTINCT host, t FROM e) e2
+              LEFT JOIN s ON s.host = e2.host AND s.st <= e2.t
+              GROUP BY 1, 2
+            )
+            SELECT e.host, e.t AS ts, m.state_ts, sv.v AS state_value
+            FROM e
+            JOIN m ON m.host = e.host AND m.t = e.t
+            LEFT JOIN s sv ON sv.host = e.host AND sv.st = m.state_ts
+        """,
+        # the plain BETWEEN theta join, affordable at oracle SF
+        "range_join": """
+            WITH p AS (SELECT doc_id::BIGINT AS pid,
+                              (doc_id * 7) % 997 AS ts
+                       FROM documents),
+            iv AS (SELECT doc_id::BIGINT AS iid,
+                          (doc_id * 13) % 900 AS s,
+                          (doc_id * 13) % 900 + (doc_id % 7) * 20 + 15
+                            AS e
+                   FROM documents WHERE doc_id % 6 = 0)
+            SELECT p.pid, p.ts, iv.iid
+            FROM p JOIN iv ON p.ts >= iv.s AND p.ts < iv.e
         """,
         # md5 joins replayed: corpus hit -> dup_corpus, else batch
         # keep-first by min doc_id, else new
