@@ -7602,6 +7602,20 @@ def q_range_join(spark, sf_dir):
     return range_join(points, intervals, bucket=64)
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Multi-granularity continuous aggregate (pipeline/temporal.
+    hypertable_rollup — the brief's hypertable-rollup operator class)
+    over the events table at minute/hour/day buckets, statistics in
+    integer cents so both engines sum order-independently; the
+    incremental merge_rollups(A)+(B) == rollup(A∪B) property is
+    pinned by tests/test_temporal.py."""
+    from linkkchecker_net_spark.pipeline.temporal import hypertable_rollup
+
+    _prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hypertable_rollup(ev)
+
+
 
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
@@ -7619,6 +7633,7 @@ _DRIVER_PRIORITY = [
     "kcore", "favicon_clusters", "embedding_drift",
     "status_transitions", "dga_score", "tile_periodicity", "heaps_law",
     "text_in_image", "cluster_purity", "asof_join", "range_join",
+    "hypertable_rollup",
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
@@ -7833,6 +7848,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_purity": q_cluster_purity,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "hypertable_rollup": q_hypertable_rollup,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -11385,6 +11401,24 @@ FROM bt JOIN bh ON bt.url = bh.url
                    FROM documents WHERE doc_id % 6 = 0)
             SELECT p.pid, p.ts, iv.iid
             FROM p JOIN iv ON p.ts >= iv.s AND p.ts < iv.e
+        """,
+        # UTC epoch floored to each bucket, integer-cents statistics
+        "hypertable_rollup": """
+            WITH r AS (
+              SELECT b.b AS bucket_seconds,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // b.b) * b.b
+                       AS bucket_start,
+                     event_type AS key,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events,
+                   (SELECT unnest([60, 3600, 86400]) AS b) b
+            )
+            SELECT bucket_seconds, bucket_start, key,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(min(cents) AS BIGINT) AS min_cents,
+                   CAST(max(cents) AS BIGINT) AS max_cents
+            FROM r GROUP BY 1, 2, 3
         """,
         # md5 joins replayed: corpus hit -> dup_corpus, else batch
         # keep-first by min doc_id, else new

@@ -151,3 +151,78 @@ def range_join(
             F.col("iid").alias(interval_id_col),
         )
     )
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    buckets: tuple = (60, 3600, 86400),
+) -> DataFrame:
+    """Multi-granularity time-bucketed continuous aggregate — the
+    TimescaleDB continuous-aggregate / Druid-rollup shape the brief
+    names: one pass over the raw event stream materializes EVERY
+    requested granularity (minute/hour/day) keyed by
+    (bucket_seconds, bucket_start, key), and every emitted statistic
+    is MERGEABLE, so the rollup is incrementally maintainable:
+    `merge_rollups(hypertable_rollup(A), hypertable_rollup(B))` equals
+    `hypertable_rollup(A ∪ B)` exactly (pinned by test) — yesterday's
+    materialization never re-reads yesterday's raw events.
+
+    Values aggregate in integer CENTS (round(value*100)) so sums are
+    order-independent and the DuckDB oracle replays them bit-exactly;
+    min/max stay exact in cents too.  bucket_start is epoch seconds
+    floored to the bucket (session TZ pinned UTC in session.py).
+
+    Per row: (bucket_seconds, bucket_start, key, n_events,
+    sum_cents, min_cents, max_cents).
+
+    Scale: explode factor = len(buckets) (3x, not a shuffle concern);
+    ONE partial-aggregated groupBy keyed by (bucket_seconds,
+    bucket_start, key) — map-side combine absorbs the raw stream, the
+    result is the rollup's own (tiny) cardinality.  At 10^10 events
+    the same plan runs as the batch leg of a Lambda pipeline next to
+    the watermarked streaming twin (`streaming/monitor.py`).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    sec = F.unix_timestamp(F.col(ts_col))
+    b = F.explode(
+        F.array(*[F.lit(int(x)) for x in buckets])
+    ).alias("bucket_seconds")
+    rows = events.select(
+        F.col(key_col).alias("key"), sec.alias("sec"),
+        cents.alias("cents"), b,
+    )
+    return (
+        rows.withColumn(
+            "bucket_start",
+            (F.col("sec") / F.col("bucket_seconds")).cast("long")
+            * F.col("bucket_seconds"),
+        )
+        .groupBy("bucket_seconds", "bucket_start", "key")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+    )
+
+
+def merge_rollups(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two hypertable rollups (same schema) into one — the
+    incremental-maintenance step: union + re-aggregate with the
+    mergeable combiners (count->sum, sum->sum, min->min, max->max).
+    Work is proportional to the ROLLUP sizes, never the raw streams.
+    """
+    return (
+        a.unionByName(b)
+        .groupBy("bucket_seconds", "bucket_start", "key")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.min("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )

@@ -80,3 +80,42 @@ def test_range_join_boundaries_and_plan(spark):
     p = _plan(range_join(pts, iv))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoop" not in p, p
+
+
+def test_hypertable_rollup_merge_property(spark):
+    """rollup(A ∪ B) == merge(rollup(A), rollup(B)) — the incremental
+    maintenance contract; per-bucket stats check against hand values."""
+    from linkkchecker_net_spark.pipeline.temporal import (
+        hypertable_rollup,
+        merge_rollups,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (0, "2024-01-01 00:00:10", "a", 1.25),
+            (1, "2024-01-01 00:00:50", "a", 2.00),
+            (2, "2024-01-01 00:01:10", "a", 4.00),
+            (3, "2024-01-01 00:00:20", "b", 8.00),
+        ],
+        "event_id long, ts string, event_type string, value double",
+    ).select("event_id", F.to_timestamp("ts").alias("ts"),
+             "event_type", "value")
+    r = hypertable_rollup(ev, buckets=(60, 3600))
+    rows = {
+        (x["bucket_seconds"], x["bucket_start"], x["key"]): x
+        for x in r.collect()
+    }
+    m0 = rows[(60, 1704067200, "a")]
+    assert (m0["n_events"], m0["sum_cents"]) == (2, 325)
+    assert (m0["min_cents"], m0["max_cents"]) == (125, 200)
+    h = rows[(3600, 1704067200, "a")]
+    assert (h["n_events"], h["sum_cents"]) == (3, 725)
+    a = ev.filter("event_id % 2 = 0")
+    b = ev.filter("event_id % 2 = 1")
+    merged = merge_rollups(
+        hypertable_rollup(a, buckets=(60, 3600)),
+        hypertable_rollup(b, buckets=(60, 3600)),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, r.collect())
+    )
