@@ -7616,6 +7616,23 @@ def q_hypertable_rollup(spark, sf_dir):
     return hypertable_rollup(ev)
 
 
+def q_hll_retention(spark, sf_dir):
+    """Sketch-only cohort overlap (pipeline/sketch.hll_retention):
+    users of even vs odd events as the two arms — inclusion-exclusion
+    over three HLL estimates from ONE register pass; the oracle
+    replays the same md5 registers per tag and the same rounded
+    combine."""
+    from linkkchecker_net_spark.pipeline.sketch import hll_retention
+
+    _prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b")
+        .alias("arm"),
+        "user_id",
+    )
+    return hll_retention(ev)
+
+
 
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
@@ -7633,7 +7650,7 @@ _DRIVER_PRIORITY = [
     "kcore", "favicon_clusters", "embedding_drift",
     "status_transitions", "dga_score", "tile_periodicity", "heaps_law",
     "text_in_image", "cluster_purity", "asof_join", "range_join",
-    "hypertable_rollup",
+    "hypertable_rollup", "hll_retention",
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
@@ -7849,6 +7866,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
+        "hll_retention": q_hll_retention,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -11419,6 +11437,68 @@ FROM bt JOIN bh ON bt.url = bh.url
                    CAST(min(cents) AS BIGINT) AS min_cents,
                    CAST(max(cents) AS BIGINT) AS max_cents
             FROM r GROUP BY 1, 2, 3
+        """,
+        # the hll_users register pipeline per tag (each row tagged with
+        # its arm AND 'u'), then the rounded inclusion-exclusion
+        "hll_retention": """
+            WITH tagged AS (
+              SELECT t.g AS g, user_id
+              FROM events, unnest([CASE WHEN event_id % 2 = 0
+                                        THEN 'a' ELSE 'b' END,
+                                   'u']) AS t(g)
+            ),
+            h AS (
+              SELECT g,
+                     ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))
+                       ::BIGINT AS h1,
+                     ('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8))
+                       ::BIGINT AS w
+              FROM tagged
+            ),
+            regs AS (
+              SELECT g, h1 % 1024 AS reg,
+                     MAX(CASE WHEN w = 0 THEN 33
+                              ELSE 33 - length(bin(w)) END) AS rho
+              FROM h GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT g,
+                     SUM(CAST(1 AS BIGINT) << (33 - rho)) AS s_present,
+                     COUNT(*) AS n_present
+              FROM regs GROUP BY 1
+            ),
+            est AS (
+              SELECT g,
+                     6490054181368802.0
+                       / CAST(s_present + (1024 - n_present)
+                              * 8589934592 AS DOUBLE) AS raw,
+                     CAST(1024 - n_present AS DOUBLE) AS zeros
+              FROM agg
+            ),
+            rounded AS (
+              SELECT g,
+                     round(CASE WHEN raw <= 2560.0 AND zeros > 0
+                                THEN 1024.0 * ln(1024.0 / zeros)
+                                ELSE raw END, 4) AS hll_est
+              FROM est
+            ),
+            one AS (
+              SELECT
+                coalesce(max(CASE WHEN g = 'a' THEN hll_est END), 0.0)
+                  AS est_a,
+                coalesce(max(CASE WHEN g = 'b' THEN hll_est END), 0.0)
+                  AS est_b,
+                coalesce(max(CASE WHEN g = 'u' THEN hll_est END), 0.0)
+                  AS est_union
+              FROM rounded
+            )
+            SELECT est_a, est_b, est_union,
+                   round(greatest(0.0, est_a + est_b - est_union), 4)
+                     AS est_intersection,
+                   CASE WHEN est_a > 0 THEN CAST(floor(
+                     round(greatest(0.0, est_a + est_b - est_union), 4)
+                     * 1000000 / est_a) AS BIGINT) END AS retention_ppm
+            FROM one
         """,
         # md5 joins replayed: corpus hit -> dup_corpus, else batch
         # keep-first by min doc_id, else new

@@ -184,3 +184,65 @@ def cms_point_estimates(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
         .select(F.col("p_token").alias(token_col), "cms_est")
     )
+
+
+def hll_retention(
+    df: DataFrame,
+    arm_col: str = "arm",
+    key_col: str = "user_id",
+    p: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Sketch-only overlap/retention between two populations — the
+    inclusion-exclusion composition |A∩B| ≈ E(A) + E(B) − E(A∪B) over
+    three HLL estimates, the standard trick for intersections HLLs
+    can't represent directly (theta sketches exist precisely because
+    this error compounds — the estimate is labeled, not hidden).  At
+    100 TB this answers "how many users/hosts appeared in BOTH crawl
+    epochs" from three register tables (≤ 3m rows total) without ever
+    shuffling raw keys.
+
+    ``df``: rows with ``arm_col`` ∈ {'a','b'} and a key column.  One
+    output row: (est_a, est_b, est_union, est_intersection,
+    retention_ppm) — retention = intersection/E(A), floored to ppm;
+    the intersection clamps at 0 (inclusion-exclusion of noisy
+    estimates can go slightly negative).
+
+    Scale: ONE pass — each row explodes to (its arm, 'u') tags, the
+    register max-agg absorbs both map-side; everything after the
+    exchange is ≤ 3m register rows.
+    """
+    tagged = df.select(
+        F.explode(
+            F.array(F.col(arm_col).cast("string"), F.lit("u"))
+        ).alias("g"),
+        F.col(key_col).alias("k"),
+    )
+    est = hll_estimate(hll_registers(tagged, "g", "k", p), p, round_dp)
+    one = (
+        est.groupBy()
+        .pivot("grp", ["a", "b", "u"])
+        .agg(F.first("hll_est"))
+        .select(
+            F.coalesce(F.col("a"), F.lit(0.0)).alias("est_a"),
+            F.coalesce(F.col("b"), F.lit(0.0)).alias("est_b"),
+            F.coalesce(F.col("u"), F.lit(0.0)).alias("est_union"),
+        )
+    )
+    inter = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        ),
+        round_dp,
+    )
+    return one.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersection"),
+        F.when(
+            F.col("est_a") > 0,
+            F.floor(inter * 1_000_000 / F.col("est_a")).cast("long"),
+        ).alias("retention_ppm"),
+    )

@@ -276,3 +276,27 @@ def test_cluster_purity_hand_values(spark):
         4, "b", 3,
     )
     assert c1["purity_ppm"] == 3_000_000 // 4
+
+
+def test_hll_retention_inclusion_exclusion(spark):
+    """Disjoint cohorts: intersection ~0; identical cohorts:
+    intersection ~ |A| and retention ~ 1e6 (sketch noise bounded by
+    the estimates themselves)."""
+    from pyspark.sql import functions as F
+
+    from linkkchecker_net_spark.pipeline.sketch import hll_retention
+
+    disjoint = spark.range(400).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        F.col("id").alias("user_id"),
+    )
+    r = hll_retention(disjoint).collect()[0]
+    # A and B share no users: est_a+est_b ~= est_union
+    assert r["est_intersection"] <= 0.05 * r["est_union"]
+    same = spark.range(200).select(
+        F.explode(F.array(F.lit("a"), F.lit("b"))).alias("arm"),
+        F.col("id").alias("user_id"),
+    )
+    r2 = hll_retention(same).collect()[0]
+    assert r2["est_a"] == r2["est_b"] == r2["est_union"]
+    assert r2["retention_ppm"] == 1_000_000
