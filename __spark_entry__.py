@@ -7633,6 +7633,39 @@ def q_hll_retention(spark, sf_dir):
     return hll_retention(ev)
 
 
+def q_asset_projection(spark, sf_dir):
+    """Bipartite host-asset projection (pipeline/graph.
+    asset_projection, max_fanout=50): hosts h0..h59 hold shared assets
+    md5('lib'||i//4) in groups of four (projection edges), every host
+    holds the md5('hub') asset (60 holders > cap — excluded, the
+    jquery guard), and i%5==4 hosts add a unique asset (no edges);
+    the oracle replays membership, cap and pair counting."""
+    from linkkchecker_net_spark.pipeline.graph import asset_projection
+
+    _prep(spark)
+    i = F.col("i")
+    base = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("i"))
+        .filter(i < 60)
+    )
+    host = F.concat(F.lit("h"), i.cast("string"))
+    grp = base.select(
+        host.alias("host"),
+        F.md5(
+            F.concat(F.lit("lib"), (i / 4).cast("long").cast("string"))
+        ).alias("asset_digest"),
+    )
+    hub = base.select(host.alias("host"), F.md5(F.lit("hub")).alias("asset_digest"))
+    uniq = base.filter(i % 5 == 4).select(
+        host.alias("host"),
+        F.md5(F.concat(F.lit("u"), i.cast("string"))).alias("asset_digest"),
+    )
+    return asset_projection(
+        grp.unionByName(hub).unionByName(uniq), max_fanout=50
+    )
+
+
 
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
@@ -7650,7 +7683,7 @@ _DRIVER_PRIORITY = [
     "kcore", "favicon_clusters", "embedding_drift",
     "status_transitions", "dga_score", "tile_periodicity", "heaps_law",
     "text_in_image", "cluster_purity", "asof_join", "range_join",
-    "hypertable_rollup", "hll_retention",
+    "hypertable_rollup", "hll_retention", "asset_projection",
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
@@ -7867,6 +7900,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
         "hll_retention": q_hll_retention,
+        "asset_projection": q_asset_projection,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -11499,6 +11533,27 @@ FROM bt JOIN bh ON bt.url = bh.url
                      round(greatest(0.0, est_a + est_b - est_union), 4)
                      * 1000000 / est_a) AS BIGINT) END AS retention_ppm
             FROM one
+        """,
+        # membership replay + the fanout cap + pair counting
+        "asset_projection": """
+            WITH d AS (SELECT doc_id::BIGINT AS i FROM documents
+                       WHERE doc_id < 60),
+            m AS (
+              SELECT DISTINCT 'h' || i AS h, md5('lib' || (i // 4)) AS a
+              FROM d
+              UNION
+              SELECT DISTINCT 'h' || i, md5('hub') FROM d
+              UNION
+              SELECT DISTINCT 'h' || i, md5('u' || i) FROM d
+              WHERE i % 5 = 4
+            ),
+            dfc AS (SELECT a, COUNT(*) AS holders FROM m GROUP BY 1),
+            kept AS (SELECT m.h, m.a FROM m
+                     JOIN dfc ON dfc.a = m.a WHERE dfc.holders <= 50)
+            SELECT x.h AS host_a, y.h AS host_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_assets
+            FROM kept x JOIN kept y ON x.a = y.a AND x.h < y.h
+            GROUP BY 1, 2
         """,
         # md5 joins replayed: corpus hit -> dup_corpus, else batch
         # keep-first by min doc_id, else new

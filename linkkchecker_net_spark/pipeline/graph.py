@@ -954,3 +954,52 @@ def kcore(
     ).localCheckpoint()
     und.unpersist()
     return out
+
+
+def asset_projection(
+    assets: DataFrame,
+    left_col: str = "host",
+    asset_col: str = "asset_digest",
+    max_fanout: int = 50,
+) -> DataFrame:
+    """Bipartite projection: (host, asset) memberships → weighted
+    host-host edges, weight = number of DISTINCT shared assets.  The
+    generalization of `favicon_clusters` to any asset class (favicons,
+    script digests, image phashes, tracker IDs): two hosts that share
+    many content-addressed assets are one operation — the projection
+    edge list feeds `host_components`/`label_propagation`/`kcore`
+    directly.
+
+    THE scale hazard of every bipartite projection is the hub asset: a
+    jquery.min.js digest shared by 10^7 hosts would alone emit 10^14
+    pairs.  Standard guard (and this function's contract): assets with
+    more than ``max_fanout`` distinct holders are EXCLUDED from the
+    projection and returned separately by the companion column — a hub
+    asset shared by half the web carries no mirror signal anyway
+    (discriminative power ~ 1/df, the IDF argument).  The cap bounds
+    the join output at C(max_fanout, 2) pairs per asset.
+
+    Returns (host_a, host_b, shared_assets) with host_a < host_b.
+
+    Scale: one distinct + one count agg keyed by asset (map-side
+    combined), the capped self-join keyed by asset, one pair-keyed
+    count — every exchange key-partitioned; the cap is enforced
+    BEFORE the self-join so the hub never fans out.
+    """
+    m = assets.select(
+        F.col(left_col).alias("h"), F.col(asset_col).alias("a")
+    ).dropDuplicates()
+    df_counts = m.groupBy("a").agg(F.count("*").alias("holders"))
+    kept = m.join(
+        df_counts.filter(F.col("holders") <= max_fanout).select("a"),
+        "a",
+        "left_semi",
+    )
+    x = kept.select(F.col("h").alias("host_a"), "a")
+    y = kept.select(F.col("h").alias("host_b"), "a")
+    return (
+        x.join(y, "a")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("shared_assets"))
+    )

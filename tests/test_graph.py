@@ -546,3 +546,23 @@ def test_kcore_cascade_rounds(spark):
         for r in kcore(nodes, edges, k=2, rounds=4).collect()
     }
     assert out2 == {1: True, 2: True, 3: True, 4: True, 5: False}
+
+
+def test_asset_projection_hub_cap_and_weights(spark):
+    """Shared assets project to weighted edges; a hub asset above the
+    fanout cap contributes nothing (the jquery guard); unique assets
+    produce no edges."""
+    from linkkchecker_net_spark.pipeline.graph import asset_projection
+
+    rows = [
+        ("a", "s1"), ("b", "s1"), ("a", "s2"), ("b", "s2"), ("c", "s2"),
+        ("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+        ("d", "solo"),
+        ("a", "s1"),  # duplicate membership collapses
+    ]
+    df = spark.createDataFrame(rows, "host string, asset_digest string")
+    out = {
+        (r["host_a"], r["host_b"]): r["shared_assets"]
+        for r in asset_projection(df, max_fanout=3).collect()
+    }
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
