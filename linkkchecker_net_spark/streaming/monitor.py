@@ -171,3 +171,46 @@ def rate_alert_stream(
             (F.col("n") >= F.lit(int(threshold))).alias("alert"),
         )
     )
+
+
+def rollup_stream(
+    events_stream: DataFrame,
+    key_col: str = "event_type",
+    bucket_seconds: int = 60,
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Structured-Streaming twin of `pipeline/temporal.
+    hypertable_rollup` at one granularity — the Lambda pair: the batch
+    operator materializes history, this watermarked tumbling-window
+    aggregation maintains the live head of the same table, and because
+    the batch side's bucket floor and Spark's epoch-aligned window
+    start coincide for tumbling windows, the two sides emit
+    IDENTICAL (bucket_seconds, bucket_start, key) rows — equality
+    across a micro-batch split is pinned in tests (the rate_alert twin
+    discipline; same cast-before-withWatermark rule).
+
+    Output matches hypertable_rollup: (bucket_seconds, bucket_start,
+    key, n_events, sum_cents, min_cents, max_cents).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .withColumn("cents", cents)
+        .groupBy(
+            F.window("ts", f"{int(bucket_seconds)} seconds").alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+        .select(
+            F.lit(int(bucket_seconds)).cast("long").alias("bucket_seconds"),
+            F.unix_seconds(F.col("w.start")).alias("bucket_start"),
+            "key", "n_events", "sum_cents", "min_cents", "max_cents",
+        )
+    )

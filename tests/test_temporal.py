@@ -119,3 +119,54 @@ def test_hypertable_rollup_merge_property(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, r.collect())
     )
+
+
+def test_rollup_stream_equals_batch_across_split(spark, tmp_path):
+    """The streaming rollup (append mode, two-file micro-batch split)
+    emits exactly the batch hypertable_rollup rows for every closed
+    minute bucket — including buckets straddling the split."""
+    import os
+
+    from linkkchecker_net_spark.pipeline.temporal import hypertable_rollup
+    from linkkchecker_net_spark.streaming.monitor import rollup_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    split_ts = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    for i, part in enumerate(
+        (ev.filter(F.col("ts") <= split_ts), ev.filter(F.col("ts") > split_ts))
+    ):
+        part.coalesce(1).write.parquet(str(tmp_path / f"s{i}"))
+        src = [f for f in os.listdir(str(tmp_path / f"s{i}"))
+               if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / f"s{i}" / src),
+                  os.path.join(inbox, f"part{i}.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    q = (
+        rollup_stream(stream, bucket_seconds=60, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rollup_test").collect()
+    assert rows, "stream must emit closed buckets"
+    batch = {
+        (r["bucket_start"], r["key"]): (
+            r["n_events"], r["sum_cents"], r["min_cents"], r["max_cents"]
+        )
+        for r in hypertable_rollup(ev, buckets=(60,)).collect()
+    }
+    for r in rows:
+        assert batch[(r["bucket_start"], r["key"])] == (
+            r["n_events"], r["sum_cents"], r["min_cents"], r["max_cents"]
+        ), r
