@@ -7666,6 +7666,24 @@ def q_asset_projection(spark, sf_dir):
     )
 
 
+def q_corner_overlay(spark, sf_dir):
+    """Watermark/logo corner heuristic (pipeline/multimodal.
+    corner_overlay) over the row-banded corpus: the stripe-band arm's
+    corners are pure constant background (4 flat corners over a
+    255-range image — overlay fires), the ramp arm's corners span
+    (w/4-1)*4 > 8 (never flat), and the md5-noise arm's corner tile
+    ranges are replayed exactly from the same per-column values the
+    text_in_image oracle prices."""
+    from linkkchecker_net_spark.pipeline.multimodal import (
+        corner_overlay,
+        synth_textband_corpus,
+    )
+
+    _prep(spark)
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return corner_overlay(synth_textband_corpus(spark, ids))
+
+
 
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
@@ -7684,6 +7702,7 @@ _DRIVER_PRIORITY = [
     "status_transitions", "dga_score", "tile_periodicity", "heaps_law",
     "text_in_image", "cluster_purity", "asof_join", "range_join",
     "hypertable_rollup", "hll_retention", "asset_projection",
+    "corner_overlay",
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
@@ -7901,6 +7920,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "hll_retention": q_hll_retention,
         "asset_projection": q_asset_projection,
+        "corner_overlay": q_corner_overlay,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -11554,6 +11574,54 @@ FROM bt JOIN bh ON bt.url = bh.url
                    CAST(COUNT(*) AS BIGINT) AS shared_assets
             FROM kept x JOIN kept y ON x.a = y.a AND x.h < y.h
             GROUP BY 1, 2
+        """,
+        # stripe-band corners are constant bg (4 flat / range 255), the
+        # ramp's corner span is (w//4-1)*4, the noise arm's tile ranges
+        # replay from the md5 column values
+        "corner_overlay": """
+            WITH d AS (SELECT doc_id::BIGINT AS i,
+                              24 + (doc_id % 5) * 4 AS w,
+                              9 + (doc_id % 2) * 3 AS h
+                       FROM documents),
+            sv AS (
+              SELECT i, w, g.c AS c,
+                     ('0x' || substr(
+                       md5(i::VARCHAR || ':' || g.c::VARCHAR), 1, 6)
+                     )::BIGINT % 251 AS v
+              FROM d, unnest(generate_series(0, w - 1)) AS g(c)
+              WHERE i % 3 = 2
+            ),
+            n2 AS (
+              SELECT i,
+                CAST(max(CASE WHEN c < w // 4 THEN v END)
+                   - min(CASE WHEN c < w // 4 THEN v END) AS BIGINT)
+                  AS lrange,
+                CAST(max(CASE WHEN c >= w - w // 4 THEN v END)
+                   - min(CASE WHEN c >= w - w // 4 THEN v END) AS BIGINT)
+                  AS rrange,
+                CAST(max(v) - min(v) AS BIGINT) AS grange
+              FROM sv GROUP BY i
+            )
+            SELECT 'img_' || lpad(d.i::VARCHAR, 6, '0') AS image_id,
+                   d.i % 9 <> 4 AS ok,
+                   CAST(CASE WHEN d.i % 9 = 4 THEN NULL
+                        WHEN d.i % 3 = 0 THEN 4
+                        WHEN d.i % 3 = 1 THEN 0
+                        ELSE 2 * ((CASE WHEN n2.lrange <= 8
+                                   THEN 1 ELSE 0 END)
+                                + (CASE WHEN n2.rrange <= 8
+                                   THEN 1 ELSE 0 END)) END AS INT)
+                     AS flat_corners,
+                   CAST(CASE WHEN d.i % 9 = 4 THEN NULL
+                        WHEN d.i % 3 = 0 THEN 255
+                        WHEN d.i % 3 = 1 THEN (d.w - 1) * 4
+                        ELSE n2.grange END AS BIGINT) AS global_range,
+                   CASE WHEN d.i % 9 = 4 THEN FALSE
+                        WHEN d.i % 3 = 0 THEN TRUE
+                        WHEN d.i % 3 = 1 THEN FALSE
+                        ELSE (n2.lrange <= 8 OR n2.rrange <= 8)
+                             AND n2.grange >= 64 END AS has_overlay
+            FROM d LEFT JOIN n2 ON n2.i = d.i
         """,
         # md5 joins replayed: corpus hit -> dup_corpus, else batch
         # keep-first by min doc_id, else new

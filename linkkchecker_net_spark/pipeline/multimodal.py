@@ -2601,3 +2601,76 @@ def synth_textband_corpus(spark, ids_df: DataFrame) -> DataFrame:
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
     )
+
+
+# --------------------------------------------------------------------------
+# corner watermark/logo overlay detection
+# --------------------------------------------------------------------------
+
+OVERLAY_FLAT_MAX = 8
+OVERLAY_GLOBAL_MIN = 64
+
+
+def corner_overlay(corpus: DataFrame) -> DataFrame:
+    """Stock-photo watermark / logo-overlay heuristic: a pasted corner
+    badge is locally FLAT (near-constant pixels) while the photo
+    around it varies — the inverse signature of natural image corners.
+    Image-caption pipelines flag these because the overlay text/logo
+    contaminates both the embedding and any OCR pass, and because
+    watermarked stock images are a licensing signal a curation run
+    must surface.
+
+    Per image, the four w/4 x h/4 corner tiles are tested: a corner is
+    an overlay candidate when its luma range (max-min) <= 8 while the
+    GLOBAL luma range >= 64 (a flat corner in an already-flat image is
+    just a flat image — compose with image_entropy).  Output:
+    (image_id, ok, flat_corners, global_range, has_overlay) with
+    has_overlay = ok AND flat_corners >= 1 AND global range >= 64;
+    undecodable rows keep NULLs / false.
+
+    Scale: one mapInPandas Arrow decode pass, map-only, integer
+    min/max folds only — both engines replay the tile ranges exactly.
+    """
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "ok": [], "flat_corners": [],
+                   "global_range": [], "has_overlay": []}
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                out["image_id"].append(iid)
+                try:
+                    arr = imaging.decode_image(bytes(data), fmt)
+                except Exception:
+                    out["ok"].append(False)
+                    out["flat_corners"].append(None)
+                    out["global_range"].append(None)
+                    out["has_overlay"].append(False)
+                    continue
+                g = arr.astype(np.int64).sum(axis=2) // 3
+                h, w = g.shape
+                th, tw = max(h // 4, 1), max(w // 4, 1)
+                tiles = [
+                    g[:th, :tw], g[:th, w - tw:],
+                    g[h - th:, :tw], g[h - th:, w - tw:],
+                ]
+                flat = sum(
+                    1 for t in tiles
+                    if int(t.max()) - int(t.min()) <= OVERLAY_FLAT_MAX
+                )
+                grange = int(g.max()) - int(g.min())
+                out["ok"].append(True)
+                out["flat_corners"].append(flat)
+                out["global_range"].append(grange)
+                out["has_overlay"].append(
+                    flat >= 1 and grange >= OVERLAY_GLOBAL_MIN
+                )
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(
+        dec,
+        "image_id string, ok boolean, flat_corners int, "
+        "global_range long, has_overlay boolean",
+    )

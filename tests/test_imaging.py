@@ -528,3 +528,41 @@ def test_text_in_image_band_arms(spark):
     assert out["ramp"]["texty_rows"] == 0
     assert out["ramp"]["has_text"] is False
     assert out["trunc"]["ok"] is False and out["trunc"]["has_text"] is False
+
+
+def test_corner_overlay_arms(spark):
+    """A varied photo with one pasted flat corner badge fires; a fully
+    flat image does NOT (global-range guard routes it to the entropy
+    filter); truncation keeps NULLs."""
+    import numpy as np
+
+    from linkkchecker_net_spark.pipeline.multimodal import corner_overlay
+
+    rng = np.arange(16, dtype=np.uint8)
+    photo = (np.add.outer(rng * 16, rng) % 251).astype(np.uint8)
+    badged = photo.copy()
+    badged[:4, :4] = 200  # flat top-left badge
+    flat = np.full((16, 16), 9, dtype=np.uint8)
+
+    def enc(b):
+        return bytearray(
+            imaging.encode_image(np.stack([b] * 3, axis=2), "png")
+        )
+
+    rows = [
+        ("badged", enc(badged), "png"),
+        ("photo", enc(photo), "png"),
+        ("flat", enc(flat), "png"),
+        ("trunc", enc(flat)[:6], "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    out = {r["image_id"]: r for r in corner_overlay(df).collect()}
+    b = out["badged"]
+    assert b["flat_corners"] >= 1 and b["has_overlay"]
+    assert out["photo"]["has_overlay"] is False
+    f = out["flat"]
+    assert f["flat_corners"] == 4 and f["has_overlay"] is False
+    assert out["trunc"]["ok"] is False
+    assert out["trunc"]["has_overlay"] is False
