@@ -7684,6 +7684,18 @@ def q_corner_overlay(spark, sf_dir):
     return corner_overlay(synth_textband_corpus(spark, ids))
 
 
+def q_pq_advisor(spark, sf_dir):
+    """PQ sizing sheet (pipeline/similarity.pq_advisor, m=8, k=256)
+    over the embeddings table's own (n, D) — Jégou-2011 arithmetic
+    (code bits, codes/codebook MiB, compression vs float32, the
+    m | D divisibility flag), completing the advisor family."""
+    from linkkchecker_net_spark.pipeline.similarity import pq_advisor
+
+    _prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_advisor(emb, m=8, k=256)
+
+
 
 # Driver-window rotation (r4 verdict item 1c): the correctness driver samples
 # the FIRST 50 entries of queries(); rounds 1-4 always sampled the same
@@ -7702,7 +7714,7 @@ _DRIVER_PRIORITY = [
     "status_transitions", "dga_score", "tile_periodicity", "heaps_law",
     "text_in_image", "cluster_purity", "asof_join", "range_join",
     "hypertable_rollup", "hll_retention", "asset_projection",
-    "corner_overlay",
+    "corner_overlay", "pq_advisor",
     "ann_ivf", "url_blocklist", "url_score", "bpe_merges", "bpe_encode",
     "langid_model", "quality_model", "substring_dedup", "robots_delta",
     "idn_audit", "shard_skew", "caption_quality", "bpe_fertility",
@@ -7921,6 +7933,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_retention": q_hll_retention,
         "asset_projection": q_asset_projection,
         "corner_overlay": q_corner_overlay,
+        "pq_advisor": q_pq_advisor,
         "idn_audit": q_idn_audit,
         "shard_skew": q_shard_skew,
         "change_rate": q_change_rate,
@@ -11622,6 +11635,21 @@ FROM bt JOIN bh ON bt.url = bh.url
                         ELSE (n2.lrange <= 8 OR n2.rrange <= 8)
                              AND n2.grange >= 64 END AS has_overlay
             FROM d LEFT JOIN n2 ON n2.i = d.i
+        """,
+        # Jégou-2011 sizing replayed over (n, D)
+        "pq_advisor": """
+            WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                              CAST(min(len(embedding)) AS INT) AS dim
+                       FROM embeddings)
+            SELECT n_vecs, dim, CAST(8 AS INT) AS m,
+                   CAST(256 AS INT) AS k, CAST(64 AS INT) AS code_bits,
+                   round(n_vecs * 64 / (8.0 * 1024 * 1024), 6)
+                     AS codes_mib,
+                   round(2048.0 * (dim / 8.0) * 4.0 / (1024.0 * 1024), 6)
+                     AS codebook_mib,
+                   round(32.0 * dim / 64.0, 6) AS compression_x,
+                   dim % 8 = 0 AS m_divides_dim
+            FROM a
         """,
         # md5 joins replayed: corpus hit -> dup_corpus, else batch
         # keep-first by min doc_id, else new

@@ -1046,3 +1046,58 @@ def embedding_drift(
         .crossJoin(top)
         .select("n_a", "n_b", "mean_cosine", "top_drift_dim", "top_drift")
     )
+
+
+def pq_advisor(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Product-quantization sizing calculator — the design sheet for
+    this repo's own `pq_ann` path (Jégou 2011): m subvectors of D/m
+    dims, k centroids each, gives codes of m*log2(k) bits per vector,
+    a codebook of m*k*(D/m) floats, and a compression ratio of
+    32*D / (m*log2(k)) versus float32 storage.  The advisor emits the
+    arithmetic over the CORPUS'S OWN (n_vecs, D) so capacity review is
+    a query — the bloom/cuckoo/lsh advisor shape, completing the
+    four-advisor family (seen-filter x2, LSH banding, PQ codes).
+
+    One row: (n_vecs, dim, m, k, code_bits, codes_mib, codebook_mib,
+    compression_x).  m must divide D for pq_ann; the advisor emits the
+    row regardless and flags divisibility (`m_divides_dim`) so the
+    review catches the misconfiguration.
+
+    Scale: one count+min aggregate; arithmetic rides the 1-row result.
+    """
+    import math
+
+    code_bits = int(m * math.log2(k))
+    agg = emb.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min(F.size("embedding")).cast("int").alias("dim"),
+    )
+    return agg.select(
+        "n_vecs",
+        "dim",
+        F.lit(int(m)).cast("int").alias("m"),
+        F.lit(int(k)).cast("int").alias("k"),
+        F.lit(code_bits).cast("int").alias("code_bits"),
+        F.round(
+            F.col("n_vecs") * F.lit(code_bits)
+            / F.lit(8.0 * 1024 * 1024),
+            round_dp,
+        ).alias("codes_mib"),
+        F.round(
+            F.lit(float(m * k))
+            * (F.col("dim") / F.lit(float(m)))
+            * F.lit(4.0)
+            / F.lit(1024.0 * 1024),
+            round_dp,
+        ).alias("codebook_mib"),
+        F.round(
+            F.lit(32.0) * F.col("dim") / F.lit(float(code_bits)),
+            round_dp,
+        ).alias("compression_x"),
+        (F.col("dim") % F.lit(int(m)) == 0).alias("m_divides_dim"),
+    )

@@ -114,7 +114,7 @@ NON_CRAWL = [
     "status_transitions", "dga_score", "tile_periodicity", "heaps_law",
     "text_in_image", "cluster_purity", "asof_join", "range_join",
     "hypertable_rollup", "hll_retention", "asset_projection",
-    "corner_overlay",
+    "corner_overlay", "pq_advisor",
     "quality_keep",
     "url_normalize", "dust_rules", "mirror_hosts", "soft404",
     "registrable_domains", "url_blocklist", "url_score", "robots_delta",

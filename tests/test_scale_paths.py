@@ -869,3 +869,25 @@ def test_embedding_drift_identical_and_shifted(spark):
     assert (r["n_a"], r["n_b"]) == (4, 2)
     assert r["top_drift_dim"] == 2 and r["top_drift"] == 5.0
     assert r["mean_cosine"] < 1.0
+
+
+def test_pq_advisor_arithmetic(spark):
+    """Jégou sizing at (m=8, k=256) over a 16-dim corpus: 64-bit codes,
+    8x compression vs float32, codebook 2048*2*4 bytes; a dim not
+    divisible by m flags the misconfiguration."""
+    from linkkchecker_net_spark.pipeline.similarity import pq_advisor
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 16) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    r = pq_advisor(emb, m=8, k=256).collect()[0]
+    assert (r["n_vecs"], r["dim"], r["code_bits"]) == (100, 16, 64)
+    assert r["compression_x"] == 8.0
+    assert r["codes_mib"] == round(100 * 64 / (8.0 * 1024 * 1024), 6)
+    assert r["codebook_mib"] == round(2048 * 2 * 4 / (1024.0 * 1024), 6)
+    assert r["m_divides_dim"] is True
+    odd = spark.createDataFrame(
+        [(1, [0.0] * 15)], "vec_id long, embedding array<float>"
+    )
+    assert pq_advisor(odd, m=8).collect()[0]["m_divides_dim"] is False
