@@ -2307,9 +2307,15 @@ def mirror_phash_pairs(corpus: DataFrame) -> DataFrame:
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
+    # persist the (id, ph, mph, canon) proxy table: both sides of the
+    # self-join read it, and without the persist each side re-runs the
+    # full decode+hash pass (the mapInPandas stage is opaque to exchange
+    # reuse) — measured 2x the decode cost on the flip-dedup corpus.
+    # 32 bytes/row at any corpus size; the image bytes die at this
+    # stage boundary exactly as before.
     hashed = corpus.select("image_id", "bytes", "fmt").mapInPandas(
         scan, "image_id string, ph long, mph long"
-    ).withColumn("canon", F.least("ph", "mph"))
+    ).withColumn("canon", F.least("ph", "mph")).persist()
     a = hashed.select(
         F.col("image_id").alias("img_a"),
         F.col("ph").alias("ph_a"),

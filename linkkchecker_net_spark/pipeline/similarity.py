@@ -292,13 +292,26 @@ def ivf_ann(
         )
 
     def cell_col(col):
-        best_d, best_i = dot_lit(col, centroids[0]), F.lit(0)
-        for i, cv in enumerate(centroids[1:], start=1):
-            d = dot_lit(col, cv)
-            better = d > best_d
-            best_i = F.when(better, F.lit(i)).otherwise(best_i)
-            best_d = F.when(better, d).otherwise(best_d)
-        return best_i
+        # argmax as ONE array_sort over (-dot, i) structs — the same
+        # idiom as the probe list below.  The previous chained-When
+        # ladder nested each step's condition AND both branches inside
+        # the next, so the first centroid's dot product was re-evaluated
+        # O(n_cells) times per row (higher-order-function expressions
+        # are interpreted — no codegen, no common-subexpression
+        # elimination); here every dot is evaluated exactly once.
+        # Tie-break is identical: sort ascending by (-d, i) keeps the
+        # smallest index among equal dots, matching the strict
+        # `d > best_d` update.
+        entries = F.array(
+            *[
+                F.struct(
+                    (F.lit(0).cast("long") - dot_lit(col, cv)).alias("nd"),
+                    F.lit(i).alias("i"),
+                )
+                for i, cv in enumerate(centroids)
+            ]
+        )
+        return F.element_at(F.array_sort(entries), 1)["i"]
 
     cells = corpus.select("vec_id", "qv", cell_col(F.col("qv")).alias("cell"))
     q = queries.select("query_id", quant(F.col("q_embedding")).alias("q_qv"))
@@ -581,13 +594,25 @@ def pq_ann(
         )
 
     def code_col(col, j):
-        best_d, best_c = l2_lit(sub(col, j), codebooks[j][0]), F.lit(0)
-        for c in range(1, n_codes):
-            d = l2_lit(sub(col, j), codebooks[j][c])
-            better = d < best_d
-            best_c = F.when(better, F.lit(c)).otherwise(best_c)
-            best_d = F.when(better, d).otherwise(best_d)
-        return best_c
+        # argmin as ONE array_sort over (d, c) structs (the ivf_ann
+        # cell/probe idiom): the previous chained-When ladder nested
+        # every earlier distance inside each later step's condition and
+        # branches, and HOF expressions are interpreted (no codegen, no
+        # common-subexpression elimination), so early sub-codebook
+        # distances were re-evaluated O(n_codes) times per row.  Each
+        # L2 is now evaluated exactly once; ascending (d, c) keeps the
+        # lowest code on ties, identical to the strict `d < best_d`
+        # update.
+        entries = F.array(
+            *[
+                F.struct(
+                    l2_lit(sub(col, j), codebooks[j][c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(n_codes)
+            ]
+        )
+        return F.element_at(F.array_sort(entries), 1)["c"]
 
     codes = corpus.select(
         "vec_id",

@@ -41,6 +41,22 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # persist()/cache() compiles the cached plan with AQE partition
+        # coalescing DISABLED by default (Spark keeps a cached relation's
+        # output partitioning stable so downstream plans can rely on it) —
+        # which pins every persisted loop table (pagerank/HITS rank tables,
+        # CC label tables, the crawl's epoch caches) at the static
+        # spark.sql.shuffle.partitions width, and every shuffle DOWNSTREAM
+        # of the cache inherits that width too.  Measured here: a
+        # KB-sized persisted repartition ran 64-task stages end-to-end;
+        # with this flag AQE sizes those exchanges by bytes (1 task local,
+        # bandwidth-sized partitions on a cluster) — the scale-adaptive
+        # partitioning the optimization guide (§2.2) prescribes instead of
+        # a constant tuned for either local mode or the cluster.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # small-ish Arrow batches: rows here often carry multi-KB bodies —
