@@ -453,10 +453,16 @@ def _star_labels(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        sym = (
-            ls.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionByName(ls.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-            .distinct()
+        # no .distinct() after symmetrization: ls is distinct with b < a
+        # strictly (b = least(min-neighbor, src) <= src < dst = a), so the
+        # two union legs are internally distinct AND disjoint (src > dst
+        # vs src < dst) — the old distinct here was a provably-dead
+        # exchange, one of two removed per round (guide §2.4: a distinct
+        # on data that is already unique)
+        sym = ls.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(
+            ls.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
         # small-star
         mns = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
@@ -479,10 +485,14 @@ def _star_labels(
             F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(2**31))).alias("h"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
-        sym = (
-            out.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionByName(out.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-            .distinct()
+        # same proof as the large-star symmetrization: out is distinct
+        # with b < a strictly (b = least(min-neighbor, src) <= dst <= src
+        # on one leg, <= src on the other; a == b filtered), so the union
+        # legs are disjoint and the old trailing distinct was dead
+        sym = out.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(
+            out.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
         if stats is not None:
             stats["star_rounds"] = rnd + 1

@@ -283,15 +283,19 @@ def ivf_ann(
         )
         centroids = [list(r["qv"]) for r in rows]
 
-    def dot_lit(col, cvec):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in cvec])
-        return F.aggregate(
-            F.zip_with(col, arr, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    # expression generation as ONE SQL string per column (single F.expr
+    # py4j call) instead of per-literal Column algebra — n_cells·D CAST'd
+    # long literals were one driver↔JVM round-trip each (the pq_ann
+    # measurement: ~28k messages, ~4 s of pure construction); the Catalyst
+    # tree (array literals, zip_with, aggregate, array_sort) is IDENTICAL
+    def dot_sql(col, cvec):
+        arr = "array(" + ",".join(f"{int(v)}L" for v in cvec) + ")"
+        return (
+            f"aggregate(zip_with({col}, {arr}, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
 
-    def cell_col(col):
+    def entries_sql(col):
         # argmax as ONE array_sort over (-dot, i) structs — the same
         # idiom as the probe list below.  The previous chained-When
         # ladder nested each step's condition AND both branches inside
@@ -302,33 +306,29 @@ def ivf_ann(
         # Tie-break is identical: sort ascending by (-d, i) keeps the
         # smallest index among equal dots, matching the strict
         # `d > best_d` update.
-        entries = F.array(
-            *[
-                F.struct(
-                    (F.lit(0).cast("long") - dot_lit(col, cv)).alias("nd"),
-                    F.lit(i).alias("i"),
-                )
-                for i, cv in enumerate(centroids)
-            ]
-        )
-        return F.element_at(F.array_sort(entries), 1)["i"]
-
-    cells = corpus.select("vec_id", "qv", cell_col(F.col("qv")).alias("cell"))
-    q = queries.select("query_id", quant(F.col("q_embedding")).alias("q_qv"))
-    entries = F.array(
-        *[
-            F.struct(
-                (F.lit(0).cast("long") - dot_lit(F.col("q_qv"), cv)).alias("nd"),
-                F.lit(i).alias("i"),
-            )
+        return "array(" + ",".join(
+            f"named_struct('nd', (CAST(0 AS BIGINT) - {dot_sql(col, cv)}),"
+            f" 'i', {i})"
             for i, cv in enumerate(centroids)
-        ]
+        ) + ")"
+
+    cells = corpus.select(
+        "vec_id",
+        "qv",
+        F.expr(
+            f"element_at(array_sort({entries_sql('qv')}), 1).i"
+        ).alias("cell"),
     )
-    probed = F.slice(F.array_sort(entries), 1, nprobe)
+    q = queries.select("query_id", quant(F.col("q_embedding")).alias("q_qv"))
     qp = q.select(
         "query_id",
         "q_qv",
-        F.explode(F.transform(probed, lambda s: s["i"])).alias("cell"),
+        F.explode(
+            F.expr(
+                f"transform(slice(array_sort({entries_sql('q_qv')}), 1,"
+                f" {int(nprobe)}), s -> s.i)"
+            )
+        ).alias("cell"),
     )
     scored = (
         qp.join(cells, "cell")
@@ -403,31 +403,37 @@ def sq8_ann(
     )
     mn = [float(r["mn"]) for r in stats]
     rng = [float(r["mx"]) - float(r["mn"]) for r in stats]
-    mnarr = F.array(*[F.lit(v) for v in mn])
-    rngarr = F.array(*[F.lit(v) for v in rng])
-    steparr = F.array(*[F.lit(v / 255.0) for v in rng])
+
+    # per-dimension stats re-emitted as SQL array literals inside ONE
+    # F.expr string per column (the pq_ann construction fix: per-literal
+    # Column algebra cost one py4j round-trip each — 3 D-sized literal
+    # arrays plus the nested zip_with ladders were ~2 s of driver time;
+    # the Catalyst tree is IDENTICAL — D-suffixed double literals parse
+    # via the same Double path as F.lit)
+    def _d(v: float) -> str:
+        return f"{v!r}D"
+
+    mnarr = "array(" + ",".join(_d(v) for v in mn) + ")"
+    rngarr = "array(" + ",".join(_d(v) for v in rng) + ")"
+    steparr = "array(" + ",".join(_d(v / 255.0) for v in rng) + ")"
 
     def codes(col):
-        return F.zip_with(
-            F.zip_with(col, mnarr, lambda v, m: v.cast("double") - m),
-            rngarr,
-            lambda d, r: F.when(
-                r > 0,
-                F.least(
-                    F.greatest(
-                        F.floor(d / r * F.lit(255.0)).cast("long"), F.lit(0)
-                    ),
-                    F.lit(255),
-                ),
-            ).otherwise(F.lit(0)),
+        return (
+            f"zip_with(zip_with({col}, {mnarr},"
+            " (v, m) -> CAST(v AS DOUBLE) - m),"
+            f" {rngarr},"
+            " (d, r) -> CASE WHEN r > 0 THEN"
+            " least(greatest(CAST(floor((d / r) * 255.0D) AS BIGINT), 0),"
+            " 255) ELSE 0 END)"
         )
 
     def recon(code_col):
         # ADC decode: integerized floor((min_j + code_j*step_j) * scale)
-        return F.zip_with(
-            F.zip_with(code_col, steparr, lambda c, s: c.cast("double") * s),
-            mnarr,
-            lambda x, m: F.floor((m + x) * F.lit(float(scale))).cast("long"),
+        return (
+            f"zip_with(zip_with({code_col}, {steparr},"
+            " (c, s) -> CAST(c AS DOUBLE) * s),"
+            f" {mnarr},"
+            f" (x, m) -> CAST(floor((m + x) * {float(scale)!r}D) AS BIGINT))"
         )
 
     def quant(col):
@@ -444,7 +450,7 @@ def sq8_ann(
 
     corpus = emb.select(
         "vec_id",
-        recon(codes(dcol)).alias("rv"),
+        F.expr(recon(codes("embedding"))).alias("rv"),
         quant(dcol).alias("qv"),
     )
     q = queries.select(
@@ -582,18 +588,24 @@ def pq_ann(
             for j in range(m)
         ]
 
-    def sub(col, j):
-        return F.slice(col, j * dsub + 1, dsub)
+    # the encode/ADC expressions below are generated as ONE SQL string per
+    # column and handed to a single F.expr() call: the previous
+    # Column-algebra builders issued one py4j round-trip per literal —
+    # m·n_codes·(D/m) CAST'd longs ≈ 28k driver↔JVM messages, measured
+    # 4.4 s of the 5.7 s construction time (guide §1 empirical loop; the
+    # resulting Catalyst tree — array literals, zip_with, aggregate,
+    # array_sort — is IDENTICAL, so plans and results are unchanged)
+    def sub_sql(col, j):
+        return f"slice({col}, {j * dsub + 1}, {dsub})"
 
-    def l2_lit(col, cvec):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in cvec])
-        return F.aggregate(
-            F.zip_with(col, arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    def l2_sql(col, cvec):
+        arr = "array(" + ",".join(f"{int(v)}L" for v in cvec) + ")"
+        return (
+            f"aggregate(zip_with({col}, {arr}, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
 
-    def code_col(col, j):
+    def code_sql(col, j):
         # argmin as ONE array_sort over (d, c) structs (the ivf_ann
         # cell/probe idiom): the previous chained-When ladder nested
         # every earlier distance inside each later step's condition and
@@ -603,27 +615,23 @@ def pq_ann(
         # L2 is now evaluated exactly once; ascending (d, c) keeps the
         # lowest code on ties, identical to the strict `d < best_d`
         # update.
-        entries = F.array(
-            *[
-                F.struct(
-                    l2_lit(sub(col, j), codebooks[j][c]).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(n_codes)
-            ]
+        entries = ",".join(
+            f"named_struct('d', {l2_sql(sub_sql(col, j), codebooks[j][c])},"
+            f" 'c', {c})"
+            for c in range(n_codes)
         )
-        return F.element_at(F.array_sort(entries), 1)["c"]
+        return f"element_at(array_sort(array({entries})), 1).c"
 
     codes = corpus.select(
         "vec_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"), code_col(F.col("qv"), j).alias("code")
-                    )
+            F.expr(
+                "array("
+                + ",".join(
+                    f"named_struct('j', {j}, 'code', {code_sql('qv', j)})"
                     for j in range(m)
-                ]
+                )
+                + ")"
             )
         ).alias("jc"),
     ).select("vec_id", F.col("jc.j").alias("j"), F.col("jc.code").alias("code"))
@@ -632,18 +640,15 @@ def pq_ann(
     dtab = q.select(
         "query_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.lit(c).alias("code"),
-                        l2_lit(sub(F.col("q_qv"), j), codebooks[j][c]).alias(
-                            "d"
-                        ),
-                    )
+            F.expr(
+                "array("
+                + ",".join(
+                    f"named_struct('j', {j}, 'code', {c}, 'd',"
+                    f" {l2_sql(sub_sql('q_qv', j), codebooks[j][c])})"
                     for j in range(m)
                     for c in range(n_codes)
-                ]
+                )
+                + ")"
             )
         ).alias("e"),
     ).select(
@@ -763,12 +768,22 @@ def pca_top_component(
 
     Distributed part (the only data-sized work): mean vector and the
     centered second-moment matrix C = E[xxᵀ] − μμᵀ, computed WITHOUT a
-    self-join — a nested transform explodes each row into its D²
-    (i, j, x_i·x_j) products (pure codegen) and one (i, j)-keyed
-    partial agg collapses them map-side, so the exchange carries
-    ≤ partitions·D² rows at any corpus size.  All products run in
-    DOUBLE (floats are cast first — float32 multiply would diverge
-    from the oracle).
+    self-join — ONE `mapInArrow` pass whose batches run a native
+    float64 gemm (Xᵀ·X over the batch matrix, plus the column-sum and
+    row count), so each task emits D²+D+1 doubles and the driver sums
+    the per-batch partials — the treeAggregate covariance shape
+    (Spark MLlib's RowMatrix does the same).  This replaced a
+    D²-struct explode + (i, j)-keyed partial agg: same exchange bound
+    (≤ partitions·D² values at any corpus size), but the per-row work
+    is one vectorized outer-product accumulate instead of D² codegen
+    struct allocations (guide §4.2 — hand whole batches to native
+    vectorized libraries); measured 4.7 s → ~1 s on the bench corpus
+    with identical 6-dp output.  All products run in DOUBLE (floats
+    are cast first — float32 multiply would diverge from the oracle);
+    partial-sum ORDER differs from the old agg only within the double
+    rounding noise (~1e-13) that the 6-dp rounding boundary already
+    absorbs (Spark's own partition-order variation sits in the same
+    envelope).
 
     Driver part (metadata-sized, the kmeans-centroid precedent): the
     D×D matrix collects and ``iters`` power iterations run in plain
@@ -782,43 +797,55 @@ def pca_top_component(
     """
     if dim is None:
         dim = int(vectors.select(F.size(vec_col).alias("d")).first()["d"])
-    x = F.col(vec_col)
-    prods = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (
-                        F.element_at(x, i + 1).cast("double")
-                        * F.element_at(x, j + 1).cast("double")
-                    ).alias("p"),
-                ),
-            ),
+    D = int(dim)
+
+    def _moments(batches):
+        import pyarrow as pa
+
+        S = np.zeros((D, D), dtype=np.float64)
+        m = np.zeros(D, dtype=np.float64)
+        n = 0
+        for batch in batches:
+            col = batch.column(0)
+            if len(col) == 0:
+                continue
+            if col.null_count == 0:
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                X = np.asarray(flat, dtype=np.float64).reshape(-1, D)
+            else:
+                rows = [r for r in col.to_pylist() if r is not None]
+                if not rows:
+                    continue
+                X = np.asarray(rows, dtype=np.float64)
+            S += X.T @ X
+            m += X.sum(axis=0)
+            n += X.shape[0]
+        yield pa.record_batch(
+            [
+                pa.array([S.ravel().tolist()], pa.list_(pa.float64())),
+                pa.array([m.tolist()], pa.list_(pa.float64())),
+                pa.array([n], pa.int64()),
+            ],
+            names=["s", "m", "n"],
         )
+
+    parts = (
+        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .mapInArrow(_moments, "s array<double>, m array<double>, n long")
+        .collect()
     )
-    m2 = (
-        vectors.select(F.explode(prods).alias("e"))
-        .select("e.i", "e.j", "e.p")
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("s"), F.count("*").alias("n"))
-        .select("i", "j", (F.col("s") / F.col("n")).alias("m2"))
-    )
-    means = (
-        vectors.select(
-            F.posexplode(x).alias("i", "v")
-        )
-        .select("i", F.col("v").cast("double").alias("v"))
-        .groupBy("i")
-        .agg(F.avg("v").alias("m"))
-    )
-    mrows = {int(r["i"]): float(r["m"]) for r in means.collect()}
-    C = [[0.0] * dim for _ in range(dim)]
-    for r in m2.collect():
-        i, j = int(r["i"]), int(r["j"])
-        C[i][j] = float(r["m2"]) - mrows[i] * mrows[j]
+    S = np.zeros((D, D), dtype=np.float64)
+    msum = np.zeros(D, dtype=np.float64)
+    n_total = 0
+    for r in parts:
+        S += np.asarray(r["s"], dtype=np.float64).reshape(D, D)
+        msum += np.asarray(r["m"], dtype=np.float64)
+        n_total += int(r["n"])
+    mrows = {i: float(msum[i] / n_total) for i in range(D)}
+    C = [
+        [float(S[i][j] / n_total) - mrows[i] * mrows[j] for j in range(D)]
+        for i in range(D)
+    ]
     import math
 
     v = [1.0 / math.sqrt(dim)] * dim
