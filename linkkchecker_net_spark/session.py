@@ -57,6 +57,15 @@ def build_session(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true",
         )
+        # DataFrame-debugging call-site capture (Spark 4 default ON) wraps
+        # EVERY python DataFrame/Column call with a getActiveSession +
+        # conf.get + PySparkCurrentOrigin.set/clear py4j round-trip AND an
+        # inspect.stack() walk — cProfile over the 26-epoch sf0.1 crawl
+        # showed ~78k py4j messages with ~20 s of driver-side DAG
+        # construction, a large share from this wrapper.  Production
+        # crawls build thousands of epoch DAGs; the enriched error
+        # call-site context is a debug aid, not a correctness feature.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # small-ish Arrow batches: rows here often carry multi-KB bodies —
