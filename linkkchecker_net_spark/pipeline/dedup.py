@@ -61,7 +61,15 @@ def fingerprint_dedup(docs: DataFrame, prefix_tokens: int = 5) -> DataFrame:
 
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per doc — all JVM-side: split →
-    transform over an index sequence → explode → distinct."""
+    transform over an index sequence → explode → distinct.
+
+    The input is spread to session parallelism first when it arrives as a
+    narrow scan (guide §2.5 input skew: a small/row-group-bound parquet
+    file is 1-2 scan partitions and the explode + partial-dedup would run
+    single-task); no-op at production scan widths."""
+    from ._parallel import spread_scan
+
+    docs = spread_scan(docs)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks) - F.lit(k - 1)
     # sequence(1, 0) DESCENDS in Spark and slice(start=0) throws — docs

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as PWindow
 from pyspark.sql import functions as F
 
+from ._parallel import spread_scan
+
 from linkkchecker_net_spark import imaging
 
 IMAGE_META_SCHEMA = (
@@ -86,7 +88,7 @@ def synth_corpus(spark, ids_df: DataFrame, fmt_cycle=("png", "jpeg", "gif")) -> 
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
-    return ids_df.mapInPandas(
+    return spread_scan(ids_df).mapInPandas(
         gen,
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
@@ -769,7 +771,7 @@ def synth_bordered_corpus(spark, ids_df: DataFrame) -> DataFrame:
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
-    return ids_df.mapInPandas(gen, "image_id string, bytes binary, fmt string")
+    return spread_scan(ids_df).mapInPandas(gen, "image_id string, bytes binary, fmt string")
 
 
 # ---------------------------------------------------------------------------
@@ -857,7 +859,7 @@ def synth_gradient_corpus(spark, ids_df: DataFrame) -> DataFrame:
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
-    return ids_df.mapInPandas(gen, "image_id string, bytes binary, fmt string")
+    return spread_scan(ids_df).mapInPandas(gen, "image_id string, bytes binary, fmt string")
 
 
 # ---------------------------------------------------------------------------
@@ -969,7 +971,7 @@ def synth_striped_corpus(spark, ids_df: DataFrame) -> DataFrame:
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
-    return ids_df.mapInPandas(gen, "image_id string, bytes binary, fmt string")
+    return spread_scan(ids_df).mapInPandas(gen, "image_id string, bytes binary, fmt string")
 
 
 # ---------------------------------------------------------------------------
@@ -1102,7 +1104,7 @@ def synth_meta_corpus(spark, ids_df: DataFrame) -> DataFrame:
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
-    return ids_df.mapInPandas(
+    return spread_scan(ids_df).mapInPandas(
         gen,
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
@@ -1168,7 +1170,7 @@ def synth_inline_corpus(spark, ids_df: DataFrame) -> DataFrame:
             if urls:
                 yield pd.DataFrame({"url": urls, "body": bodies})
 
-    return ids_df.mapInPandas(gen, "url string, body string")
+    return spread_scan(ids_df).mapInPandas(gen, "url string, body string")
 
 
 def inline_images(
@@ -1272,7 +1274,7 @@ def synth_rowgrad_corpus(spark, ids_df: DataFrame) -> DataFrame:
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
-    return ids_df.mapInPandas(
+    return spread_scan(ids_df).mapInPandas(
         gen,
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
@@ -1464,7 +1466,7 @@ def synth_rgbstripe_corpus(spark, ids_df: DataFrame) -> DataFrame:
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
-    return ids_df.mapInPandas(
+    return spread_scan(ids_df).mapInPandas(
         gen,
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
@@ -1707,7 +1709,7 @@ def synth_tiled_corpus(spark, ids_df: DataFrame) -> DataFrame:
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
-    return ids_df.mapInPandas(
+    return spread_scan(ids_df).mapInPandas(
         gen,
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
@@ -1818,7 +1820,7 @@ def synth_twin_corpus(spark, ids_df: DataFrame) -> DataFrame:
             if out["pair_id"]:
                 yield pd.DataFrame(out)
 
-    return ids_df.mapInPandas(
+    return spread_scan(ids_df).mapInPandas(
         gen,
         "pair_id string, bytes_a binary, fmt_a string, "
         "bytes_b binary, fmt_b string, w int, h int",
@@ -2262,7 +2264,7 @@ def synth_asym_corpus(spark, ids_df: DataFrame) -> DataFrame:
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
-    return ids_df.mapInPandas(
+    return spread_scan(ids_df).mapInPandas(
         gen,
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
@@ -2469,7 +2471,7 @@ def synth_periodic_corpus(spark, ids_df: DataFrame) -> DataFrame:
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
-    return ids_df.mapInPandas(
+    return spread_scan(ids_df).mapInPandas(
         gen,
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
@@ -2602,7 +2604,7 @@ def synth_textband_corpus(spark, ids_df: DataFrame) -> DataFrame:
             if out["image_id"]:
                 yield pd.DataFrame(out)
 
-    return ids_df.mapInPandas(
+    return spread_scan(ids_df).mapInPandas(
         gen,
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
