@@ -24,12 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
-    """Repartition `df` to the session default parallelism iff its planned
-    partition count is lower; no-op (and no exchange) otherwise."""
+def spread_scan(df: DataFrame, target: "int | None" = None) -> DataFrame:
+    """Repartition `df` to `target` (default: the session default
+    parallelism) iff its planned partition count is lower; no-op (and no
+    exchange) otherwise."""
     try:
         sc = df.sparkSession.sparkContext
-        target = sc.defaultParallelism
+        if target is None:
+            target = sc.defaultParallelism
         current = df.rdd.getNumPartitions()
     except Exception:
         return df
