@@ -68,6 +68,15 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     raw = zlib.decompress(idat)
     stride = w * 3
+    # fast path: every scanline filter byte is 0 (the only filter
+    # :func:`encode_png` emits, hence the whole synthetic corpus) — one
+    # vectorized reshape/slice instead of an h-iteration Python row loop
+    # (guide §4.2: whole-batch native ops inside the decode kernel; the
+    # per-row loop below remains the general 0-2 filter path)
+    if len(raw) == h * (stride + 1):
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        if h > 0 and not rows[:, 0].any():
+            return rows[:, 1:].reshape(h, w, 3).copy()
     out = np.empty((h, w, 3), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
