@@ -249,6 +249,11 @@ def _token_hash_expr(t):
 def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash (effectively 60 discriminative bits — see
     _token_hash_expr) over whitespace tokens."""
+    from ._parallel import spread_scan
+
+    # one md5 per token (interpreted HOF) + the numpy bit-vote UDF —
+    # spread a narrow scan so the per-doc work is not single-task
+    docs = spread_scan(docs)
     token_hashes = F.transform(
         F.split(F.col("text"), " "), lambda t: _token_hash_expr(t)
     )
@@ -676,6 +681,9 @@ def cdc_chunks(
     Trailing tokens after the last boundary form a final chunk (finish
     lambda), so every token lands in exactly one chunk.
     """
+    from ._parallel import spread_scan
+
+    docs = spread_scan(docs)  # per-token md5 fold: guide §2.5
     toks = F.split(F.col(text_col), " ")
     is_b = lambda t: F.substring(F.md5(t), 1, 1).isin(*boundary_hex)  # noqa: E731
     zero = F.struct(
@@ -957,6 +965,9 @@ def substring_dedup_spans(
     exact path in tests).  (4) the run-merge window partitions by
     doc_id — per-doc-sized partitions, never global.
     """
+    from ._parallel import spread_scan
+
+    docs = spread_scan(docs)  # stride-1 gram explode: guide §2.5
     text = F.col(text_col)
     L = int(min_len)
     n_pos = F.length(text) - F.lit(L - 1)

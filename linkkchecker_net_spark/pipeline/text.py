@@ -218,6 +218,13 @@ def winnow_fingerprints(
 
     Returns distinct (doc_id, fp) rows, fp = bigint gram hash.
     """
+    from .dedup import shingles as _  # noqa: F401  (same family)
+    from ._parallel import spread_scan
+
+    # per-doc cost is O(tokens x window) interpreted-HOF md5 work — spread
+    # a narrow scan so it does not run single-task (guide §2.5; no-op at
+    # production scan widths)
+    docs = spread_scan(docs)
     toks = F.split(F.col("text"), " ")
     n_grams = F.size(toks) - F.lit(k - 1)
     grams = F.when(
