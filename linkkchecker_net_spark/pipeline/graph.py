@@ -340,26 +340,48 @@ def resolve_redirects(
         .groupBy("src")
         .agg(F.min("dst").alias("dst"))
     )
-    n = e.count()  # metadata-sized action (one long)
     out_schema = lambda df: df.select(  # noqa: E731
         F.col("src").alias("url"),
         F.col("final_url"),
         F.col("hops"),
         F.col("terminal"),
     )
+    # checkpoint the collapsed edge state FIRST; the row count, the
+    # interior-size round bound, and the terminal-classification key set
+    # below all read the checkpoint instead of re-running the groupBy
+    # (previously e was recomputed by the count, the loop seed, and the
+    # srcs join)
+    f0 = e.select(
+        "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops")
+    ).localCheckpoint()
+    f = f0
+    n = f0.count()  # metadata-sized action over the checkpoint (one long)
     if n == 0:
         return out_schema(
-            e.select(
+            f0.select(
                 "src",
                 F.lit(None).cast("string").alias("final_url"),
                 F.lit(None).cast("long").alias("hops"),
                 F.lit(None).cast("string").alias("terminal"),
             )
         )
-    rounds = max(int(n - 1).bit_length(), 0) + 1  # ceil(log2(n)) + 1
-    f = e.select(
-        "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops")
-    ).localCheckpoint()
+    # round bound from the measured chain-interior size, not the edge
+    # count: an acyclic chain of L edges has L-1 interior nodes (a dst
+    # that redirects again), so ceil(log2(interior+1)) + 1 doubling
+    # rounds cover every chain — at 10^8 redirect edges the old
+    # ceil(log2(n)) bound burned ~27 rounds when real chains are < 32
+    # hops (~6 rounds).  One extra metadata-sized count against the
+    # checkpointed (tiny, 3xx-only) edge state buys the difference;
+    # loop/cycle classification is round-count-independent (a cycle
+    # member's cursor sits on a redirecting URL after ANY number of
+    # rounds), and resolved rows' hops stop accumulating once the
+    # terminal is reached, so the output is bit-identical.
+    interior = (
+        f0.select(F.col("cur").alias("src"))
+        .join(f0.select("src"), "src", "left_semi")
+        .count()
+    )
+    rounds = max(int(interior).bit_length(), 0) + 1
     for r in range(rounds):
         j = f.select(
             F.col("src").alias("cur"),
@@ -376,7 +398,7 @@ def resolve_redirects(
         )
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
             f = f.localCheckpoint()
-    srcs = e.select(F.col("src").alias("cur"), F.lit(True).alias("_s"))
+    srcs = f0.select(F.col("src").alias("cur"), F.lit(True).alias("_s"))
     resolved = f.join(srcs, "cur", "left").select(
         "src",
         F.when(F.col("_s").isNull(), F.col("cur")).alias("final_url"),
@@ -467,7 +489,19 @@ def pagination_chains(
             F.lit(0).cast("long").alias("pos"),
             F.lit(1).cast("long").alias("chain_len"),
         )
-    rounds = max(int(n - 1).bit_length(), 0) + 1  # ceil(log2(n)) + 1
+    # round bound from the measured chain-interior size (the
+    # resolve_redirects rationale): a chain of L edges has L-1 interior
+    # nodes (a dst that is also a predecessor's src), so
+    # ceil(log2(interior+1)) + 1 rounds cover every chain; one extra
+    # metadata-sized count over the edge set replaces up-to-log2(#edges)
+    # wasted self-join rounds.  Output unchanged: a covered node's
+    # (cur, pos) stop changing once its head is reached.
+    interior = (
+        e.select("src")
+        .join(e.select(F.col("dst").alias("src")), "src", "left_semi")
+        .count()
+    )
+    rounds = max(int(interior).bit_length(), 0) + 1
     # state over edge-touched nodes: cur = highest known ancestor,
     # pos = hops walked to it; head reached when cur has no predecessor
     f = e.select(
