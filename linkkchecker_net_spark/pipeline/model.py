@@ -85,6 +85,12 @@ def hashed_linear_classify(
     minus second-best score; ``keep`` = pred == classes[0] (the first
     class is the positive/keep label by convention).
     """
+    from ._parallel import spread_scan
+
+    # one md5 per token+bigram (interpreted in the explode) — spread a
+    # narrow scan so feature hashing is not single-task (guide §2.5;
+    # no-op at production scan widths)
+    docs = spread_scan(docs)
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     n = F.size(toks)
     grams = toks
