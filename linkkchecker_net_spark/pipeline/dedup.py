@@ -140,18 +140,17 @@ def minhash_signatures(
     shuffles only `num_hashes` longs per (map partition, doc) and never
     leaves the JVM (measured ~6x faster on the same data).
     """
-    cols = [
-        F.min(F.xxhash64(F.lit(seed), F.lit(j), F.col("shingle"))).alias(f"_h{j}")
+    # ONE SQL-string expression for the whole signature (the pq_ann
+    # construction fix): the per-position Column builders cost ~8 py4j
+    # round-trips each × num_hashes, re-paid by every LSH/dedup caller;
+    # the Catalyst tree — num_hashes partial-aggregated MINs packed into
+    # an array — is identical (int literals match F.lit's IntegerType, so
+    # the xxhash64 input types and values are unchanged)
+    sig = "array(" + ",".join(
+        f"min(xxhash64({int(seed)}, {j}, shingle))"
         for j in range(num_hashes)
-    ]
-    return (
-        shingled.groupBy("doc_id")
-        .agg(*cols)
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("signature"),
-        )
-    )
+    ) + ")"
+    return shingled.groupBy("doc_id").agg(F.expr(sig).alias("signature"))
 
 
 def minhash_lsh_pairs(
